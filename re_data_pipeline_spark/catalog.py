@@ -1,0 +1,69 @@
+"""Table registry over the driver's parquet test data.
+
+The reference exchanges data between tasks as JSON blobs on GCS and relational
+tables in Postgres (SURVEY §1.1).  Here every table is a columnar parquet
+dataset; ``load_tables`` registers them as temp views so both the DataFrame
+API and ``spark.sql`` can reach them, and Catalyst gets column pruning +
+predicate pushdown into the scan for free (SURVEY §4 O1/O2).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one table; Catalyst prunes columns / pushes filters.
+
+    ``events`` ships nanosecond parquet timestamps, which Spark's reader
+    rejects; we read nanos as long (runtime-settable legacy conf) and truncate
+    to microsecond TimestampType — the same ns→µs truncation DuckDB applies
+    when casting TIMESTAMP_NS → TIMESTAMP, so both engines see equal values.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str = DEFAULT_SF_DIR,
+    names: tuple[str, ...] = TESTDATA_TABLES,
+    register: bool = True,
+) -> dict[str, DataFrame]:
+    """Load every test table; optionally register temp views for spark.sql."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        path = table_path(sf_dir, name)
+        if not os.path.exists(path):
+            continue
+        df = load_table(spark, sf_dir, name)
+        if register:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

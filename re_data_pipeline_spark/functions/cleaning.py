@@ -1,0 +1,93 @@
+"""Lenient casting + normalization expressions (SURVEY §2.3 P8/P16/P17, §2.5 A4).
+
+Reference semantics reproduced:
+
+- ``safe_cast(val, type, default)`` — replace un-castable/NaN values with a
+  default instead of failing (reference ``combine_broker_listings.py:167-175``,
+  ``get_edm_building_permits.py:33-41``).  Spark-native: ``try_cast`` yields
+  NULL on failure, ``coalesce`` applies the default.  Stays inside
+  whole-stage codegen — no Python involved.
+- ``normalize_sale_or_lease`` — keyword CASE chain with the reference's exact
+  precedence (sale&lease → sale_or_lease, sale, sublease, lease — sublease is
+  checked *before* lease; ``combine_broker_listings.py:78-94``).
+- ``first_available`` — first non-null of several synonym keys in a map column
+  (``get_AV_listings.py:50-58``).
+- ``profile_completeness`` — percent non-null per column
+  (``get_AV_listings.py:118``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def safe_cast(col: Column | str, dtype: str, default) -> Column:
+    """Cast leniently; un-castable or null values become ``default``.
+
+    Equivalent of the reference's ``safe_cast`` helper
+    (``combine_broker_listings.py:167-175``): NaN/None/bad strings map to the
+    default rather than raising.  ``try_cast`` is the Catalyst-native
+    failure-to-NULL cast, so the whole expression is codegen'd.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(c.try_cast(dtype), F.lit(default).cast(dtype))
+
+
+def try_numeric(col: Column | str) -> Column:
+    """``pd.to_numeric(errors='coerce')`` analogue → DOUBLE or NULL
+    (``aggregate_rental_rates.py:57-59,127``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.try_cast("double")
+
+
+def normalize_sale_or_lease(col: Column | str) -> Column:
+    """Keyword-normalization CASE chain, reference precedence preserved
+    (``combine_broker_listings.py:78-94``):
+
+    1. contains both "sale" and "lease"  → ``sale_or_lease``
+    2. contains "sale"                   → ``sale``
+    3. contains "sublease"               → ``sublease``  (checked before lease)
+    4. contains "lease"                  → ``lease``
+    5. null input                        → ``''`` (reference except-branch)
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    low = F.lower(c)
+    return (
+        F.when(c.isNull(), F.lit(""))
+        .when(low.contains("sale") & low.contains("lease"), F.lit("sale_or_lease"))
+        .when(low.contains("sale"), F.lit("sale"))
+        .when(low.contains("sublease"), F.lit("sublease"))
+        .when(low.contains("lease"), F.lit("lease"))
+        .otherwise(c)
+    )
+
+
+def first_available(map_col: Column | str, keys: list[str]) -> Column:
+    """First present key of a map column — the reference's price/size synonym
+    lookup (``get_AV_listings.py:50-58``), as pure ``element_at`` coalescing."""
+    m = F.col(map_col) if isinstance(map_col, str) else map_col
+    return F.coalesce(*[F.element_at(m, k) for k in keys])
+
+
+def profile_completeness(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Percent-non-null profile per column, one output row
+    (``get_AV_listings.py:118`` — ``df.count()/len(df)*100``).
+
+    Single aggregation pass over all columns (no per-column scans); at scale
+    this is one map-side-combined shuffle of a single row.
+    """
+    cols = cols or df.columns
+    return df.agg(
+        *[
+            (F.count(F.col(c)) * 100.0 / F.count(F.lit(1))).alias(c)
+            for c in cols
+        ]
+    )
+
+
+def day_of_iso(col: Column | str, default: int = 0) -> Column:
+    """Day-of-month from an ISO date/timestamp string, 0 when unparseable —
+    reference ``get_edm_building_permits.py:43-47``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(F.dayofmonth(F.try_to_timestamp(c)), F.lit(default))

@@ -1,0 +1,140 @@
+"""Geospatial expression kernel (SURVEY §2.4 J2/J3/J10, §2.8 F15, §7 step 4).
+
+The reference leans on geopandas/shapely (R-tree radius search
+``get_osm_data.py:63-81``, ``sjoin within`` ``get_zoning_data.py:60``, grid
+containment ``aggregate_rental_rates.py:122-126``).  Spark has no native geo
+types, so this kernel represents geometry as plain columns:
+
+- points: ``x``/``y`` double columns (planar meters after projection);
+- polygons: ``array<struct<x:double, y:double>>`` rings (closed or open);
+- grid cells: integer ``(cell_x, cell_y)`` ids — the *scalable* replacement
+  for both the R-tree (J3) and the 4096-cell nested loop (J10): a cell id is
+  a shuffle key, so spatial joins become equi-joins Catalyst can plan.
+
+Everything except ray-casting is a pure Column expression.  Ray-casting for
+arbitrary polygons is a vectorized pandas UDF (Arrow-batched); axis-aligned
+cells use the expression fast path.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
+
+EARTH_RADIUS_M = 6_371_000.0
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def cell_id(coord: Column | str, origin: float, cell_size: float) -> Column:
+    """Grid-cell index along one axis: floor((coord - origin) / cell_size).
+
+    Replaces the reference's per-cell ``within`` loop
+    (``aggregate_rental_rates.py:122-126``) with an O(n) computed key —
+    at 100 TB the groupBy on (cell_x, cell_y) is one ordinary hash shuffle.
+    """
+    return F.floor((_c(coord) - F.lit(origin)) / F.lit(cell_size)).cast("long")
+
+
+def cell_corners_str(
+    cell_x: Column | str, cell_y: Column | str, origin_x: float, origin_y: float, cell: float
+) -> Column:
+    """Reconstruct the reference's ``str(list(cell.geometry.exterior.coords))``
+    output (``aggregate_rental_rates.py:135``): a closed 5-corner ring string
+    built purely from the cell indices — no geometry object needed.
+    """
+    x0 = (_c(cell_x) * F.lit(cell) + F.lit(origin_x)).cast("double")
+    y0 = (_c(cell_y) * F.lit(cell) + F.lit(origin_y)).cast("double")
+    x1, y1 = x0 + F.lit(cell), y0 + F.lit(cell)
+
+    def pt(x: Column, y: Column) -> Column:
+        return F.format_string("(%s, %s)", x.cast("string"), y.cast("string"))
+
+    return F.format_string(
+        "[%s, %s, %s, %s, %s]",
+        pt(x0, y0), pt(x1, y0), pt(x1, y1), pt(x0, y1), pt(x0, y0),
+    )
+
+
+def euclidean_distance(x1, y1, x2, y2) -> Column:
+    dx = _c(x1) - _c(x2)
+    dy = _c(y1) - _c(y2)
+    return F.sqrt(dx * dx + dy * dy)
+
+
+def haversine_m(lat1, lon1, lat2, lon2) -> Column:
+    """Great-circle distance in meters (pure expressions)."""
+    rlat1, rlat2 = F.radians(_c(lat1)), F.radians(_c(lat2))
+    dlat = F.radians(_c(lat2) - _c(lat1))
+    dlon = F.radians(_c(lon2) - _c(lon1))
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon / 2) * F.sin(dlon / 2)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+
+
+def point_in_rect(x, y, xmin: Column, ymin: Column, xmax: Column, ymax: Column) -> Column:
+    """Axis-aligned containment — the expression fast path for grid cells.
+    Matches shapely ``within`` edge semantics (strict on max edges, inclusive
+    handled by caller as needed)."""
+    return (_c(x) >= xmin) & (_c(x) < xmax) & (_c(y) >= ymin) & (_c(y) < ymax)
+
+
+def utm_project(lat: Column | str, lon: Column | str, zone: int = 12) -> tuple[Column, Column]:
+    """Spherical-approximation transverse-Mercator projection to UTM meters.
+
+    The reference reprojects EPSG:4326 → EPSG:32612 via pyproj
+    (``aggregate_rental_rates.py:86-90``, ``get_osm_data.py:58-60``).  This is
+    the classic Gauss-Krüger spherical form — deterministic, pure expressions,
+    accurate to ~1 km absolute but locally consistent, which is all the grid
+    bucketing needs (cells are relative to a projected origin).
+    """
+    k0 = 0.9996
+    lon0 = math.radians(zone * 6 - 183)
+    lam = F.radians(_c(lon)) - F.lit(lon0)
+    phi = F.radians(_c(lat))
+    b = F.cos(phi) * F.sin(lam)
+    x = F.lit(k0 * EARTH_RADIUS_M / 2) * F.log((F.lit(1.0) + b) / (F.lit(1.0) - b)) + F.lit(500_000.0)
+    y = F.lit(k0 * EARTH_RADIUS_M) * (F.atan2(F.tan(phi), F.cos(lam)))
+    return x, y
+
+
+def point_in_polygon_udf():
+    """Vectorized ray-casting pandas UDF: (x, y, ring) → bool.
+
+    ``ring`` is array<struct<x,y>> (closed or open).  Used by the
+    point-in-polygon join (J2) *after* a grid-cell bbox prefilter has cut
+    candidates, so the Python cost is proportional to candidate pairs, not
+    |points| × |polygons| (reference does the full nested loop via sjoin).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BooleanType())
+    def _pip(x: pd.Series, y: pd.Series, ring: pd.Series) -> pd.Series:
+        out = []
+        for xi, yi, poly in zip(x, y, ring):
+            if poly is None or len(poly) < 3:
+                out.append(False)
+                continue
+            pts = [(p["x"], p["y"]) for p in poly]
+            if pts[0] == pts[-1]:
+                pts = pts[:-1]
+            inside = False
+            j = len(pts) - 1
+            for i in range(len(pts)):
+                xi1, yi1 = pts[i]
+                xj, yj = pts[j]
+                if (yi1 > yi) != (yj > yi) and xi < (xj - xi1) * (yi - yi1) / (yj - yi1) + xi1:
+                    inside = not inside
+                j = i
+            out.append(inside)
+        return pd.Series(out)
+
+    return _pip

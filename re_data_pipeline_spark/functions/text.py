@@ -1,0 +1,122 @@
+"""Text-analysis expression library (north-star extension + SURVEY §2.8 F1-F5).
+
+Designed for the ``documents`` table of a large-scale training-data pipeline:
+language ID, quality scoring, token counting, shingling, fingerprinting.  All
+pure Column expressions — these run inside whole-stage codegen and vectorized
+parquet scans, so a 100 TB corpus is one map-only pass (no shuffle, no Python).
+
+Determinism note: fingerprints/minhashes are built from ``md5`` so the same
+value is computable in any engine (the DuckDB oracle reproduces them exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small multilingual stopword lists for the language-ID heuristic and the
+# stopword-ratio quality signal.  Deliberately tiny + frozen: they are part of
+# the deterministic operator contract, not a linguistics model.
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+STOPWORDS_ES = ("el", "la", "de", "y", "que", "en", "un", "una", "los", "las")
+STOPWORDS_DE = ("der", "die", "das", "und", "ist", "von", "mit", "ein", "eine", "zu")
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization → array<string>."""
+    return F.split(F.trim(_c(col)), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (cheap proxy for an LLM token budget)."""
+    return F.size(tokens(col))
+
+
+def char_ngrams(col: Column | str, n: int, distinct: bool = True) -> Column:
+    """Character n-gram shingle set via sequence+substring (no UDF)."""
+    c = _c(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(n - 1), F.lit(1))),
+        lambda i: F.substring(c, i, n),
+    )
+    return F.array_distinct(grams) if distinct else grams
+
+
+def word_shingles(col: Column | str, n: int, distinct: bool = True) -> Column:
+    """Word n-gram shingles (space-joined), the MinHash input unit."""
+    toks = tokens(col)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
+        lambda j: F.array_join(F.slice(toks, j, n), " "),
+    )
+    return F.array_distinct(sh) if distinct else sh
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Punctuation chars / total chars."""
+    c = _c(col)
+    return F.length(F.regexp_replace(c, r"[^.!?,;:]", "")) / F.length(c)
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    """Fraction of tokens that are stopwords (quality signal)."""
+    toks = tokens(col)
+    stops = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(stops, F.lower(t))))
+    return hits / F.size(toks)
+
+
+def quality_score(col: Column | str) -> Column:
+    """Deterministic document-quality score in [0, 1].
+
+    Blend of (a) length credit saturating at 200 tokens, (b) stopword-ratio
+    credit saturating at 0.2, (c) punctuation-spam penalty above 10%.  The
+    exact blend is an engine contract (oracle reproduces it), not a model.
+    """
+    ntok = token_count(col).cast("double")
+    len_credit = F.least(ntok / F.lit(200.0), F.lit(1.0))
+    stop_credit = F.least(stopword_ratio(col) / F.lit(0.2), F.lit(1.0))
+    punct_pen = F.greatest(punct_ratio(col) - F.lit(0.1), F.lit(0.0))
+    score = F.lit(0.5) * len_credit + F.lit(0.5) * stop_credit - punct_pen
+    return F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Heuristic language ID: script ranges first, then stopword voting.
+
+    CJK → zh, Cyrillic → ru, else the language whose stopword list scores the
+    most token hits (en/es/de), ties broken en > es > de.  Pure expressions —
+    at 100 TB this is a map-only column.
+    """
+    c = _c(col)
+    toks = F.transform(tokens(c), lambda t: F.lower(t))
+
+    def hits(words: tuple[str, ...]) -> Column:
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    en, es, de = hits(STOPWORDS_EN), hits(STOPWORDS_ES), hits(STOPWORDS_DE)
+    return (
+        F.when(c.rlike("[一-鿿]"), F.lit("zh"))
+        .when(c.rlike("[Ѐ-ӿ]"), F.lit("ru"))
+        .when((en >= es) & (en >= de), F.lit("en"))
+        .when(es >= de, F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace."""
+    return F.lower(F.trim(F.regexp_replace(_c(col), r"\s+", " ")))
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Deterministic 128-bit document fingerprint = md5 of normalized text.
+
+    Engine-portable (md5 is identical everywhere) — the exact-dedup key.
+    """
+    return F.md5(normalize_text(col))

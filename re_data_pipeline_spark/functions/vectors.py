@@ -1,0 +1,45 @@
+"""Vector math over ``array<float>`` embedding columns (SURVEY §2.6 W4, §2.10 X5).
+
+The reference stores 1536-dim embeddings in Pinecone and queries cosine top-k
+(``transcripts_to_vector_db.py:246-252``).  Here embeddings are a plain
+``array<float>`` column and similarity is a JVM-side higher-order-function
+expression — ``zip_with`` + ``aggregate`` — i.e. no UDF, no Python, fully
+codegen'd, and embarrassingly parallel over partitions.
+
+Accumulation is left-to-right in double precision, which both Spark and the
+DuckDB oracle (``list_cosine_similarity``) perform identically, making scores
+bit-comparable after rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two array columns (double)."""
+    prods = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            _c(a), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity; NULL when either norm is 0 (division yields NULL)."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def literal_vector(vec: list[float]) -> Column:
+    """A broadcast-able literal query vector (array<double>)."""
+    return F.array(*[F.lit(float(v)) for v in vec])

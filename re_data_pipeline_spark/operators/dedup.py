@@ -1,0 +1,188 @@
+"""Deduplication operators — exact and near-dup (north-star extension).
+
+A training-data pipeline at 100 TB needs dedup as a first-class relational
+operator.  Four tiers, all shuffle-planned by Catalyst:
+
+1. **Exact** — hash-groupBy on a normalized fingerprint (md5); one shuffle.
+2. **N-gram Jaccard** — exact set similarity via shingle explode + equi-join
+   on shingle; O(total shingles) shuffle, correct but quadratic in cluster
+   size — use on candidate pairs, not the full corpus.
+3. **MinHash + LSH** — the scale path: constant-size signature per document,
+   band-bucket equi-join produces candidate pairs without any cross join.
+4. **SimHash** — 60-bit signed-projection fingerprint; hamming distance on a
+   single BIGINT.
+
+Determinism/portability: every hash is derived from ``md5`` (not Spark's
+xxhash64/murmur) so signatures are bit-identical in any engine — the DuckDB
+oracle recomputes them exactly.  MinHash semantics follow the classic
+Broder construction (min over shingles of h_i(s), h_i = md5(s || '#' || i)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from re_data_pipeline_spark.functions.text import doc_fingerprint, word_shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one row per normalized-text fingerprint (lowest id wins —
+    deterministic, unlike dropDuplicates' partition-order winner).
+
+    One hash shuffle on the 128-bit fingerprint; at 100 TB the fingerprint
+    groupBy is map-side combined and the full text never shuffles.
+    """
+    fp = df.withColumn("__fp", doc_fingerprint(F.col(text_col)))
+    keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+    return fp.join(keep, [ "__fp", id_col], "left_semi").drop("__fp")
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_words: int = 3,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """Append a MinHash signature column ``array<string>[num_hashes]``.
+
+    h_i(shingle) = md5(shingle || '#' || i); signature[i] = min over the
+    document's distinct word-shingles.  Pure expressions (transform +
+    array_min) — map-only, no shuffle, no UDF.
+    """
+    sh = word_shingles(F.col(text_col), shingle_words)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s, i=i: F.md5(F.concat(s, F.lit(f"#{i}"))))
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return df.withColumn(out_col, sig)
+
+
+def lsh_bands(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "minhash",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Explode a MinHash signature into (id, band, band_key) bucket rows.
+
+    band_key = md5 of the band's signature slice; two docs share a bucket iff
+    their band slices agree exactly — the standard LSH AND-OR construction.
+    Output is the shuffle-friendly form: candidate generation is a plain
+    equi-join on (band, band_key), never a cross join.
+    """
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws("|", F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band))
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return (
+        df.select(F.col(id_col), F.explode(band_entries).alias("e"))
+        .select(id_col, F.col("e.band").alias("band"), F.col("e.band_key").alias("band_key"))
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_words: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidate pairs (id_a < id_b) via MinHash-LSH banding.
+
+    Plan shape at scale: map-only signature pass → explode to bands (×bands
+    rows) → hash shuffle on band_key → pair emit → distinct.  Skewed buckets
+    (e.g. boilerplate docs) are AQE-split; no O(n²) stage exists.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signature(df, text_col, num_hashes, shingle_words)
+    buckets = lsh_bands(sigs, id_col, "minhash", bands, rows_per_band)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-shingle Jaccard similarity for all intersecting pairs.
+
+    Shingle-explode + self-equi-join on the shingle — only pairs sharing at
+    least one shingle are materialized (never a cross join).  Exact and
+    shuffle-heavy: the verification stage after LSH candidate generation, or
+    a direct operator on corpora small enough to afford it.
+    """
+    sh = (
+        df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_words)).alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 60, out_col: str = "simhash") -> DataFrame:
+    """Append a ``bits``-wide (≤60, fits signed BIGINT) SimHash fingerprint.
+
+    Token hash = first 15 hex chars of md5 (60 bits, engine-portable);
+    bit_j(doc) = sign of Σ_tokens (bit_j(h(token))·2 − 1).  Implemented as
+    explode → one md5 per token → single groupBy with ``bits`` sums — one
+    shuffle regardless of bit width.
+    """
+    toks = df.select(
+        F.col("*"), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__tok")
+    ).withColumn("__h", F.conv(F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10).cast("decimal(20,0)"))
+    bit_sums = toks.groupBy(*df.columns).agg(
+        *[
+            F.sum(
+                ((F.col("__h") / F.lit(2 ** j)).cast("long") % 2) * 2 - 1
+            ).alias(f"__b{j}")
+            for j in range(bits)
+        ]
+    )
+    sim = None
+    for j in range(bits):
+        term = F.when(F.col(f"__b{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bit_sums.withColumn(out_col, sim.cast("long")).drop(*[f"__b{j}" for j in range(bits)])

@@ -1,0 +1,118 @@
+"""Similarity search over embedding columns (SURVEY §2.6 W4 + north-star ANN).
+
+The reference's vector search is Pinecone ``index.query(top_k, filter=...)``
+(``transcripts_to_vector_db.py:303-313``, k=23 at
+``transcript_summaries.py:271-274``).  Here the index is a DataFrame of
+``array<float>`` and search is relational:
+
+- **Brute-force top-k** — exact baseline: map-only cosine scoring against a
+  broadcast query vector, then a global top-k.  Spark plans ``orderBy(desc)
+  .limit(k)`` as per-partition partial top-k + single-reduce TakeOrdered —
+  no full sort, no full shuffle; scales linearly with corpus size.
+- **Metadata-filtered top-k** — the Pinecone filter is just a WHERE pushed
+  below the scoring projection (and into the parquet scan).
+- **LSH-bucketed ANN** — scale path: sign-random-projection bucket key (md5-
+  derived hyperplanes, engine-portable), equi-join query buckets to corpus
+  buckets, exact re-rank inside buckets only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from re_data_pipeline_spark.functions.vectors import cosine_similarity, literal_vector
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int,
+    vec_col: str = "embedding",
+    where: Column | None = None,
+    score_col: str = "score",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to one query vector.
+
+    Deterministic tiebreak: (score desc, first id-ish column asc) so results
+    are stable across partitionings.
+    """
+    q = literal_vector(query_vec)
+    scored = df.withColumn(score_col, cosine_similarity(F.col(vec_col), q))
+    if where is not None:
+        scored = scored.where(where)
+    tiebreak = [c for c in df.columns if c != vec_col][:1]
+    return scored.orderBy(F.desc(score_col), *tiebreak).limit(k)
+
+
+def cosine_topk_per_query(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    corpus_vec: str = "embedding",
+    query_vec: str = "embedding",
+    query_id: str = "query_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Top-k per query via broadcast(queries) × corpus + rank window.
+
+    The window partitions by query, so the shuffle key is the query id — the
+    corpus itself is scored map-side against the broadcast query table.
+    """
+    joined = corpus.crossJoin(F.broadcast(queries.select(query_id, F.col(query_vec).alias("__qv"))))
+    scored = joined.withColumn(score_col, cosine_similarity(F.col(corpus_vec), F.col("__qv"))).drop("__qv")
+    tiebreak = [c for c in corpus.columns if c != corpus_vec][:1]
+    w = Window.partitionBy(query_id).orderBy(F.desc(score_col), *tiebreak)
+    return scored.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k).drop("__rn")
+
+
+def srp_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bucket key: one bit per hyperplane.
+
+    Hyperplane coefficients are supplied by the caller (derive them from any
+    deterministic source); the bucket key is a small integer — an equi-join
+    key that turns ANN into a hash join.
+    """
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    key = F.lit(0)
+    for i, plane in enumerate(planes):
+        p = literal_vector(plane)
+        d = F.aggregate(
+            F.zip_with(c, p, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        key = key + F.when(d >= 0, F.lit(2 ** i)).otherwise(F.lit(0))
+    return key
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int,
+    planes: list[list[float]],
+    vec_col: str = "embedding",
+    score_col: str = "score",
+) -> DataFrame:
+    """Approximate top-k: score only the corpus rows in the query's SRP bucket.
+
+    At 100 TB the bucket column is computed at ingest and the table is
+    partitioned by it, so a query reads one partition (partition pruning)
+    instead of scanning the corpus.
+    """
+    import math
+
+    qkey = 0
+    for i, plane in enumerate(planes):
+        d = sum(float(a) * float(b) for a, b in zip(query_vec, plane))
+        if d >= 0:
+            qkey += 2 ** i
+    bucketed = corpus.withColumn("__bucket", srp_bucket(vec_col, planes))
+    return cosine_topk(
+        bucketed.where(F.col("__bucket") == F.lit(qkey)).drop("__bucket"),
+        query_vec,
+        k,
+        vec_col,
+        score_col=score_col,
+    )

@@ -1,0 +1,160 @@
+"""Spatial join + grid aggregation operators (SURVEY §2.4 J2/J3/J10, §2.5 A1/A2).
+
+Scale design: every spatial operator reduces to an **equi-join on computed
+grid-cell keys** followed by an exact geometric test — the distributed
+replacement for the reference's R-tree probe (``get_osm_data.py:63-81``) and
+its 4096-cell nested containment loop (``aggregate_rental_rates.py:122-126``).
+Cell keys are ordinary shuffle keys, so Catalyst/AQE plan these like any hash
+join (broadcast when one side is small, skew-split when a cell is hot).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from re_data_pipeline_spark.functions.geo import (
+    cell_corners_str,
+    cell_id,
+    euclidean_distance,
+    point_in_polygon_udf,
+)
+
+
+def grid_aggregate(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    value_col: str,
+    group_cols: list[str],
+    origin_x: float,
+    origin_y: float,
+    cell_size: float,
+    grid_cells: int | None = None,
+    emit_corners: bool = False,
+) -> DataFrame:
+    """Grid-cell statistical aggregation (reference A1):
+
+    per (cell, *group_cols): ``avg``, ``count``, sample stddev (pandas
+    ddof=1 — ``stddev_samp``) with the reference's n==1 → 0.0 rule
+    (``aggregate_rental_rates.py:129-131``).  Null values are dropped first
+    (``to_numeric(errors='coerce').dropna()``, ``:127``).
+
+    One hash shuffle on (cell_x, cell_y, *group_cols); partial aggregation is
+    map-side combined, so 100 TB of points reduce to |cells × groups| rows.
+    """
+    v = F.col(value_col).try_cast("double")
+    cells = df.withColumn("__v", v).where(F.col("__v").isNotNull())
+    cells = cells.withColumn("cell_x", cell_id(F.col(x_col), origin_x, cell_size))
+    cells = cells.withColumn("cell_y", cell_id(F.col(y_col), origin_y, cell_size))
+    if grid_cells is not None:
+        # stay inside the reference's finite grid (64×64 cells)
+        cells = cells.where(
+            (F.col("cell_x") >= 0)
+            & (F.col("cell_x") < grid_cells)
+            & (F.col("cell_y") >= 0)
+            & (F.col("cell_y") < grid_cells)
+        )
+    agg = cells.groupBy("cell_x", "cell_y", *group_cols).agg(
+        F.avg("__v").alias("avg_value"),
+        F.count("__v").alias("num_values"),
+        F.coalesce(F.stddev_samp("__v"), F.lit(0.0)).alias("standard_deviation"),
+    )
+    if emit_corners:
+        agg = agg.withColumn(
+            "grid_coordinates",
+            cell_corners_str("cell_x", "cell_y", origin_x, origin_y, cell_size),
+        )
+    return agg
+
+
+def radius_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius: float,
+    left_xy: tuple[str, str] = ("x", "y"),
+    right_xy: tuple[str, str] = ("x", "y"),
+    distance_col: str = "distance",
+) -> DataFrame:
+    """Distance-≤-radius join via grid-cell prefilter + exact distance test.
+
+    Replaces the reference's per-row R-tree probe (J3,
+    ``get_osm_data.py:63-81``, radius 1000 m): bucket both sides into cells of
+    size = radius; explode the left side to its 3×3 cell neighborhood;
+    equi-join on the cell; keep pairs with exact euclidean distance ≤ radius.
+
+    Candidate count is bounded by local density (9 cells), never |L|×|R| —
+    the plan is a hash join on cell keys that AQE can broadcast or skew-split.
+    """
+    lx, ly = left_xy
+    rx, ry = right_xy
+    neighbors = F.expr(
+        "explode(flatten(transform(sequence(-1,1), dx -> "
+        "transform(sequence(-1,1), dy -> struct(dx, dy)))))"
+    )
+    l = (
+        left.withColumn("__cx", cell_id(F.col(lx), 0.0, radius))
+        .withColumn("__cy", cell_id(F.col(ly), 0.0, radius))
+        .select("*", neighbors.alias("__n"))
+        .withColumn("__jx", F.col("__cx") + F.col("__n.dx"))
+        .withColumn("__jy", F.col("__cy") + F.col("__n.dy"))
+        .drop("__n", "__cx", "__cy")
+    )
+    r = (
+        right.withColumn("__jx", cell_id(F.col(rx), 0.0, radius))
+        .withColumn("__jy", cell_id(F.col(ry), 0.0, radius))
+    )
+    joined = l.join(r, ["__jx", "__jy"])
+    dist = euclidean_distance(F.col(lx), F.col(ly), F.col(rx), F.col(ry))
+    return (
+        joined.withColumn(distance_col, dist)
+        .where(F.col(distance_col) <= F.lit(radius))
+        .drop("__jx", "__jy")
+    )
+
+
+def point_in_polygon_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    point_xy: tuple[str, str] = ("x", "y"),
+    ring_col: str = "ring",
+    how: str = "left",
+) -> DataFrame:
+    """Point-within-polygon join (J2, ``get_zoning_data.py:60`` sjoin within).
+
+    Physical plan: broadcast the polygon table with precomputed bboxes, join
+    on bbox containment (range predicates Catalyst can evaluate without
+    Python), then run the exact ray-casting pandas UDF only on bbox
+    survivors.  Polygon sides in this workload are small dimension tables
+    (zoning districts), so the broadcast is the right plan at any scale; for
+    huge polygon sets swap the bbox predicate for a shared grid-cell key.
+    """
+    px, py = point_xy
+    polys = polygons.withColumn(
+        "__xmin", F.array_min(F.transform(F.col(ring_col), lambda p: p["x"]))
+    ).withColumn(
+        "__xmax", F.array_max(F.transform(F.col(ring_col), lambda p: p["x"]))
+    ).withColumn(
+        "__ymin", F.array_min(F.transform(F.col(ring_col), lambda p: p["y"]))
+    ).withColumn(
+        "__ymax", F.array_max(F.transform(F.col(ring_col), lambda p: p["y"]))
+    )
+    bbox = (
+        (F.col(px) >= F.col("__xmin"))
+        & (F.col(px) <= F.col("__xmax"))
+        & (F.col(py) >= F.col("__ymin"))
+        & (F.col(py) <= F.col("__ymax"))
+    )
+    pip = point_in_polygon_udf()
+    candidates = points.join(F.broadcast(polys), bbox, "inner").where(
+        pip(F.col(px), F.col(py), F.col(ring_col))
+    ).drop("__xmin", "__xmax", "__ymin", "__ymax")
+    if how == "inner":
+        return candidates
+    # left join: re-attach points with no containing polygon
+    matched_keys = candidates.select(points.columns).distinct()
+    unmatched = points.join(matched_keys, points.columns, "left_anti")
+    for c in candidates.columns:
+        if c not in points.columns:
+            unmatched = unmatched.withColumn(c, F.lit(None))
+    return candidates.unionByName(unmatched)

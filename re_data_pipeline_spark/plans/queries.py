@@ -1,0 +1,1241 @@
+"""Operator-inventory conformance queries (SURVEY §2) + DuckDB oracles.
+
+Every entry here is one row of SURVEY §2's operator inventory (or a
+north-star extension operator) expressed as a named query over the driver's
+test tables, paired with ANSI SQL that DuckDB runs on the same parquet — the
+driver hash-compares the two at sf0.01 (BASELINE.md "t2 correctness").
+
+Cross-engine exactness rules used throughout (so value-hashes match bit-wise):
+
+- **Sums are decimal.** Double summation order differs between engines;
+  ``CAST(x AS DECIMAL(...))`` makes Σ exact and identical.  Final outputs are
+  cast back to double.
+- **Averages/stddevs are rounded** to 6 decimals after double math whose
+  per-element operations are IEEE-identical.
+- **Hashes are md5** (never engine-specific xxhash/murmur).
+- **Timestamps are emitted as formatted strings** (engine tz plumbing differs;
+  strings don't).
+- Every computed column is aliased identically in the DataFrame plan and the
+  SQL text (driver compares by sorted column name).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from re_data_pipeline_spark.catalog import load_table
+from re_data_pipeline_spark.functions.cleaning import normalize_sale_or_lease, safe_cast
+from re_data_pipeline_spark.functions.text import (
+    STOPWORDS_DE,
+    STOPWORDS_EN,
+    STOPWORDS_ES,
+    doc_fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from re_data_pipeline_spark.functions.vectors import cosine_similarity, literal_vector
+from re_data_pipeline_spark.operators.chunking import chunk_snippets
+from re_data_pipeline_spark.operators.dedup import (
+    lsh_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from re_data_pipeline_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from re_data_pipeline_spark.operators.spatial import grid_aggregate, radius_join
+from re_data_pipeline_spark.operators.upsert import delisted_rows, upsert_append
+from re_data_pipeline_spark.operators.windows import session, sliding, tumbling
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _dec(col, prec: int = 18, scale: int = 2):
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({prec},{scale})")
+
+
+# ---------------------------------------------------------------------------
+# Core relational inventory (SURVEY §2.3-§2.7 over the volume tables)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship scan→filter→agg (TPC-H Q1 shape; SURVEY A1/P1).
+
+    Plan: parquet scan with ``l_shipdate`` pushed filter + 4-column pruning →
+    partial hash agg (map-side combine) → 2-key shuffle → final agg.  Sums in
+    decimal for cross-engine exactness.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.round(
+                F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q02_filter_project",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount), 4) AS revenue,
+           CAST(year(l_shipdate) AS INT) AS ship_year
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_discount > 0.05
+    """,
+)
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + projection with computed column (P1/P3/F10); both predicates
+    reach the parquet scan (PushedFilters)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where((F.col("l_returnflag") == "R") & (F.col("l_discount") > 0.05)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+    )
+
+
+@query(
+    "q03_broadcast_join_agg",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS num_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q03_broadcast_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension enrichment join (J1): orders ⨝ broadcast(customer) → agg.
+    The explicit broadcast hint keeps the fact side shuffle-free."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("num_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@query(
+    "q04_multi_join_revenue",
+    """
+    SELECT r_name, n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(5,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS num_items
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q04_multi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join (SURVEY §3.1 trace): fact ⨝ three broadcast dims.  Catalyst
+    broadcasts nation/region; AQE can demote/promote from real sizes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("num_items"),
+        )
+    )
+
+
+@query(
+    "q05_anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 50000
+    )
+    """,
+)
+def q05_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (J4 — delisted detection shape): customers with no
+    large finished order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 50000)
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "q06_semi_join",
+    """
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE c_custkey IN (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    """,
+)
+def q06_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (J7 — process-pending selection shape)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "q07_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def q07_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via rank window (W4's relational core).  Deterministic
+    tiebreak on the key; Spark plans a single shuffle on o_custkey with
+    partial top-k pushed into the sort."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+@query(
+    "q08_distinct",
+    "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+)
+def q08_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct key-set projection (A3)."""
+    return load_table(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
+
+
+@query(
+    "q09_union_by_name",
+    """
+    SELECT name, acctbal, nationkey, src, segment
+    FROM (
+      SELECT c_name AS name, c_acctbal AS acctbal, c_nationkey AS nationkey,
+             'customer' AS src, c_mktsegment AS segment
+      FROM customer
+      UNION ALL BY NAME
+      SELECT s_name AS name, s_acctbal AS acctbal, s_nationkey AS nationkey,
+             'supplier' AS src, NULL AS segment
+      FROM supplier
+    )
+    """,
+)
+def q09_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-aligned union with missing-column fill (U1 —
+    ``unionByName(allowMissingColumns=True)``, the reference's
+    rename-then-conform multi-source combine)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.lit("customer").alias("src"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.col("s_nationkey").alias("nationkey"),
+        F.lit("supplier").alias("src"),
+    )
+    return c.unionByName(s, allowMissingColumns=True)
+
+
+@query(
+    "q10_except",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def q10_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (U2 — delisted key computation): customers with open
+    orders but no finished ones."""
+    o = load_table(spark, sf_dir, "orders")
+    open_keys = o.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    done_keys = o.where(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return open_keys.subtract(done_keys)
+
+
+@query(
+    "q11_explode",
+    """
+    SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+           ROUND(CAST(embedding[i] AS DOUBLE), 6) AS val
+    FROM embeddings, generate_series(1, 64) t(i)
+    WHERE vec_id < 50 AND i <= len(embedding)
+    """,
+)
+def q11_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array unnest with position (U3 — building→units explode)."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 50)
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "__v")
+    ).select(
+        "vec_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.round(F.col("__v").cast("double"), 6).alias("val"),
+    )
+
+
+@query(
+    "q12_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE)
+             AS running_total
+    FROM orders
+    """,
+)
+def q12_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window aggregate (analytic-window capability extension);
+    decimal accumulation for cross-engine exactness."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+    )
+
+
+@query(
+    "q13_rollup",
+    """
+    SELECT r_name, n_name, COUNT(*) AS num_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q13_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (capability extension noted in SURVEY §2.5)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("num_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_balance"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference-semantics operators (grid agg, safe_cast, CASE chain, lookback…)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q14_grid_agg",
+    """
+    SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS cell_x,
+           CAST(floor(l_quantity / 5) AS BIGINT) AS cell_y,
+           l_returnflag,
+           ROUND(AVG(l_discount), 6) AS avg_value,
+           COUNT(l_discount) AS num_values,
+           ROUND(COALESCE(stddev_samp(l_discount), 0.0), 6) AS standard_deviation
+    FROM lineitem
+    GROUP BY 1, 2, 3
+    """,
+)
+def q14_grid_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-cell statistical aggregation (A1/J10 — the reference's rental
+    grid, ``aggregate_rental_rates.py:122-140``): computed cell keys replace
+    the 4096-cell containment loop; stddev is sample (ddof=1) with the n==1 →
+    0.0 rule."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.where(F.col("l_discount").isNotNull())
+        .withColumn("cell_x", F.floor(F.col("l_extendedprice") / 5000).cast("long"))
+        .withColumn("cell_y", F.floor(F.col("l_quantity") / 5).cast("long"))
+    )
+    return cells.groupBy("cell_x", "cell_y", "l_returnflag").agg(
+        F.round(F.avg("l_discount"), 6).alias("avg_value"),
+        F.count("l_discount").alias("num_values"),
+        F.round(F.coalesce(F.stddev_samp("l_discount"), F.lit(0.0)), 6).alias(
+            "standard_deviation"
+        ),
+    )
+
+
+@query(
+    "q15_date_lookback",
+    """
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM orders
+    WHERE o_orderdate >= (SELECT max(o_orderdate) FROM orders) - INTERVAL 4 MONTH
+    """,
+)
+def q15_date_lookback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-date lookback filter (P12/I4 — permits' now−4 months,
+    anchored to the data's max date for determinism)."""
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("__max"))
+    return (
+        o.crossJoin(F.broadcast(anchor))
+        .where(F.col("o_orderdate") >= F.to_timestamp(F.add_months(F.col("__max"), -4)))
+        .select(
+            "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date")
+        )
+    )
+
+
+@query(
+    "q16_date_parts",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(day(o_orderdate) AS INT) AS d
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def q16_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction (F7-F9 — permit day/month/year columns)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 == 0)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.month("o_orderdate").cast("int").alias("m"),
+        F.dayofmonth("o_orderdate").cast("int").alias("d"),
+    )
+
+
+@query(
+    "q17_regexp_extract",
+    """
+    SELECT regexp_extract(o_orderpriority, '([0-9]+)', 1) AS priority_num,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def q17_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction (F3 — storeys/zone-code patterns)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(F.regexp_extract("o_orderpriority", "([0-9]+)", 1).alias("priority_num"))
+        .groupBy("priority_num")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q18_string_cleanup",
+    """
+    SELECT c_custkey,
+           replace(lower(c_name), 'customer#', 'cust-') AS clean_name,
+           trim(concat(c_mktsegment, '  ')) AS segment,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key
+    FROM customer WHERE c_custkey % 7 = 0
+    """,
+)
+def q18_string_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String normalization suite (F1/F2 — replace/strip/lower/concat/pad)."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") % 7 == 0)
+    return c.select(
+        "c_custkey",
+        F.replace(F.lower("c_name"), F.lit("customer#"), F.lit("cust-")).alias("clean_name"),
+        F.trim(F.concat(F.col("c_mktsegment"), F.lit("  "))).alias("segment"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+    )
+
+
+@query(
+    "q19_json_extract",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q19_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction + aggregation (F12 — props/JSONB handling)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q20_safe_cast",
+    """
+    SELECT event_id,
+           COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS INT), -1) AS k_safe,
+           COALESCE(TRY_CAST(event_type AS DOUBLE), 0.0) AS et_num
+    FROM events WHERE event_id % 13 = 0
+    """,
+)
+def q20_safe_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lenient cast with default (P16 safe_cast / P17 to_numeric-coerce —
+    ``combine_broker_listings.py:167-175``)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") % 13 == 0)
+    return e.select(
+        "event_id",
+        safe_cast(F.get_json_object("props", "$.k"), "int", -1).alias("k_safe"),
+        safe_cast(F.col("event_type"), "double", 0.0).alias("et_num"),
+    )
+
+
+@query(
+    "q21_case_normalize",
+    """
+    SELECT p_partkey, txn,
+           CASE WHEN txn IS NULL THEN ''
+                WHEN lower(txn) LIKE '%sale%' AND lower(txn) LIKE '%lease%' THEN 'sale_or_lease'
+                WHEN lower(txn) LIKE '%sale%' THEN 'sale'
+                WHEN lower(txn) LIKE '%sublease%' THEN 'sublease'
+                WHEN lower(txn) LIKE '%lease%' THEN 'lease'
+                ELSE txn END AS sale_or_lease
+    FROM (
+      SELECT p_partkey,
+             CASE p_partkey % 5 WHEN 0 THEN 'For Sale' WHEN 1 THEN 'For Lease'
+                                WHEN 2 THEN 'Sale or Lease' WHEN 3 THEN 'Sublease Available'
+                                ELSE 'unknown listing' END AS txn
+      FROM part
+    )
+    """,
+)
+def q21_case_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword CASE chain with the reference's exact precedence (P8,
+    ``combine_broker_listings.py:78-94`` — sublease before lease)."""
+    p = load_table(spark, sf_dir, "part")
+    txn = (
+        F.when(F.col("p_partkey") % 5 == 0, F.lit("For Sale"))
+        .when(F.col("p_partkey") % 5 == 1, F.lit("For Lease"))
+        .when(F.col("p_partkey") % 5 == 2, F.lit("Sale or Lease"))
+        .when(F.col("p_partkey") % 5 == 3, F.lit("Sublease Available"))
+        .otherwise(F.lit("unknown listing"))
+    )
+    return p.select("p_partkey", txn.alias("txn")).select(
+        "p_partkey", "txn", normalize_sale_or_lease("txn").alias("sale_or_lease")
+    )
+
+
+@query(
+    "q22_completeness_profile",
+    """
+    SELECT COUNT(text) * 100.0 / COUNT(*) AS text,
+           COUNT(lang) * 100.0 / COUNT(*) AS lang,
+           COUNT(source) * 100.0 / COUNT(*) AS source,
+           COUNT(n_chars) * 100.0 / COUNT(*) AS n_chars
+    FROM documents
+    """,
+)
+def q22_completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-completeness profile (A4 — percent non-null per column,
+    one aggregation pass)."""
+    from re_data_pipeline_spark.functions.cleaning import profile_completeness
+
+    d = load_table(spark, sf_dir, "documents")
+    return profile_completeness(d, ["text", "lang", "source", "n_chars"])
+
+
+@query(
+    "q23_enrichment_join",
+    """
+    SELECT o_orderkey, COALESCE(c_name, 'Unknown') AS customer_name,
+           COALESCE(c_mktsegment, 'Unknown') AS segment
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey % 11 = 0
+    """,
+)
+def q23_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer enrichment join with default fill (J1 + safe_cast default
+    pattern — ``combine_broker_listings.py:111-157``)."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 11 == 0)
+    c = load_table(spark, sf_dir, "customer")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left").select(
+        "o_orderkey",
+        F.coalesce("c_name", F.lit("Unknown")).alias("customer_name"),
+        F.coalesce("c_mktsegment", F.lit("Unknown")).alias("segment"),
+    )
+
+
+@query(
+    "q24_collect_sorted",
+    """
+    SELECT l_orderkey,
+           array_to_string(array_agg(CAST(l_linenumber AS VARCHAR) ORDER BY l_linenumber), ',') AS linenumbers,
+           COUNT(*) AS n_items
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def q24_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted list aggregation (W2/A2 — ``collect_list`` + ``array_sort``,
+    the snippet-ordering / nearby-list pattern), serialized for stable
+    comparison."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("l_linenumber")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("linenumbers"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Upsert / archival (K2-K4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q25_upsert",
+    """
+    WITH existing AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+         batch    AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0)
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM existing
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM batch
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM existing)
+    """,
+)
+def q25_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Natural-key insert-if-absent upsert (K2 — ON CONFLICT DO NOTHING as
+    dedup + left-anti + append)."""
+    o = load_table(spark, sf_dir, "orders")
+    existing = o.where(F.col("o_orderkey") % 3 == 0)
+    batch = o.where(F.col("o_orderkey") % 2 == 0)
+    return upsert_append(existing, batch, ["o_orderkey"]).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+@query(
+    "q26_archive_delisted",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IS NOT NULL
+      AND c_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 5 <> 0)
+    """,
+)
+def q26_archive_delisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archival anti-join (J4/K4 — ``archive_delisted_properties.py:93-119``):
+    rows whose key vanished from the current batch."""
+    c = load_table(spark, sf_dir, "customer")
+    current = c.where(F.col("c_custkey") % 5 != 0)
+    return delisted_rows(c, current, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows (SURVEY §2.9 extension over `events`)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q27_tumbling_window",
+    """
+    SELECT strftime(time_bucket(INTERVAL 6 HOUR, ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q27_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (I4 analogue / streaming
+    foundation — identical definition works under readStream + watermark)."""
+    e = load_table(spark, sf_dir, "events")
+    t = tumbling(
+        e,
+        "ts",
+        "6 hours",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        ],
+    )
+    return t.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@query(
+    "q28_sliding_window",
+    """
+    WITH ev AS (
+      SELECT ts::TIMESTAMP AS ts, value FROM events
+    ), hops AS (
+      SELECT ev.*, time_bucket(INTERVAL 6 HOUR, ts) - (h.i * INTERVAL 6 HOUR) AS win_start
+      FROM ev, generate_series(0, 1) h(i)
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM hops
+    WHERE ts >= win_start AND ts < win_start + INTERVAL 12 HOUR
+    GROUP BY 1
+    """,
+)
+def q28_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hop) window aggregation — 12 h window, 6 h slide."""
+    e = load_table(spark, sf_dir, "events")
+    s = sliding(
+        e,
+        "ts",
+        "12 hours",
+        "6 hours",
+        [],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value")).cast("double").alias("total_value"),
+        ],
+    )
+    return s.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n",
+        "total_value",
+    )
+
+
+@query(
+    "q29_session_window",
+    """
+    WITH ev AS (
+      SELECT user_id, ts::TIMESTAMP AS ts FROM events
+    ), marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ev
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_event,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q29_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows, 30-minute gap (``F.session_window`` — dynamic merge;
+    oracle reproduces it via gaps-and-islands)."""
+    e = load_table(spark, sf_dir, "events")
+    s = session(
+        e,
+        "ts",
+        "30 minutes",
+        ["user_id"],
+        [
+            F.min("ts").alias("__min_ts"),
+            F.max("ts").alias("__max_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        ],
+    )
+    return s.select(
+        "user_id",
+        F.date_format("__min_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        F.date_format("__max_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_event"),
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis + dedup + similarity (north-star extensions over documents /
+# embeddings)
+# ---------------------------------------------------------------------------
+
+
+def _sql_tokens(col: str = "text") -> str:
+    return f"string_split_regex(trim({col}), '\\s+')"
+
+
+@query(
+    "q30_token_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_sql_tokens()} AS toks,
+             length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0 / length(text) AS praw
+      FROM documents
+    ), s AS (
+      SELECT doc_id, len(toks) AS n_tokens, praw,
+             len(list_filter(toks, x -> list_contains({list(STOPWORDS_EN)!r}, lower(x)))) * 1.0 / len(toks) AS sraw
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(praw, 6) AS punct_ratio,
+           ROUND(sraw, 6) AS stopword_ratio,
+           ROUND(GREATEST(LEAST(
+             0.5 * LEAST(n_tokens / 200.0, 1.0)
+             + 0.5 * LEAST(sraw / 0.2, 1.0)
+             - GREATEST(praw - 0.1, 0.0), 1.0), 0.0), 6) AS quality
+    FROM s
+    """,
+)
+def q30_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-quality operator suite: token count, punctuation ratio, stopword
+    ratio, blended quality score — map-only expressions (north-star text
+    analysis)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
+        F.round(quality_score("text"), 6).alias("quality"),
+    )
+
+
+@query(
+    "q31_lang_id",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             list_transform({_sql_tokens()}, x -> lower(x)) AS toks
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, lang, text,
+             len(list_filter(toks, x -> list_contains({list(STOPWORDS_EN)!r}, x))) AS en,
+             len(list_filter(toks, x -> list_contains({list(STOPWORDS_ES)!r}, x))) AS es,
+             len(list_filter(toks, x -> list_contains({list(STOPWORDS_DE)!r}, x))) AS de
+      FROM t
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                WHEN regexp_matches(text, '[Ѐ-ӿ]') THEN 'ru'
+                WHEN en >= es AND en >= de THEN 'en'
+                WHEN es >= de THEN 'es'
+                ELSE 'de' END AS predicted_lang
+    FROM hits
+    """,
+)
+def q31_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language identification (north-star text analysis)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        lang_id("text").alias("predicted_lang"),
+    )
+
+
+@query(
+    "q32_fingerprint_dedup",
+    """
+    WITH fp AS (
+      SELECT doc_id, md5(lower(trim(regexp_replace(substr(text, 1, 80), '\\s+', ' ', 'g')))) AS prefix_fp
+      FROM documents
+    )
+    SELECT prefix_fp, MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+    FROM fp GROUP BY prefix_fp
+    """,
+)
+def q32_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via normalized md5 fingerprint (hash-groupBy; lowest id
+    wins) on an 80-char prefix so the synthetic corpus actually collides."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.lower(F.trim(F.regexp_replace(F.substring("text", 1, 80), r"\s+", " ")))
+    )
+    return (
+        d.select("doc_id", fp.alias("prefix_fp"))
+        .groupBy("prefix_fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def _minhash_sql(num_hashes: int = 16, shingle_words: int = 3) -> str:
+    """DuckDB expression list reproducing minhash_signature() bit-for-bit."""
+    mins = ", ".join(
+        f"list_aggregate(list_transform(sh, x -> md5(x || '#{i}')), 'min')"
+        for i in range(num_hashes)
+    )
+    return mins
+
+
+_Q33_BANDS = 4
+_Q33_ROWS = 4
+_Q33_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_sql_tokens()} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 1) + 1),
+           j -> array_to_string(t[j:j+2], ' '))) AS sh
+  FROM toks
+), sig AS (
+  SELECT doc_id, [{_minhash_sql(16, 3)}] AS sig FROM sh
+), buckets AS (
+  SELECT doc_id, b.i AS band,
+         md5(array_to_string(sig[b.i*4+1:b.i*4+4], '|')) AS band_key
+  FROM sig, generate_series(0, 3) b(i)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+@query("q33_minhash_lsh", _Q33_SQL)
+def q33_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (north-star dedup, scale path).
+
+    md5-derived hash family → engine-portable signatures; candidate
+    generation is an equi-join on band buckets (no cross join anywhere).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(d, "doc_id", "text", num_hashes=16, shingle_words=3, bands=_Q33_BANDS)
+
+
+@query(
+    "q34_ngram_jaccard",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(1, greatest(len(string_split_regex(trim(text), '\\s+')) - 2, 1) + 1),
+                 j -> array_to_string((string_split_regex(trim(text), '\\s+'))[j:j+2], ' ')))) AS s
+        FROM documents WHERE doc_id < 100
+      )
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, ROUND(inter * 1.0 / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.01
+    """,
+)
+def q34_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs (north-star dedup verification
+    tier) on a bounded subset — shingle equi-join, no cross join."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", shingle_words=3, threshold=0.01)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@query(
+    "q35_cosine_topk",
+    """
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    )
+    SELECT vec_id, label,
+           ROUND(list_cosine_similarity(embedding::DOUBLE[], q.qv), 6) AS score
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY list_cosine_similarity(embedding::DOUBLE[], q.qv) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def q35_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (W4 — the Pinecone ``index.query`` analogue).
+
+    Map-only scoring against a broadcast query vector + TakeOrdered top-k
+    (no global sort/shuffle).  Oracle computes the identical left-to-right
+    double accumulation via list_cosine_similarity on DOUBLE[].
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in e.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    top = cosine_topk(e.where(F.col("vec_id") != 0), qvec, 10, "embedding")
+    return top.select("vec_id", "label", F.round("score", 6).alias("score"))
+
+
+@query(
+    "q36_centroid_similarity",
+    """
+    WITH e AS (
+      SELECT label, i, embedding[i]::DOUBLE AS v
+      FROM embeddings, generate_series(1, 64) t(i)
+    )
+    SELECT label,
+           ROUND(AVG(CASE WHEN i = 1 THEN v END), 6) AS c0,
+           ROUND(AVG(CASE WHEN i = 64 THEN v END), 6) AS c63
+    FROM e GROUP BY label
+    """,
+)
+def q36_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (vector aggregate — posexplode + avg +
+    re-assemble; the building block for IVF-style ANN partitioning)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    exploded = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = (
+        exploded.groupBy("label", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("cv"))
+        .groupBy("label")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "cv"))).alias("vals"))
+        .select(
+            "label",
+            F.round(F.col("vals")[0]["cv"], 6).alias("c0"),
+            F.round(F.col("vals")[63]["cv"], 6).alias("c63"),
+        )
+    )
+    return cent
+
+
+# ---------------------------------------------------------------------------
+# Chunking (W3) on documents-as-snippets
+# ---------------------------------------------------------------------------
+
+_Q37_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), starts AS (
+  SELECT doc_id, t, len(t) AS sz,
+         CASE WHEN len(t) >= 12
+              THEN range(0, len(t) - 12 + 1, 9)
+              ELSE [] END AS main_starts,
+         ((len(t) % 9) <> 0 AND (((len(t) - 12) % 9) + 9) % 9 <> 0) AS has_tail
+  FROM toks
+), all_starts AS (
+  SELECT doc_id, t, sz,
+         CASE WHEN has_tail
+              THEN list_append(main_starts, greatest(sz - 12, 0))
+              ELSE main_starts END AS starts,
+         len(main_starts) AS n_main
+  FROM starts
+)
+SELECT doc_id, CAST(u.i - 1 AS INT) AS chunk_index,
+       CAST(starts[u.i] AS BIGINT) AS chunk_start,
+       (u.i - 1 >= n_main) AS is_tail,
+       md5(array_to_string(t[starts[u.i]+1:starts[u.i]+12], ' ')) AS chunk_md5
+FROM all_starts, generate_series(1, 64) u(i)
+WHERE u.i <= len(starts)
+"""
+
+
+@query("q37_chunking", _Q37_SQL)
+def q37_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (W3, N=12/stride=9 on word tokens) with the
+    reference's exact tail rule (``transcripts_to_vector_db.py:196-225``),
+    including Python-modulo (pmod) semantics for len < N."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    snippets = F.transform(
+        toks, lambda t, i: F.struct(i.cast("string").alias("ts"), t.alias("text"))
+    )
+    src = d.select("doc_id", snippets.alias("snippets"))
+    chunks = chunk_snippets(src, "snippets", n=12, stride=9)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_index").cast("int").alias("chunk_index"),
+        F.col("chunk_timestamp").alias("chunk_start"),
+        "is_tail",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spatial (synthetic planar coordinates derived identically in both engines)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q38_radius_join",
+    """
+    WITH pts AS (
+      SELECT c_custkey, CAST((c_custkey * 37) % 1000 AS DOUBLE) AS x,
+                        CAST((c_custkey * 73) % 1000 AS DOUBLE) AS y
+      FROM customer
+    ), poi AS (
+      SELECT s_suppkey, CAST((s_suppkey * 41) % 1000 AS DOUBLE) AS x,
+                        CAST((s_suppkey * 97) % 1000 AS DOUBLE) AS y
+      FROM supplier
+    )
+    SELECT c_custkey, s_suppkey,
+           ROUND(sqrt((pts.x - poi.x)^2 + (pts.y - poi.y)^2), 6) AS distance
+    FROM pts, poi
+    WHERE sqrt((pts.x - poi.x)^2 + (pts.y - poi.y)^2) <= 25
+    """,
+)
+def q38_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-≤-radius spatial join (J3 — OSM 1000 m enrichment) via
+    grid-cell prefilter + exact distance; oracle is the naive cross join.
+
+    The grid keys make this an equi-join: candidates are the 3×3 cell
+    neighborhood, so cost is local density × |L|, never |L|×|R|.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 37) % 1000).cast("double").alias("x"),
+        ((F.col("c_custkey") * 73) % 1000).cast("double").alias("y"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 41) % 1000).cast("double").alias("x"),
+        ((F.col("s_suppkey") * 97) % 1000).cast("double").alias("y"),
+    )
+    joined = radius_join(
+        c, s.withColumnRenamed("x", "px").withColumnRenamed("y", "py"),
+        radius=25.0, left_xy=("x", "y"), right_xy=("px", "py"),
+    )
+    return joined.select(
+        "c_custkey", "s_suppkey", F.round("distance", 6).alias("distance")
+    )
+
+
+@query(
+    "q39_grid_cell_assign",
+    """
+    SELECT CAST(floor(((c_custkey * 37) % 1000) / 100.0) AS BIGINT) AS cell_x,
+           CAST(floor(((c_custkey * 73) % 1000) / 100.0) AS BIGINT) AS cell_y,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+    FROM customer
+    GROUP BY 1, 2
+    """,
+)
+def q39_grid_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-cell bucketing + aggregation (J10 — containment loop → computed
+    cell key groupBy)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.withColumn("__x", ((F.col("c_custkey") * 37) % 1000).cast("double"))
+        .withColumn("__y", ((F.col("c_custkey") * 73) % 1000).cast("double"))
+        .withColumn("cell_x", F.floor(F.col("__x") / 100.0).cast("long"))
+        .withColumn("cell_y", F.floor(F.col("__y") / 100.0).cast("long"))
+        .groupBy("cell_x", "cell_y")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_balance"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (non-SQL-expressible / approximate — driver records a
+# weaker rows-only check; SURVEY §2.10, ANN, SimHash)
+# ---------------------------------------------------------------------------
+
+
+@query("q40_simhash")
+def q40_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprints (north-star near-dup; rows-only check —
+    the bit-arithmetic oracle is impractical in portable SQL)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash(d, "text").select("doc_id", "simhash")
+
+
+@query("q41_ann_lsh")
+def q41_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via sign-random-projection buckets
+    (rows-only: approximate by construction)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in e.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    # deterministic hyperplanes from a fixed seed pattern
+    dim = len(qvec)
+    planes = [
+        [1.0 if ((i * 7 + j * 13) % 5) < 2 else -1.0 for j in range(dim)]
+        for i in range(4)
+    ]
+    return ann_lsh_topk(e, qvec, 10, planes).select("vec_id", "label", "score")
+
+
+@query("q42_llm_extract")
+def q42_llm_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched LLM extraction operator over mapInPandas with the
+    deterministic mock client (X3/X4/X6; rows-only)."""
+    from re_data_pipeline_spark.llm.harness import llm_map
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    out = llm_map(d.select("doc_id", "text"), "text", "llm_output")
+    return out.select(
+        "doc_id", F.get_json_object("llm_output", "$.summary").alias("summary")
+    )
+
+
+@query("q43_embed_column")
+def q43_embed_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding UDF operator (X5) with the deterministic hash-embedding
+    client (rows-only)."""
+    from re_data_pipeline_spark.llm.harness import embed_column
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    out = embed_column(d.select("doc_id", "text"), "text", dim=16)
+    return out.select("doc_id", F.element_at("embedding", 1).alias("e0"))

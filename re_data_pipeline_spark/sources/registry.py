@@ -1,0 +1,53 @@
+"""Source readers (SURVEY §2.1).
+
+The reference's inter-task exchange format is "many JSON blobs under a
+prefix, parsed and extended into one list" (S8 —
+``combine_broker_listings.py:63-75`` and four other sites).  Spark-native:
+a **glob JSON scan** is the same union, but parallel, schema-merged, and
+predicate/prune-aware.  HTTP/API scans (S1-S7) are acquisition steps outside
+the engine; their fetchers are modeled as plain functions whose output lands
+in ``spark.createDataFrame`` — with server-side predicate templating kept at
+the fetch boundary (SURVEY §4 O1).
+
+PDF/binary ingestion (S10) maps to ``binaryFile`` + a pandas-UDF extraction
+stage — see ``re_data_pipeline_spark.llm`` for the extraction harness and
+``multimodal`` for typed binary columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_json_glob(
+    spark: SparkSession, path_glob: str, schema: StructType | None = None
+) -> DataFrame:
+    """Multi-blob JSON union scan (S8): ``prefix/*.json`` → one DataFrame.
+
+    With an explicit schema the scan skips inference (one pass, not two) and
+    malformed rows go to ``_corrupt_record`` instead of failing — the
+    engine's analogue of the reference's lenient parse-and-extend loop.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("multiLine", "true")
+    return reader.json(path_glob)
+
+
+def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar table scan; Catalyst pushes filters + prunes columns."""
+    return spark.read.parquet(path)
+
+
+def read_binary_dir(spark: SparkSession, path: str, glob: str = "*.pdf") -> DataFrame:
+    """Binary-document scan (S10, ``REIT_metrics.py:293-314``):
+    (path, modificationTime, length, content) rows; extraction is a
+    downstream pandas-UDF operator, kept separate so the scan stays prunable."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )

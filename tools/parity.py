@@ -1,0 +1,105 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
+over the same parquet tables, then compares row count, sorted column names,
+and order-insensitive exact values (floats compared bit-exact after each
+side's own rounding — the point is to predict the driver's value-hash).
+
+Usage: python tools/parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from re_data_pipeline_spark.catalog import TESTDATA_TABLES
+from re_data_pipeline_spark.session import get_spark
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    return v
+
+
+def norm_rows(cols, rows):
+    # driver compares order-insensitively with columns sorted by name
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=repr)
+    return [c for c in sorted(cols)], out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    spark = get_spark(master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"rows-only {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            cur = con.execute(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        sc, sr = norm_rows(scols, srows)
+        oc, orw = norm_rows(ocols, orows)
+        status = []
+        if len(sr) != len(orw):
+            status.append(f"rowcount {len(sr)} vs {len(orw)}")
+        if sc != oc:
+            status.append(f"cols {sc} vs {oc}")
+        if not status and sr != orw:
+            # find first diff
+            ndiff = sum(1 for a, b in zip(sr, orw) if a != b)
+            first = next(((a, b) for a, b in zip(sr, orw) if a != b), None)
+            status.append(f"values differ in {ndiff}/{len(sr)} rows; first: {first}")
+        if status:
+            print(f"FAIL {name}: {'; '.join(status)}")
+            failures.append(name)
+        else:
+            print(f"OK   {name}: {len(sr)} rows ({time.time()-t0:.1f}s)")
+
+    print(f"\n{len(failures)} failures: {failures}" if failures else "\nall OK")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
