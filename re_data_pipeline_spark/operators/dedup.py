@@ -50,17 +50,26 @@ def minhash_signature(
     h_i(shingle) = md5(shingle || '#' || i); signature[i] = min over the
     document's distinct word-shingles.  Pure expressions (transform +
     array_min) — map-only, no shuffle, no UDF.
+
+    Performance shape (measured at sf0.01): the shingle array must be a
+    *materialized column* referenced by the 16 per-hash mins — inlining the
+    shingle expression 16× recomputes tokenize→shingle→distinct per hash
+    (~40× slower); and the mins must be 16 flat expressions, not a nested
+    ``transform(sequence(0,15), i -> ...)`` whose outer-lambda reference
+    blocks codegen (~8× slower).
     """
-    sh = word_shingles(F.col(text_col), shingle_words)
+    sh_df = df.withColumn("__sh", word_shingles(F.col(text_col), shingle_words))
     sig = F.array(
         *[
             F.array_min(
-                F.transform(sh, lambda s, i=i: F.md5(F.concat(s, F.lit(f"#{i}"))))
+                F.transform(
+                    F.col("__sh"), lambda s, i=i: F.md5(F.concat(s, F.lit(f"#{i}")))
+                )
             )
             for i in range(num_hashes)
         ]
     )
-    return df.withColumn(out_col, sig)
+    return sh_df.withColumn(out_col, sig).drop("__sh")
 
 
 def lsh_bands(
@@ -111,6 +120,9 @@ def lsh_candidate_pairs(
     rows_per_band = num_hashes // bands
     sigs = minhash_signature(df, text_col, num_hashes, shingle_words)
     buckets = lsh_bands(sigs, id_col, "minhash", bands, rows_per_band)
+    # The self-join references `buckets` twice; without a persist Spark
+    # recomputes the full tokenize→shingle→16×md5 pipeline for each side.
+    buckets = buckets.persist()
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

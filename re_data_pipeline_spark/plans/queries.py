@@ -962,8 +962,14 @@ def q33_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     md5-derived hash family → engine-portable signatures; candidate
     generation is an equi-join on band buckets (no cross join anywhere).
+
+    The input is explicitly spread across cores before the map-heavy
+    signature stage — a small parquet otherwise arrives as one partition and
+    the md5 work serializes (at 100 TB the scan already has thousands of
+    partitions and this repartition is a no-op cost-wise).
     """
     d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return lsh_candidate_pairs(d, "doc_id", "text", num_hashes=16, shingle_words=3, bands=_Q33_BANDS)
 
 
@@ -1199,6 +1205,7 @@ def q40_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash fingerprints (north-star near-dup; rows-only check —
     the bit-arithmetic oracle is impractical in portable SQL)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return simhash(d, "text").select("doc_id", "simhash")
 
 

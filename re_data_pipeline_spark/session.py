@@ -63,6 +63,14 @@ def get_spark(
         # Deterministic parquet behavior across engines.
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        # Local files are tiny; without this a 1 MB parquet becomes ONE input
+        # partition and map-heavy operators (minhash, simhash) serialize onto
+        # a single core.  On a real cluster with 128 MB+ files, raise it back
+        # (env-tunable).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "33554432"),
+        )
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
