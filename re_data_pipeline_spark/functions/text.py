@@ -57,9 +57,10 @@ def word_shingles(col: Column | str, n: int, distinct: bool = True) -> Column:
 
 
 def punct_ratio(col: Column | str) -> Column:
-    """Punctuation chars / total chars."""
+    """Punctuation chars / total chars (NULL for empty text — try_divide
+    because ANSI mode throws on /0)."""
     c = _c(col)
-    return F.length(F.regexp_replace(c, r"[^.!?,;:]", "")) / F.length(c)
+    return F.try_divide(F.length(F.regexp_replace(c, r"[^.!?,;:]", "")), F.length(c))
 
 
 def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:

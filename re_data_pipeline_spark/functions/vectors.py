@@ -36,8 +36,10 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    """Cosine similarity; NULL when either norm is 0 (division yields NULL)."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity; NULL when either norm is 0 (``try_divide`` —
+    ANSI mode is on by default in Spark 4, so a plain ``/`` would throw
+    DIVIDE_BY_ZERO on zero vectors)."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def literal_vector(vec: list[float]) -> Column:

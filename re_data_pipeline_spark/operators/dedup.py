@@ -59,13 +59,18 @@ def minhash_signature(
     blocks codegen (~8× slower).
     """
     sh_df = df.withColumn("__sh", word_shingles(F.col(text_col), shingle_words))
+
+    def hash_i(i: int):
+        # single-parameter lambda: pyspark inspects lambda arity, and a
+        # two-arg lambda would receive the array INDEX as its second
+        # argument — silently shadowing a closure default (`lambda s, i=i`
+        # is a trap here).
+        tag = F.lit(f"#{i}")
+        return lambda s: F.md5(F.concat(s, tag))
+
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(
-                    F.col("__sh"), lambda s, i=i: F.md5(F.concat(s, F.lit(f"#{i}")))
-                )
-            )
+            F.array_min(F.transform(F.col("__sh"), hash_i(i)))
             for i in range(num_hashes)
         ]
     )

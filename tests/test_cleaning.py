@@ -1,0 +1,65 @@
+"""safe_cast / CASE-chain / profile semantics (SURVEY P8/P16, A4)."""
+
+from pyspark.sql import functions as F
+
+from re_data_pipeline_spark.functions.cleaning import (
+    day_of_iso,
+    first_available,
+    normalize_sale_or_lease,
+    profile_completeness,
+    safe_cast,
+)
+
+
+def test_safe_cast_defaults(spark):
+    df = spark.createDataFrame(
+        [("1.5",), ("nan-ish",), (None,), ("2",)], ["v"]
+    ).select(safe_cast("v", "double", 0.0).alias("out"))
+    assert [r.out for r in df.collect()] == [1.5, 0.0, 0.0, 2.0]
+
+
+def test_safe_cast_int_default(spark):
+    df = spark.createDataFrame([("7",), ("x",)], ["v"]).select(
+        safe_cast("v", "int", -1).alias("out")
+    )
+    assert [r.out for r in df.collect()] == [7, -1]
+
+
+def test_sale_or_lease_precedence(spark):
+    # reference order (combine_broker_listings.py:78-94): sale&lease →
+    # sale_or_lease; sale; sublease BEFORE lease; null → ''
+    cases = [
+        ("For Sale or Lease", "sale_or_lease"),
+        ("FOR SALE", "sale"),
+        ("Sublease Available", "sublease"),
+        ("For Lease", "lease"),
+        ("something else", "something else"),
+        (None, ""),
+        # 'sublease' also contains 'lease'; sale+sublease contains both
+        ("Sale or Sublease", "sale_or_lease"),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], ["v"]).select(
+        normalize_sale_or_lease("v").alias("out")
+    )
+    assert [r.out for r in df.collect()] == [c[1] for c in cases]
+
+
+def test_first_available(spark):
+    df = spark.createDataFrame(
+        [({"price": "100"},), ({"asking_price": "200"},), ({},)],
+        "m map<string,string>",
+    ).select(first_available("m", ["price", "asking_price"]).alias("out"))
+    assert [r.out for r in df.collect()] == ["100", "200", None]
+
+
+def test_profile_completeness(spark):
+    df = spark.createDataFrame([(1, None), (2, "x"), (3, "y"), (4, None)], ["a", "b"])
+    row = profile_completeness(df).collect()[0]
+    assert row.a == 100.0 and row.b == 50.0
+
+
+def test_day_of_iso(spark):
+    df = spark.createDataFrame(
+        [("2025-04-09T00:00:00.000",), ("garbage",)], ["v"]
+    ).select(day_of_iso("v").alias("out"))
+    assert [r.out for r in df.collect()] == [9, 0]

@@ -1,0 +1,71 @@
+"""Dedup operators: exact (min-id winner), MinHash determinism + LSH recall
+on a known near-dup, exact Jaccard values, SimHash similarity property."""
+
+from pyspark.sql import functions as F
+
+from re_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+)
+
+DOC_A = "the quick brown fox jumps over the lazy dog near the river bank today"
+DOC_A2 = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+DOC_B = "completely different content about spark query engines and columnar storage"
+
+
+def docs_df(spark):
+    return spark.createDataFrame(
+        [(1, DOC_A), (2, DOC_A2), (3, DOC_B), (4, DOC_A)], ["doc_id", "text"]
+    )
+
+
+def test_exact_dedup_min_id_wins(spark):
+    got = exact_dedup(docs_df(spark)).select("doc_id").collect()
+    ids = sorted(r.doc_id for r in got)
+    assert ids == [1, 2, 3]  # 4 is an exact dup of 1; lowest id kept
+
+
+def test_exact_dedup_normalizes_whitespace(spark):
+    df = spark.createDataFrame([(1, "a  b\tc"), (2, "A b C ")], ["doc_id", "text"])
+    assert exact_dedup(df).count() == 1
+
+
+def test_minhash_deterministic(spark):
+    s1 = minhash_signature(docs_df(spark), "text").select("doc_id", "minhash").collect()
+    s2 = minhash_signature(docs_df(spark), "text").select("doc_id", "minhash").collect()
+    assert {r.doc_id: r.minhash for r in s1} == {r.doc_id: r.minhash for r in s2}
+    sig = {r.doc_id: r.minhash for r in s1}
+    assert sig[1] == sig[4] and sig[1] != sig[3]
+    assert len(sig[1]) == 16
+
+
+def test_lsh_finds_near_dup(spark):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(docs_df(spark), "doc_id", "text").collect()
+    }
+    assert (1, 4) in pairs  # identical docs always collide
+    assert (1, 2) in pairs  # one-word edit shares most shingles
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_exact_value(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b c e")], ["doc_id", "text"])
+    # 3-shingles: {abc, bcd} vs {abc, bce} → J = 1/3
+    got = ngram_jaccard_pairs(df, threshold=0.0).collect()
+    assert len(got) == 1
+    assert abs(got[0].jaccard - 1 / 3) < 1e-12
+
+
+def test_simhash_property(spark):
+    got = {r.doc_id: r.simhash for r in simhash(docs_df(spark), "text").collect()}
+    assert got[1] == got[4]  # identical text → identical fingerprint
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    # near-dup is closer in hamming space than unrelated text
+    assert hamming(got[1], got[2]) < hamming(got[1], got[3])

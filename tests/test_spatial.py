@@ -1,0 +1,88 @@
+"""Spatial kernel: radius boundary, grid stats (ddof=1, n==1→0), corners
+string format, ray-casting point-in-polygon."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from re_data_pipeline_spark.functions.geo import cell_corners_str, haversine_m
+from re_data_pipeline_spark.operators.spatial import (
+    grid_aggregate,
+    point_in_polygon_join,
+    radius_join,
+)
+
+
+def test_radius_join_boundary(spark):
+    # FIXTURES §8: POIs at 500/999/1001/2000 m pin the ≤1000 boundary
+    left = spark.createDataFrame([(1, 0.0, 0.0)], ["pid", "x", "y"])
+    right = spark.createDataFrame(
+        [(10, 500.0, 0.0), (11, 999.0, 0.0), (12, 1001.0, 0.0), (13, 2000.0, 0.0),
+         (14, 0.0, 1000.0)],
+        ["poi", "px", "py"],
+    )
+    got = radius_join(left, right, 1000.0, ("x", "y"), ("px", "py"))
+    assert sorted(r.poi for r in got.collect()) == [10, 11, 14]
+
+
+def test_radius_join_cross_cell(spark):
+    # neighbors in adjacent grid cells must still match (3×3 neighborhood)
+    left = spark.createDataFrame([(1, 995.0, 995.0)], ["pid", "x", "y"])
+    right = spark.createDataFrame([(20, 1005.0, 1005.0)], ["poi", "px", "py"])
+    got = radius_join(left, right, 1000.0, ("x", "y"), ("px", "py")).collect()
+    assert len(got) == 1 and abs(got[0].distance - math.sqrt(200)) < 1e-9
+
+
+def test_grid_aggregate_stats(spark):
+    # cell (0,0) has n=2 → sample stddev; cell (1,0) has n=1 → 0.0 rule
+    df = spark.createDataFrame(
+        [(10.0, 10.0, "a", "100"), (20.0, 20.0, "a", "200"),
+         (510.0, 10.0, "a", "300"), (30.0, 30.0, "a", "bad")],
+        ["x", "y", "grp", "val"],
+    )
+    got = {
+        (r.cell_x, r.cell_y): r
+        for r in grid_aggregate(df, "x", "y", "val", ["grp"], 0.0, 0.0, 500.0).collect()
+    }
+    a = got[(0, 0)]
+    assert a.avg_value == 150.0 and a.num_values == 2
+    assert abs(a.standard_deviation - 70.71067811865476) < 1e-9  # ddof=1
+    b = got[(1, 0)]
+    assert b.num_values == 1 and b.standard_deviation == 0.0
+
+
+def test_cell_corners_matches_reference_format(spark):
+    # reference emits str(list(polygon.exterior.coords)) — a closed 5-tuple
+    # ring (aggregate_rental_rates.py:135)
+    df = spark.createDataFrame([(0, 0)], ["cx", "cy"]).select(
+        cell_corners_str("cx", "cy", -16000.0, -16000.0, 500.0).alias("s")
+    )
+    s = df.collect()[0].s
+    assert s == (
+        "[(-16000.0, -16000.0), (-15500.0, -16000.0), (-15500.0, -15500.0), "
+        "(-16000.0, -15500.0), (-16000.0, -16000.0)]"
+    )
+
+
+def test_point_in_polygon_join(spark):
+    # unit square and a triangle; point (0.5,0.5) in square only,
+    # (2.1,0.2) in triangle only, (5,5) in neither (left join keeps it)
+    ring_sq = [(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]
+    ring_tri = [(2.0, 0.0), (3.0, 0.0), (2.5, 1.0)]
+    polys = spark.createDataFrame(
+        [("sq", [{"x": x, "y": y} for x, y in ring_sq]),
+         ("tri", [{"x": x, "y": y} for x, y in ring_tri])],
+        "zone string, ring array<struct<x:double,y:double>>",
+    )
+    pts = spark.createDataFrame(
+        [(1, 0.5, 0.5), (2, 2.1, 0.2), (3, 5.0, 5.0)], ["pid", "x", "y"]
+    )
+    got = {r.pid: r.zone for r in point_in_polygon_join(pts, polys).collect()}
+    assert got == {1: "sq", 2: "tri", 3: None}
+
+
+def test_haversine(spark):
+    # Edmonton city hall → legislature ≈ 1.66 km (sanity band)
+    df = spark.createDataFrame([(53.5461, -113.4903, 53.5339, -113.5008)], ["a", "b", "c", "d"])
+    m = df.select(haversine_m("a", "b", "c", "d").alias("m")).collect()[0].m
+    assert 1300 < m < 2000

@@ -1,0 +1,80 @@
+"""Text expression library + vector math."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from re_data_pipeline_spark.functions.text import (
+    char_ngrams,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    word_shingles,
+)
+from re_data_pipeline_spark.functions.vectors import (
+    cosine_similarity,
+    dot,
+    l2_norm,
+    literal_vector,
+)
+
+
+def one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0].v
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("a b  c",), ("single",)], ["t"])
+    assert [r.n for r in df.select(token_count("t").alias("n")).collect()] == [3, 1]
+
+
+def test_char_ngrams(spark):
+    df = spark.createDataFrame([("abcd",)], ["t"])
+    got = df.select(char_ngrams("t", 3).alias("g")).collect()[0].g
+    assert got == ["abc", "bcd"]
+
+
+def test_word_shingles_short_text(spark):
+    # shorter than n → single whole-text shingle
+    df = spark.createDataFrame([("one two",)], ["t"])
+    got = df.select(word_shingles("t", 3).alias("g")).collect()[0].g
+    assert got == ["one two"]
+
+
+def test_lang_id_scripts(spark):
+    df = spark.createDataFrame(
+        [("the cat is in the hat",), ("el perro y la casa en un lugar",),
+         ("der hund ist mit einem ball",), ("你好 世界",), ("привет мир",)],
+        ["t"],
+    )
+    got = [r.l for r in df.select(lang_id("t").alias("l")).collect()]
+    assert got == ["en", "es", "de", "zh", "ru"]
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mm = docs.select(
+        F.min(quality_score("text")).alias("lo"), F.max(quality_score("text")).alias("hi")
+    ).collect()[0]
+    assert 0.0 <= mm.lo <= mm.hi <= 1.0
+
+
+def test_fingerprint_stable(spark):
+    df = spark.createDataFrame([("Hello  World",), ("hello world",)], ["t"])
+    got = [r.f for r in df.select(doc_fingerprint("t").alias("f")).collect()]
+    assert got[0] == got[1]
+
+
+def test_vector_math(spark):
+    a = literal_vector([1.0, 2.0, 2.0])
+    b = literal_vector([2.0, 0.0, 0.0])
+    assert one(spark, dot(a, b)) == 2.0
+    assert one(spark, l2_norm(a)) == 3.0
+    assert abs(one(spark, cosine_similarity(a, b)) - (2.0 / (3.0 * 2.0))) < 1e-12
+
+
+def test_cosine_null_on_zero_norm(spark):
+    a = literal_vector([0.0, 0.0])
+    b = literal_vector([1.0, 0.0])
+    assert one(spark, cosine_similarity(a, b)) is None

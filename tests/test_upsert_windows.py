@@ -1,0 +1,78 @@
+"""Upsert/archival semantics (K2-K4) + event-time windows + similarity."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from re_data_pipeline_spark.operators.similarity import cosine_topk, cosine_topk_per_query
+from re_data_pipeline_spark.operators.upsert import (
+    anti_join_new_rows,
+    delisted_rows,
+    retain_active,
+    upsert_append,
+)
+from re_data_pipeline_spark.operators.windows import session, tumbling
+
+
+def test_upsert_insert_if_absent(spark):
+    existing = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    batch = spark.createDataFrame([(2, "B-NEW"), (3, "c"), (3, "c-dup")], ["k", "v"])
+    got = {r.k: r.v for r in upsert_append(existing, batch, ["k"]).collect()}
+    # key 2 keeps the EXISTING value (ON CONFLICT DO NOTHING), key 3 inserted
+    # once (batch-internal dedup)
+    assert got == {1: "a", 2: "b", 3: "c"}
+    assert anti_join_new_rows(batch, existing, ["k"]).count() == 1
+
+
+def test_archival(spark):
+    existing = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (None, "nullkey")], ["k", "v"]
+    )
+    current = spark.createDataFrame([(1, "a")], ["k", "v"])
+    gone = delisted_rows(existing, current, ["k"])
+    assert sorted(r.k for r in gone.collect()) == [2, 3]  # null-guarded
+    kept = retain_active(existing, current, ["k"])
+    assert [r.k for r in kept.collect()] == [1]
+
+
+def _ts(h, m=0, s=0):
+    return dt.datetime(2024, 1, 1, h, m, s)
+
+
+def test_tumbling_counts(spark):
+    df = spark.createDataFrame(
+        [(1, _ts(0, 10)), (2, _ts(0, 50)), (3, _ts(1, 10))], ["id", "ts"]
+    )
+    got = tumbling(df, "ts", "1 hour", [], [F.count("*").alias("n")]).collect()
+    assert sorted(r.n for r in got) == [1, 2]
+
+
+def test_session_gap_merge(spark):
+    # events at 0:00, 0:20, 0:39 chain into one session (gap 30m);
+    # 2:00 starts a new one
+    df = spark.createDataFrame(
+        [(1, _ts(0, 0)), (1, _ts(0, 20)), (1, _ts(0, 39)), (1, _ts(2, 0))],
+        ["user_id", "ts"],
+    )
+    got = session(df, "ts", "30 minutes", ["user_id"], [F.count("*").alias("n")])
+    assert sorted(r.n for r in got.collect()) == [1, 3]
+
+
+def test_cosine_topk_ordering(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0])],
+        "id int, embedding array<float>",
+    )
+    got = cosine_topk(df, [1.0, 0.0], 2).collect()
+    assert [r.id for r in got] == [1, 2]
+
+
+def test_cosine_topk_per_query(spark):
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "id int, embedding array<float>"
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (200, [0.0, 1.0])], "query_id int, embedding array<float>"
+    )
+    got = cosine_topk_per_query(corpus, queries, 1).select("query_id", "id").collect()
+    assert {(r.query_id, r.id) for r in got} == {(100, 1), (200, 2)}
