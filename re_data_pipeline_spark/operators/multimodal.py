@@ -1,0 +1,179 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata
+(north-star extension; reference's closest analogue is the PDF pipeline S10,
+``REIT_metrics.py:293-314`` — bytes in, pandas-UDF extraction out).
+
+Design for 100 TB of media:
+
+- a media row is ``(media_id, kind, content binary, meta struct)`` — the
+  binary column is *never* parsed by Catalyst, so scans prune it unless the
+  operator actually needs bytes (check ReadSchema in .explain);
+- decode/resize/frame-sample run as ``mapInPandas`` stages — Arrow moves the
+  bytes column batch-wise, one decoder instance per task;
+- actual codec work is pluggable.  The container has no image/audio libs, so
+  the default decoder is a clearly-marked deterministic fake (shape/feature
+  math from the byte stream itself); ``decoder="real"`` raises
+  NotImplementedError at the call site where PIL/ffmpeg would plug in.  The
+  Spark-side plumbing — schemas, batching, partitioning — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META = StructType(
+    [
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("codec", StringType()),
+    ]
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("content", BinaryType()),
+        StructField("meta", MEDIA_META),
+    ]
+)
+
+
+def _fake_decode(content: bytes, kind: str) -> np.ndarray:
+    """Deterministic stand-in for a real decoder: derives a pixel/sample
+    array from the byte stream via a seeded hash.  Marked FAKE — swap for
+    PIL/soundfile/ffmpeg in production."""
+    seed = int(hashlib.md5(content or b"").hexdigest()[:8], 16)
+    rng = np.random.RandomState(seed)
+    if kind == "image":
+        return rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    if kind == "audio":
+        return (rng.rand(1600) * 2 - 1).astype(np.float32)
+    if kind == "video":
+        return rng.randint(0, 256, size=(4, 8, 8, 3), dtype=np.uint8)
+    raise ValueError(f"unknown media kind: {kind}")
+
+
+def decode_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
+    """Decode each media row and emit a fixed-length feature vector +
+    decoded-shape metadata.
+
+    Output schema: input columns (minus content) + ``feature array<float>``,
+    ``decoded_shape array<int>``.  Plumbing contract: the decoder sees Arrow
+    batches; feature length is fixed (16) so downstream similarity operators
+    (``operators.similarity``) apply unchanged to media embeddings.
+    """
+    if decoder == "real":
+        raise NotImplementedError(
+            "real media decoding requires PIL/soundfile/ffmpeg — not in this "
+            "container; plug a decoder in here"
+        )
+
+    out_fields = [f for f in df.schema.fields if f.name != "content"] + [
+        StructField("feature", ArrayType(FloatType())),
+        StructField("decoded_shape", ArrayType(IntegerType())),
+    ]
+    schema = StructType(out_fields)
+    keep = [f.name for f in df.schema.fields if f.name != "content"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, shapes = [], []
+            for content, kind in zip(pdf["content"], pdf["kind"]):
+                arr = _fake_decode(bytes(content) if content is not None else b"", kind)
+                flat = arr.astype(np.float64).ravel()
+                # 16 coarse moments: chunked means — deterministic, shape-free
+                chunks = np.array_split(flat, 16)
+                feats.append([float(c.mean()) if len(c) else 0.0 for c in chunks])
+                shapes.append(list(arr.shape))
+            out = pdf[keep].copy()
+            out["feature"] = feats
+            out["decoded_shape"] = shapes
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
+def resize_images(df: DataFrame, width: int, height: int, decoder: str = "fake") -> DataFrame:
+    """Image resize stage: content → resized content bytes (fake: re-encoded
+    deterministic bytes of the target size; real: PIL resize)."""
+    if decoder == "real":
+        raise NotImplementedError("plug PIL in here")
+    schema = StructType(
+        [f for f in df.schema.fields if f.name != "content"]
+        + [StructField("content", BinaryType())]
+    )
+    keep = [f.name for f in df.schema.fields if f.name != "content"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[keep].copy()
+            out["content"] = [
+                hashlib.md5((bytes(c) if c is not None else b"") + f"{width}x{height}".encode()).digest()
+                * ((width * height * 3) // 16 + 1)
+                for c in pdf["content"]
+            ]
+            out["content"] = out["content"].map(lambda b: b[: width * height * 3])
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
+def sample_frames(df: DataFrame, every_n: int = 2, decoder: str = "fake") -> DataFrame:
+    """Video frame sampling: one output row per sampled frame (one-to-many
+    mapInPandas — the UDTF shape of SURVEY X7), with frame index + feature."""
+    if decoder == "real":
+        raise NotImplementedError("plug ffmpeg in here")
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("frame_index", IntegerType()),
+            StructField("feature", ArrayType(FloatType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content, kind in zip(pdf["media_id"], pdf["content"], pdf["kind"]):
+                if kind != "video":
+                    continue
+                arr = _fake_decode(bytes(content) if content is not None else b"", kind)
+                for idx in range(0, arr.shape[0], every_n):
+                    frame = arr[idx].astype(np.float64).ravel()
+                    chunks = np.array_split(frame, 8)
+                    rows.append(
+                        (int(mid), int(idx), [float(c.mean()) for c in chunks])
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_index", "feature"])
+
+    return df.mapInPandas(run, schema)
+
+
+def synthetic_media(spark, n: int = 30) -> DataFrame:
+    """Deterministic fixture media table (seed from media_id)."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        content = hashlib.md5(f"media-{i}".encode()).digest() * 4
+        meta = (8, 8, 4 if kind == "video" else None, 16000 if kind == "audio" else None, "fake")
+        rows.append((i, kind, bytearray(content), meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

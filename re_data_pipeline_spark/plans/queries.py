@@ -1237,6 +1237,61 @@ def q42_llm_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q44_streaming_tumbling",
+    """
+    SELECT strftime(time_bucket(INTERVAL 12 HOUR, ts::TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q44_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming watermarked tumbling window, drained with
+    Trigger.AvailableNow over a file source (SURVEY §2.9) — the streaming
+    result is deterministic and equals the batch window, so it gets a full
+    SQL oracle, proving batch/streaming parity at the correctness gate.
+    """
+    import tempfile
+
+    from re_data_pipeline_spark.streaming.stream_ops import (
+        read_stream,
+        run_available_now_memory,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="q44_events_")
+    ev.repartition(3).write.mode("overwrite").parquet(stage)
+    stream = read_stream(spark, stage, ev.schema, max_files_per_trigger=1)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window(F.col("ts"), "12 hours").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+    run_available_now_memory(agg, "q44_out", "complete")
+    return spark.table("q44_out")
+
+
+@query("q45_multimodal_features")
+def q45_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode → feature pipeline over binary media columns
+    (rows-only: binary decode is not SQL-expressible)."""
+    from re_data_pipeline_spark.operators.multimodal import (
+        decode_features,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 30)
+    out = decode_features(media)
+    return out.select(
+        "media_id", "kind", F.round(F.element_at("feature", 1), 6).alias("f0")
+    )
+
+
 @query("q43_embed_column")
 def q43_embed_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding UDF operator (X5) with the deterministic hash-embedding

@@ -1,0 +1,104 @@
+"""Structured Streaming variants of the reference's incremental semantics
+(SURVEY §2.9 I1-I5).
+
+The reference implements incrementality by hand in scheduled batch jobs:
+natural-key upsert dedup (I1), processed-state flags (I2,
+``transcripts_to_vector_db.py:160-171``), already-seen-key skip (I3,
+``get_edm_council_transcripts.py:44-54``), and lookback windows (I4).  On
+Spark these are native streaming primitives, and because the window/aggregate
+*definitions* live in ``operators.windows``, the same code runs batch or
+streaming — a stream here is just a DataFrame with an unbounded source.
+
+Batch remains the reference-semantics path; streaming is additive (SURVEY §7
+step 7).  Everything below is exercised with file sources +
+``Trigger.AvailableNow`` in tests, which is also the production pattern for
+incremental backfills ("process whatever has arrived, then stop").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream: new files under ``path`` become micro-batches —
+    the streaming analogue of the reference's GCS-prefix rescans (S8)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def dedup_stream(df: DataFrame, keys: list[str], ts_col: str, watermark: str) -> DataFrame:
+    """Exactly-once-ish natural-key dedup (I1): ``dropDuplicates`` over a
+    watermarked stream bounds the dedup state — the streaming form of the
+    reference's ON CONFLICT DO NOTHING key."""
+    return df.withWatermark(ts_col, watermark).dropDuplicates(keys)
+
+
+def windowed_counts(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    watermark: str,
+    group_cols: list[str],
+) -> DataFrame:
+    """Watermarked tumbling aggregation — late data beyond ``watermark`` is
+    dropped instead of reopening state (the principled version of the
+    reference's 4-month/90-day lookback cutoffs, I4)."""
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), duration).alias("win"), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *group_cols,
+            "n",
+            "total_value",
+        )
+    )
+
+
+def anti_join_seen(stream: DataFrame, seen: DataFrame, keys: list[str]) -> DataFrame:
+    """Stream-static anti-join (I3): drop stream rows whose key already
+    exists in the static 'seen' table — the reference's skip-processed-URLs
+    check, evaluated per micro-batch against the current table snapshot."""
+    return stream.join(seen.select(keys), on=keys, how="left_anti")
+
+
+def run_available_now(stream_df: DataFrame, checkpoint: str, out_path: str) -> None:
+    """Drain everything currently available into a parquet sink, then stop —
+    incremental batch execution with streaming exactly-once bookkeeping
+    (checkpoint = the engine-managed version of the reference's `vectorized`
+    / `summarized` state flags, I2)."""
+    (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+        .awaitTermination()
+    )
+
+
+def run_available_now_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
+    """Drain into an in-memory table (tests/debug)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

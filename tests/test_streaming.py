@@ -1,0 +1,79 @@
+"""Structured Streaming layer: file-source micro-batches over the events
+table, watermarked windows, streaming dedup, stream-static anti-join.
+
+Batch/streaming parity is the key assertion: the streaming windowed counts
+must equal the batch ``operators.windows.tumbling`` result on the same data.
+"""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from re_data_pipeline_spark.catalog import load_table
+from re_data_pipeline_spark.operators.windows import tumbling
+from re_data_pipeline_spark.streaming.stream_ops import (
+    anti_join_seen,
+    dedup_stream,
+    read_stream,
+    run_available_now_memory,
+    windowed_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir):
+    """Stage the events table as a 3-file directory (micro-batch source)."""
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(3).write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_batch_window_parity(spark, sf_dir, events_dir):
+    ev = load_table(spark, sf_dir, "events")
+    schema = ev.schema
+    stream = read_stream(spark, events_dir, schema, max_files_per_trigger=1)
+    agg = windowed_counts(stream, "ts", "6 hours", "1 hour", ["event_type"])
+    run_available_now_memory(agg, "win_counts", "complete")
+    got = {
+        (r.window_start, r.event_type): (r.n, round(r.total_value, 6))
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    batch = tumbling(
+        ev, "ts", "6 hours", ["event_type"],
+        [F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value")],
+    )
+    want = {
+        (r.window_start, r.event_type): (r.n, round(r.total_value, 6))
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_dedup(spark, events_dir, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    stream = read_stream(spark, events_dir, ev.schema)
+    # duplicate key on purpose: user_id+event_type collapses heavily
+    dd = dedup_stream(stream, ["user_id", "event_type"], "ts", "10 minutes")
+    run_available_now_memory(dd.select("user_id", "event_type"), "dedup_out", "append")
+    got = spark.sql("SELECT count(*) AS n FROM dedup_out").collect()[0].n
+    distinct = ev.select("user_id", "event_type").distinct().count()
+    # watermarked streaming dedup can keep strictly more than the global
+    # distinct (state expiry across micro-batches) but never fewer, and must
+    # deduplicate within the watermark horizon
+    assert distinct <= got < ev.count()
+
+
+def test_stream_static_anti_join(spark, events_dir, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    seen = ev.where(F.col("event_id") % 2 == 0).select("event_id")
+    stream = read_stream(spark, events_dir, ev.schema)
+    out = anti_join_seen(stream, seen, ["event_id"])
+    run_available_now_memory(out.select("event_id"), "anti_out", "append")
+    got = spark.sql("SELECT count(*) AS n, min(event_id % 2) AS m FROM anti_out").collect()[0]
+    assert got.n == ev.where(F.col("event_id") % 2 == 1).count()
+    assert got.m == 1
