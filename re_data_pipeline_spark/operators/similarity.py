@@ -59,8 +59,12 @@ def cosine_topk_per_query(
 
     The window partitions by query, so the shuffle key is the query id — the
     corpus itself is scored map-side against the broadcast query table.
+    Non-vector query columns (metadata filters, epochs…) pass through.
     """
-    joined = corpus.crossJoin(F.broadcast(queries.select(query_id, F.col(query_vec).alias("__qv"))))
+    qcols = [c for c in queries.columns if c != query_vec]
+    joined = corpus.crossJoin(
+        F.broadcast(queries.select(*qcols, F.col(query_vec).alias("__qv")))
+    )
     scored = joined.withColumn(score_col, cosine_similarity(F.col(corpus_vec), F.col("__qv"))).drop("__qv")
     tiebreak = [c for c in corpus.columns if c != corpus_vec][:1]
     w = Window.partitionBy(query_id).orderBy(F.desc(score_col), *tiebreak)

@@ -85,9 +85,18 @@ def radius_join(
 
     Candidate count is bounded by local density (9 cells), never |L|×|R| —
     the plan is a hash join on cell keys that AQE can broadcast or skew-split.
+
+    Right-side columns that collide with left-side names are suffixed
+    ``_r`` in the output (so both sides may use plain ``x``/``y``).
     """
     lx, ly = left_xy
     rx, ry = right_xy
+    collisions = set(left.columns) & set(right.columns)
+    if collisions:
+        for c in collisions:
+            right = right.withColumnRenamed(c, f"{c}_r")
+        rx = f"{rx}_r" if rx in collisions else rx
+        ry = f"{ry}_r" if ry in collisions else ry
     neighbors = F.expr(
         "explode(flatten(transform(sequence(-1,1), dx -> "
         "transform(sequence(-1,1), dy -> struct(dx, dy)))))"

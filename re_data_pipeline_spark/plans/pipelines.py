@@ -1,0 +1,366 @@
+"""End-to-end pipelines mirroring the reference DAGs (SURVEY §3).
+
+Each pipeline is one driver program of chained DataFrame transformations —
+lineage replaces the Airflow DAG, shuffle boundaries replace GCS staging
+(SURVEY §1.1 last row, §3 traces).  Every step cites the reference task it
+reproduces; physical planning is left to Catalyst/AQE (broadcast enrichment
+joins, partial aggs), with the spatial cell-key equi-joins supplying the
+structure Catalyst can't infer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from re_data_pipeline_spark.functions.cleaning import normalize_sale_or_lease, safe_cast
+from re_data_pipeline_spark.functions.geo import cell_corners_str
+from re_data_pipeline_spark.llm.harness import embed_column, llm_map
+from re_data_pipeline_spark.operators.chunking import chunk_snippets, timestamped_link
+from re_data_pipeline_spark.operators.similarity import cosine_topk_per_query
+from re_data_pipeline_spark.operators.spatial import (
+    grid_aggregate,
+    point_in_polygon_join,
+    radius_join,
+)
+from re_data_pipeline_spark.operators.upsert import delisted_rows, upsert_append
+from re_data_pipeline_spark.plans.fixtures import (
+    CELL_SIZE,
+    GRID_CELLS,
+    GRID_ORIGIN_X,
+    GRID_ORIGIN_Y,
+)
+
+# ---------------------------------------------------------------------------
+# §3.1 property listings
+# ---------------------------------------------------------------------------
+
+LISTING_KEY = ["latitude", "longitude", "address"]
+
+
+def _uuid_col(*cols) -> F.Column:
+    """Deterministic surrogate key (P6): md5 of the natural identity —
+    testable stand-in for the reference's uuid4 (``get_AV_listings.py:107``)."""
+    return F.md5(F.concat_ws("|", *cols))
+
+
+def normalize_av(raw: DataFrame) -> DataFrame:
+    """AV source → canonical columns (``get_AV_listings.py:20-126``):
+    city/status filter (P1), rename projection (P2), nested lat/lng extract
+    rounded 10dp (P4), CDN image prefix (F2), uuid (P6)."""
+    return (
+        raw.where((F.col("city") == "Edmonton") & (F.col("status") != "closed"))
+        .select(
+            F.col("name").alias("title"),
+            F.col("address"),
+            F.col("city"),
+            F.round(F.col("location.lat").cast("double"), 10).alias("latitude"),
+            F.round(F.col("location.lng").cast("double"), 10).alias("longitude"),
+            F.col("transaction").alias("sale_or_lease"),
+            F.col("price"),
+            F.concat(F.lit("https://cdn.example"), F.col("image_path")).alias("image_url"),
+            F.col("external_url").alias("listing_url"),
+            F.lit("av").alias("source"),
+        )
+        .withColumn("property_uuid", _uuid_col("address", "latitude", "longitude"))
+    )
+
+
+def normalize_omada(raw: DataFrame) -> DataFrame:
+    """Omada source: title.rendered extract, sqft/acre multi-branch size CASE
+    (P7, ``get_omada_listings.py:108-120``)."""
+    size = (
+        F.when(
+            F.col("_listing_sqft_min").isNotNull() & F.col("_listing_sqft_max").isNotNull(),
+            F.concat_ws(" - ", F.col("_listing_sqft_min"), F.col("_listing_sqft_max")),
+        )
+        .when(F.col("_listing_sqft_min").isNotNull(), F.col("_listing_sqft_min"))
+        .when(
+            F.col("_listing_acre_min").isNotNull(),
+            F.concat(F.col("_listing_acre_min"), F.lit(" acres")),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        raw.where(F.col("status") == "publish")
+        .select(
+            F.col("title.rendered").alias("title"),
+            F.col("address"),
+            F.col("city"),
+            F.round(F.col("latitude").cast("double"), 10).alias("latitude"),
+            F.round(F.col("longitude").cast("double"), 10).alias("longitude"),
+            F.col("transaction").alias("sale_or_lease"),
+            size.alias("size"),
+            F.lit("omada").alias("source"),
+        )
+        .withColumn("property_uuid", _uuid_col("address", "latitude", "longitude"))
+    )
+
+
+def normalize_royal_park(raw: DataFrame) -> DataFrame:
+    return raw.select(
+        F.col("building").alias("title"),
+        F.col("address"),
+        F.col("city"),
+        F.round(F.col("latitude").cast("double"), 10).alias("latitude"),
+        F.round(F.col("longitude").cast("double"), 10).alias("longitude"),
+        F.col("transaction").alias("sale_or_lease"),
+        F.col("price"),
+        F.lit("royal_park").alias("source"),
+    ).withColumn("property_uuid", _uuid_col("address", "latitude", "longitude"))
+
+
+def enrich_osm(listings_xy: DataFrame, pois: DataFrame, radius: float = 1000.0) -> DataFrame:
+    """OSM nearby-list enrichment (J3+A2, ``get_osm_data.py:63-164``):
+    radius join on grid-cell keys, excluded category filter, per-listing
+    JSON array of {name,type,distance} — keyed by uuid for the J1 join."""
+    near = radius_join(
+        listings_xy,
+        pois.where(F.col("poi_type") != "place_of_worship"),
+        radius,
+        left_xy=("x", "y"),
+        right_xy=("x", "y"),
+    )
+    per = near.groupBy("property_uuid", "kind").agg(
+        F.to_json(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("name"),
+                        F.col("poi_type").alias("type"),
+                        F.round("distance", 1).alias("distance"),
+                    )
+                )
+            )
+        ).alias("items")
+    )
+    return (
+        per.groupBy("property_uuid")
+        .pivot("kind", ["business", "amenity"])
+        .agg(F.first("items"))
+        .withColumnsRenamed(
+            {"business": "nearby_businesses", "amenity": "nearby_amenities"}
+        )
+    )
+
+
+def enrich_zoning(listings_xy: DataFrame, zones: DataFrame) -> DataFrame:
+    """Zoning enrichment (J2, ``get_zoning_data.py:53-79``): point-in-polygon
+    left join → {uuid, zoning, description}."""
+    joined = point_in_polygon_join(
+        listings_xy.select("property_uuid", "x", "y"), zones, ("x", "y"), "ring", how="left"
+    )
+    return joined.select(
+        "property_uuid",
+        F.col("zoning"),
+        F.col("description").alias("zoning_description"),
+    )
+
+
+def property_listings_pipeline(
+    spark: SparkSession,
+    raw_av: DataFrame,
+    raw_omada: DataFrame,
+    raw_rp: DataFrame,
+    pois: DataFrame,
+    zones: DataFrame,
+    existing: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """Full §3.1 trace: extract×3 → union → enrich (OSM, zoning) → combine →
+    safe_cast → upsert → archival.
+
+    Returns {"combined", "upserted", "delisted"}.  One logical plan; the GCS
+    JSON staging hops of the reference become in-plan exchanges.
+    """
+    combined = (
+        normalize_av(raw_av)
+        .unionByName(normalize_omada(raw_omada), allowMissingColumns=True)
+        .unionByName(normalize_royal_park(raw_rp), allowMissingColumns=True)
+        .withColumn("sale_or_lease", normalize_sale_or_lease("sale_or_lease"))
+    )
+    # planar coords for the spatial joins (fixtures are planar already;
+    # with lat/lon inputs this is utm_project())
+    from re_data_pipeline_spark.plans.fixtures import GRID_ORIGIN_X as OX
+
+    xy = combined.select(
+        "property_uuid",
+        (((F.col("latitude") - 53.4) * 100000.0) + OX).alias("y"),
+        (((F.col("longitude") + 113.7) * 100000.0) + OX).alias("x"),
+    )
+    osm = enrich_osm(xy, pois)
+    zon = enrich_zoning(xy, zones)
+    enriched = (
+        combined.join(F.broadcast(osm), "property_uuid", "left")  # J1
+        .join(F.broadcast(zon), "property_uuid", "left")
+        .withColumn("price", safe_cast("price", "string", "Unknown"))
+        .withColumn("zoning", F.coalesce("zoning", F.lit("Unknown")))
+    )
+    existing = existing if existing is not None else enriched.limit(0)
+    upserted = upsert_append(existing, enriched, LISTING_KEY)
+    gone = delisted_rows(existing, enriched, LISTING_KEY)
+    return {"combined": enriched, "upserted": upserted, "delisted": gone}
+
+
+# ---------------------------------------------------------------------------
+# §3.2 rental rates
+# ---------------------------------------------------------------------------
+
+RENT_KEY = ["building_name", "address", "rental_rate", "bedrooms", "bathrooms", "size"]
+
+
+def explode_liv_buildings(raw: DataFrame) -> DataFrame:
+    """Building → unit rows with parent fields copied (U3,
+    ``get_liv_data.py:174-192``)."""
+    return raw.select(
+        "building_name",
+        "building_type",
+        F.col("full_street_name").alias("address"),
+        "city",
+        F.col("state").alias("province"),
+        F.col("location.x").alias("x"),
+        F.col("location.y").alias("y"),
+        F.explode("listings").alias("unit"),
+    ).select(
+        "building_name",
+        "building_type",
+        "address",
+        "city",
+        "province",
+        "x",
+        "y",
+        F.col("unit.price").alias("rental_rate"),
+        F.col("unit.bedrooms").alias("bedrooms"),
+        F.col("unit.bathrooms").alias("bathrooms"),
+        F.col("unit.size").alias("size"),
+    ).withColumn("uuid", _uuid_col("building_name", "address", "rental_rate", "size"))
+
+
+def rental_rates_pipeline(
+    spark: SparkSession,
+    raw_buildings: DataFrame,
+    existing: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """§3.2 trace: explode units → 6-key upsert → grid aggregation with the
+    reference's exact output shape (``aggregate_rental_rates.py:122-140``):
+    avg/count/sample-stddev per (cell × bedrooms) + closed-ring
+    ``grid_coordinates`` string."""
+    units = explode_liv_buildings(raw_buildings)
+    existing = existing if existing is not None else units.limit(0)
+    upserted = upsert_append(existing, units, RENT_KEY)
+
+    grid = grid_aggregate(
+        upserted,
+        x_col="x",
+        y_col="y",
+        value_col="rental_rate",  # 'N/A' rows coerce to null and drop (P17)
+        group_cols=["bedrooms"],
+        origin_x=GRID_ORIGIN_X,
+        origin_y=GRID_ORIGIN_Y,
+        cell_size=CELL_SIZE,
+        grid_cells=GRID_CELLS,
+        emit_corners=True,
+    ).select(
+        "grid_coordinates",
+        F.col("bedrooms"),
+        F.col("avg_value").alias("avg_rental_rate"),
+        F.col("num_values").cast("int").alias("num_properties"),
+        "standard_deviation",
+    )
+    return {"units": units, "upserted": upserted, "avg_rent_listings": grid}
+
+
+# ---------------------------------------------------------------------------
+# §3.3 council transcripts
+# ---------------------------------------------------------------------------
+
+
+def transcripts_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    embed_dim: int = 16,
+    top_k: int = 23,
+) -> dict[str, DataFrame]:
+    """§3.3 trace: select non-vectorized (P15/I2) → sort+chunk (W2/W3/X7) →
+    embed (X5, mock client) → chunks table (K5 key ``transcript_id:ts``) →
+    per-meeting top-k retrieval (W4) → LLM summarize (X6, mock) → summaries
+    + state-flag updates."""
+    pending = transcripts.where(F.col("vectorized") == 0)  # P15
+
+    snippets = pending.select(
+        "council_transcript_id",
+        "meeting_type",
+        "date",
+        "start_time_epoch",
+        "video_url",
+        F.map_entries("timestamped_transcript").alias("entries"),
+    ).select(
+        "council_transcript_id",
+        "meeting_type",
+        "date",
+        "start_time_epoch",
+        "video_url",
+        F.transform(
+            F.col("entries"),
+            lambda e: F.struct(e["key"].alias("ts"), e["value"].alias("text")),
+        ).alias("snippets"),
+    )
+    chunks = timestamped_link("video_url", chunk_snippets(snippets, "snippets"))
+    chunks = chunks.withColumn(
+        "chunk_id",
+        F.concat_ws(":", F.col("council_transcript_id"), F.col("chunk_timestamp")),
+    ).dropDuplicates(["chunk_id"])  # K5 dedup key
+    embedded = embed_column(
+        chunks.select(
+            "chunk_id",
+            "council_transcript_id",
+            "meeting_type",
+            "date",
+            "start_time_epoch",
+            "chunk_timestamp",
+            "timestamped_youtube_link",
+            F.col("chunk_text").alias("text"),
+        ),
+        "text",
+        dim=embed_dim,
+    )
+
+    # Retrieval (W4): query = the meeting title embedding, metadata-filtered
+    # to that meeting's epoch — top-k chunks per meeting.
+    queries = embed_column(
+        pending.select(
+            F.col("council_transcript_id").alias("query_id"),
+            F.col("start_time_epoch").alias("query_epoch"),
+            F.col("title").alias("text"),
+        ),
+        "text",
+        dim=embed_dim,
+    ).drop("text")
+    scored = cosine_topk_per_query(
+        embedded,
+        queries.withColumnRenamed("embedding", "qv"),
+        k=top_k,
+        corpus_vec="embedding",
+        query_vec="qv",
+        query_id="query_id",
+    )
+    retrieved = scored.where(F.col("start_time_epoch") == F.col("query_epoch"))
+
+    # Summarize (X6): concatenate retrieved chunk texts per meeting → LLM.
+    context = retrieved.groupBy("query_id").agg(
+        F.array_join(F.collect_list("text"), "\n").alias("context")
+    )
+    summaries = llm_map(context, "context", "llm_output").select(
+        F.col("query_id").alias("council_transcript_id"),
+        F.get_json_object("llm_output", "$.summary").alias("summary"),
+    )
+
+    flagged = transcripts.withColumn(
+        "vectorized",
+        F.when(F.col("vectorized") == 0, F.lit(1)).otherwise(F.col("vectorized")),
+    )
+    return {
+        "chunks": embedded,
+        "retrieved": retrieved,
+        "summaries": summaries,
+        "transcripts_updated": flagged,
+    }

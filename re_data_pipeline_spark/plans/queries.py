@@ -1292,6 +1292,56 @@ def q45_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q46_listings_pipeline")
+def q46_listings_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end §3.1 property-listings trace (extract×3 → union → OSM
+    radius + zoning PIP enrichment → normalize → upsert) over deterministic
+    FIXTURES.md fixtures (rows-only: multi-stage pipeline)."""
+    from re_data_pipeline_spark.plans import fixtures as fx
+    from re_data_pipeline_spark.plans.pipelines import property_listings_pipeline
+
+    out = property_listings_pipeline(
+        spark,
+        fx.raw_av_listings(spark),
+        fx.raw_omada_listings(spark),
+        fx.raw_royal_park_listings(spark),
+        fx.osm_pois(spark),
+        fx.zone_polygons(spark),
+    )
+    return out["upserted"].select(
+        "property_uuid", "source", "sale_or_lease", "zoning", "nearby_businesses"
+    )
+
+
+@query("q47_rental_grid_pipeline")
+def q47_rental_grid_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end §3.2 rental-rates trace (explode → upsert → grid stats with
+    closed-ring coordinates string) over fixtures (rows-only)."""
+    from re_data_pipeline_spark.plans import fixtures as fx
+    from re_data_pipeline_spark.plans.pipelines import rental_rates_pipeline
+
+    out = rental_rates_pipeline(spark, fx.raw_liv_buildings(spark))
+    g = out["avg_rent_listings"]
+    return g.select(
+        "grid_coordinates",
+        "bedrooms",
+        F.round("avg_rental_rate", 6).alias("avg_rental_rate"),
+        "num_properties",
+        F.round("standard_deviation", 6).alias("standard_deviation"),
+    )
+
+
+@query("q48_transcripts_pipeline")
+def q48_transcripts_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end §3.3 transcripts trace (chunk → embed → metadata-filtered
+    top-k retrieval → mock-LLM summaries) over fixtures (rows-only)."""
+    from re_data_pipeline_spark.plans import fixtures as fx
+    from re_data_pipeline_spark.plans.pipelines import transcripts_pipeline
+
+    out = transcripts_pipeline(spark, fx.council_transcripts(spark))
+    return out["summaries"]
+
+
 @query("q43_embed_column")
 def q43_embed_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding UDF operator (X5) with the deterministic hash-embedding
