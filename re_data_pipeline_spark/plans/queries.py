@@ -1194,6 +1194,212 @@ def q39_grid_cell_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q49_time_format",
+    """
+    SELECT event_id,
+           printf('%d:%02d:%02d',
+                  CAST(floor(value * 100 / 3600) AS BIGINT),
+                  CAST(floor(value * 100 / 60) AS BIGINT) % 60,
+                  CAST(floor(value * 100) AS BIGINT) % 60) AS hms,
+           (CAST(floor(value * 100 / 3600) AS BIGINT) * 3600
+            + (CAST(floor(value * 100 / 60) AS BIGINT) % 60) * 60
+            + CAST(floor(value * 100) AS BIGINT) % 60) AS roundtrip_secs
+    FROM events WHERE event_id % 17 = 0
+    """,
+)
+def q49_time_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seconds ↔ "H:MM:SS" conversion both ways (F6 —
+    ``get_edm_council_transcripts.py:278-294`` / ``transcript_summaries.py:144-149``)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") % 17 == 0)
+    secs = F.floor(F.col("value") * 100).cast("long")
+    h = F.floor(F.col("value") * 100 / 3600).cast("long")
+    m = F.floor(F.col("value") * 100 / 60).cast("long") % 60
+    s = secs % 60
+    return e.select(
+        "event_id",
+        F.format_string("%d:%02d:%02d", h, m, s).alias("hms"),
+        (h * 3600 + m * 60 + s).alias("roundtrip_secs"),
+    )
+
+
+@query(
+    "q50_url_parse",
+    """
+    SELECT doc_id,
+           regexp_extract('https://youtube.example/watch?v=vid' || doc_id || '&t=9s',
+                          'v=([^&]+)', 1) AS video_id,
+           regexp_extract('mailto:user' || doc_id || '@example.com',
+                          'mailto:(.*)', 1) AS email
+    FROM documents WHERE doc_id % 9 = 0
+    """,
+)
+def q50_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/param extraction (F14 — watch?v= canonicalization
+    ``get_edm_council_transcripts.py:122-128``, mailto: strip
+    ``get_royal_park_listings.py:58-65``)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 9 == 0)
+    url = F.concat(
+        F.lit("https://youtube.example/watch?v=vid"),
+        F.col("doc_id").cast("string"),
+        F.lit("&t=9s"),
+    )
+    mail = F.concat(F.lit("mailto:user"), F.col("doc_id").cast("string"), F.lit("@example.com"))
+    return d.select(
+        "doc_id",
+        F.regexp_extract(url, r"v=([^&]+)", 1).alias("video_id"),
+        F.regexp_extract(mail, r"mailto:(.*)", 1).alias("email"),
+    )
+
+
+@query(
+    "q51_cube",
+    """
+    SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE (c_mktsegment, o_orderstatus)
+    """,
+)
+def q51_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (capability extension, SURVEY §2.5 note)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .cube("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        )
+    )
+
+
+@query(
+    "q52_count_distinct",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           COUNT(DISTINCT o_custkey) AS active_customers,
+           COUNT(*) AS orders
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def q52_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (A3 at volume; the approximate variant is
+    q53, rows-only)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.month("o_orderdate").cast("int").alias("m"),
+    ).agg(
+        F.count_distinct("o_custkey").alias("active_customers"),
+        F.count(F.lit(1)).alias("orders"),
+    )
+
+
+@query("q53_approx_distinct")
+def q53_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog approximate distinct (rows-only: sketch values are
+    engine-specific by construction) — the 100 TB path where exact distinct
+    would shuffle every key."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers")
+    )
+
+
+@query(
+    "q54_first_available",
+    """
+    SELECT event_id,
+           COALESCE(json_extract_string(props, '$.price'),
+                    json_extract_string(props, '$.k'),
+                    'missing') AS first_key
+    FROM events WHERE event_id % 19 = 0
+    """,
+)
+def q54_first_available(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-available-key projection over semi-structured data (P9/F13 —
+    the price/size synonym lookup ``get_AV_listings.py:50-58``)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") % 19 == 0)
+    return e.select(
+        "event_id",
+        F.coalesce(
+            F.get_json_object("props", "$.price"),
+            F.get_json_object("props", "$.k"),
+            F.lit("missing"),
+        ).alias("first_key"),
+    )
+
+
+@query(
+    "q55_limit_topn",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 5
+    """,
+)
+def q55_limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fetch-first (W5) — plans as TakeOrdered, not a global
+    sort."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(5)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query("q56_geocode_fallback")
+def q56_geocode_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geocoding UDF with fallback (X2/P18 —
+    ``get_edm_building_permits.py:49-80,164-185``): rows with bad (0,0)
+    coords get deterministic mock-geocoded from the address, then invalid
+    rows drop.  mapInPandas with a per-partition client (rows-only)."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") % 23 == 0)
+    # synthesize a permits-like frame: every 3rd row has 0.0 coords
+    base = c.select(
+        F.col("c_custkey").alias("permit_id"),
+        F.col("c_name").alias("address"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(0.0))
+        .otherwise((F.col("c_custkey") % 90).cast("double"))
+        .alias("latitude"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(0.0))
+        .otherwise((F.col("c_custkey") % 180).cast("double"))
+        .alias("longitude"),
+    )
+    schema = StructType(
+        [f for f in base.schema.fields if f.name not in ("latitude", "longitude")]
+        + [StructField("latitude", DoubleType()), StructField("longitude", DoubleType())]
+    )
+
+    def geocode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one "client" per task; deterministic hash → coords (mock of the
+        # rate-limited Google client, O7 token bucket lives here)
+        def lookup(addr: str) -> tuple[float, float]:
+            h = int(hashlib.md5(addr.encode()).hexdigest()[:8], 16)
+            return (h % 9000) / 100.0, ((h // 9000) % 18000) / 100.0 - 90.0
+
+        for pdf in batches:
+            mask = (pdf["latitude"] == 0.0) & (pdf["longitude"] == 0.0)
+            coords = [lookup(a) for a in pdf.loc[mask, "address"]]
+            pdf = pdf.copy()
+            if coords:
+                pdf.loc[mask, "latitude"] = [c[0] for c in coords]
+                pdf.loc[mask, "longitude"] = [c[1] for c in coords]
+            yield pdf[[f.name for f in schema.fields]]
+
+    out = base.mapInPandas(geocode, schema)
+    return out.where((F.col("latitude") != 0.0) & (F.col("longitude") != 0.0))
+
+
 # ---------------------------------------------------------------------------
 # Rows-only queries (non-SQL-expressible / approximate — driver records a
 # weaker rows-only check; SURVEY §2.10, ANN, SimHash)
