@@ -1298,6 +1298,76 @@ def q52_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q57_asof_join",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts::TIMESTAMP AS ts, event_id FROM events WHERE event_type = 'click'
+    ), views AS (
+      SELECT user_id, ts::TIMESTAMP AS ts, value FROM events WHERE event_type = 'view'
+    )
+    SELECT c.event_id,
+           c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_time,
+           v.value AS value_asof,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_asof
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+)
+def q57_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of temporal join (capability extension): each click joined to the
+    user's most recent prior view.  Union + last-ignoring-nulls window — one
+    shuffle on the key, linear in |L|+|R|; oracle is DuckDB's native ASOF
+    LEFT JOIN."""
+    from re_data_pipeline_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    views = e.where(F.col("event_type") == "view").select("user_id", "ts", "value")
+    joined = asof_join(clicks, views, on=["user_id"], ts_col="ts")
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_time"),
+        "value_asof",
+        F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_asof"),
+    )
+
+
+@query(
+    "q58_utm_project",
+    """
+    SELECT c_custkey,
+           ROUND(0.9996 * 6371000.0 / 2
+                 * ln((1 + cos(radians(53.0 + (c_custkey % 100) * 0.01))
+                           * sin(radians(-114.0 + (c_custkey % 50) * 0.01) - radians(-111.0)))
+                      / (1 - cos(radians(53.0 + (c_custkey % 100) * 0.01))
+                           * sin(radians(-114.0 + (c_custkey % 50) * 0.01) - radians(-111.0))))
+                 + 500000.0, 4) AS utm_x,
+           ROUND(0.9996 * 6371000.0
+                 * atan2(tan(radians(53.0 + (c_custkey % 100) * 0.01)),
+                         cos(radians(-114.0 + (c_custkey % 50) * 0.01) - radians(-111.0))), 4) AS utm_y
+    FROM customer WHERE c_custkey % 29 = 0
+    """,
+)
+def q58_utm_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical transverse-Mercator projection to UTM zone 12 (F15 — the
+    reference's pyproj 4326→32612 reprojection, as pure IEEE math identical
+    in both engines)."""
+    from re_data_pipeline_spark.functions.geo import utm_project
+
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") % 29 == 0)
+    lat = (F.lit(53.0) + (F.col("c_custkey") % 100) * 0.01)
+    lon = (F.lit(-114.0) + (F.col("c_custkey") % 50) * 0.01)
+    x, y = utm_project(lat, lon, zone=12)
+    return c.select(
+        "c_custkey",
+        F.round(x, 4).alias("utm_x"),
+        F.round(y, 4).alias("utm_y"),
+    )
+
+
 @query("q53_approx_distinct")
 def q53_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approximate distinct (rows-only: sketch values are

@@ -1,0 +1,27 @@
+"""As-of join edge semantics: inclusive equal-timestamp match, no-prior-match
+nulls, per-key isolation."""
+
+import datetime as dt
+
+from re_data_pipeline_spark.operators.asof import asof_join
+
+
+def _t(m):
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [("u1", _t(10), "a"), ("u1", _t(30), "b"), ("u1", _t(5), "c"),
+         ("u2", _t(10), "d")],
+        ["k", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [("u1", _t(10), 1.0), ("u1", _t(20), 2.0), ("u2", _t(50), 9.0)],
+        ["k", "ts", "v"],
+    )
+    got = {r.tag: (r.v_asof, r.ts_asof) for r in asof_join(left, right, ["k"], "ts").collect()}
+    assert got["a"] == (1.0, _t(10))   # equal ts matches (inclusive)
+    assert got["b"] == (2.0, _t(20))   # latest prior
+    assert got["c"] == (None, None)    # nothing at/before 0:05
+    assert got["d"] == (None, None)    # u2's only view is later; keys isolated
