@@ -1368,6 +1368,87 @@ def q58_utm_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q59_json_glob_scan",
+    """
+    SELECT doc_id, lang, n_chars, md5(text) AS text_md5
+    FROM documents WHERE doc_id % 4 = 0
+    """,
+)
+def q59_json_glob_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-blob JSON union scan (S8 — the reference's GCS prefix
+    list→parse→extend loop): stage documents as many JSON files, re-read via
+    a single glob scan with explicit schema, prove content parity."""
+    import shutil
+    import tempfile
+
+    from re_data_pipeline_spark.sources.registry import read_json_glob
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
+    stage = tempfile.mkdtemp(prefix="q59_json_")
+    try:
+        d.repartition(5).write.mode("overwrite").json(stage)
+        back = read_json_glob(spark, f"{stage}/*.json", schema=d.schema)
+        out = back.select("doc_id", "lang", "n_chars", F.md5("text").alias("text_md5"))
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+@query(
+    "q60_embedding_neardup",
+    """
+    WITH sub AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 150)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine
+    FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.e, b.e) >= 0.3
+    """,
+)
+def q60_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (north-star dedup tier 5) —
+    exact verification variant on a bounded subset; the unbounded path is the
+    SRP-bucketed ANN (q41).  Broadcast self-join keeps the big side
+    shuffle-free."""
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 150)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    scored = pairs.withColumn("cosine", cosine_similarity(F.col("ea"), F.col("eb")))
+    return (
+        scored.where(F.col("cosine") >= 0.3)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+@query(
+    "q61_salted_agg",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q61_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase (salted) aggregation: phase 1 aggregates on
+    (key, salt) spreading a hot key over N reducers; phase 2 merges partials
+    per key.  Result provably equals the direct aggregation (the oracle is
+    the plain GROUP BY) — decimal sums make the merge exact."""
+    e = load_table(spark, sf_dir, "events")
+    salted = e.withColumn("__salt", F.pmod(F.col("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "__salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(_dec("value")).alias("psum"),
+        F.max("value").alias("pmax"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.sum("psum").cast("double").alias("total"),
+        F.max("pmax").alias("max_value"),
+    )
+
+
 @query("q53_approx_distinct")
 def q53_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approximate distinct (rows-only: sketch values are
@@ -1534,22 +1615,30 @@ def q44_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_available_now_memory,
     )
 
+    import shutil
+
     ev = load_table(spark, sf_dir, "events")
     stage = tempfile.mkdtemp(prefix="q44_events_")
-    ev.repartition(3).write.mode("overwrite").parquet(stage)
-    stream = read_stream(spark, stage, ev.schema, max_files_per_trigger=1)
-    agg = (
-        stream.withWatermark("ts", "1 hour")
-        .groupBy(F.window(F.col("ts"), "12 hours").alias("win"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-            "event_type",
-            "n",
+    try:
+        ev.repartition(3).write.mode("overwrite").parquet(stage)
+        stream = read_stream(spark, stage, ev.schema, max_files_per_trigger=1)
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window(F.col("ts"), "12 hours").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "event_type",
+                "n",
+            )
         )
-    )
-    run_available_now_memory(agg, "q44_out", "complete")
-    return spark.table("q44_out")
+        run_available_now_memory(agg, "q44_out", "complete")
+        # drain is complete → materialize before the staging dir disappears
+        return spark.createDataFrame(
+            spark.table("q44_out").collect(), spark.table("q44_out").schema
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 @query("q45_multimodal_features")
