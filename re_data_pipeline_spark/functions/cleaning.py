@@ -86,6 +86,37 @@ def profile_completeness(df: DataFrame, cols: list[str] | None = None) -> DataFr
     )
 
 
+def storeys_extract(col: Column | str) -> Column:
+    """Five-case storeys-phrase extraction with the reference's precedence
+    (``get_edm_zoning_bylaw_data.py:82-116``), case-insensitive:
+
+    1. "up to X or Y storeys" → "Up to X or Y"
+    2. "up to X storeys"      → "Up to X"
+    3. "X to Y storeys"       → "X to Y"
+    4. "X or Y storeys"       → "X or Y"
+    5. "X storeys"            → "X"
+    else NULL.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+
+    def ex(pat: str, idx: int) -> Column:
+        return F.regexp_extract(c, f"(?i){pat}", idx)
+
+    p1 = r"up\s*to\s*(\d+)\s*or\s*(\d+)\s*storeys"
+    p2 = r"up\s*to\s*(\d+)\s*storeys"
+    p3 = r"(\d+)\s*to\s*(\d+)\s*storeys"
+    p4 = r"(\d+)\s*or\s*(\d+)\s*storeys"
+    p5 = r"(\d+)\s*storeys"
+    return (
+        F.when(ex(p1, 1) != "", F.concat(F.lit("Up to "), ex(p1, 1), F.lit(" or "), ex(p1, 2)))
+        .when(ex(p2, 1) != "", F.concat(F.lit("Up to "), ex(p2, 1)))
+        .when(ex(p3, 1) != "", F.concat(ex(p3, 1), F.lit(" to "), ex(p3, 2)))
+        .when(ex(p4, 1) != "", F.concat(ex(p4, 1), F.lit(" or "), ex(p4, 2)))
+        .when(ex(p5, 1) != "", ex(p5, 1))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
 def day_of_iso(col: Column | str, default: int = 0) -> Column:
     """Day-of-month from an ISO date/timestamp string, 0 when unparseable —
     reference ``get_edm_building_permits.py:43-47``."""

@@ -1449,6 +1449,70 @@ def q61_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q62_storeys_regex",
+    """
+    WITH t AS (
+      SELECT p_partkey,
+             CASE p_partkey % 6
+               WHEN 0 THEN 'zone allows up to ' || (p_partkey % 9 + 1) || ' or ' || (p_partkey % 9 + 3) || ' storeys'
+               WHEN 1 THEN 'Up To ' || (p_partkey % 9 + 1) || ' Storeys permitted'
+               WHEN 2 THEN 'between ' || (p_partkey % 9 + 1) || ' to ' || (p_partkey % 9 + 4) || ' storeys'
+               WHEN 3 THEN 'either ' || (p_partkey % 9 + 1) || ' or ' || (p_partkey % 9 + 2) || ' storeys'
+               WHEN 4 THEN 'exactly ' || (p_partkey % 9 + 1) || ' storeys'
+               ELSE 'no height limits mentioned' END AS purpose
+      FROM part WHERE p_partkey % 3 = 0
+    )
+    SELECT p_partkey, purpose,
+           CASE WHEN regexp_extract(purpose, '(?i)up\\s*to\\s*(\\d+)\\s*or\\s*(\\d+)\\s*storeys', 1) <> ''
+                THEN 'Up to ' || regexp_extract(purpose, '(?i)up\\s*to\\s*(\\d+)\\s*or\\s*(\\d+)\\s*storeys', 1)
+                     || ' or ' || regexp_extract(purpose, '(?i)up\\s*to\\s*(\\d+)\\s*or\\s*(\\d+)\\s*storeys', 2)
+                WHEN regexp_extract(purpose, '(?i)up\\s*to\\s*(\\d+)\\s*storeys', 1) <> ''
+                THEN 'Up to ' || regexp_extract(purpose, '(?i)up\\s*to\\s*(\\d+)\\s*storeys', 1)
+                WHEN regexp_extract(purpose, '(?i)(\\d+)\\s*to\\s*(\\d+)\\s*storeys', 1) <> ''
+                THEN regexp_extract(purpose, '(?i)(\\d+)\\s*to\\s*(\\d+)\\s*storeys', 1)
+                     || ' to ' || regexp_extract(purpose, '(?i)(\\d+)\\s*to\\s*(\\d+)\\s*storeys', 2)
+                WHEN regexp_extract(purpose, '(?i)(\\d+)\\s*or\\s*(\\d+)\\s*storeys', 1) <> ''
+                THEN regexp_extract(purpose, '(?i)(\\d+)\\s*or\\s*(\\d+)\\s*storeys', 1)
+                     || ' or ' || regexp_extract(purpose, '(?i)(\\d+)\\s*or\\s*(\\d+)\\s*storeys', 2)
+                WHEN regexp_extract(purpose, '(?i)(\\d+)\\s*storeys', 1) <> ''
+                THEN regexp_extract(purpose, '(?i)(\\d+)\\s*storeys', 1)
+                ELSE NULL END AS storeys
+    FROM t
+    """,
+)
+def q62_storeys_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-case storeys regex chain with reference precedence (F3,
+    ``get_edm_zoning_bylaw_data.py:82-116``) over synthetic bylaw purposes
+    constructed identically in both engines."""
+    from re_data_pipeline_spark.functions.cleaning import storeys_extract
+
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 3 == 0)
+    k = F.col("p_partkey")
+    n1 = (k % 9 + 1).cast("string")
+    purpose = (
+        F.when(k % 6 == 0, F.concat(F.lit("zone allows up to "), n1, F.lit(" or "), (k % 9 + 3).cast("string"), F.lit(" storeys")))
+        .when(k % 6 == 1, F.concat(F.lit("Up To "), n1, F.lit(" Storeys permitted")))
+        .when(k % 6 == 2, F.concat(F.lit("between "), n1, F.lit(" to "), (k % 9 + 4).cast("string"), F.lit(" storeys")))
+        .when(k % 6 == 3, F.concat(F.lit("either "), n1, F.lit(" or "), (k % 9 + 2).cast("string"), F.lit(" storeys")))
+        .when(k % 6 == 4, F.concat(F.lit("exactly "), n1, F.lit(" storeys")))
+        .otherwise(F.lit("no height limits mentioned"))
+    )
+    return p.select("p_partkey", purpose.alias("purpose")).select(
+        "p_partkey", "purpose", storeys_extract("purpose").alias("storeys")
+    )
+
+
+@query("q63_reit_pipeline")
+def q63_reit_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REIT metric-extraction pipeline (S10→O8→X4 — single-pass page
+    classification, per-(report, metric) mock-LLM extraction, 'Not
+    Available' fallback); rows-only."""
+    from re_data_pipeline_spark.plans.reit import fixture_report_pages, reit_metrics_pipeline
+
+    return reit_metrics_pipeline(spark, fixture_report_pages(spark))
+
+
 @query("q53_approx_distinct")
 def q53_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approximate distinct (rows-only: sketch values are

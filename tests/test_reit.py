@@ -1,0 +1,66 @@
+"""REIT metric extraction pipeline (S10 → O8 → X4) + storeys regex (F3)."""
+
+from pyspark.sql import functions as F
+
+from re_data_pipeline_spark.functions.cleaning import storeys_extract
+from re_data_pipeline_spark.plans.reit import (
+    METRICS,
+    NOT_AVAILABLE,
+    classify_pages,
+    fixture_report_pages,
+    reit_metrics_pipeline,
+)
+
+
+def test_classify_pages_single_pass(spark):
+    pages = spark.createDataFrame(
+        [("R1", 0, "Total DEBT and liabilities grew"),
+         ("R1", 1, "FFO and EBITDA improved; occupancy steady"),
+         ("R1", 2, "nothing relevant here")],
+        "report_name string, page_num int, page_text string",
+    )
+    got = {(r.page_num, r.metric) for r in classify_pages(pages).collect()}
+    assert (0, "debt_balance") in got
+    assert (1, "funds_from_operations") in got
+    assert (1, "ebitda") in got
+    assert (1, "occupancy_rate") in got
+    assert not any(p == 2 for p, _ in got)
+
+
+def test_reit_pipeline_wide_output(spark):
+    pages = fixture_report_pages(spark)
+    wide = reit_metrics_pipeline(spark, pages)
+    rows = {r.report_name: r for r in wide.collect()}
+    assert len(rows) == 6
+    # every report has all 10 metric columns
+    for name, row in rows.items():
+        for m in METRICS:
+            assert getattr(row, m) is not None
+    # report r skips metric index r → that metric is 'Not Available'
+    assert rows["REIT-0"].debt_balance == NOT_AVAILABLE
+    assert rows["REIT-1"].net_income == NOT_AVAILABLE
+    # matched metrics carry the mock extraction payload
+    assert rows["REIT-0"].net_income.startswith("[MOCK:")
+
+
+def test_reit_pipeline_deterministic(spark):
+    a = reit_metrics_pipeline(spark, fixture_report_pages(spark)).collect()
+    b = reit_metrics_pipeline(spark, fixture_report_pages(spark)).collect()
+    assert {r.report_name: tuple(r) for r in a} == {r.report_name: tuple(r) for r in b}
+
+
+def test_storeys_extract_cases(spark):
+    cases = [
+        ("buildings Up To 4 or 6 storeys allowed", "Up to 4 or 6"),
+        ("up to 8 storeys permitted", "Up to 8"),
+        ("between 2 to 5 storeys", "2 to 5"),
+        ("either 3 or 9 storeys", "3 or 9"),
+        ("exactly 12 storeys", "12"),
+        ("no height mention", None),
+        # precedence: "up to X or Y" wins over later cases
+        ("up to 2 or 3 storeys, maybe 7 storeys", "Up to 2 or 3"),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], ["t"]).select(
+        storeys_extract("t").alias("out")
+    )
+    assert [r.out for r in df.collect()] == [c[1] for c in cases]
