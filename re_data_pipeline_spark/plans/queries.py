@@ -1513,6 +1513,92 @@ def q63_reit_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reit_metrics_pipeline(spark, fixture_report_pages(spark))
 
 
+@query(
+    "q64_lag_lead",
+    """
+    SELECT user_id, event_id,
+           LAG(event_id) OVER w AS prev_event,
+           LEAD(event_id) OVER w AS next_event,
+           ROUND(value - COALESCE(LAG(value) OVER w, 0.0), 6) AS value_delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q64_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytic windows (capability extension noted in SURVEY §2.6:
+    the reference has none; sessionization and deltas need them)."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lead("event_id").over(w).alias("next_event"),
+        F.round(F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0)), 6).alias(
+            "value_delta"
+        ),
+    )
+
+
+@query(
+    "q65_first_occurrence",
+    """
+    SELECT user_id, event_type, event_id AS first_event_id
+    FROM (
+      SELECT user_id, event_type, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q65_first_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-preserving dedupe: first occurrence per key by event time (A5 —
+    the reference's 'if url not in seen' list scan, as a rank window that
+    distributes)."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", F.col("event_id").alias("first_event_id"))
+    )
+
+
+@query(
+    "q66_state_flag_merge",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey IN (
+                  SELECT o_orderkey FROM orders WHERE o_orderkey % 4 = 1
+                ) THEN 1 ELSE 0 END AS processed
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def q66_state_flag_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Processed-state flag update (I2 — the reference's vectorized/
+    summarized 0→1 flip, ``transcripts_to_vector_db.py:160-171``) as a
+    MERGE-shaped semi-join update: flag = key ∈ processed-batch."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 2 == 1)
+    batch = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 4 == 1)
+        .select(F.col("o_orderkey").alias("bk"))
+    )
+    return (
+        o.join(F.broadcast(batch), o.o_orderkey == batch.bk, "left")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(F.col("bk").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias("processed"),
+        )
+    )
+
+
 @query("q53_approx_distinct")
 def q53_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approximate distinct (rows-only: sketch values are
