@@ -121,3 +121,37 @@ def doc_fingerprint(col: Column | str) -> Column:
     Engine-portable (md5 is identical everywhere) — the exact-dedup key.
     """
     return F.md5(normalize_text(col))
+
+
+ROLLING_HASH_MOD = 2305843009213693951  # 2^61 - 1 (Mersenne prime)
+
+
+def rolling_hash(col: Column | str, prefix_len: int = 64, base: int = 31) -> Column:
+    """Polynomial rolling-hash fingerprint over the first ``prefix_len``
+    characters: h = Σ ascii(c_i)·base^(n−i) mod (2^61−1), computed as a
+    left fold with per-step modulo.
+
+    Decimal(38,0) intermediates keep the fold exact under ANSI mode (long
+    would overflow at acc·31); engine-portable (the oracle reproduces it
+    with HUGEINT + ``list_reduce``).
+    """
+    c = _c(col)
+    bound = F.least(F.length(c), F.lit(prefix_len))
+    return F.aggregate(
+        F.sequence(F.lit(1), F.greatest(bound, F.lit(1))),
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, i: F.pmod(
+            acc * F.lit(base) + F.ascii(F.substring(c, 1, prefix_len).substr(i, F.lit(1))).cast("decimal(38,0)"),
+            F.lit(ROLLING_HASH_MOD).cast("decimal(38,0)"),
+        ),
+    ).cast("long")
+
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish token estimate: letter runs count 1, each digit counts 1,
+    each other non-space symbol counts 1 — a cheap, deterministic proxy for
+    subword tokenizer counts (north-star token counting)."""
+    return F.regexp_count(_c(col), F.lit(BPE_ISH_PATTERN))

@@ -91,6 +91,70 @@ def srp_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
     return key
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    list_col: str | None = None,
+    score_col: str = "score",
+) -> DataFrame:
+    """IVF-style ANN: partition the corpus into inverted lists, search only
+    the ``n_probe`` lists whose centroids are nearest the query.
+
+    List assignment: if ``list_col`` is given it is used as the inverted-list
+    id (the production path — assign at ingest, partition the table by it so
+    a query prunes partitions).  Otherwise lists are bootstrapped here from
+    an SRP bucket of ``ceil(log2 n_lists)`` hyperplanes (deterministic seed
+    pattern), which approximates a coarse k-means in one pass.
+
+    Plan shape: centroids = one groupBy(list) avg per dimension (posexplode
+    + two aggs); probe selection is driver-side over ≤n_lists rows; the
+    probed scan is a partition-prunable filter + exact cosine rerank.
+    """
+    import math
+
+    dim = len(query_vec)
+    if list_col is None:
+        n_planes = max(1, math.ceil(math.log2(n_lists)))
+        planes = [
+            [1.0 if ((i * 11 + j * 17) % 7) < 3 else -1.0 for j in range(dim)]
+            for i in range(n_planes)
+        ]
+        corpus = corpus.withColumn("__list", srp_bucket(vec_col, planes))
+        list_col = "__list"
+
+    # per-list centroids: explode to (list, pos, v) → avg → re-assemble
+    exploded = corpus.select(F.col(list_col).alias("__l"), F.posexplode(vec_col).alias("pos", "v"))
+    cent_rows = (
+        exploded.groupBy("__l", "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("cv"))
+        .groupBy("__l")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("vals"))
+        .select("__l", F.transform("vals", lambda s: s["cv"]).alias("centroid"))
+        .collect()
+    )
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na and nb else -1.0
+
+    # Row attribute access rejects __-prefixed names; use indexing
+    probes = sorted(
+        cent_rows, key=lambda r: -cos(list(r["centroid"]), query_vec)
+    )[:n_probe]
+    probe_ids = [r["__l"] for r in probes]
+
+    probed = corpus.where(F.col(list_col).isin(probe_ids))
+    out = cosine_topk(probed.drop("__list") if list_col == "__list" else probed,
+                      query_vec, k, vec_col, score_col=score_col)
+    return out
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     query_vec: list[float],

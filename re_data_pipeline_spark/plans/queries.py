@@ -1599,6 +1599,68 @@ def q66_state_flag_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q67_rolling_hash",
+    """
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(
+               0::HUGEINT,
+               list_transform(
+                 range(1, greatest(least(length(text), 64), 1) + 1),
+                 i -> ascii(substr(text, i::INT, 1))::HUGEINT)),
+             (acc, x) -> (acc * 31 + x) % 2305843009213693951::HUGEINT
+           )::BIGINT AS fingerprint
+    FROM documents WHERE doc_id % 6 = 0
+    """,
+)
+def q67_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (north-star text
+    analysis) — exact mod-2^61−1 fold, identical in both engines (decimal
+    fold in Spark, HUGEINT list_reduce in the oracle)."""
+    from re_data_pipeline_spark.functions.text import rolling_hash
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 6 == 0)
+    return d.select("doc_id", rolling_hash("text").alias("fingerprint"))
+
+
+@query(
+    "q68_bpe_token_count",
+    r"""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_ish_tokens
+    FROM documents WHERE doc_id % 7 = 0
+    """,
+)
+def q68_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (north-star): whitespace tokens and a
+    BPE-ish regex estimate (letter runs + digits + symbols)."""
+    from re_data_pipeline_spark.functions.text import bpe_ish_token_count, token_count
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    return d.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        bpe_ish_token_count("text").alias("bpe_ish_tokens"),
+    )
+
+
+@query("q69_ivf_ann")
+def q69_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN over embeddings: SRP-bootstrapped inverted lists,
+    centroid probe selection, exact rerank inside probed lists (rows-only:
+    approximate by construction).  At scale the list id is computed at
+    ingest and the table is partitioned by it → partition pruning."""
+    from re_data_pipeline_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in e.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return ivf_topk(e.where(F.col("vec_id") != 0), qvec, 10, n_lists=8, n_probe=3).select(
+        "vec_id", "label", F.round("score", 6).alias("score")
+    )
+
+
 @query("q53_approx_distinct")
 def q53_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approximate distinct (rows-only: sketch values are

@@ -78,3 +78,41 @@ def test_cosine_null_on_zero_norm(spark):
     a = literal_vector([0.0, 0.0])
     b = literal_vector([1.0, 0.0])
     assert one(spark, cosine_similarity(a, b)) is None
+
+
+def test_rolling_hash_known_value(spark):
+    from re_data_pipeline_spark.functions.text import rolling_hash
+
+    df = spark.createDataFrame([("ab",), ("",)], ["t"]).select(
+        rolling_hash("t").alias("h")
+    )
+    got = [r.h for r in df.collect()]
+    # h("ab") = (0*31+97)*31 + 98 = 3105  (mod 2^61-1)
+    assert got[0] == 97 * 31 + 98
+    assert got[1] == 0  # empty → ascii('')→null→... bound clamps to 1 char
+
+
+def test_bpe_ish_token_count(spark):
+    from re_data_pipeline_spark.functions.text import bpe_ish_token_count
+
+    df = spark.createDataFrame([("Hello world, 42 tokens!",)], ["t"]).select(
+        bpe_ish_token_count("t").alias("n")
+    )
+    # Hello, world, ',', '4', '2', tokens, '!' → 7
+    assert df.collect()[0].n == 7
+
+
+def test_ivf_topk_contains_true_neighbors(spark, sf_dir):
+    from re_data_pipeline_spark.operators.similarity import cosine_topk, ivf_topk
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(v) for v in e.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    rest = e.where(F.col("vec_id") != 0)
+    exact = [r.vec_id for r in cosine_topk(rest, q, 10).collect()]
+    approx = [r.vec_id for r in ivf_topk(rest, q, 10, n_lists=8, n_probe=4).collect()]
+    # approximate, but probing half the lists must recover a solid fraction
+    assert len(set(exact) & set(approx)) >= 4
+    # deterministic
+    approx2 = [r.vec_id for r in ivf_topk(rest, q, 10, n_lists=8, n_probe=4).collect()]
+    assert approx == approx2
