@@ -186,15 +186,19 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 60, out_col: str 
     bit_j(doc) = sign of Σ_tokens (bit_j(h(token))·2 − 1).  Implemented as
     explode → one md5 per token → single groupBy with ``bits`` sums — one
     shuffle regardless of bit width.
+
+    Bits come from integer ``shiftright`` on a LONG (15 hex digits < 2^60
+    fits signed 64-bit).  Decimal division would round at result scale and
+    can flip a bit when the true quotient's fraction exceeds 0.9999995.
     """
     toks = df.select(
         F.col("*"), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__tok")
-    ).withColumn("__h", F.conv(F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10).cast("decimal(20,0)"))
+    ).withColumn(
+        "__h", F.conv(F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10).cast("long")
+    )
     bit_sums = toks.groupBy(*df.columns).agg(
         *[
-            F.sum(
-                ((F.col("__h") / F.lit(2 ** j)).cast("long") % 2) * 2 - 1
-            ).alias(f"__b{j}")
+            F.sum((F.shiftright(F.col("__h"), j) % 2) * 2 - 1).alias(f"__b{j}")
             for j in range(bits)
         ]
     )

@@ -1661,6 +1661,44 @@ def q69_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q70_stateful_stream",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(SUM(value), 6) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q70_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running totals folded across micro-batches; the final state snapshot per
+    key must equal the batch aggregate — which is exactly the oracle."""
+    import shutil
+    import tempfile
+
+    from re_data_pipeline_spark.streaming.stateful import running_totals_per_user
+    from re_data_pipeline_spark.streaming.stream_ops import (
+        read_stream,
+        run_available_now_memory,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="q70_events_")
+    try:
+        ev.repartition(3).write.mode("overwrite").parquet(stage)
+        stream = read_stream(spark, stage, ev.schema, max_files_per_trigger=1)
+        run_available_now_memory(running_totals_per_user(stream), "q70_out", "update")
+        last = spark.sql(
+            """SELECT user_id, n_events, ROUND(total_value, 6) AS total_value FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                              ORDER BY n_events DESC) rn
+                 FROM q70_out) WHERE rn = 1"""
+        )
+        return spark.createDataFrame(last.collect(), last.schema)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 @query("q53_approx_distinct")
 def q53_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approximate distinct (rows-only: sketch values are
@@ -1769,10 +1807,28 @@ def q56_geocode_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q40_simhash")
+_Q40_BITS = 60
+_Q40_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv FROM tok
+), bits AS (
+  SELECT doc_id,
+         {', '.join(f"SUM(((hv >> {j}) & 1) * 2 - 1) AS b{j}" for j in range(_Q40_BITS))}
+  FROM h GROUP BY doc_id
+)
+SELECT doc_id,
+       ({' + '.join(f"CASE WHEN b{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(_Q40_BITS))})::BIGINT AS simhash
+FROM bits
+"""
+
+
+@query("q40_simhash", _Q40_SQL)
 def q40_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit SimHash fingerprints (north-star near-dup; rows-only check —
-    the bit-arithmetic oracle is impractical in portable SQL)."""
+    """60-bit SimHash fingerprints (north-star near-dup), fully oracled:
+    both engines derive token hashes from md5 hex and fold sign-sums per
+    bit — fingerprints match bit-for-bit."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return simhash(d, "text").select("doc_id", "simhash")

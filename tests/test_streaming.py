@@ -77,3 +77,29 @@ def test_stream_static_anti_join(spark, events_dir, sf_dir):
     got = spark.sql("SELECT count(*) AS n, min(event_id % 2) AS m FROM anti_out").collect()[0]
     assert got.n == ev.where(F.col("event_id") % 2 == 1).count()
     assert got.m == 1
+
+
+def test_apply_in_pandas_with_state(spark, events_dir, sf_dir):
+    """Custom stateful operator: per-user running totals accumulated across
+    micro-batches must end at the batch groupBy result."""
+    from re_data_pipeline_spark.streaming.stateful import running_totals_per_user
+
+    ev = load_table(spark, sf_dir, "events")
+    stream = read_stream(spark, events_dir, ev.schema, max_files_per_trigger=1)
+    out = running_totals_per_user(stream)
+    run_available_now_memory(out, "state_out", "update")
+    # multiple snapshots per user (one per micro-batch that touched the key);
+    # the LAST snapshot per user must equal the batch aggregate
+    snaps = spark.sql(
+        """SELECT user_id, n_events, total_value FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+             FROM state_out) WHERE rn = 1"""
+    ).collect()
+    got = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in snaps}
+    want = {
+        r.user_id: (r.n, round(r.s, 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
