@@ -179,6 +179,73 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_on_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_words: int = 3,
+) -> DataFrame:
+    """Exact Jaccard computed ONLY for given candidate pairs (id_a, id_b).
+
+    This is the scalable verification shape: shingles explode once, then two
+    semi-scoped joins against the candidate list — cost proportional to the
+    candidates' shingles, not the corpus pair count.
+    """
+    sh = (
+        df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_words)).alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a"))
+    sb = sh.select(F.col(id_col).alias("id_b2"), F.col("s").alias("s_b"))
+    inter = (
+        pairs.join(sa, "id_a")
+        .join(
+            sb,
+            (F.col("id_b") == F.col("id_b2")) & (F.col("s_a") == F.col("s_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"inter": 0})
+        .join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def near_dedup_pipeline(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_words: int = 3,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full near-duplicate removal: MinHash-LSH candidate generation →
+    exact-Jaccard verification on candidates only → drop the higher id of
+    each confirmed pair (greedy lowest-id-wins, the standard single-pass
+    policy).  Returns the surviving rows of ``df``.
+
+    Plan shape at 100 TB: map-only signatures → band-bucket equi-join →
+    candidate-scoped Jaccard joins → small anti-join.  No stage is
+    quadratic in corpus size.
+    """
+    cands = lsh_candidate_pairs(df, id_col, text_col, num_hashes, shingle_words, bands)
+    verified = jaccard_on_pairs(cands, df, id_col, text_col, shingle_words)
+    losers = (
+        verified.where(F.col("jaccard") >= F.lit(threshold))
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 60, out_col: str = "simhash") -> DataFrame:
     """Append a ``bits``-wide (≤60, fits signed BIGINT) SimHash fingerprint.
 

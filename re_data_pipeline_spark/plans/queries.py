@@ -1699,6 +1699,59 @@ def q70_stateful_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(stage, ignore_errors=True)
 
 
+_Q71_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_sql_tokens()} AS t FROM documents
+), sh0 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 1) + 1),
+           j -> array_to_string(t[j:j+2], ' '))) AS sh
+  FROM toks
+), sig AS (
+  SELECT doc_id, [{_minhash_sql(16, 3)}] AS sig FROM sh0
+), buckets AS (
+  SELECT doc_id, b.i AS band,
+         md5(array_to_string(sig[b.i*4+1:b.i*4+4], '|')) AS band_key
+  FROM sig, generate_series(0, 3) b(i)
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), shx AS (
+  SELECT doc_id, unnest(sh) AS s FROM sh0
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM (SELECT DISTINCT doc_id, s FROM shx) GROUP BY doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS inter
+  FROM cands c JOIN shx a ON a.doc_id = c.id_a
+               JOIN shx b ON b.doc_id = c.id_b AND a.s = b.s
+  GROUP BY 1, 2
+), losers AS (
+  SELECT DISTINCT i.id_b AS doc_id
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+               JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.5
+)
+SELECT doc_id, lang, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
+@query("q71_near_dedup_pipeline", _Q71_SQL)
+def q71_near_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dedup composition (north-star flagship): MinHash-LSH
+    candidates → exact-Jaccard verification scoped to candidates → greedy
+    lowest-id-wins removal.  Fully oracled end-to-end — every stage's hash
+    is md5-derived, so DuckDB reproduces the exact survivor set."""
+    from re_data_pipeline_spark.operators.dedup import near_dedup_pipeline
+
+    d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    survivors = near_dedup_pipeline(d, threshold=0.5)
+    return survivors.select("doc_id", "lang", "n_chars")
+
+
 @query("q53_approx_distinct")
 def q53_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approximate distinct (rows-only: sketch values are

@@ -69,3 +69,23 @@ def test_simhash_property(spark):
 
     # near-dup is closer in hamming space than unrelated text
     assert hamming(got[1], got[2]) < hamming(got[1], got[3])
+
+
+def test_near_dedup_pipeline(spark):
+    from re_data_pipeline_spark.operators.dedup import near_dedup_pipeline
+
+    survivors = near_dedup_pipeline(docs_df(spark), threshold=0.5)
+    ids = sorted(r.doc_id for r in survivors.collect())
+    # 4 is an exact dup of 1 (jaccard 1.0) → removed; 2 is a one-word edit
+    # of 1 (high jaccard) → removed; 3 is unrelated → kept
+    assert ids == [1, 3]
+
+
+def test_jaccard_on_pairs_scoped(spark):
+    from re_data_pipeline_spark.operators.dedup import jaccard_on_pairs
+
+    df = docs_df(spark)
+    pairs = spark.createDataFrame([(1, 4), (1, 3)], ["id_a", "id_b"])
+    got = {(r.id_a, r.id_b): r.jaccard for r in jaccard_on_pairs(pairs, df).collect()}
+    assert got[(1, 4)] == 1.0      # identical docs
+    assert got[(1, 3)] == 0.0      # disjoint shingles (left join → 0 fill)
