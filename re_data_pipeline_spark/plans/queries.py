@@ -1752,6 +1752,84 @@ def q71_near_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select("doc_id", "lang", "n_chars")
 
 
+_Q72_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, text, lang,
+         len({_sql_tokens()}) AS n_tokens,
+         length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0 / length(text) AS praw,
+         len(list_filter({_sql_tokens()}, x -> list_contains({list(STOPWORDS_EN)!r}, lower(x)))) * 1.0
+           / len({_sql_tokens()}) AS sraw
+  FROM documents
+), kept AS (
+  SELECT doc_id, text, n_tokens,
+         GREATEST(LEAST(0.5 * LEAST(n_tokens / 200.0, 1.0)
+                        + 0.5 * LEAST(sraw / 0.2, 1.0)
+                        - GREATEST(praw - 0.1, 0.0), 1.0), 0.0) AS quality
+  FROM scored
+  WHERE GREATEST(LEAST(0.5 * LEAST(n_tokens / 200.0, 1.0)
+                       + 0.5 * LEAST(sraw / 0.2, 1.0)
+                       - GREATEST(praw - 0.1, 0.0), 1.0), 0.0) >= 0.3
+), toks AS (
+  SELECT doc_id, {_sql_tokens()} AS t FROM kept
+), sh0 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 1) + 1),
+           j -> array_to_string(t[j:j+2], ' '))) AS sh
+  FROM toks
+), sig AS (
+  SELECT doc_id, [{_minhash_sql(16, 3)}] AS sig FROM sh0
+), buckets AS (
+  SELECT doc_id, b.i AS band,
+         md5(array_to_string(sig[b.i*4+1:b.i*4+4], '|')) AS band_key
+  FROM sig, generate_series(0, 3) b(i)
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), shx AS (
+  SELECT doc_id, unnest(sh) AS s FROM sh0
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM (SELECT DISTINCT doc_id, s FROM shx) GROUP BY doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS inter
+  FROM cands c JOIN shx a ON a.doc_id = c.id_a
+               JOIN shx b ON b.doc_id = c.id_b AND a.s = b.s
+  GROUP BY 1, 2
+), losers AS (
+  SELECT DISTINCT i.id_b AS doc_id
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+               JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.5
+)
+SELECT doc_id, n_tokens, ROUND(quality, 6) AS quality
+FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
+@query("q72_curation_pipeline", _Q72_SQL)
+def q72_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data curation capstone: quality-score filter → MinHash-LSH
+    near-dedup of the survivors → per-document token stats.  Every stage is
+    engine-portable, so the ENTIRE composed pipeline is oracled — the judge
+    can verify the exact curated document set in DuckDB."""
+    from re_data_pipeline_spark.operators.dedup import near_dedup_pipeline
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = (
+        d.withColumn("n_tokens", token_count("text"))
+        .withColumn("quality", quality_score("text"))
+        .where(F.col("quality") >= 0.3)
+    )
+    kept = kept.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    survivors = near_dedup_pipeline(
+        kept.select("doc_id", "text", "n_tokens", "quality"), threshold=0.5
+    )
+    return survivors.select(
+        "doc_id", "n_tokens", F.round("quality", 6).alias("quality")
+    )
+
+
 @query("q53_approx_distinct")
 def q53_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approximate distinct (rows-only: sketch values are
