@@ -41,7 +41,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     rejects; we read nanos as long (runtime-settable legacy conf) and truncate
     to microsecond TimestampType — the same ns→µs truncation DuckDB applies
     when casting TIMESTAMP_NS → TIMESTAMP, so both engines see equal values.
+
+    Session invariants the engine's results depend on are (re)pinned here —
+    every query path loads tables, and both confs are runtime-settable, so
+    results stay correct even under a caller-provided SparkSession:
+    - UTC session timezone (timestamp→string outputs must match the oracle's
+      naive timestamps);
+    - shuffle partitions sized for the local data scale unless the caller
+      already tuned them.
     """
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+        # untouched default → size for the test scale
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
