@@ -122,6 +122,39 @@ def radius_join(
     )
 
 
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: str,
+    right_val: str,
+    delta: float,
+    diff_col: str = "diff",
+) -> DataFrame:
+    """1-D range (band) join: pairs with |left.val − right.val| ≤ delta.
+
+    Same cell-bucket trick as the radius join in one dimension: bucket both
+    sides by ``delta``, explode the left row to its 3 neighbor buckets,
+    equi-join, exact filter.  The generic replacement for a theta range
+    join — candidates bounded by local density, never |L|×|R|.
+    """
+    collisions = set(left.columns) & set(right.columns)
+    for c in collisions:
+        right = right.withColumnRenamed(c, f"{c}_r")
+    if right_val in collisions:
+        right_val = f"{right_val}_r"
+    l = (
+        left.withColumn("__b", F.floor(F.col(left_val) / F.lit(delta)).cast("long"))
+        .select("*", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("__d"))
+        .withColumn("__jb", F.col("__b") + F.col("__d"))
+        .drop("__b", "__d")
+    )
+    r = right.withColumn("__jb", F.floor(F.col(right_val) / F.lit(delta)).cast("long"))
+    out = l.join(r, "__jb").withColumn(
+        diff_col, F.abs(F.col(left_val) - F.col(right_val))
+    )
+    return out.where(F.col(diff_col) <= F.lit(delta)).drop("__jb")
+
+
 def point_in_polygon_join(
     points: DataFrame,
     polygons: DataFrame,

@@ -1830,6 +1830,129 @@ def q72_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q73_band_join",
+    """
+    SELECT s_suppkey, p_partkey,
+           ROUND(abs(s_acctbal - p_retailprice), 6) AS diff
+    FROM supplier, part
+    WHERE abs(s_acctbal - p_retailprice) <= 2.0
+    """,
+)
+def q73_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D range (band) join |a−b| ≤ δ via bucket equi-join (theta-join
+    capability the reference lacks; oracle is the naive cross join)."""
+    from re_data_pipeline_spark.operators.spatial import band_join
+
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    out = band_join(s, p, "s_acctbal", "p_retailprice", 2.0)
+    return out.select("s_suppkey", "p_partkey", F.round("diff", 6).alias("diff"))
+
+
+@query(
+    "q74_percentiles",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+           ROUND(quantile_cont(l_discount, 0.25), 6) AS disc_p25
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q74_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per group (capability
+    extension; both engines use h=(n−1)p interpolation).  The approximate
+    sketch path at 100 TB is percentile_approx (q75, rows-only)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("p95"),
+        F.round(F.percentile("l_discount", F.lit(0.25)), 6).alias("disc_p25"),
+    )
+
+
+@query("q75_percentile_approx")
+def q75_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via the Greenwald-Khanna sketch (rows-only:
+    sketch-dependent values) — the mergeable, single-pass 100 TB path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("p50_approx")
+    )
+
+
+@query(
+    "q76_histogram",
+    """
+    SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def q76_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram by computed bucket (profiling primitive; one
+    map-side-combined shuffle of |buckets| rows)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("bucket", F.floor(F.col("o_totalprice") / 25000).cast("long"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@query(
+    "q77_levenshtein",
+    """
+    SELECT c_custkey, s_suppkey,
+           levenshtein(lower(c_name), lower(s_name)) AS edit_distance
+    FROM customer JOIN supplier ON c_custkey % 100 = s_suppkey % 100
+    WHERE c_custkey % 37 = 0 AND levenshtein(lower(c_name), lower(s_name)) <= 12
+    """,
+)
+def q77_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (address/name dedup primitive for the
+    listings natural key) — banded by a cheap equi-key before the expensive
+    distance, never a full cross join."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") % 37 == 0)
+    s = load_table(spark, sf_dir, "supplier")
+    joined = c.join(F.broadcast(s), F.col("c_custkey") % 100 == F.col("s_suppkey") % 100)
+    dist = F.levenshtein(F.lower("c_name"), F.lower("s_name"))
+    return (
+        joined.withColumn("edit_distance", dist)
+        .where(F.col("edit_distance") <= 12)
+        .select("c_custkey", "s_suppkey", "edit_distance")
+    )
+
+
+@query(
+    "q78_deterministic_sample",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE ('0x' || substr(md5('sample-salt:' || doc_id), 1, 8))::BIGINT
+          < 4294967296 * 0.2
+    """,
+)
+def q78_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% sample via hash thresholding (md5(salt||id)) —
+    reproducible across engines/runs/partitionings, unlike rand()-based
+    sampling; the training-pipeline way to carve stable eval splits."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("sample-salt:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return d.where(h < F.lit(int(4294967296 * 0.2))).select("doc_id", "lang")
+
+
 @query("q53_approx_distinct")
 def q53_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approximate distinct (rows-only: sketch values are

@@ -86,3 +86,23 @@ def test_haversine(spark):
     df = spark.createDataFrame([(53.5461, -113.4903, 53.5339, -113.5008)], ["a", "b", "c", "d"])
     m = df.select(haversine_m("a", "b", "c", "d").alias("m")).collect()[0].m
     assert 1300 < m < 2000
+
+
+def test_band_join_boundary(spark):
+    from re_data_pipeline_spark.operators.spatial import band_join
+
+    left = spark.createDataFrame([(1, 100.0)], ["lid", "v"])
+    right = spark.createDataFrame(
+        [(10, 98.5), (11, 102.0), (12, 102.1), (13, 50.0)], ["rid", "w"]
+    )
+    got = band_join(left, right, "v", "w", 2.0)
+    assert sorted(r.rid for r in got.collect()) == [10, 11]  # 102.1 is out
+
+
+def test_band_join_colliding_names(spark):
+    from re_data_pipeline_spark.operators.spatial import band_join
+
+    left = spark.createDataFrame([(1, 5.0)], ["id", "v"])
+    right = spark.createDataFrame([(2, 5.5)], ["id", "v"])
+    got = band_join(left, right, "v", "v", 1.0).collect()
+    assert len(got) == 1 and got[0].id_r == 2
