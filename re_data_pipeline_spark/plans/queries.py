@@ -1953,6 +1953,78 @@ def q78_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.where(h < F.lit(int(4294967296 * 0.2))).select("doc_id", "lang")
 
 
+@query(
+    "q79_pivot",
+    """
+    SELECT user_id,
+           CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+           CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view,
+           CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def q79_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide) with a pinned column vocabulary — pinning avoids
+    the extra distinct-values job at scale."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "view", "error"])
+    )
+
+
+@query(
+    "q80_unpivot",
+    """
+    SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer WHERE c_custkey % 31 = 0
+    UNION ALL
+    SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value
+    FROM customer WHERE c_custkey % 31 = 0
+    """,
+)
+def q80_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide→long) via the native unpivot operator."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") % 31 == 0)
+    return c.select(
+        "c_custkey", F.col("c_acctbal"), F.col("c_nationkey").cast("double")
+    ).unpivot(
+        "c_custkey",
+        [F.col("c_acctbal").alias("acctbal"), F.col("c_nationkey").alias("nationkey")],
+        "metric",
+        "value",
+    )
+
+
+@query(
+    "q81_stratified_sample",
+    """
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5('strat:' || doc_id), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def q81_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: exactly k per group, ordered by a
+    salted hash — reproducible train/eval splits with per-language quotas
+    (north-star curation primitive)."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("lang", "doc_id")
+    )
+
+
 @query("q53_approx_distinct")
 def q53_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approximate distinct (rows-only: sketch values are
