@@ -246,6 +246,63 @@ def near_dedup_pipeline(
     return df.join(losers, id_col, "left_anti")
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair graph → (node, component)
+    with component = min node id in the component.
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own label and its neighbors' labels; stop when no label changes.
+    Each round is one join + one groupBy (shuffle on node id); lineage is
+    truncated with localCheckpoint so the plan doesn't grow per iteration.
+    Rounds needed ≈ graph diameter (near-dup clusters are tiny), and the
+    same loop is how large-scale CC runs on clusters (alternating
+    big-star/small-star is the heavily-skewed-graph refinement).
+
+    The transitive closure this computes is what upgrades greedy pair-wise
+    dedup (drop id_b of each pair) into true cluster dedup: A~B, B~C drops
+    both B and C even when (A,C) was never a candidate pair.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("comp").alias("component"))
+
+
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 60, out_col: str = "simhash") -> DataFrame:
     """Append a ``bits``-wide (≤60, fits signed BIGINT) SimHash fingerprint.
 

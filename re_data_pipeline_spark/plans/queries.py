@@ -2025,6 +2025,153 @@ def q81_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q82_PAIRS_CTES = f"""
+toks AS (
+  SELECT doc_id, {_sql_tokens()} AS t FROM documents
+), sh0 AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 1) + 1),
+           j -> array_to_string(t[j:j+2], ' '))) AS sh
+  FROM toks
+), sig AS (
+  SELECT doc_id, [{_minhash_sql(16, 3)}] AS sig FROM sh0
+), buckets AS (
+  SELECT doc_id, b.i AS band,
+         md5(array_to_string(sig[b.i*4+1:b.i*4+4], '|')) AS band_key
+  FROM sig, generate_series(0, 3) b(i)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)"""
+
+_Q82_SQL = f"""
+WITH RECURSIVE {_Q82_PAIRS_CTES},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS node, LEAST(src, MIN(dst)) AS component
+FROM reach GROUP BY src
+"""
+
+
+@query("q82_connected_components", _Q82_SQL)
+def q82_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH candidate-pair graph (cluster-level
+    dedup: A~B, B~C ⇒ one cluster even when (A,C) never shared a bucket).
+
+    Spark side: iterative min-label propagation with localCheckpoint
+    lineage truncation — the standard distributed CC loop.  Oracle: DuckDB
+    recursive-CTE transitive closure over the identical md5-derived pair
+    graph.  Exact same (node, component) labeling required.
+    """
+    from re_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    pairs = lsh_candidate_pairs(d, "doc_id", "text", 16, 3, 4)
+    return connected_components(pairs)
+
+
+@query(
+    "q83_gap_fill",
+    """
+    WITH hours AS (
+      SELECT user_id,
+             time_bucket(INTERVAL 1 DAY, min(ts)::TIMESTAMP) + (h.i * INTERVAL 1 DAY) AS day_start
+      FROM events, generate_series(0, 29) h(i)
+      WHERE user_id < 10
+      GROUP BY user_id, h.i
+    ), actual AS (
+      SELECT user_id, time_bucket(INTERVAL 1 DAY, ts::TIMESTAMP) AS day_start, COUNT(*) AS n
+      FROM events WHERE user_id < 10 GROUP BY 1, 2
+    )
+    SELECT hours.user_id,
+           strftime(hours.day_start, '%Y-%m-%d') AS day,
+           COALESCE(actual.n, 0) AS n
+    FROM hours LEFT JOIN actual
+      ON hours.user_id = actual.user_id AND hours.day_start = actual.day_start
+    """,
+)
+def q83_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: dense per-user day spine via sequence+explode
+    left-joined to actual counts, zeros filled — the resample/densify
+    primitive market-rate series need (reference's weekly/daily cadences
+    implicitly assume it)."""
+    e = load_table(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    start = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("day0")
+    )
+    spine = start.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day0"),
+                F.col("day0") + F.expr("INTERVAL 29 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day_start"),
+    )
+    actual = (
+        e.groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day_start"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        spine.join(actual, ["user_id", "day_start"], "left")
+        .select(
+            "user_id",
+            F.date_format("day_start", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+
+
+@query(
+    "q84_zscore_outliers",
+    """
+    WITH stats AS (
+      SELECT event_type,
+             AVG(value) AS mu,
+             stddev_samp(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND((e.value - s.mu) / s.sigma, 4) AS zscore
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE abs((e.value - s.mu) / s.sigma) > 2.5
+    """,
+)
+def q84_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection per group (curation quality primitive):
+    two-pass — broadcast the per-group stats back over the fact table.
+
+    Cross-engine note: zscore rounds to 4 (not 6) decimals because mu/sigma
+    accumulate in different orders; the >2.5 cut plus round-4 keeps the
+    result set hash-stable.
+    """
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .where(F.abs(z) > 2.5)
+        .select("event_id", "event_type", F.round(z, 4).alias("zscore"))
+    )
+
+
 @query("q53_approx_distinct")
 def q53_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approximate distinct (rows-only: sketch values are

@@ -89,3 +89,15 @@ def test_jaccard_on_pairs_scoped(spark):
     got = {(r.id_a, r.id_b): r.jaccard for r in jaccard_on_pairs(pairs, df).collect()}
     assert got[(1, 4)] == 1.0      # identical docs
     assert got[(1, 3)] == 0.0      # disjoint shingles (left join → 0 fill)
+
+
+def test_connected_components_chain(spark):
+    from re_data_pipeline_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 plus isolated pair 10-11: transitivity must label the
+    # whole chain with component 1 even though (1,4) is not an edge
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
