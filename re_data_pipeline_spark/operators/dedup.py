@@ -271,6 +271,9 @@ def connected_components(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        # materialize: the edge list is referenced 2× per iteration, and its
+        # lineage may be an expensive candidate-generation pipeline
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -301,6 +304,35 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("comp").alias("component"))
+
+
+def cluster_dedup_pipeline(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_words: int = 3,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cluster-correct near-dedup: LSH candidates → exact-Jaccard
+    confirmation → connected components over confirmed pairs → keep only
+    each component's minimum id.
+
+    Strictly stronger than ``near_dedup_pipeline``'s greedy pair removal:
+    for a chain A~B, B~C the greedy form could keep C (if (A,C) never
+    shared a bucket and (B,C)'s loser was already dropped); components drop
+    every non-root of the cluster exactly once.
+    """
+    cands = lsh_candidate_pairs(df, id_col, text_col, num_hashes, shingle_words, bands)
+    confirmed = jaccard_on_pairs(cands, df, id_col, text_col, shingle_words).where(
+        F.col("jaccard") >= F.lit(threshold)
+    )
+    comps = connected_components(confirmed.select("id_a", "id_b"))
+    losers = comps.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
 
 
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 60, out_col: str = "simhash") -> DataFrame:

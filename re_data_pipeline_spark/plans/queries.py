@@ -2172,6 +2172,51 @@ def q84_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q85_SQL = f"""
+WITH RECURSIVE {_Q82_PAIRS_CTES},
+shx AS (
+  SELECT doc_id, unnest(sh) AS s FROM sh0
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM (SELECT DISTINCT doc_id, s FROM shx) GROUP BY doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS inter
+  FROM pairs c JOIN shx a ON a.doc_id = c.id_a
+               JOIN shx b ON b.doc_id = c.id_b AND a.s = b.s
+  GROUP BY 1, 2
+), confirmed AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+               JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.5
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM confirmed
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM confirmed
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), comp AS (
+  SELECT src AS node, LEAST(src, MIN(dst)) AS component FROM reach GROUP BY src
+)
+SELECT doc_id, lang FROM documents
+WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+"""
+
+
+@query("q85_cluster_dedup", _Q85_SQL)
+def q85_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-correct near-dedup (LSH → Jaccard-confirm → connected
+    components → keep component minima) — the full transitive semantics,
+    oracled end-to-end against recursive-CTE components over the identical
+    confirmed-pair graph."""
+    from re_data_pipeline_spark.operators.dedup import cluster_dedup_pipeline
+
+    d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return cluster_dedup_pipeline(d, threshold=0.5).select("doc_id", "lang")
+
+
 @query("q53_approx_distinct")
 def q53_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approximate distinct (rows-only: sketch values are

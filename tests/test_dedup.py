@@ -101,3 +101,18 @@ def test_connected_components_chain(spark):
     )
     got = {r.node: r.component for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_cluster_dedup_transitive(spark):
+    from re_data_pipeline_spark.operators.dedup import cluster_dedup_pipeline
+
+    # A, A', A'' form a chain of one-word edits; B unrelated.  Cluster dedup
+    # must keep exactly one representative of the chain (the min id).
+    a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    a2 = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    a3 = "the quick brown fox jumps over the lazy dog near the river bank tomorrow"
+    df = spark.createDataFrame(
+        [(1, a), (2, a2), (3, a3), (4, DOC_B)], ["doc_id", "text"]
+    )
+    ids = sorted(r.doc_id for r in cluster_dedup_pipeline(df, threshold=0.5).collect())
+    assert ids == [1, 4]
