@@ -91,6 +91,38 @@ def run_available_now(stream_df: DataFrame, checkpoint: str, out_path: str) -> N
     )
 
 
+def run_foreach_batch_upsert(
+    stream_df: DataFrame,
+    existing_path: str,
+    keys: list[str],
+    checkpoint: str,
+) -> None:
+    """Streaming MERGE sink (K2 in streaming form): each micro-batch is
+    upserted into a parquet table via the same anti-join-append operator the
+    batch path uses — ``foreachBatch`` is the bridge that lets a stream use
+    arbitrary batch sinks with exactly-once bookkeeping from the checkpoint.
+    """
+    from re_data_pipeline_spark.operators.upsert import anti_join_new_rows
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            existing = spark.read.parquet(existing_path)
+            new_rows = anti_join_new_rows(batch_df, existing, keys)
+        except Exception:
+            # first batch: nothing exists yet
+            new_rows = batch_df.dropDuplicates(keys)
+        new_rows.write.mode("append").parquet(existing_path)
+
+    (
+        stream_df.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def run_available_now_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"):
     """Drain into an in-memory table (tests/debug)."""
     q = (

@@ -1,0 +1,98 @@
+"""Scale-pattern tests: partition pruning, streaming foreachBatch upsert,
+watermark late-data handling."""
+
+import datetime as dt
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from re_data_pipeline_spark.catalog import load_table
+from re_data_pipeline_spark.streaming.stream_ops import (
+    read_stream,
+    run_available_now_memory,
+    run_foreach_batch_upsert,
+)
+
+
+def test_partition_pruning(spark, sf_dir, tmp_path):
+    """Hive-partitioned writes let a filter prune whole directories: the
+    scan must list only the matching partition."""
+    ev = load_table(spark, sf_dir, "events")
+    p = str(tmp_path / "events_by_type")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(p)
+
+    scan = spark.read.parquet(p).where(F.col("event_type") == "click")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan
+    assert scan.count() == ev.where(F.col("event_type") == "click").count()
+
+
+def test_foreach_batch_streaming_upsert(spark, sf_dir, tmp_path):
+    """Stream → foreachBatch upsert must be idempotent on the natural key:
+    replaying the same source into the same sink inserts nothing new."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value", "ts")
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+
+    stream = read_stream(spark, src, ev.schema, max_files_per_trigger=1)
+    run_foreach_batch_upsert(stream, sink, ["event_id"], str(tmp_path / "ckpt1"))
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == ev.count()
+
+    # replay with a fresh checkpoint (simulates a full re-run) → no dups
+    stream2 = read_stream(spark, src, ev.schema, max_files_per_trigger=1)
+    run_foreach_batch_upsert(stream2, sink, ["event_id"], str(tmp_path / "ckpt2"))
+    assert spark.read.parquet(sink).count() == n1
+    assert spark.read.parquet(sink).select("event_id").distinct().count() == n1
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """An aggregation behind a watermark must drop rows older than the
+    watermark horizon advanced by an EARLIER run — watermark state lives in
+    the checkpoint, so two AvailableNow runs sharing one checkpoint give a
+    deterministic on-time-then-late ordering."""
+    schema = "event_id long, ts timestamp, value double"
+    src = str(tmp_path / "late_src")
+    sink = str(tmp_path / "late_sink")
+    ckpt = str(tmp_path / "late_ckpt")
+    base = dt.datetime(2024, 1, 1)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("win"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("win.start").alias("ws"), "n")
+        )
+        (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+            .awaitTermination()
+        )
+
+    # run 1: on-time events up to 10:00 → watermark ends at 08:00; the
+    # hour-1 and hour-2 windows close and emit
+    b0 = [(i, base + dt.timedelta(hours=h), 1.0) for i, h in enumerate([1, 2, 9, 10])]
+    spark.createDataFrame(b0, schema).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    # run 2 (same checkpoint): a very late hour-1 event + an on-time one
+    b1 = [(100, base + dt.timedelta(hours=1), 1.0), (101, base + dt.timedelta(hours=11), 1.0)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    out = spark.read.parquet(sink).collect()
+    counts = {}
+    for r in out:
+        counts[r.ws] = counts.get(r.ws, 0) + r.n
+    # the late hour-1 event was dropped: the closed window was emitted once
+    # with only the on-time count
+    assert counts[base + dt.timedelta(hours=1)] == 1
