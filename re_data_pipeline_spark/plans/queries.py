@@ -2217,6 +2217,101 @@ def q85_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_dedup_pipeline(d, threshold=0.5).select("doc_id", "lang")
 
 
+@query(
+    "q86_cdc_latest",
+    """
+    SELECT user_id, event_id AS latest_event, event_type AS latest_type
+    FROM (
+      SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q86_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-record-per-key snapshot (change-log compaction — the
+    upsert-table read path at 100 TB): deterministic argmax via rank window
+    with a unique tiebreak."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event"),
+            F.col("event_type").alias("latest_type"),
+        )
+    )
+
+
+@query(
+    "q87_rank_distribution",
+    """
+    SELECT o_orderkey,
+           NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile,
+           ROUND(PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey), 6) AS pr
+    FROM orders WHERE o_orderkey % 41 = 0
+    """,
+)
+def q87_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows (ntile, percent_rank) with unique tiebreak."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 41 == 0)
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+
+
+@query(
+    "q88_conditional_agg",
+    """
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS high_disc,
+           COUNT(*) FILTER (WHERE l_tax = 0) AS no_tax,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_f
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q88_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (FILTER clause / count-if) — one pass,
+    many predicates; the O8 single-scan-multi-flag pattern as aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("high_disc"),
+        F.count(F.when(F.col("l_tax") == 0, 1)).alias("no_tax"),
+        F.sum(F.when(F.col("l_linestatus") == "F", _dec("l_quantity")))
+        .cast("double")
+        .alias("qty_f"),
+    )
+
+
+@query(
+    "q89_above_average",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
+    """,
+)
+def q89_above_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery predicate (above-average filter) as a broadcast of
+    the 1-row aggregate — no driver round-trip, no second scan shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    threshold = o.agg((F.avg("o_totalprice") * 1.5).alias("__t"))
+    return (
+        o.crossJoin(F.broadcast(threshold))
+        .where(F.col("o_totalprice") > F.col("__t"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
 @query("q53_approx_distinct")
 def q53_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approximate distinct (rows-only: sketch values are
