@@ -73,3 +73,31 @@ def test_no_chunks_when_modulo_aligns(spark):
         "id int, snippets array<struct<ts:string,text:string>>",
     )
     assert chunk_snippets(df, "snippets").count() == 0
+
+
+def test_chunking_exhaustive_counts(spark):
+    """Exhaustive conformance: every snippet count 1..120 in one DataFrame,
+    chunk output compared against the reference-replica per count."""
+    rows = []
+    expected = {}
+    for count in range(1, 121):
+        items = make_snippets(count)
+        expected[count] = reference_chunker(items)
+        rows.append((count, [{"ts": ts, "text": tx} for ts, tx in items]))
+    df = spark.createDataFrame(
+        rows, "cnt int, snippets array<struct<ts:string,text:string>>"
+    )
+    got = {}
+    for r in (
+        chunk_snippets(df, "snippets")
+        .select("cnt", "chunk_index", "chunk_timestamp", "chunk_text", "is_tail")
+        .collect()
+    ):
+        got.setdefault(r.cnt, []).append(
+            (r.chunk_index, r.chunk_timestamp, r.chunk_text, r.is_tail)
+        )
+    for count in range(1, 121):
+        want = [
+            (i, ts, tx, tail) for i, (ts, tx, tail) in enumerate(expected[count])
+        ]
+        assert sorted(got.get(count, [])) == want, f"count={count}"

@@ -96,3 +96,47 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # the late hour-1 event was dropped: the closed window was emitted once
     # with only the on-time count
     assert counts[base + dt.timedelta(hours=1)] == 1
+
+
+def test_aqe_splits_skewed_join(spark, sf_dir):
+    """AQE skew-join handling: a join where one key holds most rows must be
+    split at runtime (skew=true in the final adaptive plan) once the skew
+    thresholds are reachable at test scale — the mechanism that saves
+    hot-key joins at 100 TB."""
+    # repartition first: skew splitting works by assigning RANGES OF MAP
+    # OUTPUTS to extra reducers, so the map stage needs >1 task (a tiny
+    # single-file scan has exactly one)
+    ev = load_table(spark, sf_dir, "events").repartition(8)
+    # manufacture skew: ~90% of rows share key 0
+    skewed = ev.withColumn(
+        "k", F.when(F.col("event_id") % 10 < 9, F.lit(0)).otherwise(F.col("event_id"))
+    )
+    dim = spark.range(0, 20000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    old = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": spark.conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor"
+        ),
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": spark.conf.get(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        ),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": spark.conf.get(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1024")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1024")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = skewed.join(dim, "k")
+        rows = j.collect()  # execute THIS frame so its adaptive plan finalizes
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+        assert len(rows) == ev.count()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
