@@ -255,7 +255,7 @@ def q07_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
-        o.withColumn("rk", F.row_number().over(w))
+        o.withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
     )
@@ -858,7 +858,7 @@ def q30_token_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        token_count("text").alias("n_tokens"),
+        token_count("text").cast("long").alias("n_tokens"),
         F.round(punct_ratio("text"), 6).alias("punct_ratio"),
         F.round(stopword_ratio("text"), 6).alias("stopword_ratio"),
         F.round(quality_score("text"), 6).alias("quality"),
@@ -1641,8 +1641,8 @@ def q68_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
     return d.select(
         "doc_id",
-        token_count("text").alias("ws_tokens"),
-        bpe_ish_token_count("text").alias("bpe_ish_tokens"),
+        token_count("text").cast("long").alias("ws_tokens"),
+        bpe_ish_token_count("text").cast("long").alias("bpe_ish_tokens"),
     )
 
 
@@ -1817,7 +1817,7 @@ def q72_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     kept = (
-        d.withColumn("n_tokens", token_count("text"))
+        d.withColumn("n_tokens", token_count("text").cast("long"))
         .withColumn("quality", quality_score("text"))
         .where(F.col("quality") >= 0.3)
     )
@@ -1923,7 +1923,7 @@ def q77_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") % 37 == 0)
     s = load_table(spark, sf_dir, "supplier")
     joined = c.join(F.broadcast(s), F.col("c_custkey") % 100 == F.col("s_suppkey") % 100)
-    dist = F.levenshtein(F.lower("c_name"), F.lower("s_name"))
+    dist = F.levenshtein(F.lower("c_name"), F.lower("s_name")).cast("long")
     return (
         joined.withColumn("edit_distance", dist)
         .where(F.col("edit_distance") <= 12)
@@ -2264,7 +2264,7 @@ def q87_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return o.select(
         "o_orderkey",
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pr"),
     )
 

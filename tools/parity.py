@@ -31,6 +31,31 @@ def norm_cell(v):
     return v
 
 
+SPARK_CANON = {
+    "tinyint": "int", "smallint": "int", "int": "int32", "bigint": "int",
+    "float": "float", "double": "float",
+    "string": "str", "boolean": "bool",
+    "timestamp": "ts", "timestamp_ntz": "ts", "date": "date",
+}
+DUCK_CANON = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int32", "BIGINT": "int",
+    "HUGEINT": "int", "UBIGINT": "int",
+    "FLOAT": "float", "DOUBLE": "float", "DECIMAL": "float",
+    "VARCHAR": "str", "BOOLEAN": "bool",
+    "TIMESTAMP": "ts", "TIMESTAMP_NS": "ts", "DATE": "date",
+}
+
+
+def canon_spark_type(dt: str) -> str:
+    base = dt.split("(")[0]
+    return SPARK_CANON.get(base, base)
+
+
+def canon_duck_type(dt: str) -> str:
+    base = str(dt).split("(")[0]
+    return DUCK_CANON.get(base, base)
+
+
 def norm_rows(cols, rows):
     # driver compares order-insensitively with columns sorted by name
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -63,6 +88,7 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            stypes = dict(sdf.dtypes)
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
@@ -72,9 +98,10 @@ def main() -> int:
             print(f"rows-only {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
             continue
         try:
-            cur = con.execute(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            rel = con.sql(oracles[name])
+            ocols = list(rel.columns)
+            otypes = {c: t for c, t in zip(rel.columns, rel.types)}
+            orows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
@@ -86,6 +113,12 @@ def main() -> int:
             status.append(f"rowcount {len(sr)} vs {len(orw)}")
         if sc != oc:
             status.append(f"cols {sc} vs {oc}")
+        else:
+            for c in sc:
+                st = canon_spark_type(stypes[c])
+                ot = canon_duck_type(otypes[c])
+                if st != ot:
+                    status.append(f"dtype {c}: spark={stypes[c]} vs duckdb={otypes[c]}")
         if not status and sr != orw:
             # find first diff
             ndiff = sum(1 for a, b in zip(sr, orw) if a != b)
