@@ -162,7 +162,9 @@ def sample_frames(df: DataFrame, every_n: int = 2, decoder: str = "fake") -> Dat
                     rows.append(
                         (int(mid), int(idx), [float(c.mean()) for c in chunks])
                     )
-            yield pd.DataFrame(rows, columns=["media_id", "frame_index", "feature"])
+            if rows:  # yielding nothing for an all-non-video batch avoids
+                # pandas' all-NA-concat dtype warnings on empty frames
+                yield pd.DataFrame(rows, columns=["media_id", "frame_index", "feature"])
 
     return df.mapInPandas(run, schema)
 

@@ -140,3 +140,33 @@ def test_aqe_splits_skewed_join(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_ivf_lists_enable_partition_pruning(spark, sf_dir, tmp_path):
+    """The production ANN layout: corpus written partitioned by inverted-list
+    id → probing a list is directory pruning, not a scan."""
+    from re_data_pipeline_spark.operators.similarity import srp_bucket
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    planes = [
+        [1.0 if ((i * 11 + j * 17) % 7) < 3 else -1.0 for j in range(dim)]
+        for i in range(3)
+    ]
+    p = str(tmp_path / "corpus_by_list")
+    (
+        e.withColumn("list_id", srp_bucket("embedding", planes))
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(p)
+    )
+    probe = spark.read.parquet(p).where(F.col("list_id") == 3)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+    # correctness: pruned read equals filtered full read
+    full = (
+        e.withColumn("list_id", srp_bucket("embedding", planes))
+        .where(F.col("list_id") == 3)
+        .count()
+    )
+    assert probe.count() == full
