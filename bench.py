@@ -31,6 +31,7 @@ HEADLINE = [
     "q33_minhash_lsh",        # MinHash-LSH near-dup
     "q35_cosine_topk",        # vector top-k
     "q38_radius_join",        # spatial radius join
+    "q57_asof_join",          # as-of temporal join
 ]
 
 

@@ -2312,6 +2312,36 @@ def q89_above_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q90_array_setops",
+    f"""
+    WITH t AS (
+      SELECT doc_id, list_distinct({_sql_tokens()}) AS toks FROM documents
+      WHERE doc_id % 21 = 0
+    )
+    SELECT doc_id,
+           COALESCE(array_to_string(list_sort(list_intersect(toks, {list(STOPWORDS_EN)!r})), ','), '') AS stop_hits,
+           CAST(len(list_distinct(list_concat(toks, {list(STOPWORDS_EN)!r}))) AS INT) AS union_size,
+           CAST(len(list_filter(toks, x -> NOT list_contains({list(STOPWORDS_EN)!r}, x))) AS INT) AS non_stop_count
+    FROM t
+    """,
+)
+def q90_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set operations (intersect/union/except) on token arrays —
+    the collection-algebra layer (F13 analogue) as pure JVM expressions."""
+    from re_data_pipeline_spark.functions.text import tokens
+
+    stops = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 21 == 0)
+    toks = F.array_distinct(tokens("text"))
+    return d.select(
+        "doc_id",
+        F.array_join(F.sort_array(F.array_intersect(toks, stops)), ",").alias("stop_hits"),
+        F.size(F.array_union(toks, stops)).cast("int").alias("union_size"),
+        F.size(F.array_except(toks, stops)).cast("int").alias("non_stop_count"),
+    )
+
+
 @query("q53_approx_distinct")
 def q53_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approximate distinct (rows-only: sketch values are
