@@ -201,6 +201,39 @@ def property_listings_pipeline(
     return {"combined": enriched, "upserted": upserted, "delisted": gone}
 
 
+def brochure_info_pipeline(
+    spark: SparkSession,
+    listings: DataFrame,
+    city_name: str = "Edmonton",
+    client_factory=None,
+) -> DataFrame:
+    """Brochure LLM extraction (X3, ``get_brochure_info.py:119-150``):
+    cheap filters FIRST (city match + non-null, non-empty brochure list —
+    the O4 filter-before-LLM rule), then one batched mapInPandas extraction
+    per surviving listing, keyed by uuid for the J1 enrichment join back.
+
+    Input needs: ``property_uuid``, ``city``, ``brochure_urls array<string>``.
+    Output: (property_uuid, extracted_brochure_info JSON string).
+    """
+    kwargs = {"client_factory": client_factory} if client_factory else {}
+    pending = listings.where(
+        (F.col("city") == city_name)
+        & F.col("brochure_urls").isNotNull()
+        & (F.size("brochure_urls") > 0)
+    )
+    prompts = pending.select(
+        "property_uuid",
+        F.concat(
+            F.lit("Extract brochure info from: "),
+            F.array_join("brochure_urls", ", "),
+        ).alias("prompt"),
+    )
+    return llm_map(prompts, "prompt", "llm_output", **kwargs).select(
+        "property_uuid",
+        F.col("llm_output").alias("extracted_brochure_info"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §3.2 rental rates
 # ---------------------------------------------------------------------------

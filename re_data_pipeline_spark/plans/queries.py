@@ -2342,6 +2342,115 @@ def q90_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q91_brochure_pipeline")
+def q91_brochure_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brochure LLM-extraction task (X3/O4 — filter-before-LLM, uuid-keyed
+    enrichment output); rows-only (mock LLM)."""
+    from re_data_pipeline_spark.plans.pipelines import brochure_info_pipeline
+
+    listings = load_table(spark, sf_dir, "documents").select(
+        F.md5(F.col("doc_id").cast("string")).alias("property_uuid"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("Edmonton")).otherwise(F.lit("Calgary")).alias("city"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.array(F.concat(F.lit("https://cdn.example/b/"), F.col("doc_id").cast("string"))),
+        ).otherwise(F.lit(None).cast("array<string>")).alias("brochure_urls"),
+    )
+    return brochure_info_pipeline(spark, listings)
+
+
+@query(
+    "q92_date_trunc_spectrum",
+    """
+    SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS quarter_start,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1, 2, 3
+    """,
+)
+def q92_date_trunc_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-grain truncation spectrum (F8/F9 family): week (Monday),
+    month, quarter — the reporting rollup grains."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.date_format(F.date_trunc("week", "o_orderdate"), "yyyy-MM-dd").alias("week_start"),
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+            F.date_format(F.date_trunc("quarter", "o_orderdate"), "yyyy-MM-dd").alias("quarter_start"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q93_word_count",
+    f"""
+    SELECT w AS word, COUNT(*) AS n
+    FROM (SELECT unnest({_sql_tokens()}) AS w FROM documents)
+    GROUP BY w HAVING COUNT(*) >= 100
+    """,
+)
+def q93_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical explode→count word count over the corpus (token
+    frequency table — vocabulary stats for the curation pipeline)."""
+    from re_data_pipeline_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 100)
+    )
+
+
+@query(
+    "q94_funnel",
+    """
+    WITH ev AS (
+      SELECT user_id, ts::TIMESTAMP AS ts, event_type FROM events
+    ), nxt AS (
+      SELECT user_id, ts, event_type,
+             LEAD(event_type) OVER w AS next_type,
+             LEAD(ts) OVER w AS next_ts
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS views,
+           COUNT(*) FILTER (WHERE event_type = 'view' AND next_type = 'click'
+                            AND next_ts <= ts + INTERVAL 30 MINUTE) AS view_to_click_30m
+    FROM nxt GROUP BY user_id
+    """,
+)
+def q94_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized funnel: views immediately followed by a click within 30
+    minutes, per user — lead window + conditional aggregation (the
+    behavioral-analytics shape the events table exists for)."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    nxt = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    return nxt.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("views"),
+        F.count(
+            F.when(
+                (F.col("event_type") == "view")
+                & (F.col("next_type") == "click")
+                & (F.col("next_ts") <= F.col("ts") + F.expr("INTERVAL 30 MINUTES")),
+                1,
+            )
+        ).alias("view_to_click_30m"),
+    )
+
+
 @query("q53_approx_distinct")
 def q53_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approximate distinct (rows-only: sketch values are
