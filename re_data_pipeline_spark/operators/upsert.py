@@ -45,6 +45,41 @@ def delisted_rows(existing: DataFrame, current: DataFrame, keys: list[str]) -> D
     return existing.where(guard).join(current.select(keys), on=keys, how="left_anti")
 
 
+def merge_aggregate_state(
+    state: DataFrame,
+    batch: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Incremental aggregate maintenance: merge a new batch's partial
+    aggregates into a persisted per-key state table.
+
+    Contract: both inputs carry mergeable partials per key —
+    ``n`` (count), ``total`` (decimal-exact sum), ``lo``/``hi`` (min/max).
+    Merging is associative/commutative, so the maintained state equals the
+    from-scratch aggregate over all data ever seen — the batch analogue of
+    streaming state (I2), and the pattern that avoids full recomputes of
+    100 TB rollups when a day of data lands.
+    """
+    both = state.unionByName(batch)
+    return both.groupBy(*keys).agg(
+        F.sum("n").alias("n"),
+        F.sum("total").alias("total"),
+        F.min("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+    )
+
+
+def partial_aggregate(df: DataFrame, keys: list[str], value_col: str) -> DataFrame:
+    """Produce the mergeable partial shape for ``merge_aggregate_state``."""
+    v = F.col(value_col)
+    return df.groupBy(*keys).agg(
+        F.count(v).alias("n"),
+        F.sum(v.cast("decimal(18,2)")).alias("total"),
+        F.min(v).alias("lo"),
+        F.max(v).alias("hi"),
+    )
+
+
 def retain_active(existing: DataFrame, current: DataFrame, keys: list[str]) -> DataFrame:
     """Active table after archival delete: semi-join against current keys
     (``DELETE WHERE (key) IN delisted`` inverse — ``archive_delisted_properties.py:142-145``)."""

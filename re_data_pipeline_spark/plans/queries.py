@@ -2451,6 +2451,47 @@ def q94_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q95_incremental_aggregate",
+    """
+    SELECT event_type,
+           COUNT(value) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           MIN(value) AS lo, MAX(value) AS hi
+    FROM events GROUP BY event_type
+    """,
+)
+def q95_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: three daily 'batches' folded into
+    a state table one at a time must equal the from-scratch aggregate (the
+    oracle) — mergeable partials (count/decimal-sum/min/max) make the fold
+    exact, which is how 100 TB rollups absorb a day of data without a full
+    recompute."""
+    from re_data_pipeline_spark.operators.upsert import (
+        merge_aggregate_state,
+        partial_aggregate,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    batches = [
+        e.where(F.dayofmonth("ts") <= 10),
+        e.where((F.dayofmonth("ts") > 10) & (F.dayofmonth("ts") <= 20)),
+        e.where(F.dayofmonth("ts") > 20),
+    ]
+    state = partial_aggregate(batches[0], ["event_type"], "value")
+    for b in batches[1:]:
+        state = merge_aggregate_state(
+            state, partial_aggregate(b, ["event_type"], "value"), ["event_type"]
+        )
+    return state.select(
+        "event_type",
+        "n",
+        F.col("total").cast("double").alias("total"),
+        "lo",
+        "hi",
+    )
+
+
 @query("q53_approx_distinct")
 def q53_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog approximate distinct (rows-only: sketch values are

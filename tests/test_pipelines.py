@@ -115,3 +115,24 @@ def test_transcripts_pipeline(spark):
     assert summ == ids
     # state flags flipped (I2)
     assert out["transcripts_updated"].where(F.col("vectorized") == 0).count() == 0
+
+
+def test_brochure_info_pipeline(spark):
+    from pyspark.sql import functions as F
+
+    from re_data_pipeline_spark.plans.pipelines import brochure_info_pipeline
+
+    listings = spark.createDataFrame(
+        [
+            ("u1", "Edmonton", ["http://b/1"]),
+            ("u2", "Edmonton", None),        # dropped: null brochures
+            ("u3", "Calgary", ["http://b/3"]),  # dropped: wrong city
+            ("u4", "Edmonton", []),          # dropped: empty list
+            ("u5", "Edmonton", ["http://b/5", "http://b/5b"]),
+        ],
+        "property_uuid string, city string, brochure_urls array<string>",
+    )
+    out = brochure_info_pipeline(spark, listings)
+    got = {r.property_uuid: r.extracted_brochure_info for r in out.collect()}
+    assert set(got) == {"u1", "u5"}  # O4 filters precede the LLM stage
+    assert all(v.startswith('{"summary"') for v in got.values())
