@@ -2777,3 +2777,279 @@ def q43_embed_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
     out = embed_column(d.select("doc_id", "text"), "text", dim=16)
     return out.select("doc_id", F.element_at("embedding", 1).alias("e0"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-analytics extensions (training-data pipeline ops beyond SURVEY §2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q96_tfidf_top_terms",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_sql_tokens()}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln(((SELECT COUNT(*) FROM documents) + 1.0) / (df.df + 1.0)), 6) AS tfidf
+      FROM tf JOIN df USING (term)
+    ), ranked AS (
+      SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def q96_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document — the classic keyword/feature-weight
+    pass of a text-curation pipeline (north-star text analysis).
+
+    Plan shape: explode → two hash aggs (tf per doc-term, df per term) →
+    broadcast the tiny df/N sides back → per-doc rank window.  At 100 TB the
+    df table is vocabulary-sized (≪ corpus), so the re-join broadcasts; the
+    only big shuffles are the two aggs, both with map-side partials.  Rank
+    compares ROUND(tfidf, 6) (not raw doubles) so cross-engine ordering is
+    bit-identical; ties break on the term string.
+    """
+    from re_data_pipeline_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )
+
+
+_Q97_BUDGET = 200
+
+
+@query(
+    "q97_sequence_packing",
+    f"""
+    WITH RECURSIVE ordered AS (
+      SELECT CAST(doc_id % 8 AS BIGINT) AS shard, doc_id,
+             CAST(len({_sql_tokens()}) AS BIGINT) AS n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+      FROM documents
+    ), packed AS (
+      SELECT shard, doc_id, n_tokens, rn, CAST(0 AS BIGINT) AS pack_id, n_tokens AS cum
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.doc_id, o.n_tokens, o.rn,
+             CASE WHEN p.cum + o.n_tokens > {_Q97_BUDGET} THEN p.pack_id + 1 ELSE p.pack_id END,
+             CASE WHEN p.cum + o.n_tokens > {_Q97_BUDGET} THEN o.n_tokens ELSE p.cum + o.n_tokens END
+      FROM packed p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1
+    )
+    SELECT shard, doc_id, n_tokens, pack_id FROM packed
+    """,
+)
+def q97_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget sequence packing — how a training pipeline turns
+    documents into fixed-budget batches.  Inherently sequential per shard, so
+    the scale design is: hash-shard the corpus (shard = doc_id % 8 here; at
+    100 TB pick shards ≈ cluster cores), then run the exact greedy fold
+    inside each shard with ``applyInPandas`` — one pass, no shuffle beyond
+    the shard exchange, depth independent of corpus size.  Oracled against a
+    DuckDB recursive CTE computing the identical fold.
+    """
+    import pandas as pd
+
+    from re_data_pipeline_spark.functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 8).cast("bigint").alias("shard"),
+        "doc_id",
+        token_count("text").cast("bigint").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pack_id, cum, out = 0, 0, []
+        for t in pdf["n_tokens"]:
+            if out and cum + t > _Q97_BUDGET:
+                pack_id, cum = pack_id + 1, int(t)
+            else:
+                cum += int(t)
+            out.append(pack_id)
+        pdf["pack_id"] = pd.Series(out, dtype="int64")
+        return pdf[["shard", "doc_id", "n_tokens", "pack_id"]]
+
+    return d.groupBy("shard").applyInPandas(
+        pack, "shard bigint, doc_id bigint, n_tokens bigint, pack_id bigint"
+    )
+
+
+@query(
+    "q98_pii_redaction",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@mail.example or +1-780-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+      FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+')) AS n_emails,
+           len(regexp_extract_all(text, '\\+?[0-9]+-[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '[EMAIL]', 'g'),
+                 '\\+?[0-9]+-[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS redacted_md5
+    FROM aug
+    """,
+)
+def q98_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails + phone numbers) with per-doc redaction counts —
+    the compliance pass every training corpus needs.  Pure JVM regex
+    (``regexp_replace``/``regexp_extract_all`` stay in whole-stage codegen);
+    deterministic synthetic PII is appended so the redactor provably fires.
+    Output text is md5'd for the oracle hash-compare.
+    """
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+    phone_re = r"\+?[0-9]+-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example or +1-780-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(email_re), 0)).cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(phone_re), 0)).cast("bigint").alias("n_phones"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace("text", email_re, "[EMAIL]"), phone_re, "[PHONE]"
+            )
+        ).alias("redacted_md5"),
+    )
+
+
+@query(
+    "q99_interval_concurrency",
+    """
+    WITH iv AS (
+      SELECT event_type, ts::TIMESTAMP AS start_ts,
+             ts::TIMESTAMP + to_seconds(CAST(value * 10 AS BIGINT)) AS end_ts
+      FROM events
+    ), sweep AS (
+      SELECT event_type, start_ts AS t, 1 AS delta FROM iv
+      UNION ALL
+      SELECT event_type, end_ts AS t, -1 AS delta FROM iv
+    ), run AS (
+      SELECT event_type,
+             SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+                              ROWS UNBOUNDED PRECEDING) AS concurrent
+      FROM sweep
+    )
+    SELECT event_type, CAST(MAX(concurrent) AS BIGINT) AS max_concurrent
+    FROM run GROUP BY event_type
+    """,
+)
+def q99_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval concurrency per event type via the +1/−1 sweep-line:
+    derive [start, start + value×10 s) intervals, union boundary deltas, and
+    take the max running sum.  The scan-order-free formulation of an interval
+    self-join — O(n log n) sort instead of O(n²) overlap pairs, which is the
+    only shape that survives 100 TB.  Ends sort before starts at the same
+    instant (ORDER BY t, delta), and MAX over the running sum is invariant to
+    intra-tie permutation, so the result is engine-deterministic.
+    """
+    e = load_table(spark, sf_dir, "events")
+    iv = e.select(
+        "event_type",
+        F.col("ts").alias("start_ts"),
+        F.timestamp_add("SECOND", (F.col("value") * 10).cast("bigint"), F.col("ts")).alias("end_ts"),
+    )
+    sweep = iv.select("event_type", F.col("start_ts").alias("t"), F.lit(1).alias("delta")).unionAll(
+        iv.select("event_type", F.col("end_ts").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = Window.partitionBy("event_type").orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = sweep.select("event_type", F.sum("delta").over(w).alias("concurrent"))
+    return run.groupBy("event_type").agg(
+        F.max("concurrent").cast("bigint").alias("max_concurrent")
+    )
+
+
+_Q100_N = 8
+
+
+@query(
+    "q100_contamination",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, {_sql_tokens()} AS toks FROM documents
+    ), grams AS (
+      SELECT doc_id, source,
+             list_aggregate(toks[i : i + {_Q100_N} - 1], 'string_agg', ' ') AS gram
+      FROM tok, generate_series(1, 200) AS gs(i)
+      WHERE i <= len(toks) - {_Q100_N} + 1
+    ), bench AS (
+      SELECT DISTINCT gram FROM grams WHERE source = 'src0'
+    )
+    SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_contaminated_grams
+    FROM grams g JOIN bench b USING (gram)
+    WHERE g.source <> 'src0'
+    GROUP BY g.doc_id
+    """,
+)
+def q100_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: flag corpus documents sharing any
+    8-word n-gram with the held-out benchmark slice (source = src0) — the
+    decontamination pass LLM training corpora run before training.
+
+    Scale shape: benchmark grams are a tiny distinct set → broadcast to the
+    corpus-side gram stream (no corpus shuffle); corpus grams are generated
+    in-line with ``transform`` over a materialized token array (no
+    re-tokenize per gram, per the HOF perf rule).
+    """
+    from re_data_pipeline_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", tokens("text").alias("toks"))
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("toks") - _Q100_N + 1, F.lit(0))),
+                lambda i: F.array_join(F.slice("toks", i, _Q100_N), " "),
+            )
+        ).alias("gram"),
+    )
+    bench = grams.where(F.col("source") == "src0").select("gram").distinct()
+    return (
+        grams.where(F.col("source") != "src0")
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_contaminated_grams"))
+    )
