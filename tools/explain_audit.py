@@ -116,6 +116,26 @@ CHECKS = [
         "runs once thanks to the persist.",
     ),
     (
+        "q96_tfidf_top_terms",
+        "TF-IDF: broadcast df re-join",
+        [
+            (r"BroadcastHashJoin", "vocabulary-sized df table broadcast"),
+            (r"HashAggregate.*partial", "map-side partial tf/df counts"),
+        ],
+        "The document-frequency table is vocabulary-sized (≪ corpus), so "
+        "re-joining idf onto the tf stream broadcasts; the corpus shuffles "
+        "only for the two aggs, both with map-side combine.",
+    ),
+    (
+        "q100_contamination",
+        "decontamination: broadcast bench grams",
+        [(r"BroadcastHashJoin", "benchmark gram set broadcast to corpus stream")],
+        "The held-out benchmark's distinct 8-grams are tiny relative to the "
+        "corpus; broadcasting them means the 100 TB corpus-side gram stream "
+        "is filtered in place with zero corpus shuffle before the per-doc "
+        "count agg.",
+    ),
+    (
         "q38_radius_join",
         "spatial radius join",
         [(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", "equi-join on cell keys")],
