@@ -3053,3 +3053,85 @@ def q100_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count_distinct("gram").alias("n_contaminated_grams"))
     )
+
+
+@query(
+    "q101_streaming_sessions",
+    """
+    WITH ev AS (
+      SELECT user_id, ts::TIMESTAMP AS ts FROM events
+    ), marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ev
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_event,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q101_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows computed by the *custom stateful streaming operator*
+    (``streaming.stateful.sessionize_per_user`` — applyInPandasWithState with
+    event-time timeouts), drained with AvailableNow and hash-compared to the
+    same gaps-and-islands SQL that oracles the batch ``F.session_window``
+    query (q29): batch/stream parity for session semantics at the value
+    level.
+
+    Staging protocol: one file with all events, then two far-future sentinel
+    files (mtime-ordered, maxFilesPerTrigger=1) — the sentinels advance the
+    watermark so every open session's event-time timeout fires before the
+    drain ends.  Sentinel key (user_id = −1) is filtered from the output.
+    """
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from re_data_pipeline_spark.streaming.stateful import sessionize_per_user
+    from re_data_pipeline_spark.streaming.stream_ops import read_stream
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+
+    stage = tempfile.mkdtemp(prefix="q101_events_")
+    try:
+        data_dir = os.path.join(stage, "in")
+        ev.coalesce(1).write.mode("overwrite").parquet(data_dir)
+        for i, days in enumerate((1, 2)):
+            sent = spark.createDataFrame(
+                [(-1, max_ts + __import__("datetime").timedelta(days=days))],
+                schema=ev.schema,
+            )
+            time.sleep(0.2)  # distinct mtimes → deterministic file order
+            sent.coalesce(1).write.mode("append").parquet(data_dir)
+
+        stream = read_stream(spark, data_dir, ev.schema, max_files_per_trigger=1)
+        sess = sessionize_per_user(stream.withWatermark("ts", "1 second"), 30 * 60)
+        q = (
+            sess.writeStream.format("memory")
+            .queryName("q101_out")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table("q101_out").where(F.col("user_id") >= 0)
+        return spark.createDataFrame(out.collect(), out.schema).select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            F.date_format("last_event", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_event"),
+            "n_events",
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

@@ -27,6 +27,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 RUNNING_TOTALS_OUTPUT = StructType(
@@ -79,4 +80,93 @@ def running_totals_per_user(events: DataFrame) -> DataFrame:
         stateStructType=RUNNING_TOTALS_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+SESSIONS_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("last_event", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+# state is kept in epoch MICROS (LongType) — integer state is
+# timezone-proof and cheap to serialize through the state store
+SESSIONS_STATE = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def sessionize_per_user(events: DataFrame, gap_seconds: int) -> DataFrame:
+    """Event-time session windows as a *custom stateful operator* — the
+    applyInPandasWithState twin of ``operators.windows.session``
+    (``F.session_window``), proving the engine can express session semantics
+    even where the built-in operator wouldn't fit (per-session custom logic,
+    e.g. per-session token budgets or early-emit policies).
+
+    Protocol per key: merge the batch's rows (sorted by event time) into the
+    open session; a row further than ``gap_seconds`` past the session end
+    *closes* it (emitted immediately) and opens a new one.  The still-open
+    session arms an event-time timeout at ``end + gap``; when the watermark
+    passes it, the timeout invocation emits the session and clears state.
+    State is partitioned by the group key and checkpoint-persisted — on a
+    1000-executor cluster each executor holds only its keys' open sessions
+    (bounded by active users, not corpus size).
+
+    Requires a watermark on the stream's event-time column and
+    ``outputMode("append")``.
+    """
+    gap_us = gap_seconds * 1_000_000
+    gap_ms = gap_seconds * 1_000
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        def emit(start_us: int, end_us: int, n: int) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([key[0]], dtype="int64"),
+                    "session_start": pd.to_datetime([start_us], unit="us"),
+                    "last_event": pd.to_datetime([end_us], unit="us"),
+                    "n_events": pd.Series([n], dtype="int64"),
+                }
+            )
+
+        if state.hasTimedOut:
+            start_us, end_us, n = state.get
+            state.remove()
+            yield emit(start_us, end_us, n)
+            return
+
+        ts_us: list[int] = []
+        for pdf in pdfs:
+            ts_us.extend((pdf["ts"].astype("int64") // 1000).tolist())
+        ts_us.sort()
+
+        cur = list(state.get) if state.exists else None
+        for t in ts_us:
+            if cur is None:
+                cur = [t, t, 1]
+            elif t - cur[1] > gap_us:
+                yield emit(*cur)
+                cur = [t, t, 1]
+            else:
+                cur[1] = t
+                cur[2] += 1
+        if cur is not None:
+            state.update(tuple(cur))
+            state.setTimeoutTimestamp(cur[1] // 1000 + gap_ms)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSIONS_OUTPUT,
+        stateStructType=SESSIONS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

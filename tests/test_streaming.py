@@ -103,3 +103,45 @@ def test_apply_in_pandas_with_state(spark, events_dir, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stateful_sessions_match_builtin_session_window(spark):
+    """sessionize_per_user (applyInPandasWithState + event-time timeout)
+    must equal F.session_window batch sessions on the same events."""
+    from re_data_pipeline_spark.operators.windows import session
+    from re_data_pipeline_spark.plans.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = (
+        QUERIES["q101_streaming_sessions"](spark, sf_dir)
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+
+    from re_data_pipeline_spark.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    want = (
+        session(
+            e,
+            "ts",
+            "30 minutes",
+            ["user_id"],
+            [
+                F.min("ts").alias("__min_ts"),
+                F.max("ts").alias("__max_ts"),
+                F.count(F.lit(1)).alias("n_events"),
+            ],
+        )
+        .select(
+            "user_id",
+            F.date_format("__min_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+            F.date_format("__max_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_event"),
+            "n_events",
+        )
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
