@@ -3135,3 +3135,49 @@ def q101_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+def _q102_sql() -> str:
+    from re_data_pipeline_spark.functions.zorder import morton_sql
+
+    z = morton_sql("x", "y", )
+    return f"""
+    WITH pts AS (
+      SELECT event_id, user_id % 1024 AS x,
+             CAST(floor(value) AS BIGINT) % 1024 AS y
+      FROM events
+    ), keyed AS (
+      SELECT event_id, x, y, {z} AS zkey FROM pts
+    )
+    SELECT zkey >> 12 AS zbucket, COUNT(*) AS n,
+           MIN(x) AS min_x, MAX(x) AS max_x,
+           MIN(y) AS min_y, MAX(y) AS max_y
+    FROM keyed GROUP BY zbucket
+    """
+
+
+@query("q102_zorder_layout", _q102_sql())
+def q102_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys: interleave two dimensions into one
+    sort key and profile each coarse z-curve segment's (x, y) bounding box —
+    the per-bucket min/max ranges ARE the data-skipping stats a z-ordered
+    parquet layout gives every file (see ``functions.zorder`` and the
+    row-group pruning test).  Pure 64-bit shift/and/or — bit-identical
+    across engines, so the whole curve construction is oracled.
+    """
+    from re_data_pipeline_spark.functions.zorder import morton_key
+
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_id",
+        (F.col("user_id") % 1024).alias("x"),
+        (F.floor("value").cast("bigint") % 1024).alias("y"),
+    )
+    keyed = pts.withColumn("zkey", morton_key("x", "y"))
+    return keyed.groupBy(F.shiftright("zkey", 12).alias("zbucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+    )
