@@ -184,3 +184,71 @@ def ann_lsh_topk(
         vec_col,
         score_col=score_col,
     )
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    list_col: str = "list_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared L2, ties → lowest
+    centroid index).
+
+    Centroids ride along as literals (k × dim doubles ≪ broadcast
+    threshold), so assignment is a map-only projection — no shuffle, no UDF:
+    one flat fold expression per centroid over the materialized vector
+    column (HOF perf rule: never nest transform over sequence).
+    """
+    c = F.col(vec_col)
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(c, literal_vector(cent), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for cent in centroids
+        ]
+    )
+    return corpus.withColumn("__d", dists).withColumn(
+        list_col, (F.array_position(F.col("__d"), F.array_min("__d")) - 1).cast("int")
+    ).drop("__d")
+
+
+def kmeans_lists(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    list_col: str = "list_id",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Lloyd's k-means over an embedding column — the learned-centroid path
+    for IVF inverted lists (vs. the one-pass SRP bootstrap in ``ivf_topk``).
+
+    Iteration shape (the only scalable one): centroids live on the driver
+    (k × dim, a few KB) and are folded into the plan as literals; each Lloyd
+    step is one map-only assignment pass + one (list, dim-position) hash
+    aggregate — per iteration the cluster exchanges exactly k × dim doubles,
+    never the corpus.  Deterministic init: the k lowest-``id_col`` vectors.
+    Empty clusters keep their previous centroid.
+
+    Returns (assigned corpus DataFrame, final centroids).
+    """
+    init = corpus.orderBy(id_col).limit(k).select(vec_col).collect()
+    centroids = [[float(v) for v in r[0]] for r in init]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        assigned = kmeans_assign(corpus, centroids, vec_col, list_col)
+        rows = (
+            assigned.select(list_col, F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy(list_col, "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .collect()
+        )
+        new = [list(cent) for cent in centroids]
+        for r in rows:
+            new[r[list_col]][r["pos"]] = float(r["m"])
+        centroids = new
+    return kmeans_assign(corpus, centroids, vec_col, list_col), centroids

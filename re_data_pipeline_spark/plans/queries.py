@@ -3181,3 +3181,25 @@ def q102_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("y").alias("min_y"),
         F.max("y").alias("max_y"),
     )
+
+
+@query("q103_ivf_kmeans")
+def q103_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with *learned* (Lloyd k-means) inverted lists — the
+    production two-stage ANN: train coarse centroids, assign at ingest,
+    probe only the nearest lists at query time (rows-only: iterative
+    floating-point training is not SQL-expressible)."""
+    from re_data_pipeline_spark.operators.similarity import ivf_topk, kmeans_lists
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_lists(e, k=8, iters=2)
+    assigned = assigned.persist()
+    try:
+        qvec = [float(v) for v in assigned.where(F.col("vec_id") == 0).first()["embedding"]]
+        out = ivf_topk(assigned, qvec, 10, n_lists=8, n_probe=2, list_col="list_id")
+        return spark.createDataFrame(
+            out.select("vec_id", "label", F.round("score", 6).alias("score")).collect(),
+            "vec_id bigint, label int, score double",
+        )
+    finally:
+        assigned.unpersist()

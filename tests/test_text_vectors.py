@@ -116,3 +116,23 @@ def test_ivf_topk_contains_true_neighbors(spark, sf_dir):
     # deterministic
     approx2 = [r.vec_id for r in ivf_topk(rest, q, 10, n_lists=8, n_probe=4).collect()]
     assert approx == approx2
+
+
+def test_kmeans_assignments_are_argmin(spark):
+    """Every vector's final list must be the argmin distance to the FINAL
+    centroids (self-consistency of the last Lloyd assignment)."""
+    import numpy as np
+
+    from re_data_pipeline_spark.catalog import load_table
+    from re_data_pipeline_spark.operators.similarity import kmeans_lists
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    assigned, centroids = kmeans_lists(e, k=4, iters=2)
+    pdf = assigned.select("vec_id", "embedding", "list_id").toPandas()
+    C = np.asarray(centroids, dtype=np.float64)
+    X = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    best = d.min(axis=1)
+    got = d[np.arange(len(pdf)), pdf["list_id"].to_numpy()]
+    assert (got <= best + 1e-9).all()
+    assert pdf["list_id"].nunique() > 1
