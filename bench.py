@@ -32,6 +32,8 @@ HEADLINE = [
     "q35_cosine_topk",        # vector top-k
     "q38_radius_join",        # spatial radius join
     "q57_asof_join",          # as-of temporal join
+    "q96_tfidf_top_terms",    # corpus TF-IDF (explode + 2 aggs + rank)
+    "q100_contamination",     # n-gram overlap, broadcast bench set
 ]
 
 

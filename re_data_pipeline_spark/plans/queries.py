@@ -3203,3 +3203,90 @@ def q103_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         assigned.unpersist()
+
+
+@query(
+    "q104_embedding_minmax",
+    """
+    WITH flat AS (
+      SELECT vec_id, i AS pos, embedding[i]::DOUBLE AS v
+      FROM embeddings, generate_series(1, 64) AS gs(i)
+      WHERE i <= len(embedding)
+    ), stats AS (
+      SELECT vec_id, pos, v,
+             MIN(v) OVER (PARTITION BY pos) AS lo,
+             MAX(v) OVER (PARTITION BY pos) AS hi
+      FROM flat
+    )
+    SELECT vec_id, CAST(pos AS INT) AS pos,
+           ROUND(CASE WHEN hi = lo THEN 0.0 ELSE (v - lo) / (hi - lo) END, 6) AS scaled
+    FROM stats WHERE pos <= 8
+    """,
+)
+def q104_embedding_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension min-max feature scaling of the embedding corpus — the
+    normalization pass before quantization/indexing.  Min/max are
+    order-free (exactly the same float in any engine), and the rescale is
+    per-element IEEE math, so the whole normalization is oracled (first 8
+    dims emitted).
+
+    Scale shape: one pass computing 64 per-dimension (lo, hi) pairs via a
+    grouped agg (tiny result, broadcast back) rather than a per-row window
+    over the full corpus — at 100 TB the window formulation would shuffle
+    every element; the agg + broadcast join exchanges 64 rows.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "vf")
+    ).select(
+        "vec_id", (F.col("pos0") + 1).alias("pos"), F.col("vf").cast("double").alias("v")
+    )
+    stats = flat.groupBy("pos").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    return (
+        flat.join(F.broadcast(stats), "pos")
+        .where(F.col("pos") <= 8)
+        .select(
+            "vec_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.round(
+                F.when(F.col("hi") == F.col("lo"), F.lit(0.0)).otherwise(
+                    (F.col("v") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+                ),
+                6,
+            ).alias("scaled"),
+        )
+    )
+
+
+@query(
+    "q105_weighted_sample",
+    """
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ROUND(pow(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+                       / 4503599627370496.0, 1.0 / n_chars), 6) AS sample_key
+      FROM documents
+    )
+    SELECT doc_id, n_chars, sample_key FROM keyed
+    ORDER BY sample_key DESC, doc_id LIMIT 20
+    """,
+)
+def q105_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (Efraimidis–Spirakis A-ES): key =
+    u^(1/w) with u a uniform derived from md5(doc_id), take the global
+    top-k keys — how a curation pipeline samples documents proportional to
+    length/quality WITHOUT a driver-side RNG.  One map-only projection +
+    TakeOrdered (per-partition partial top-k); reproducible across engines
+    (md5-derived u) and runs, mergeable across shards — the distributed
+    weighted-reservoir pattern.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10).cast(
+        "double"
+    ) / F.lit(4503599627370496.0)
+    keyed = d.select(
+        "doc_id",
+        "n_chars",
+        F.round(F.pow(u, F.lit(1.0) / F.col("n_chars")), 6).alias("sample_key"),
+    )
+    return keyed.orderBy(F.desc("sample_key"), F.asc("doc_id")).limit(20)
