@@ -363,3 +363,69 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 60, out_col: str 
         term = F.when(F.col(f"__b{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return bit_sums.withColumn(out_col, sim.cast("long")).drop(*[f"__b{j}" for j in range(bits)])
+
+
+def incremental_lsh_dedup(
+    new_docs: DataFrame,
+    index_buckets: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_words: int = 3,
+    bands: int = 4,
+) -> dict[str, DataFrame]:
+    """Dedup a NEW batch against the historical LSH index without touching
+    old documents — the incremental form of ``near_dedup_pipeline`` for a
+    continuously-crawled corpus (first-seen wins).
+
+    ``index_buckets`` is the persisted ``(id, band, band_key)`` table of
+    every *previously seen* document (kept AND dropped — a doc removed as a
+    duplicate must still block future copies of itself, or chains
+    A≈B, B≈C leak C back in).  Per batch:
+
+    - signature + banding run over the new docs only (map-only + explode);
+    - collisions vs the index are an equi-join on (band, band_key) — at
+      100 TB the index side is bucketed/partitioned by band_key so only
+      matching buckets shuffle;
+    - within-batch collisions keep the lowest id (same rule as the batch
+      pipeline);
+    - the updated index is ``index ∪ new buckets`` (append-only — an upsert
+      sink in production).
+
+    When batches arrive in id order this reproduces the batch pipeline's
+    greedy pair-removal exactly (tested); out of order it is the
+    streaming-natural "first seen wins".
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signature(new_docs, text_col, num_hashes, shingle_words)
+    nb = lsh_bands(sigs, id_col, "minhash", bands, rows_per_band).persist()
+
+    hit_index = (
+        nb.join(
+            index_buckets.select(
+                F.col("band"), F.col("band_key"), F.col(id_col).alias("__prior_id")
+            ),
+            ["band", "band_key"],
+        )
+        .select(id_col)
+        .distinct()
+    )
+    a, b = nb.alias("a"), nb.alias("b")
+    hit_batch = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    dropped = hit_index.unionByName(hit_batch).distinct()
+    kept = new_docs.join(dropped, id_col, "left_anti")
+    return {
+        "kept": kept,
+        "dropped": dropped,
+        "new_buckets": nb,
+        "updated_index": index_buckets.unionByName(nb),
+    }

@@ -3290,3 +3290,108 @@ def q105_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.pow(u, F.lit(1.0) / F.col("n_chars")), 6).alias("sample_key"),
     )
     return keyed.orderBy(F.desc("sample_key"), F.asc("doc_id")).limit(20)
+
+
+@query(
+    "q106_scalar_quantization",
+    """
+    WITH flat AS (
+      SELECT vec_id, i AS pos, embedding[i]::DOUBLE AS v
+      FROM embeddings, generate_series(1, 64) AS gs(i)
+      WHERE i <= len(embedding)
+    ), stats AS (
+      SELECT pos, MIN(v) AS lo, MAX(v) AS hi FROM flat GROUP BY pos
+    ), codes AS (
+      SELECT f.vec_id, f.pos, f.v, s.lo, s.hi,
+             CAST(floor(ROUND(CASE WHEN s.hi = s.lo THEN 0.0
+                                   ELSE (f.v - s.lo) / (s.hi - s.lo) END, 6) * 255.0)
+                  AS BIGINT) - 128 AS code
+      FROM flat f JOIN stats s USING (pos)
+    )
+    SELECT vec_id,
+           CAST(SUM(code * code) AS BIGINT) AS code_energy,
+           ROUND(MAX(abs(v - (s2.lo + (code + 128) / 255.0 * (s2.hi - s2.lo)))), 6)
+             AS max_reconstruction_err
+    FROM codes JOIN stats s2 USING (pos)
+    GROUP BY vec_id
+    """,
+)
+def q106_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization (SQ8) of the embedding corpus — 4× memory
+    cut for the ANN index: per-dimension [lo, hi] from one 64-row agg,
+    codes = floor(minmax-scaled × 255) − 128, plus per-vector reconstruction
+    error.  All integer/per-element-IEEE math → fully oracled.  With IVF
+    (q103) this is the standard billion-vector index: coarse lists +
+    quantized residents, exact re-rank on the shortlist only.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select("vec_id", F.posexplode("embedding").alias("pos0", "vf")).select(
+        "vec_id", (F.col("pos0") + 1).alias("pos"), F.col("vf").cast("double").alias("v")
+    )
+    stats = flat.groupBy("pos").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    codes = flat.join(F.broadcast(stats), "pos").withColumn(
+        "code",
+        F.floor(
+            F.round(
+                F.when(F.col("hi") == F.col("lo"), F.lit(0.0)).otherwise(
+                    (F.col("v") - F.col("lo")) / (F.col("hi") - F.col("lo"))
+                ),
+                6,
+            )
+            * 255.0
+        ).cast("bigint")
+        - 128,
+    )
+    recon = F.col("lo") + (F.col("code") + 128) / F.lit(255.0) * (F.col("hi") - F.col("lo"))
+    return codes.groupBy("vec_id").agg(
+        F.sum(F.col("code") * F.col("code")).cast("bigint").alias("code_energy"),
+        F.round(F.max(F.abs(F.col("v") - recon)), 6).alias("max_reconstruction_err"),
+    )
+
+
+_Q107_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_sql_tokens()} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 1) + 1),
+           j -> array_to_string(t[j:j+2], ' '))) AS sh
+  FROM toks
+), sig AS (
+  SELECT doc_id, [{_minhash_sql(16, 3)}] AS sig FROM sh
+), buckets AS (
+  SELECT doc_id, b.i AS band,
+         md5(array_to_string(sig[b.i*4+1:b.i*4+4], '|')) AS band_key
+  FROM sig, generate_series(0, 3) b(i)
+), dropped AS (
+  SELECT DISTINCT b.doc_id
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
+@query("q107_incremental_dedup", _Q107_SQL)
+def q107_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup: two id-ordered crawl batches folded through
+    ``incremental_lsh_dedup`` (signatures computed for the NEW batch only,
+    collisions resolved against the append-only bucket index of everything
+    seen so far).  On id-ordered batches this equals the one-shot greedy
+    pair-removal, so the whole incremental protocol gets the full oracle —
+    the maintenance path a continuously-crawled 100 TB corpus actually runs.
+    """
+    from re_data_pipeline_spark.operators.dedup import incremental_lsh_dedup
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    mid = d.approxQuantile("doc_id", [0.5], 0.0)[0]
+    batch1 = d.where(F.col("doc_id") < mid)
+    batch2 = d.where(F.col("doc_id") >= mid)
+    empty_index = spark.createDataFrame([], "doc_id bigint, band int, band_key string")
+    r1 = incremental_lsh_dedup(batch1, empty_index)
+    r2 = incremental_lsh_dedup(batch2, r1["updated_index"])
+    return (
+        r1["kept"].select("doc_id", "n_chars").unionByName(r2["kept"].select("doc_id", "n_chars"))
+    )

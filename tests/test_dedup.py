@@ -116,3 +116,40 @@ def test_cluster_dedup_transitive(spark):
     )
     ids = sorted(r.doc_id for r in cluster_dedup_pipeline(df, threshold=0.5).collect())
     assert ids == [1, 4]
+
+
+def test_incremental_lsh_dedup_matches_full_recompute(spark):
+    """Two id-ordered batches through incremental_lsh_dedup must keep
+    exactly the docs the one-shot greedy pair-removal keeps."""
+    from re_data_pipeline_spark.catalog import load_table
+    from re_data_pipeline_spark.operators.dedup import (
+        incremental_lsh_dedup,
+        lsh_candidate_pairs,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    # salt in guaranteed duplicates across the batch boundary
+    dupes = docs.where(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    all_docs = docs.unionByName(dupes)
+
+    # full recompute: drop the higher id of every candidate pair
+    pairs = lsh_candidate_pairs(all_docs)
+    dropped_full = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    kept_full = sorted(
+        r[0] for r in all_docs.join(dropped_full, "doc_id", "left_anti").select("doc_id").collect()
+    )
+
+    # incremental: id-ordered batches, index carries every seen doc
+    batch1 = all_docs.where(F.col("doc_id") < 250)
+    batch2 = all_docs.where(F.col("doc_id") >= 250)
+    empty_index = spark.createDataFrame([], "doc_id bigint, band int, band_key string")
+    r1 = incremental_lsh_dedup(batch1, empty_index)
+    r2 = incremental_lsh_dedup(batch2, r1["updated_index"])
+    kept_inc = sorted(
+        r[0]
+        for r in r1["kept"].select("doc_id").union(r2["kept"].select("doc_id")).collect()
+    )
+    assert kept_inc == kept_full
+    assert len(kept_inc) < all_docs.count()  # the salted dupes were caught
