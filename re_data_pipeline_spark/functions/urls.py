@@ -1,0 +1,59 @@
+"""URL canonicalization + native HTML→text — crawl-pipeline hot-path ops.
+
+The reference does both in Python (html2text in the transcript/brochure
+path; ad-hoc string surgery for watch?v= URLs,
+``get_edm_council_transcripts.py:122-128``).  Here both are pure JVM regex
+chains — they stay inside whole-stage codegen, which matters because these
+run once per *document* in a crawl pipeline (the 100 TB hot path), not once
+per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# decode order matters: &amp; must be LAST or "&amp;lt;" double-decodes
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")]
+
+
+def html_to_text(col: Column | str) -> Column:
+    """Strip HTML to readable text with native expressions (F4 upgraded
+    from the pandas-UDF surface): drop script/style subtrees, strip tags,
+    decode the common entities, collapse whitespace."""
+    c = _c(col)
+    # two passes, no backreference — keeps the pattern RE2-compatible so the
+    # identical regex runs in the DuckDB oracle
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    for ent, ch in _ENTITIES:
+        c = F.regexp_replace(c, ent, ch)
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def canonical_url(col: Column | str) -> Column:
+    """Canonicalize a URL: lowercase scheme+host, drop default ports and
+    fragments, keep the path, sort query parameters (the crawl-dedup key —
+    `?b=2&a=1` and `?a=1&b=2#x` must collide)."""
+    c = _c(col)
+    no_frag = F.regexp_replace(c, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    path = F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(no_frag, r"\?([^#]*)", 1)
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), sorted_q)),
+    )

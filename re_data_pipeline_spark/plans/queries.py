@@ -3395,3 +3395,156 @@ def q107_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         r1["kept"].select("doc_id", "n_chars").unionByName(r2["kept"].select("doc_id", "n_chars"))
     )
+
+
+@query(
+    "q108_grouped_regression",
+    f"""
+    WITH xy AS (
+      SELECT source,
+             CAST(len({_sql_tokens()}) AS BIGINT) AS x,
+             n_chars AS y
+      FROM documents
+    ), sums AS (
+      SELECT source, COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+      FROM xy GROUP BY source
+    )
+    SELECT source, n,
+           ROUND((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) * sx) / n, 6)
+             AS intercept
+    FROM sums
+    """,
+)
+def q108_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS fit (chars ~ tokens per source) from mergeable moment
+    sums — the grouped-model-fitting shape (X8 UDAF analogue) done with
+    native aggregates: Σx/Σy/Σxy/Σx² are decimal-exact and mergeable, so
+    the fit distributes like any hash agg (map-side partials, tiny shuffle)
+    and beats a per-group pandas UDF by never leaving the JVM.  The closed-
+    form slope/intercept from exact sums is bit-identical cross-engine.
+    """
+    from re_data_pipeline_spark.functions.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    xy = d.select(
+        "source",
+        token_count("text").cast("bigint").alias("x"),
+        F.col("n_chars").alias("y"),
+    )
+    sums = xy.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).cast("double").alias("sxx"),
+    )
+    denom = F.nullif(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0))
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+    return sums.select(
+        "source",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"),
+    )
+
+
+@query(
+    "q109_canonical_url",
+    """
+    WITH urls AS (
+      SELECT doc_id,
+             'HTTPS://Example' || (doc_id % 5) || '.COM:443/path/' || (doc_id % 7)
+               || '?b=' || (doc_id % 3) || '&a=' || (doc_id % 2) || '#frag' AS url
+      FROM documents WHERE doc_id % 4 = 0
+    ), parts AS (
+      SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM urls
+    ), comp AS (
+      SELECT doc_id,
+             lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             regexp_replace(lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                            ':(80|443)$', '') AS host,
+             regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+             regexp_extract(nf, '\\?([^#]*)', 1) AS q
+      FROM parts
+    )
+    SELECT doc_id,
+           scheme || '://' || host ||
+           CASE WHEN path = '' THEN '/' ELSE path END ||
+           CASE WHEN q = '' THEN ''
+                ELSE '?' || array_to_string(list_sort(string_split(q, '&')), '&') END
+             AS canonical
+    FROM comp
+    """,
+)
+def q109_canonical_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (crawl-dedup key): lowercase scheme/host, strip
+    default ports + fragments, sort query params — `?b=2&a=1#x` and
+    `?a=1&b=2` collide.  Native regex/array expressions (F14 extension),
+    identical RE2-safe patterns on both engines."""
+    from re_data_pipeline_spark.functions.urls import canonical_url
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
+    url = F.concat(
+        F.lit("HTTPS://Example"), (F.col("doc_id") % 5).cast("string"),
+        F.lit(".COM:443/path/"), (F.col("doc_id") % 7).cast("string"),
+        F.lit("?b="), (F.col("doc_id") % 3).cast("string"),
+        F.lit("&a="), (F.col("doc_id") % 2).cast("string"),
+        F.lit("#frag"),
+    )
+    return d.select("doc_id", canonical_url(url).alias("canonical"))
+
+
+@query(
+    "q110_html_to_text",
+    """
+    WITH pages AS (
+      SELECT doc_id,
+             '<html><body><h1>Doc ' || doc_id || '</h1><style>p{}</style><p>'
+               || text || '</p><script>var x=1;</script>'
+               || '<p>Tom &amp; Jerry &lt;3 &quot;quoted&quot;&nbsp;end</p></body></html>' AS html
+      FROM documents WHERE doc_id % 11 = 0
+    ), stripped AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(html,
+               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS s1
+      FROM pages
+    ), notags AS (
+      SELECT doc_id, regexp_replace(s1, '<[^>]+>', ' ', 'g') AS s2 FROM stripped
+    ), decoded AS (
+      SELECT doc_id,
+             replace(replace(replace(replace(replace(replace(s2,
+               '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+               '&nbsp;', ' '), '&amp;', '&') AS s3
+      FROM notags
+    )
+    SELECT doc_id, md5(trim(regexp_replace(s3, '\\s+', ' ', 'g'))) AS text_md5,
+           length(trim(regexp_replace(s3, '\\s+', ' ', 'g'))) AS n_chars_clean
+    FROM decoded
+    """,
+)
+def q110_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native HTML→text (F4 upgraded from the pandas-UDF surface to
+    codegen-resident JVM regex): drop script/style subtrees, strip tags,
+    decode common entities (&amp; last), collapse whitespace — the once-per-
+    document crawl hot path, fully oracled via md5 of the cleaned text."""
+    from re_data_pipeline_spark.functions.urls import html_to_text
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 11 == 0)
+    html = F.concat(
+        F.lit("<html><body><h1>Doc "), F.col("doc_id").cast("string"),
+        F.lit("</h1><style>p{}</style><p>"), F.col("text"),
+        F.lit("</p><script>var x=1;</script>"),
+        F.lit('<p>Tom &amp; Jerry &lt;3 &quot;quoted&quot;&nbsp;end</p></body></html>'),
+    )
+    txt = html_to_text(html)
+    return d.select(
+        "doc_id",
+        F.md5(txt).alias("text_md5"),
+        F.length(txt).cast("bigint").alias("n_chars_clean"),
+    )

@@ -63,3 +63,33 @@ def test_day_of_iso(spark):
         [("2025-04-09T00:00:00.000",), ("garbage",)], ["v"]
     ).select(day_of_iso("v").alias("out"))
     assert [r.out for r in df.collect()] == [9, 0]
+
+
+def test_canonical_url_edge_cases(spark):
+    from re_data_pipeline_spark.functions.urls import canonical_url
+
+    cases = [
+        ("HTTP://A.COM:80", "http://a.com/"),                       # default port, no path
+        ("https://a.com:443/x?b=2&a=1#frag", "https://a.com/x?a=1&b=2"),
+        ("https://a.com:8443/x", "https://a.com:8443/x"),           # non-default port kept
+        ("http://A.com/Path/Case", "http://a.com/Path/Case"),       # path case preserved
+        ("https://a.com/?z=1&y=2&z=0", "https://a.com/?y=2&z=0&z=1"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(canonical_url("url")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_html_to_text_edge_cases(spark):
+    from re_data_pipeline_spark.functions.urls import html_to_text
+
+    cases = [
+        ("<p>a</p><script>x<b>ignored</b></script><p>b</p>", "a b"),
+        ("<STYLE a=b>p {}</STYLE>hi", "hi"),                         # case-insensitive
+        ("Tom &amp;amp; Jerry", "Tom &amp; Jerry"),                  # no double-decode
+        ("a  \n\t b", "a b"),
+        ("<a href='x'>link</a>&nbsp;&#39;q&#39;", "link 'q'"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "html string")
+    got = [r[0] for r in df.select(html_to_text("html")).collect()]
+    assert got == [want for _, want in cases]
