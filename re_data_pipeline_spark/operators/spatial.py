@@ -200,3 +200,62 @@ def point_in_polygon_join(
         if c not in points.columns:
             unmatched = unmatched.withColumn(c, F.lit(None))
     return candidates.unionByName(unmatched)
+
+
+# --------------------------------------------------------------------------
+# Optional Apache Sedona acceleration (SURVEY §7 step 4: "Sedona optional
+# behind a flag").  The built-in kernels above are the reference-semantics
+# path and the only one exercised in CI; when the sedona package and its
+# jars are present AND SPARK_GRAFT_USE_SEDONA=1, callers can route
+# point-in-polygon through ST_Contains instead — same (point_df, polygon_df,
+# pred) contract, Sedona's own spatial partitioning underneath.
+# --------------------------------------------------------------------------
+
+
+def sedona_available() -> bool:
+    """True iff the optional Apache Sedona package is importable."""
+    try:
+        import sedona  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def use_sedona() -> bool:
+    import os
+
+    return os.environ.get("SPARK_GRAFT_USE_SEDONA", "0") == "1" and sedona_available()
+
+
+def point_in_polygon_join_sedona(
+    points: DataFrame,
+    polygons: DataFrame,
+    x_col: str = "longitude",
+    y_col: str = "latitude",
+    ring_col: str = "ring",
+) -> DataFrame:
+    """ST_Contains-based PIP join for Sedona-enabled clusters.
+
+    Requires the Sedona extensions to be registered on the session
+    (``SedonaRegistrator.registerAll``).  Raises ``RuntimeError`` when the
+    flag/package is absent — callers fall back to
+    ``point_in_polygon_join`` (the built-in grid + ray-cast kernel).
+    """
+    if not use_sedona():
+        raise RuntimeError(
+            "Sedona path disabled: set SPARK_GRAFT_USE_SEDONA=1 with the "
+            "sedona package installed, or use point_in_polygon_join()."
+        )
+    spark = points.sparkSession
+    points.createOrReplaceTempView("__pip_points")
+    polygons.createOrReplaceTempView("__pip_polygons")
+    return spark.sql(
+        f"""
+        SELECT p.*, g.*
+        FROM __pip_points p JOIN __pip_polygons g
+          ON ST_Contains(
+               ST_GeomFromText(g.wkt),
+               ST_Point(p.{x_col}, p.{y_col}))
+        """
+    )

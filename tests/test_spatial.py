@@ -106,3 +106,22 @@ def test_band_join_colliding_names(spark):
     right = spark.createDataFrame([(2, 5.5)], ["id", "v"])
     got = band_join(left, right, "v", "v", 1.0).collect()
     assert len(got) == 1 and got[0].id_r == 2
+
+
+def test_sedona_path_is_gated(spark):
+    """Without the optional sedona package + env flag, the accelerated path
+    must refuse loudly and the built-in kernel remains the default."""
+    import pytest as _pytest
+
+    from re_data_pipeline_spark.operators.spatial import (
+        point_in_polygon_join_sedona,
+        sedona_available,
+        use_sedona,
+    )
+
+    if sedona_available():
+        _pytest.skip("sedona installed in this env; gate test not applicable")
+    assert not use_sedona()
+    pts = spark.range(1).select(F.lit(0.0).alias("longitude"), F.lit(0.0).alias("latitude"))
+    with _pytest.raises(RuntimeError, match="Sedona path disabled"):
+        point_in_polygon_join_sedona(pts, pts)
