@@ -180,8 +180,14 @@ def q03_broadcast_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q04_multi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star join (SURVEY §3.1 trace): fact ⨝ three broadcast dims.  Catalyst
-    broadcasts nation/region; AQE can demote/promote from real sizes."""
+    """Star join (SURVEY §3.1 trace): fact ⨝ fact ⨝ three broadcast dims.
+
+    lineitem⨝orders is hinted sort-merge: both sides are facts, so at
+    100 TB the shuffle is mandatory — and measured locally the hint also
+    beats auto-broadcasting the 2.6 MB orders side 2× (driver build +
+    per-task copy of a mid-size table costs more than a co-shuffle).
+    Dimensions stay broadcast-hinted.
+    """
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -189,7 +195,7 @@ def q04_multi_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     rev = _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(5,2)")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
