@@ -134,3 +134,41 @@ def run_available_now_memory(stream_df: DataFrame, name: str, output_mode: str =
     )
     q.awaitTermination()
     return q
+
+
+def join_streams_within(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join bounded by a time-range condition: match
+    right rows arriving within ``max_delay`` AFTER the left row (the
+    view→click attribution shape).  Both sides carry watermarks so the
+    engine can evict join state once ``watermark + max_delay`` has passed —
+    without the range condition the state would grow forever, which is the
+    difference between a demo and something that survives 100 TB/day.
+    """
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    return lw.join(
+        rw,
+        F.expr(
+            f"l.{key} = r.{key} AND r.{right_ts} >= l.{left_ts} "
+            f"AND r.{right_ts} <= l.{left_ts} + INTERVAL {max_delay}"
+        ),
+    )
+
+
+def dedup_within_watermark(df: DataFrame, keys: list[str], ts_col: str, watermark: str) -> DataFrame:
+    """Key dedup with BOUNDED state (`dropDuplicatesWithinWatermark`):
+    unlike plain ``dropDuplicates`` — whose key set grows with the corpus —
+    state for a key is dropped once the watermark passes its event time +
+    delay, so memory is proportional to the watermark window, not history.
+    Exactly the crawl-frontier guarantee (duplicate URLs arrive in bursts,
+    never months apart) at a fraction of the state.
+    """
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
