@@ -92,3 +92,35 @@ def compact_parquet(
         df = df.repartition(n_files)
     df.write.mode("overwrite").parquet(out_path)
     return n_files
+
+
+def read_json_quarantine(
+    spark: SparkSession, path_glob: str, schema: StructType
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE JSON scan that *splits* instead of failing: returns
+    (good_rows, quarantined_raw) where quarantined rows carry the original
+    malformed line for replay.
+
+    At 100 TB of crawled JSON some records are always broken; FAILFAST
+    kills a 6-hour job at hour 5 and DROPMALFORMED silently loses data.
+    The quarantine pattern keeps the pipeline total *and* lossless: bad
+    lines land in a side table for inspection/reprocessing.
+    """
+    from pyspark.sql.types import StringType, StructField
+    from pyspark.sql import functions as F
+
+    with_corrupt = StructType(
+        list(schema.fields) + [StructField("_corrupt_record", StringType())]
+    )
+    df = (
+        spark.read.schema(with_corrupt)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path_glob)
+        .cache()  # Spark requires materialization before filtering on _corrupt_record
+    )
+    good = df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.where(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw")
+    )
+    return good, bad

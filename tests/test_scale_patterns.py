@@ -191,3 +191,25 @@ def test_compaction_reduces_file_count(spark, tmp_path):
     got = g.glob(f"{out}/part-*.parquet")
     assert n == 2 and len(got) == 2
     assert spark.read.parquet(out).count() == 1200
+
+
+def test_json_quarantine_is_total_and_lossless(spark, tmp_path):
+    """Malformed JSON lines land in the quarantine frame; good rows parse;
+    nothing is dropped and nothing throws."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from re_data_pipeline_spark.sources.registry import read_json_quarantine
+
+    p = tmp_path / "feed.json"
+    p.write_text(
+        '{"id": 1, "city": "Edmonton"}\n'
+        "{broken json!!\n"
+        '{"id": 2, "city": "Calgary"}\n'
+        '{"id": "notanint", "city": "Leduc"}\n'
+    )
+    schema = StructType([StructField("id", LongType()), StructField("city", StringType())])
+    good, bad = read_json_quarantine(spark, str(p), schema)
+    assert sorted(r["id"] for r in good.collect()) == [1, 2]
+    raws = [r["raw"] for r in bad.collect()]
+    assert len(raws) == 2 and any("broken" in r for r in raws)
+    assert good.count() + bad.count() == 4
