@@ -3647,3 +3647,41 @@ def q112_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "q113_quality_report",
+    """
+    SELECT rule, n_rows, n_violations,
+           ROUND(n_violations * 1.0 / n_rows, 6) AS violation_rate
+    FROM (
+      SELECT 'acctbal_nonneg' AS rule, COUNT(*) AS n_rows,
+             SUM(CASE WHEN c_acctbal >= 0 THEN 0 ELSE 1 END) AS n_violations
+      FROM customer
+      UNION ALL
+      SELECT 'name_wellformed', COUNT(*),
+             SUM(CASE WHEN regexp_matches(c_name, '^Customer#[0-9]+$') THEN 0 ELSE 1 END)
+      FROM customer
+      UNION ALL
+      SELECT 'nationkey_in_range', COUNT(*),
+             SUM(CASE WHEN c_nationkey BETWEEN 0 AND 24 THEN 0 ELSE 1 END)
+      FROM customer
+    )
+    """,
+)
+def q113_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (`operators/quality.check`): named rule
+    expressions → one partial-aggregating pass → per-rule violation report.
+    The centralized form of the reference's scattered per-task validation
+    (key presence, coordinate sanity, try-casts)."""
+    from re_data_pipeline_spark.operators.quality import check
+
+    c = load_table(spark, sf_dir, "customer")
+    return check(
+        c,
+        {
+            "acctbal_nonneg": F.col("c_acctbal") >= 0,
+            "name_wellformed": F.col("c_name").rlike(r"^Customer#[0-9]+$"),
+            "nationkey_in_range": F.col("c_nationkey").between(0, 24),
+        },
+    )

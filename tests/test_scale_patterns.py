@@ -213,3 +213,50 @@ def test_json_quarantine_is_total_and_lossless(spark, tmp_path):
     raws = [r["raw"] for r in bad.collect()]
     assert len(raws) == 2 and any("broken" in r for r in raws)
     assert good.count() + bad.count() == 4
+
+
+def test_quality_gate_enforce_and_split(spark):
+    import pytest as _pytest
+
+    from re_data_pipeline_spark.operators.quality import check, enforce, split_valid
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None)], "id long, bal double"
+    )
+    rules = {"bal_nonneg": F.col("bal") >= 0}
+    rep = {r["rule"]: r for r in check(df, rules).collect()}
+    # -5 violates; NULL counts as a violation (null-hostile)
+    assert rep["bal_nonneg"]["n_violations"] == 2
+
+    good, bad = split_valid(df, rules)
+    assert sorted(r["id"] for r in good.collect()) == [1]
+    assert sorted(r["id"] for r in bad.collect()) == [2, 3]
+
+    with _pytest.raises(ValueError, match="quality gate failed"):
+        enforce(df, rules)
+    assert enforce(df, rules, max_violation_rate=0.7) is df
+
+
+def test_dynamic_partition_overwrite_backfill(spark, tmp_path):
+    """Re-running one day replaces ONLY that partition (idempotent
+    backfill), leaving the others byte-identical."""
+    out = str(tmp_path / "by_day")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 3)], "day string, v int"
+    )
+    base.write.partitionBy("day").mode("overwrite").parquet(out)
+
+    redo = spark.createDataFrame([("2024-01-02", 99)], "day string, v int")
+    (
+        redo.write.partitionBy("day")
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(out)
+    )
+    got = {
+        (r["day"], r["v"])
+        for r in spark.read.parquet(out)
+        .select(F.col("day").cast("string").alias("day"), "v")
+        .collect()
+    }
+    assert got == {("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 99)}
