@@ -3685,3 +3685,40 @@ def q113_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nationkey_in_range": F.col("c_nationkey").between(0, 24),
         },
     )
+
+
+@query(
+    "q114_grouping_sets",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q114_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (beyond rollup q13 / cube q51): two
+    independent single-dimension reports plus the grand total in ONE pass —
+    Spark expands the sets into a single Expand + aggregate, so the fact
+    scans once however many reports ride on it (the 100 TB reporting
+    consolidation trick).  GROUPING() flags disambiguate the null-vs-ALL
+    semantics exactly as in the SQL standard.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__q114_orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM __q114_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
