@@ -252,3 +252,149 @@ def kmeans_lists(
             new[r[list_col]][r["pos"]] = float(r["m"])
         centroids = new
     return kmeans_assign(corpus, centroids, vec_col, list_col), centroids
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: split each vector into ``m``
+    subvectors and k-means each subspace independently — but run ALL
+    subspaces' Lloyd steps in the same two jobs per iteration (one map-only
+    assignment projection with m argmin expressions, one
+    (subspace, code, position) aggregate), so training cost is independent
+    of ``m``.  Codebooks live on the driver (m × k × dim/m doubles, a few
+    KB).  Deterministic init: subvectors of the k lowest-id vectors.
+
+    Returns ``codebooks[sub][code] -> centroid`` (python lists).
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    d_sub = dim // m
+    init = corpus.orderBy(id_col).limit(k).select(vec_col).collect()
+    books = [
+        [[float(v) for v in r[0][s * d_sub : (s + 1) * d_sub]] for r in init]
+        for s in range(m)
+    ]
+
+    def sub_col(s: int):
+        return F.slice(F.col(vec_col), s * d_sub + 1, d_sub)
+
+    def argmin_code(s: int):
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        sub_col(s),
+                        literal_vector(books[s][c]),
+                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in range(k)
+            ]
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    for _ in range(iters):
+        assigned = corpus.select(
+            *[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    argmin_code(s).alias("code"),
+                    sub_col(s).alias("subvec"),
+                ).alias(f"__a{s}")
+                for s in range(m)
+            ]
+        )
+        rows = (
+            assigned.select(F.explode(F.array(*[F.col(f"__a{s}") for s in range(m)])).alias("a"))
+            .select("a.sub", "a.code", F.posexplode("a.subvec").alias("pos", "v"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("mean"))
+            .collect()
+        )
+        new = [[list(c) for c in book] for book in books]
+        for r in rows:
+            new[r["sub"]][r["code"]][r["pos"]] = float(r["mean"])
+        books = new
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "pq_codes",
+) -> DataFrame:
+    """Encode vectors to ``m`` byte-sized codes (argmin centroid per
+    subspace) — 64 floats become 8 ints; the index shrinks ~32× and the
+    original vector column can be dropped from the hot path."""
+    m = len(codebooks)
+    k = len(codebooks[0])
+    d_sub = len(codebooks[0][0])
+
+    def code(s: int):
+        sub = F.slice(F.col(vec_col), s * d_sub + 1, d_sub)
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        literal_vector(codebooks[s][c]),
+                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for c in range(k)
+            ]
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    return corpus.withColumn(code_col, F.array(*[code(s) for s in range(m)]))
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    topk: int,
+    code_col: str = "pq_codes",
+    score_col: str = "adc_dist",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: precompute the
+    query→centroid distance table per subspace on the driver (m × k
+    doubles), then scoring a vector is ``m`` table lookups — no float
+    vector is read at query time.  Map-only + TakeOrdered, like the exact
+    path but over a 32× smaller index.
+    """
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    lut = [
+        [
+            sum(
+                (query_vec[s * d_sub + j] - cent[j]) ** 2
+                for j in range(d_sub)
+            )
+            for cent in codebooks[s]
+        ]
+        for s in range(m)
+    ]
+    lut_col = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+    encoded = encoded.withColumn("__lut", lut_col)
+    dist = None
+    for s in range(m):
+        term = F.element_at(F.element_at("__lut", s + 1), F.element_at(code_col, s + 1) + 1)
+        dist = term if dist is None else dist + term
+    tiebreak = [c for c in encoded.columns if c not in (code_col, "__lut")][:1]
+    return (
+        encoded.withColumn(score_col, dist)
+        .drop("__lut")
+        .orderBy(F.asc(score_col), *tiebreak)
+        .limit(topk)
+    )

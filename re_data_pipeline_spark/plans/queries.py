@@ -3722,3 +3722,29 @@ def q114_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+@query("q115_pq_adc_topk")
+def q115_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (rows-only: lossy by construction): train
+    m=8×k=16 codebooks, encode the corpus to 8 codes/vector (~32× smaller
+    index), answer top-10 by asymmetric distance — m table lookups per
+    vector, no float reads at query time.  Completes the vector-index
+    family: IVF (q103) prunes lists, SQ8 (q106) shrinks residents, PQ+ADC
+    replaces the scan arithmetic.
+    """
+    from re_data_pipeline_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(e, m=8, k=16, iters=2)
+    enc = pq_encode(e, books).select("vec_id", "label", "pq_codes")
+    qvec = [float(v) for v in e.where(F.col("vec_id") == 0).first()["embedding"]]
+    out = pq_adc_topk(enc, books, qvec, 10)
+    return spark.createDataFrame(
+        out.select("vec_id", "label", F.round("adc_dist", 6).alias("adc_dist")).collect(),
+        "vec_id bigint, label int, adc_dist double",
+    )

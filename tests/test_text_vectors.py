@@ -136,3 +136,41 @@ def test_kmeans_assignments_are_argmin(spark):
     got = d[np.arange(len(pdf)), pdf["list_id"].to_numpy()]
     assert (got <= best + 1e-9).all()
     assert pdf["list_id"].nunique() > 1
+
+
+def test_pq_adc_recall_on_clustered_data(spark):
+    """PQ/ADC top-10 must recover most of the exact L2 top-10 on data with
+    cluster structure (uniform-random vectors concentrate distances and no
+    quantizer can rank them — real embeddings cluster, so that's what we
+    model: 10 centers + small noise, deterministic)."""
+    import numpy as np
+
+    from re_data_pipeline_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(42)
+    centers = rng.normal(size=(10, 16))
+    X = np.repeat(centers, 50, axis=0) + 0.15 * rng.normal(size=(500, 16))
+    rows = [(i, [float(v) for v in X[i]]) for i in range(500)]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    X = np.asarray(
+        e.orderBy("vec_id").select("embedding").toPandas()["embedding"].tolist(),
+        dtype=np.float64,
+    )  # float32 round-trip so the numpy oracle sees exactly what Spark sees
+
+    books = pq_train(e, m=4, k=16, iters=3)
+    assert len(books) == 4 and len(books[0]) == 16 and len(books[0][0]) == 4
+
+    enc = pq_encode(e, books).select("vec_id", "pq_codes").cache()
+    codes = enc.toPandas()
+    assert codes["pq_codes"].map(lambda c: all(0 <= x < 16 for x in c)).all()
+
+    q = X[0]
+    exact = set(np.argsort(((X - q) ** 2).sum(axis=1))[:10].tolist())
+    got = {r["vec_id"] for r in pq_adc_topk(enc, books, q.tolist(), 10).collect()}
+    assert len(got & exact) >= 5
+    # every ADC hit must at least come from the query's true cluster (ids 0-49)
+    assert all(v < 50 for v in got)
