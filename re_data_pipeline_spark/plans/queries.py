@@ -3748,3 +3748,98 @@ def q115_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.select("vec_id", "label", F.round("adc_dist", 6).alias("adc_dist")).collect(),
         "vec_id bigint, label int, adc_dist double",
     )
+
+
+@query(
+    "q116_cohort_retention",
+    """
+    WITH ev AS (
+      SELECT user_id, ts::TIMESTAMP AS ts FROM events
+    ), firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort FROM ev GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort, date_trunc('week', e.ts) AS aw
+      FROM ev e JOIN firsts f USING (user_id)
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+           CAST(datediff('day', cohort, aw) / 7 AS BIGINT) AS week_offset,
+           COUNT(DISTINCT user_id) AS active_users
+    FROM activity GROUP BY 1, 2
+    """,
+)
+def q116_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen week (the
+    events table spans ~5 weeks), counted distinct per week offset — the
+    canonical retention rollup.  Plan: one agg for cohorts (tiny, broadcast
+    back), one distinct + count-distinct keyed by (cohort, offset).
+    Offsets are whole-day integer differences / 7 (no interval math →
+    engine-identical).
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = e.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort"))
+    act = (
+        e.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.date_trunc("week", "ts").alias("aw"),
+        )
+        .distinct()
+    )
+    return act.groupBy(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+        (F.datediff(F.to_date("aw"), F.to_date("cohort")) / 7)
+        .cast("bigint")
+        .alias("week_offset"),
+    ).agg(F.count_distinct("user_id").alias("active_users"))
+
+
+@query(
+    "q117_rfm_segments",
+    """
+    WITH anchor AS (
+      SELECT MAX(ts::TIMESTAMP) AS mx FROM events
+    ), rfm AS (
+      SELECT user_id,
+             CAST(datediff('day', MAX(ts::TIMESTAMP), (SELECT mx FROM anchor)) AS BIGINT)
+               AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           CAST(NTILE(4) OVER (ORDER BY recency_days, user_id) AS INT) AS r_quartile,
+           CAST(NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS INT) AS f_quartile,
+           CAST(NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS INT) AS m_quartile
+    FROM rfm
+    """,
+)
+def q117_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency/frequency/monetary quartiles) — the
+    behavioral-scoring rollup: one agg pass builds the per-user profile,
+    three ntile windows assign quartiles with explicit user_id tiebreaks so
+    bucket boundaries are engine-deterministic.  Monetary sums are decimal;
+    recency is whole days from the corpus max timestamp (scalar subquery).
+    """
+    e = load_table(spark, sf_dir, "events")
+    anchor = e.agg(F.max("ts").alias("mx"))
+    rfm = (
+        e.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.to_date(F.first("mx")), F.to_date(F.max("ts")))
+            .cast("bigint")
+            .alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(_dec("value")).cast("double").alias("monetary"),
+        )
+    )
+    return rfm.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(Window.orderBy("recency_days", "user_id")).cast("int").alias("r_quartile"),
+        F.ntile(4).over(Window.orderBy(F.desc("frequency"), "user_id")).cast("int").alias("f_quartile"),
+        F.ntile(4).over(Window.orderBy(F.desc("monetary"), "user_id")).cast("int").alias("m_quartile"),
+    )

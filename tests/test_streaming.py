@@ -220,3 +220,80 @@ def test_dedup_within_watermark_bounds_state(spark, tmp_path):
     got = spark.table("ddw_out")
     assert got.count() == e.count()
     assert got.select("event_id").distinct().count() == e.count()
+
+
+def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
+    """LEFT OUTER stream-stream join: matched rows join; unmatched left rows
+    emit with nulls once the watermark passes their join window (state is
+    evicted, not leaked)."""
+    from re_data_pipeline_spark.streaming.stream_ops import read_stream
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    views = e.where(F.col("event_type") == "view")
+    clicks = e.where((F.col("event_type") == "click") & (F.col("user_id") % 2 == 0))
+    vdir, cdir = str(tmp_path / "v"), str(tmp_path / "c")
+    views.coalesce(1).write.parquet(vdir)
+    clicks.coalesce(1).write.parquet(cdir)
+    # sentinel files push the watermark far past every join window so all
+    # unmatched left rows flush before the AvailableNow drain stops
+    import datetime
+
+    max_ts = e.agg(F.max("ts")).first()[0]
+    for i, d in enumerate((vdir, cdir)):
+        import time as _t
+
+        _t.sleep(0.2)
+        spark.createDataFrame(
+            [(-1, max_ts + datetime.timedelta(days=1), "x", -1)], schema=views.schema
+        ).coalesce(1).write.mode("append").parquet(d)
+
+    vs = read_stream(spark, vdir, views.schema).selectExpr(
+        "user_id", "ts AS v_ts", "event_id AS view_id"
+    )
+    cs = read_stream(spark, cdir, clicks.schema).selectExpr(
+        "user_id", "ts AS c_ts", "event_id AS click_id"
+    )
+    joined = (
+        vs.withWatermark("v_ts", "1 second")
+        .alias("l")
+        .join(
+            cs.withWatermark("c_ts", "1 second").alias("r"),
+            F.expr(
+                "l.user_id = r.user_id AND r.c_ts >= l.v_ts "
+                "AND r.c_ts <= l.v_ts + INTERVAL 30 MINUTES"
+            ),
+            "leftOuter",
+        )
+        .select("view_id", "click_id")
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("sslo_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [(r[0], r[1]) for r in spark.table("sslo_out").where(F.col("view_id") >= 0).collect()]
+
+    want_matched = {
+        (r[0], r[1])
+        for r in views.alias("v")
+        .join(
+            clicks.alias("c"),
+            (F.col("v.user_id") == F.col("c.user_id"))
+            & (F.col("c.ts") >= F.col("v.ts"))
+            & (F.col("c.ts") <= F.col("v.ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        .select(F.col("v.event_id"), F.col("c.event_id"))
+        .collect()
+    }
+    got_matched = {p for p in got if p[1] is not None}
+    got_unmatched_views = {p[0] for p in got if p[1] is None}
+    assert got_matched == want_matched
+    # every view appears (matched or flushed-with-null), exactly like batch LEFT JOIN
+    matched_views = {p[0] for p in want_matched}
+    all_views = {r[0] for r in views.select("event_id").collect()}
+    assert got_unmatched_views == all_views - matched_views
