@@ -3843,3 +3843,27 @@ def q117_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(Window.orderBy(F.desc("frequency"), "user_id")).cast("int").alias("f_quartile"),
         F.ntile(4).over(Window.orderBy(F.desc("monetary"), "user_id")).cast("int").alias("m_quartile"),
     )
+
+
+@query(
+    "q118_global_ordinals",
+    """
+    SELECT o_orderkey,
+           CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) - 1 AS BIGINT)
+             AS ordinal
+    FROM orders
+    """,
+)
+def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ordinal assignment WITHOUT the single-reducer sort the naive
+    ``ROW_NUMBER() OVER (ORDER BY …)`` plans: range-partition on the order
+    key, sort within partitions, prefix-sum per-partition counts on the
+    driver, ordinal = offset + local row_number (`operators/ids`).  The
+    oracle IS the naive global window — proving the distributed construction
+    produces identical ordinals while every stage stays partition-parallel.
+    """
+    from re_data_pipeline_spark.operators.ids import assign_ordinals
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    out = assign_ordinals(o, [F.desc("o_totalprice"), F.asc("o_orderkey")])
+    return out.select("o_orderkey", "ordinal")

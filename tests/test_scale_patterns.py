@@ -260,3 +260,15 @@ def test_dynamic_partition_overwrite_backfill(spark, tmp_path):
         .collect()
     }
     assert got == {("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 99)}
+
+
+def test_assign_ordinals_dense_and_ordered(spark):
+    from re_data_pipeline_spark.operators.ids import assign_ordinals
+
+    df = spark.range(0, 997).select((F.col("id") * 37 % 1000).alias("k"), "id")
+    out = assign_ordinals(df, [F.asc("k"), F.asc("id")], num_partitions=7).toPandas()
+    assert sorted(out["ordinal"]) == list(range(997))  # dense, unique, 0-based
+    ordered = out.sort_values("ordinal")
+    assert ordered[["k", "id"]].values.tolist() == (
+        out.sort_values(["k", "id"])[["k", "id"]].values.tolist()
+    )
