@@ -50,10 +50,14 @@ def canonical_url(col: Column | str) -> Column:
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.regexp_extract(no_frag, r"\?([^#]*)", 1)
     sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
-    return F.concat(
+    canonical = F.concat(
         scheme,
         F.lit("://"),
         host,
         path,
         F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), sorted_q)),
     )
+    # scheme-less / relative inputs would all collapse to ':///' — a shared
+    # dedup key that silently merges unrelated documents.  Pass them through
+    # untouched instead; callers decide how to resolve relative links.
+    return F.when(scheme == "", F.trim(c)).otherwise(canonical)

@@ -392,6 +392,11 @@ def incremental_lsh_dedup(
     - the updated index is ``index ∪ new buckets`` (append-only — an upsert
       sink in production).
 
+    The new batch's bucket table is persisted (it feeds both collision
+    checks and the updated index); it is exposed as ``result["new_buckets"]``
+    — per-batch drivers should ``unpersist()`` it after writing the updated
+    index, or cached copies accumulate across batches.
+
     When batches arrive in id order this reproduces the batch pipeline's
     greedy pair-removal exactly (tested); out of order it is the
     streaming-natural "first seen wins".

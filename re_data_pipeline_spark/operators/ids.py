@@ -28,7 +28,12 @@ def assign_ordinals(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Add a dense 0-based global ordinal following ``order_cols`` without a
-    single-partition sort.  ``order_cols`` must define a total order."""
+    single-partition sort.  ``order_cols`` must define a total order.
+
+    The repartitioned+sorted intermediate is persisted (it feeds both the
+    count pass and the output); the handle is exposed on the result as
+    ``._ordinal_cache`` so long-lived callers can ``unpersist()`` after
+    materializing."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parts = (
         df.repartitionByRange(n, *order_cols)
@@ -45,9 +50,8 @@ def assign_ordinals(
         F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv]), F.col("__pid")
     )
     w = Window.partitionBy("__pid").orderBy(*order_cols)
-    return (
-        parts.withColumn(
-            ordinal_col, (offset_expr + F.row_number().over(w) - 1).cast("bigint")
-        )
-        .drop("__pid")
-    )
+    out = parts.withColumn(
+        ordinal_col, (offset_expr + F.row_number().over(w) - 1).cast("bigint")
+    ).drop("__pid")
+    out._ordinal_cache = parts  # release path for long-lived sessions
+    return out

@@ -25,7 +25,11 @@ def check(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     violations (null-hostile by design — an unknown is not a pass).
     """
     aggs = [F.count(F.lit(1)).alias("n_rows")] + [
-        F.sum(F.when(cond.isNull() | ~cond, 1).otherwise(0)).alias(f"__v_{name}")
+        # coalesce: SUM over an EMPTY table is NULL, and an empty table is
+        # vacuously clean (0 violations), not a crash
+        F.coalesce(
+            F.sum(F.when(cond.isNull() | ~cond, 1).otherwise(0)), F.lit(0)
+        ).alias(f"__v_{name}")
         for name, cond in rules.items()
     ]
     row = df.agg(*aggs)
@@ -36,7 +40,10 @@ def check(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
                 F.lit(name).alias("rule"),
                 F.col("n_rows"),
                 F.col(f"__v_{name}").cast("bigint").alias("n_violations"),
-                F.round(F.col(f"__v_{name}") / F.col("n_rows"), 6).alias("violation_rate"),
+                F.when(
+                    F.col("n_rows") > 0,
+                    F.round(F.col(f"__v_{name}") / F.col("n_rows"), 6),
+                ).otherwise(F.lit(0.0)).alias("violation_rate"),
             )
         )
     out = reports[0]

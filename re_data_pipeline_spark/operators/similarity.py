@@ -273,6 +273,9 @@ def pq_train(
     Returns ``codebooks[sub][code] -> centroid`` (python lists).
     """
     dim = len(corpus.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"embedding dim {dim} is not divisible by m={m} — "
+                         "the trailing dims would be silently dropped")
     d_sub = dim // m
     init = corpus.orderBy(id_col).limit(k).select(vec_col).collect()
     books = [

@@ -233,14 +233,20 @@ def point_in_polygon_join_sedona(
     polygons: DataFrame,
     x_col: str = "longitude",
     y_col: str = "latitude",
-    ring_col: str = "ring",
+    wkt_col: str = "wkt",
+    polygon_cols: list[str] | None = None,
 ) -> DataFrame:
     """ST_Contains-based PIP join for Sedona-enabled clusters.
 
-    Requires the Sedona extensions to be registered on the session
-    (``SedonaRegistrator.registerAll``).  Raises ``RuntimeError`` when the
-    flag/package is absent — callers fall back to
-    ``point_in_polygon_join`` (the built-in grid + ray-cast kernel).
+    Unlike the built-in ``point_in_polygon_join`` (ring structs), this path
+    takes polygons as WKT text in ``wkt_col`` — Sedona parses geometry
+    itself, so the exchange format is the standard one.  ``polygon_cols``
+    selects which polygon attributes ride along (default: all except the
+    WKT, avoiding duplicate-name collisions with point columns).
+
+    Requires the Sedona extensions registered on the session.  Raises
+    ``RuntimeError`` when the flag/package is absent — callers fall back to
+    ``point_in_polygon_join``.
     """
     if not use_sedona():
         raise RuntimeError(
@@ -248,14 +254,16 @@ def point_in_polygon_join_sedona(
             "sedona package installed, or use point_in_polygon_join()."
         )
     spark = points.sparkSession
+    keep = polygon_cols or [c for c in polygons.columns if c != wkt_col]
     points.createOrReplaceTempView("__pip_points")
     polygons.createOrReplaceTempView("__pip_polygons")
+    cols = ", ".join(f"g.{c}" for c in keep)
     return spark.sql(
         f"""
-        SELECT p.*, g.*
+        SELECT p.*, {cols}
         FROM __pip_points p JOIN __pip_polygons g
           ON ST_Contains(
-               ST_GeomFromText(g.wkt),
+               ST_GeomFromText(g.{wkt_col}),
                ST_Point(p.{x_col}, p.{y_col}))
         """
     )

@@ -2963,7 +2963,7 @@ def q98_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH iv AS (
       SELECT event_type, ts::TIMESTAMP AS start_ts,
-             ts::TIMESTAMP + to_seconds(CAST(value * 10 AS BIGINT)) AS end_ts
+             ts::TIMESTAMP + to_seconds(CAST(floor(value * 10) AS BIGINT)) AS end_ts
       FROM events
     ), sweep AS (
       SELECT event_type, start_ts AS t, 1 AS delta FROM iv
@@ -2992,7 +2992,7 @@ def q99_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     iv = e.select(
         "event_type",
         F.col("ts").alias("start_ts"),
-        F.timestamp_add("SECOND", (F.col("value") * 10).cast("bigint"), F.col("ts")).alias("end_ts"),
+        F.timestamp_add("SECOND", F.floor(F.col("value") * 10).cast("bigint"), F.col("ts")).alias("end_ts"),
     )
     sweep = iv.select("event_type", F.col("start_ts").alias("t"), F.lit(1).alias("delta")).unionAll(
         iv.select("event_type", F.col("end_ts").alias("t"), F.lit(-1).alias("delta"))
@@ -3007,6 +3007,7 @@ def q99_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q100_N = 8
+_Q100_MAX_POS = 2000  # shared Spark/oracle cap on gram start positions
 
 
 @query(
@@ -3017,7 +3018,7 @@ _Q100_N = 8
     ), grams AS (
       SELECT doc_id, source,
              list_aggregate(toks[i : i + {_Q100_N} - 1], 'string_agg', ' ') AS gram
-      FROM tok, generate_series(1, 200) AS gs(i)
+      FROM tok, generate_series(1, {_Q100_MAX_POS}) AS gs(i)
       WHERE i <= len(toks) - {_Q100_N} + 1
     ), bench AS (
       SELECT DISTINCT gram FROM grams WHERE source = 'src0'
@@ -3042,14 +3043,23 @@ def q100_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", "source", tokens("text").alias("toks"))
+    # sequence(1, 0) is DESCENDING in Spark ([1, 0] -> slice(toks, 0, .) is a
+    # runtime error), so docs shorter than the gram width must short-circuit
+    # to an empty array; positions share the oracle's explicit cap
+    n_pos = F.least(
+        F.greatest(F.size("toks") - _Q100_N + 1, F.lit(0)), F.lit(_Q100_MAX_POS)
+    )
     grams = toks.select(
         "doc_id",
         "source",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("toks") - _Q100_N + 1, F.lit(0))),
-                lambda i: F.array_join(F.slice("toks", i, _Q100_N), " "),
-            )
+            F.when(
+                n_pos > 0,
+                F.transform(
+                    F.sequence(F.lit(1), n_pos),
+                    lambda i: F.array_join(F.slice("toks", i, _Q100_N), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("gram"),
     )
     bench = grams.where(F.col("source") == "src0").select("gram").distinct()
@@ -3770,15 +3780,18 @@ def q115_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q116_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users bucketed by first-seen week (the
     events table spans ~5 weeks), counted distinct per week offset — the
-    canonical retention rollup.  Plan: one agg for cohorts (tiny, broadcast
-    back), one distinct + count-distinct keyed by (cohort, offset).
+    canonical retention rollup.  Plan: one agg for cohorts (per-user, so it
+    SHUFFLE-joins back — never a forced broadcast), one distinct +
+    count-distinct keyed by (cohort, offset).
     Offsets are whole-day integer differences / 7 (no interval math →
     engine-identical).
     """
     e = load_table(spark, sf_dir, "events").select("user_id", "ts")
     firsts = e.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort"))
     act = (
-        e.join(F.broadcast(firsts), "user_id")
+        # firsts is per-USER (corpus-sized at scale) — a shuffled join on
+        # user_id, never a forced broadcast; AQE may still promote it locally
+        e.join(firsts, "user_id")
         .select(
             "user_id",
             "cohort",

@@ -157,7 +157,9 @@ def sessionize_per_user(events: DataFrame, gap_seconds: int) -> DataFrame:
                 yield emit(*cur)
                 cur = [t, t, 1]
             else:
-                cur[1] = t
+                # out-of-order within-watermark arrivals must not REGRESS the
+                # session end (F.session_window merges by max, so do we)
+                cur[1] = max(cur[1], t)
                 cur[2] += 1
         if cur is not None:
             state.update(tuple(cur))

@@ -93,3 +93,15 @@ def test_html_to_text_edge_cases(spark):
     df = spark.createDataFrame([(h,) for h, _ in cases], "html string")
     got = [r[0] for r in df.select(html_to_text("html")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_canonical_url_schemeless_passthrough(spark):
+    """Scheme-less inputs must NOT collapse to a shared ':///' dedup key."""
+    from re_data_pipeline_spark.functions.urls import canonical_url
+
+    df = spark.createDataFrame(
+        [("example.com/a",), ("other-site.org/b",), ("  spaced.net/c ",)], "url string"
+    )
+    got = [r[0] for r in df.select(canonical_url("url")).collect()]
+    assert got == ["example.com/a", "other-site.org/b", "spaced.net/c"]
+    assert len(set(got)) == 3

@@ -107,3 +107,34 @@ def test_contamination_only_flags_shared_grams(spark):
     out = QUERIES["q100_contamination"](spark, SF_DIR)
     pdf = out.toPandas()
     assert (pdf["n_contaminated_grams"] >= 1).all()
+
+
+def test_contamination_handles_short_docs(spark):
+    """Docs shorter than the gram width must yield zero grams, not a
+    slice(toks, 0, n) runtime error (sequence(1,0) is DESCENDING in Spark)."""
+    from re_data_pipeline_spark.plans.queries import _Q100_N
+
+    d = spark.createDataFrame(
+        [(1, "a b c", "src0"), (2, "a b c", "srcX"), (3, " ".join("w%d" % i for i in range(20)), "srcX")],
+        "doc_id long, text string, source string",
+    )
+    from re_data_pipeline_spark.functions.text import tokens
+
+    toks = d.select("doc_id", "source", tokens("text").alias("toks"))
+    n_pos = F.least(F.greatest(F.size("toks") - _Q100_N + 1, F.lit(0)), F.lit(2000))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                n_pos > 0,
+                F.transform(
+                    F.sequence(F.lit(1), n_pos),
+                    lambda i: F.array_join(F.slice("toks", i, _Q100_N), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    got = grams.groupBy("doc_id").count().collect()
+    counts = {r["doc_id"]: r["count"] for r in got}
+    assert 1 not in counts and 2 not in counts  # 3-token docs: no grams, no crash
+    assert counts[3] == 20 - _Q100_N + 1

@@ -272,3 +272,17 @@ def test_assign_ordinals_dense_and_ordered(spark):
     assert ordered[["k", "id"]].values.tolist() == (
         out.sort_values(["k", "id"])[["k", "id"]].values.tolist()
     )
+
+
+def test_quality_check_on_empty_table(spark):
+    """An empty table is vacuously clean: rate 0.0, no ANSI divide-by-zero,
+    and the enforce gate passes."""
+    from re_data_pipeline_spark.operators.quality import check, enforce
+
+    df = spark.createDataFrame([], "id long, bal double").where(F.lit(False))
+    rules = {"bal_nonneg": F.col("bal") >= 0}
+    rep = check(df, rules).collect()
+    assert rep[0]["n_rows"] == 0
+    assert rep[0]["n_violations"] == 0
+    assert rep[0]["violation_rate"] == 0.0
+    assert enforce(df, rules) is df
