@@ -83,7 +83,10 @@ def quality_score(col: Column | str) -> Column:
     stop_credit = F.least(stopword_ratio(col) / F.lit(0.2), F.lit(1.0))
     punct_pen = F.greatest(punct_ratio(col) - F.lit(0.1), F.lit(0.0))
     score = F.lit(0.5) * len_credit + F.lit(0.5) * stop_credit - punct_pen
-    return F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0))
+    clamped = F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0))
+    # least/greatest SKIP null operands, so a NULL document would score a
+    # perfect 1.0 — pin it to 0.0 (a null doc is the worst doc, not the best)
+    return F.when(_c(col).isNull(), F.lit(0.0)).otherwise(clamped)
 
 
 def lang_id(col: Column | str) -> Column:

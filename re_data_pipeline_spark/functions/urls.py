@@ -45,7 +45,11 @@ def canonical_url(col: Column | str) -> Column:
     no_frag = F.regexp_replace(c, r"#.*$", "")
     scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     host = F.lower(F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
-    host = F.regexp_replace(host, r":(80|443)$", "")
+    # only the scheme's OWN default port is droppable: https://h:80 is a
+    # real non-default port serving different content than https://h
+    host = F.when(scheme == "http", F.regexp_replace(host, r":80$", "")).otherwise(
+        F.when(scheme == "https", F.regexp_replace(host, r":443$", "")).otherwise(host)
+    )
     path = F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.regexp_extract(no_frag, r"\?([^#]*)", 1)

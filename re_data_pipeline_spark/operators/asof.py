@@ -38,22 +38,27 @@ def asof_join(
     the keys and timestamp; they appear in the output as ``<col><suffix>``
     (plus ``<ts_col><suffix>`` — the matched right timestamp)."""
     rts = right_ts_col or ts_col
+    # default payload excludes the keys, the right timestamp, AND any right
+    # column named like the LEFT timestamp: when rts != ts_col, a right
+    # column literally named ts_col would alias-collide with the matched-
+    # timestamp carrier (and its suffixed output) — pass payload_cols
+    # explicitly (renamed) to carry such a column
     payload_cols = payload_cols or [
-        c for c in right.columns if c not in set(on) | {rts}
+        c for c in right.columns if c not in set(on) | {rts, ts_col}
     ]
 
     l_tag = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__side"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}") for c in payload_cols],
-        F.lit(None).cast(right.schema[rts].dataType).alias("__p_ts"),
+        F.lit(None).cast(right.schema[rts].dataType).alias("__rts__"),
     )
     r_tag = right.select(
         *[F.col(c) for c in on],
         F.col(rts).alias(ts_col),
         F.lit(0).alias("__side"),
         *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
-        F.col(rts).alias("__p_ts"),
+        F.col(rts).alias("__rts__"),
     )
     for c in left.columns:
         if c not in r_tag.columns:
@@ -71,8 +76,8 @@ def asof_join(
             F.last(F.col(f"__p_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
             for c in payload_cols
         ],
-        F.last(F.col("__p_ts"), ignorenulls=True).over(w).alias(f"{ts_col}{suffix}"),
+        F.last(F.col("__rts__"), ignorenulls=True).over(w).alias(f"{ts_col}{suffix}"),
     )
     return carried.where(F.col("__side") == 1).drop(
-        "__side", "__p_ts", *[f"__p_{c}" for c in payload_cols]
+        "__side", "__rts__", *[f"__p_{c}" for c in payload_cols]
     )

@@ -130,7 +130,7 @@ def lsh_candidate_pairs(
     buckets = buckets.persist()
     a = buckets.alias("a")
     b = buckets.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -143,6 +143,8 @@ def lsh_candidate_pairs(
         )
         .distinct()
     )
+    out._bucket_cache = buckets  # release path for long-lived sessions
+    return out
 
 
 def ngram_jaccard_pairs(
@@ -303,6 +305,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # loop exhausted without converging: labels are WRONG for any chain
+        # longer than max_iterations — wrong dedup silently keeps duplicates,
+        # so fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (graph diameter too large) — raise max_iterations"
+        )
     return labels.select(F.col("node"), F.col("comp").alias("component"))
 
 
@@ -347,12 +357,20 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 60, out_col: str 
     fits signed 64-bit).  Decimal division would round at result scale and
     can flip a bit when the true quotient's fraction exceeds 0.9999995.
     """
-    toks = df.select(
-        F.col("*"), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__tok")
+    # fingerprint per DISTINCT text, then join back on an md5 key: every
+    # input row survives (null text -> null fingerprint via the left join,
+    # duplicate rows are preserved), and repeated texts hash once
+    texts = (
+        df.select(F.col(text_col).alias("__text"))
+        .where(F.col("__text").isNotNull())
+        .distinct()
+    )
+    toks = texts.select(
+        "__text", F.explode(F.split(F.trim(F.col("__text")), r"\s+")).alias("__tok")
     ).withColumn(
         "__h", F.conv(F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10).cast("long")
     )
-    bit_sums = toks.groupBy(*df.columns).agg(
+    bit_sums = toks.groupBy("__text").agg(
         *[
             F.sum((F.shiftright(F.col("__h"), j) % 2) * 2 - 1).alias(f"__b{j}")
             for j in range(bits)
@@ -362,7 +380,12 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 60, out_col: str 
     for j in range(bits):
         term = F.when(F.col(f"__b{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
-    return bit_sums.withColumn(out_col, sim.cast("long")).drop(*[f"__b{j}" for j in range(bits)])
+    fp = bit_sums.select(F.md5("__text").alias("__sk"), sim.cast("long").alias(out_col))
+    return (
+        df.withColumn("__sk", F.md5(F.col(text_col)))
+        .join(fp, "__sk", "left")
+        .drop("__sk")
+    )
 
 
 def incremental_lsh_dedup(
@@ -375,8 +398,13 @@ def incremental_lsh_dedup(
     bands: int = 4,
 ) -> dict[str, DataFrame]:
     """Dedup a NEW batch against the historical LSH index without touching
-    old documents — the incremental form of ``near_dedup_pipeline`` for a
-    continuously-crawled corpus (first-seen wins).
+    old documents — the incremental form of the *candidate tier* (band
+    collision ⇒ duplicate) for a continuously-crawled corpus, first-seen
+    wins.  NOTE: this is stricter than ``near_dedup_pipeline``, which
+    verifies candidates with exact Jaccard before dropping; verifying
+    incrementally requires a document store for prior texts (keep one and
+    run ``jaccard_on_pairs`` over the collision pairs before trusting a
+    drop, if LSH false positives are unacceptable for your corpus).
 
     ``index_buckets`` is the persisted ``(id, band, band_key)`` table of
     every *previously seen* document (kept AND dropped — a doc removed as a

@@ -61,7 +61,13 @@ def enforce(
     pipeline (`... |> enforce |> write`).
     """
     report = check(df, rules).collect()
-    bad = [r for r in report if r["violation_rate"] > max_violation_rate]
+    # compare raw counts: the report's rate is rounded for display, and a
+    # zero-tolerance gate must not pass 1-in-10M violations that round to 0.0
+    bad = [
+        r
+        for r in report
+        if r["n_violations"] > r["n_rows"] * max_violation_rate
+    ]
     if bad:
         detail = ", ".join(f"{r['rule']}={r['n_violations']}/{r['n_rows']}" for r in bad)
         raise ValueError(f"quality gate failed: {detail}")

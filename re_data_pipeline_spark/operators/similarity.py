@@ -62,6 +62,13 @@ def cosine_topk_per_query(
     Non-vector query columns (metadata filters, epochs…) pass through.
     """
     qcols = [c for c in queries.columns if c != query_vec]
+    shared = set(corpus.columns) & set(qcols)
+    if shared:
+        raise ValueError(
+            f"corpus and queries share column names {sorted(shared)} — "
+            "rename the query-side columns before calling (the cross join "
+            "would make window/tiebreak references ambiguous)"
+        )
     joined = corpus.crossJoin(
         F.broadcast(queries.select(*qcols, F.col(query_vec).alias("__qv")))
     )

@@ -172,6 +172,13 @@ def point_in_polygon_join(
     huge polygon sets swap the bbox predicate for a shared grid-cell key.
     """
     px, py = point_xy
+    shared = set(points.columns) & set(polygons.columns)
+    if shared:
+        raise ValueError(
+            f"points and polygons share column names {sorted(shared)} — "
+            "rename one side before the join (ambiguous references would "
+            "break the left-join branch)"
+        )
     polys = polygons.withColumn(
         "__xmin", F.array_min(F.transform(F.col(ring_col), lambda p: p["x"]))
     ).withColumn(

@@ -3482,8 +3482,11 @@ def q108_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), comp AS (
       SELECT doc_id,
              lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-             regexp_replace(lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
-                            ':(80|443)$', '') AS host,
+             CASE lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               WHEN 'http' THEN regexp_replace(lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':80$', '')
+               WHEN 'https' THEN regexp_replace(lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':443$', '')
+               ELSE lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))
+             END AS host,
              regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
              regexp_extract(nf, '\\?([^#]*)', 1) AS q
       FROM parts

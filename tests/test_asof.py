@@ -25,3 +25,18 @@ def test_asof_join_semantics(spark):
     assert got["b"] == (2.0, _t(20))   # latest prior
     assert got["c"] == (None, None)    # nothing at/before 0:05
     assert got["d"] == (None, None)    # u2's only view is later; keys isolated
+
+
+def test_asof_join_right_table_with_left_ts_named_column(spark):
+    """right_ts_col != ts_col plus a right column literally named ts_col
+    must not alias-collide (the column is excluded from default payload)."""
+    from re_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "key long, ts long")
+    right = spark.createDataFrame(
+        [(1, 5, 999, 2.5)], "key long, event_ts long, ts long, price double"
+    )
+    out = asof_join(left, right, ["key"], "ts", right_ts_col="event_ts")
+    row = out.collect()[0]
+    assert row["price_asof"] == 2.5 and row["ts_asof"] == 5
+    assert "ts" in out.columns  # left's own ts unharmed

@@ -72,6 +72,8 @@ def test_canonical_url_edge_cases(spark):
         ("HTTP://A.COM:80", "http://a.com/"),                       # default port, no path
         ("https://a.com:443/x?b=2&a=1#frag", "https://a.com/x?a=1&b=2"),
         ("https://a.com:8443/x", "https://a.com:8443/x"),           # non-default port kept
+        ("https://a.com:80/x", "https://a.com:80/x"),               # 80 is NOT https' default
+        ("http://a.com:443/x", "http://a.com:443/x"),               # 443 is NOT http's default
         ("http://A.com/Path/Case", "http://a.com/Path/Case"),       # path case preserved
         ("https://a.com/?z=1&y=2&z=0", "https://a.com/?y=2&z=0&z=1"),
     ]

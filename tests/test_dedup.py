@@ -153,3 +153,21 @@ def test_incremental_lsh_dedup_matches_full_recompute(spark):
     )
     assert kept_inc == kept_full
     assert len(kept_inc) < all_docs.count()  # the salted dupes were caught
+
+
+def test_simhash_keeps_null_text_and_duplicate_rows(spark):
+    """simhash must append a column without dropping rows: null text gets a
+    null fingerprint, duplicate rows are preserved."""
+    from re_data_pipeline_spark.operators.dedup import simhash
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, None), (3, "alpha beta"), (3, "alpha beta")],
+        "doc_id long, text string",
+    )
+    out = simhash(df, "text").collect()
+    assert len(out) == 4
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["doc_id"], []).append(r["simhash"])
+    assert by_id[2] == [None]
+    assert by_id[1][0] is not None and by_id[1][0] == by_id[3][0] == by_id[3][1]

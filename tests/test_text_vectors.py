@@ -174,3 +174,12 @@ def test_pq_adc_recall_on_clustered_data(spark):
     assert len(got & exact) >= 5
     # every ADC hit must at least come from the query's true cluster (ids 0-49)
     assert all(v < 50 for v in got)
+
+
+def test_quality_score_null_text_is_worst(spark):
+    from re_data_pipeline_spark.functions.text import quality_score
+
+    df = spark.createDataFrame([("the and is a good text here",), (None,)], "text string")
+    got = [r[0] for r in df.select(quality_score("text")).collect()]
+    assert got[1] == 0.0
+    assert got[0] > 0.0
