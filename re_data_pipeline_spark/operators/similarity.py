@@ -54,12 +54,17 @@ def cosine_topk_per_query(
     query_vec: str = "embedding",
     query_id: str = "query_id",
     score_col: str = "score",
+    prefilter: Column | None = None,
 ) -> DataFrame:
     """Top-k per query via broadcast(queries) × corpus + rank window.
 
     The window partitions by query, so the shuffle key is the query id — the
     corpus itself is scored map-side against the broadcast query table.
-    Non-vector query columns (metadata filters, epochs…) pass through.
+    Non-vector query columns (metadata epochs…) pass through.  ``prefilter``
+    (a predicate over corpus × query columns) restricts candidates BEFORE
+    the rank — metadata-filtered retrieval semantics (Pinecone filters the
+    index, then takes top-k); filtering after the rank would hand each
+    query a slice of the global top-k instead.
     """
     qcols = [c for c in queries.columns if c != query_vec]
     shared = set(corpus.columns) & set(qcols)
@@ -72,6 +77,8 @@ def cosine_topk_per_query(
     joined = corpus.crossJoin(
         F.broadcast(queries.select(*qcols, F.col(query_vec).alias("__qv")))
     )
+    if prefilter is not None:
+        joined = joined.where(prefilter)
     scored = joined.withColumn(score_col, cosine_similarity(F.col(corpus_vec), F.col("__qv"))).drop("__qv")
     tiebreak = [c for c in corpus.columns if c != corpus_vec][:1]
     w = Window.partitionBy(query_id).orderBy(F.desc(score_col), *tiebreak)

@@ -112,8 +112,13 @@ def raw_royal_park_listings(spark: SparkSession, n: int = 20) -> DataFrame:
 
 
 def osm_pois(spark: SparkSession) -> DataFrame:
-    """POIs at pinned planar offsets from listing points (FIXTURES §8):
-    500 / 999 / 1001 / 2000 m pin the ≤1000 m radius boundary."""
+    """POIs at pinned planar offsets from hash-derived anchor points
+    (FIXTURES §8): 500 / 999 / 1001 / 2000 m offsets pin the ≤1000 m
+    radius boundary RELATIVE TO EACH ANCHOR.  Note the anchors are not the
+    listing coordinates the pipelines derive from lat/lng — the exact
+    boundary semantics are pinned in ``test_spatial.py`` against controlled
+    geometry; here the POIs exercise the join mechanics (cell bucketing,
+    null enrichment for out-of-range listings) over arbitrary layouts."""
     rows = []
     k = 0
     for i in range(30):

@@ -180,18 +180,21 @@ def property_listings_pipeline(
     )
     # planar coords for the spatial joins (fixtures are planar already;
     # with lat/lon inputs this is utm_project())
-    from re_data_pipeline_spark.plans.fixtures import GRID_ORIGIN_X as OX
+    from re_data_pipeline_spark.plans.fixtures import GRID_ORIGIN_X, GRID_ORIGIN_Y
 
     xy = combined.select(
         "property_uuid",
-        (((F.col("latitude") - 53.4) * 100000.0) + OX).alias("y"),
-        (((F.col("longitude") + 113.7) * 100000.0) + OX).alias("x"),
+        (((F.col("latitude") - 53.4) * 100000.0) + GRID_ORIGIN_Y).alias("y"),
+        (((F.col("longitude") + 113.7) * 100000.0) + GRID_ORIGIN_X).alias("x"),
     )
     osm = enrich_osm(xy, pois)
     zon = enrich_zoning(xy, zones)
     enriched = (
-        combined.join(F.broadcast(osm), "property_uuid", "left")  # J1
-        .join(F.broadcast(zon), "property_uuid", "left")
+        # osm/zon are per-LISTING aggregates (corpus-sized at scale) — a
+        # shuffled join on the uuid, never a forced broadcast; AQE may still
+        # promote it locally
+        combined.join(osm, "property_uuid", "left")  # J1
+        .join(zon, "property_uuid", "left")
         .withColumn("price", safe_cast("price", "string", "Unknown"))
         .withColumn("zoning", F.coalesce("zoning", F.lit("Unknown")))
     )
@@ -368,6 +371,9 @@ def transcripts_pipeline(
         "text",
         dim=embed_dim,
     ).drop("text")
+    # the metadata filter must apply BEFORE the rank (Pinecone filters the
+    # index, then takes top-k): filtering after would give each meeting a
+    # share of the GLOBAL top-k instead of its own k chunks
     scored = cosine_topk_per_query(
         embedded,
         queries.withColumnRenamed("embedding", "qv"),
@@ -375,8 +381,9 @@ def transcripts_pipeline(
         corpus_vec="embedding",
         query_vec="qv",
         query_id="query_id",
+        prefilter=F.col("start_time_epoch") == F.col("query_epoch"),
     )
-    retrieved = scored.where(F.col("start_time_epoch") == F.col("query_epoch"))
+    retrieved = scored
 
     # Summarize (X6): concatenate retrieved chunk texts per meeting → LLM.
     context = retrieved.groupBy("query_id").agg(
@@ -390,6 +397,12 @@ def transcripts_pipeline(
     flagged = transcripts.withColumn(
         "vectorized",
         F.when(F.col("vectorized") == 0, F.lit(1)).otherwise(F.col("vectorized")),
+    ).withColumn(
+        # the reference flips BOTH flags (transcripts_to_vector_db sets
+        # vectorized, transcript_summaries sets summarized) — without this an
+        # incremental re-run keyed on summarized==0 re-summarizes everything
+        "summarized",
+        F.when(F.col("summarized") == 0, F.lit(1)).otherwise(F.col("summarized")),
     )
     return {
         "chunks": embedded,

@@ -21,19 +21,22 @@ from pyspark.sql.types import StructType
 
 
 def read_json_glob(
-    spark: SparkSession, path_glob: str, schema: StructType | None = None
+    spark: SparkSession,
+    path_glob: str,
+    schema: StructType | None = None,
+    multi_line: bool = False,
 ) -> DataFrame:
     """Multi-blob JSON union scan (S8): ``prefix/*.json`` → one DataFrame.
 
-    With an explicit schema the scan skips inference (one pass, not two) and
-    malformed rows go to ``_corrupt_record`` instead of failing — the
-    engine's analogue of the reference's lenient parse-and-extend loop.
+    ``multi_line`` selects the file shape EXPLICITLY (pretty-printed blobs
+    vs JSON-lines) so it does not silently flip when a schema is added.
+    With an explicit schema the scan skips inference (one pass, not two);
+    for malformed-row capture use ``read_json_quarantine`` (the
+    ``_corrupt_record`` column only exists when declared in the schema).
     """
-    reader = spark.read
+    reader = spark.read.option("multiLine", str(multi_line).lower())
     if schema is not None:
         reader = reader.schema(schema)
-    else:
-        reader = reader.option("multiLine", "true")
     return reader.json(path_glob)
 
 
@@ -123,4 +126,5 @@ def read_json_quarantine(
     bad = df.where(F.col("_corrupt_record").isNotNull()).select(
         F.col("_corrupt_record").alias("raw")
     )
+    good._quarantine_cache = df  # release path for long-lived sessions
     return good, bad

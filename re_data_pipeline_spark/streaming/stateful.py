@@ -147,20 +147,27 @@ def sessionize_per_user(events: DataFrame, gap_seconds: int) -> DataFrame:
         ts_us: list[int] = []
         for pdf in pdfs:
             ts_us.extend((pdf["ts"].astype("int64") // 1000).tolist())
-        ts_us.sort()
 
-        cur = list(state.get) if state.exists else None
-        for t in ts_us:
+        # interval-merge fold (exactly F.session_window's semantics): treat
+        # the open session as an interval and each event as [t, t]; sort ALL
+        # intervals by start and merge neighbors within the gap.  This
+        # handles late in-watermark events BEFORE the open session's start
+        # (they extend it backwards or form their own earlier session)
+        # where a naive append-only fold would regress or over-merge.
+        intervals = [[t, t, 1] for t in ts_us]
+        if state.exists:
+            intervals.append(list(state.get))
+        intervals.sort(key=lambda iv: (iv[0], iv[1]))
+        cur = None
+        for iv in intervals:
             if cur is None:
-                cur = [t, t, 1]
-            elif t - cur[1] > gap_us:
+                cur = iv
+            elif iv[0] - cur[1] > gap_us:
                 yield emit(*cur)
-                cur = [t, t, 1]
+                cur = iv
             else:
-                # out-of-order within-watermark arrivals must not REGRESS the
-                # session end (F.session_window merges by max, so do we)
-                cur[1] = max(cur[1], t)
-                cur[2] += 1
+                cur[1] = max(cur[1], iv[1])
+                cur[2] += iv[2]
         if cur is not None:
             state.update(tuple(cur))
             state.setTimeoutTimestamp(cur[1] // 1000 + gap_ms)

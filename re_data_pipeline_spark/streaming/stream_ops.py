@@ -38,10 +38,15 @@ def read_stream(
 
 
 def dedup_stream(df: DataFrame, keys: list[str], ts_col: str, watermark: str) -> DataFrame:
-    """Exactly-once-ish natural-key dedup (I1): ``dropDuplicates`` over a
-    watermarked stream bounds the dedup state — the streaming form of the
-    reference's ON CONFLICT DO NOTHING key."""
-    return df.withWatermark(ts_col, watermark).dropDuplicates(keys)
+    """Exactly-once-ish natural-key dedup (I1) with BOUNDED state — the
+    streaming form of the reference's ON CONFLICT DO NOTHING key.
+
+    Plain ``dropDuplicates(keys)`` would keep every key seen forever (the
+    watermark only evicts state when the event-time column is part of the
+    subset), so this delegates to ``dropDuplicatesWithinWatermark``: state
+    for a key is released once the watermark passes its event time + delay.
+    """
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
 def windowed_counts(
@@ -106,11 +111,16 @@ def run_foreach_batch_upsert(
 
     def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        try:
+        # probe path existence explicitly: a bare except would treat ANY
+        # read failure (schema drift, corrupt footer, bad key name) as
+        # "first batch" and append duplicates while swallowing the error
+        jvm = spark.sparkContext._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(existing_path)
+        fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+        if fs.exists(jpath):
             existing = spark.read.parquet(existing_path)
             new_rows = anti_join_new_rows(batch_df, existing, keys)
-        except Exception:
-            # first batch: nothing exists yet
+        else:
             new_rows = batch_df.dropDuplicates(keys)
         new_rows.write.mode("append").parquet(existing_path)
 

@@ -297,3 +297,47 @@ def test_stream_stream_left_outer_emits_unmatched(spark, tmp_path):
     matched_views = {p[0] for p in want_matched}
     all_views = {r[0] for r in views.select("event_id").collect()}
     assert got_unmatched_views == all_views - matched_views
+
+
+def test_sessionize_merges_late_in_watermark_events(spark, tmp_path):
+    """A late (still in-watermark) event BEFORE the open session's start
+    must extend it backwards — or form its own earlier session when it is
+    more than a gap away — exactly like F.session_window."""
+    import datetime as dt
+    import time as _t
+
+    from re_data_pipeline_spark.streaming.stateful import sessionize_per_user
+    from re_data_pipeline_spark.streaming.stream_ops import read_stream
+
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+    schema = "user_id long, ts timestamp"
+    d = str(tmp_path / "late_sess")
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(d)
+        _t.sleep(0.2)
+
+    write([(1, base), (1, base + dt.timedelta(minutes=5))])          # 10:00, 10:05
+    write([(1, base - dt.timedelta(minutes=2)),                      # 09:58 (late, in-watermark)
+           (1, base - dt.timedelta(hours=2))])                       # 08:00 (own session)
+    write([(-1, base + dt.timedelta(days=1))])                       # sentinels advance watermark
+    write([(-1, base + dt.timedelta(days=2))])
+
+    stream = read_stream(spark, d, schema, max_files_per_trigger=1)
+    sess = sessionize_per_user(stream.withWatermark("ts", "3 hours"), 30 * 60)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("late_sess_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["session_start"], r["last_event"], r["n_events"])
+        for r in spark.table("late_sess_out").where(F.col("user_id") == 1).collect()
+    }
+    assert got == {
+        (base - dt.timedelta(hours=2), base - dt.timedelta(hours=2), 1),
+        (base - dt.timedelta(minutes=2), base + dt.timedelta(minutes=5), 3),
+    }
