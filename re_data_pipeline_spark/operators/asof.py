@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 from pyspark.sql.window import Window
 
 
@@ -47,18 +48,30 @@ def asof_join(
         c for c in right.columns if c not in set(on) | {rts, ts_col}
     ]
 
+    # The whole right row travels as ONE struct carried by ONE
+    # last(ignoreNulls) — carrying each payload column independently would
+    # substitute stale values from OLDER right rows whenever the matched row
+    # has a NULL in that column (and could mix columns from different rows).
+    # The struct itself is NULL on left rows and never NULL on right rows
+    # (even if every payload field inside it is NULL), so last(ignoreNulls)
+    # picks exactly the latest right ROW, NULL payload fields intact.
+    pr_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in payload_cols]
+        + [StructField("__rts__", right.schema[rts].dataType)]
+    )
     l_tag = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__side"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}") for c in payload_cols],
-        F.lit(None).cast(right.schema[rts].dataType).alias("__rts__"),
+        F.lit(None).cast(pr_type).alias("__pr"),
     )
     r_tag = right.select(
         *[F.col(c) for c in on],
         F.col(rts).alias(ts_col),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__p_{c}") for c in payload_cols],
-        F.col(rts).alias("__rts__"),
+        F.struct(
+            *[F.col(c).alias(c) for c in payload_cols],
+            F.col(rts).alias("__rts__"),
+        ).alias("__pr"),
     )
     for c in left.columns:
         if c not in r_tag.columns:
@@ -70,14 +83,9 @@ def asof_join(
         .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
-        "*",
-        *[
-            F.last(F.col(f"__p_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in payload_cols
-        ],
-        F.last(F.col("__rts__"), ignorenulls=True).over(w).alias(f"{ts_col}{suffix}"),
-    )
-    return carried.where(F.col("__side") == 1).drop(
-        "__side", "__rts__", *[f"__p_{c}" for c in payload_cols]
+    carried = unioned.withColumn("__m", F.last(F.col("__pr"), ignorenulls=True).over(w))
+    return carried.where(F.col("__side") == 1).select(
+        *[F.col(c) for c in left.columns],
+        *[F.col("__m").getField(c).alias(f"{c}{suffix}") for c in payload_cols],
+        F.col("__m").getField("__rts__").alias(f"{ts_col}{suffix}"),
     )

@@ -32,10 +32,18 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
     One hash shuffle on the 128-bit fingerprint; at 100 TB the fingerprint
     groupBy is map-side combined and the full text never shuffles.
+
+    NULL text coalesces to a sentinel fingerprint so NULL-text rows dedup to
+    one survivor (lowest id) instead of vanishing — NULL keys never match in
+    the semi join, and ``dropDuplicates`` (the semantics being improved on)
+    keeps one NULL row.  The sentinel cannot collide: real fingerprints are
+    32-char md5 hex.
     """
-    fp = df.withColumn("__fp", doc_fingerprint(F.col(text_col)))
+    fp = df.withColumn(
+        "__fp", F.coalesce(doc_fingerprint(F.col(text_col)), F.lit("__null__"))
+    )
     keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col))
-    return fp.join(keep, [ "__fp", id_col], "left_semi").drop("__fp")
+    return fp.join(keep, ["__fp", id_col], "left_semi").drop("__fp")
 
 
 def minhash_signature(
@@ -244,7 +252,12 @@ def near_dedup_pipeline(
         verified.where(F.col("jaccard") >= F.lit(threshold))
         .select(F.col("id_b").alias(id_col))
         .distinct()
+        # materialize the (small) loser set eagerly so the bucket cache can
+        # be released NOW — otherwise every pipeline call leaks a persisted
+        # DataFrame that accumulates executor memory in long-lived sessions
+        .localCheckpoint()
     )
+    cands._bucket_cache.unpersist()
     return df.join(losers, id_col, "left_anti")
 
 
@@ -288,21 +301,20 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("comp").alias("nmin"))
         )
+        # the change flag is computed in the SAME select (old and new label
+        # are both in the row) — no extra join-with-previous-labels probe;
+        # the localCheckpoint is the one materialization job per round and
+        # the flag sum scans its cached blocks only
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
                 F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
+                (F.coalesce(F.col("nmin"), F.col("comp")) < F.col("comp")).alias("__changed"),
             )
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("__changed")).limit(1).count()
+        labels = new_labels.drop("__changed")
         if changed == 0:
             break
     else:
@@ -338,7 +350,11 @@ def cluster_dedup_pipeline(
     confirmed = jaccard_on_pairs(cands, df, id_col, text_col, shingle_words).where(
         F.col("jaccard") >= F.lit(threshold)
     )
+    # connected_components localCheckpoints its edge list up front, so the
+    # bucket cache is no longer referenced afterwards — release it here
+    # rather than leaking one persisted DataFrame per pipeline call
     comps = connected_components(confirmed.select("id_a", "id_b"))
+    cands._bucket_cache.unpersist()
     losers = comps.where(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )

@@ -200,6 +200,67 @@ def ann_lsh_topk(
     )
 
 
+def ann_topk_per_query(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    planes: list[list[float]],
+    corpus_vec: str = "embedding",
+    query_vec: str = "embedding",
+    query_id: str = "query_id",
+    score_col: str = "score",
+    prefilter: Column | None = None,
+    probe_bits: int = 1,
+) -> DataFrame:
+    """Approximate per-query top-k: SRP-bucket BOTH sides, equi-join on the
+    bucket key, exact cosine re-rank inside each query's bucket only.
+
+    This is the scale form of ``cosine_topk_per_query``: instead of scoring
+    |corpus| × |queries| rows, each query scores only its bucket's corpus
+    slice (expected |corpus| / 2^planes).  At 100 TB the corpus bucket key
+    is computed at ingest and the table is partitioned by it, so the join
+    prunes partitions.  Same output schema as the exact operator; recall is
+    governed by the plane count (fewer planes → bigger buckets → higher
+    recall, more compute) and by ``probe_bits`` — standard multi-probe LSH:
+    each query also probes the buckets within that Hamming distance of its
+    own (0 = own bucket only; 1 = own + one-bit flips, +|planes| probe
+    rows per query, still broadcast-small), rescuing vectors that fall just
+    across one hyperplane.
+    """
+    qcols = [c for c in queries.columns if c != query_vec]
+    shared = set(corpus.columns) & set(qcols)
+    if shared:
+        raise ValueError(
+            f"corpus and queries share column names {sorted(shared)} — "
+            "rename the query-side columns before calling"
+        )
+    bucketed = corpus.withColumn("__bucket", srp_bucket(corpus_vec, planes))
+    qb = srp_bucket(query_vec, planes)
+    probes = [qb]
+    if probe_bits >= 1:
+        probes += [qb.bitwiseXOR(F.lit(2 ** i)) for i in range(len(planes))]
+    if probe_bits >= 2:
+        probes += [
+            qb.bitwiseXOR(F.lit(2 ** i + 2 ** j))
+            for i in range(len(planes))
+            for j in range(i + 1, len(planes))
+        ]
+    q = queries.select(
+        *qcols,
+        F.col(query_vec).alias("__qv"),
+        F.explode(F.array_distinct(F.array(*probes))).alias("__bucket"),
+    )
+    joined = bucketed.join(F.broadcast(q), "__bucket")
+    if prefilter is not None:
+        joined = joined.where(prefilter)
+    scored = joined.withColumn(
+        score_col, cosine_similarity(F.col(corpus_vec), F.col("__qv"))
+    ).drop("__qv", "__bucket")
+    tiebreak = [c for c in corpus.columns if c != corpus_vec][:1]
+    w = Window.partitionBy(query_id).orderBy(F.desc(score_col), *tiebreak)
+    return scored.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k).drop("__rn")
+
+
 def kmeans_assign(
     corpus: DataFrame,
     centroids: list[list[float]],

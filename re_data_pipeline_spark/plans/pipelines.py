@@ -17,7 +17,10 @@ from re_data_pipeline_spark.functions.cleaning import normalize_sale_or_lease, s
 from re_data_pipeline_spark.functions.geo import cell_corners_str
 from re_data_pipeline_spark.llm.harness import embed_column, llm_map
 from re_data_pipeline_spark.operators.chunking import chunk_snippets, timestamped_link
-from re_data_pipeline_spark.operators.similarity import cosine_topk_per_query
+from re_data_pipeline_spark.operators.similarity import (
+    ann_topk_per_query,
+    cosine_topk_per_query,
+)
 from re_data_pipeline_spark.operators.spatial import (
     grid_aggregate,
     point_in_polygon_join,
@@ -315,11 +318,21 @@ def transcripts_pipeline(
     transcripts: DataFrame,
     embed_dim: int = 16,
     top_k: int = 23,
+    ann_threshold: int | None = None,
+    ann_planes: int = 2,
 ) -> dict[str, DataFrame]:
     """§3.3 trace: select non-vectorized (P15/I2) → sort+chunk (W2/W3/X7) →
     embed (X5, mock client) → chunks table (K5 key ``transcript_id:ts``) →
     per-meeting top-k retrieval (W4) → LLM summarize (X6, mock) → summaries
-    + state-flag updates."""
+    + state-flag updates.
+
+    Retrieval routing: exact ``cosine_topk_per_query`` scores
+    |chunks| × |meetings| rows — fine at reference scale, quadratic at
+    corpus scale.  When ``ann_threshold`` is set and the chunk count
+    reaches it, retrieval routes through the SRP-bucketed
+    ``ann_topk_per_query`` (each query scores only its bucket's slice,
+    ~|chunks| / 2^ann_planes rows).  Default ``None`` keeps the exact path
+    (bit-stable oracle output)."""
     pending = transcripts.where(F.col("vectorized") == 0)  # P15
 
     snippets = pending.select(
@@ -374,20 +387,51 @@ def transcripts_pipeline(
     # the metadata filter must apply BEFORE the rank (Pinecone filters the
     # index, then takes top-k): filtering after would give each meeting a
     # share of the GLOBAL top-k instead of its own k chunks
-    scored = cosine_topk_per_query(
-        embedded,
-        queries.withColumnRenamed("embedding", "qv"),
+    topk_kwargs = dict(
         k=top_k,
         corpus_vec="embedding",
         query_vec="qv",
         query_id="query_id",
         prefilter=F.col("start_time_epoch") == F.col("query_epoch"),
     )
-    retrieved = scored
+    use_ann = ann_threshold is not None and embedded.count() >= ann_threshold
+    if use_ann:
+        # deterministic ±1 hyperplanes (same seedless pattern as ivf_topk's
+        # SRP bootstrap) — recall vs the exact path is pytest-gated
+        planes = [
+            [1.0 if ((i * 11 + j * 17) % 7) < 3 else -1.0 for j in range(embed_dim)]
+            for i in range(ann_planes)
+        ]
+        retrieved = ann_topk_per_query(
+            embedded, queries.withColumnRenamed("embedding", "qv"), planes=planes, **topk_kwargs
+        )
+    else:
+        retrieved = cosine_topk_per_query(
+            embedded, queries.withColumnRenamed("embedding", "qv"), **topk_kwargs
+        )
 
     # Summarize (X6): concatenate retrieved chunk texts per meeting → LLM.
+    # collect_list order is partition-dependent, so the chunks are collected
+    # as (−score, chunk_id, text) structs and array_sort'ed — the prompt is
+    # rank-ordered (score desc, chunk_id tiebreak) exactly like the
+    # reference's similarity-ranked context, and the summary hash is stable
+    # across partitionings.
     context = retrieved.groupBy("query_id").agg(
-        F.array_join(F.collect_list("text"), "\n").alias("context")
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("score")).alias("neg_score"),
+                            F.col("chunk_id").alias("tb"),
+                            F.col("text").alias("text"),
+                        )
+                    )
+                ),
+                lambda s: s["text"],
+            ),
+            "\n",
+        ).alias("context")
     )
     summaries = llm_map(context, "context", "llm_output").select(
         F.col("query_id").alias("council_transcript_id"),

@@ -27,6 +27,22 @@ def test_asof_join_semantics(spark):
     assert got["d"] == (None, None)    # u2's only view is later; keys isolated
 
 
+def test_asof_join_null_payload_stays_atomic(spark):
+    """A NULL payload value in the matched right row must come through as
+    NULL — not be backfilled from an OLDER right row (which could also mix
+    columns from different rows).  DuckDB ASOF semantics: the whole matched
+    row, NULLs intact."""
+    left = spark.createDataFrame([("k", 10)], "k string, ts long")
+    right = spark.createDataFrame(
+        [("k", 1, 5.0, None), ("k", 2, None, 7.0)],
+        "k string, ts long, a double, b double",
+    )
+    row = asof_join(left, right, ["k"], "ts").collect()[0]
+    assert row["ts_asof"] == 2
+    assert row["a_asof"] is None  # matched row's NULL, not ts=1's 5.0
+    assert row["b_asof"] == 7.0
+
+
 def test_asof_join_right_table_with_left_ts_named_column(spark):
     """right_ts_col != ts_col plus a right column literally named ts_col
     must not alias-collide (the column is excluded from default payload)."""

@@ -33,6 +33,18 @@ def test_exact_dedup_normalizes_whitespace(spark):
     assert exact_dedup(df).count() == 1
 
 
+def test_exact_dedup_keeps_one_null_text_row(spark):
+    """NULL-text rows dedup to ONE survivor (lowest id) — not silently
+    dropped (NULL fingerprints never match in the semi join without the
+    sentinel coalesce; dropDuplicates keeps one NULL row)."""
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "hello"), (3, None), (4, None)],
+        "doc_id long, text string",
+    )
+    ids = sorted(r.doc_id for r in exact_dedup(df).collect())
+    assert ids == [1, 3]
+
+
 def test_minhash_deterministic(spark):
     s1 = minhash_signature(docs_df(spark), "text").select("doc_id", "minhash").collect()
     s2 = minhash_signature(docs_df(spark), "text").select("doc_id", "minhash").collect()
