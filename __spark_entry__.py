@@ -17,7 +17,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from re_data_pipeline_spark.plans.queries import ORACLES, QUERIES  # noqa: E402
+from re_data_pipeline_spark.plans.queries import (  # noqa: E402
+    ORACLES,
+    QUERIES,
+    ordered_queries,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -26,8 +30,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, ordered so the
+    driver's verification window covers every §2 family and every headline
+    extension (see ``plans.queries.DRIVER_WINDOW``)."""
+    return ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:
