@@ -164,6 +164,12 @@ def point_in_polygon_join(
 ) -> DataFrame:
     """Point-within-polygon join (J2, ``get_zoning_data.py:60`` sjoin within).
 
+    ``ring_col`` may be a single ring (``array<struct<x,y>>``) or a
+    multi-ring geometry (``array<array<struct<x,y>>>`` — outer ring(s) +
+    interior holes, the reference's MultiPolygon zoning shape,
+    ``get_zoning_data.py:33-34,53-56``); the shape is detected from the
+    schema and containment is even-odd across all rings.
+
     Physical plan: broadcast the polygon table with precomputed bboxes, join
     on bbox containment (range predicates Catalyst can evaluate without
     Python), then run the exact ray-casting pandas UDF only on bbox
@@ -171,6 +177,10 @@ def point_in_polygon_join(
     (zoning districts), so the broadcast is the right plan at any scale; for
     huge polygon sets swap the bbox predicate for a shared grid-cell key.
     """
+    from pyspark.sql.types import ArrayType
+
+    from re_data_pipeline_spark.functions.geo import point_in_multipolygon_udf
+
     px, py = point_xy
     shared = set(points.columns) & set(polygons.columns)
     if shared:
@@ -179,14 +189,21 @@ def point_in_polygon_join(
             "rename one side before the join (ambiguous references would "
             "break the left-join branch)"
         )
+    ring_type = polygons.schema[ring_col].dataType
+    multi = isinstance(ring_type, ArrayType) and isinstance(
+        ring_type.elementType, ArrayType
+    )
+    # bbox over every vertex of every ring (flatten for multi) — holes lie
+    # inside the outer bbox so the prefilter is unaffected by them
+    flat = F.flatten(F.col(ring_col)) if multi else F.col(ring_col)
     polys = polygons.withColumn(
-        "__xmin", F.array_min(F.transform(F.col(ring_col), lambda p: p["x"]))
+        "__xmin", F.array_min(F.transform(flat, lambda p: p["x"]))
     ).withColumn(
-        "__xmax", F.array_max(F.transform(F.col(ring_col), lambda p: p["x"]))
+        "__xmax", F.array_max(F.transform(flat, lambda p: p["x"]))
     ).withColumn(
-        "__ymin", F.array_min(F.transform(F.col(ring_col), lambda p: p["y"]))
+        "__ymin", F.array_min(F.transform(flat, lambda p: p["y"]))
     ).withColumn(
-        "__ymax", F.array_max(F.transform(F.col(ring_col), lambda p: p["y"]))
+        "__ymax", F.array_max(F.transform(flat, lambda p: p["y"]))
     )
     bbox = (
         (F.col(px) >= F.col("__xmin"))
@@ -194,7 +211,7 @@ def point_in_polygon_join(
         & (F.col(py) >= F.col("__ymin"))
         & (F.col(py) <= F.col("__ymax"))
     )
-    pip = point_in_polygon_udf()
+    pip = point_in_multipolygon_udf() if multi else point_in_polygon_udf()
     candidates = points.join(F.broadcast(polys), bbox, "inner").where(
         pip(F.col(px), F.col(py), F.col(ring_col))
     ).drop("__xmin", "__xmax", "__ymin", "__ymax")

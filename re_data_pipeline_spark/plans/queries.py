@@ -3979,7 +3979,7 @@ DRIVER_WINDOW: list[str] = [
     "q01_pricing_summary", "q02_filter_project", "q03_broadcast_join_agg",
     "q04_multi_join_revenue", "q05_anti_join", "q06_semi_join",
     "q07_topk_per_group", "q09_union_by_name", "q11_explode",
-    "q12_running_total", "q13_rollup", "q14_grid_agg", "q16_date_parts",
+    "q12_running_total", "q14_grid_agg", "q16_date_parts",
     "q17_regexp_extract", "q18_string_cleanup", "q19_json_extract",
     "q20_safe_cast", "q21_case_normalize", "q22_completeness_profile",
     "q23_enrichment_join", "q24_collect_sorted",
@@ -3991,8 +3991,9 @@ DRIVER_WINDOW: list[str] = [
     "q30_token_quality", "q31_lang_id", "q32_fingerprint_dedup",
     "q33_minhash_lsh", "q35_cosine_topk", "q37_chunking", "q40_simhash",
     "q60_embedding_neardup",
-    # spatial + temporal joins (2.4)
+    # spatial + temporal joins (2.4) — q119 is PIP with MultiPolygon+holes
     "q38_radius_join", "q57_asof_join", "q58_utm_project",
+    "q119_multipolygon_zones",
     # sources (2.1) + functions
     "q59_json_glob_scan", "q62_storeys_regex",
     # LLM pipeline (2.10) — fully hash-oracled via deterministic mock
@@ -4017,3 +4018,60 @@ def ordered_queries() -> dict[str, QueryFn]:
     window = set(DRIVER_WINDOW)
     rest = [n for n in QUERIES if n not in window]
     return {n: QUERIES[n] for n in [*DRIVER_WINDOW, *rest]}
+
+
+@query(
+    "q119_multipolygon_zones",
+    """
+    WITH p AS (
+        SELECT c_custkey,
+               (c_custkey % 55) + CAST(0.5 AS DOUBLE) AS x,
+               (c_custkey % 13) * CAST(0.7 AS DOUBLE) + CAST(0.35 AS DOUBLE) AS y
+        FROM customer
+    )
+    SELECT c_custkey, x, y, zone
+    FROM p
+    JOIN (VALUES ('donut'), ('block'), ('wedge')) z(zone)
+      ON (z.zone = 'donut' AND x > 0  AND x < 10 AND y > 0 AND y < 10
+          AND NOT (x > 3 AND x < 7 AND y > 3 AND y < 7))
+      OR (z.zone = 'block' AND x > 20 AND x < 30 AND y > 0 AND y < 10)
+      OR (z.zone = 'wedge' AND x > 40 AND x < 50 AND y > 0 AND y < (x - 40))
+    """,
+)
+def q119_multipolygon_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-MultiPolygon join with interior holes (J2 full semantics —
+    the reference's zoning geometries are MultiPolygons,
+    ``get_zoning_data.py:33-34,53-56``).
+
+    Zones: a donut (square outer ring with a square hole), a plain block,
+    and a non-axis-aligned triangle wedge — even-odd ray cast across all
+    rings (numpy-vectorized per Arrow batch) after the broadcast-bbox
+    prefilter.  Points are placed on half-integer offsets so no point lies
+    on a ring edge, making containment analytically expressible for the
+    oracle.
+    """
+    from re_data_pipeline_spark.operators.spatial import point_in_polygon_join
+
+    pts = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") % 55) + 0.5).cast("double").alias("x"),
+        ((F.col("c_custkey") % 13) * 0.7 + 0.35).cast("double").alias("y"),
+    )
+
+    def ring(*xy):
+        return [{"x": float(a), "y": float(b)} for a, b in xy]
+
+    zones = spark.createDataFrame(
+        [
+            # donut: outer ring + hole (hole ring orientation is irrelevant
+            # under the even-odd rule)
+            ("donut", [ring((0, 0), (10, 0), (10, 10), (0, 10)),
+                       ring((3, 3), (7, 3), (7, 7), (3, 7))]),
+            ("block", [ring((20, 0), (30, 0), (30, 10), (20, 10))]),
+            ("wedge", [ring((40, 0), (50, 0), (50, 10))]),
+        ],
+        "zone string, rings array<array<struct<x:double,y:double>>>",
+    )
+    return point_in_polygon_join(
+        pts, zones, ("x", "y"), ring_col="rings", how="inner"
+    ).select("c_custkey", "x", "y", "zone")

@@ -125,3 +125,50 @@ def test_sedona_path_is_gated(spark):
     pts = spark.range(1).select(F.lit(0.0).alias("longitude"), F.lit(0.0).alias("latitude"))
     with _pytest.raises(RuntimeError, match="Sedona path disabled"):
         point_in_polygon_join_sedona(pts, pts)
+
+
+def test_point_in_multipolygon_donut_and_parts(spark):
+    """Even-odd across rings: hole excludes, second part includes, left join
+    leaves orphan points with NULL zone."""
+    from re_data_pipeline_spark.operators.spatial import point_in_polygon_join
+
+    def ring(*xy):
+        return [{"x": float(a), "y": float(b)} for a, b in xy]
+
+    zones = spark.createDataFrame(
+        [("z", [ring((0, 0), (10, 0), (10, 10), (0, 10)),   # outer
+                ring((3, 3), (7, 3), (7, 7), (3, 7)),        # hole
+                ring((20, 0), (30, 0), (30, 10), (20, 10))])],  # 2nd part
+        "zone string, rings array<array<struct<x:double,y:double>>>",
+    )
+    pts = spark.createDataFrame(
+        [(1, 1.5, 1.5),    # in outer ring
+         (2, 5.0, 5.0),    # in the hole -> excluded
+         (3, 25.0, 5.0),   # in the second part
+         (4, 15.0, 5.0)],  # between parts -> no zone
+        "pid long, x double, y double",
+    )
+    got = {
+        r.pid: r.zone
+        for r in point_in_polygon_join(pts, zones, ("x", "y"), "rings", how="left").collect()
+    }
+    assert got == {1: "z", 2: None, 3: "z", 4: None}
+
+
+def test_single_ring_pip_unchanged_by_vectorization(spark):
+    """The numpy kernel must preserve the original edge semantics for the
+    single-ring path (closed or open rings, <3 vertices -> False)."""
+    from re_data_pipeline_spark.operators.spatial import point_in_polygon_join
+
+    tri_open = [{"x": 0.0, "y": 0.0}, {"x": 4.0, "y": 0.0}, {"x": 0.0, "y": 4.0}]
+    tri_closed = tri_open + [tri_open[0]]
+    zones = spark.createDataFrame(
+        [("open", tri_open), ("closed", tri_closed)],
+        "zone string, ring array<struct<x:double,y:double>>",
+    )
+    pts = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, 3.9, 3.9)], "pid long, x double, y double"
+    )
+    rows = point_in_polygon_join(pts, zones, ("x", "y"), "ring", how="inner").collect()
+    got = sorted((r.pid, r.zone) for r in rows)
+    assert got == [(1, "closed"), (1, "open")]
