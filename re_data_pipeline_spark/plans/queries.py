@@ -3980,7 +3980,7 @@ DRIVER_WINDOW: list[str] = [
     "q04_multi_join_revenue", "q05_anti_join", "q06_semi_join",
     "q07_topk_per_group", "q09_union_by_name", "q11_explode",
     "q12_running_total", "q14_grid_agg", "q16_date_parts",
-    "q17_regexp_extract", "q18_string_cleanup", "q19_json_extract",
+    "q17_regexp_extract", "q19_json_extract",
     "q20_safe_cast", "q21_case_normalize", "q22_completeness_profile",
     "q23_enrichment_join", "q24_collect_sorted",
     # sinks / upsert (2.2)
@@ -3994,8 +3994,8 @@ DRIVER_WINDOW: list[str] = [
     # spatial + temporal joins (2.4) — q119 is PIP with MultiPolygon+holes
     "q38_radius_join", "q57_asof_join", "q58_utm_project",
     "q119_multipolygon_zones",
-    # sources (2.1) + functions
-    "q59_json_glob_scan", "q62_storeys_regex",
+    # sources (2.1) + functions — q120 is the HTTP predicate-pushdown scan
+    "q59_json_glob_scan", "q120_http_pushdown_scan", "q62_storeys_regex",
     # LLM pipeline (2.10) — fully hash-oracled via deterministic mock
     "q63_reit_pipeline",
     # headline extensions (all oracle-backed)
@@ -4075,3 +4075,50 @@ def q119_multipolygon_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
     return point_in_polygon_join(
         pts, zones, ("x", "y"), ring_col="rings", how="inner"
     ).select("c_custkey", "x", "y", "zone")
+
+
+# deterministic mock open-data dataset (DuckDB SQL — served by the mock
+# fetcher on the Spark side AND inlined in the oracle, so both engines see
+# the identical "server")
+_PERMITS_SERVER_SQL = """
+    SELECT i AS permit_id,
+           CAST(DATE '2024-01-01' + CAST((i * 7) % 300 AS INTEGER) AS VARCHAR) AS issue_date,
+           CASE i % 3 WHEN 0 THEN 'Issued' WHEN 1 THEN 'Pending' ELSE 'Cancelled' END AS status,
+           CAST((i * 13) % 997 AS DOUBLE) AS construction_value
+    FROM range(500) t(i)
+"""
+
+
+@query(
+    "q120_http_pushdown_scan",
+    f"""
+    SELECT permit_id, issue_date, status, construction_value
+    FROM ({_PERMITS_SERVER_SQL})
+    WHERE issue_date >= '2024-06-01' AND status IN ('Issued', 'Pending')
+    """,
+)
+def q120_http_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-templated HTTP source scan (S6/S7, O1 — the reference's
+    Socrata ``where=``/``order=`` params, ``get_edm_building_permits.py:
+    129-135``, and ``$where`` SoQL URLs, ``get_edm_rezoning_data.py:52-74``).
+
+    The filter is stated as a Column predicate; the wrapper renders it via
+    Catalyst into the request's ``where`` text and the (mock DuckDB) server
+    applies it server-side — HTTP pushdown, fetched in offset pages of 100.
+    """
+    from re_data_pipeline_spark.sources.http import (
+        HttpPredicateSource,
+        duckdb_table_fetcher,
+    )
+
+    src = HttpPredicateSource(
+        spark,
+        duckdb_table_fetcher(_PERMITS_SERVER_SQL),
+        schema="permit_id bigint, issue_date string, status string, construction_value double",
+    )
+    return src.load(
+        where=(F.col("issue_date") >= F.lit("2024-06-01"))
+        & F.col("status").isin("Issued", "Pending"),
+        order="issue_date, permit_id",
+        page_size=100,
+    )
