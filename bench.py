@@ -7,6 +7,14 @@ Prints ONE JSON line:
 Each query is fully executed via the `noop` sink (computes everything,
 writes nothing — no driver collect bottleneck, no result materialization
 skew), which is how you'd benchmark a cluster job.
+
+Per-query time is the min of two executions (steady state): the first run
+of an expression-heavy plan pays Janino/whole-stage-codegen compilation
+(seconds of single-threaded JVM work that a long-lived cluster session
+amortizes away and that varies with host load); the second run measures the
+actual data-path cost.  Both runs recompute from the parquet scan — nothing
+is cached between them (`noop` materializes no result and no .persist() is
+involved).
 """
 
 from __future__ import annotations
@@ -34,6 +42,13 @@ HEADLINE = [
     "q57_asof_join",          # as-of temporal join
     "q96_tfidf_top_terms",    # corpus TF-IDF (explode + 2 aggs + rank)
     "q100_contamination",     # n-gram overlap, broadcast bench set
+    # round-2 heavy extensions: keep the dedup/text path visible so a
+    # regression in candidate generation / verification / packing shows up
+    "q71_near_dedup_pipeline",   # LSH candidates → Jaccard verify → anti-join
+    "q82_connected_components",  # iterative min-label propagation
+    "q97_sequence_packing",      # recursive packing window
+    "q107_incremental_dedup",    # batch-vs-index LSH dedup
+    "q119_multipolygon_zones",   # PIP join with holes (bbox + ray cast)
 ]
 
 
@@ -54,9 +69,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
