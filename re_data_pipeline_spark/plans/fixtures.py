@@ -29,86 +29,123 @@ def _coord(i: int, salt: str) -> float:
     return GRID_ORIGIN_X + (_h(f"{salt}:{i}") % 32000)
 
 
-def raw_av_listings(spark: SparkSession, n: int = 40) -> DataFrame:
-    """AV-style source rows (``get_AV_listings.py:94-100`` rename shape):
-    nested location strings, city filter column, CDN-relative image path."""
+AV_SCHEMA = (
+    "name string, city string, status string, "
+    "location struct<lat:string,lng:string>, external_url string, "
+    "image_path string, transaction string, address string, price string"
+)
+
+
+def av_payload(n: int = 40) -> list[dict]:
+    """The AV endpoint's JSON rows — shared between the fixture DataFrame and
+    the mock HTTP server in ``plans/acquisition.py`` so the in-engine
+    acquisition path (S1) ingests byte-identical rows."""
     rows = []
     for i in range(n):
         city = "Edmonton" if i % 5 != 4 else "Calgary"
         status = ["active", "escrow", "closed"][i % 3]
         rows.append(
-            (
-                f"AV Property {i}",
-                city,
-                status,
-                {"lat": f"{53.4 + (i % 40) * 0.005:.10f}", "lng": f"{-113.7 + (i % 40) * 0.005:.10f}"},
-                f"https://av.example/p/{i}",
-                f"/img/{i}.jpg",
-                "For Sale" if i % 2 == 0 else "For Lease",
-                f"{100 + i} Jasper Ave",
-                str(1000 + i * 10),
-            )
+            {
+                "name": f"AV Property {i}",
+                "city": city,
+                "status": status,
+                "location": {
+                    "lat": f"{53.4 + (i % 40) * 0.005:.10f}",
+                    "lng": f"{-113.7 + (i % 40) * 0.005:.10f}",
+                },
+                "external_url": f"https://av.example/p/{i}",
+                "image_path": f"/img/{i}.jpg",
+                "transaction": "For Sale" if i % 2 == 0 else "For Lease",
+                "address": f"{100 + i} Jasper Ave",
+                "price": str(1000 + i * 10),
+            }
         )
-    return spark.createDataFrame(
-        rows,
-        "name string, city string, status string, "
-        "location struct<lat:string,lng:string>, external_url string, "
-        "image_path string, transaction string, address string, price string",
-    )
+    return rows
 
 
-def raw_omada_listings(spark: SparkSession, n: int = 30) -> DataFrame:
-    """Omada-style rows: title.rendered nesting, sqft/acre min/max size CASE
-    inputs (``get_omada_listings.py:86-120``)."""
+def raw_av_listings(spark: SparkSession, n: int = 40) -> DataFrame:
+    """AV-style source rows (``get_AV_listings.py:94-100`` rename shape):
+    nested location strings, city filter column, CDN-relative image path."""
+    names = [f.strip().split(" ")[0] for f in AV_SCHEMA.split(", ")]
+    rows = [tuple(r[k] for k in names) for r in av_payload(n)]
+    return spark.createDataFrame(rows, AV_SCHEMA)
+
+
+OMADA_SCHEMA = (
+    "title struct<rendered:string>, address string, city string, "
+    "status string, _listing_sqft_min string, _listing_sqft_max string, "
+    "_listing_acre_min string, _listing_acre_max string, "
+    "transaction string, latitude string, longitude string"
+)
+
+
+def omada_payload(n: int = 30) -> list[dict]:
+    """WordPress REST rows served by the mock WP endpoint (S3).  All rows are
+    ``publish`` here; the acquisition-path mock server adds ``draft`` rows on
+    top and filters them with the ``status=publish`` query param, mirroring
+    the WP API contract where status filtering happens at the endpoint."""
     rows = []
     for i in range(n):
         sqft_min = str(500 + i * 10) if i % 3 != 2 else None
         sqft_max = str(900 + i * 10) if i % 3 == 0 else None
         acre_min = str(1 + i % 4) if i % 3 == 2 else None
         rows.append(
-            (
-                {"rendered": f"Omada Listing {i}"},
-                f"{200 + i} Whyte Ave",
-                "Edmonton",
-                "publish",
-                sqft_min,
-                sqft_max,
-                acre_min,
-                None,
-                "Sale or Lease" if i % 4 == 0 else ("Sublease" if i % 4 == 1 else "For Lease"),
-                f"{53.40 + (i % 30) * 0.006:.10f}",
-                f"{-113.65 + (i % 30) * 0.006:.10f}",
-            )
+            {
+                "title": {"rendered": f"Omada Listing {i}"},
+                "address": f"{200 + i} Whyte Ave",
+                "city": "Edmonton",
+                "status": "publish",
+                "_listing_sqft_min": sqft_min,
+                "_listing_sqft_max": sqft_max,
+                "_listing_acre_min": acre_min,
+                "_listing_acre_max": None,
+                "transaction": "Sale or Lease"
+                if i % 4 == 0
+                else ("Sublease" if i % 4 == 1 else "For Lease"),
+                "latitude": f"{53.40 + (i % 30) * 0.006:.10f}",
+                "longitude": f"{-113.65 + (i % 30) * 0.006:.10f}",
+            }
         )
-    return spark.createDataFrame(
-        rows,
-        "title struct<rendered:string>, address string, city string, "
-        "status string, _listing_sqft_min string, _listing_sqft_max string, "
-        "_listing_acre_min string, _listing_acre_max string, "
-        "transaction string, latitude string, longitude string",
-    )
+    return rows
+
+
+def raw_omada_listings(spark: SparkSession, n: int = 30) -> DataFrame:
+    """Omada-style rows: title.rendered nesting, sqft/acre min/max size CASE
+    inputs (``get_omada_listings.py:86-120``)."""
+    names = [f.strip().split(" ")[0] for f in OMADA_SCHEMA.split(", ")]
+    rows = [tuple(r[k] for k in names) for r in omada_payload(n)]
+    return spark.createDataFrame(rows, OMADA_SCHEMA)
+
+
+ROYAL_PARK_SCHEMA = (
+    "building string, address string, city string, latitude string, "
+    "longitude string, transaction string, price string"
+)
+
+
+def royal_park_payload(n: int = 20) -> list[dict]:
+    """Rows the Royal-Park admin-ajax POST endpoint returns (S4)."""
+    rows = []
+    for i in range(n):
+        rows.append(
+            {
+                "building": f"RP Building {i}",
+                "address": f"{300 + i} 104 St NW",
+                "city": "Edmonton",
+                "latitude": f"{53.45 + (i % 20) * 0.004:.10f}",
+                "longitude": f"{-113.60 + (i % 20) * 0.004:.10f}",
+                "transaction": "For Lease",
+                "price": str(2000 + i * 25),
+            }
+        )
+    return rows
 
 
 def raw_royal_park_listings(spark: SparkSession, n: int = 20) -> DataFrame:
     """Royal-Park-style rows (``get_royal_park_listings.py:80-107``)."""
-    rows = []
-    for i in range(n):
-        rows.append(
-            (
-                f"RP Building {i}",
-                f"{300 + i} 104 St NW",
-                "Edmonton",
-                f"{53.45 + (i % 20) * 0.004:.10f}",
-                f"{-113.60 + (i % 20) * 0.004:.10f}",
-                "For Lease",
-                str(2000 + i * 25),
-            )
-        )
-    return spark.createDataFrame(
-        rows,
-        "building string, address string, city string, latitude string, "
-        "longitude string, transaction string, price string",
-    )
+    names = [f.strip().split(" ")[0] for f in ROYAL_PARK_SCHEMA.split(", ")]
+    rows = [tuple(r[k] for k in names) for r in royal_park_payload(n)]
+    return spark.createDataFrame(rows, ROYAL_PARK_SCHEMA)
 
 
 def osm_pois(spark: SparkSession) -> DataFrame:

@@ -2802,17 +2802,25 @@ def q45_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q46_listings_pipeline")
 def q46_listings_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end §3.1 property-listings trace (extract×3 → union → OSM
-    radius + zoning PIP enrichment → normalize → upsert) over deterministic
-    FIXTURES.md fixtures (rows-only: multi-stage pipeline)."""
+    """End-to-end §3.1 property-listings trace (acquire×3 via the HTTP
+    source wrapper → union → OSM radius + zoning PIP enrichment → normalize
+    → upsert) over deterministic FIXTURES.md payloads (rows-only:
+    multi-stage pipeline).  Ingestion is the in-engine S1/S3/S4 path:
+    offset-paged REST, page-numbered WordPress with server-side
+    ``status=publish``, and the admin-ajax POST carrier."""
     from re_data_pipeline_spark.plans import fixtures as fx
+    from re_data_pipeline_spark.plans.acquisition import (
+        acquire_av,
+        acquire_omada,
+        acquire_royal_park,
+    )
     from re_data_pipeline_spark.plans.pipelines import property_listings_pipeline
 
     out = property_listings_pipeline(
         spark,
-        fx.raw_av_listings(spark),
-        fx.raw_omada_listings(spark),
-        fx.raw_royal_park_listings(spark),
+        acquire_av(spark),
+        acquire_omada(spark),
+        acquire_royal_park(spark),
         fx.osm_pois(spark),
         fx.zone_polygons(spark),
     )

@@ -36,6 +36,11 @@ Fetcher = Callable[[dict], list[dict]]
 _STYLES = {
     "socrata": {"where": "where", "order": "order", "limit": "limit", "offset": "offset"},
     "soql": {"where": "$where", "order": "$order", "limit": "$limit", "offset": "$offset"},
+    # WordPress REST (S3): no SQL predicate surface — filtering is query
+    # params (``status=publish``) and paging is page-number (``page``/
+    # ``per_page``), not offset.  ``where``/``order`` render as plain params
+    # only if explicitly passed (WP ``orderby`` exists; predicates don't).
+    "wp": {"where": "search", "order": "orderby", "limit": "per_page", "offset": "page"},
 }
 
 
@@ -75,13 +80,24 @@ class HttpPredicateSource:
         fetcher: Fetcher,
         schema: StructType | str,
         param_style: str = "socrata",
+        extra_params: dict | None = None,
+        page_style: str = "offset",
     ):
         if param_style not in _STYLES:
             raise ValueError(f"param_style must be one of {sorted(_STYLES)}")
+        if page_style not in ("offset", "page"):
+            raise ValueError("page_style must be 'offset' or 'page'")
         self.spark = spark
         self.fetcher = fetcher
         self.schema = schema if isinstance(schema, StructType) else StructType.fromDDL(schema)
         self.keys = _STYLES[param_style]
+        # constant query params sent with EVERY request — the WP
+        # ``status=publish`` / ajax ``action=...`` carrier; server-side
+        # filtering that isn't predicate-shaped
+        self.extra_params = dict(extra_params or {})
+        # "offset" = Socrata get_all loop; "page" = WP page-number paging
+        # (page counter starts at 1 and the offset key carries the page)
+        self.page_style = page_style
 
     def render_params(
         self,
@@ -92,7 +108,7 @@ class HttpPredicateSource:
     ) -> dict:
         """The exact request params for one page — exposed for tests to
         assert the pushed predicate text."""
-        params: dict = {}
+        params: dict = dict(self.extra_params)
         if where is not None:
             params[self.keys["where"]] = render_predicate(self.spark, self.schema, where)
         if order is not None:
@@ -119,15 +135,15 @@ class HttpPredicateSource:
         if page_size is None:
             rows = self.fetcher(self.render_params(where, order, limit))
         else:
-            offset = 0
+            cursor = 0 if self.page_style == "offset" else 1
             while True:
                 page = self.fetcher(
-                    self.render_params(where, order, page_size, offset)
+                    self.render_params(where, order, page_size, cursor)
                 )
                 rows.extend(page)
                 if len(page) < page_size:
                     break
-                offset += page_size
+                cursor += page_size if self.page_style == "offset" else 1
                 if limit is not None and len(rows) >= limit:
                     rows = rows[:limit]
                     break
