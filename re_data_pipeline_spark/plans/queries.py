@@ -2627,12 +2627,38 @@ def q55_limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q56_geocode_fallback")
+@query(
+    "q56_geocode_fallback",
+    """
+    WITH base AS (
+      SELECT c_custkey AS permit_id, c_name AS address,
+             CASE WHEN c_custkey % 3 = 0 THEN 0.0
+                  ELSE (c_custkey % 90)::DOUBLE END AS latitude,
+             CASE WHEN c_custkey % 3 = 0 THEN 0.0
+                  ELSE (c_custkey % 180)::DOUBLE END AS longitude
+      FROM customer WHERE c_custkey % 23 = 0
+    ), geo AS (
+      SELECT permit_id, address,
+             CASE WHEN latitude = 0.0 AND longitude = 0.0
+                  THEN (('0x' || substr(md5(address), 1, 8))::BIGINT % 9000) / 100.0
+                  ELSE latitude END AS latitude,
+             CASE WHEN latitude = 0.0 AND longitude = 0.0
+                  THEN ((('0x' || substr(md5(address), 1, 8))::BIGINT // 9000) % 18000) / 100.0 - 90.0
+                  ELSE longitude END AS longitude
+      FROM base
+    )
+    SELECT permit_id, address, latitude, longitude FROM geo
+    WHERE latitude != 0.0 AND longitude != 0.0
+    """,
+)
 def q56_geocode_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geocoding UDF with fallback (X2/P18 —
     ``get_edm_building_permits.py:49-80,164-185``): rows with bad (0,0)
     coords get deterministic mock-geocoded from the address, then invalid
-    rows drop.  mapInPandas with a per-partition client (rows-only)."""
+    rows drop.  mapInPandas with a per-partition client.
+
+    Oracle-green: the mock geocoder is md5 arithmetic on the address, so the
+    fallback fill + invalid-coord drop replays exactly in DuckDB."""
     import hashlib
     from collections.abc import Iterator
 
@@ -2677,8 +2703,9 @@ def q56_geocode_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Rows-only queries (non-SQL-expressible / approximate — driver records a
-# weaker rows-only check; SURVEY §2.10, ANN, SimHash)
+# Mostly rows-only queries (approximate ANN, RNG-backed decode, multi-stage
+# pipelines — driver records a weaker rows-only check).  Deterministic-mock
+# UDF ops here (q42/q43/q56, like q63) DO carry full md5-replay oracles.
 # ---------------------------------------------------------------------------
 
 
@@ -2724,10 +2751,21 @@ def q41_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(e, qvec, 10, planes).select("vec_id", "label", "score")
 
 
-@query("q42_llm_extract")
+@query(
+    "q42_llm_extract",
+    """
+    SELECT doc_id,
+           '[MOCK:' || substr(md5(coalesce(text, '')), 1, 12) || ']' AS summary
+    FROM documents WHERE doc_id < 50
+    """,
+)
 def q42_llm_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batched LLM extraction operator over mapInPandas with the
-    deterministic mock client (X3/X4/X6; rows-only)."""
+    """Batched LLM extraction operator over mapInPandas (X3/X4/X6).
+
+    Oracle-green: the mock client is a pure md5 of the prompt (the document
+    text), so the extracted ``summary`` replays exactly in DuckDB — the
+    mapInPandas plumbing (Arrow batching, per-task client, JSON round-trip
+    through ``get_json_object``) is what's actually under test."""
     from re_data_pipeline_spark.llm.harness import llm_map
 
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
@@ -2858,15 +2896,44 @@ def q48_transcripts_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["summaries"]
 
 
-@query("q43_embed_column")
+_Q43_DIM = 16
+_Q43_SQL = f"""
+WITH v AS (
+  SELECT doc_id,
+         {', '.join(
+             f"(('0x' || substr(md5(coalesce(text, '') || '#{i}'), 1, 8))::BIGINT"
+             f" / 4294967295.0 * 2.0 - 1.0) AS v{i}"
+             for i in range(_Q43_DIM)
+         )}
+  FROM documents WHERE doc_id < 50
+), n AS (
+  SELECT doc_id, v0,
+         sqrt({' + '.join(f'v{i} * v{i}' for i in range(_Q43_DIM))}) AS nrm
+  FROM v
+)
+SELECT doc_id,
+       round((v0 / CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END)::REAL::DOUBLE, 6) AS e0
+FROM n
+"""
+
+
+@query("q43_embed_column", _Q43_SQL)
 def q43_embed_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding UDF operator (X5) with the deterministic hash-embedding
-    client (rows-only)."""
+    client.
+
+    Oracle-green: the hash embedding is pure md5 arithmetic, replayed
+    term-by-term in DuckDB (same left-to-right float64 norm fold, same
+    float32 truncation via ``::REAL``), so the Arrow-batched mapInPandas
+    embed stage is hash-compared end to end on its first component."""
     from re_data_pipeline_spark.llm.harness import embed_column
 
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
-    out = embed_column(d.select("doc_id", "text"), "text", dim=16)
-    return out.select("doc_id", F.element_at("embedding", 1).alias("e0"))
+    out = embed_column(d.select("doc_id", "text"), "text", dim=_Q43_DIM)
+    return out.select(
+        "doc_id",
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("e0"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3983,12 +4050,14 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # repo's own parity harness (tools/parity.py) every session.
 
 DRIVER_WINDOW: list[str] = [
-    # core relational + §2.3-2.8 coverage
-    "q01_pricing_summary", "q02_filter_project", "q03_broadcast_join_agg",
+    # core relational + §2.3-2.8 coverage (q03/q12/q17 rotated out of the
+    # window in r2 — broadcast-join/cumsum/regex stay parity-verified and
+    # are subsumed by q04/q07+q118/q62 driver rows — to make room for the
+    # previously-untested UDF family below)
+    "q01_pricing_summary", "q02_filter_project",
     "q04_multi_join_revenue", "q05_anti_join", "q06_semi_join",
     "q07_topk_per_group", "q09_union_by_name", "q11_explode",
-    "q12_running_total", "q14_grid_agg", "q16_date_parts",
-    "q17_regexp_extract", "q19_json_extract",
+    "q14_grid_agg", "q16_date_parts", "q19_json_extract",
     "q20_safe_cast", "q21_case_normalize", "q22_completeness_profile",
     "q23_enrichment_join", "q24_collect_sorted",
     # sinks / upsert (2.2)
@@ -4004,7 +4073,9 @@ DRIVER_WINDOW: list[str] = [
     "q119_multipolygon_zones",
     # sources (2.1) + functions — q120 is the HTTP predicate-pushdown scan
     "q59_json_glob_scan", "q120_http_pushdown_scan", "q62_storeys_regex",
-    # LLM pipeline (2.10) — fully hash-oracled via deterministic mock
+    # UDF / LLM surface (2.10) — fully hash-oracled via deterministic mocks:
+    # X2 geocode fallback, X3 llm_map, X5 embeddings, X4/X6 REIT pipeline
+    "q56_geocode_fallback", "q42_llm_extract", "q43_embed_column",
     "q63_reit_pipeline",
     # headline extensions (all oracle-backed)
     "q71_near_dedup_pipeline", "q82_connected_components",
