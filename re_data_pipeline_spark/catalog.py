@@ -55,11 +55,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if spark.conf.get("spark.sql.shuffle.partitions") == "200":
         # untouched default → size for the test scale
         spark.conf.set("spark.sql.shuffle.partitions", "32")
+    # Spark 4.1 infers parquet timestamps with isAdjustedToUTC=false as
+    # TIMESTAMP_NTZ, which Structured Streaming's withWatermark rejects
+    # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).  With the session timezone pinned
+    # UTC the LTZ reading has identical wall-clock values, so disable NTZ
+    # inference (runtime-settable, and re-pinned here so a caller-provided
+    # SparkSession gets it too).
+    if spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "true") != "false":
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Defensive: if any NTZ column slipped through (e.g. conf ignored by a
+    # future Spark), cast to TIMESTAMP — wall-clock-preserving under UTC.
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

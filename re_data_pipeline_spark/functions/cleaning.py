@@ -22,15 +22,38 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# Python float()/int() string acceptance (minus inf/nan spellings, underscore
+# separators and non-ASCII digits — documented platform differences).  Spark's
+# try_cast is LOOSER than Python here: it accepts Java-style typed-literal
+# suffixes ('1D', '1.5F'), which the reference's float(val) rejects, so a bare
+# try_cast returns 1.0 where the reference returns the default.
+_STRICT_DOUBLE_RE = r"^[+-]?(\.[0-9]+|[0-9]+\.?[0-9]*)([eE][+-]?[0-9]+)?$"
+_STRICT_INT_RE = r"^[+-]?[0-9]+$"
+_INT_TYPES = {"int", "integer", "bigint", "long", "smallint", "short", "tinyint", "byte"}
+_FLOAT_TYPES = {"double", "float", "real", "decimal", "numeric"}
+
+
 def safe_cast(col: Column | str, dtype: str, default) -> Column:
     """Cast leniently; un-castable or null values become ``default``.
 
     Equivalent of the reference's ``safe_cast`` helper
     (``combine_broker_listings.py:167-175``): NaN/None/bad strings map to the
-    default rather than raising.  ``try_cast`` is the Catalyst-native
-    failure-to-NULL cast, so the whole expression is codegen'd.
+    default rather than raising.  ``try_cast`` alone is not enough — Spark
+    accepts Java numeric-literal suffixes (``'1D'`` → 1.0) that Python's
+    ``float()`` raises on — so numeric targets are guarded by a strict
+    Python-``float()``/``int()`` shaped regex first.  Everything stays
+    Catalyst-native (rlike + try_cast + coalesce), fully codegen'd.
+
+    Numeric *columns* cast to int targets should be pre-cast by the caller
+    (the guard assumes string inputs, like the reference's JSON payloads).
     """
     c = F.col(col) if isinstance(col, str) else col
+    base = dtype.split("(")[0].strip().lower()
+    if base in _INT_TYPES or base in _FLOAT_TYPES:
+        pat = _STRICT_INT_RE if base in _INT_TYPES else _STRICT_DOUBLE_RE
+        t = F.trim(c.cast("string"))
+        guarded = F.when(t.rlike(pat), t.try_cast(dtype))
+        return F.coalesce(guarded, F.lit(default).cast(dtype))
     return F.coalesce(c.try_cast(dtype), F.lit(default).cast(dtype))
 
 

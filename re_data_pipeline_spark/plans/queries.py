@@ -4040,56 +4040,80 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-window registration order
 # ---------------------------------------------------------------------------
 # The correctness driver verifies the FIRST 50 registered queries, in order.
-# This list pins that window to 50 oracle-backed queries spanning every
-# SURVEY §2 family (sources 2.1, sinks 2.2, project/filter 2.3, joins 2.4,
-# aggregates 2.5, sort/top-k/chunking 2.6, set ops 2.7, functions 2.8,
-# incremental/streaming 2.9, UDF/LLM ops 2.10) PLUS every headline
-# extension (near-dedup/CC/TF-IDF/packing/PII/intervals/contamination/
-# incremental-dedup/grouping-sets/ordinals/streaming-sessions).  Everything
-# NOT in the window stays registered after it and is still verified by the
-# repo's own parity harness (tools/parity.py) every session.
+# Round-3 rotation: rounds 1+2 accumulated 66 unique green driver rows, but
+# 53 registered queries had NEVER had a driver row — and the round-2
+# streaming breakage (q44, invisible because out-of-window) showed why that
+# rots.  This window therefore swaps in every never-checked oracle-backed
+# query (43) plus the five highest-value rows-only pipelines (q46/q47/q48
+# end-to-end traces, q41/q69 ANN), keeping only the two queries whose CODE
+# changed this round and so need a fresh row: q101 (streaming sessions —
+# red in r2, fixed by the TIMESTAMP_NTZ coercion) and q20 (safe_cast strict
+# numeric guard).  Everything rotated out is pinned by 1-2 green driver rows
+# + unchanged code, and the repo's own parity harness (tools/parity.py)
+# still verifies ALL 120 queries every session.
+# Still never driver-checked after this round (rotate into r4's window):
+# q45_multimodal_features, q53_approx_distinct, q75_percentile_approx,
+# q103_ivf_kmeans, q115_pq_adc_topk.
 
 DRIVER_WINDOW: list[str] = [
-    # core relational + §2.3-2.8 coverage (q03/q12/q17 rotated out of the
-    # window in r2 — broadcast-join/cumsum/regex stay parity-verified and
-    # are subsumed by q04/q07+q118/q62 driver rows — to make room for the
-    # previously-untested UDF family below)
-    "q01_pricing_summary", "q02_filter_project",
-    "q04_multi_join_revenue", "q05_anti_join", "q06_semi_join",
-    "q07_topk_per_group", "q09_union_by_name", "q11_explode",
-    "q14_grid_agg", "q16_date_parts", "q19_json_extract",
-    "q20_safe_cast", "q21_case_normalize", "q22_completeness_profile",
-    "q23_enrichment_join", "q24_collect_sorted",
-    # sinks / upsert (2.2)
-    "q25_upsert", "q26_archive_delisted",
-    # windows + streaming (2.9)
-    "q27_tumbling_window", "q29_session_window", "q101_streaming_sessions",
-    # text / dedup / similarity north stars
-    "q30_token_quality", "q31_lang_id", "q32_fingerprint_dedup",
-    "q33_minhash_lsh", "q35_cosine_topk", "q37_chunking", "q40_simhash",
-    "q60_embedding_neardup",
-    # spatial + temporal joins (2.4) — q119 is PIP with MultiPolygon+holes
-    "q38_radius_join", "q57_asof_join", "q58_utm_project",
-    "q119_multipolygon_zones",
-    # sources (2.1) + functions — q120 is the HTTP predicate-pushdown scan
-    "q59_json_glob_scan", "q120_http_pushdown_scan", "q62_storeys_regex",
-    # UDF / LLM surface (2.10) — fully hash-oracled via deterministic mocks:
-    # X2 geocode fallback, X3 llm_map, X5 embeddings, X4/X6 REIT pipeline
-    "q56_geocode_fallback", "q42_llm_extract", "q43_embed_column",
-    "q63_reit_pipeline",
-    # headline extensions (all oracle-backed)
-    "q71_near_dedup_pipeline", "q82_connected_components",
-    "q96_tfidf_top_terms", "q97_sequence_packing", "q98_pii_redaction",
-    "q99_interval_concurrency", "q100_contamination",
-    "q107_incremental_dedup", "q114_grouping_sets", "q118_global_ordinals",
+    # changed-code anchors (need fresh rows this round)
+    "q101_streaming_sessions", "q20_safe_cast",
+    # streaming + incremental family (2.9) — q44 was silently broken in r2
+    "q44_streaming_tumbling", "q66_state_flag_merge", "q70_stateful_stream",
+    "q95_incremental_aggregate", "q86_cdc_latest",
+    # end-to-end pipeline traces (rows-only; §3 flagship shapes)
+    "q46_listings_pipeline", "q47_rental_grid_pipeline",
+    "q48_transcripts_pipeline", "q72_curation_pipeline",
+    "q91_brochure_pipeline",
+    # similarity / ANN (2.10 north stars)
+    "q41_ann_lsh", "q69_ivf_ann", "q85_cluster_dedup",
+    "q104_embedding_minmax", "q106_scalar_quantization",
+    # window / analytic functions (2.6)
+    "q55_limit_topn", "q64_lag_lead", "q65_first_occurrence",
+    "q87_rank_distribution", "q111_topn_order_revenue",
+    # aggregates & statistics (2.5)
+    "q74_percentiles", "q76_histogram", "q84_zscore_outliers",
+    "q88_conditional_agg", "q89_above_average", "q108_grouped_regression",
+    "q112_regional_supplier_volume", "q113_quality_report",
+    # sampling (training-data curation)
+    "q78_deterministic_sample", "q81_stratified_sample", "q105_weighted_sample",
+    # reshaping / set ops (2.7)
+    "q79_pivot", "q80_unpivot", "q90_array_setops",
+    # text analysis (F-family + north stars)
+    "q54_first_available", "q67_rolling_hash", "q68_bpe_token_count",
+    "q77_levenshtein", "q93_word_count", "q109_canonical_url",
+    "q110_html_to_text",
+    # temporal analytics
+    "q83_gap_fill", "q92_date_trunc_spectrum", "q94_funnel",
+    "q116_cohort_retention", "q117_rfm_segments",
+    # joins / layout
+    "q73_band_join", "q102_zorder_layout",
 ]
+
+
+# Window entries intentionally checked rows-only (non-SQL-expressible:
+# multi-stage pipelines with staged sinks, approximate ANN).  Anything else
+# in the window without an oracle is a registration bug — fail at import.
+ROWS_ONLY_WINDOW: frozenset[str] = frozenset(
+    {
+        "q41_ann_lsh",
+        "q46_listings_pipeline",
+        "q47_rental_grid_pipeline",
+        "q48_transcripts_pipeline",
+        "q69_ivf_ann",
+        "q91_brochure_pipeline",
+    }
+)
 
 
 def ordered_queries() -> dict[str, QueryFn]:
     """QUERIES re-ordered so DRIVER_WINDOW registers first (window names
-    must exist and carry oracles — fail loudly at import if not)."""
+    must exist and carry oracles unless explicitly rows-only — fail loudly
+    at import if not)."""
     missing = [n for n in DRIVER_WINDOW if n not in QUERIES]
-    no_oracle = [n for n in DRIVER_WINDOW if n not in ORACLES]
+    no_oracle = [
+        n for n in DRIVER_WINDOW if n not in ORACLES and n not in ROWS_ONLY_WINDOW
+    ]
     if missing or no_oracle:
         raise RuntimeError(
             f"DRIVER_WINDOW broken: missing={missing} no_oracle={no_oracle}"

@@ -63,6 +63,10 @@ def get_spark(
         # Deterministic parquet behavior across engines.
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        # Spark 4.1 infers isAdjustedToUTC=false parquet timestamps as
+        # TIMESTAMP_NTZ, which withWatermark rejects; with UTC pinned the LTZ
+        # reading is wall-clock-identical, so keep the pre-4.1 behavior.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Local files are tiny; without this a 1 MB parquet becomes ONE input
         # partition and map-heavy operators (minhash, simhash) serialize onto
         # a single core.  On a real cluster with 128 MB+ files, raise it back

@@ -19,7 +19,31 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType, TimestampNTZType, TimestampType
+
+
+def _coerce_event_time_schema(schema: StructType | str) -> StructType | str:
+    """Rewrite TIMESTAMP_NTZ fields to TIMESTAMP.
+
+    Spark 4.1 infers parquet timestamps written with isAdjustedToUTC=false as
+    TIMESTAMP_NTZ, and ``withWatermark`` rejects NTZ event-time columns
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).  Sessions here pin UTC, so the LTZ
+    reading of the same micros is wall-clock-identical; coercing at the source
+    keeps every downstream watermark/window operator valid.
+    """
+    if not isinstance(schema, StructType):
+        return schema
+    return StructType(
+        [
+            StructField(
+                f.name,
+                TimestampType() if isinstance(f.dataType, TimestampNTZType) else f.dataType,
+                f.nullable,
+                f.metadata,
+            )
+            for f in schema.fields
+        ]
+    )
 
 
 def read_stream(
@@ -31,10 +55,14 @@ def read_stream(
 ) -> DataFrame:
     """File-source stream: new files under ``path`` become micro-batches —
     the streaming analogue of the reference's GCS-prefix rescans (S8)."""
-    reader = spark.readStream.format(fmt).schema(schema)
+    reader = spark.readStream.format(fmt).schema(_coerce_event_time_schema(schema))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.load(path)
+    df = reader.load(path)
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def dedup_stream(df: DataFrame, keys: list[str], ts_col: str, watermark: str) -> DataFrame:

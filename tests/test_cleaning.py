@@ -25,6 +25,31 @@ def test_safe_cast_int_default(spark):
     assert [r.out for r in df.collect()] == [7, -1]
 
 
+def test_safe_cast_rejects_java_suffixes(spark):
+    """Reference float('1D') raises → default; Spark try_cast alone accepts
+    Java typed-literal suffixes, so the strict guard must reject them
+    (combine_broker_listings.py:167-175; round-2 hypothesis falsifier)."""
+    cases = [
+        ("1D", 0.0), ("1F", 0.0), ("2d", 0.0), ("3.5f", 0.0),
+        ("0x1A", 0.0), ("1e3D", 0.0), (" 7 ", 7.0), ("+.5", 0.5),
+        ("-2e-3", -0.002), ("1e3", 1000.0), (".", 0.0), ("", 0.0),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], ["v"]).select(
+        safe_cast("v", "double", 0.0).alias("out")
+    )
+    got = [r.out for r in df.collect()]
+    for g, (inp, want) in zip(got, cases):
+        assert abs(g - want) < 1e-12, (inp, g, want)
+
+
+def test_safe_cast_int_rejects_decimals_like_python(spark):
+    """int('1.5') raises in Python → default, and int('12L') likewise."""
+    df = spark.createDataFrame([("1.5",), ("12L",), (" 12 ",), ("+3",)], ["v"]).select(
+        safe_cast("v", "int", -1).alias("out")
+    )
+    assert [r.out for r in df.collect()] == [-1, -1, 12, 3]
+
+
 def test_sale_or_lease_precedence(spark):
     # reference order (combine_broker_listings.py:78-94): sale&lease →
     # sale_or_lease; sale; sublease BEFORE lease; null → ''

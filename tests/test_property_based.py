@@ -50,16 +50,23 @@ def test_sale_or_lease_matches_reference(spark, batch):
 
 import re as _re
 
-# Python float() accepts "nan"/"inf"/"infinity" case-insensitively; Java's
-# parser only the exact "NaN"/"Infinity" — exclude the divergent spellings
-# (they're a documented platform difference, not a safe_cast property).
+# Python float() accepts "nan"/"inf"/"infinity" case-insensitively, underscore
+# digit separators ("1_0"), and non-ASCII unicode digits; the engine's strict
+# ASCII guard intentionally treats those as un-castable — documented platform
+# differences, not safe_cast properties, so exclude them from the oracle.
 _NANINF = _re.compile(r"^\s*[+-]?(nan|inf\w*)\s*$", _re.IGNORECASE)
+_PLATFORM_ONLY = _re.compile(r"_|[^\x00-\x7f]")
 
 num_strategy = st.one_of(
     st.none(),
-    st.text(max_size=12).filter(lambda s: not _NANINF.match(s)),
+    st.text(max_size=12).filter(
+        lambda s: not _NANINF.match(s) and not _PLATFORM_ONLY.search(s)
+    ),
     st.integers(-10**6, 10**6).map(str),
     st.floats(allow_nan=False, allow_infinity=False, width=32).map(lambda f: f"{f:.4f}"),
+    # the falsifying family from round 2: Java typed-literal suffixes that
+    # Python float() rejects but a bare Spark try_cast accepts
+    st.sampled_from(["1D", "1F", "2d", "3.5f", "0x1A", "1e3D", " 7L ", "8s"]),
 )
 
 
@@ -72,7 +79,7 @@ def ref_safe_double(v, default=0.0):
         return default
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=25, deadline=None)
 @given(st.lists(num_strategy, min_size=1, max_size=40))
 def test_safe_cast_double_matches_python(spark, batch):
     df = spark.createDataFrame([(v,) for v in batch], "v string").select(
