@@ -8,13 +8,20 @@ Each query is fully executed via the `noop` sink (computes everything,
 writes nothing — no driver collect bottleneck, no result materialization
 skew), which is how you'd benchmark a cluster job.
 
-Per-query time is the min of two executions (steady state): the first run
+Per-query time is the min of three executions (steady state): the first run
 of an expression-heavy plan pays Janino/whole-stage-codegen compilation
 (seconds of single-threaded JVM work that a long-lived cluster session
-amortizes away and that varies with host load); the second run measures the
-actual data-path cost.  Both runs recompute from the parquet scan — nothing
-is cached between them (`noop` materializes no result and no .persist() is
-involved).
+amortizes away and that varies with host load); later runs measure the
+actual data-path cost, and min-of-3 absorbs host-load spikes that round-2
+showed can swing an unchanged plan by 1.7×.  Both runs recompute from the
+parquet scan — nothing is cached between them (`noop` materializes no
+result and no .persist() is involved).
+
+Each query also records a PLAN HASH (md5 of the formatted physical plan
+with exec-ids/locations/codegen-stage numbers normalized out): if a later
+round's timing moves but the plan hash is unchanged, the delta is host
+noise, not a plan regression — attributable mechanically, no wall-of-text
+diffing.  Set SPARK_GRAFT_BENCH_RUNS to override the run count.
 """
 
 from __future__ import annotations
@@ -52,10 +59,31 @@ HEADLINE = [
 ]
 
 
+def plan_hash(df) -> str:
+    """md5 of the formatted physical plan, normalized: plan/exec ids,
+    codegen-stage numbers, file paths/sizes and statistics vary run-to-run
+    and host-to-host without the plan SHAPE changing, so they're masked."""
+    import hashlib
+
+    txt = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    txt = re.sub(r"#\d+", "#N", txt)                       # expression ids
+    txt = re.sub(r"\[codegen id : \d+\]", "[codegen]", txt)
+    txt = re.sub(r"\[plan_id=\d+\]", "[plan]", txt)
+    txt = re.sub(r"Location: \S+", "Location: X", txt)
+    txt = re.sub(r"/tmp/\S+", "/tmp/X", txt)               # staged temp dirs
+    txt = re.sub(r"Statistics\(.*?\)", "Statistics(X)", txt)
+    return hashlib.md5(txt.encode("utf-8")).hexdigest()[:16]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
     from re_data_pipeline_spark.plans.queries import QUERIES
     from re_data_pipeline_spark.session import get_spark
@@ -67,14 +95,19 @@ def main() -> None:
     QUERIES["q01_pricing_summary"](spark, sf_dir).limit(1).collect()
 
     timings: dict[str, float] = {}
+    plans: dict[str, str] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(n_runs):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        try:
+            plans[name] = plan_hash(fn(spark, sf_dir))
+        except Exception:
+            plans[name] = "n/a"  # multi-job pipelines have no single plan
 
     total = round(sum(timings.values()), 3)
     print(
@@ -84,6 +117,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "plan_hashes": plans,
+                "runs_per_query": n_runs,
                 "sf": sf,
             }
         )

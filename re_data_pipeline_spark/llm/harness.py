@@ -70,22 +70,37 @@ def llm_map(
     out_col: str = "llm_output",
     client_factory: Callable[[], object] = MockLLMClient,
     batch_size: int = 100,
+    requests_per_sec: float | None = None,
+    max_attempts: int = 3,
 ) -> DataFrame:
     """Append an LLM completion column via mapInPandas.
 
     One client per task (created inside the iterator — never serialized from
     the driver); requests batched ``batch_size`` at a time within each Arrow
-    batch, mirroring the reference's batch-of-100 pattern (O5).
+    batch, mirroring the reference's batch-of-100 pattern (O5).  Each model
+    batch goes through exponential-backoff retries and, when
+    ``requests_per_sec`` is set, a per-task token bucket (O7) — the
+    distributed analogue of the reference's retry loop + fixed inter-call
+    sleep (``get_edm_council_transcripts.py:200-249``,
+    ``get_edm_building_permits.py:179``).
     """
+    from re_data_pipeline_spark.sources.http import RateLimiter, with_retries
+
     schema = StructType(df.schema.fields + [StructField(out_col, StringType())])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         client = client_factory()
+        limiter = RateLimiter(requests_per_sec) if requests_per_sec else None
+        call = with_retries(
+            lambda ps: client.complete_batch(ps["prompts"]), max_attempts=max_attempts
+        )
         for pdf in batches:
             prompts = pdf[prompt_col].fillna("").tolist()
             outputs: list[str] = []
             for i in range(0, len(prompts), batch_size):
-                outputs.extend(client.complete_batch(prompts[i : i + batch_size]))
+                if limiter is not None:
+                    limiter.acquire()
+                outputs.extend(call({"prompts": prompts[i : i + batch_size]}))
             pdf = pdf.copy()
             pdf[out_col] = outputs
             yield pdf
@@ -100,20 +115,31 @@ def embed_column(
     dim: int = 16,
     client_factory: Callable[[], object] | None = None,
     batch_size: int = 100,
+    requests_per_sec: float | None = None,
+    max_attempts: int = 3,
 ) -> DataFrame:
     """Append an embedding column (X5) via mapInPandas, batched like the
     reference's embed-and-upsert batches of 100
-    (``transcripts_to_vector_db.py:285-301``)."""
+    (``transcripts_to_vector_db.py:285-301``), with the same per-task
+    retry/backoff + optional token-bucket rate limit as ``llm_map`` (O7)."""
+    from re_data_pipeline_spark.sources.http import RateLimiter, with_retries
+
     factory = client_factory or (lambda: MockEmbeddingClient(dim))
     schema = StructType(df.schema.fields + [StructField(out_col, ArrayType(FloatType()))])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         client = factory()
+        limiter = RateLimiter(requests_per_sec) if requests_per_sec else None
+        call = with_retries(
+            lambda ps: client.embed_batch(ps["texts"]), max_attempts=max_attempts
+        )
         for pdf in batches:
             texts = pdf[text_col].fillna("").tolist()
             vecs: list[list[float]] = []
             for i in range(0, len(texts), batch_size):
-                vecs.extend(client.embed_batch(texts[i : i + batch_size]))
+                if limiter is not None:
+                    limiter.acquire()
+                vecs.extend(call({"texts": texts[i : i + batch_size]}))
             pdf = pdf.copy()
             pdf[out_col] = vecs
             yield pdf

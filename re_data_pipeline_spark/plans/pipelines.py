@@ -318,7 +318,7 @@ def transcripts_pipeline(
     transcripts: DataFrame,
     embed_dim: int = 16,
     top_k: int = 23,
-    ann_threshold: int | None = None,
+    ann_threshold: int | None = 100_000,
     ann_planes: int = 2,
 ) -> dict[str, DataFrame]:
     """§3.3 trace: select non-vectorized (P15/I2) → sort+chunk (W2/W3/X7) →
@@ -328,11 +328,12 @@ def transcripts_pipeline(
 
     Retrieval routing: exact ``cosine_topk_per_query`` scores
     |chunks| × |meetings| rows — fine at reference scale, quadratic at
-    corpus scale.  When ``ann_threshold`` is set and the chunk count
-    reaches it, retrieval routes through the SRP-bucketed
+    corpus scale.  When the chunk count reaches ``ann_threshold``
+    (default 100k), retrieval routes through the SRP-bucketed
     ``ann_topk_per_query`` (each query scores only its bucket's slice,
-    ~|chunks| / 2^ann_planes rows).  Default ``None`` keeps the exact path
-    (bit-stable oracle output)."""
+    ~|chunks| / 2^ann_planes rows); below it the exact path runs
+    (bit-stable oracle output).  Pass ``ann_threshold=None`` to force
+    exact retrieval at any size."""
     pending = transcripts.where(F.col("vectorized") == 0)  # P15
 
     snippets = pending.select(
@@ -394,7 +395,9 @@ def transcripts_pipeline(
         query_id="query_id",
         prefilter=F.col("start_time_epoch") == F.col("query_epoch"),
     )
-    use_ann = ann_threshold is not None and embedded.count() >= ann_threshold
+    # route on the (pre-embedding) chunk count: same cardinality as
+    # `embedded`, but counting it doesn't run the embedding UDF twice
+    use_ann = ann_threshold is not None and chunks.count() >= ann_threshold
     if use_ann:
         # deterministic ±1 hyperplanes (same seedless pattern as ivf_topk's
         # SRP bootstrap) — recall vs the exact path is pytest-gated

@@ -26,12 +26,86 @@ rows land in a DataFrame with an explicit schema immediately (S8 rule).
 
 from __future__ import annotations
 
+import time
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 Fetcher = Callable[[dict], list[dict]]
+
+
+def with_retries(
+    fetcher: Fetcher,
+    max_attempts: int = 3,
+    base_delay: float = 1.0,
+    max_delay: float = 60.0,
+    retry_on: tuple[type[BaseException], ...] = (Exception,),
+    sleep: Callable[[float], None] = time.sleep,
+) -> Fetcher:
+    """Exponential-backoff retry wrapper for any ``Fetcher`` (O7).
+
+    Mirrors the reference's hand-rolled loop — ``max_retries=3`` with
+    ``time.sleep(2 ** attempt)`` and re-raise on the last attempt
+    (``get_edm_council_transcripts.py:200-249``) — as a composable transport
+    decorator: ``HttpPredicateSource(spark, with_retries(fetch), schema)``.
+    Delay for attempt *n* (0-based) is ``min(base_delay * 2**n, max_delay)``.
+    ``sleep`` is injectable so tests run instantly.
+    """
+    if max_attempts < 1:
+        raise ValueError("max_attempts must be >= 1")
+
+    def fetch(params: dict) -> list[dict]:
+        for attempt in range(max_attempts):
+            try:
+                return fetcher(params)
+            except retry_on:
+                if attempt == max_attempts - 1:
+                    raise
+                sleep(min(base_delay * (2.0**attempt), max_delay))
+        raise AssertionError("unreachable")  # pragma: no cover
+
+    return fetch
+
+
+class RateLimiter:
+    """Token-bucket rate limiter — the engine-level version of the
+    reference's fixed ``time.sleep(0.02)`` between geocode calls
+    (``get_edm_building_permits.py:179``).
+
+    ``rate`` requests/second sustained, up to ``burst`` back-to-back.  One
+    instance per executor task (created inside the task, never serialized),
+    so a cluster-wide cap is ``rate × tasks`` — set ``rate`` accordingly.
+    ``clock``/``sleep`` are injectable for deterministic tests.
+    """
+
+    def __init__(
+        self,
+        rate: float,
+        burst: int = 1,
+        clock: Callable[[], float] = time.monotonic,
+        sleep: Callable[[float], None] = time.sleep,
+    ):
+        if rate <= 0:
+            raise ValueError("rate must be > 0")
+        self.rate = float(rate)
+        self.capacity = float(max(1, burst))
+        self.tokens = self.capacity
+        self.clock = clock
+        self.sleep = sleep
+        self.last = clock()
+
+    def acquire(self) -> None:
+        """Block until one token is available, then consume it."""
+        now = self.clock()
+        self.tokens = min(self.capacity, self.tokens + (now - self.last) * self.rate)
+        self.last = now
+        if self.tokens < 1.0:
+            wait = (1.0 - self.tokens) / self.rate
+            self.sleep(wait)
+            self.tokens = 1.0
+            self.last = self.clock()
+        self.tokens -= 1.0
 
 _STYLES = {
     "socrata": {"where": "where", "order": "order", "limit": "limit", "offset": "offset"},

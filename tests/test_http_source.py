@@ -77,3 +77,108 @@ def test_missing_and_extra_keys(spark):
     out = HttpPredicateSource(spark, fetcher, SCHEMA).load().collect()
     got = {r.permit_id: (r.issue_date, r.status) for r in out}
     assert got == {1: (None, "Issued"), 2: ("2024-01-05", "Pending")}
+
+
+# ---------------------------------------------------------------------------
+# O7: retry/backoff + token-bucket rate limiting
+# ---------------------------------------------------------------------------
+
+
+def test_with_retries_fails_twice_succeeds_third(spark):
+    """Reference pattern (get_edm_council_transcripts.py:200-249): retry with
+    exponential backoff, succeed on a later attempt."""
+    from re_data_pipeline_spark.sources.http import HttpPredicateSource, with_retries
+
+    attempts, sleeps = [], []
+
+    def flaky(params):
+        attempts.append(dict(params))
+        if len(attempts) < 3:
+            raise ConnectionError("transient")
+        return [{"permit_id": 9, "issue_date": "2024-02-02", "status": "Issued"}]
+
+    fetch = with_retries(flaky, max_attempts=3, base_delay=1.0, sleep=sleeps.append)
+    out = HttpPredicateSource(spark, fetch, SCHEMA).load().collect()
+    assert [r.permit_id for r in out] == [9]
+    assert len(attempts) == 3
+    assert sleeps == [1.0, 2.0]  # base * 2**attempt, exponential
+
+
+def test_with_retries_exhaustion_reraises():
+    from re_data_pipeline_spark.sources.http import with_retries
+
+    n_calls = []
+
+    def always_down(params):
+        n_calls.append(1)
+        raise TimeoutError("down")
+
+    fetch = with_retries(always_down, max_attempts=4, sleep=lambda s: None)
+    try:
+        fetch({})
+        raise AssertionError("expected TimeoutError")
+    except TimeoutError:
+        pass
+    assert len(n_calls) == 4
+
+
+def test_with_retries_delay_capped():
+    from re_data_pipeline_spark.sources.http import with_retries
+
+    sleeps = []
+
+    def always_down(params):
+        raise ValueError("x")
+
+    fetch = with_retries(
+        always_down, max_attempts=5, base_delay=10.0, max_delay=25.0, sleep=sleeps.append
+    )
+    try:
+        fetch({})
+    except ValueError:
+        pass
+    assert sleeps == [10.0, 20.0, 25.0, 25.0]  # capped at max_delay
+
+
+def test_rate_limiter_token_bucket():
+    """Deterministic clock: burst passes untrottled, then steady-state waits
+    1/rate between calls (the engine-level version of the reference's fixed
+    0.02 s sleep, get_edm_building_permits.py:179)."""
+    from re_data_pipeline_spark.sources.http import RateLimiter
+
+    t = [0.0]
+    waits = []
+
+    def clock():
+        return t[0]
+
+    def sleep(s):
+        waits.append(round(s, 6))
+        t[0] += s
+
+    rl = RateLimiter(rate=50.0, burst=2, clock=clock, sleep=sleep)
+    rl.acquire()  # token 1 of burst
+    rl.acquire()  # token 2 of burst
+    rl.acquire()  # bucket empty -> waits 1/50
+    rl.acquire()
+    assert waits == [0.02, 0.02]
+
+
+def test_llm_map_retries_through_flaky_client(spark):
+    """llm_map's per-task retry wrapper recovers from a client that fails
+    twice then succeeds (mapInPandas path, one partition)."""
+    from re_data_pipeline_spark.llm.harness import MockLLMClient, llm_map
+
+    class FlakyClient(MockLLMClient):
+        def __init__(self):
+            self.calls = 0
+
+        def complete_batch(self, prompts):
+            self.calls += 1
+            if self.calls < 3:
+                raise ConnectionError("transient")
+            return super().complete_batch(prompts)
+
+    df = spark.createDataFrame([("a",), ("b",)], "prompt string").coalesce(1)
+    out = llm_map(df, "prompt", client_factory=FlakyClient).collect()
+    assert len(out) == 2 and all(r.llm_output.startswith('{"summary"') for r in out)

@@ -142,6 +142,17 @@ def test_transcripts_pipeline_ann_routing_and_recall(spark):
     assert s1 == s2
 
 
+def test_transcripts_pipeline_ann_default_threshold():
+    """The scale path is the DEFAULT: retrieval routes through ANN once the
+    corpus reaches 100k chunks without the caller opting in (round-2 review:
+    exact |chunks|×|meetings| cross-score must not be the default at scale)."""
+    import inspect
+
+    from re_data_pipeline_spark.plans.pipelines import transcripts_pipeline as tp
+
+    assert inspect.signature(tp).parameters["ann_threshold"].default == 100_000
+
+
 def test_ann_topk_per_query_recall_vs_exact(spark):
     """Direct operator-level recall gate: SRP-bucketed per-query ANN ≥0.9
     recall vs the exact cross-score on a deterministic corpus."""
