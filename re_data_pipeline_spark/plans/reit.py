@@ -123,6 +123,26 @@ def reit_metrics_pipeline(
     return wide
 
 
+def reit_metrics_from_pdf_dir(
+    spark: SparkSession,
+    pdf_dir: str,
+    extractor_factory=None,
+    client_factory=None,
+) -> DataFrame:
+    """Production S10 entry point: binaryFile scan of ``pdf_dir`` → per-page
+    text extraction (PyMuPDF by default, injectable) → the metric pipeline.
+    The reference's download-open-iterate loop (``REIT_metrics.py:177-195``)
+    as three composable engine stages."""
+    from re_data_pipeline_spark.sources.pdf import extract_pdf_pages, pymupdf_page_extractor
+    from re_data_pipeline_spark.sources.registry import read_binary_dir
+
+    pages = extract_pdf_pages(
+        read_binary_dir(spark, pdf_dir),
+        extractor_factory=extractor_factory or pymupdf_page_extractor,
+    )
+    return reit_metrics_pipeline(spark, pages, client_factory=client_factory)
+
+
 def fixture_report_pages(spark: SparkSession, n_reports: int = 6) -> DataFrame:
     """FIXTURES §11 raw_report_pages: key terms seeded into page texts; some
     reports miss some metrics entirely (the 'Not Available' path)."""

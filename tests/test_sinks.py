@@ -52,13 +52,33 @@ def test_get_merge_sink_backend_selection(spark, sink_path):
 
 
 @pytest.mark.skipif(not delta_available(), reason="delta-spark not installed")
-def test_delta_sink_merge_semantics(spark, sink_path):
-    sink = DeltaMergeSink(spark, sink_path, SCHEMA)
-    sink.upsert(spark.createDataFrame([(1, "a"), (2, "b")], SCHEMA), ["k"])
-    sink.upsert(spark.createDataFrame([(1, "a2"), (3, "c")], SCHEMA), ["k"])
-    assert _rows(sink) == {(1, "a"), (2, "b"), (3, "c")}
-    sink.delete_absent(spark.createDataFrame([(1, "x")], SCHEMA), ["k"])
-    assert _rows(sink) == {(1, "a")}
+def test_delta_sink_merge_semantics(sink_path):
+    """Real transactional MERGE path (CI extra `delta`): needs a
+    Delta-enabled session — extensions + catalog confs are session-start
+    options, so this test provisions its own instead of using the shared
+    fixture."""
+    from delta import configure_spark_with_delta_pip
+    from pyspark.sql import SparkSession
+
+    builder = (
+        SparkSession.builder.appName("delta-sink-test")
+        .master("local[4]")
+        .config("spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension")
+        .config(
+            "spark.sql.catalog.spark_catalog",
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+        )
+    )
+    dspark = configure_spark_with_delta_pip(builder).getOrCreate()
+    try:
+        sink = DeltaMergeSink(dspark, sink_path, SCHEMA)
+        sink.upsert(dspark.createDataFrame([(1, "a"), (2, "b")], SCHEMA), ["k"])
+        sink.upsert(dspark.createDataFrame([(1, "a2"), (3, "c")], SCHEMA), ["k"])
+        assert _rows(sink) == {(1, "a"), (2, "b"), (3, "c")}
+        sink.delete_absent(dspark.createDataFrame([(1, "x")], SCHEMA), ["k"])
+        assert _rows(sink) == {(1, "a")}
+    finally:
+        dspark.stop()
 
 
 def test_delta_sink_refuses_without_package(spark, sink_path):
