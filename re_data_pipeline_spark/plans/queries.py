@@ -3820,15 +3820,15 @@ def q112_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
            ROUND(n_violations * 1.0 / n_rows, 6) AS violation_rate
     FROM (
       SELECT 'acctbal_nonneg' AS rule, COUNT(*) AS n_rows,
-             SUM(CASE WHEN c_acctbal >= 0 THEN 0 ELSE 1 END) AS n_violations
+             CAST(SUM(CASE WHEN c_acctbal >= 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
       FROM customer
       UNION ALL
       SELECT 'name_wellformed', COUNT(*),
-             SUM(CASE WHEN regexp_matches(c_name, '^Customer#[0-9]+$') THEN 0 ELSE 1 END)
+             CAST(SUM(CASE WHEN regexp_matches(c_name, '^Customer#[0-9]+$') THEN 0 ELSE 1 END) AS BIGINT)
       FROM customer
       UNION ALL
       SELECT 'nationkey_in_range', COUNT(*),
-             SUM(CASE WHEN c_nationkey BETWEEN 0 AND 24 THEN 0 ELSE 1 END)
+             CAST(SUM(CASE WHEN c_nationkey BETWEEN 0 AND 24 THEN 0 ELSE 1 END) AS BIGINT)
       FROM customer
     )
     """,
