@@ -73,7 +73,11 @@ def plan_hash(df) -> str:
     txt = re.sub(r"#\d+", "#N", txt)                       # expression ids
     txt = re.sub(r"\[codegen id : \d+\]", "[codegen]", txt)
     txt = re.sub(r"\[plan_id=\d+\]", "[plan]", txt)
-    txt = re.sub(r"Location: \S+", "Location: X", txt)
+    # mask to END OF LINE: `Location: InMemoryFileIndex(1 paths)[file:/...]`
+    # carries paths/counts after the first token, which round 4 proved leak
+    # host state into the hash (identical code, three changed hashes)
+    txt = re.sub(r"Location:.*", "Location: X", txt)
+    txt = re.sub(r"file:/\S+", "file:/X", txt)             # any other path refs
     txt = re.sub(r"/tmp/\S+", "/tmp/X", txt)               # staged temp dirs
     txt = re.sub(r"Statistics\(.*?\)", "Statistics(X)", txt)
     return hashlib.md5(txt.encode("utf-8")).hexdigest()[:16]

@@ -51,7 +51,11 @@ def safe_cast(col: Column | str, dtype: str, default) -> Column:
     base = dtype.split("(")[0].strip().lower()
     if base in _INT_TYPES or base in _FLOAT_TYPES:
         pat = _STRICT_INT_RE if base in _INT_TYPES else _STRICT_DOUBLE_RE
-        t = F.trim(c.cast("string"))
+        # strip ALL leading/trailing whitespace, not just ASCII space:
+        # Python's float()/int() (the reference semantics) accept '\t7' and
+        # '\n3.5', while F.trim strips ' ' only — a real divergence on
+        # tab/newline-padded payloads (combine_broker_listings.py:167-175)
+        t = F.regexp_replace(c.cast("string"), r"^\s+|\s+$", "")
         guarded = F.when(t.rlike(pat), t.try_cast(dtype))
         return F.coalesce(guarded, F.lit(default).cast(dtype))
     return F.coalesce(c.try_cast(dtype), F.lit(default).cast(dtype))

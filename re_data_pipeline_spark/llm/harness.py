@@ -64,6 +64,27 @@ class MockEmbeddingClient:
         return out
 
 
+def _rate_limited_retrying(call_fn, limiter, max_attempts: int, retry_sleep=None):
+    """Compose retry + rate limit so the token bucket gates EVERY attempt:
+    an acquire outside the retry wrapper would let a 429-style error burst
+    exceed the configured rate by up to max_attempts× (round-4 verdict #6).
+    ``retry_sleep`` is the backoff sleep (injectable for tests; the limiter
+    carries its own clock/sleep pair).
+    """
+    import time
+
+    from re_data_pipeline_spark.sources.http import with_retries
+
+    def attempt(ps):
+        if limiter is not None:
+            limiter.acquire()
+        return call_fn(ps)
+
+    return with_retries(
+        attempt, max_attempts=max_attempts, sleep=retry_sleep or time.sleep
+    )
+
+
 def llm_map(
     df: DataFrame,
     prompt_col: str,
@@ -84,22 +105,20 @@ def llm_map(
     sleep (``get_edm_council_transcripts.py:200-249``,
     ``get_edm_building_permits.py:179``).
     """
-    from re_data_pipeline_spark.sources.http import RateLimiter, with_retries
+    from re_data_pipeline_spark.sources.http import RateLimiter
 
     schema = StructType(df.schema.fields + [StructField(out_col, StringType())])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         client = client_factory()
         limiter = RateLimiter(requests_per_sec) if requests_per_sec else None
-        call = with_retries(
-            lambda ps: client.complete_batch(ps["prompts"]), max_attempts=max_attempts
+        call = _rate_limited_retrying(
+            lambda ps: client.complete_batch(ps["prompts"]), limiter, max_attempts
         )
         for pdf in batches:
             prompts = pdf[prompt_col].fillna("").tolist()
             outputs: list[str] = []
             for i in range(0, len(prompts), batch_size):
-                if limiter is not None:
-                    limiter.acquire()
                 outputs.extend(call({"prompts": prompts[i : i + batch_size]}))
             pdf = pdf.copy()
             pdf[out_col] = outputs
@@ -122,7 +141,7 @@ def embed_column(
     reference's embed-and-upsert batches of 100
     (``transcripts_to_vector_db.py:285-301``), with the same per-task
     retry/backoff + optional token-bucket rate limit as ``llm_map`` (O7)."""
-    from re_data_pipeline_spark.sources.http import RateLimiter, with_retries
+    from re_data_pipeline_spark.sources.http import RateLimiter
 
     factory = client_factory or (lambda: MockEmbeddingClient(dim))
     schema = StructType(df.schema.fields + [StructField(out_col, ArrayType(FloatType()))])
@@ -130,15 +149,13 @@ def embed_column(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         client = factory()
         limiter = RateLimiter(requests_per_sec) if requests_per_sec else None
-        call = with_retries(
-            lambda ps: client.embed_batch(ps["texts"]), max_attempts=max_attempts
+        call = _rate_limited_retrying(
+            lambda ps: client.embed_batch(ps["texts"]), limiter, max_attempts
         )
         for pdf in batches:
             texts = pdf[text_col].fillna("").tolist()
             vecs: list[list[float]] = []
             for i in range(0, len(texts), batch_size):
-                if limiter is not None:
-                    limiter.acquire()
                 vecs.extend(call({"texts": texts[i : i + batch_size]}))
             pdf = pdf.copy()
             pdf[out_col] = vecs

@@ -135,24 +135,32 @@ def lsh_candidate_pairs(
     buckets = lsh_bands(sigs, id_col, "minhash", bands, rows_per_band)
     # The self-join references `buckets` twice; without a persist Spark
     # recomputes the full tokenize→shingle→16×md5 pipeline for each side.
+    # The bucket cache is released HERE on every path (round-4 verdict: the
+    # old `out._bucket_cache` protocol leaked it for any caller that wasn't
+    # cluster_dedup_pipeline): the pair list is localCheckpoint'ed — small
+    # (candidate pairs, not corpus rows), and downstream consumers reference
+    # it repeatedly anyway — which materializes it eagerly so the buckets
+    # can be unpersisted before returning.
     buckets = buckets.persist()
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    out = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    try:
+        a = buckets.alias("a")
+        b = buckets.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+            .localCheckpoint()
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .distinct()
-    )
-    out._bucket_cache = buckets  # release path for long-lived sessions
-    return out
+    finally:
+        buckets.unpersist()
 
 
 def ngram_jaccard_pairs(
@@ -255,15 +263,12 @@ def near_dedup_pipeline(
     candidate-scoped Jaccard joins → small anti-join.  No stage is
     quadratic in corpus size.
     """
-    cands0 = lsh_candidate_pairs(df, id_col, text_col, num_hashes, shingle_words, bands)
-    # materialize the (small) pair list ONCE: verification references it
+    # the pair list arrives already localCheckpoint'ed (materialized once,
+    # bucket cache released inside the operator): verification references it
     # four times (scoping union ×2, intersection join, final left join) and
     # each reference would otherwise replay the bucket self-join+distinct.
     # Measured on sf0.1 documents: 7.6 s → 1.1 s for the whole pipeline.
-    # Checkpointing also lets the bucket cache be released NOW instead of
-    # leaking one persisted DataFrame per call in long-lived sessions.
-    cands = cands0.localCheckpoint()
-    cands0._bucket_cache.unpersist()
+    cands = lsh_candidate_pairs(df, id_col, text_col, num_hashes, shingle_words, bands)
     verified = jaccard_on_pairs(cands, df, id_col, text_col, shingle_words)
     losers = (
         verified.where(F.col("jaccard") >= F.lit(threshold))
@@ -361,12 +366,9 @@ def cluster_dedup_pipeline(
     shared a bucket and (B,C)'s loser was already dropped); components drop
     every non-root of the cluster exactly once.
     """
-    cands0 = lsh_candidate_pairs(df, id_col, text_col, num_hashes, shingle_words, bands)
-    # pair list materialized once (see near_dedup_pipeline) so verification's
-    # four references don't each replay the bucket self-join, and the bucket
-    # cache is released immediately instead of leaking per call
-    cands = cands0.localCheckpoint()
-    cands0._bucket_cache.unpersist()
+    # pair list arrives materialized (see near_dedup_pipeline) so
+    # verification's four references don't each replay the bucket self-join
+    cands = lsh_candidate_pairs(df, id_col, text_col, num_hashes, shingle_words, bands)
     confirmed = jaccard_on_pairs(cands, df, id_col, text_col, shingle_words).where(
         F.col("jaccard") >= F.lit(threshold)
     )

@@ -42,6 +42,25 @@ def test_safe_cast_rejects_java_suffixes(spark):
         assert abs(g - want) < 1e-12, (inp, g, want)
 
 
+def test_safe_cast_strips_all_whitespace_like_python(spark):
+    """Python float()/int() strip tabs/newlines too, not just ASCII space —
+    '\\t7' must cast, not default (combine_broker_listings.py:167-175; the
+    round-4 verdict's latent Hypothesis falsifier)."""
+    cases = [
+        ("\t7", 7.0), ("\n3.5", 3.5), ("\r-2", -2.0), (" \t 8 \n", 8.0),
+        ("\x0b1.25", 1.25), ("\f9", 9.0), ("\t\n", 0.0), ("\t7x", 0.0),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], ["v"]).select(
+        safe_cast("v", "double", 0.0).alias("out")
+    )
+    for g, (inp, want) in zip([r.out for r in df.collect()], cases):
+        assert abs(g - want) < 1e-12, (inp, g, want)
+    idf = spark.createDataFrame([("\t12",), ("\n-3",)], ["v"]).select(
+        safe_cast("v", "int", -1).alias("out")
+    )
+    assert [r.out for r in idf.collect()] == [12, -3]
+
+
 def test_safe_cast_int_rejects_decimals_like_python(spark):
     """int('1.5') raises in Python → default, and int('12L') likewise."""
     df = spark.createDataFrame([("1.5",), ("12L",), (" 12 ",), ("+3",)], ["v"]).select(

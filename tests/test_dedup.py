@@ -64,6 +64,34 @@ def test_lsh_finds_near_dup(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def _leaked_persist_ids(spark):
+    """Ids of persisted RDDs that are NOT localCheckpoint marks — a leaked
+    .persist() shows up here; checkpoint blocks (released by GC when their
+    DataFrame dies) do not."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {
+        rid
+        for rid, jrdd in dict(jmap).items()
+        if not jrdd.rdd().isLocallyCheckpointed()
+    }
+
+
+def test_lsh_candidate_pairs_releases_bucket_cache(spark):
+    """Round-4 verdict #4: the bucket .persist() must be released on EVERY
+    path (direct calls included), not just via cluster_dedup_pipeline's old
+    out._bucket_cache side channel."""
+    from re_data_pipeline_spark.operators.dedup import (
+        cluster_dedup_pipeline,
+        near_dedup_pipeline,
+    )
+
+    before = _leaked_persist_ids(spark)
+    lsh_candidate_pairs(docs_df(spark), "doc_id", "text").count()
+    near_dedup_pipeline(docs_df(spark), threshold=0.5).count()
+    cluster_dedup_pipeline(docs_df(spark), threshold=0.5).count()
+    assert _leaked_persist_ids(spark) <= before
+
+
 def test_ngram_jaccard_exact_value(spark):
     df = spark.createDataFrame([(1, "a b c d"), (2, "a b c e")], ["doc_id", "text"])
     # 3-shingles: {abc, bcd} vs {abc, bce} → J = 1/3

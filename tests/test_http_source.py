@@ -164,6 +164,41 @@ def test_rate_limiter_token_bucket():
     assert waits == [0.02, 0.02]
 
 
+def test_rate_limiter_gates_retries():
+    """The token bucket must gate every ATTEMPT, not every logical call:
+    with the acquire outside the retry wrapper, a 3-attempt error burst
+    consumed 1 token and blew the configured rate (round-4 verdict #6).
+    Tests the production composition helper used by llm_map/embed_column."""
+    from re_data_pipeline_spark.llm.harness import _rate_limited_retrying
+    from re_data_pipeline_spark.sources.http import RateLimiter
+
+    t = [0.0]
+    waits = []
+
+    def clock():
+        return t[0]
+
+    def sleep(s):
+        waits.append(round(s, 6))
+        t[0] += s
+
+    rl = RateLimiter(rate=50.0, burst=1, clock=clock, sleep=sleep)
+    attempts = [0]
+
+    def flaky(_):
+        attempts[0] += 1
+        if attempts[0] < 3:
+            raise ConnectionError("429-ish")
+        return "ok"
+
+    call = _rate_limited_retrying(flaky, rl, max_attempts=3, retry_sleep=lambda s: None)
+    assert call({}) == "ok"
+    assert attempts[0] == 3
+    # burst token covered attempt 1; attempts 2 and 3 each waited 1/rate —
+    # proof every retry went through the bucket
+    assert waits == [0.02, 0.02]
+
+
 def test_llm_map_retries_through_flaky_client(spark):
     """llm_map's per-task retry wrapper recovers from a client that fails
     twice then succeeds (mapInPandas path, one partition)."""

@@ -54,31 +54,57 @@ def test_get_merge_sink_backend_selection(spark, sink_path):
 @pytest.mark.skipif(not delta_available(), reason="delta-spark not installed")
 def test_delta_sink_merge_semantics(sink_path):
     """Real transactional MERGE path (CI extra `delta`): needs a
-    Delta-enabled session — extensions + catalog confs are session-start
-    options, so this test provisions its own instead of using the shared
-    fixture."""
-    from delta import configure_spark_with_delta_pip
-    from pyspark.sql import SparkSession
+    Delta-enabled session.  Runs in a SUBPROCESS — extensions + catalog
+    confs are session-start options, so a getOrCreate() in this process
+    would silently return the already-active shared fixture session
+    (MERGE path never exercised) and the cleanup stop() would kill that
+    shared session for every later test (round-4 verdict #7)."""
+    import subprocess
+    import sys
+    import textwrap
 
-    builder = (
-        SparkSession.builder.appName("delta-sink-test")
-        .master("local[4]")
-        .config("spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension")
-        .config(
-            "spark.sql.catalog.spark_catalog",
-            "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+    script = textwrap.dedent(
+        f"""
+        from delta import configure_spark_with_delta_pip
+        from pyspark.sql import SparkSession
+
+        from re_data_pipeline_spark.sinks import DeltaMergeSink
+
+        assert SparkSession.getActiveSession() is None
+        builder = (
+            SparkSession.builder.appName("delta-sink-test")
+            .master("local[4]")
+            .config("spark.sql.extensions",
+                    "io.delta.sql.DeltaSparkSessionExtension")
+            .config("spark.sql.catalog.spark_catalog",
+                    "org.apache.spark.sql.delta.catalog.DeltaCatalog")
         )
+        dspark = configure_spark_with_delta_pip(builder).getOrCreate()
+        try:
+            schema = {SCHEMA!r}
+            sink = DeltaMergeSink(dspark, {str(sink_path)!r}, schema)
+            sink.upsert(dspark.createDataFrame([(1, "a"), (2, "b")], schema), ["k"])
+            sink.upsert(dspark.createDataFrame([(1, "a2"), (3, "c")], schema), ["k"])
+            rows = {{tuple(r) for r in sink.read().collect()}}
+            assert rows == {{(1, "a"), (2, "b"), (3, "c")}}, rows
+            sink.delete_absent(dspark.createDataFrame([(1, "x")], schema), ["k"])
+            rows = {{tuple(r) for r in sink.read().collect()}}
+            assert rows == {{(1, "a")}}, rows
+        finally:
+            dspark.stop()
+        print("DELTA_MERGE_OK")
+        """
     )
-    dspark = configure_spark_with_delta_pip(builder).getOrCreate()
-    try:
-        sink = DeltaMergeSink(dspark, sink_path, SCHEMA)
-        sink.upsert(dspark.createDataFrame([(1, "a"), (2, "b")], SCHEMA), ["k"])
-        sink.upsert(dspark.createDataFrame([(1, "a2"), (3, "c")], SCHEMA), ["k"])
-        assert _rows(sink) == {(1, "a"), (2, "b"), (3, "c")}
-        sink.delete_absent(dspark.createDataFrame([(1, "x")], SCHEMA), ["k"])
-        assert _rows(sink) == {(1, "a")}
-    finally:
-        dspark.stop()
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0 and "DELTA_MERGE_OK" in proc.stdout, (
+        proc.stdout,
+        proc.stderr,
+    )
 
 
 def test_delta_sink_refuses_without_package(spark, sink_path):

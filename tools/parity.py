@@ -18,16 +18,34 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 from re_data_pipeline_spark.catalog import TESTDATA_TABLES
 from re_data_pipeline_spark.session import get_spark
 
 
 def norm_cell(v):
-    if isinstance(v, float):
+    # numpy/pandas scalars (the DuckDB side arrives via rel.df() — the same
+    # pandas canonicalization the driver hashes through) normalize to the
+    # Python types Spark's collect() yields, so a dtype coercion that would
+    # flip the driver's value hash (e.g. HUGEINT -> float64, int64 -> NaN on
+    # NULLs) shows up HERE as a value/dtype diff instead of passing silently
+    if isinstance(v, np.integer):
+        return int(v)
+    if isinstance(v, (float, np.floating)):
+        v = float(v)
         if math.isnan(v):
             return "NaN"
         return repr(v)
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime()
+    if isinstance(v, np.bool_):
+        return bool(v)
+    if isinstance(v, np.ndarray):
+        return tuple(norm_cell(x) for x in v)
+    if isinstance(v, (list, tuple)):
+        return tuple(norm_cell(x) for x in v)
     return v
 
 
@@ -89,7 +107,14 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             stypes = dict(sdf.dtypes)
-            srows = [tuple(r) for r in sdf.collect()]
+            # canonicalize through pandas like the DuckDB side: the driver
+            # hashes both results after a pandas round-trip, where a NULL in
+            # a double column becomes NaN on BOTH engines (collect() would
+            # yield None and spuriously mismatch the oracle's NaN)
+            spdf = sdf.toPandas()
+            srows = [
+                tuple(row) for row in spdf.itertuples(index=False, name=None)
+            ]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
@@ -101,7 +126,14 @@ def main() -> int:
             rel = con.sql(oracles[name])
             ocols = list(rel.columns)
             otypes = {c: t for c, t in zip(rel.columns, rel.types)}
-            orows = rel.fetchall()
+            # canonicalize through pandas, NOT fetchall(): the driver hashes
+            # the oracle result after .df(), whose dtype coercions (HUGEINT →
+            # float64/object, nullable int → NaN) fetchall() never shows —
+            # the r3 q113 red row was invisible to parity for exactly this
+            odf = rel.df()
+            orows = [
+                tuple(row) for row in odf.itertuples(index=False, name=None)
+            ]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
