@@ -1728,12 +1728,83 @@ def q68_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q69_ivf_ann")
+# Shared DuckDB fragments for the ANN replay oracles (q41/q69): explicit
+# left-to-right folds (list_reduce) so double-precision accumulation order
+# matches Spark's F.aggregate exactly — bit-comparable after ROUND(·, 6).
+# Embedding dim is 64 (TESTDATA embeddings.parquet).
+def _duck_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, 65), "
+        f"k -> {a}[k]::DOUBLE * {b}[k]::DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _duck_cosine(a: str, b: str) -> str:
+    return (
+        f"({_duck_dot(a, b)} / "
+        f"(sqrt({_duck_dot(a, a)}) * sqrt({_duck_dot(b, b)})))"
+    )
+
+
+# q69 replay oracle: the SRP bootstrap planes, per-list centroid means,
+# cosine probe ranking and exact rerank are all deterministic.  Centroid
+# AVG accumulation order differs between engines (shuffle vs scan order)
+# but centroids only RANK the 8 probe lists, where last-bit jitter cannot
+# flip an ordering of real-data cosines.
+_Q69_SQL_TEMPLATE = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+corpus AS (SELECT * FROM embeddings WHERE vec_id <> 0),
+planes AS (
+  SELECT i, list_transform(range(0, 64),
+           j -> CASE WHEN ((i*11 + j*17) % 7) < 3
+                     THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) AS p
+  FROM generate_series(0, 2) s(i)
+),
+dots AS (
+  SELECT c.vec_id, pl.i, {dot_ep} AS d
+  FROM corpus c CROSS JOIN planes pl
+),
+buckets AS (
+  SELECT vec_id,
+         SUM(CASE WHEN d >= 0 THEN (1::BIGINT << i) ELSE 0 END) AS l
+  FROM dots GROUP BY vec_id
+),
+flat AS (
+  SELECT b.l, gs.pos, c.embedding[gs.pos]::DOUBLE AS v
+  FROM corpus c JOIN buckets b USING (vec_id), generate_series(1, 64) gs(pos)
+),
+cents AS (
+  SELECT l, list(m ORDER BY pos) AS centroid
+  FROM (SELECT l, pos, AVG(v) AS m FROM flat GROUP BY l, pos)
+  GROUP BY l
+),
+probes AS (
+  SELECT l FROM cents CROSS JOIN q
+  ORDER BY {cos_cq} DESC, l
+  LIMIT 3
+)
+SELECT c.vec_id, c.label, ROUND({cos_eq}, 6) AS score
+FROM corpus c CROSS JOIN q
+JOIN buckets b USING (vec_id)
+WHERE b.l IN (SELECT l FROM probes)
+ORDER BY {cos_eq} DESC, c.vec_id
+LIMIT 10
+"""
+
+_Q69_SQL = _Q69_SQL_TEMPLATE.format(
+    dot_ep=_duck_dot("c.embedding", "pl.p"),
+    cos_cq=_duck_cosine("centroid", "q.qv"),
+    cos_eq=_duck_cosine("c.embedding", "q.qv"),
+)
+
+
+@query("q69_ivf_ann", _Q69_SQL)
 def q69_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN over embeddings: SRP-bootstrapped inverted lists,
-    centroid probe selection, exact rerank inside probed lists (rows-only:
-    approximate by construction).  At scale the list id is computed at
-    ingest and the table is partitioned by it → partition pruning."""
+    centroid probe selection, exact rerank inside probed lists.  The whole
+    path replays in DuckDB (``_Q69_SQL_TEMPLATE``) — full-value oracle for
+    the approximate operator.  At scale the list id is computed at ingest
+    and the table is partitioned by it → partition pruning."""
     from re_data_pipeline_spark.operators.similarity import ivf_topk
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -1954,13 +2025,38 @@ def q74_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q75_percentile_approx")
+@query(
+    "q75_percentile_approx",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
+           TRUE AS within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q75_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate percentiles via the Greenwald-Khanna sketch (rows-only:
-    sketch-dependent values) — the mergeable, single-pass 100 TB path."""
+    """Approximate percentiles via the Greenwald-Khanna sketch — the
+    mergeable, single-pass 100 TB path.  Sketch output is engine-specific,
+    so (like q53) the oracle is a tolerance contract: the exact
+    interpolated median is oracle-pinned, and ``within_tol`` asserts the
+    GK estimate lands inside the exact p45–p55 value band (accuracy=1000
+    bounds rank error at 0.1%, so the 5%-rank band is a ≥50× margin)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("p50_approx")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50_exact"),
+            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)).alias("__approx"),
+            F.percentile("l_extendedprice", F.lit(0.45)).alias("__lo"),
+            F.percentile("l_extendedprice", F.lit(0.55)).alias("__hi"),
+        )
+        .select(
+            "l_returnflag",
+            "p50_exact",
+            ((F.col("__approx") >= F.col("__lo")) & (F.col("__approx") <= F.col("__hi"))).alias(
+                "within_tol"
+            ),
+        )
     )
 
 
@@ -2574,14 +2670,37 @@ def q95_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q53_approx_distinct")
+@query(
+    "q53_approx_distinct",
+    """
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS exact_customers,
+           TRUE AS within_tol
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def q53_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog approximate distinct (rows-only: sketch values are
-    engine-specific by construction) — the 100 TB path where exact distinct
-    would shuffle every key."""
+    """HyperLogLog approximate distinct — the 100 TB path where exact
+    distinct would shuffle every key.  The sketch VALUE is engine-specific,
+    so the oracle is a tolerance contract instead of a replay: the query
+    emits the exact cardinality (oracle-pinned) plus ``within_tol`` — the
+    HLL estimate landing within 5% of it (rsd=0.02, so 5% is ≥2.5σ) — and a
+    sketch regression flips the boolean into a driver hash mismatch."""
     o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("exact_customers"),
+            F.approx_count_distinct("o_custkey", 0.02).alias("__approx"),
+        )
+        .select(
+            "o_orderstatus",
+            "exact_customers",
+            (
+                F.abs(F.col("__approx") - F.col("exact_customers"))
+                <= F.col("exact_customers") * F.lit(0.05)
+            ).alias("within_tol"),
+        )
     )
 
 
@@ -2736,10 +2855,47 @@ def q40_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(d, "text").select("doc_id", "simhash")
 
 
-@query("q41_ann_lsh")
+_Q41_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+planes AS (
+  SELECT i, list_transform(range(0, 64),
+           j -> CASE WHEN ((i*7 + j*13) % 5) < 2
+                     THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) AS p
+  FROM generate_series(0, 3) s(i)
+),
+dots AS (
+  SELECT e.vec_id, pl.i, {_duck_dot('e.embedding', 'pl.p')} AS d
+  FROM embeddings e CROSS JOIN planes pl
+),
+buckets AS (
+  SELECT vec_id,
+         SUM(CASE WHEN d >= 0 THEN (1::BIGINT << i) ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id
+),
+qb AS (
+  SELECT SUM(CASE WHEN d >= 0 THEN (1::BIGINT << i) ELSE 0 END) AS bucket
+  FROM (SELECT pl.i, {_duck_dot('q.qv', 'pl.p')} AS d
+        FROM q CROSS JOIN planes pl)
+)
+SELECT e.vec_id, e.label, ROUND({_duck_cosine('e.embedding', 'q.qv')}, 6) AS score
+FROM embeddings e CROSS JOIN q
+JOIN buckets b ON b.vec_id = e.vec_id
+WHERE b.bucket = (SELECT bucket FROM qb)
+ORDER BY {_duck_cosine('e.embedding', 'q.qv')} DESC, e.vec_id
+LIMIT 10
+"""
+
+
+@query("q41_ann_lsh", _Q41_SQL)
 def q41_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate nearest neighbors via sign-random-projection buckets
-    (rows-only: approximate by construction)."""
+    """Approximate nearest neighbors via sign-random-projection buckets.
+
+    The hyperplanes are a deterministic ±1 pattern and every float op is a
+    left-to-right double fold, so the WHOLE approximate path — bucket
+    assignment, query-bucket selection, exact cosine rerank — replays in
+    DuckDB (``_Q41_SQL``): this is a full-value oracle for an ANN operator,
+    not a rows-only count (mimics Pinecone filtered top-k,
+    ``transcripts_to_vector_db.py:303-313``)."""
     e = load_table(spark, sf_dir, "embeddings")
     qvec = [float(v) for v in e.where(F.col("vec_id") == 0).select("embedding").first()[0]]
     # deterministic hyperplanes from a fixed seed pattern
@@ -2748,7 +2904,9 @@ def q41_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         [1.0 if ((i * 7 + j * 13) % 5) < 2 else -1.0 for j in range(dim)]
         for i in range(4)
     ]
-    return ann_lsh_topk(e, qvec, 10, planes).select("vec_id", "label", "score")
+    return ann_lsh_topk(e, qvec, 10, planes).select(
+        "vec_id", "label", F.round("score", 6).alias("score")
+    )
 
 
 @query(
@@ -2822,10 +2980,42 @@ def q44_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(stage, ignore_errors=True)
 
 
-@query("q45_multimodal_features")
+def _q45_oracle_sql(n: int = 30) -> str:
+    """Replay oracle for the multimodal decode pipeline: recompute each
+    media row's first feature moment on the DRIVER (same deterministic fake
+    decoder definition the executors run — the md5-replay technique proven
+    on q42/q43) and inline the expected rows as VALUES.  What's actually
+    under test is the distributed side: mapInPandas Arrow batching, the
+    output schema contract, and the float32 feature column round-trip.
+    """
+    import hashlib
+
+    import numpy as np
+
+    from re_data_pipeline_spark.operators.multimodal import _fake_decode
+
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        content = hashlib.md5(f"media-{i}".encode()).digest() * 4
+        flat = _fake_decode(content, kind).astype(np.float64).ravel()
+        f0 = float(np.float32(np.array_split(flat, 16)[0].mean()))
+        rows.append(f"(CAST({i} AS BIGINT), '{kind}', CAST({f0!r} AS DOUBLE))")
+    values = ",\n           ".join(rows)
+    return (
+        f"SELECT media_id, kind, ROUND(f0_raw, 6) AS f0\n"
+        f"    FROM (VALUES {values}) t(media_id, kind, f0_raw)"
+    )
+
+
+@query("q45_multimodal_features", _q45_oracle_sql())
 def q45_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode → feature pipeline over binary media columns
-    (rows-only: binary decode is not SQL-expressible)."""
+    (reference analogue: PDF bytes → extracted content,
+    ``REIT_metrics.py:177-195``).  The fake decoder is deterministic, so
+    the oracle replays it driver-side (``_q45_oracle_sql``) — the Spark
+    side must reproduce it through the real mapInPandas plumbing."""
     from re_data_pipeline_spark.operators.multimodal import (
         decode_features,
         synthetic_media,
@@ -2834,7 +3024,9 @@ def q45_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthetic_media(spark, 30)
     out = decode_features(media)
     return out.select(
-        "media_id", "kind", F.round(F.element_at("feature", 1), 6).alias("f0")
+        "media_id",
+        "kind",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
     )
 
 
@@ -3350,23 +3542,39 @@ def q102_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q103_ivf_kmeans")
+@query(
+    "q103_ivf_kmeans",
+    "SELECT CAST(10 AS BIGINT) AS n_results, TRUE AS recall_ok",
+)
 def q103_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with *learned* (Lloyd k-means) inverted lists — the
     production two-stage ANN: train coarse centroids, assign at ingest,
-    probe only the nearest lists at query time (rows-only: iterative
-    floating-point training is not SQL-expressible)."""
-    from re_data_pipeline_spark.operators.similarity import ivf_topk, kmeans_lists
+    probe only the nearest lists at query time.
+
+    Iterative floating-point training can't be replayed in SQL, so the
+    oracle is a recall contract: the query verifies its own ANN answer
+    against the exact cosine top-10 (computed in-engine, brute force) and
+    emits ``recall_ok = recall@10 ≥ 0.7`` — measured 0.9–1.0 at
+    sf0.001/sf0.01, so a broken centroid/probe path flips the boolean and
+    the driver hashes red.  The exact-truth pass is the verification
+    harness, not the production path."""
+    from re_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_lists,
+    )
 
     e = load_table(spark, sf_dir, "embeddings")
     assigned, _ = kmeans_lists(e, k=8, iters=2)
     assigned = assigned.persist()
     try:
         qvec = [float(v) for v in assigned.where(F.col("vec_id") == 0).first()["embedding"]]
-        out = ivf_topk(assigned, qvec, 10, n_lists=8, n_probe=2, list_col="list_id")
+        ann = ivf_topk(assigned, qvec, 10, n_lists=8, n_probe=2, list_col="list_id")
+        ann_ids = {r["vec_id"] for r in ann.select("vec_id").collect()}
+        exact_ids = {r["vec_id"] for r in cosine_topk(e, qvec, 10).select("vec_id").collect()}
+        recall = len(ann_ids & exact_ids) / 10.0
         return spark.createDataFrame(
-            out.select("vec_id", "label", F.round("score", 6).alias("score")).collect(),
-            "vec_id bigint, label int, score double",
+            [(len(ann_ids), recall >= 0.7)], "n_results bigint, recall_ok boolean"
         )
     finally:
         assigned.unpersist()
@@ -3888,15 +4096,30 @@ def q114_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q115_pq_adc_topk")
+@query(
+    "q115_pq_adc_topk",
+    "SELECT CAST(10 AS BIGINT) AS n_results, "
+    "TRUE AS query_vec_found, TRUE AS approx_ok",
+)
 def q115_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (rows-only: lossy by construction): train
-    m=8×k=16 codebooks, encode the corpus to 8 codes/vector (~32× smaller
-    index), answer top-10 by asymmetric distance — m table lookups per
-    vector, no float reads at query time.  Completes the vector-index
-    family: IVF (q103) prunes lists, SQ8 (q106) shrinks residents, PQ+ADC
-    replaces the scan arithmetic.
-    """
+    """Product-quantization ANN (lossy by construction): train m=8×k=16
+    codebooks, encode the corpus to 8 codes/vector (~32× smaller index),
+    answer top-10 by asymmetric distance — m table lookups per vector, no
+    float reads at query time.  Completes the vector-index family: IVF
+    (q103) prunes lists, SQ8 (q106) shrinks residents, PQ+ADC replaces the
+    scan arithmetic.
+
+    PQ top-k recall on near-random embeddings is legitimately low, so the
+    oracle is an approximation-quality contract instead: (a) the query
+    vector itself (present in the corpus) must appear in the ADC top-10 —
+    its quantization error is the minimal ADC distance; (b) ≥6 of the 10
+    picks must rank in the best 35% of the corpus by TRUE squared-L2
+    distance (measured 8–9 of 10 at sf0.001/sf0.01; 10 random picks would
+    center on 5 of 10 *at the 50% line* and essentially never pass 35%).
+    A broken codebook/LUT/encode stage flips either boolean → driver red.
+    The true-distance pass is the verification harness, not the production
+    path."""
+    from re_data_pipeline_spark.functions.vectors import literal_vector
     from re_data_pipeline_spark.operators.similarity import (
         pq_adc_topk,
         pq_encode,
@@ -3907,10 +4130,36 @@ def q115_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = pq_train(e, m=8, k=16, iters=2)
     enc = pq_encode(e, books).select("vec_id", "label", "pq_codes")
     qvec = [float(v) for v in e.where(F.col("vec_id") == 0).first()["embedding"]]
-    out = pq_adc_topk(enc, books, qvec, 10)
+    picks = pq_adc_topk(enc, books, qvec, 10).select("vec_id").collect()
+    ann_ids = [r["vec_id"] for r in picks]
+
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            literal_vector(qvec),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    truth = e.withColumn("__d", l2)
+    pick_ds = {
+        r["vec_id"]: r["__d"]
+        for r in truth.where(F.col("vec_id").isin(ann_ids)).select("vec_id", "__d").collect()
+    }
+    # one aggregate job: corpus size + #closer-than-pick for each pick
+    stats = truth.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum((F.col("__d") < F.lit(pick_ds[i])).cast("long")).alias(f"r{k}")
+            for k, i in enumerate(ann_ids)
+        ],
+    ).first()
+    n = stats["n"]
+    good = sum(1 for k in range(len(ann_ids)) if stats[f"r{k}"] / n <= 0.35)
     return spark.createDataFrame(
-        out.select("vec_id", "label", F.round("adc_dist", 6).alias("adc_dist")).collect(),
-        "vec_id bigint, label int, adc_dist double",
+        [(len(ann_ids), 0 in ann_ids, good >= 6)],
+        "n_results bigint, query_vec_found boolean, approx_ok boolean",
     )
 
 
@@ -4040,67 +4289,59 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-window registration order
 # ---------------------------------------------------------------------------
 # The correctness driver verifies the FIRST 50 registered queries, in order.
-# Round-3 rotation: rounds 1+2 accumulated 66 unique green driver rows, but
-# 53 registered queries had NEVER had a driver row — and the round-2
-# streaming breakage (q44, invisible because out-of-window) showed why that
-# rots.  This window therefore swaps in every never-checked oracle-backed
-# query (43) plus the five highest-value rows-only pipelines (q46/q47/q48
-# end-to-end traces, q41/q69 ANN), keeping only the two queries whose CODE
-# changed this round and so need a fresh row: q101 (streaming sessions —
-# red in r2, fixed by the TIMESTAMP_NTZ coercion) and q20 (safe_cast strict
-# numeric guard).  Everything rotated out is pinned by 1-2 green driver rows
-# + unchanged code, and the repo's own parity harness (tools/parity.py)
-# still verifies ALL 120 queries every session.
-# Still never driver-checked after this round (rotate into r4's window):
-# q45_multimodal_features, q53_approx_distinct, q75_percentile_approx,
-# q103_ivf_kmeans, q115_pq_adc_topk.
+# Round-5 rotation: (a) the five never-driver-checked queries (q45/q53/q75/
+# q103/q115) enter with their new oracles — with this window every one of
+# the 120 registered queries has had ≥1 driver row; (b) every query whose
+# CODE or ORACLE changed this round anchors here: the ANN pair (q41/q69,
+# rows-only → full DuckDB replay oracles), the lsh_candidate_pairs family
+# (q33/q71/q85/q107 — persist-lifecycle change), the LLM-harness pair
+# (q42/q43 — limiter-in-retry), q48 (routing estimate), q119 (expression
+# ray cast), q20 (safe_cast whitespace), q113 (changed-oracle anchor, one
+# more round per the r4 verdict); (c) the remaining 33 slots go to the
+# queries whose last driver row is oldest (round 2) — bench-headline
+# queries first, since their timings are only meaningful while their
+# correctness stays anchored.  Everything rotated out is pinned by green
+# rows in r3+r4 with unchanged code, and tools/parity.py still verifies
+# ALL 120 queries every session.
 
 DRIVER_WINDOW: list[str] = [
-    # changed-code anchors (need fresh rows this round)
-    "q101_streaming_sessions", "q20_safe_cast",
-    # streaming + incremental family (2.9) — q44 was silently broken in r2
-    "q44_streaming_tumbling", "q66_state_flag_merge", "q70_stateful_stream",
-    "q95_incremental_aggregate", "q86_cdc_latest",
-    # end-to-end pipeline traces (rows-only; §3 flagship shapes)
-    "q46_listings_pipeline", "q47_rental_grid_pipeline",
-    "q48_transcripts_pipeline", "q72_curation_pipeline",
-    "q91_brochure_pipeline",
-    # similarity / ANN (2.10 north stars)
-    "q41_ann_lsh", "q69_ivf_ann", "q85_cluster_dedup",
-    "q104_embedding_minmax", "q106_scalar_quantization",
-    # window / analytic functions (2.6)
-    "q55_limit_topn", "q64_lag_lead", "q65_first_occurrence",
-    "q87_rank_distribution", "q111_topn_order_revenue",
-    # aggregates & statistics (2.5)
-    "q74_percentiles", "q76_histogram", "q84_zscore_outliers",
-    "q88_conditional_agg", "q89_above_average", "q108_grouped_regression",
-    "q112_regional_supplier_volume", "q113_quality_report",
-    # sampling (training-data curation)
-    "q78_deterministic_sample", "q81_stratified_sample", "q105_weighted_sample",
-    # reshaping / set ops (2.7)
-    "q79_pivot", "q80_unpivot", "q90_array_setops",
-    # text analysis (F-family + north stars)
-    "q54_first_available", "q67_rolling_hash", "q68_bpe_token_count",
-    "q77_levenshtein", "q93_word_count", "q109_canonical_url",
-    "q110_html_to_text",
-    # temporal analytics
-    "q83_gap_fill", "q92_date_trunc_spectrum", "q94_funnel",
-    "q116_cohort_retention", "q117_rfm_segments",
-    # joins / layout
-    "q73_band_join", "q102_zorder_layout",
+    # new oracles: previously never driver-checked (completes 120/120)
+    "q45_multimodal_features", "q53_approx_distinct", "q75_percentile_approx",
+    "q103_ivf_kmeans", "q115_pq_adc_topk",
+    # ANN pair: rows-only → full DuckDB replay oracles this round
+    "q41_ann_lsh", "q69_ivf_ann",
+    # changed-code anchors
+    "q20_safe_cast", "q113_quality_report",
+    "q33_minhash_lsh", "q71_near_dedup_pipeline", "q85_cluster_dedup",
+    "q107_incremental_dedup",
+    "q42_llm_extract", "q43_embed_column", "q48_transcripts_pipeline",
+    "q119_multipolygon_zones",
+    # bench-headline queries last checked in r2
+    "q01_pricing_summary", "q04_multi_join_revenue", "q07_topk_per_group",
+    "q12_running_total", "q14_grid_agg", "q24_collect_sorted",
+    "q27_tumbling_window", "q29_session_window", "q35_cosine_topk",
+    "q38_radius_join", "q57_asof_join", "q96_tfidf_top_terms",
+    "q100_contamination", "q82_connected_components", "q97_sequence_packing",
+    # core operators / sinks / sources last checked in r2
+    "q05_anti_join", "q06_semi_join", "q09_union_by_name", "q11_explode",
+    "q25_upsert", "q26_archive_delisted", "q32_fingerprint_dedup",
+    "q37_chunking", "q39_grid_cell_assign", "q56_geocode_fallback",
+    "q58_utm_project", "q59_json_glob_scan", "q61_salted_agg",
+    "q63_reit_pipeline", "q99_interval_concurrency", "q114_grouping_sets",
+    "q118_global_ordinals", "q120_http_pushdown_scan",
 ]
 
 
 # Window entries intentionally checked rows-only (non-SQL-expressible:
-# multi-stage pipelines with staged sinks, approximate ANN).  Anything else
-# in the window without an oracle is a registration bug — fail at import.
+# multi-stage pipelines with staged sinks).  Anything else in the window
+# without an oracle is a registration bug — fail at import.  The ANN pair
+# left this set in round 5: their paths are deterministic, so they replay
+# fully in DuckDB (_Q41_SQL / _Q69_SQL).
 ROWS_ONLY_WINDOW: frozenset[str] = frozenset(
     {
-        "q41_ann_lsh",
         "q46_listings_pipeline",
         "q47_rental_grid_pipeline",
         "q48_transcripts_pipeline",
-        "q69_ivf_ann",
         "q91_brochure_pipeline",
     }
 )
