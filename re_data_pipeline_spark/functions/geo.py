@@ -155,6 +155,89 @@ def _raycast_batch(px, py, rings_per_row) -> "pd.Series":
     return pd.Series((counts % 2) == 1)
 
 
+def rings_to_edges(rings: Column | str) -> Column:
+    """Normalize a multi-ring geometry into ONE flat edge array
+    ``array<struct<x1,y1,x2,y2>>`` for the expression ray cast.
+
+    Edge *i* of a ring pairs vertex *i* with vertex *i−1* (wraparound) —
+    the `_raycast_batch` convention.  Closed rings (first == last vertex)
+    drop the duplicate closing vertex; NULL rings and rings with <3
+    remaining vertices contribute no edges; a NULL geometry yields NULL
+    (→ not-contained at the predicate).
+
+    Build this ON THE POLYGON SIDE (one evaluation per polygon row, before
+    the broadcast): the per-ring slicing/indexing here is O(n²)-ish in
+    expression form, which is irrelevant for a dimension table but would
+    dominate if re-evaluated per join candidate.
+    """
+
+    def ring_edges(ring: Column) -> Column:
+        closed = (
+            (F.size(ring) > 1)
+            & (F.get(ring, 0)["x"] == F.get(ring, F.size(ring) - 1)["x"])
+            & (F.get(ring, 0)["y"] == F.get(ring, F.size(ring) - 1)["y"])
+        )
+        r = F.when(closed, F.slice(ring, 1, F.size(ring) - 1)).otherwise(ring)
+        n = F.size(r)
+        edges = F.transform(
+            r,
+            lambda p, ix: F.struct(
+                p["x"].alias("x1"),
+                p["y"].alias("y1"),
+                F.get(r, F.when(ix == 0, n - 1).otherwise(ix - 1))["x"].alias("x2"),
+                F.get(r, F.when(ix == 0, n - 1).otherwise(ix - 1))["y"].alias("y2"),
+            ),
+        )
+        return F.when(ring.isNotNull() & (n >= 3), edges).otherwise(
+            F.array().cast("array<struct<x1:double,y1:double,x2:double,y2:double>>")
+        )
+
+    rc = _c(rings)
+    return F.when(
+        rc.isNotNull(),
+        F.flatten(F.transform(rc, ring_edges)),
+    )
+
+
+def point_in_edges_expr(
+    x: Column | str, y: Column | str, edges: Column | str
+) -> Column:
+    """Even-odd ray cast over a precomputed edge array (``rings_to_edges``)
+    as a PURE Column expression — no Python worker, no Arrow hop.
+
+    Same IEEE arithmetic, op for op, as ``_raycast_batch``: a crossing
+    needs ``(y1 > Y) != (y2 > Y)`` and ``X < (x2−x1)·(Y−y1)/(y2−y1) + x1``;
+    inside iff the crossing count over all edges is odd (holes subtract,
+    disjoint parts add).  Per-candidate cost is one flat arithmetic fold —
+    the slicing/normalization work lives in ``rings_to_edges`` on the
+    polygon side.  Division by zero cannot occur on a counted edge (a
+    straddling edge has y1≠y2); non-straddling edges route the divisor
+    through a null guard so ANSI mode never throws.
+    """
+    X, Y = _c(x), _c(y)
+
+    def edge_hit(e: Column) -> Column:
+        dy = e["y2"] - e["y1"]
+        xint = (e["x2"] - e["x1"]) * (Y - e["y1"]) / F.when(dy != 0, dy) + e["x1"]
+        return F.when(
+            ((e["y1"] > Y) != (e["y2"] > Y)) & (X < xint), F.lit(1)
+        ).otherwise(F.lit(0))
+
+    total = F.aggregate(_c(edges), F.lit(0), lambda acc, e: acc + edge_hit(e))
+    return F.coalesce(total % 2 == 1, F.lit(False))
+
+
+def point_in_rings_expr(
+    x: Column | str, y: Column | str, rings: Column | str
+) -> Column:
+    """Even-odd ray cast straight from a multi-ring geometry column —
+    ``point_in_edges_expr`` over ``rings_to_edges``.  Convenience form for
+    ad-hoc predicates; the PIP join precomputes the edge array on the
+    broadcast polygon side instead of re-deriving it per candidate row.
+    """
+    return point_in_edges_expr(x, y, rings_to_edges(rings))
+
+
 def point_in_polygon_udf():
     """Ray-casting pandas UDF: (x, y, ring) → bool, ``ring`` a single
     array<struct<x,y>> (closed or open).  Used by the point-in-polygon join
@@ -179,11 +262,48 @@ def point_in_multipolygon_udf():
     zoning-geometry shape (MultiPolygons with holes,
     ``get_zoning_data.py:33-34,53-56``); same vectorized kernel as the
     single-ring UDF.
+
+    CAVEAT: pyspark's Arrow→pandas conversion rejects RAGGED nested lists
+    (rings of differing vertex counts in one geometry — e.g. a 50-vertex
+    outer ring with an 8-vertex hole) with "inhomogeneous shape".  The PIP
+    join therefore feeds the UDF kernel through the flattened encoding
+    (``point_in_flat_rings_udf``); this form survives for geometries that
+    are homogeneous by construction and for API compatibility.
     """
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(BooleanType())
     def _pip(x: pd.Series, y: pd.Series, rings: pd.Series) -> pd.Series:
         return _raycast_batch(x, y, rings)
+
+    return _pip
+
+
+def point_in_flat_rings_udf():
+    """Ragged-safe form of the multi-ring ray-cast UDF: (x, y, flat, sizes)
+    → bool, where ``flat`` is the geometry's rings concatenated into ONE
+    ``array<struct<x,y>>`` and ``sizes`` the per-ring vertex counts.  A
+    single-level struct array converts through Arrow regardless of ring
+    raggedness; the kernel re-splits rows by ``sizes`` and runs the same
+    numpy edge pass.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(BooleanType())
+    def _pip(
+        x: pd.Series, y: pd.Series, flat: pd.Series, sizes: pd.Series
+    ) -> pd.Series:
+        rings_per_row = []
+        for f, sz in zip(flat, sizes):
+            if f is None or sz is None:
+                rings_per_row.append(None)
+                continue
+            rings, off = [], 0
+            for n in sz:
+                n = int(n)
+                rings.append(list(f[off : off + n]))
+                off += n
+            rings_per_row.append(rings)
+        return _raycast_batch(x, y, rings_per_row)
 
     return _pip

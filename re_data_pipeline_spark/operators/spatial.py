@@ -17,7 +17,6 @@ from re_data_pipeline_spark.functions.geo import (
     cell_corners_str,
     cell_id,
     euclidean_distance,
-    point_in_polygon_udf,
 )
 
 
@@ -161,6 +160,8 @@ def point_in_polygon_join(
     point_xy: tuple[str, str] = ("x", "y"),
     ring_col: str = "ring",
     how: str = "left",
+    exact: str = "auto",
+    expr_max_vertices: int = 4096,
 ) -> DataFrame:
     """Point-within-polygon join (J2, ``get_zoning_data.py:60`` sjoin within).
 
@@ -172,15 +173,34 @@ def point_in_polygon_join(
 
     Physical plan: broadcast the polygon table with precomputed bboxes, join
     on bbox containment (range predicates Catalyst can evaluate without
-    Python), then run the exact ray-casting pandas UDF only on bbox
-    survivors.  Polygon sides in this workload are small dimension tables
-    (zoning districts), so the broadcast is the right plan at any scale; for
-    huge polygon sets swap the bbox predicate for a shared grid-cell key.
+    Python), then run the exact even-odd test only on bbox survivors.
+    ``exact`` picks the exact-test engine:
+
+    - ``"expr"`` — pure Column expression (``point_in_rings_expr``): the
+      whole join stays inside whole-stage codegen, no Python worker, no
+      Arrow hop.  The right choice for dimension-table polygons (zoning
+      districts: tens of vertices).
+    - ``"udf"`` — the numpy-vectorized pandas UDF: one edge pass per Arrow
+      batch, better once individual geometries carry thousands of vertices
+      (the expression form re-walks edges per candidate row).
+    - ``"auto"`` (default) — ``expr`` unless the polygon table's largest
+      geometry exceeds ``expr_max_vertices`` (one tiny aggregate over the
+      already-broadcast-small polygon side).
+
+    Polygon sides in this workload are small dimension tables, so the
+    broadcast is the right plan at any scale; for huge polygon sets swap
+    the bbox predicate for a shared grid-cell key.
     """
     from pyspark.sql.types import ArrayType
 
-    from re_data_pipeline_spark.functions.geo import point_in_multipolygon_udf
+    from re_data_pipeline_spark.functions.geo import (
+        point_in_edges_expr,
+        point_in_flat_rings_udf,
+        rings_to_edges,
+    )
 
+    if exact not in ("auto", "expr", "udf"):
+        raise ValueError(f"exact must be auto|expr|udf, got {exact!r}")
     px, py = point_xy
     shared = set(points.columns) & set(polygons.columns)
     if shared:
@@ -193,6 +213,14 @@ def point_in_polygon_join(
     multi = isinstance(ring_type, ArrayType) and isinstance(
         ring_type.elementType, ArrayType
     )
+    if exact == "auto":
+        flat_for_count = (
+            F.flatten(F.col(ring_col)) if multi else F.col(ring_col)
+        )
+        max_vertices = polygons.agg(
+            F.max(F.size(flat_for_count))
+        ).first()[0]
+        exact = "expr" if (max_vertices or 0) <= expr_max_vertices else "udf"
     # bbox over every vertex of every ring (flatten for multi) — holes lie
     # inside the outer bbox so the prefilter is unaffected by them
     flat = F.flatten(F.col(ring_col)) if multi else F.col(ring_col)
@@ -211,10 +239,31 @@ def point_in_polygon_join(
         & (F.col(py) >= F.col("__ymin"))
         & (F.col(py) <= F.col("__ymax"))
     )
-    pip = point_in_multipolygon_udf() if multi else point_in_polygon_udf()
+    drop_cols = ["__xmin", "__xmax", "__ymin", "__ymax"]
+    if exact == "expr":
+        # edge array precomputed per polygon row BEFORE the broadcast: the
+        # per-candidate test is then one flat arithmetic fold inside
+        # whole-stage codegen — no Python worker in the join path
+        rings_col = F.col(ring_col) if multi else F.array(F.col(ring_col))
+        polys = polys.withColumn("__edges", rings_to_edges(rings_col))
+        contained = point_in_edges_expr(F.col(px), F.col(py), F.col("__edges"))
+        drop_cols.append("__edges")
+    else:
+        # the UDF kernel takes the FLATTENED ring encoding: Arrow→pandas
+        # rejects ragged nested lists (outer ring + smaller hole is the
+        # NORMAL multi-ring shape), so array<array<struct>> can't cross the
+        # Python boundary directly — one flat struct array + ring sizes can
+        rings_col = F.col(ring_col) if multi else F.array(F.col(ring_col))
+        nn = F.filter(rings_col, lambda r: r.isNotNull())
+        polys = polys.withColumn("__flat", F.flatten(nn)).withColumn(
+            "__sizes", F.transform(nn, F.size)
+        )
+        pip = point_in_flat_rings_udf()
+        contained = pip(F.col(px), F.col(py), F.col("__flat"), F.col("__sizes"))
+        drop_cols += ["__flat", "__sizes"]
     candidates = points.join(F.broadcast(polys), bbox, "inner").where(
-        pip(F.col(px), F.col(py), F.col(ring_col))
-    ).drop("__xmin", "__xmax", "__ymin", "__ymax")
+        contained
+    ).drop(*drop_cols)
     if how == "inner":
         return candidates
     # left join: re-attach points with no containing polygon

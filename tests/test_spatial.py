@@ -155,6 +155,122 @@ def test_point_in_multipolygon_donut_and_parts(spark):
     assert got == {1: "z", 2: None, 3: "z", 4: None}
 
 
+def test_pip_expr_matches_udf_and_routes(spark):
+    """The expression ray cast (default for small geometries) must agree
+    with the pandas-UDF kernel edge-for-edge, and `exact="auto"` must route
+    expr below the vertex threshold / udf above it (round-4 verdict #6:
+    removing the last Python worker from a hot join path)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from re_data_pipeline_spark.functions.geo import (
+        point_in_multipolygon_udf,
+        point_in_rings_expr,
+    )
+    from re_data_pipeline_spark.operators.spatial import point_in_polygon_join
+
+    random.seed(11)
+    rows = []
+    for g in range(25):
+        nv = random.randint(3, 8)
+        closed = random.random() < 0.5
+        rings = []
+        for _ in range(random.randint(1, 3)):
+            ring = [
+                {"x": round(random.uniform(-5, 15), 3), "y": round(random.uniform(-5, 15), 3)}
+                for _ in range(nv)
+            ]
+            rings.append(ring + [ring[0]] if closed else ring)
+        rows.append((g, rings))
+    geo = spark.createDataFrame(rows, "gid int, rings array<array<struct<x:double,y:double>>>")
+    pts = spark.createDataFrame(
+        [(i, round(random.uniform(-5, 15), 3), round(random.uniform(-5, 15), 3)) for i in range(150)],
+        "pid int, x double, y double",
+    )
+    udf = point_in_multipolygon_udf()
+    out = pts.crossJoin(geo).select(
+        point_in_rings_expr("x", "y", "rings").alias("e"),
+        udf(F.col("x"), F.col("y"), F.col("rings")).alias("u"),
+    ).collect()
+    assert all(bool(r.e) == bool(r.u) for r in out)
+
+    # routing: small rings -> no Python eval node in the plan
+    zones = spark.createDataFrame(
+        [("z", [[{"x": 0.0, "y": 0.0}, {"x": 4.0, "y": 0.0}, {"x": 0.0, "y": 4.0}]])],
+        "zone string, rings array<array<struct<x:double,y:double>>>",
+    )
+    p2 = spark.createDataFrame([(1, 1.0, 1.0)], "pid long, x double, y double")
+    auto = point_in_polygon_join(p2, zones, ("x", "y"), "rings", how="inner")
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    # forcing a tiny threshold flips auto to the pandas-UDF kernel
+    forced = point_in_polygon_join(
+        p2, zones, ("x", "y"), "rings", how="inner", expr_max_vertices=2
+    )
+    plan_udf = forced._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" in plan_udf
+    assert {r.pid for r in auto.collect()} == {r.pid for r in forced.collect()} == {1}
+
+
+def test_pip_ragged_rings_both_paths(spark):
+    """An outer ring with a SMALLER hole (differing vertex counts) is the
+    normal multi-ring shape, and it used to crash the pandas-UDF path:
+    Arrow→pandas rejects ragged nested lists.  Both the expression path and
+    the flat-encoded UDF fallback must handle it."""
+    from re_data_pipeline_spark.operators.spatial import point_in_polygon_join
+
+    outer = [
+        {"x": 0.0, "y": 0.0}, {"x": 10.0, "y": 0.0}, {"x": 10.0, "y": 10.0},
+        {"x": 5.0, "y": 12.0}, {"x": 0.0, "y": 10.0},
+    ]
+    hole = [{"x": 3.0, "y": 3.0}, {"x": 7.0, "y": 3.0}, {"x": 7.0, "y": 7.0}, {"x": 3.0, "y": 7.0}]
+    zones = spark.createDataFrame(
+        [("z", [outer, hole])],
+        "zone string, rings array<array<struct<x:double,y:double>>>",
+    )
+    pts = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, 5.0, 5.0), (3, 5.0, 11.0), (4, 20.0, 1.0)],
+        "pid long, x double, y double",
+    )
+    want = {1: "z", 2: None, 3: "z", 4: None}  # 2 is in the hole
+    for forced in ({}, {"expr_max_vertices": 2}):  # expr path, then udf path
+        got = {
+            r.pid: r.zone
+            for r in point_in_polygon_join(
+                pts, zones, ("x", "y"), "rings", how="left", **forced
+            ).collect()
+        }
+        assert got == want, (forced, got)
+
+
+def test_pip_expr_degenerate_rings(spark):
+    """NULL rings arrays, NULL ring elements and <3-vertex rings contribute
+    nothing (never error under ANSI mode)."""
+    from re_data_pipeline_spark.functions.geo import point_in_rings_expr
+
+    sq = [{"x": 0.0, "y": 0.0}, {"x": 4.0, "y": 0.0}, {"x": 4.0, "y": 4.0}, {"x": 0.0, "y": 4.0}]
+    rows = [
+        (1, [sq]),                 # plain square -> inside
+        (2, [sq, None]),           # null ring ignored -> inside
+        (3, [sq, sq[:2]]),         # degenerate 2-vertex ring ignored -> inside
+        (4, None),                 # null geometry -> outside
+        (5, [None]),               # only a null ring -> outside
+        (6, [[sq[0], sq[1], sq[0]]]),  # closed 2-distinct-vertex sliver -> outside
+    ]
+    df = spark.createDataFrame(rows, "gid int, rings array<array<struct<x:double,y:double>>>")
+    got = {
+        r.gid: r.inside
+        for r in df.select(
+            "gid",
+            point_in_rings_expr(__import__("pyspark").sql.functions.lit(1.0),
+                                __import__("pyspark").sql.functions.lit(1.0),
+                                "rings").alias("inside"),
+        ).collect()
+    }
+    assert got == {1: True, 2: True, 3: True, 4: False, 5: False, 6: False}
+
+
 def test_single_ring_pip_unchanged_by_vectorization(spark):
     """The numpy kernel must preserve the original edge semantics for the
     single-ring path (closed or open rings, <3 vertices -> False)."""
