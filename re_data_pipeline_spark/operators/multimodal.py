@@ -58,8 +58,8 @@ MEDIA_SCHEMA = StructType(
 
 def _fake_decode(content: bytes, kind: str) -> np.ndarray:
     """Deterministic stand-in for a real decoder: derives a pixel/sample
-    array from the byte stream via a seeded hash.  Marked FAKE — swap for
-    PIL/soundfile/ffmpeg in production."""
+    array from the byte stream via a seeded hash.  Marked FAKE — the
+    import-gated real codecs are ``_real_decode``."""
     seed = int(hashlib.md5(content or b"").hexdigest()[:8], 16)
     rng = np.random.RandomState(seed)
     if kind == "image":
@@ -71,6 +71,55 @@ def _fake_decode(content: bytes, kind: str) -> np.ndarray:
     raise ValueError(f"unknown media kind: {kind}")
 
 
+def _real_decode(content: bytes, kind: str) -> np.ndarray:
+    """Production decoders, import-gated per media kind (the PyMuPDF
+    pattern, ``sources/pdf.py:33``): the codec import happens at DECODE
+    time inside the executor task, so an environment without the optional
+    lib fails loudly with an ImportError naming the extra to install —
+    never silently, never at driver import time.
+
+    - image → PIL (extra: ``image``), RGB uint8 (H, W, 3)
+    - audio → soundfile (extra: ``audio``), mono float32 samples
+    - video → PyAV (extra: ``video``), stacked RGB frames (N, H, W, 3)
+    """
+    import io
+
+    if kind == "image":
+        from PIL import Image  # optional dependency (install extra: `image`)
+
+        with Image.open(io.BytesIO(content)) as im:
+            return np.asarray(im.convert("RGB"), dtype=np.uint8)
+    if kind == "audio":
+        import soundfile  # optional dependency (install extra: `audio`)
+
+        data, _rate = soundfile.read(io.BytesIO(content), dtype="float32")
+        return data if data.ndim == 1 else data.mean(axis=1).astype(np.float32)
+    if kind == "video":
+        import av  # PyAV — optional dependency (install extra: `video`)
+
+        frames = []
+        with av.open(io.BytesIO(content)) as container:
+            for frame in container.decode(video=0):
+                frames.append(frame.to_ndarray(format="rgb24"))
+        if not frames:
+            raise ValueError("video stream decoded to zero frames")
+        return np.stack(frames)
+    raise ValueError(f"unknown media kind: {kind}")
+
+
+def _decode_fn(decoder):
+    """Resolve the ``decoder`` knob: ``"fake"`` (deterministic, testable
+    offline), ``"real"`` (import-gated codecs), or a callable
+    ``(bytes, kind) -> ndarray`` for custom codecs."""
+    if decoder == "fake":
+        return _fake_decode
+    if decoder == "real":
+        return _real_decode
+    if callable(decoder):
+        return decoder
+    raise ValueError(f"decoder must be 'fake', 'real' or a callable, got {decoder!r}")
+
+
 def decode_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
     """Decode each media row and emit a fixed-length feature vector +
     decoded-shape metadata.
@@ -79,13 +128,9 @@ def decode_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
     ``decoded_shape array<int>``.  Plumbing contract: the decoder sees Arrow
     batches; feature length is fixed (16) so downstream similarity operators
     (``operators.similarity``) apply unchanged to media embeddings.
+    ``decoder="real"`` routes through the import-gated PIL/soundfile/PyAV
+    codecs (``_real_decode``); the import happens inside the executor task.
     """
-    if decoder == "real":
-        raise NotImplementedError(
-            "real media decoding requires PIL/soundfile/ffmpeg — not in this "
-            "container; plug a decoder in here"
-        )
-
     out_fields = [f for f in df.schema.fields if f.name != "content"] + [
         StructField("feature", ArrayType(FloatType())),
         StructField("decoded_shape", ArrayType(IntegerType())),
@@ -94,10 +139,11 @@ def decode_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
     keep = [f.name for f in df.schema.fields if f.name != "content"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _decode_fn(decoder)
         for pdf in batches:
             feats, shapes = [], []
             for content, kind in zip(pdf["content"], pdf["kind"]):
-                arr = _fake_decode(bytes(content) if content is not None else b"", kind)
+                arr = decode(bytes(content) if content is not None else b"", kind)
                 flat = arr.astype(np.float64).ravel()
                 # 16 coarse moments: chunked means — deterministic, shape-free
                 chunks = np.array_split(flat, 16)
@@ -112,25 +158,39 @@ def decode_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
 
 
 def resize_images(df: DataFrame, width: int, height: int, decoder: str = "fake") -> DataFrame:
-    """Image resize stage: content → resized content bytes (fake: re-encoded
-    deterministic bytes of the target size; real: PIL resize)."""
-    if decoder == "real":
-        raise NotImplementedError("plug PIL in here")
+    """Image resize stage: content → resized content bytes (fake:
+    re-encoded deterministic bytes of the target size; real: PIL
+    decode → resize → PNG re-encode, import-gated inside the task)."""
     schema = StructType(
         [f for f in df.schema.fields if f.name != "content"]
         + [StructField("content", BinaryType())]
     )
     keep = [f.name for f in df.schema.fields if f.name != "content"]
 
+    def fake_resize(content: bytes) -> bytes:
+        digest = hashlib.md5(content + f"{width}x{height}".encode()).digest()
+        return (digest * ((width * height * 3) // 16 + 1))[: width * height * 3]
+
+    def real_resize(content: bytes) -> bytes:
+        import io
+
+        from PIL import Image  # optional dependency (install extra: `image`)
+
+        with Image.open(io.BytesIO(content)) as im:
+            buf = io.BytesIO()
+            im.convert("RGB").resize((width, height)).save(buf, format="PNG")
+            return buf.getvalue()
+
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"decoder must be 'fake' or 'real', got {decoder!r}")
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        resize = real_resize if decoder == "real" else fake_resize
         for pdf in batches:
             out = pdf[keep].copy()
             out["content"] = [
-                hashlib.md5((bytes(c) if c is not None else b"") + f"{width}x{height}".encode()).digest()
-                * ((width * height * 3) // 16 + 1)
-                for c in pdf["content"]
+                resize(bytes(c) if c is not None else b"") for c in pdf["content"]
             ]
-            out["content"] = out["content"].map(lambda b: b[: width * height * 3])
             yield out
 
     return df.mapInPandas(run, schema)
@@ -138,9 +198,8 @@ def resize_images(df: DataFrame, width: int, height: int, decoder: str = "fake")
 
 def sample_frames(df: DataFrame, every_n: int = 2, decoder: str = "fake") -> DataFrame:
     """Video frame sampling: one output row per sampled frame (one-to-many
-    mapInPandas — the UDTF shape of SURVEY X7), with frame index + feature."""
-    if decoder == "real":
-        raise NotImplementedError("plug ffmpeg in here")
+    mapInPandas — the UDTF shape of SURVEY X7), with frame index + feature.
+    ``decoder="real"`` routes through the import-gated PyAV codec."""
     schema = StructType(
         [
             StructField("media_id", LongType()),
@@ -150,12 +209,13 @@ def sample_frames(df: DataFrame, every_n: int = 2, decoder: str = "fake") -> Dat
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _decode_fn(decoder)
         for pdf in batches:
             rows = []
             for mid, content, kind in zip(pdf["media_id"], pdf["content"], pdf["kind"]):
                 if kind != "video":
                     continue
-                arr = _fake_decode(bytes(content) if content is not None else b"", kind)
+                arr = decode(bytes(content) if content is not None else b"", kind)
                 for idx in range(0, arr.shape[0], every_n):
                     frame = arr[idx].astype(np.float64).ravel()
                     chunks = np.array_split(frame, 8)

@@ -46,9 +46,61 @@ def test_sample_frames_one_to_many(spark):
     assert all(len(r.feature) == 8 for r in out)
 
 
-def test_real_decoder_is_stubbed(spark):
-    with pytest.raises(NotImplementedError):
-        decode_features(synthetic_media(spark, 3), decoder="real")
+def _lib(name):
+    try:
+        __import__(name)
+        return True
+    except ImportError:
+        return False
+
+
+def test_real_decoder_import_gated(spark):
+    """decoder='real' is import-gated like PyMuPDF (sources/pdf.py:33):
+    without the optional codec lib the job fails LOUDLY with an
+    ImportError from inside the task — not silently, not at driver import."""
+    if _lib("PIL"):
+        pytest.skip("PIL installed; gating path not applicable")
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PythonException
+
+    with pytest.raises((PythonException, Py4JJavaError), match="PIL|ImportError"):
+        decode_features(
+            synthetic_media(spark, 3).where(F.col("kind") == "image"),
+            decoder="real",
+        ).collect()
+
+
+def test_decoder_knob_validates():
+    from re_data_pipeline_spark.operators.multimodal import _decode_fn
+
+    with pytest.raises(ValueError, match="decoder must be"):
+        _decode_fn("fast")
+    assert _decode_fn("fake")(b"x", "audio").shape == (1600,)
+    assert callable(_decode_fn(lambda c, k: None))
+
+
+@pytest.mark.skipif(not _lib("PIL"), reason="PIL not installed")
+def test_real_image_decode_roundtrip(spark):
+    """With PIL present (CI extra `image`): encode a tiny PNG, decode it
+    through the real path, and check shape + feature length."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    arr = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(0, "image", bytearray(buf.getvalue()), None)],
+        synthetic_media(spark, 1).schema,
+    )
+    row = decode_features(media, decoder="real").collect()[0]
+    assert tuple(row.decoded_shape) == (4, 4, 3)
+    assert len(row.feature) == 16
+    resized = resize_images(media, 2, 2, decoder="real").collect()[0]
+    with Image.open(io.BytesIO(bytes(resized.content))) as im:
+        assert im.size == (2, 2)
 
 
 def test_metadata_scan_prunes_binary(spark, tmp_path):
