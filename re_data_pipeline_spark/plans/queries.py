@@ -2262,6 +2262,26 @@ def q82_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+@query("q121_cc_bigstar", _Q82_SQL)
+def q121_cc_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the same LSH candidate-pair graph as q82,
+    computed with the alternating large-star/small-star algorithm (Kiveris
+    et al., SoCC 2014) instead of min-label propagation — the skew-resistant
+    O(log² n)-round variant for hub-heavy or long-chained pair graphs at
+    100 TB.  Must produce the exact same (node, component) labeling, so it
+    shares q82's recursive-CTE transitive-closure oracle verbatim.
+    """
+    from re_data_pipeline_spark.operators.dedup import (
+        connected_components_bss,
+        lsh_candidate_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    pairs = lsh_candidate_pairs(d, "doc_id", "text", 16, 3, 4)
+    return connected_components_bss(pairs)
+
+
 @query(
     "q83_gap_fill",
     """
@@ -4316,6 +4336,8 @@ DRIVER_WINDOW: list[str] = [
     "q107_incremental_dedup",
     "q42_llm_extract", "q43_embed_column", "q48_transcripts_pipeline",
     "q119_multipolygon_zones",
+    # new this round: big-star/small-star CC (shares q82's oracle)
+    "q121_cc_bigstar",
     # bench-headline queries last checked in r2
     "q01_pricing_summary", "q04_multi_join_revenue", "q07_topk_per_group",
     "q12_running_total", "q14_grid_agg", "q24_collect_sorted",
@@ -4328,7 +4350,7 @@ DRIVER_WINDOW: list[str] = [
     "q37_chunking", "q39_grid_cell_assign", "q56_geocode_fallback",
     "q58_utm_project", "q59_json_glob_scan", "q61_salted_agg",
     "q63_reit_pipeline", "q99_interval_concurrency", "q114_grouping_sets",
-    "q118_global_ordinals", "q120_http_pushdown_scan",
+    "q120_http_pushdown_scan",
 ]
 
 

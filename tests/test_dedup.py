@@ -143,6 +143,54 @@ def test_connected_components_chain(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_bss_chain(spark):
+    from re_data_pipeline_spark.operators.dedup import connected_components_bss
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {r.node: r.component for r in connected_components_bss(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_bss_matches_label_prop(spark):
+    """BSS and min-label propagation must agree on every (node, component)
+    label — randomized graphs with hubs, chains, and singleton pairs."""
+    import random
+
+    from re_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_bss,
+    )
+
+    rng = random.Random(42)
+    edges = set()
+    # a skewed hub (the shape BSS exists for), a long chain, random noise
+    edges |= {(500, 500 + i) for i in range(1, 40)}
+    edges |= {(600 + i, 600 + i + 1) for i in range(30)}
+    while len(edges) < 120:
+        a, b = rng.randrange(1000), rng.randrange(1000)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    pairs = spark.createDataFrame(sorted(edges), ["id_a", "id_b"])
+    # label-prop needs ~diameter rounds for the 30-edge chain — give it 64
+    lp = {r.node: r.component for r in connected_components(pairs, max_iterations=64).collect()}
+    bss = {r.node: r.component for r in connected_components_bss(pairs).collect()}
+    assert bss == lp
+
+
+def test_connected_components_bss_long_chain_converges_fast(spark):
+    """A 60-node chain needs ~60 label-prop rounds but must finish inside
+    BSS's O(log²) budget — the diameter-independence claim, tested."""
+    from re_data_pipeline_spark.operators.dedup import connected_components_bss
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 61)], ["id_a", "id_b"]
+    )
+    got = {r.node: r.component for r in connected_components_bss(pairs, max_iterations=12).collect()}
+    assert got == {i: 1 for i in range(1, 62)}
+
+
 def test_cluster_dedup_transitive(spark):
     from re_data_pipeline_spark.operators.dedup import cluster_dedup_pipeline
 
