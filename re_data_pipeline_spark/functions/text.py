@@ -71,6 +71,50 @@ def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN)
     return hits / F.size(toks)
 
 
+def duplicate_ngram_fraction(col: Column | str, n: int) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier occurrence:
+    (total − distinct) / total — the Gopher repetition filter family
+    (Rae et al. 2021 §A1.1 use n=2..4; docs above ~0.2 at n=2 are
+    boilerplate/spam).  Pure expressions, map-only at 100 TB.
+
+    NULL for docs with no n-grams (empty text) via try_divide.
+    """
+    sh = word_shingles(col, n, distinct=False)
+    return F.try_divide(F.size(sh) - F.size(F.array_distinct(sh)), F.size(sh))
+
+
+def top_ngram_char_fraction(col: Column | str, n: int) -> Column:
+    """Fraction of the document's characters covered by its single most
+    frequent word n-gram: occurrences × gram length / total chars (the
+    other half of the Gopher repetition family).
+
+    Shape note: the occurrence count is a nested higher-order expression
+    (``transform`` over distinct grams, ``filter`` over all grams) —
+    O(distinct × total) per document, still map-only/JVM-side but outside
+    whole-stage codegen.  Fine for bounded documents; for a corpus of very
+    long documents compute it relationally instead (posexplode → count →
+    max per doc), trading a shuffle for linear per-doc cost.
+    """
+    c = _c(col)
+    sh = word_shingles(col, n, distinct=False)
+    cover = F.transform(
+        F.array_distinct(sh),
+        lambda g: F.size(F.filter(sh, lambda x: x == g)) * F.length(g),
+    )
+    return F.try_divide(F.array_max(cover), F.length(c))
+
+
+def duplicate_line_fraction(col: Column | str, sep: str = "\n") -> Column:
+    """Fraction of non-empty lines that duplicate an earlier line —
+    (total − distinct) / total, Gopher's duplicate-line filter.  NULL when
+    there are no non-empty lines."""
+    lines = F.filter(
+        F.transform(F.split(_c(col), sep), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    return F.try_divide(F.size(lines) - F.size(F.array_distinct(lines)), F.size(lines))
+
+
 def quality_score(col: Column | str) -> Column:
     """Deterministic document-quality score in [0, 1].
 

@@ -2282,6 +2282,54 @@ def q121_cc_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_bss(pairs)
 
 
+_Q122_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, text, {_sql_tokens()} AS t FROM documents
+), sh AS (
+  SELECT doc_id, text,
+         list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+                        j -> array_to_string(t[j:j+1], ' ')) AS s2,
+         list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+                        j -> array_to_string(t[j:j+2], ' ')) AS s3
+  FROM toks
+)
+SELECT doc_id,
+       ROUND((len(s2) - len(list_distinct(s2))) / CAST(len(s2) AS DOUBLE), 6)
+         AS dup_2gram_frac,
+       ROUND((len(s3) - len(list_distinct(s3))) / CAST(len(s3) AS DOUBLE), 6)
+         AS dup_3gram_frac,
+       ROUND(list_max(list_transform(list_distinct(s2),
+               g -> len(list_filter(s2, x -> x = g)) * strlen(g)))
+             / CAST(strlen(text) AS DOUBLE), 6) AS top_2gram_char_frac,
+       ((len(s2) - len(list_distinct(s2))) / CAST(len(s2) AS DOUBLE)) > 0.4
+         AS repetitive
+FROM sh
+"""
+
+
+@query("q122_repetition_metrics", _Q122_SQL)
+def q122_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality metrics (Rae et al. 2021 §A1.1):
+    duplicate word-n-gram fractions (n=2,3) and the character fraction
+    covered by the most frequent 2-gram, plus the resulting boilerplate
+    flag.  All pure column expressions — one map-only pass over the corpus,
+    the filter stage every LLM training pipeline runs before dedup."""
+    from re_data_pipeline_spark.functions.text import (
+        duplicate_ngram_fraction,
+        top_ngram_char_fraction,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    dup2 = duplicate_ngram_fraction(F.col("text"), 2)
+    return d.select(
+        "doc_id",
+        F.round(dup2, 6).alias("dup_2gram_frac"),
+        F.round(duplicate_ngram_fraction(F.col("text"), 3), 6).alias("dup_3gram_frac"),
+        F.round(top_ngram_char_fraction(F.col("text"), 2), 6).alias("top_2gram_char_frac"),
+        (dup2 > 0.4).alias("repetitive"),
+    )
+
+
 @query(
     "q83_gap_fill",
     """
@@ -4336,8 +4384,9 @@ DRIVER_WINDOW: list[str] = [
     "q107_incremental_dedup",
     "q42_llm_extract", "q43_embed_column", "q48_transcripts_pipeline",
     "q119_multipolygon_zones",
-    # new this round: big-star/small-star CC (shares q82's oracle)
-    "q121_cc_bigstar",
+    # new this round: big-star/small-star CC (shares q82's oracle) and the
+    # Gopher repetition-filter metrics
+    "q121_cc_bigstar", "q122_repetition_metrics",
     # bench-headline queries last checked in r2
     "q01_pricing_summary", "q04_multi_join_revenue", "q07_topk_per_group",
     "q12_running_total", "q14_grid_agg", "q24_collect_sorted",
@@ -4349,7 +4398,7 @@ DRIVER_WINDOW: list[str] = [
     "q25_upsert", "q26_archive_delisted", "q32_fingerprint_dedup",
     "q37_chunking", "q39_grid_cell_assign", "q56_geocode_fallback",
     "q58_utm_project", "q59_json_glob_scan", "q61_salted_agg",
-    "q63_reit_pipeline", "q99_interval_concurrency", "q114_grouping_sets",
+    "q63_reit_pipeline", "q99_interval_concurrency",
     "q120_http_pushdown_scan",
 ]
 
