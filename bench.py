@@ -77,6 +77,14 @@ def plan_hash(df) -> str:
     # carries paths/counts after the first token, which round 4 proved leak
     # host state into the hash (identical code, three changed hashes)
     txt = re.sub(r"Location:.*", "Location: X", txt)
+    # localCheckpoint / createDataFrame scans embed the JVM RDD id
+    # (`MapPartitionsRDD[67] at localCheckpoint …`), which counts every RDD
+    # ever created in the session — it varies with execution HISTORY, not
+    # plan shape (the r4→r5 false hash drift on q82/q107/q119)
+    txt = re.sub(r"RDD\[\d+\]", "RDD[N]", txt)
+    # higher-order-function lambda args are numbered by a session-global
+    # counter (`lambda x_1` … `lambda x_19`) — same history dependence
+    txt = re.sub(r"lambda ([a-z]+)_\d+", r"lambda \1_N", txt)
     txt = re.sub(r"file:/\S+", "file:/X", txt)             # any other path refs
     txt = re.sub(r"/tmp/\S+", "/tmp/X", txt)               # staged temp dirs
     txt = re.sub(r"Statistics\(.*?\)", "Statistics(X)", txt)

@@ -930,9 +930,14 @@ def q32_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql(num_hashes: int = 16, shingle_words: int = 3) -> str:
-    """DuckDB expression list reproducing minhash_signature() bit-for-bit."""
+    """DuckDB expression list reproducing minhash_signature() bit-for-bit:
+    Kirsch–Mitzenmacher g_i = h1 + i·(h2 % 2^55) from one md5 per shingle
+    (h1 = hex[1:15], h2 = hex[17:31]) — sums stay < 2^61, identical BIGINT
+    arithmetic in both engines."""
+    h1 = "('0x' || substr(md5(x), 1, 15))::BIGINT"
+    h2 = "(('0x' || substr(md5(x), 17, 15))::BIGINT % 36028797018963968)"
     mins = ", ".join(
-        f"list_aggregate(list_transform(sh, x -> md5(x || '#{i}')), 'min')"
+        f"list_aggregate(list_transform(sh, x -> {h1} + {i} * {h2}), 'min')"
         for i in range(num_hashes)
     )
     return mins
@@ -2328,6 +2333,84 @@ def q122_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(top_ngram_char_fraction(F.col("text"), 2), 6).alias("top_2gram_char_frac"),
         (dup2 > 0.4).alias("repetitive"),
     )
+
+
+_Q123_SQL = f"""
+WITH RECURSIVE corpus AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000 AS vec_id, embedding, label FROM embeddings WHERE vec_id < 50
+  UNION ALL
+  SELECT vec_id + 2000 AS vec_id, embedding, label FROM embeddings WHERE vec_id < 25
+),
+planes AS (
+  SELECT i, list_transform(range(0, 64),
+           j -> CASE WHEN ((i*7 + j*13) % 5) < 2
+                     THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) AS p
+  FROM generate_series(0, 3) s(i)
+),
+dots AS (
+  SELECT c.vec_id, pl.i, {_duck_dot('c.embedding', 'pl.p')} AS d
+  FROM corpus c CROSS JOIN planes pl
+),
+buckets AS (
+  SELECT vec_id,
+         SUM(CASE WHEN d >= 0 THEN (1::BIGINT << i) ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM corpus a
+  JOIN buckets ba ON ba.vec_id = a.vec_id
+  JOIN buckets bb ON ba.bucket = bb.bucket
+  JOIN corpus b ON b.vec_id = bb.vec_id AND a.vec_id < b.vec_id
+  WHERE {_duck_cosine('a.embedding', 'b.embedding')} >= 0.95
+),
+edges AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS t FROM pairs
+),
+reach(s, t) AS (
+  SELECT s, t FROM edges
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+),
+losers AS (
+  SELECT s FROM reach GROUP BY s HAVING LEAST(s, MIN(t)) < s
+)
+SELECT vec_id, label FROM corpus
+WHERE vec_id NOT IN (SELECT s FROM losers)
+"""
+
+
+@query("q123_semantic_dedup", _Q123_SQL)
+def q123_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup end-to-end: the embeddings table salted
+    with exact duplicate vectors under shifted ids (two copy generations, so
+    clusters {v, v+1000, v+2000} need TRANSITIVE removal) → SRP-bucket
+    candidate join → cosine ≥ 0.95 confirmation → big-star/small-star
+    components → keep each cluster's min id.  The whole approximate path —
+    deterministic hyperplanes, bucket assignment, cosine threshold, closure —
+    replays in DuckDB, so this is a full-value oracle for the semantic tier
+    (the paraphrase-level dedup MinHash cannot see)."""
+    from re_data_pipeline_spark.operators.dedup import semantic_dedup_pipeline
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select("vec_id", "embedding", "label")
+    for shift, cap in ((1000, 50), (2000, 25)):
+        corpus = corpus.unionAll(
+            e.where(F.col("vec_id") < cap).select(
+                (F.col("vec_id") + shift).alias("vec_id"), "embedding", "label"
+            )
+        )
+    dim = 64
+    planes = [
+        [1.0 if ((i * 7 + j * 13) % 5) < 2 else -1.0 for j in range(dim)]
+        for i in range(4)
+    ]
+    kept = semantic_dedup_pipeline(corpus, planes, "vec_id", "embedding", 0.95)
+    return kept.select("vec_id", "label")
 
 
 @query(
@@ -4370,7 +4453,9 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries first, since their timings are only meaningful while their
 # correctness stays anchored.  Everything rotated out is pinned by green
 # rows in r3+r4 with unchanged code, and tools/parity.py still verifies
-# ALL 120 queries every session.
+# ALL registered queries every session.  Mid-round additions q121/q122/
+# q123 (new operators, new oracles) displaced q118/q114/q99 — each r2-green
+# with code unchanged since.
 
 DRIVER_WINDOW: list[str] = [
     # new oracles: previously never driver-checked (completes 120/120)
@@ -4385,8 +4470,8 @@ DRIVER_WINDOW: list[str] = [
     "q42_llm_extract", "q43_embed_column", "q48_transcripts_pipeline",
     "q119_multipolygon_zones",
     # new this round: big-star/small-star CC (shares q82's oracle) and the
-    # Gopher repetition-filter metrics
-    "q121_cc_bigstar", "q122_repetition_metrics",
+    # Gopher repetition-filter metrics and SemDeDup semantic dedup
+    "q121_cc_bigstar", "q122_repetition_metrics", "q123_semantic_dedup",
     # bench-headline queries last checked in r2
     "q01_pricing_summary", "q04_multi_join_revenue", "q07_topk_per_group",
     "q12_running_total", "q14_grid_agg", "q24_collect_sorted",
@@ -4398,7 +4483,7 @@ DRIVER_WINDOW: list[str] = [
     "q25_upsert", "q26_archive_delisted", "q32_fingerprint_dedup",
     "q37_chunking", "q39_grid_cell_assign", "q56_geocode_fallback",
     "q58_utm_project", "q59_json_glob_scan", "q61_salted_agg",
-    "q63_reit_pipeline", "q99_interval_concurrency",
+    "q63_reit_pipeline",
     "q120_http_pushdown_scan",
 ]
 

@@ -259,3 +259,24 @@ def test_simhash_keeps_null_text_and_duplicate_rows(spark):
         by_id.setdefault(r["doc_id"], []).append(r["simhash"])
     assert by_id[2] == [None]
     assert by_id[1][0] is not None and by_id[1][0] == by_id[3][0] == by_id[3][1]
+
+
+def test_semantic_dedup_transitive(spark):
+    """Exact-copy chains {v, v', v''} must collapse to the min id via CC,
+    and dissimilar vectors must all survive."""
+    from re_data_pipeline_spark.operators.dedup import semantic_dedup_pipeline
+
+    base = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    # two copy generations of vector 1 → cluster {1, 11, 21}
+    rows = base + [(11, [1.0, 0.0, 0.0, 0.0]), (21, [1.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = [[1.0, -1.0, 1.0, -1.0], [1.0, 1.0, -1.0, -1.0]]
+    kept = sorted(
+        r.vec_id
+        for r in semantic_dedup_pipeline(df, planes, "vec_id", "embedding", 0.95).collect()
+    )
+    assert kept == [1, 2, 3]
