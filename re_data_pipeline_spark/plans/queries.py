@@ -931,14 +931,18 @@ def q32_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sql(num_hashes: int = 16, shingle_words: int = 3) -> str:
     """DuckDB expression list reproducing minhash_signature() bit-for-bit:
-    Kirsch–Mitzenmacher g_i = h1 + i·(h2 % 2^55) from one md5 per shingle
-    (h1 = hex[1:15], h2 = hex[17:31]) — sums stay < 2^61, identical BIGINT
-    arithmetic in both engines."""
-    h1 = "('0x' || substr(md5(x), 1, 15))::BIGINT"
-    h2 = "(('0x' || substr(md5(x), 17, 15))::BIGINT % 36028797018963968)"
+    g_i = (A_i·h1 + B_i·h2) mod 2^32 from one md5 per shingle (h1 =
+    hex[1:8], h2 = hex[9:16], 32 bits each) with the frozen MINHASH_COEFFS
+    odd multipliers — all intermediates < 2^63, identical BIGINT arithmetic
+    in both engines.  The mod wrap keeps the per-row argmins independent
+    (the property LSH banding needs; see operators/dedup.py module doc)."""
+    from re_data_pipeline_spark.operators.dedup import MINHASH_COEFFS
+
+    h1 = "('0x' || substr(md5(x), 1, 8))::BIGINT"
+    h2 = "('0x' || substr(md5(x), 9, 8))::BIGINT"
     mins = ", ".join(
-        f"list_aggregate(list_transform(sh, x -> {h1} + {i} * {h2}), 'min')"
-        for i in range(num_hashes)
+        f"list_aggregate(list_transform(sh, x -> ({a} * {h1} + {b} * {h2}) % 4294967296), 'min')"
+        for a, b in MINHASH_COEFFS[:num_hashes]
     )
     return mins
 
