@@ -686,3 +686,60 @@ def incremental_lsh_dedup(
         "new_buckets": nb,
         "updated_index": index_buckets.unionByName(nb),
     }
+
+
+def span_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 5,
+    max_dup_fraction: float = 0.5,
+) -> DataFrame:
+    """Substring-span duplication profile per document (Lee et al. 2022,
+    *Deduplicating Training Data Makes Language Models Better*: remove
+    repeated SPANS, not just whole near-duplicate documents — boilerplate
+    headers/footers repeat across millions of otherwise-distinct pages).
+
+    Every ``span_words``-token window (stride 1, positions kept — NOT the
+    distinct shingle set MinHash uses) is hashed; a span occurring in ≥ 2
+    distinct documents is *duplicated*; each document reports what fraction
+    of its span positions are duplicated and a keep flag under
+    ``max_dup_fraction``.  Returns
+    ``id_col | n_spans | dup_spans | dup_fraction | keep``.
+
+    Plan shape: posexplode → span-hash count-distinct-docs agg → equi-join
+    the counts back on the span hash (both sides partitioned by the SAME
+    key from the same exchange — co-located, no extra shuffle) → per-doc
+    agg.  The heavy shuffle carries (id, 64-bit hash), never span text.
+    The exact full algorithm (suffix-array substring removal) is not
+    relationally expressible; this windowed-span profile is the standard
+    scalable approximation.
+    """
+    spans = df.select(
+        F.col(id_col),
+        F.posexplode(word_shingles(F.col(text_col), span_words, distinct=False)).alias(
+            "__pos", "__span"
+        ),
+    ).withColumn(
+        "__h", F.conv(F.substring(F.md5(F.col("__span")), 1, 15), 16, 10).cast("long")
+    ).drop("__span")
+    counts = spans.groupBy("__h").agg(
+        F.count_distinct(F.col(id_col)).alias("__nd")
+    )
+    return (
+        spans.join(counts, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum(F.when(F.col("__nd") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("dup_spans"),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "dup_spans",
+            F.round(F.col("dup_spans") / F.col("n_spans"), 6).alias("dup_fraction"),
+            (F.col("dup_spans") / F.col("n_spans") <= max_dup_fraction).alias("keep"),
+        )
+    )

@@ -1,0 +1,150 @@
+"""Training-data selection operators: DSIR importance weighting and a
+hashed linear quality classifier.
+
+The reference curates text ad-hoc (regex cleaning + LLM calls, e.g.
+``tasks/council_transcripts/transcript_summaries.py``); a 100 TB corpus
+needs *principled, cheap* selection passes before anything expensive runs.
+Two public techniques, both expressible as pure Spark column algebra:
+
+- **DSIR** (Data Selection via Importance Resampling, Xie et al. 2023):
+  score every raw document by how much its hashed-n-gram distribution looks
+  like a small target corpus, log p_target(x) - log p_raw(x) under a
+  bag-of-hashed-unigrams model.  The feature space is a fixed B-bucket
+  hash table, so the learned "model" is a B-row table — broadcastable no
+  matter how big the corpus is.
+
+- **Hashed linear classifier** (fastText-style, Joulin et al. 2016): a
+  quality score as sigmoid(mean of per-token weights looked up by feature
+  hash).  With the weight table keyed by ``hash(token) % B`` the whole
+  model inlines into a column expression — zero shuffles, zero joins, the
+  scan IS the inference pass.
+
+Cross-engine determinism: token→bucket uses the md5-prefix→BIGINT mapping
+(the same primitive as ``operators/dedup.minhash_signature``), and every
+floating-point sum is computed over pre-rounded fixed-point BIGINTs so the
+result is independent of partitioning / summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from re_data_pipeline_spark.functions.text import tokens
+
+# Fixed-point scale for order-independent floating sums (see module doc).
+# 1e6 — NOT finer: the pre-round boundary test |frac(x·scale) − 0.5| must
+# stay far above double ulp at the scaled magnitude, or a last-ulp libm
+# difference (JVM Math.log vs DuckDB libm) could round the same value to
+# different integers in the two engines.
+_FIXED = 1_000_000
+
+
+def hash_bucket(col: Column, n_buckets: int) -> Column:
+    """Deterministic token→bucket: md5 hex prefix (60 bits) mod B.
+
+    Engine-portable: DuckDB spells it
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT % B``.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % n_buckets
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Per-document DSIR log importance weight under hashed unigrams.
+
+    ``weight(doc) = Σ_tok  ln p̂_target(bucket(tok)) − ln p̂_raw(bucket(tok))``
+    with add-1 smoothing over the B-bucket vocabulary; ``is_target`` marks
+    the rows that define the target distribution (they are also part of the
+    raw corpus, as in the paper's setup).
+
+    Returns ``id_col | n_tokens | dsir_logweight`` (weight rounded to 6dp).
+
+    Plan shape: one explode → ONE bucket-count aggregate computes both
+    distributions (raw count + conditional target count per bucket — not
+    two scans) → the B-row log-ratio table broadcasts back onto the token
+    stream → per-document sum.  At 100 TB the only wide exchanges are the
+    B-bucket agg (map-side partials collapse it to B rows per task) and the
+    final per-doc agg; the model join is a broadcast by construction.
+
+    The per-token log-ratio is rounded to fixed point (1e-9) *before* the
+    per-document sum, so the sum is exact BIGINT arithmetic — identical
+    under any partitioning and in any engine.
+    """
+    tok = df.select(
+        F.col(id_col), is_target.alias("__tgt"),
+        F.explode(tokens(F.col(text_col))).alias("__tok"),
+    ).withColumn("__b", hash_bucket(F.col("__tok"), n_buckets))
+
+    bucket_counts = tok.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("raw_c"),
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("tgt_c"),
+    )
+    totals = bucket_counts.agg(
+        F.sum("raw_c").alias("raw_t"), F.sum("tgt_c").alias("tgt_t")
+    )
+    model = (
+        bucket_counts.crossJoin(F.broadcast(totals))
+        .select(
+            "__b",
+            F.round(
+                (
+                    F.log((F.col("tgt_c") + 1.0) / (F.col("tgt_t") + F.lit(float(n_buckets))))
+                    - F.log((F.col("raw_c") + 1.0) / (F.col("raw_t") + F.lit(float(n_buckets))))
+                )
+                * _FIXED,
+                0,
+            )
+            .cast("long")
+            .alias("lw_fixed"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(model), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.sum("lw_fixed") / float(_FIXED), 6).alias("dsir_logweight"),
+        )
+    )
+
+
+def classifier_weight(bucket: Column, n_buckets: int) -> Column:
+    """Deterministic pseudo-trained weight for a feature bucket, in
+    [-0.5, 0.5): Knuth multiplicative scramble of the bucket id.  Stands in
+    for a trained weight vector — swap the expression for a real
+    ``F.element_at(lit(weights), bucket + 1)`` lookup without touching the
+    plan shape."""
+    return ((bucket * F.lit(2654435761)) % 1048576) / 1048576.0 - 0.5
+
+
+def classifier_score(
+    text_col: Column | str,
+    n_buckets: int = 1024,
+    scale: float = 4.0,
+) -> Column:
+    """fastText-style document quality probability as a single column
+    expression: ``sigmoid(scale · mean_tok w[hash(tok) % B])``.
+
+    No explode, no join, no shuffle — the weight lookup is inlined algebra
+    on the token array, so scoring 100 TB is exactly one map-only scan
+    (and it pipelines into whatever filter consumes it).  Per-token weights
+    are rounded to 1e-6 fixed point before the array sum → order-exact.
+    Returns NULL for empty/whitespace-only text.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokens(c)
+    w_fixed = F.transform(
+        toks,
+        lambda t: F.round(classifier_weight(hash_bucket(t, n_buckets), n_buckets) * 1_000_000, 0).cast(
+            "long"
+        ),
+    )
+    total = F.aggregate(w_fixed, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    mean = total / (F.size(toks) * 1_000_000.0)
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-F.lit(scale) * mean))

@@ -1,0 +1,145 @@
+"""Data-selection, span-dedup, and compaction-planning operator tests."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from re_data_pipeline_spark.operators.dedup import span_dup_stats
+from re_data_pipeline_spark.operators.maintenance import (
+    compaction_summary,
+    plan_compaction,
+)
+from re_data_pipeline_spark.operators.selection import (
+    classifier_score,
+    dsir_log_weights,
+    hash_bucket,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    # target = lang 'en' docs full of 'alpha'; a raw doc repeating 'alpha'
+    # must outscore a raw doc of never-seen-in-target words
+    rows = [
+        (1, "alpha alpha beta alpha", "en"),
+        (2, "alpha beta alpha alpha", "en"),
+        (3, "alpha alpha alpha alpha", "xx"),
+        (4, "zork quux gnarl zork", "xx"),
+    ]
+    out = dsir_log_weights(
+        _docs(spark, rows), "doc_id", "text", F.col("lang") == "en", n_buckets=64
+    ).collect()
+    w = {r.doc_id: r.dsir_logweight for r in out}
+    assert w[3] > w[4]
+    assert all(r.n_tokens == 4 for r in out)
+
+
+def test_dsir_weight_matches_plain_python(spark):
+    # exact replay of the smoothed log-ratio on a tiny corpus
+    rows = [(1, "a b", "en"), (2, "b c", "xx")]
+    B = 16
+    out = {
+        r.doc_id: r.dsir_logweight
+        for r in dsir_log_weights(
+            _docs(spark, rows), "doc_id", "text", F.col("lang") == "en", n_buckets=B
+        ).collect()
+    }
+    import hashlib
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % B
+
+    toks = {1: ["a", "b"], 2: ["b", "c"]}
+    raw, tgt = {}, {}
+    for d, ts in toks.items():
+        for t in ts:
+            b = bucket(t)
+            raw[b] = raw.get(b, 0) + 1
+            if d == 1:
+                tgt[b] = tgt.get(b, 0) + 1
+    rt, tt = sum(raw.values()), sum(tgt.values())
+    for d, ts in toks.items():
+        s = 0
+        for t in ts:
+            b = bucket(t)
+            lw = math.log((tgt.get(b, 0) + 1) / (tt + B)) - math.log(
+                (raw[b] + 1) / (rt + B)
+            )
+            s += round(lw * 1_000_000)
+        assert out[d] == pytest.approx(round(s / 1_000_000, 6), abs=1e-9)
+
+
+def test_classifier_score_is_deterministic_and_bounded(spark):
+    df = _docs(
+        spark,
+        [(1, "the quick brown fox", "en"), (2, "jumps over the lazy dog", "en")],
+    )
+    a = df.select("doc_id", F.round(classifier_score("text"), 6).alias("p")).collect()
+    b = df.select("doc_id", F.round(classifier_score("text"), 6).alias("p")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert all(0.0 < r.p < 1.0 for r in a)
+
+
+def test_classifier_score_no_shuffle(spark):
+    # the whole model must inline into the scan: no Exchange in the plan
+    df = _docs(spark, [(1, "x y z", "en")])
+    plan = df.select(classifier_score("text").alias("p"))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_hash_bucket_range(spark):
+    df = spark.range(200).select(hash_bucket(F.col("id").cast("string"), 7).alias("b"))
+    vals = {r.b for r in df.collect()}
+    assert vals <= set(range(7)) and len(vals) > 1
+
+
+def test_span_dup_stats_flags_shared_boilerplate(spark):
+    header = "one two three four five six"
+    rows = [
+        (1, header + " unique tail alpha beta gamma delta", "en"),
+        (2, header + " other ending words entirely different here", "en"),
+        (3, "completely unrelated document with its own words only", "en"),
+    ]
+    out = {r.doc_id: r for r in span_dup_stats(_docs(spark, rows), span_words=5).collect()}
+    # 6-word header → spans at pos 1,2 are fully inside it and shared
+    assert out[1].dup_spans == 2 and out[2].dup_spans == 2
+    assert out[3].dup_spans == 0 and out[3].keep
+    # n_spans = n_tokens - 4 for docs longer than the span (doc 3: 8 words)
+    assert out[3].n_spans == 8 - 4
+
+
+def test_span_dup_short_doc_single_span(spark):
+    rows = [(1, "a b c", "en"), (2, "a b c", "en")]
+    out = {r.doc_id: r for r in span_dup_stats(_docs(spark, rows), span_words=5).collect()}
+    assert out[1].n_spans == 1 and out[1].dup_spans == 1
+    assert not out[1].keep  # 100% duplicated > default 0.5
+
+
+def test_plan_compaction_first_fit_bins(spark):
+    files = spark.createDataFrame(
+        [("p1", i, 40) for i in range(5)] + [("p2", 0, 250), ("p2", 1, 10)],
+        "part string, file_id bigint, size_bytes bigint",
+    )
+    out = plan_compaction(files, ["part"], target_bytes=100).collect()
+    bins = {(r.part, r.file_id): r.bin for r in out}
+    # p1: cum-start offsets 0,40,80,120,160 → bins 0,0,0,1,1
+    assert [bins[("p1", i)] for i in range(5)] == [0, 0, 0, 1, 1]
+    # oversized file occupies its own bin; next file starts in bin 2
+    assert bins[("p2", 0)] == 0 and bins[("p2", 1)] == 2
+
+
+def test_compaction_summary_rolls_up(spark):
+    files = spark.createDataFrame(
+        [("p1", 0, 60), ("p1", 1, 60), ("p1", 2, 60)],
+        "part string, file_id bigint, size_bytes bigint",
+    )
+    planned = plan_compaction(files, ["part"], target_bytes=100)
+    s = {r.bin: r for r in compaction_summary(planned, ["part"]).collect()}
+    assert s[0].n_files == 2 and s[0].bin_bytes == 120
+    assert s[1].n_files == 1 and s[1].bin_bytes == 60
