@@ -14,17 +14,26 @@ operator.  Four tiers, all shuffle-planned by Catalyst:
 
 Determinism/portability: every hash is derived from ``md5`` (not Spark's
 xxhash64/murmur) so signatures are bit-identical in any engine — the DuckDB
-oracle recomputes them exactly.  MinHash derives all ``num_hashes``
-functions from ONE md5 per shingle (the dominant signature-generation
-cost) via the 2-universal family g_i = (A_i·h1 + B_i·h2) mod 2^32 over two
-independent 32-bit digest slices.  NOT the Kirsch–Mitzenmacher
-g_i = h1 + i·h2 shortcut: KM keeps the *ordering* of shingles nearly
-identical across rows, so all rows of a band pick the same argmin shingle
-and the band-match probability collapses from s^bands toward s — measured
-at sf0.1 it produced 14,296 candidate pairs (one 2,606-doc spurious
-component) where the independent-digest construction produces 256.  The
-mod-wrapped family reproduces the 256 exactly (see minhash_signature for
-why the wrap, not just distinct slopes, is what buys independence).
+oracle recomputes them exactly.  MinHash semantics follow the classic
+Broder construction (min over shingles of h_i(s), h_i = md5(s || '#' || i))
+— ``num_hashes`` independent digests per shingle.  Two measured-and-
+rejected "one digest per shingle" shortcuts, kept here as a warning:
+
+- Kirsch–Mitzenmacher g_i = h1 + i·h2 keeps the *ordering* of shingles
+  nearly identical across rows, so all rows of a band pick the same argmin
+  shingle and band-match probability collapses from s^bands toward s —
+  at sf0.1 it produced 14,296 candidate pairs (one 2,606-doc spurious
+  component) where Broder produces 256.  Any family whose g_i are positive
+  linear forms over digest slices fails the same way: only shingles on the
+  lower-left convex hull of the digest point set can ever be a row minimum.
+- The fix — 2-universal g_i = (A_i·h1 + B_i·h2) mod 2^32 — restores
+  exactly Broder's 256 pairs, but is *not faster here*: one conv()-decoded
+  digest + 16 arithmetic transforms measured 0.48–0.55 s vs Broder's
+  0.29–0.36 s for sf0.1 signatures (JVM md5 on short strings is cheap;
+  higher-order-function arithmetic and radix conversion are not).
+
+Measure, don't guess: Broder is both the correctness reference and the
+fastest variant in this engine, so it is the implementation.
 """
 
 from __future__ import annotations
@@ -55,22 +64,6 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return fp.join(keep, ["__fp", id_col], "left_semi").drop("__fp")
 
 
-# Per-row (A_i, B_i) odd multipliers for the one-digest MinHash family:
-# g_i(shingle) = A_i·h1 + B_i·h2 over two independent 32-bit md5 slices.
-# Generated once from a fixed 64-bit LCG seed (0x9E3779B97F4A7C15) and
-# frozen here so the DuckDB oracle (`plans/queries._minhash_sql`) can inline
-# the identical constants.  All ratios A_i/B_i are distinct (min gap 7e-3),
-# and A·h1 + B·h2 < 2^63 — exact signed-BIGINT arithmetic in any engine.
-MINHASH_COEFFS: tuple[tuple[int, int], ...] = (
-    (376796945, 356530855), (434260005, 506783649), (465410027, 845941487),
-    (993462279, 137687891), (1039434057, 877137367), (962941921, 757788049),
-    (642015243, 274781773), (254688243, 468982585), (185069343, 704886021),
-    (978478519, 983607999), (558027991, 119982831), (1036742001, 754553055),
-    (1056647143, 992124243), (151818109, 751086787), (875087517, 356433697),
-    (663984777, 163973687),
-)
-
-
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",
@@ -78,66 +71,40 @@ def minhash_signature(
     shingle_words: int = 3,
     out_col: str = "minhash",
 ) -> DataFrame:
-    """Append a MinHash signature column ``array<bigint>[num_hashes]``.
+    """Append a MinHash signature column ``array<string>[num_hashes]``.
 
-    One md5 per distinct word-shingle yields two independent 32-bit slices
-    h1 (hex chars 1-8) and h2 (chars 9-16); row i hashes the shingle as
-    g_i = (A_i·h1 + B_i·h2) mod 2^32 — the classic 2-universal family —
-    with the frozen odd multipliers in ``MINHASH_COEFFS``.  The mod wrap is
-    ESSENTIAL, not cosmetic: without it every g_i is a positive linear form
-    over (h1, h2), so only shingles on the lower-left convex hull of the
-    digest point set (O(log n) of them) can ever be a row minimum — the
-    per-row argmins collapse onto a handful of shingles, bands correlate,
-    and band-match probability degrades from s^bands toward s (measured
-    7,030 sf0.1 candidate pairs unwrapped vs 256 wrapped — wrapped exactly
-    matches the 16-independent-digests construction).  All intermediates
-    < 2^63: exact BIGINT arithmetic, bit-identical in any engine.
-    signature[i] = min over the document's shingles.  Pure expressions
-    (transform + array_min) — map-only, no shuffle, no UDF; one digest per
-    shingle instead of ``num_hashes`` digests is 1.85× end-to-end on sf0.1
-    candidate pairs.
+    Broder construction: h_i(shingle) = md5(shingle || '#' || i);
+    signature[i] = min over the document's distinct word-shingles (hex
+    strings are fixed-length, so lexicographic min = numeric min).  Fully
+    independent hash functions — the property LSH band amplification
+    requires; see the module docstring for the measured failure of
+    one-digest shortcut families.  Pure expressions (transform +
+    array_min) — map-only, no shuffle, no UDF.
 
-    Performance shape (measured at sf0.01): the (h1, h2) struct array must
-    be a *materialized column* referenced by the 16 per-hash mins —
-    inlining the expression 16× recomputes tokenize→shingle→distinct→md5
-    per hash (~40× slower); and the mins must be 16 flat expressions, not
-    a nested ``transform(sequence(0,15), i -> ...)`` whose outer-lambda
-    reference blocks codegen (~8× slower).
+    Performance shape (measured at sf0.01): the shingle array must be a
+    *materialized column* referenced by the 16 per-hash mins — inlining the
+    shingle expression 16× recomputes tokenize→shingle→distinct per hash
+    (~40× slower); and the mins must be 16 flat expressions, not a nested
+    ``transform(sequence(0,15), i -> ...)`` whose outer-lambda reference
+    blocks codegen (~8× slower).
     """
-    if num_hashes > len(MINHASH_COEFFS):
-        raise ValueError(
-            f"num_hashes={num_hashes} exceeds the {len(MINHASH_COEFFS)} frozen "
-            "coefficient pairs — extend MINHASH_COEFFS (and the oracle SQL)"
-        )
     sh_df = df.withColumn("__sh", word_shingles(F.col(text_col), shingle_words))
-    hashed = F.transform(
-        F.col("__sh"),
+
+    def hash_i(i: int):
         # single-parameter lambda: pyspark inspects lambda arity, and a
         # two-arg lambda would receive the array INDEX as its second
-        # argument
-        lambda s: F.struct(
-            F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long").alias("h1"),
-            F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("long").alias("h2"),
-        ),
-    )
-    hp_df = sh_df.withColumn("__hp", hashed)
+        # argument — silently shadowing a closure default (`lambda s, i=i`
+        # is a trap here).
+        tag = F.lit(f"#{i}")
+        return lambda s: F.md5(F.concat(s, tag))
+
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(
-                    F.col("__hp"),
-                    (
-                        lambda ab: lambda p: (
-                            F.lit(ab[0]) * p["h1"] + F.lit(ab[1]) * p["h2"]
-                        )
-                        % F.lit(4294967296)
-                    )(MINHASH_COEFFS[i]),
-                )
-            )
+            F.array_min(F.transform(F.col("__sh"), hash_i(i)))
             for i in range(num_hashes)
         ]
     )
-    return hp_df.withColumn(out_col, sig).drop("__sh", "__hp")
+    return sh_df.withColumn(out_col, sig).drop("__sh")
 
 
 def lsh_bands(

@@ -931,18 +931,13 @@ def q32_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sql(num_hashes: int = 16, shingle_words: int = 3) -> str:
     """DuckDB expression list reproducing minhash_signature() bit-for-bit:
-    g_i = (A_i·h1 + B_i·h2) mod 2^32 from one md5 per shingle (h1 =
-    hex[1:8], h2 = hex[9:16], 32 bits each) with the frozen MINHASH_COEFFS
-    odd multipliers — all intermediates < 2^63, identical BIGINT arithmetic
-    in both engines.  The mod wrap keeps the per-row argmins independent
-    (the property LSH banding needs; see operators/dedup.py module doc)."""
-    from re_data_pipeline_spark.operators.dedup import MINHASH_COEFFS
-
-    h1 = "('0x' || substr(md5(x), 1, 8))::BIGINT"
-    h2 = "('0x' || substr(md5(x), 9, 8))::BIGINT"
+    Broder h_i = md5(shingle || '#i'), min as fixed-length hex string (=
+    numeric min).  Independent digests per row — the property LSH banding
+    needs; see operators/dedup.py module doc for the measured failure of
+    one-digest shortcut families."""
     mins = ", ".join(
-        f"list_aggregate(list_transform(sh, x -> ({a} * {h1} + {b} * {h2}) % 4294967296), 'min')"
-        for a, b in MINHASH_COEFFS[:num_hashes]
+        f"list_aggregate(list_transform(sh, x -> md5(x || '#{i}')), 'min')"
+        for i in range(num_hashes)
     )
     return mins
 
