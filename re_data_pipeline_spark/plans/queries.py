@@ -2670,10 +2670,32 @@ def q90_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q91_brochure_pipeline")
+@query(
+    "q91_brochure_pipeline",
+    r"""
+    WITH l AS (
+      SELECT md5(doc_id::VARCHAR) AS property_uuid,
+             'Extract brochure info from: https://cdn.example/b/' || doc_id::VARCHAR
+               AS prompt
+      FROM documents WHERE doc_id % 12 = 0
+    )
+    SELECT property_uuid,
+           '{"summary": "[MOCK:' || substr(md5(prompt), 1, 12)
+             || ']", "tokens": ' || len(regexp_split_to_array(prompt, '\s+'))::VARCHAR
+             || '}' AS extracted_brochure_info
+    FROM l
+    """,
+)
 def q91_brochure_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brochure LLM-extraction task (X3/O4 — filter-before-LLM, uuid-keyed
-    enrichment output); rows-only (mock LLM)."""
+    enrichment output, ``get_brochure_info.py:119-150``).
+
+    Full-value oracle (round-5, previously rows-only): the mock client is a
+    pure function of the prompt — ``json.dumps({"summary": "[MOCK:md5[:12]]",
+    "tokens": len(p.split())})`` — and the O4 prefilter
+    (city == Edmonton ∧ brochure list non-empty ⇔ doc_id % 12 = 0 here)
+    replays as a WHERE, so the whole task is recomputed independently in
+    DuckDB, mapInPandas plumbing included."""
     from re_data_pipeline_spark.plans.pipelines import brochure_info_pipeline
 
     listings = load_table(spark, sf_dir, "documents").select(
@@ -3209,10 +3231,68 @@ def q46_listings_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q47_rental_grid_pipeline")
+@query(
+    "q47_rental_grid_pipeline",
+    """
+    WITH units AS (
+      SELECT i, unnest(range(1 + i % 4)) AS u
+      FROM range(25) t(i)
+    ), exploded AS (
+      SELECT DISTINCT
+             'Liv Tower ' || i::VARCHAR AS building_name,
+             (400 + i)::VARCHAR || ' 109 St' AS address,
+             CASE WHEN (i + u) % 7 = 6 THEN 'N/A'
+                  ELSE (900 + 50 * ((i + u) % 20))::VARCHAR END AS rental_rate,
+             (i + u) % 5 AS bedrooms,
+             1 + (i + u) % 2 AS bathrooms,
+             (400 + 25 * u)::VARCHAR AS size,
+             -16000.0 + (('0x' || substr(md5('lx:' || i::VARCHAR), 1, 8))::BIGINT
+                         % 32000) AS x,
+             -16000.0 + (('0x' || substr(md5('ly:' || i::VARCHAR), 1, 8))::BIGINT
+                         % 32000) AS y
+      FROM units
+    ), vals AS (
+      SELECT *, TRY_CAST(rental_rate AS DOUBLE) AS v,
+             CAST(floor((x - (-16000.0)) / 500.0) AS BIGINT) AS cell_x,
+             CAST(floor((y - (-16000.0)) / 500.0) AS BIGINT) AS cell_y
+      FROM exploded WHERE TRY_CAST(rental_rate AS DOUBLE) IS NOT NULL
+    ), agg AS (
+      SELECT cell_x, cell_y, bedrooms,
+             AVG(v) AS avg_rental_rate, COUNT(v) AS num_properties,
+             COALESCE(stddev_samp(v), 0.0) AS standard_deviation
+      FROM vals
+      WHERE cell_x BETWEEN 0 AND 63 AND cell_y BETWEEN 0 AND 63
+      GROUP BY 1, 2, 3
+    )
+    SELECT '[(' || (cell_x * 500.0 - 16000.0)::VARCHAR || ', '
+                || (cell_y * 500.0 - 16000.0)::VARCHAR || '), ('
+                || (cell_x * 500.0 - 15500.0)::VARCHAR || ', '
+                || (cell_y * 500.0 - 16000.0)::VARCHAR || '), ('
+                || (cell_x * 500.0 - 15500.0)::VARCHAR || ', '
+                || (cell_y * 500.0 - 15500.0)::VARCHAR || '), ('
+                || (cell_x * 500.0 - 16000.0)::VARCHAR || ', '
+                || (cell_y * 500.0 - 15500.0)::VARCHAR || '), ('
+                || (cell_x * 500.0 - 16000.0)::VARCHAR || ', '
+                || (cell_y * 500.0 - 16000.0)::VARCHAR || ')]'
+             AS grid_coordinates,
+           CAST(bedrooms AS INT) AS bedrooms,
+           ROUND(avg_rental_rate, 6) AS avg_rental_rate,
+           CAST(num_properties AS INT) AS num_properties,
+           ROUND(standard_deviation, 6) AS standard_deviation
+    FROM agg
+    """,
+)
 def q47_rental_grid_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end §3.2 rental-rates trace (explode → upsert → grid stats with
-    closed-ring coordinates string) over fixtures (rows-only)."""
+    """End-to-end §3.2 rental-rates trace (explode → 6-key upsert → grid
+    stats with closed-ring coordinates string) over fixtures.
+
+    Full-value oracle (round-5, previously rows-only): the liv.rent fixture
+    is seedless md5 arithmetic (``fixtures.raw_liv_buildings``), so the
+    WHOLE pipeline — nested-unit explode (U3, ``get_liv_data.py:174-192``),
+    natural-key dedupe (K2, ``combine_and_format.py:122-128``), 'N/A' rate
+    coercion (P17), 64×64 grid stats with ddof=1 / n==1→0.0 and the
+    closed 5-corner ring string (A1, ``aggregate_rental_rates.py:122-140``)
+    — replays independently in DuckDB from ``range(25)``."""
     from re_data_pipeline_spark.plans import fixtures as fx
     from re_data_pipeline_spark.plans.pipelines import rental_rates_pipeline
 
