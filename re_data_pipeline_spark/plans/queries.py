@@ -3202,14 +3202,110 @@ def q45_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q46_listings_pipeline")
+@query(
+    "q46_listings_pipeline",
+    r"""
+    WITH av_raw AS (
+      SELECT (100 + i)::VARCHAR || ' Jasper Ave' AS address,
+             round(printf('%.10f', 53.4 + (i % 40) * 0.005)::DOUBLE, 10) AS latitude,
+             round(printf('%.10f', -113.7 + (i % 40) * 0.005)::DOUBLE, 10) AS longitude,
+             CASE WHEN i % 2 = 0 THEN 'For Sale' ELSE 'For Lease' END AS sol_raw,
+             'av' AS source
+      FROM range(40) t(i)
+      WHERE i % 5 <> 4 AND i % 3 <> 2
+    ), om_raw AS (
+      SELECT (200 + i)::VARCHAR || ' Whyte Ave' AS address,
+             round(printf('%.10f', 53.40 + (i % 30) * 0.006)::DOUBLE, 10) AS latitude,
+             round(printf('%.10f', -113.65 + (i % 30) * 0.006)::DOUBLE, 10) AS longitude,
+             CASE WHEN i % 4 = 0 THEN 'Sale or Lease'
+                  WHEN i % 4 = 1 THEN 'Sublease'
+                  ELSE 'For Lease' END AS sol_raw,
+             'omada' AS source
+      FROM range(30) t(i)
+    ), rp_raw AS (
+      SELECT (300 + i)::VARCHAR || ' 104 St NW' AS address,
+             round(printf('%.10f', 53.45 + (i % 20) * 0.004)::DOUBLE, 10) AS latitude,
+             round(printf('%.10f', -113.60 + (i % 20) * 0.004)::DOUBLE, 10) AS longitude,
+             'For Lease' AS sol_raw, 'royal_park' AS source
+      FROM range(20) t(i)
+    ), combined AS (
+      SELECT source,
+             md5(address || '|' || latitude::VARCHAR || '|' || longitude::VARCHAR)
+               AS property_uuid,
+             CASE WHEN lower(sol_raw) LIKE '%sale%' AND lower(sol_raw) LIKE '%lease%'
+                    THEN 'sale_or_lease'
+                  WHEN lower(sol_raw) LIKE '%sale%' THEN 'sale'
+                  WHEN lower(sol_raw) LIKE '%sublease%' THEN 'sublease'
+                  WHEN lower(sol_raw) LIKE '%lease%' THEN 'lease'
+                  ELSE sol_raw END AS sale_or_lease,
+             ((longitude + 113.7) * 100000.0) + (-16000.0) AS x,
+             ((latitude - 53.4) * 100000.0) + (-16000.0) AS y
+      FROM (SELECT * FROM av_raw UNION ALL
+            SELECT * FROM om_raw UNION ALL
+            SELECT * FROM rp_raw)
+    ), pois AS (
+      SELECT o.kind, o.name_t || '-' || i::VARCHAR AS name, o.name_t AS poi_type,
+             -16000.0 + (('0x' || substr(md5('px:' || i::VARCHAR), 1, 8))::BIGINT
+                         % 32000) + o.dx AS px,
+             -16000.0 + (('0x' || substr(md5('py:' || i::VARCHAR), 1, 8))::BIGINT
+                         % 32000) AS py
+      FROM range(30) a(i),
+           (VALUES (500.0, 'business', 'shop'),
+                   (999.0, 'business', 'cafe'),
+                   (1001.0, 'amenity', 'school'),
+                   (2000.0, 'amenity', 'library')) o(dx, kind, name_t)
+    ), near AS (
+      SELECT c.property_uuid, p.kind, p.name, p.poi_type,
+             round(sqrt((c.x - p.px) * (c.x - p.px)
+                        + (c.y - p.py) * (c.y - p.py)), 1) AS distance
+      FROM combined c, pois p
+      WHERE sqrt((c.x - p.px) * (c.x - p.px)
+                 + (c.y - p.py) * (c.y - p.py)) <= 1000.0
+    ), nb AS (
+      SELECT property_uuid,
+             '[' || string_agg('{"name":"' || name || '","type":"' || poi_type
+                               || '","distance":' || distance::VARCHAR || '}',
+                               ',' ORDER BY name, poi_type, distance)
+                 || ']' AS nearby_businesses
+      FROM near WHERE kind = 'business'
+      GROUP BY property_uuid
+    ), tiles AS (
+      SELECT gx, gy,
+             'Z' || lpad((row_number() OVER (ORDER BY gx, gy) - 1)::VARCHAR, 3, '0')
+               AS zoning
+      FROM (SELECT a.i AS gx, b.i AS gy
+            FROM range(8) a(i), range(8) b(i)
+            WHERE (a.i + b.i) % 3 <> 2)
+    )
+    SELECT c.property_uuid, c.source, c.sale_or_lease,
+           COALESCE(t.zoning, 'Unknown') AS zoning,
+           nb.nearby_businesses
+    FROM combined c
+    LEFT JOIN tiles t
+      ON t.gx = CAST(floor((c.x + 16000.0) / 4000.0) AS BIGINT)
+     AND t.gy = CAST(floor((c.y + 16000.0) / 4000.0) AS BIGINT)
+    LEFT JOIN nb ON nb.property_uuid = c.property_uuid
+    """,
+)
 def q46_listings_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end §3.1 property-listings trace (acquire×3 via the HTTP
     source wrapper → union → OSM radius + zoning PIP enrichment → normalize
-    → upsert) over deterministic FIXTURES.md payloads (rows-only:
-    multi-stage pipeline).  Ingestion is the in-engine S1/S3/S4 path:
-    offset-paged REST, page-numbered WordPress with server-side
-    ``status=publish``, and the admin-ajax POST carrier."""
+    → upsert) over deterministic FIXTURES.md payloads.  Ingestion is the
+    in-engine S1/S3/S4 path: offset-paged REST, page-numbered WordPress with
+    server-side ``status=publish``, and the admin-ajax POST carrier.
+
+    Full-value oracle (round-5, previously rows-only): every stage replays
+    in DuckDB from first principles — the three acquisition payloads are
+    seedless arithmetic (server-side filters ⇔ the WHERE on ``av_raw``),
+    lat/lng round-trip through the same ``%.10f`` format, the uuid is md5
+    of the same concat, the 1000 m radius join is the naive cross join +
+    exact distance, ``to_json(array_sort(structs))`` is string-assembled
+    with the same (name, type, distance) ordering, and the zoning PIP
+    reduces to half-open tile containment (inclusive min edges — exactly
+    the even-odd ray cast's semantics for axis-aligned rings, so the
+    fixture point AT the corner of tile Z000 lands identically in both
+    engines).  Reference: ``combine_broker_listings.py``,
+    ``get_osm_data.py:63-164``, ``get_zoning_data.py:53-79``."""
     from re_data_pipeline_spark.plans import fixtures as fx
     from re_data_pipeline_spark.plans.acquisition import (
         acquire_av,
@@ -3307,10 +3403,105 @@ def q47_rental_grid_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q48_transcripts_pipeline")
+def _q48_oracle_sql(dim: int = 16) -> str:
+    """DuckDB replay of the §3.3 transcripts trace (see q48 docstring).
+
+    The embedding replay mirrors the mock client bit-for-bit: md5-derived
+    doubles, Python-order normalization, then a ``::REAL`` truncation for
+    the stored float32 — so cosine scores (and therefore the context
+    ordering the summary hash depends on) are bit-identical."""
+
+    def raw(prefix: str, text_expr: str) -> str:
+        return ",\n             ".join(
+            f"(('0x' || substr(md5({text_expr} || '#{i}'), 1, 8))::BIGINT"
+            f" / 4294967295.0 * 2.0 - 1.0) AS {prefix}{i}"
+            for i in range(dim)
+        )
+
+    def norm(prefix: str) -> str:
+        return "sqrt(" + " + ".join(f"{prefix}{i} * {prefix}{i}" for i in range(dim)) + ")"
+
+    def unit(src: str, dst: str) -> str:
+        return ",\n             ".join(
+            f"({src}{i} / nrm)::REAL::DOUBLE AS {dst}{i}" for i in range(dim)
+        )
+
+    dot = " + ".join(f"ce{i} * qe{i}" for i in range(dim))
+    cn = "sqrt(0.0 + " + " + ".join(f"ce{i} * ce{i}" for i in range(dim)) + ")"
+    qn = "sqrt(0.0 + " + " + ".join(f"qe{i} * qe{i}" for i in range(dim)) + ")"
+
+    return f"""
+    WITH meta AS (
+      SELECT CAST(tid AS BIGINT) AS tid, cnt
+      FROM (VALUES (1, 29), (2, 35), (3, 36), (4, 64), (5, 70), (6, 100)) m(tid, cnt)
+    ), st AS (
+      SELECT tid, cnt,
+             CASE WHEN cnt >= 35 THEN range(0, cnt - 35 + 1, 29)
+                  ELSE [] END AS main_starts
+      FROM meta
+    ), allst AS (
+      SELECT tid, cnt,
+             CASE WHEN (cnt % 29) <> 0 AND (((cnt - 35) % 29) + 29) % 29 <> 0
+                  THEN list_append(main_starts, greatest(cnt - 35, 0))
+                  ELSE main_starts END AS starts
+      FROM st
+    ), chunks AS (
+      SELECT tid,
+             tid::VARCHAR || ':' || (u.s * 6)::VARCHAR AS chunk_id,
+             array_to_string(list_transform(
+               range(u.s, least(u.s + 35, cnt)),
+               j -> 't' || tid::VARCHAR || ' snippet ' || j::VARCHAR), ' ') AS text
+      FROM allst, unnest(starts) u(s)
+    ), cv AS (
+      SELECT tid, chunk_id, text,
+             {raw('cv', 'text')}
+      FROM chunks
+    ), cnorm AS (
+      SELECT *, {norm('cv')} AS nrm FROM cv
+    ), ce AS (
+      SELECT tid, chunk_id, text,
+             {unit('cv', 'ce')}
+      FROM cnorm
+    ), qv AS (
+      SELECT tid, {raw('qv', "('Meeting ' || tid::VARCHAR)")}
+      FROM meta
+    ), qnorm AS (
+      SELECT *, {norm('qv')} AS nrm FROM qv
+    ), qe AS (
+      SELECT tid, {unit('qv', 'qe')}
+      FROM qnorm
+    ), scored AS (
+      SELECT ce.tid, ce.chunk_id, ce.text,
+             ({dot}) / ({cn} * {qn}) AS score
+      FROM ce JOIN qe ON ce.tid = qe.tid
+    ), context AS (
+      SELECT tid,
+             string_agg(text, chr(10) ORDER BY -score, chunk_id) AS ctx
+      FROM scored GROUP BY tid
+    )
+    SELECT tid AS council_transcript_id,
+           '[MOCK:' || substr(md5(ctx), 1, 12) || ']' AS summary
+    FROM context
+    """
+
+
+@query("q48_transcripts_pipeline", _q48_oracle_sql())
 def q48_transcripts_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end §3.3 transcripts trace (chunk → embed → metadata-filtered
-    top-k retrieval → mock-LLM summaries) over fixtures (rows-only)."""
+    top-k retrieval → mock-LLM summaries) over fixtures.
+
+    Full-value oracle (round-5, previously rows-only — the last pipeline
+    trace to get one): every stage replays in DuckDB.  Chunk starts follow
+    the reference rule (N=35/stride 29 + tail, ``transcripts_to_vector_db
+    .py:196-225``) over the fixture snippet counts; the 16-dim mock
+    embeddings replay md5-for-md5 with a ``::REAL`` truncation for the
+    stored float32; cosine scores reuse Spark's exact fold order so the
+    (score desc, chunk_id) context ordering — which the summary md5 is
+    exquisitely sensitive to — is bit-identical; the k=23 top-k is
+    saturated at fixture scale so retrieval reduces to the epoch-equality
+    prefilter (``transcript_summaries.py:110-119``).  Transcript 1
+    (29 snippets, 29 % 29 == 0) produces NO chunks by the tail rule —
+    both engines emit 5 summaries, not 6."""
     from re_data_pipeline_spark.plans import fixtures as fx
     from re_data_pipeline_spark.plans.pipelines import transcripts_pipeline
 
@@ -4565,26 +4756,24 @@ DRIVER_WINDOW: list[str] = [
     # displaced by the four new queries — stock-operator bodies, r2-green,
     # code unchanged since)
     "q25_upsert", "q26_archive_delisted", "q32_fingerprint_dedup",
-    "q37_chunking", "q39_grid_cell_assign", "q56_geocode_fallback",
-    "q58_utm_project", "q59_json_glob_scan", "q61_salted_agg",
+    "q37_chunking", "q56_geocode_fallback", "q61_salted_agg",
     "q63_reit_pipeline",
     "q120_http_pushdown_scan",
+    # mid-round-5 additions: the four pipeline traces got full-value DuckDB
+    # replay oracles (previously rows-only) — anchor all of them; displaced
+    # q39/q58/q59 (stock geo/source ops, r2-green, code unchanged since)
+    "q46_listings_pipeline", "q47_rental_grid_pipeline",
+    "q91_brochure_pipeline",
 ]
 
 
-# Window entries intentionally checked rows-only (non-SQL-expressible:
-# multi-stage pipelines with staged sinks).  Anything else in the window
-# without an oracle is a registration bug — fail at import.  The ANN pair
-# left this set in round 5: their paths are deterministic, so they replay
-# fully in DuckDB (_Q41_SQL / _Q69_SQL).
-ROWS_ONLY_WINDOW: frozenset[str] = frozenset(
-    {
-        "q46_listings_pipeline",
-        "q47_rental_grid_pipeline",
-        "q48_transcripts_pipeline",
-        "q91_brochure_pipeline",
-    }
-)
+# Window entries intentionally checked rows-only (non-SQL-expressible).
+# EMPTY since mid-round-5: the last four holdouts — the §3 pipeline traces —
+# replay fully in DuckDB now (fixtures are seedless md5 arithmetic; mock
+# LLM/embedding clients are pure hash functions), so every registered query
+# carries a full-value oracle.  Anything in the window without an oracle is
+# a registration bug — fail at import.
+ROWS_ONLY_WINDOW: frozenset[str] = frozenset()
 
 
 def ordered_queries() -> dict[str, QueryFn]:
