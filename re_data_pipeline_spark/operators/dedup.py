@@ -483,6 +483,54 @@ def cluster_dedup_pipeline(
     return df.join(losers, id_col, "left_anti")
 
 
+def cluster_dedup_keep_best(
+    df: DataFrame,
+    quality_col: Column | str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_words: int = 3,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Quality-aware cluster dedup: keep each near-duplicate cluster's BEST
+    row (max ``quality_col``, min id tiebreak) instead of its minimum id.
+
+    Curation pipelines rank duplicates before dropping them — when a crawl
+    captures the same article as clean text and as boilerplate-ridden
+    scrape, lowest-id-wins keeps whichever arrived first while this keeps
+    the highest-quality copy (the policy large curation efforts apply at
+    the cluster stage; the reference's analogue is its keyed upserts
+    preferring the already-cleaned row, ``combine_broker_listings.py``).
+
+    Plan shape: same LSH → Jaccard-confirm → connected-components spine as
+    ``cluster_dedup_pipeline``; the keep rule is ONE extra rank window
+    partitioned by component id.  Singletons coalesce to their own id, so
+    the window's partitions are cluster-sized (tiny) — the shuffle key is
+    the component id, and 100 TB of singletons pass through as 1-row
+    partitions with no skew.
+    """
+    from pyspark.sql.window import Window
+
+    q = F.col(quality_col) if isinstance(quality_col, str) else quality_col
+    cands = lsh_candidate_pairs(df, id_col, text_col, num_hashes, shingle_words, bands)
+    confirmed = jaccard_on_pairs(cands, df, id_col, text_col, shingle_words).where(
+        F.col("jaccard") >= F.lit(threshold)
+    )
+    comps = connected_components(confirmed.select("id_a", "id_b"))
+    member = (
+        df.join(comps, df[id_col] == comps.node, "left")
+        .withColumn("__component", F.coalesce(F.col("component"), F.col(id_col)))
+        .drop("node", "component")
+    )
+    w = Window.partitionBy("__component").orderBy(q.desc(), F.col(id_col).asc())
+    return (
+        member.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__component")
+    )
+
+
 def semantic_dedup_pipeline(
     df: DataFrame,
     planes: list[list[float]],

@@ -148,3 +148,56 @@ def classifier_score(
     total = F.aggregate(w_fixed, F.lit(0).cast("long"), lambda acc, x: acc + x)
     mean = total / (F.size(toks) * 1_000_000.0)
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-F.lit(scale) * mean))
+
+
+def mixture_allocation(
+    df: DataFrame,
+    domain_col: str,
+    size_col: Column | str,
+    budget: int,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a sampling budget
+    across domains, proportional to each domain's size.
+
+    The "data recipe" step of corpus assembly: given per-domain sizes
+    (token counts, doc counts), emit an integer quota per domain that sums
+    EXACTLY to ``budget`` — floor(n_d·budget/N) each, then the leftover
+    units go to the largest fractional remainders (domain-name tiebreak).
+    Temperature-flattened recipes (n^α) are this same operator fed
+    pre-scaled sizes.
+
+    Exactness: quotas and remainders are decimal(38,0) arithmetic — no
+    floating point anywhere, so the allocation is bit-stable across
+    engines and partitionings even at 10^14-token domain sizes where
+    ``n·budget`` overflows int64.  Plan shape: one map-side-combined agg to
+    |domains| rows, then broadcast joins of two 1-row aggregates and one
+    |domains|-row rank window — the 100 TB input reduces immediately; only
+    domain-cardinality rows ever shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    s = F.col(size_col) if isinstance(size_col, str) else size_col
+    counts = df.groupBy(domain_col).agg(F.sum(s).cast("decimal(38,0)").alias("n"))
+    total = counts.agg(F.sum("n").cast("decimal(38,0)").alias("__t"))
+    x = counts.crossJoin(F.broadcast(total))
+    prod = F.col("n") * F.lit(budget).cast("decimal(38,0)")
+    base = F.floor(prod / F.col("__t")).cast("decimal(38,0)")
+    x = x.withColumn("base", base).withColumn("rem", prod - base * F.col("__t"))
+    leftover = x.agg(
+        (F.lit(budget).cast("decimal(38,0)") - F.sum("base")).alias("__left")
+    )
+    w = Window.orderBy(F.desc("rem"), F.asc(domain_col))
+    return (
+        x.crossJoin(F.broadcast(leftover))
+        .withColumn("__rk", F.row_number().over(w))
+        .select(
+            domain_col,
+            F.col("n").cast("bigint").alias("domain_size"),
+            (
+                F.col("base")
+                + F.when(F.col("__rk") <= F.col("__left"), F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("quota"),
+        )
+    )

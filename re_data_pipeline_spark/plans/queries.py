@@ -4755,8 +4755,7 @@ DRIVER_WINDOW: list[str] = [
     # core operators / sinks / sources last checked in r2 (q05/q06/q09/q11
     # displaced by the four new queries — stock-operator bodies, r2-green,
     # code unchanged since)
-    "q25_upsert", "q26_archive_delisted", "q32_fingerprint_dedup",
-    "q37_chunking", "q56_geocode_fallback", "q61_salted_agg",
+    "q56_geocode_fallback", "q61_salted_agg",
     "q63_reit_pipeline",
     "q120_http_pushdown_scan",
     # mid-round-5 additions: the four pipeline traces got full-value DuckDB
@@ -4764,6 +4763,14 @@ DRIVER_WINDOW: list[str] = [
     # q39/q58/q59 (stock geo/source ops, r2-green, code unchanged since)
     "q46_listings_pipeline", "q47_rental_grid_pipeline",
     "q91_brochure_pipeline",
+    # round-5 new operators, each with a first driver anchor: keep-best
+    # cluster dedup, exact largest-remainder domain mixture, Bloom-prefilter
+    # anti-join, watermarked stream-stream join.  Displaced q25/q26/q32/q37
+    # (r2-green, code unchanged; their operators are additionally exercised
+    # inside the newly-anchored q46/q47/q48 pipeline oracles — upsert in
+    # q46/q47, chunking in q48, fingerprint hashing across the dedup family)
+    "q128_keep_best_dedup", "q129_domain_mixture",
+    "q130_bloom_prefilter", "q131_stream_stream_join",
 ]
 
 
@@ -5108,3 +5115,211 @@ def q127_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan_compaction(
         files, ["part_month"], "size_bytes", "file_id", target_bytes=_COMPACT_TARGET
     )
+
+
+_Q128_SQL = f"""
+WITH RECURSIVE {_Q82_PAIRS_CTES},
+shx AS (
+  SELECT doc_id, unnest(sh) AS s FROM sh0
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM (SELECT DISTINCT doc_id, s FROM shx) GROUP BY doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS inter
+  FROM pairs c JOIN shx a ON a.doc_id = c.id_a
+               JOIN shx b ON b.doc_id = c.id_b AND a.s = b.s
+  GROUP BY 1, 2
+), confirmed AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+               JOIN sizes sb ON sb.doc_id = i.id_b
+  WHERE i.inter * 1.0 / (sa.sz + sb.sz - i.inter) >= 0.5
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM confirmed
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM confirmed
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), comp AS (
+  SELECT src AS node, LEAST(src, MIN(dst)) AS component FROM reach GROUP BY src
+), members AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+         CAST(length(d.text) AS BIGINT) AS quality
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+), ranked AS (
+  SELECT doc_id, quality,
+         row_number() OVER (PARTITION BY component
+                            ORDER BY quality DESC, doc_id) AS rn
+  FROM members
+)
+SELECT doc_id, quality FROM ranked WHERE rn = 1
+"""
+
+
+@query("q128_keep_best_dedup", _Q128_SQL)
+def q128_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster dedup (keep-best): the LSH → Jaccard-confirm →
+    connected-components spine of q85, but each cluster keeps its
+    highest-quality member (here: longest text, min-id tiebreak) instead of
+    its minimum id — the policy curation pipelines apply when duplicates
+    differ in cleanliness.  Oracle: the q85 recursive-CTE component graph
+    plus an argmax window over (component, quality)."""
+    from re_data_pipeline_spark.operators.dedup import cluster_dedup_keep_best
+
+    d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    d = d.withColumn("quality", F.length("text").cast("bigint"))
+    return cluster_dedup_keep_best(d, "quality", threshold=0.5).select(
+        "doc_id", "quality"
+    )
+
+
+_MIX_BUDGET = 10_000
+
+
+@query(
+    "q129_domain_mixture",
+    f"""
+    WITH c AS (
+      SELECT lang, SUM(len({_sql_tokens()}))::HUGEINT AS n
+      FROM documents GROUP BY lang
+    ), t AS (
+      SELECT SUM(n) AS t FROM c
+    ), q AS (
+      SELECT lang, n,
+             (n * {_MIX_BUDGET}) // t AS base,
+             (n * {_MIX_BUDGET}) % t AS rem
+      FROM c, t
+    ), l AS (
+      SELECT {_MIX_BUDGET} - SUM(base) AS leftover FROM q
+    ), r AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rk FROM q
+    )
+    SELECT lang, CAST(n AS BIGINT) AS domain_size,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+    FROM r, l
+    """,
+)
+def q129_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture budget allocation (the "data recipe" step of corpus
+    assembly: per-domain token quotas for a fixed training budget).
+    Largest-remainder apportionment in pure decimal(38,0) arithmetic — no
+    floating point, so quotas are bit-stable across engines and sum EXACTLY
+    to the budget; DuckDB replays the same division in HUGEINT.
+
+    Plan: the 100 TB token count reduces map-side to |domains| rows; the
+    rank window and the two 1-row aggregates (total, leftover) broadcast.
+    Temperature-flattened recipes (n^α) reuse the operator with pre-scaled
+    sizes."""
+    from re_data_pipeline_spark.functions.text import token_count
+    from re_data_pipeline_spark.operators.selection import mixture_allocation
+
+    d = load_table(spark, sf_dir, "documents")
+    d = d.select("lang", token_count("text").cast("bigint").alias("n_tokens"))
+    return mixture_allocation(d, "lang", "n_tokens", _MIX_BUDGET)
+
+
+@query(
+    "q130_bloom_prefilter",
+    """
+    WITH batch AS (
+      SELECT doc_id, md5(doc_id::VARCHAR) AS key FROM documents
+    ), corpus AS (
+      SELECT md5(doc_id::VARCHAR) AS key FROM documents WHERE doc_id % 3 <> 1
+    )
+    SELECT b.doc_id, b.key
+    FROM batch b ANTI JOIN corpus c ON b.key = c.key
+    """,
+)
+def q130_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefilter incremental dedup: anti-join a new batch against the
+    corpus key set, with a corpus-side Bloom filter routing
+    definitely-new rows around the join (zero false negatives ⇒ the result
+    is EXACTLY the anti-join, which is what the oracle states).
+
+    The probes are k broadcast hash joins against the (word_idx, word)
+    bitmap — the batch side stays map-only except for the filter-positive
+    sliver, which is the whole point at 100 TB: the day's mostly-new batch
+    no longer shuffles against the corpus (reference analogue: per-key
+    ``ON CONFLICT DO NOTHING`` probes, ``combine_and_format.py:122-128``)."""
+    from re_data_pipeline_spark.operators.membership import bloom_prefilter_anti_join
+
+    d = load_table(spark, sf_dir, "documents")
+    batch = d.select("doc_id", F.md5(F.col("doc_id").cast("string")).alias("key"))
+    corpus = d.where(F.col("doc_id") % 3 != 1).select(
+        F.md5(F.col("doc_id").cast("string")).alias("key")
+    )
+    return bloom_prefilter_anti_join(batch, corpus, "key", m_bits=1 << 17, k=4)
+
+
+@query(
+    "q131_stream_stream_join",
+    """
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id, a.user_id,
+           strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOUR
+    """,
+)
+def q131_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (click→purchase attribution
+    within 2 h): both sides are unbounded file streams; the equality key
+    plus the two-sided time-range condition lets Spark expire join state at
+    the watermark instead of buffering either stream forever — the only
+    join shape that survives at streaming-100 TB.  The drain replays
+    UNORDERED historical files (repartition(3), one per trigger), so the
+    watermark delay must cover the full replay span (31 d here) or
+    genuinely-late rows are dropped mid-drain — measured: a 1 h watermark
+    lost 38 of 69 pairs; a production deployment reading a live tail would
+    run minutes of delay because arrival tracks event time.  Drained with
+    Trigger.AvailableNow, the result is deterministic and equals the batch
+    join, which is the oracle (same batch/streaming-parity technique as
+    q44/q101)."""
+    import shutil
+    import tempfile
+
+    from re_data_pipeline_spark.streaming.stream_ops import (
+        read_stream,
+        run_available_now_memory,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="q131_events_")
+    try:
+        ev.repartition(3).write.mode("overwrite").parquet(stage)
+        clicks = (
+            read_stream(spark, stage, ev.schema, max_files_per_trigger=1)
+            .where(F.col("event_type") == "click")
+            .select("event_id", "user_id", "ts")
+            .withWatermark("ts", "31 days")
+        )
+        purchases = (
+            read_stream(spark, stage, ev.schema, max_files_per_trigger=1)
+            .where(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("p_event_id"),
+                F.col("user_id").alias("p_user_id"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "31 days")
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("p_ts") >= F.col("ts"))
+            & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 2 HOURS")),
+        ).select(
+            F.col("event_id").alias("click_id"),
+            F.col("p_event_id").alias("purchase_id"),
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        )
+        run_available_now_memory(joined, "q131_out", "append")
+        return spark.createDataFrame(
+            spark.table("q131_out").collect(), spark.table("q131_out").schema
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

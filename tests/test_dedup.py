@@ -280,3 +280,41 @@ def test_semantic_dedup_transitive(spark):
         for r in semantic_dedup_pipeline(df, planes, "vec_id", "embedding", 0.95).collect()
     )
     assert kept == [1, 2, 3]
+
+
+def test_keep_best_prefers_quality_over_id(spark):
+    """A near-dup cluster keeps its highest-quality member, not its min id;
+    singletons always survive."""
+    from pyspark.sql import functions as F
+
+    from re_data_pipeline_spark.operators.dedup import cluster_dedup_keep_best
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),                          # cluster, shorter
+        (2, base + " extra tail words"),    # cluster, LONGEST -> kept
+        (3, "completely different text about spark shuffles and joins"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "quality", F.length("text").cast("bigint")
+    )
+    kept = sorted(
+        r.doc_id for r in cluster_dedup_keep_best(df, "quality", threshold=0.3).collect()
+    )
+    assert kept == [2, 3]
+
+
+def test_keep_best_tiebreak_min_id(spark):
+    from pyspark.sql import functions as F
+
+    from re_data_pipeline_spark.operators.dedup import cluster_dedup_keep_best
+
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    rows = [(7, base), (4, base), (9, "unrelated words entirely distinct here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "quality", F.length("text").cast("bigint")
+    )
+    kept = sorted(
+        r.doc_id for r in cluster_dedup_keep_best(df, "quality", threshold=0.3).collect()
+    )
+    assert kept == [4, 9]

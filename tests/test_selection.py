@@ -143,3 +143,32 @@ def test_compaction_summary_rolls_up(spark):
     s = {r.bin: r for r in compaction_summary(planned, ["part"]).collect()}
     assert s[0].n_files == 2 and s[0].bin_bytes == 120
     assert s[1].n_files == 1 and s[1].bin_bytes == 60
+
+
+def test_mixture_allocation_sums_to_budget_exactly(spark):
+    from re_data_pipeline_spark.operators.selection import mixture_allocation
+
+    rows = [("web", 7), ("code", 2), ("books", 1), ("web", 3)]
+    df = spark.createDataFrame(rows, "domain string, n bigint")
+    out = {r.domain: r.quota for r in mixture_allocation(df, "domain", "n", 100).collect()}
+    # sizes: web 10, code 2, books 1; total 13
+    # floors: 76, 15, 7 (sum 98); remainders 12/13, 5/13, 9/13
+    # leftover 2 -> web (12) and books (9) get +1
+    assert out == {"web": 77, "code": 15, "books": 8}
+    assert sum(out.values()) == 100
+
+
+def test_mixture_allocation_overflow_safe(spark):
+    """Domain sizes at 10^14 tokens x 10^9 budget would overflow int64
+    multiplication; the decimal(38,0) path must stay exact."""
+    from re_data_pipeline_spark.operators.selection import mixture_allocation
+
+    rows = [("a", 10**14), ("b", 2 * 10**14), ("c", 3 * 10**14)]
+    df = spark.createDataFrame(rows, "domain string, n bigint")
+    budget = 10**9
+    out = {r.domain: r.quota for r in mixture_allocation(df, "domain", "n", budget).collect()}
+    assert sum(out.values()) == budget
+    # 1:2:3 of 1e9 = 166666666.67 / 333333333.33 / 500000000; the two
+    # fractional domains floor and a's larger remainder (2/3 vs 1/3) takes
+    # the single leftover unit
+    assert out == {"a": 166_666_667, "b": 333_333_333, "c": 500_000_000}
