@@ -11,7 +11,7 @@ value is computable in any engine (the DuckDB oracle reproduces them exactly).
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Small multilingual stopword lists for the language-ID heuristic and the
@@ -202,3 +202,36 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     each other non-space symbol counts 1 — a cheap, deterministic proxy for
     subword tokenizer counts (north-star token counting)."""
     return F.regexp_count(_c(col), F.lit(BPE_ISH_PATTERN))
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One iteration of distributed BPE vocabulary training: corpus-weighted
+    counts of adjacent symbol pairs (initial alphabet = characters).
+
+    The dominant step of training a tokenizer on a 100 TB corpus: the raw
+    text reduces FIRST to a (word, freq) table — orders of magnitude
+    smaller, one map-combined shuffle — and pair extraction/counting runs
+    over that table, never over raw text again.  Subsequent merge rounds
+    rewrite the symbol column of the same small table, which is why
+    corpus-scale BPE training is cheap after this first pass.
+
+    Pure column algebra: tokenize → word-freq agg → per-word adjacent char
+    pairs via ``transform(sequence(...))`` → weighted pair agg.  No UDF, no
+    explode of raw text (pairs explode from the compact word table).
+    """
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .where(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return pairs.groupBy("pair").agg(F.sum("freq").alias("n"))

@@ -138,3 +138,39 @@ def test_contamination_handles_short_docs(spark):
     counts = {r["doc_id"]: r["count"] for r in got}
     assert 1 not in counts and 2 not in counts  # 3-token docs: no grams, no crash
     assert counts[3] == 20 - _Q100_N + 1
+
+
+def test_bpe_pair_counts_hand_example(spark):
+    from re_data_pipeline_spark.functions.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [("low low lower",), ("new newest",)], "text string"
+    )
+    got = {r.pair: r.n for r in bpe_pair_counts(df, "text").collect()}
+    # low x2 -> lo,ow each 2; lower -> lo,ow,we,er; new -> ne,ew;
+    # newest -> ne,ew,we,es,st
+    assert got["lo"] == 3 and got["ow"] == 3
+    assert got["ne"] == 2 and got["ew"] == 2
+    assert got["we"] == 2 and got["er"] == 1 and got["es"] == 1 and got["st"] == 1
+
+
+def test_salted_join_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from re_data_pipeline_spark.operators.joins import salted_join
+
+    left = spark.range(1000).select(
+        (F.col("id") % 3).alias("k"), F.col("id").alias("rid")
+    )
+    right = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "c")], "k long, v string"
+    )
+    got = salted_join(left, right.hint("shuffle_hash"), ["k"], "rid", num_salts=4)
+    want = left.join(right, "k")
+    assert got.count() == want.count() == 1000
+    assert sorted((r.rid, r.v) for r in got.collect()) == sorted(
+        (r.rid, r.v) for r in want.collect()
+    )
+    # the join must key on the salt too (shuffle spread over num_salts
+    # sub-keys, not 3 monolithic partitions)
+    assert "__salt" in got._jdf.queryExecution().optimizedPlan().toString()
