@@ -4755,7 +4755,7 @@ DRIVER_WINDOW: list[str] = [
     # core operators / sinks / sources last checked in r2 (q05/q06/q09/q11
     # displaced by the four new queries — stock-operator bodies, r2-green,
     # code unchanged since)
-    "q56_geocode_fallback", "q61_salted_agg",
+    "q61_salted_agg",
     "q63_reit_pipeline",
     "q120_http_pushdown_scan",
     # mid-round-5 additions: the four pipeline traces got full-value DuckDB
@@ -4774,6 +4774,9 @@ DRIVER_WINDOW: list[str] = [
     # distributed BPE pair counting and explicit salted skew join (displaced
     # q12/q24 — stock window/agg operators, r2-green, code unchanged since)
     "q132_bpe_pair_counts", "q133_salted_join",
+    # SCD2 history build from a change log (displaced q56 — r2-green,
+    # geocode fallback also exercised by test_http_source rate-limit tests)
+    "q134_scd2_history",
 ]
 
 
@@ -5398,4 +5401,42 @@ def q133_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("hot_key", "segment").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(_dec("l_quantity")).cast("double").alias("qty"),
+    )
+
+
+@query(
+    "q134_scd2_history",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type)
+               AS prev
+      FROM events
+    ), openers AS (
+      SELECT user_id, event_type, ts AS vf
+      FROM ordered WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type,
+           epoch_us(vf) AS valid_from_us,
+           epoch_us(lead(vf) OVER (PARTITION BY user_id
+                                   ORDER BY vf, event_type)) AS valid_to_us
+    FROM openers
+    """,
+)
+def q134_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history build from a change log (CDC compaction):
+    consecutive same-state records collapse into validity intervals
+    [valid_from, valid_to), NULL = current — the maintenance pass that
+    turns an append-only event stream into a point-in-time-queryable
+    dimension.  One hash exchange on the natural key; intervals exported as
+    epoch micros so both engines compare exact integers."""
+    from re_data_pipeline_spark.operators.maintenance import scd2_history
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    h = scd2_history(e, ["user_id"], ["event_type"], "ts")
+    return h.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
     )

@@ -76,3 +76,23 @@ def test_cosine_topk_per_query(spark):
     )
     got = cosine_topk_per_query(corpus, queries, 1).select("query_id", "id").collect()
     assert {(r.query_id, r.id) for r in got} == {(100, 1), (200, 2)}
+
+
+def test_scd2_collapses_runs_and_closes_intervals(spark):
+    from re_data_pipeline_spark.operators.maintenance import scd2_history
+
+    rows = [
+        (1, "bronze", 100), (1, "bronze", 200), (1, "gold", 300),
+        (1, "gold", 400), (1, "bronze", 500),
+        (2, "silver", 50),
+    ]
+    df = spark.createDataFrame(rows, "uid long, tier string, t long")
+    h = {(r.uid, r.valid_from): (r.tier, r.valid_to)
+         for r in scd2_history(df, ["uid"], ["tier"], "t").collect()}
+    # user 1: bronze[100,300) -> gold[300,500) -> bronze[500,NULL)
+    assert h[(1, 100)] == ("bronze", 300)
+    assert h[(1, 300)] == ("gold", 500)
+    assert h[(1, 500)] == ("bronze", None)
+    assert (1, 200) not in h and (1, 400) not in h
+    # user 2: single open interval
+    assert h[(2, 50)] == ("silver", None)
