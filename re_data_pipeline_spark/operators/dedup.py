@@ -145,28 +145,26 @@ def lsh_candidate_pairs(
     num_hashes: int = 16,
     shingle_words: int = 3,
     bands: int = 4,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup candidate pairs (id_a < id_b) via MinHash-LSH banding.
 
     Plan shape at scale: map-only signature pass → explode to bands (×bands
     rows) → hash shuffle on band_key → pair emit → distinct.  Skewed buckets
     (e.g. boilerplate docs) are AQE-split; no O(n²) stage exists.
+
+    ``materialize=False`` skips the persist + localCheckpoint and returns
+    the raw lineage — for plan inspection (tools/explain_audit.py) and
+    single-consumer callers; the default materialized form is what the
+    multi-reference verification pipelines need.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signature(df, text_col, num_hashes, shingle_words)
     buckets = lsh_bands(sigs, id_col, "minhash", bands, rows_per_band)
-    # The self-join references `buckets` twice; without a persist Spark
-    # recomputes the full tokenize→shingle→16×md5 pipeline for each side.
-    # The bucket cache is released HERE on every path (round-4 verdict: the
-    # old `out._bucket_cache` protocol leaked it for any caller that wasn't
-    # cluster_dedup_pipeline): the pair list is localCheckpoint'ed — small
-    # (candidate pairs, not corpus rows), and downstream consumers reference
-    # it repeatedly anyway — which materializes it eagerly so the buckets
-    # can be unpersisted before returning.
-    buckets = buckets.persist()
-    try:
-        a = buckets.alias("a")
-        b = buckets.alias("b")
+
+    def pair_join(bk):
+        a = bk.alias("a")
+        b = bk.alias("b")
         return (
             a.join(
                 b,
@@ -179,8 +177,21 @@ def lsh_candidate_pairs(
                 F.col(f"b.{id_col}").alias("id_b"),
             )
             .distinct()
-            .localCheckpoint()
         )
+
+    if not materialize:
+        return pair_join(buckets)
+    # The self-join references `buckets` twice; without a persist Spark
+    # recomputes the full tokenize→shingle→16×md5 pipeline for each side.
+    # The bucket cache is released HERE on every path (round-4 verdict: the
+    # old `out._bucket_cache` protocol leaked it for any caller that wasn't
+    # cluster_dedup_pipeline): the pair list is localCheckpoint'ed — small
+    # (candidate pairs, not corpus rows), and downstream consumers reference
+    # it repeatedly anyway — which materializes it eagerly so the buckets
+    # can be unpersisted before returning.
+    buckets = buckets.persist()
+    try:
+        return pair_join(buckets).localCheckpoint()
     finally:
         buckets.unpersist()
 
