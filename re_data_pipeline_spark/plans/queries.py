@@ -4755,7 +4755,6 @@ DRIVER_WINDOW: list[str] = [
     # core operators / sinks / sources last checked in r2 (q05/q06/q09/q11
     # displaced by the four new queries — stock-operator bodies, r2-green,
     # code unchanged since)
-    "q61_salted_agg",
     "q63_reit_pipeline",
     "q120_http_pushdown_scan",
     # mid-round-5 additions: the four pipeline traces got full-value DuckDB
@@ -4777,6 +4776,9 @@ DRIVER_WINDOW: list[str] = [
     # SCD2 history build from a change log (displaced q56 — r2-green,
     # geocode fallback also exercised by test_http_source rate-limit tests)
     "q134_scd2_history",
+    # inverted-index build (displaced q61 — r2-green salted AGG; the salting
+    # technique is now window-anchored through q133's salted JOIN)
+    "q135_inverted_index",
 ]
 
 
@@ -5440,3 +5442,41 @@ def q134_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("valid_from").alias("valid_from_us"),
         F.unix_micros("valid_to").alias("valid_to_us"),
     )
+
+
+@query(
+    "q135_inverted_index",
+    f"""
+    WITH t AS (
+      SELECT DISTINCT doc_id, unnest({_sql_tokens()}) AS term
+      FROM documents
+    ), tot AS (
+      SELECT COUNT(DISTINCT doc_id) AS n FROM documents
+    ), stats AS (
+      SELECT term, COUNT(*) AS df FROM t GROUP BY term
+    ), kept AS (
+      SELECT term, df FROM stats, tot WHERE df >= 3 AND df <= 0.95 * n
+    ), ranked AS (
+      SELECT t.term, k.df, t.doc_id,
+             row_number() OVER (PARTITION BY t.term ORDER BY t.doc_id) AS rn
+      FROM t JOIN kept k USING (term)
+    )
+    SELECT term, df, array_to_string(list_sort(list(doc_id)), ',') AS postings
+    FROM ranked WHERE rn <= 50
+    GROUP BY term, df
+    """,
+)
+def q135_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (term → df + capped sorted posting list): the
+    keyword-retrieval complement of the vector indexes.  Per-doc distinct
+    terms explode map-side; df is one combined agg; the stop-band filter
+    (df > 95% of corpus here — the synthetic vocabulary is tiny and
+    common) broadcasts the 1-row doc count; postings are
+    capped (≤50) with a rank window BEFORE collection so hot terms never
+    materialize unbounded lists."""
+    from re_data_pipeline_spark.operators.indexing import inverted_index
+
+    d = load_table(spark, sf_dir, "documents")
+    idx = inverted_index(d, min_df=3, max_df_fraction=0.95, max_postings=50)
+    # stringified postings: the driver's value-hash canon has no array dtype
+    return idx.select("term", "df", F.array_join("postings", ",").alias("postings"))

@@ -174,3 +174,35 @@ def test_salted_join_equals_plain_join(spark):
     # the join must key on the salt too (shuffle spread over num_salts
     # sub-keys, not 3 monolithic partitions)
     assert "__salt" in got._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_inverted_index_postings_and_caps(spark):
+    from re_data_pipeline_spark.operators.indexing import inverted_index
+
+    rows = [(1, "apple banana"), (2, "apple cherry"), (3, "apple banana date"),
+            (4, "everywhere everywhere")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = {r.term: (r.df, list(r.postings))
+           for r in inverted_index(df, min_df=2, max_df_fraction=0.6,
+                                   max_postings=2).collect()}
+    # apple df=3 > 0.6*4=2.4 -> stop-banded out; banana df=2 kept, capped
+    assert "apple" not in idx
+    assert idx["banana"] == (2, [1, 3])
+    # df below min_df drops
+    assert "cherry" not in idx and "date" not in idx
+    # duplicate tokens inside one doc count once
+    assert "everywhere" not in idx  # df=1 < min_df
+
+
+def test_inverted_index_cap_truncates_but_df_exact(spark):
+    from pyspark.sql import functions as F
+
+    from re_data_pipeline_spark.operators.indexing import inverted_index
+
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit("shared unique").alias("text")
+    )
+    idx = {r.term: r for r in inverted_index(df, min_df=1, max_df_fraction=1.0,
+                                             max_postings=3).collect()}
+    assert idx["shared"].df == 10            # df counts ALL docs
+    assert list(idx["shared"].postings) == [0, 1, 2]  # postings capped
