@@ -201,3 +201,34 @@ def mixture_allocation(
             .alias("quota"),
         )
     )
+
+
+def grouped_split(
+    df: DataFrame,
+    group_col: Column | str,
+    test_permille: int = 100,
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/test assignment: the SPLIT UNIT IS THE GROUP
+    (dup-cluster id, source domain, fingerprint), never the row — held-out
+    evaluation is worthless if near-duplicates of test docs sit in train,
+    so all rows sharing a group key must land on the same side.
+
+    Deterministic md5 bucketing (same primitive as ``hash_bucket``): the
+    assignment is a pure map-side column — no shuffle, no stored split
+    table, reproducible across runs/engines/backfills, and any future row
+    of an existing group routes to that group's side automatically.
+    Appends a ``split`` column ('test' iff bucket < test_permille of 1000).
+    """
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{salt}:"), g.cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    return df.withColumn(
+        "split", F.when(bucket < test_permille, F.lit("test")).otherwise(F.lit("train"))
+    )

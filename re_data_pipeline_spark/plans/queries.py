@@ -4744,8 +4744,7 @@ DRIVER_WINDOW: list[str] = [
     "q121_cc_bigstar", "q122_repetition_metrics", "q123_semantic_dedup",
     # bench-headline queries last checked in r2
     "q01_pricing_summary", "q04_multi_join_revenue", "q07_topk_per_group",
-    "q14_grid_agg",
-    "q27_tumbling_window", "q29_session_window", "q35_cosine_topk",
+    "q14_grid_agg", "q35_cosine_topk",
     "q38_radius_join", "q57_asof_join", "q96_tfidf_top_terms",
     "q100_contamination", "q82_connected_components", "q97_sequence_packing",
     # new this session: DSIR selection, span dedup, hashed classifier,
@@ -4779,6 +4778,11 @@ DRIVER_WINDOW: list[str] = [
     # inverted-index build (displaced q61 — r2-green salted AGG; the salting
     # technique is now window-anchored through q133's salted JOIN)
     "q135_inverted_index",
+    # fixed-point PageRank and leakage-safe grouped split (displaced q27/q29
+    # — batch event-time windows, r1/r2-green, code unchanged; the same
+    # window operators stay anchored through the q44/q101 streaming forms,
+    # r4-green)
+    "q136_pagerank", "q137_grouped_split",
 ]
 
 
@@ -5480,3 +5484,95 @@ def q135_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = inverted_index(d, min_df=3, max_df_fraction=0.95, max_postings=50)
     # stringified postings: the driver's value-hash canon has no array dtype
     return idx.select("term", "df", F.array_join("postings", ",").alias("postings"))
+
+
+def _q136_sql(iterations: int = 5) -> str:
+    """Chained-CTE replay of the fixed-point PageRank loop: one (contrib,
+    rank) CTE pair per iteration, all-integer arithmetic — DuckDB's sums
+    land on the identical BIGINTs regardless of execution order."""
+    s = """
+    WITH e AS (
+      SELECT doc_id AS src, (doc_id * 7 + 3) % 100 AS dst
+      FROM documents WHERE doc_id < 100
+      UNION ALL
+      SELECT doc_id, (doc_id * 13 + 1) % 100
+      FROM documents WHERE doc_id < 100
+    ), nodes AS (
+      SELECT DISTINCT n FROM (SELECT src AS n FROM e UNION ALL SELECT dst FROM e)
+    ), deg AS (
+      SELECT src, COUNT(*) AS d FROM e GROUP BY src
+    ), r0 AS (
+      SELECT n, 1000000::BIGINT AS rf FROM nodes
+    )"""
+    for i in range(iterations):
+        s += f""", c{i} AS (
+      SELECT e.dst, SUM(r{i}.rf // deg.d) AS inc
+      FROM r{i} JOIN deg ON deg.src = r{i}.n JOIN e ON e.src = r{i}.n
+      GROUP BY e.dst
+    ), r{i + 1} AS (
+      SELECT nodes.n, 150000 + (85 * COALESCE(c{i}.inc, 0)) // 100 AS rf
+      FROM nodes LEFT JOIN c{i} ON c{i}.dst = nodes.n
+    )"""
+    s += f"""
+    SELECT n AS node, CAST(rf AS BIGINT) AS rank_fixed FROM r{iterations}
+    """
+    return s
+
+
+@query("q136_pagerank", _q136_sql())
+def q136_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (5 damped rounds) over a deterministic link
+    graph — iterative NUMERIC propagation, which CC's min-label loop never
+    exercises.  All-integer arithmetic (rank DIV degree contributions,
+    integer damping) makes the mass sums order-independent, so both engines
+    land on identical BIGINTs after any number of rounds — the same
+    fixed-point discipline as q124's DSIR sums.  Plan: join+groupBy per
+    round keyed on the node id, lineage localCheckpoint-truncated, exactly
+    the connected-components loop shape."""
+    from re_data_pipeline_spark.operators.graph import pagerank_fixed
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    edges = d.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % 100).alias("dst"),
+    ).unionAll(
+        d.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * 13 + 1) % 100).alias("dst"),
+        )
+    )
+    return pagerank_fixed(edges, iterations=5).select("node", "rank_fixed")
+
+
+@query(
+    "q137_grouped_split",
+    r"""
+    WITH g AS (
+      SELECT md5(coalesce(text, '')) AS group_key,
+             CASE WHEN ('0x' || substr(md5('split:' || md5(coalesce(text, ''))), 1, 15))::BIGINT
+                       % 1000 < 100
+                  THEN 'test' ELSE 'train' END AS split
+      FROM documents
+    )
+    SELECT group_key, split, COUNT(*) AS n_docs
+    FROM g GROUP BY 1, 2
+    """,
+)
+def q137_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split: the split unit is the exact-dup
+    GROUP (text fingerprint), so duplicate documents can never straddle
+    the held-out boundary — the grouping that makes eval numbers mean
+    something.  Map-only md5 bucketing (no shuffle, no stored split
+    table); grouping by (group, split) in the output proves each group got
+    exactly one side (group count == distinct group count)."""
+    from re_data_pipeline_spark.functions.text import doc_fingerprint
+    from re_data_pipeline_spark.operators.selection import grouped_split
+
+    d = load_table(spark, sf_dir, "documents")
+    # the raw md5 (not doc_fingerprint's normalized form) so the oracle is
+    # a one-liner; the operator takes any group key expression
+    keyed = d.withColumn("group_key", F.md5(F.coalesce(F.col("text"), F.lit(""))))
+    split = grouped_split(keyed, "group_key", test_permille=100)
+    return split.groupBy("group_key", "split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

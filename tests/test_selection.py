@@ -172,3 +172,42 @@ def test_mixture_allocation_overflow_safe(spark):
     # fractional domains floor and a's larger remainder (2/3 vs 1/3) takes
     # the single leftover unit
     assert out == {"a": 166_666_667, "b": 333_333_333, "c": 500_000_000}
+
+
+def test_grouped_split_no_leakage_and_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from re_data_pipeline_spark.operators.selection import grouped_split
+
+    # two rows per group: both must land on the same side, across reruns
+    df = spark.range(2000).select(
+        (F.col("id") % 500).cast("string").alias("grp"), F.col("id").alias("rid")
+    )
+    a = grouped_split(df, "grp", test_permille=200)
+    sides = a.groupBy("grp").agg(F.countDistinct("split").alias("k")).collect()
+    assert all(r.k == 1 for r in sides)
+    b = grouped_split(df, "grp", test_permille=200)
+    assert sorted((r.rid, r.split) for r in a.collect()) == sorted(
+        (r.rid, r.split) for r in b.collect()
+    )
+    # the test fraction lands near 20% of groups
+    frac = a.select("grp", "split").distinct().where(F.col("split") == "test").count() / 500
+    assert 0.12 < frac < 0.28
+
+
+def test_pagerank_fixed_deterministic_and_sane(spark):
+    from pyspark.sql import functions as F
+
+    from re_data_pipeline_spark.operators.graph import pagerank_fixed
+
+    # star graph: everyone links to node 0 -> node 0's rank dominates
+    edges = spark.range(1, 50).select(
+        F.col("id").alias("src"), F.lit(0).cast("long").alias("dst")
+    )
+    r = {row.node: row.rank_fixed for row in pagerank_fixed(edges, iterations=3).collect()}
+    assert r[0] == max(r.values())
+    # leaves keep exactly the teleport mass after round 1 (no in-edges)
+    assert all(v == 150_000 for n, v in r.items() if n != 0)
+    # bit-exact across reruns (integer arithmetic)
+    r2 = {row.node: row.rank_fixed for row in pagerank_fixed(edges, iterations=3).collect()}
+    assert r == r2
