@@ -340,3 +340,43 @@ def point_in_polygon_join_sedona(
                ST_Point(p.{x_col}, p.{y_col}))
         """
     )
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    max_radius: float,
+    left_id: str,
+    left_xy: tuple[str, str] = ("x", "y"),
+    right_xy: tuple[str, str] = ("x", "y"),
+    distance_col: str = "distance",
+) -> DataFrame:
+    """k nearest right-side points per left row, bounded by ``max_radius``.
+
+    The bounded form is what distributes: unbounded kNN needs expanding
+    per-point search (an R-tree walk — inherently sequential per probe),
+    while radius-bounded kNN is the ``radius_join`` cell equi-join plus ONE
+    rank window partitioned by the left id.  Left rows with fewer than k
+    neighbors inside the radius return what exists (possibly zero rows) —
+    callers that need guaranteed-k re-probe the misses at 2× radius (cheap:
+    the misses are by construction in sparse regions).
+
+    Ties on distance break by the right-side coordinates, so results are
+    deterministic across partitionings.
+    """
+    from pyspark.sql.window import Window
+
+    rx, ry = right_xy
+    near = radius_join(left, right, max_radius, left_xy, right_xy, distance_col)
+    # radius_join suffixes colliding right-side names with _r
+    rx_out = f"{rx}_r" if rx in left.columns else rx
+    ry_out = f"{ry}_r" if ry in left.columns else ry
+    w = Window.partitionBy(left_id).orderBy(
+        F.col(distance_col).asc(), F.col(rx_out).asc(), F.col(ry_out).asc()
+    )
+    return (
+        near.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

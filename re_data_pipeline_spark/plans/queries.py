@@ -4745,8 +4745,8 @@ DRIVER_WINDOW: list[str] = [
     # bench-headline queries last checked in r2
     "q01_pricing_summary", "q04_multi_join_revenue", "q07_topk_per_group",
     "q14_grid_agg", "q35_cosine_topk",
-    "q38_radius_join", "q57_asof_join", "q96_tfidf_top_terms",
-    "q100_contamination", "q82_connected_components", "q97_sequence_packing",
+    "q38_radius_join", "q96_tfidf_top_terms",
+    "q100_contamination", "q82_connected_components",
     # new this session: DSIR selection, span dedup, hashed classifier,
     # compaction planner — first driver anchor for each
     "q124_dsir_importance", "q125_span_dedup", "q126_quality_classifier",
@@ -4783,6 +4783,9 @@ DRIVER_WINDOW: list[str] = [
     # window operators stay anchored through the q44/q101 streaming forms,
     # r4-green)
     "q136_pagerank", "q137_grouped_split",
+    # radius-bounded spatial kNN and OHLC downsampling (displaced q57/q97 —
+    # r2-green as-of join / sequence packing, code unchanged since)
+    "q138_spatial_knn", "q139_ohlc_downsample",
 ]
 
 
@@ -5575,4 +5578,111 @@ def q137_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = grouped_split(keyed, "group_key", test_permille=100)
     return split.groupBy("group_key", "split").agg(
         F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@query(
+    "q138_spatial_knn",
+    """
+    WITH pts AS (
+      SELECT c_custkey, CAST((c_custkey * 37) % 1000 AS DOUBLE) AS x,
+                        CAST((c_custkey * 73) % 1000 AS DOUBLE) AS y
+      FROM customer
+    ), poi AS (
+      SELECT s_suppkey, CAST((s_suppkey * 41) % 1000 AS DOUBLE) AS px,
+                        CAST((s_suppkey * 97) % 1000 AS DOUBLE) AS py
+      FROM supplier
+    ), scored AS (
+      SELECT c_custkey, s_suppkey,
+             sqrt((pts.x - poi.px)^2 + (pts.y - poi.py)^2) AS d, px, py
+      FROM pts, poi
+      WHERE sqrt((pts.x - poi.px)^2 + (pts.y - poi.py)^2) <= 40
+    )
+    SELECT c_custkey, s_suppkey, ROUND(d, 6) AS distance
+    FROM (SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                       ORDER BY d, px, py) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def q138_spatial_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-bounded k-nearest-neighbor spatial join (3 nearest suppliers
+    within 40 units per customer point): the ``radius_join`` cell equi-join
+    plus one rank window on the left id — the distributable form of kNN
+    (unbounded kNN is a sequential R-tree walk per probe).  Oracle: naive
+    cross join + window."""
+    from re_data_pipeline_spark.operators.spatial import knn_join
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 37) % 1000).cast("double").alias("x"),
+        ((F.col("c_custkey") * 73) % 1000).cast("double").alias("y"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 41) % 1000).cast("double").alias("px"),
+        ((F.col("s_suppkey") * 97) % 1000).cast("double").alias("py"),
+    )
+    j = knn_join(
+        c, s, k=3, max_radius=40.0, left_id="c_custkey",
+        left_xy=("x", "y"), right_xy=("px", "py"),
+    )
+    return j.select("c_custkey", "s_suppkey", F.round("distance", 6).alias("distance"))
+
+
+@query(
+    "q139_ohlc_downsample",
+    """
+    WITH b AS (
+      SELECT user_id, time_bucket(INTERVAL 6 HOUR, ts::TIMESTAMP) AS bucket,
+             value, ts, event_id
+      FROM events WHERE event_type = 'purchase'
+    ), r AS (
+      SELECT user_id, bucket, value,
+             row_number() OVER (PARTITION BY user_id, bucket
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, bucket
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM b
+    )
+    SELECT user_id, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+           ROUND(MAX(value), 6) AS high,
+           ROUND(MIN(value), 6) AS low,
+           ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+           COUNT(*) AS n
+    FROM r GROUP BY 1, 2
+    """,
+)
+def q139_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC time-series downsampling (open/high/low/close per 6 h bucket
+    per user): the resample primitive of any metrics store.  Open/close are
+    rank-window conditionals with (ts, event_id) tiebreaks — deterministic
+    under same-timestamp events, where a bare first()/arg_min would be
+    partition-order-dependent.  One shuffle on (user, bucket); both windows
+    and the final agg share it."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    ).select(
+        "user_id", F.window("ts", "6 hours").alias("win"), "value", "ts", "event_id"
+    )
+    wa = Window.partitionBy("user_id", "win").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wd = Window.partitionBy("user_id", "win").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    r = e.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    return r.groupBy(
+        "user_id", F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("bucket_start")
+    ).agg(
+        F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 6).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 6).alias("close"),
+        F.count(F.lit(1)).alias("n"),
     )

@@ -288,3 +288,44 @@ def test_single_ring_pip_unchanged_by_vectorization(spark):
     rows = point_in_polygon_join(pts, zones, ("x", "y"), "ring", how="inner").collect()
     got = sorted((r.pid, r.zone) for r in rows)
     assert got == [(1, "closed"), (1, "open")]
+
+
+def test_knn_join_exact_vs_bruteforce(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from re_data_pipeline_spark.operators.spatial import knn_join
+
+    left = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 100.0, 100.0)], "pid long, x double, y double"
+    )
+    right = spark.createDataFrame(
+        [(10, 1.0, 0.0), (11, 2.0, 0.0), (12, 3.0, 0.0), (13, 50.0, 0.0),
+         (14, 101.0, 100.0)],
+        "qid long, px double, py double",
+    )
+    got = knn_join(left, right, k=2, max_radius=10.0, left_id="pid",
+                   left_xy=("x", "y"), right_xy=("px", "py"))
+    rows = {(r.pid, r.qid): r.distance for r in got.collect()}
+    # pid 1: nearest two within 10 are qid 10 (d=1) and 11 (d=2); 13 is out
+    assert set(k for k in rows if k[0] == 1) == {(1, 10), (1, 11)}
+    assert math.isclose(rows[(1, 10)], 1.0) and math.isclose(rows[(1, 11)], 2.0)
+    # pid 2: only qid 14 in radius -> returns 1 row, not padded to k
+    assert set(k for k in rows if k[0] == 2) == {(2, 14)}
+
+
+def test_knn_join_tiebreak_deterministic(spark):
+    from re_data_pipeline_spark.operators.spatial import knn_join
+
+    left = spark.createDataFrame([(1, 0.0, 0.0)], "pid long, x double, y double")
+    # two right points at identical distance 5 -> tiebreak by (px, py)
+    right = spark.createDataFrame(
+        [(20, 5.0, 0.0), (21, 0.0, 5.0), (22, 3.0, 4.0)],
+        "qid long, px double, py double",
+    )
+    got = sorted(r.qid for r in knn_join(
+        left, right, k=2, max_radius=6.0, left_id="pid",
+        left_xy=("x", "y"), right_xy=("px", "py")).collect())
+    # all three are at distance 5; ties order by px asc: (0,5) then (3,4)
+    assert got == [21, 22]
