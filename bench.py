@@ -56,6 +56,12 @@ HEADLINE = [
     "q97_sequence_packing",      # recursive packing window
     "q107_incremental_dedup",    # batch-vs-index LSH dedup
     "q119_multipolygon_zones",   # PIP join with holes (bbox + ray cast)
+    # round-5 operators: keep the curation/maintenance family visible
+    "q128_keep_best_dedup",      # CC spine + quality argmax window
+    "q130_bloom_prefilter",      # bloom-routed incremental anti-join
+    "q132_bpe_pair_counts",      # word-table-first tokenizer pass
+    "q135_inverted_index",       # df + capped postings build
+    "q136_pagerank",             # fixed-point iterative propagation
 ]
 
 

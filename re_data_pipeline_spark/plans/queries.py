@@ -4754,7 +4754,6 @@ DRIVER_WINDOW: list[str] = [
     # core operators / sinks / sources last checked in r2 (q05/q06/q09/q11
     # displaced by the four new queries — stock-operator bodies, r2-green,
     # code unchanged since)
-    "q63_reit_pipeline",
     "q120_http_pushdown_scan",
     # mid-round-5 additions: the four pipeline traces got full-value DuckDB
     # replay oracles (previously rows-only) — anchor all of them; displaced
@@ -4786,6 +4785,9 @@ DRIVER_WINDOW: list[str] = [
     # radius-bounded spatial kNN and OHLC downsampling (displaced q57/q97 —
     # r2-green as-of join / sequence packing, code unchanged since)
     "q138_spatial_knn", "q139_ohlc_downsample",
+    # bounded-state streaming dedup (displaced q63 — r2-green REIT PDF
+    # pipeline, import-gated extractor covered by test_reit e2e)
+    "q140_stream_dedup_watermark",
 ]
 
 
@@ -5579,6 +5581,51 @@ def q137_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split.groupBy("group_key", "split").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+@query(
+    "q140_stream_dedup_watermark",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def q140_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup with BOUNDED state (`dropDuplicatesWithinWatermark`,
+    the I1/I3 seen-key semantics made sustainable): plain streaming
+    ``dropDuplicates`` keeps every key forever — state grows with the
+    corpus; the watermarked form expires keys once the watermark passes
+    them, which is the only shape that survives an unbounded 100 TB
+    stream.  Only the key columns are emitted (which physical row wins a
+    duplicate race is arrival-order-dependent; the key set is not), so the
+    drained result equals batch DISTINCT — the oracle."""
+    import shutil
+    import tempfile
+
+    from re_data_pipeline_spark.streaming.stream_ops import (
+        read_stream,
+        run_available_now_memory,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="q140_events_")
+    try:
+        ev.repartition(3).write.mode("overwrite").parquet(stage)
+        stream = (
+            read_stream(spark, stage, ev.schema, max_files_per_trigger=1)
+            .select("user_id", "event_type", "ts")
+            # must cover the unordered replay span (see q131); live tails
+            # would use minutes and hold proportionally less key state
+            .withWatermark("ts", "31 days")
+        )
+        dedup = stream.dropDuplicatesWithinWatermark(
+            ["user_id", "event_type"]
+        ).select("user_id", "event_type")
+        run_available_now_memory(dedup, "q140_out", "append")
+        return spark.createDataFrame(
+            spark.table("q140_out").collect(), spark.table("q140_out").schema
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 @query(
