@@ -89,3 +89,58 @@ def asof_join(
         *[F.col("__m").getField(c).alias(f"{c}{suffix}") for c in payload_cols],
         F.col("__m").getField("__rts__").alias(f"{ts_col}{suffix}"),
     )
+
+
+def interval_lookup(
+    facts: DataFrame,
+    intervals: DataFrame,
+    x_col: str,
+    start_col: str = "start",
+    end_col: str = "end",
+    bucket_size: float = 1.0,
+) -> DataFrame:
+    """Assign each fact row its containing interval ([start, end), at most
+    one — intervals must be non-overlapping): the IP→geo / price-tier /
+    rate-card lookup pattern.
+
+    Scalable formulation — the radius_join trick in one dimension: facts
+    key on ``floor(x / bucket_size)``, intervals EXPLODE to every bucket
+    they overlap, and the join is an ordinary equi-join on the bucket plus
+    the exact range predicate.  No per-row probe, no broadcast nested-loop
+    range join, no single-partition window; cost scales with
+    |facts| + |intervals|·(len/bucket_size).  Pick ``bucket_size`` near the
+    typical interval length (one overlap bucket each).
+
+    Left join: facts outside every interval keep NULL interval columns.
+    """
+    x = F.col(x_col)
+    f = facts.withColumn("__b", F.floor(x / F.lit(bucket_size)).cast("long"))
+    iv = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / F.lit(bucket_size)).cast("long"),
+                F.floor(F.col(end_col) / F.lit(bucket_size)).cast("long"),
+            )
+        ),
+    )
+    cond = (F.col(start_col) <= x) & (x < F.col(end_col))
+    # transient per-row id: collapses the exploded join multiplicity back
+    # to exactly one output row per INPUT ROW (a full-row groupBy would
+    # merge duplicate fact rows).  The id itself is partition-dependent but
+    # never escapes — only "did this row's join candidates include the
+    # containing interval" does, which is deterministic.
+    f = f.withColumn("__rid", F.monotonically_increasing_id())
+    joined = f.join(iv, on=["__b"], how="left")
+    payload = [c for c in intervals.columns]
+    hit = F.when(cond, F.struct(*[F.col(c) for c in payload]))
+    fact_cols = [c for c in facts.columns]
+    w = Window.partitionBy("__rid").orderBy(F.col("__hit").isNull().cast("int"))
+    out = (
+        joined.withColumn("__hit", hit)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+    )
+    return out.select(
+        *fact_cols, *[F.col("__hit").getField(c).alias(c) for c in payload]
+    )

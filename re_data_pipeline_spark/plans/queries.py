@@ -4789,6 +4789,10 @@ DRIVER_WINDOW: list[str] = [
     # pipeline, import-gated extractor covered by test_reit e2e)
     "q140_stream_dedup_watermark",
 ]
+# Registered but outside the 50-slot window this round (parity-verified
+# locally; first driver anchors belong in the r6 rotation): q141_interval
+# _lookup, q142_transition_matrix — added after the window filled with
+# this round's changed-code and first-anchor obligations.
 
 
 # Window entries intentionally checked rows-only (non-SQL-expressible).
@@ -5580,6 +5584,73 @@ def q137_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = grouped_split(keyed, "group_key", test_permille=100)
     return split.groupBy("group_key", "split").agg(
         F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@query(
+    "q141_interval_lookup",
+    """
+    WITH tiers AS (
+      SELECT i * 100.0 AS lo, (i + 1) * 100.0 AS hi,
+             'tier-' || i::VARCHAR AS tier
+      FROM range(8) t(i)
+    )
+    SELECT o.o_orderkey, o.v, t.tier
+    FROM (SELECT o_orderkey, o_totalprice % 1000.0 AS v FROM orders) o
+    LEFT JOIN tiers t ON t.lo <= o.v AND o.v < t.hi
+    """,
+)
+def q141_interval_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment lookup (price tiers; the IP→geo / rate-card
+    pattern): facts bucket on floor(x/width), intervals explode to their
+    overlapped buckets, and the lookup is an ordinary equi-join + exact
+    range check — the 1-D radius_join trick, replacing the broadcast
+    nested-loop range join Spark would otherwise plan.  Tiers cover
+    [0, 800) only, so out-of-tier facts exercise the left-join NULL path.
+    Oracle: the naive range join."""
+    from re_data_pipeline_spark.operators.asof import interval_lookup
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.col("o_totalprice") % 1000.0).alias("v")
+    )
+    tiers = spark.range(8).select(
+        (F.col("id") * 100.0).alias("lo"),
+        ((F.col("id") + 1) * 100.0).alias("hi"),
+        F.concat(F.lit("tier-"), F.col("id").cast("string")).alias("tier"),
+    )
+    out = interval_lookup(o, tiers, "v", "lo", "hi", bucket_size=100.0)
+    return out.select("o_orderkey", "v", "tier")
+
+
+@query(
+    "q142_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    SELECT prev, event_type AS next, COUNT(*) AS n
+    FROM seq WHERE prev IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q142_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition (Markov) matrix: counts of prev→next event-type
+    transitions per user session stream — the behavioral-analytics
+    primitive behind next-action prediction features.  One lag window on
+    the (ts, event_id) total order + one combined agg; both share the
+    user_id exchange."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = e.withColumn("prev", F.lag("event_type").over(w))
+    return (
+        seq.where(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count(F.lit(1)).alias("n"))
     )
 
 

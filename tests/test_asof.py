@@ -56,3 +56,30 @@ def test_asof_join_right_table_with_left_ts_named_column(spark):
     row = out.collect()[0]
     assert row["price_asof"] == 2.5 and row["ts_asof"] == 5
     assert "ts" in out.columns  # left's own ts unharmed
+
+
+def test_interval_lookup_exact_and_nulls(spark):
+    from re_data_pipeline_spark.operators.asof import interval_lookup
+
+    facts = spark.createDataFrame(
+        [(1, 5.0), (2, 99.9), (3, 100.0), (4, 250.0), (5, -3.0)],
+        "fid long, v double",
+    )
+    iv = spark.createDataFrame(
+        [(0.0, 100.0, "a"), (100.0, 200.0, "b")],
+        "lo double, hi double, name string",
+    )
+    out = {r.fid: r.name for r in
+           interval_lookup(facts, iv, "v", "lo", "hi", bucket_size=50.0).collect()}
+    assert out[1] == "a" and out[2] == "a"
+    assert out[3] == "b"          # boundary: [lo, hi) half-open
+    assert out[4] is None and out[5] is None
+
+
+def test_interval_lookup_preserves_duplicate_rows(spark):
+    from re_data_pipeline_spark.operators.asof import interval_lookup
+
+    facts = spark.createDataFrame([(1, 5.0), (1, 5.0)], "fid long, v double")
+    iv = spark.createDataFrame([(0.0, 10.0, "a")], "lo double, hi double, name string")
+    out = interval_lookup(facts, iv, "v", "lo", "hi", bucket_size=10.0)
+    assert out.count() == 2
