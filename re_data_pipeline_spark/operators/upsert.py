@@ -84,3 +84,61 @@ def retain_active(existing: DataFrame, current: DataFrame, keys: list[str]) -> D
     """Active table after archival delete: semi-join against current keys
     (``DELETE WHERE (key) IN delisted`` inverse — ``archive_delisted_properties.py:142-145``)."""
     return existing.join(current.select(keys), on=keys, how="left_semi")
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, keys: list[str], op_col: str = "op"
+) -> DataFrame:
+    """Change-data-feed between two table snapshots: one row per changed
+    key with ``op`` ∈ {'I', 'U', 'D'} and the new-side values ('D' rows
+    carry the old values — what was deleted).
+
+    The reverse direction of CDC ingestion: publishing a table's own
+    change feed so downstream consumers (indexes, caches, aggregates)
+    update incrementally instead of full-rescanning 100 TB.  One full
+    outer join on the natural key; unchanged rows (all non-key columns
+    equal, NULL-safe) are filtered out, so output is change-sized.
+    """
+    val_cols = [c for c in new.columns if c not in keys]
+    o = old.select(*keys, F.struct(*[F.col(c) for c in val_cols]).alias("__o"))
+    n = new.select(*keys, F.struct(*[F.col(c) for c in val_cols]).alias("__n"))
+    j = o.join(n, on=keys, how="full_outer")
+    op = (
+        F.when(F.col("__o").isNull(), F.lit("I"))
+        .when(F.col("__n").isNull(), F.lit("D"))
+        .when(~F.col("__o").eqNullSafe(F.col("__n")), F.lit("U"))
+    )
+    payload = F.coalesce(F.col("__n"), F.col("__o"))
+    return (
+        j.withColumn(op_col, op)
+        .where(F.col(op_col).isNotNull())
+        .select(
+            *keys, F.col(op_col), *[payload.getField(c).alias(c) for c in val_cols]
+        )
+    )
+
+
+def merge_upsert(existing: DataFrame, batch: DataFrame, keys: list[str]) -> DataFrame:
+    """SCD1 merge: batch rows REPLACE matched existing rows (last write
+    wins) and insert otherwise — ``MERGE WHEN MATCHED THEN UPDATE WHEN NOT
+    MATCHED THEN INSERT`` over plain DataFrames (the update-capable
+    complement of ``upsert_append``'s insert-if-absent).
+
+    Batch-internal duplicates collapse deterministically first (min by the
+    remaining columns' struct — not dropDuplicates' partition-order
+    winner).  Plan: one anti join + one union; with Delta available the
+    same keys drive a real MERGE.
+    """
+    val_cols = [c for c in batch.columns if c not in keys]
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys).orderBy(
+        F.struct(*[F.col(c) for c in val_cols]).asc()
+    )
+    dedup = (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    kept = existing.join(dedup.select(keys), on=keys, how="left_anti")
+    return kept.unionByName(dedup)

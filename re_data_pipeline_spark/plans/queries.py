@@ -4791,8 +4791,9 @@ DRIVER_WINDOW: list[str] = [
 ]
 # Registered but outside the 50-slot window this round (parity-verified
 # locally; first driver anchors belong in the r6 rotation): q141_interval
-# _lookup, q142_transition_matrix — added after the window filled with
-# this round's changed-code and first-anchor obligations.
+# _lookup, q142_transition_matrix, q143_snapshot_diff, q144_scd1_merge —
+# added after the window filled with this round's changed-code and
+# first-anchor obligations.
 
 
 # Window entries intentionally checked rows-only (non-SQL-expressible).
@@ -5585,6 +5586,83 @@ def q137_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split.groupBy("group_key", "split").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+@query(
+    "q143_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 10 <> 3
+    ), new AS (
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 50.0
+                  ELSE c_acctbal END AS c_acctbal
+      FROM customer WHERE c_custkey % 10 <> 6
+    )
+    SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'I'
+                WHEN n.c_custkey IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           COALESCE(n.c_name, o.c_name) AS c_name,
+           COALESCE(n.c_acctbal, o.c_acctbal) AS c_acctbal
+    FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+    WHERE o.c_custkey IS NULL OR n.c_custkey IS NULL
+       OR (o.c_custkey % 7 = 0)
+    """,
+)
+def q143_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed emission between two snapshots: rows keyed 'I'/'U'/
+    'D' with new-side values (old values for deletes) — the pass that lets
+    downstream indexes and aggregates update incrementally instead of
+    rescanning the table.  One full outer join on the key; unchanged rows
+    are NULL-safe-filtered so the output is change-sized.  The synthetic
+    snapshots disturb ~10% membership each way and ~14% of balances, so
+    all three op codes appear."""
+    from re_data_pipeline_spark.operators.upsert import snapshot_diff
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    old = c.where(F.col("c_custkey") % 10 != 3)
+    new = c.where(F.col("c_custkey") % 10 != 6).withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + 50.0).otherwise(
+            F.col("c_acctbal")
+        ),
+    )
+    return snapshot_diff(old, new, ["c_custkey"])
+
+
+@query(
+    "q144_scd1_merge",
+    """
+    WITH existing AS (
+      SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey % 3 <> 1
+    ), batch AS (
+      SELECT c_custkey, c_name, c_acctbal * 2.0 AS c_acctbal
+      FROM customer WHERE c_custkey % 2 = 0
+    )
+    SELECT c_custkey, c_name, c_acctbal FROM batch
+    UNION ALL
+    SELECT e.c_custkey, e.c_name, e.c_acctbal
+    FROM existing e ANTI JOIN batch b ON e.c_custkey = b.c_custkey
+    """,
+)
+def q144_scd1_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD1 merge (MERGE WHEN MATCHED UPDATE / NOT MATCHED INSERT over
+    plain DataFrames): batch rows replace matched keys, others insert —
+    the update-capable complement of the insert-only upsert (K2).  One
+    anti join + one union; the oracle states the same set algebra."""
+    from re_data_pipeline_spark.operators.upsert import merge_upsert
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    existing = c.where(F.col("c_custkey") % 3 != 1)
+    batch = c.where(F.col("c_custkey") % 2 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") * 2.0
+    )
+    return merge_upsert(existing, batch, ["c_custkey"])
 
 
 @query(

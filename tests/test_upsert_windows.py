@@ -96,3 +96,44 @@ def test_scd2_collapses_runs_and_closes_intervals(spark):
     assert (1, 200) not in h and (1, 400) not in h
     # user 2: single open interval
     assert h[(2, 50)] == ("silver", None)
+
+
+def test_snapshot_diff_ops(spark):
+    from re_data_pipeline_spark.operators.upsert import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, bal double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 25.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "k long, name string, bal double",
+    )
+    out = {r.k: (r.op, r.name, r.bal) for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert out[1] == ("D", "a", 10.0)   # delete carries old values
+    assert out[2] == ("U", "b", 25.0)   # update carries new values
+    assert out[4] == ("I", "d", 40.0)
+    assert 3 not in out                  # unchanged rows filtered
+
+
+def test_snapshot_diff_null_safe(spark):
+    from re_data_pipeline_spark.operators.upsert import snapshot_diff
+
+    old = spark.createDataFrame([(1, None)], "k long, v string")
+    new = spark.createDataFrame([(1, None)], "k long, v string")
+    assert snapshot_diff(old, new, ["k"]).count() == 0  # NULL == NULL here
+    new2 = spark.createDataFrame([(1, "x")], "k long, v string")
+    assert snapshot_diff(old, new2, ["k"]).collect()[0].op == "U"
+
+
+def test_merge_upsert_updates_and_inserts(spark):
+    from re_data_pipeline_spark.operators.upsert import merge_upsert
+
+    existing = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k long, v double"
+    )
+    batch = spark.createDataFrame(
+        [(2, 99.0), (3, 30.0), (3, 25.0)], "k long, v double"
+    )
+    out = {r.k: r.v for r in merge_upsert(existing, batch, ["k"]).collect()}
+    assert out == {1: 10.0, 2: 99.0, 3: 25.0}  # 3: min-struct dedup wins
