@@ -4791,7 +4791,8 @@ DRIVER_WINDOW: list[str] = [
 ]
 # Registered but outside the 50-slot window this round (parity-verified
 # locally; first driver anchors belong in the r6 rotation): q141_interval
-# _lookup, q142_transition_matrix, q143_snapshot_diff, q144_scd1_merge —
+# _lookup, q142_transition_matrix, q143_snapshot_diff, q144_scd1_merge,
+# q145_bm25_topk —
 # added after the window filled with this round's changed-code and
 # first-anchor obligations.
 
@@ -5586,6 +5587,93 @@ def q137_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split.groupBy("group_key", "split").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+_BM25_QUERY = ["spark", "shuffle", "window"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@query(
+    "q145_bm25_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_sql_tokens()}) AS term FROM documents
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT (SELECT COUNT(*) FROM dl) AS n,
+             (SELECT AVG(len) FROM dl) AS avgdl
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ({', '.join(repr(t) for t in _BM25_QUERY)})
+      GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * ({_BM25_K1} + 1.0))
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * dl.len / stats.avgdl))
+               * 1000000, 0) AS BIGINT) AS c
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+    ), total AS (
+      SELECT doc_id, ROUND(SUM(c) / 1000000.0, 6) AS bm25
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, bm25
+    FROM total ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+)
+def q145_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (Okapi, k1=1.2 b=0.75) for a literal query —
+    the lexical counterpart of the cosine/ANN family, built on the same
+    statistics the inverted index (q135) stores.  Per-(doc, term)
+    contributions are pre-rounded to 1e-6 fixed point before the per-doc
+    sum (the q124/q136 discipline), so scores are partition- and
+    engine-exact; corpus stats (N, avgdl) broadcast as a 1-row aggregate.
+    Plan: tf agg on query terms only (filter pushed below the agg), df from
+    the tf table, global top-10 via TakeOrdered."""
+    from re_data_pipeline_spark.functions.text import tokens as tok_fn
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tok_fn("text")).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("len").alias("avgdl")
+    )
+    tf = (
+        toks.where(F.col("term").isin(_BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+                * (F.col("tf") * (_BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1.0 - _BM25_B + _BM25_B * F.col("len") / F.col("avgdl"))
+                )
+                * 1_000_000,
+                0,
+            )
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    total = contrib.groupBy("doc_id").agg(
+        F.round(F.sum("c") / 1_000_000.0, 6).alias("bm25")
+    )
+    return total.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(10)
 
 
 @query(
