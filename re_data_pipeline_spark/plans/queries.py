@@ -4792,7 +4792,7 @@ DRIVER_WINDOW: list[str] = [
 # Registered but outside the 50-slot window this round (parity-verified
 # locally; first driver anchors belong in the r6 rotation): q141_interval
 # _lookup, q142_transition_matrix, q143_snapshot_diff, q144_scd1_merge,
-# q145_bm25_topk —
+# q145_bm25_topk, q146_countmin_sketch, q147_hll_sketch —
 # added after the window filled with this round's changed-code and
 # first-anchor obligations.
 
@@ -5586,6 +5586,129 @@ def q137_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = grouped_split(keyed, "group_key", test_permille=100)
     return split.groupBy("group_key", "split").agg(
         F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+_CMS_PROBES = ["data", "join", "spark", "window", "zzz_absent"]
+
+
+@query(
+    "q146_countmin_sketch",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_sql_tokens()}) AS item FROM documents
+    ), cells AS (
+      SELECT i.i AS row,
+             ('0x' || substr(md5(item || '#cms' || i.i::VARCHAR), 1, 15))::BIGINT
+               % 256 AS bucket
+      FROM toks, generate_series(0, 2) i(i)
+    ), sk AS (
+      SELECT row, bucket, COUNT(*) AS c FROM cells GROUP BY 1, 2
+    ), probes AS (
+      SELECT unnest({_CMS_PROBES!r}) AS item
+    ), pc AS (
+      SELECT item, i.i AS row,
+             ('0x' || substr(md5(item || '#cms' || i.i::VARCHAR), 1, 15))::BIGINT
+               % 256 AS bucket
+      FROM probes, generate_series(0, 2) i(i)
+    )
+    SELECT item, CAST(MIN(COALESCE(sk.c, 0)) AS BIGINT) AS est
+    FROM pc LEFT JOIN sk USING (row, bucket)
+    GROUP BY item
+    """,
+)
+def q146_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch build + probe (depth 3 × width 256): the mergeable
+    heavy-hitter counter — unlike a black-box approx aggregate, the counter
+    table is a persistable DataFrame that merges across days with a
+    groupBy-sum.  The sketch STATE is a deterministic function of the data
+    (md5 cells), so the probe estimates — including the guaranteed
+    overestimate for the absent probe term — replay exactly in DuckDB."""
+    from re_data_pipeline_spark.functions.text import tokens as tok_fn
+    from re_data_pipeline_spark.operators.sketches import (
+        countmin_build,
+        countmin_query,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    items = d.select(F.explode(tok_fn("text")).alias("item"))
+    sketch = countmin_build(items, "item", depth=3, width=256)
+    probes = spark.createDataFrame([(p,) for p in _CMS_PROBES], "item string")
+    return countmin_query(sketch, probes, "item", depth=3, width=256)
+
+
+_HLL_M = 256
+_HLL_C = (0.7213 / (1.0 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M
+
+
+@query(
+    "q147_hll_sketch",
+    f"""
+    WITH items AS (
+      SELECT DISTINCT 'u' || user_id::VARCHAR || ':' || event_type AS item
+      FROM events
+    ), hashed AS (
+      SELECT ('0x' || substr(md5(item || '#hll'), 1, 15))::BIGINT AS h FROM items
+    ), rr AS (
+      SELECT h % {_HLL_M} AS bucket, h // {_HLL_M} AS rest FROM hashed
+    ), regs0 AS (
+      SELECT bucket,
+             MAX(CASE WHEN rest = 0 THEN 53
+                      ELSE 53 - length(bin(rest)) END) AS register
+      FROM rr GROUP BY bucket
+    ), regs AS (
+      SELECT t.i AS bucket, COALESCE(regs0.register, 0)::INT AS register
+      FROM range({_HLL_M}) t(i) LEFT JOIN regs0 ON regs0.bucket = t.i
+    ), s AS (
+      SELECT SUM((1::HUGEINT << (62 - register)))::HUGEINT AS s,
+             SUM(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS zeros,
+             md5(string_agg(register::VARCHAR, ',' ORDER BY bucket)) AS registers_md5
+      FROM regs
+    )
+    SELECT ROUND(CASE WHEN ({_HLL_C!r} * power(2.0, 62) / s::DOUBLE)
+                       <= {2.5 * _HLL_M!r} AND zeros > 0
+                 THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / zeros)
+                 ELSE {_HLL_C!r} * power(2.0, 62) / s::DOUBLE END, 4) AS estimate,
+           CAST(zeros AS INT) AS zero_registers,
+           s::VARCHAR AS register_sum_fixed,
+           registers_md5
+    FROM s
+    """,
+)
+def q147_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog built from first principles (m=256 registers, md5
+    hashes): unlike `approx_count_distinct`'s opaque buffer, the register
+    table is a persistable, groupBy-max-mergeable DataFrame, and the
+    register STATE is exact — the oracle matches an md5 over the full
+    register vector, the harmonic sum as an exact shifted integer (dyadic
+    doubles round order-dependently; integers don't), and the final
+    estimate with linear-counting small-range correction.  Estimates the
+    distinct (user, event_type) count."""
+    from re_data_pipeline_spark.operators.sketches import hll_estimate, hll_registers
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.concat(
+            F.lit("u"), F.col("user_id").cast("string"),
+            F.lit(":"), F.col("event_type"),
+        ).alias("item")
+    ).distinct()
+    regs = hll_registers(e, "item", m=_HLL_M)
+    est = hll_estimate(regs, m=_HLL_M)
+    regmd5 = regs.agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("bucket", "register"))
+                    ),
+                    lambda x: x["register"].cast("string"),
+                ),
+                ",",
+            )
+        ).alias("registers_md5")
+    )
+    return est.crossJoin(F.broadcast(regmd5)).select(
+        "estimate", "zero_registers", "register_sum_fixed", "registers_md5"
     )
 
 
