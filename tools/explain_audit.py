@@ -198,6 +198,40 @@ CHECKS = [
         "expansion runs over that compact table — the property that makes "
         "corpus-scale tokenizer training cheap after pass one.",
     ),
+    (
+        "q141_interval_lookup",
+        "interval lookup: bucket equi-join, NOT a nested-loop range join",
+        [
+            (r"!BroadcastNestedLoopJoin", "no nested-loop range join anywhere in the plan"),
+            (r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*__b", "equi-join keyed on the interval bucket"),
+        ],
+        "A bare range-predicate join plans as BroadcastNestedLoopJoin — "
+        "O(|facts|·|intervals|) per executor.  Bucketing both sides turns "
+        "it into an ordinary hash join; the exact range check runs only on "
+        "bucket-collocated candidates.",
+    ),
+    (
+        "q145_bm25_topk",
+        "BM25: query-term filter below the tf aggregation",
+        [
+            (r"HashAggregate.*partial", "tf/df aggregations combine map-side"),
+            (r"TakeOrderedAndProject", "global top-10 as partial top-k, no full sort"),
+        ],
+        "The IN (query terms) filter reaches the scan side of the tf agg, "
+        "so the aggregation state is |matching terms| × |docs|, not the "
+        "whole posting space; the final ranking is TakeOrdered.",
+    ),
+    (
+        "q147_hll_sketch",
+        "HLL: corpus reduces to registers before any wide work",
+        [
+            (r"HashAggregate.*partial", "register max combines map-side"),
+            (r"!CartesianProduct", "no cartesian anywhere (1-row broadcasts only)"),
+        ],
+        "100 TB of items reduce map-side to ≤m register rows; the estimate "
+        "and the register digest are 1-row aggregates crossed via "
+        "broadcast.",
+    ),
 ]
 
 
@@ -234,7 +268,11 @@ def main() -> int:
         lines.append(f"## {name} — {title}\n")
         ok_all = True
         for pat, desc in patterns:
-            ok = re.search(pat, text) is not None
+            # leading "!" = NEGATIVE assertion (pattern must be absent)
+            if pat.startswith("!"):
+                ok = re.search(pat[1:], text) is None
+            else:
+                ok = re.search(pat, text) is not None
             ok_all = ok_all and ok
             mark = "✅" if ok else "❌"
             lines.append(f"- {mark} {desc} (`{pat}`)")
