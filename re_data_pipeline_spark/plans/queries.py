@@ -4792,7 +4792,8 @@ DRIVER_WINDOW: list[str] = [
 # Registered but outside the 50-slot window this round (parity-verified
 # locally; first driver anchors belong in the r6 rotation): q141_interval
 # _lookup, q142_transition_matrix, q143_snapshot_diff, q144_scd1_merge,
-# q145_bm25_topk, q146_countmin_sketch, q147_hll_sketch —
+# q145_bm25_topk, q146_countmin_sketch, q147_hll_sketch,
+# q148_spatial_clusters, q149_mad_outliers, q150_sequence_pattern —
 # added after the window filled with this round's changed-code and
 # first-anchor obligations.
 
@@ -5586,6 +5587,162 @@ def q137_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = grouped_split(keyed, "group_key", test_permille=100)
     return split.groupBy("group_key", "split").agg(
         F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+_Q148_SQL = """
+WITH RECURSIVE pts AS (
+  SELECT c_custkey AS pid,
+         CAST((c_custkey * 37) % 1000 AS DOUBLE) AS x,
+         CAST((c_custkey * 73) % 1000 AS DOUBLE) AS y
+  FROM customer WHERE c_custkey % 5 = 0
+), edges0 AS (
+  SELECT a.pid AS src, b.pid AS dst
+  FROM pts a JOIN pts b
+    ON a.pid < b.pid
+   AND sqrt((a.x - b.x)^2 + (a.y - b.y)^2) <= 15.0
+), edges AS (
+  SELECT src, dst FROM edges0
+  UNION
+  SELECT dst, src FROM edges0
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), comp AS (
+  SELECT src AS pid, LEAST(src, MIN(dst)) AS cluster FROM reach GROUP BY src
+)
+SELECT p.pid, COALESCE(c.cluster, p.pid) AS cluster
+FROM pts p LEFT JOIN comp c ON c.pid = p.pid
+"""
+
+
+@query("q148_spatial_clusters", _Q148_SQL)
+def q148_spatial_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-style spatial clustering (DBSCAN's connectivity core,
+    minPts=2): points within eps of each other share a cluster,
+    transitively — hotspot detection over point data.  Pure composition of
+    existing operators: eps-radius join builds the edge set (grid-cell
+    equi-join, never |P|²), connected components labels it, isolated
+    points become singleton clusters.  Oracle: naive-distance edges +
+    recursive-CTE closure."""
+    from re_data_pipeline_spark.operators.dedup import connected_components
+    from re_data_pipeline_spark.operators.spatial import radius_join
+
+    pts = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 5 == 0)
+        .select(
+            F.col("c_custkey").alias("pid"),
+            ((F.col("c_custkey") * 37) % 1000).cast("double").alias("x"),
+            ((F.col("c_custkey") * 73) % 1000).cast("double").alias("y"),
+        )
+    )
+    near = radius_join(
+        pts,
+        pts.select(
+            F.col("pid").alias("qid"), F.col("x").alias("px"), F.col("y").alias("py")
+        ),
+        radius=15.0,
+        left_xy=("x", "y"),
+        right_xy=("px", "py"),
+    ).where(F.col("pid") < F.col("qid"))
+    comps = connected_components(
+        near.select(F.col("pid").alias("id_a"), F.col("qid").alias("id_b"))
+    )
+    return (
+        pts.join(comps, pts.pid == comps.node, "left")
+        .select("pid", F.coalesce("component", "pid").alias("cluster"))
+    )
+
+
+@query(
+    "q149_mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_id, e.event_type, e.value, abs(e.value - m.med) AS ad, m.med
+      FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, median(ad) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type,
+           ROUND((d.value - d.med) / (1.4826 * m.mad), 4) AS robust_z
+    FROM dev d JOIN mad m USING (event_type)
+    WHERE abs((d.value - d.med) / (1.4826 * m.mad)) > 3.5
+    """,
+)
+def q149_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation (the
+    mean/stddev z-score of q84 is itself corrupted by the outliers it
+    hunts; median/MAD is the standard robust form).  Two exact-median
+    passes (Spark `F.median` ≡ DuckDB `median`, interpolation proven by
+    q74) broadcast back over the fact table — same two-pass broadcast
+    shape as q84, one extra small agg."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("ad").alias("mad"))
+    z = (F.col("value") - F.col("med")) / (1.4826 * F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.abs(z) > 3.5)
+        .select("event_id", "event_type", F.round(z, 4).alias("robust_z"))
+    )
+
+
+@query(
+    "q150_sequence_pattern",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           len(regexp_extract_all(s, 'v[^p]*c[^p]*p')) AS n_funnels,
+           regexp_matches(s, 'e{2}') AS double_error
+    FROM seq
+    WHERE regexp_matches(s, 'v[^p]*c[^p]*p') OR regexp_matches(s, 'e{2}')
+    """,
+)
+def q150_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern detection (MATCH_RECOGNIZE-lite / CEP): each user's
+    event stream compacts to an ordered symbol string — one char per event
+    — and patterns become plain regexes: view→cart→purchase funnels with
+    no intervening purchase (`v[^p]*c[^p]*p`, non-overlapping count) and
+    double-error bursts (`e{2}`).  The compaction is one ordered string_agg
+    per key (order pinned by (ts, event_id)); at 100 TB per-user strings
+    are session-sized and the regex scan is embarrassingly parallel.
+    Identical RE2-safe patterns on both engines."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.substring("event_type", 1, 1).alias("sym"),
+        "ts",
+        "event_id",
+    )
+    # deterministic ordered string agg: sort struct array, then join
+    seq = e.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "sym"))),
+                lambda x: x["sym"],
+            ),
+            "",
+        ).alias("s")
+    )
+    n_funnels = F.size(F.expr(r"regexp_extract_all(s, 'v[^p]*c[^p]*p', 0)"))
+    double_error = F.col("s").rlike("e{2}")
+    return (
+        seq.withColumn("n_funnels", n_funnels.cast("bigint"))
+        .withColumn("double_error", double_error)
+        .where((F.col("n_funnels") > 0) | F.col("double_error"))
+        .select("user_id", "n_funnels", "double_error")
     )
 
 
