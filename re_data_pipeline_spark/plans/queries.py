@@ -4793,7 +4793,8 @@ DRIVER_WINDOW: list[str] = [
 # locally; first driver anchors belong in the r6 rotation): q141_interval
 # _lookup, q142_transition_matrix, q143_snapshot_diff, q144_scd1_merge,
 # q145_bm25_topk, q146_countmin_sketch, q147_hll_sketch,
-# q148_spatial_clusters, q149_mad_outliers, q150_sequence_pattern —
+# q148_spatial_clusters, q149_mad_outliers, q150_sequence_pattern,
+# q151_item_cooccurrence, q152_skyline —
 # added after the window filled with this round's changed-code and
 # first-anchor obligations.
 
@@ -5587,6 +5588,134 @@ def q137_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = grouped_split(keyed, "group_key", test_permille=100)
     return split.groupBy("group_key", "split").agg(
         F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@query(
+    "q151_item_cooccurrence",
+    """
+    WITH baskets AS (
+      SELECT user_id, list_sort(list(DISTINCT event_type)) AS items
+      FROM events GROUP BY user_id
+    ), pairs AS (
+      SELECT a.x AS item_a, b.x AS item_b
+      FROM baskets, unnest(items) a(x), unnest(items) b(x)
+      WHERE a.x < b.x
+    ), pc AS (
+      SELECT item_a, item_b, COUNT(*) AS n_ab FROM pairs GROUP BY 1, 2
+    ), ic AS (
+      SELECT x AS item, COUNT(*) AS n
+      FROM baskets, unnest(items) t(x) GROUP BY x
+    ), tot AS (
+      SELECT COUNT(*) AS n_users FROM baskets
+    )
+    SELECT item_a, item_b, n_ab,
+           ROUND(n_ab * 1.0 * tot.n_users / (a.n * b.n), 6) AS lift
+    FROM pc JOIN ic a ON a.item = pc.item_a
+            JOIN ic b ON b.item = pc.item_b, tot
+    """,
+)
+def q151_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item co-occurrence with lift (the items-bought-together /
+    market-basket primitive): per-user distinct item sets explode to
+    ordered pairs (a < b — never the full cross product of the catalog),
+    pair counts join back to item counts, lift = P(ab)/(P(a)·P(b)).
+    At 100 TB per-user sets are basket-sized, so the pair explode is
+    Σ|basket|² — bounded by user behavior, not catalog size; counts
+    combine map-side and the item table broadcasts."""
+    baskets = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("items"))
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        "items",
+                        lambda a: F.transform(
+                            F.col("items"),
+                            lambda b: F.struct(a.alias("item_a"), b.alias("item_b")),
+                        ),
+                    )
+                ),
+                lambda p: p["item_a"] < p["item_b"],
+            )
+        ).alias("p")
+    ).select("p.item_a", "p.item_b")
+    pc = pairs.groupBy("item_a", "item_b").agg(F.count(F.lit(1)).alias("n_ab"))
+    ic = (
+        baskets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = baskets.agg(F.count(F.lit(1)).alias("n_users"))
+    return (
+        pc.join(F.broadcast(ic.withColumnRenamed("item", "item_a").withColumnRenamed("n", "n_a")), "item_a")
+        .join(F.broadcast(ic.withColumnRenamed("item", "item_b").withColumnRenamed("n", "n_b")), "item_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "item_a", "item_b", "n_ab",
+            F.round(
+                F.col("n_ab") * 1.0 * F.col("n_users") / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "q152_skyline",
+    """
+    WITH pts AS (
+      SELECT o_orderkey,
+             CAST((o_orderkey * 13) % 997 AS DOUBLE) AS cost,
+             CAST(996 - (o_orderkey * 13) % 997 + (o_orderkey * 31) % 29 AS DOUBLE)
+               AS delay
+      FROM orders WHERE o_orderkey < 28000
+    )
+    SELECT o_orderkey, cost, delay
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.cost <= p.cost AND q.delay <= p.delay
+        AND (q.cost < p.cost OR q.delay < p.delay)
+    )
+    """,
+)
+def q152_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier (minimize cost AND delay): the points
+    no other point dominates.  The naive form is a NOT EXISTS theta
+    self-join — O(n²); the relational trick is ONE window: sort by
+    (cost asc, delay asc, key), keep rows whose delay is strictly below
+    the running minimum of all earlier delays (earlier = cheaper-or-equal
+    cost).  Equal-cost groups are handled by the strict tiebreak: only the
+    group's minimal delay can survive, and only if it beats every cheaper
+    point.  One range-partitioned sort, no join — the theta join is gone.
+    The synthetic points are ANTI-correlated (delay ≈ 996 − cost + noise),
+    the hard case where the frontier is large.  General inputs need a
+    dedupe on (cost, delay) first (coincident points dominate nobody but
+    the scan keeps only the first); the key cap at 28,000 stays under the
+    (cost, noise) joint period lcm(997, 29) = 28,913, so coincident points
+    cannot occur at ANY scale factor.  Oracle: the naive NOT EXISTS."""
+    from pyspark.sql.window import Window
+
+    pts = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 28000).select(
+        "o_orderkey",
+        ((F.col("o_orderkey") * 13) % 997).cast("double").alias("cost"),
+        (996 - (F.col("o_orderkey") * 13) % 997 + (F.col("o_orderkey") * 31) % 29)
+        .cast("double")
+        .alias("delay"),
+    )
+    w = (
+        Window.orderBy(F.col("cost").asc(), F.col("delay").asc(), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_min = F.min("delay").over(w)
+    return (
+        pts.withColumn("__pm", prev_min)
+        .where(F.col("__pm").isNull() | (F.col("delay") < F.col("__pm")))
+        .select("o_orderkey", "cost", "delay")
     )
 
 
