@@ -4754,7 +4754,6 @@ DRIVER_WINDOW: list[str] = [
     # core operators / sinks / sources last checked in r2 (q05/q06/q09/q11
     # displaced by the four new queries — stock-operator bodies, r2-green,
     # code unchanged since)
-    "q120_http_pushdown_scan",
     # mid-round-5 additions: the four pipeline traces got full-value DuckDB
     # replay oracles (previously rows-only) — anchor all of them; displaced
     # q39/q58/q59 (stock geo/source ops, r2-green, code unchanged since)
@@ -4788,6 +4787,11 @@ DRIVER_WINDOW: list[str] = [
     # bounded-state streaming dedup (displaced q63 — r2-green REIT PDF
     # pipeline, import-gated extractor covered by test_reit e2e)
     "q140_stream_dedup_watermark",
+    # from-scratch HLL: register-vector md5 + exact-integer harmonic sum —
+    # the sketch family's first driver anchor beyond Spark's built-ins
+    # (displaced q120 — r2-green HTTP pushdown, paging/pushdown also
+    # pytest-gated in test_http_source)
+    "q147_hll_sketch",
 ]
 # Registered but outside the 50-slot window this round (parity-verified
 # locally; first driver anchors belong in the r6 rotation): q141_interval
