@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from re_data_pipeline_spark.functions.text import doc_fingerprint, word_shingles
+from re_data_pipeline_spark.functions.text import doc_fingerprint, tokens, word_shingles
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -768,4 +768,66 @@ def span_dup_stats(
             F.round(F.col("dup_spans") / F.col("n_spans"), 6).alias("dup_fraction"),
             (F.col("dup_spans") / F.col("n_spans") <= max_dup_fraction).alias("keep"),
         )
+    )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """EXACT set-similarity candidate pairs via prefix filtering (the
+    PPJoin principle, Chaudhuri et al. / Xiao et al.): two token sets with
+    Jaccard ≥ t MUST share a token among each one's first
+    ``|x| − ⌈t·|x|⌉ + 1`` tokens under any fixed global token order — so
+    indexing only prefixes yields candidates with ZERO false negatives,
+    unlike MinHash-LSH's probabilistic recall.  The deterministic
+    complement of ``lsh_candidate_pairs``: use LSH when approximate recall
+    is acceptable at extreme scale, prefix filtering when the dedup must
+    be provably complete.
+
+    The global order is (df asc, token) — rarest first, which minimizes
+    prefix collisions (frequent tokens land outside prefixes).  The
+    threshold is a RATIONAL num/den and the prefix length is computed in
+    pure integer arithmetic (``⌈t·n⌉ = (num·n + den − 1) div den``):
+    float ceil at representation boundaries (0.8·25 → 20.000…004 → 21)
+    would silently shorten prefixes and break the no-false-negative
+    guarantee.
+
+    Plan: token df agg (map-combined) → broadcast-rank the order back →
+    per-doc sort + slice → prefix explode → equi-join on the token.
+    Shuffle volume is Σ prefix lengths, a (1−t) fraction of the corpus.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ordered = toks.join(F.broadcast(dfreq), "tok").select(
+        id_col, F.struct(F.col("df"), F.col("tok")).alias("key")
+    )
+    per_doc = ordered.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("key")).alias("keys")
+    )
+    sz = F.size("keys")
+    # ⌈(num/den)·sz⌉ in exact integer math; prefix = sz − ⌈t·sz⌉ + 1
+    ceil_t = F.floor((F.lit(threshold_num) * sz + F.lit(threshold_den - 1)) / F.lit(threshold_den))
+    prefix_len = (sz - ceil_t + F.lit(1)).cast("int")
+    pre = per_doc.select(
+        F.col(id_col),
+        F.explode(F.slice("keys", 1, prefix_len)).alias("k"),
+    ).select(id_col, F.col("k.tok").alias("tok"))
+    a = pre.alias("a")
+    b = pre.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
     )

@@ -4798,7 +4798,7 @@ DRIVER_WINDOW: list[str] = [
 # _lookup, q142_transition_matrix, q143_snapshot_diff, q144_scd1_merge,
 # q145_bm25_topk, q146_countmin_sketch, q147_hll_sketch,
 # q148_spatial_clusters, q149_mad_outliers, q150_sequence_pattern,
-# q151_item_cooccurrence, q152_skyline —
+# q151_item_cooccurrence, q152_skyline, q153_prefix_filter_join —
 # added after the window filled with this round's changed-code and
 # first-anchor obligations.
 
@@ -5592,6 +5592,47 @@ def q137_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = grouped_split(keyed, "group_key", test_permille=100)
     return split.groupBy("group_key", "split").agg(
         F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@query(
+    "q153_prefix_filter_join",
+    f"""
+    WITH d AS (
+      SELECT doc_id, list_distinct({_sql_tokens()}) AS toks
+      FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.toks, b.toks)) * 1.0
+                 / (len(a.toks) + len(b.toks)
+                    - len(list_intersect(a.toks, b.toks))), 6) AS jaccard
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks)) * 1.0
+          / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+          >= 0.8
+    """,
+)
+def q153_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join (Jaccard ≥ 4/5) via prefix filtering —
+    the provably-complete complement of MinHash-LSH: candidates must share
+    a token in each other's rarest-first prefix (zero false negatives by
+    the prefix-filter theorem), then exact Jaccard verifies.  The oracle
+    is brute-force all-pairs ON THE FILTERED SUBSET — so a single missed
+    candidate (e.g. from a float-ceil prefix length; the operator uses
+    exact integer ⌈t·n⌉) hash-fails the query."""
+    from re_data_pipeline_spark.operators.dedup import (
+        jaccard_on_pairs,
+        prefix_filter_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    cands = prefix_filter_pairs(d, "doc_id", "text", threshold_num=4, threshold_den=5)
+    verified = jaccard_on_pairs(cands, d, "doc_id", "text", shingle_words=1)
+    # both engines filter on the same double quotient: with set sizes
+    # ≤ ~60, neighbouring ratios are ≥ 5e-5 apart — far beyond one ulp, so
+    # the float comparison cannot disagree with the exact rational test
+    return verified.where(F.col("jaccard") >= 0.8).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
 
 
