@@ -232,6 +232,28 @@ CHECKS = [
         "and the register digest are 1-row aggregates crossed via "
         "broadcast.",
     ),
+    (
+        "q152_skyline",
+        "skyline: one sorted window, the theta self-join is gone",
+        [
+            (r"Window", "running-min window over the (cost, delay) sort"),
+            (r"!(SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)",
+             "NO join of any kind — the NOT-EXISTS O(n²) formulation is fully rewritten"),
+        ],
+        "The naive Pareto frontier is a NOT EXISTS theta self-join; the "
+        "sort-scan form is one range-partitioned sort + running min.",
+    ),
+    (
+        "q153_prefix_filter_join",
+        "prefix-filter join: equi-join on prefix tokens, never all-pairs",
+        [
+            (r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", "candidate generation is an equi-join on the prefix token"),
+            (r"!CartesianProduct", "no cross join despite exact (non-LSH) semantics"),
+        ],
+        "Zero-false-negative set-similarity without O(n²): only prefix "
+        "tokens (the (1−t) rarest fraction) are indexed and joined; exact "
+        "Jaccard verifies candidates only.",
+    ),
 ]
 
 
