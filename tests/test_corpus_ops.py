@@ -206,3 +206,32 @@ def test_inverted_index_cap_truncates_but_df_exact(spark):
                                              max_postings=3).collect()}
     assert idx["shared"].df == 10            # df counts ALL docs
     assert list(idx["shared"].postings) == [0, 1, 2]  # postings capped
+
+
+def test_index_merge_equals_rebuild(spark):
+    from pyspark.sql import functions as F
+
+    from re_data_pipeline_spark.operators.indexing import (
+        inverted_index,
+        merge_inverted_indexes,
+    )
+
+    rows = [(i, f"common w{i % 4} x{i % 3} tail{i}") for i in range(40)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    a, b = d.where(F.col("doc_id") % 2 == 0), d.where(F.col("doc_id") % 2 == 1)
+    ix_a = inverted_index(a, min_df=1, max_df_fraction=1.0, max_postings=5)
+    ix_b = inverted_index(b, min_df=1, max_df_fraction=1.0, max_postings=5)
+    total = d.agg(F.count_distinct("doc_id").alias("__n"))
+    merged = {
+        r.term: (r.df, list(r.postings))
+        for r in merge_inverted_indexes(
+            ix_a, ix_b, total, min_df=2, max_df_fraction=0.9, max_postings=5
+        ).collect()
+    }
+    rebuilt = {
+        r.term: (r.df, list(r.postings))
+        for r in inverted_index(
+            d, min_df=2, max_df_fraction=0.9, max_postings=5
+        ).collect()
+    }
+    assert merged == rebuilt
