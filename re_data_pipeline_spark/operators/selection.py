@@ -232,3 +232,26 @@ def grouped_split(
     return df.withColumn(
         "split", F.when(bucket < test_permille, F.lit("test")).otherwise(F.lit("train"))
     )
+
+
+def grouped_kfold(
+    df: DataFrame,
+    group_col: Column | str,
+    k: int = 5,
+    salt: str = "fold",
+) -> DataFrame:
+    """K-fold cross-validation assignment at GROUP granularity — the
+    k-way generalization of ``grouped_split``: every row of a group lands
+    in the same fold, so no fold's held-out set leaks near-duplicates into
+    its training complement.  Map-only md5 bucketing; appends ``fold`` ∈
+    [0, k)."""
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{salt}:"), g.cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % k
+    )
+    return df.withColumn("fold", fold.cast("int"))

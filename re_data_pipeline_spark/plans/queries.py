@@ -4799,7 +4799,7 @@ DRIVER_WINDOW: list[str] = [
 # q145_bm25_topk, q146_countmin_sketch, q147_hll_sketch,
 # q148_spatial_clusters, q149_mad_outliers, q150_sequence_pattern,
 # q151_item_cooccurrence, q152_skyline, q153_prefix_filter_join,
-# q154_index_merge —
+# q154_index_merge, q155_grouped_kfold —
 # added after the window filled with this round's changed-code and
 # first-anchor obligations.
 
@@ -5645,6 +5645,36 @@ def q137_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = grouped_split(keyed, "group_key", test_permille=100)
     return split.groupBy("group_key", "split").agg(
         F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@query(
+    "q155_grouped_kfold",
+    r"""
+    WITH g AS (
+      SELECT md5(coalesce(text, '')) AS group_key,
+             CAST(('0x' || substr(md5('fold:' || md5(coalesce(text, ''))), 1, 15))::BIGINT
+                  % 5 AS INT) AS fold
+      FROM documents
+    )
+    SELECT fold, COUNT(*) AS n_docs, COUNT(DISTINCT group_key) AS n_groups
+    FROM g GROUP BY fold
+    """,
+)
+def q155_grouped_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-level k-fold assignment (k=5): the cross-validation
+    generalization of q137's grouped split — exact-dup groups never
+    straddle a fold, folds are reproducible md5 buckets (no stored fold
+    table), and the per-fold doc/group counts are the oracle."""
+    from re_data_pipeline_spark.operators.selection import grouped_kfold
+
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "group_key", F.md5(F.coalesce(F.col("text"), F.lit("")))
+    )
+    folds = grouped_kfold(d, "group_key", k=5)
+    return folds.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("group_key").alias("n_groups"),
     )
 
 
