@@ -4799,7 +4799,7 @@ DRIVER_WINDOW: list[str] = [
 # q145_bm25_topk, q146_countmin_sketch, q147_hll_sketch,
 # q148_spatial_clusters, q149_mad_outliers, q150_sequence_pattern,
 # q151_item_cooccurrence, q152_skyline, q153_prefix_filter_join,
-# q154_index_merge, q155_grouped_kfold —
+# q154_index_merge, q155_grouped_kfold, q156_curation_v2 —
 # added after the window filled with this round's changed-code and
 # first-anchor obligations.
 
@@ -5645,6 +5645,70 @@ def q137_grouped_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = grouped_split(keyed, "group_key", test_permille=100)
     return split.groupBy("group_key", "split").agg(
         F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@query(
+    "q156_curation_v2",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, text, {_sql_tokens()} AS t FROM documents
+    ), s AS (
+      SELECT doc_id, lang, text, len(t) AS n_tokens,
+             list_aggregate(list_transform(t, x ->
+               CAST(round(((((('0x' || substr(md5(x), 1, 15))::BIGINT % 1024)
+                   * 2654435761) % 1048576) / 1048576.0 - 0.5) * 1000000, 0)
+                 AS BIGINT)), 'sum') AS tot
+      FROM t
+    ), passed AS (
+      SELECT *, md5(coalesce(text, '')) AS group_key FROM s WHERE tot > 0
+    ), kept AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY group_key ORDER BY doc_id) AS rn
+        FROM passed
+      ) WHERE rn = 1
+    ), split AS (
+      SELECT *, CASE WHEN ('0x' || substr(md5('split:' || group_key), 1, 15))::BIGINT
+                          % 1000 < 100
+                     THEN 'test' ELSE 'train' END AS split
+      FROM kept
+    )
+    SELECT lang, split, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM split GROUP BY 1, 2
+    """,
+)
+def q156_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation trace composing the round-5 selection tier:
+    hashed-classifier quality gate (map-only, q126's model) → exact dedup
+    on the text fingerprint (min-id winner) → leakage-safe grouped
+    train/test split (q137's bucketing) → per-(lang, split) corpus report
+    — the "what will we actually train on" summary every curation run
+    ends with.  Fully oracled end to end: every stage is the same
+    md5/fixed-point algebra in both engines, so the composed counts
+    hash-match, not just the stages in isolation."""
+    from pyspark.sql.window import Window
+
+    from re_data_pipeline_spark.functions.text import token_count
+    from re_data_pipeline_spark.operators.selection import (
+        classifier_score,
+        grouped_split,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    passed = d.where(classifier_score("text") > 0.5).withColumn(
+        "group_key", F.md5(F.coalesce(F.col("text"), F.lit("")))
+    )
+    w = Window.partitionBy("group_key").orderBy("doc_id")
+    kept = (
+        passed.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    split = grouped_split(kept, "group_key", test_permille=100)
+    return split.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text").cast("bigint")).alias("n_tokens"),
     )
 
 
