@@ -211,3 +211,23 @@ def test_pagerank_fixed_deterministic_and_sane(spark):
     # bit-exact across reruns (integer arithmetic)
     r2 = {row.node: row.rank_fixed for row in pagerank_fixed(edges, iterations=3).collect()}
     assert r == r2
+
+
+def test_grouped_kfold_partitions_groups(spark):
+    from pyspark.sql import functions as F
+
+    from re_data_pipeline_spark.operators.selection import grouped_kfold
+
+    df = spark.range(1500).select(
+        (F.col("id") % 300).cast("string").alias("grp"), F.col("id").alias("rid")
+    )
+    out = grouped_kfold(df, "grp", k=5)
+    # each group maps to exactly one fold, folds cover [0, 5)
+    per_group = out.groupBy("grp").agg(F.countDistinct("fold").alias("nf")).collect()
+    assert all(r.nf == 1 for r in per_group)
+    folds = {r.fold for r in out.select("fold").distinct().collect()}
+    assert folds <= set(range(5)) and len(folds) == 5
+    # reasonably balanced: every fold holds 10-30% of the 300 groups
+    sizes = {r.fold: r.n for r in
+             out.select("grp", "fold").distinct().groupBy("fold").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(30 <= n <= 90 for n in sizes.values())
