@@ -181,8 +181,15 @@ def mixture_allocation(
     total = counts.agg(F.sum("n").cast("decimal(38,0)").alias("__t"))
     x = counts.crossJoin(F.broadcast(total))
     prod = F.col("n") * F.lit(budget).cast("decimal(38,0)")
-    base = F.floor(prod / F.col("__t")).cast("decimal(38,0)")
-    x = x.withColumn("base", base).withColumn("rem", prod - base * F.col("__t"))
+    # Exact integer division: decimal(38,0)/decimal(38,0) yields decimal
+    # (38,6) rounded HALF_UP, so floor(prod/__t) overshoots the true floor
+    # by 1 whenever the exact fractional part is within 5e-7 of 1.  Compute
+    # the remainder first (pmod is exact) and divide the exactly-divisible
+    # difference — an exact-integer quotient survives the scale-6 rounding
+    # untouched.
+    rem = F.pmod(prod, F.col("__t"))
+    base = ((prod - rem) / F.col("__t")).cast("decimal(38,0)")
+    x = x.withColumn("base", base).withColumn("rem", rem)
     leftover = x.agg(
         (F.lit(budget).cast("decimal(38,0)") - F.sum("base")).alias("__left")
     )

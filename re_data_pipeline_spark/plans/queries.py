@@ -5878,19 +5878,20 @@ def q151_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q152_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D skyline / Pareto frontier (minimize cost AND delay): the points
     no other point dominates.  The naive form is a NOT EXISTS theta
-    self-join — O(n²); the relational trick is ONE window: sort by
-    (cost asc, delay asc, key), keep rows whose delay is strictly below
-    the running minimum of all earlier delays (earlier = cheaper-or-equal
-    cost).  Equal-cost groups are handled by the strict tiebreak: only the
-    group's minimal delay can survive, and only if it beats every cheaper
-    point.  One range-partitioned sort, no join — the theta join is gone.
+    self-join — O(n²); the sort-scan rewrite keeps rows whose delay beats
+    the running minimum of all earlier delays in (cost, delay, key) order.
+    ``pareto_frontier_2d`` runs that scan DISTRIBUTED: range-partition on
+    the sort order, per-partition running minima via a pid-partitioned
+    window, and a broadcast prefix-min over earlier partitions — no
+    single-partition exchange ever sees row-scale data (the r5 advisory
+    flagged the plain ``Window.orderBy`` form as exactly that bottleneck).
     The synthetic points are ANTI-correlated (delay ≈ 996 − cost + noise),
     the hard case where the frontier is large.  General inputs need a
     dedupe on (cost, delay) first (coincident points dominate nobody but
     the scan keeps only the first); the key cap at 28,000 stays under the
     (cost, noise) joint period lcm(997, 29) = 28,913, so coincident points
     cannot occur at ANY scale factor.  Oracle: the naive NOT EXISTS."""
-    from pyspark.sql.window import Window
+    from re_data_pipeline_spark.operators.frontier import pareto_frontier_2d
 
     pts = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 28000).select(
         "o_orderkey",
@@ -5899,15 +5900,8 @@ def q152_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("delay"),
     )
-    w = (
-        Window.orderBy(F.col("cost").asc(), F.col("delay").asc(), F.col("o_orderkey"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    prev_min = F.min("delay").over(w)
-    return (
-        pts.withColumn("__pm", prev_min)
-        .where(F.col("__pm").isNull() | (F.col("delay") < F.col("__pm")))
-        .select("o_orderkey", "cost", "delay")
+    return pareto_frontier_2d(pts, "cost", "delay", "o_orderkey").select(
+        "o_orderkey", "cost", "delay"
     )
 
 

@@ -176,6 +176,41 @@ def test_salted_join_equals_plain_join(spark):
     assert "__salt" in got._jdf.queryExecution().optimizedPlan().toString()
 
 
+def test_salted_join_null_salt_source_keeps_matches(spark):
+    """A NULL salt_source must not NULL the salt (which would silently drop
+    the row from inner joins / lose its match in left joins)."""
+    from pyspark.sql import functions as F
+
+    from re_data_pipeline_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(0, 1), (0, None), (1, None)], "k long, rid long"
+    )
+    right = spark.createDataFrame([(0, "a"), (1, "b")], "k long, v string")
+    got = sorted(
+        (r.k, r.v)
+        for r in salted_join(left, right, ["k"], "rid", num_salts=4).collect()
+    )
+    assert got == [(0, "a"), (0, "a"), (1, "b")]
+    # left join: NULL-rid row keeps its match rather than getting NULL v
+    left_got = salted_join(left, right, ["k"], "rid", num_salts=4, how="left")
+    assert sorted(r.v for r in left_got.collect()) == ["a", "a", "b"]
+
+
+def test_salted_join_rejects_right_preserving(spark):
+    """right/full joins would emit unmatched right rows num_salts times —
+    must raise, not silently multiply."""
+    import pytest
+
+    from re_data_pipeline_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame([(0, 1)], "k long, rid long")
+    right = spark.createDataFrame([(0, "a"), (9, "orphan")], "k long, v string")
+    for how in ("right", "full", "full_outer", "rightouter", "outer"):
+        with pytest.raises(ValueError, match="left-preserving"):
+            salted_join(left, right, ["k"], "rid", how=how)
+
+
 def test_inverted_index_postings_and_caps(spark):
     from re_data_pipeline_spark.operators.indexing import inverted_index
 

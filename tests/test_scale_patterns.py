@@ -286,3 +286,57 @@ def test_quality_check_on_empty_table(spark):
     assert rep[0]["n_violations"] == 0
     assert rep[0]["violation_rate"] == 0.0
     assert enforce(df, rules) is df
+
+
+def test_pareto_frontier_matches_brute_force(spark):
+    """Distributed skyline ≡ the O(n²) NOT-EXISTS definition on random
+    points, across multiple range partitions (including the cross-partition
+    prefix-min path and equal-cost groups)."""
+    import random
+
+    from re_data_pipeline_spark.operators.frontier import pareto_frontier_2d
+
+    rng = random.Random(7)
+    pts = [(i, float(rng.randrange(50)), float(rng.randrange(50))) for i in range(400)]
+    # dedupe coincident (cost, delay) points — operator contract
+    seen, uniq = set(), []
+    for k, c, d in pts:
+        if (c, d) not in seen:
+            seen.add((c, d))
+            uniq.append((k, c, d))
+    df = spark.createDataFrame(uniq, "k long, cost double, delay double")
+    got = sorted(
+        r.k for r in pareto_frontier_2d(df, "cost", "delay", "k", num_partitions=7).collect()
+    )
+    want = sorted(
+        k
+        for k, c, d in uniq
+        if not any(
+            (c2 <= c and d2 <= d and (c2 < c or d2 < d)) for _, c2, d2 in uniq
+        )
+    )
+    assert got == want and len(want) > 1
+
+
+def test_pareto_frontier_no_row_scale_single_partition(spark):
+    """The r5 advisory bug: Window.orderBy with no partitionBy plans
+    Exchange SinglePartition over the FULL input.  The distributed form's
+    only SinglePartition exchange is over the partition-count-sized min
+    table (child plan contains the groupBy agg, not the raw points)."""
+    from re_data_pipeline_spark.operators.frontier import pareto_frontier_2d
+
+    df = spark.range(5000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 997).cast("double").alias("cost"),
+        (996 - F.col("id") % 997).cast("double").alias("delay"),
+    )
+    out = pareto_frontier_2d(df, "cost", "delay", "k", num_partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every SinglePartition exchange must sit above the per-partition agg
+    # (partial_min / __m), never directly above the row-scale scan/sort
+    import re as _re
+
+    for m in _re.finditer(r"Exchange SinglePartition", plan):
+        tail = plan[m.start() : m.start() + 2000]
+        assert "partial_min" in tail or "__m" in tail, tail[:400]
+    assert "rangepartitioning(cost" in plan

@@ -174,7 +174,32 @@ def test_mixture_allocation_overflow_safe(spark):
     assert out == {"a": 166_666_667, "b": 333_333_333, "c": 500_000_000}
 
 
-def test_grouped_split_no_leakage_and_deterministic(spark):
+def test_mixture_allocation_division_boundary_exact(spark):
+    """Fractional part within 5e-7 of 1: Spark's decimal(38,6) HALF_UP
+    division would round 0.9999995 up to 1.000000, overshooting the true
+    floor and producing a negative remainder.  The pmod-first form must
+    match exact integer Hamilton apportionment."""
+    from fractions import Fraction
+
+    from re_data_pipeline_spark.operators.selection import mixture_allocation
+
+    # total = 2_000_000; domain b's prod/total = 1_999_999/2_000_000
+    #       = 0.9999995 exactly — the HALF_UP boundary
+    rows = [("a", 1_999_999), ("b", 1)]
+    budget = 1_999_999
+    df = spark.createDataFrame(rows, "domain string, n bigint")
+    out = {r.domain: r.quota for r in mixture_allocation(df, "domain", "n", budget).collect()}
+
+    # exact Hamilton in Python integers
+    sizes = dict(rows)
+    t = sum(sizes.values())
+    base = {d: (n * budget) // t for d, n in sizes.items()}
+    rem = {d: Fraction(n * budget, t) - base[d] for d, n in sizes.items()}
+    left = budget - sum(base.values())
+    for d in sorted(sizes, key=lambda d: (-rem[d], d))[:left]:
+        base[d] += 1
+    assert out == base
+    assert sum(out.values()) == budget
     from pyspark.sql import functions as F
 
     from re_data_pipeline_spark.operators.selection import grouped_split

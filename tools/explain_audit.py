@@ -234,14 +234,21 @@ CHECKS = [
     ),
     (
         "q152_skyline",
-        "skyline: one sorted window, the theta self-join is gone",
+        "skyline: distributed sort-scan, no row-scale single-partition stage",
         [
-            (r"Window", "running-min window over the (cost, delay) sort"),
+            (r"rangepartitioning\(cost", "points range-partition on the sort order"),
+            (r"hashpartitioning\(__pid", "running-min window is pid-partitioned (parallel), not a global Window.orderBy"),
+            (r"BroadcastHashJoin.*__pid|BroadcastExchange", "prefix-min over earlier partitions broadcast back (|partitions| rows)"),
             (r"!(SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)",
-             "NO join of any kind — the NOT-EXISTS O(n²) formulation is fully rewritten"),
+             "no shuffled/theta join — the NOT-EXISTS O(n²) formulation is fully rewritten"),
         ],
-        "The naive Pareto frontier is a NOT EXISTS theta self-join; the "
-        "sort-scan form is one range-partitioned sort + running min.",
+        "The naive Pareto frontier is a NOT EXISTS theta self-join; the r5 "
+        "advisory flagged the single-window rewrite's Exchange "
+        "SinglePartition as a 100 TB bottleneck.  pareto_frontier_2d keeps "
+        "the O(n log n) scan but splits the running min into per-range-"
+        "partition windows plus a broadcast partition-prefix min — the only "
+        "SinglePartition exchange left is over the partition-count-sized "
+        "min table.",
     ),
     (
         "q153_prefix_filter_join",
