@@ -46,14 +46,29 @@ def char_ngrams(col: Column | str, n: int, distinct: bool = True) -> Column:
     return F.array_distinct(grams) if distinct else grams
 
 
-def word_shingles(col: Column | str, n: int, distinct: bool = True) -> Column:
-    """Word n-gram shingles (space-joined), the MinHash input unit."""
-    toks = tokens(col)
+def word_shingles_of(toks: Column, n: int, distinct: bool = True) -> Column:
+    """Word n-gram shingles from an ALREADY-TOKENIZED array column.
+
+    Hot paths must pass a *materialized* token column (withColumn), not an
+    inline ``tokens(text)`` expression: higher-order functions are
+    interpreted (CodegenFallback, no subexpression elimination), so any
+    non-trivial expression referenced inside the transform lambda re-
+    evaluates once PER SHINGLE — an inline split() costs O(tokens²) per
+    document (measured 2× the whole shingle stage at sf0.1)."""
     sh = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
         lambda j: F.array_join(F.slice(toks, j, n), " "),
     )
     return F.array_distinct(sh) if distinct else sh
+
+
+def word_shingles(col: Column | str, n: int, distinct: bool = True) -> Column:
+    """Word n-gram shingles (space-joined), the MinHash input unit.
+
+    Convenience single-expression form — fine for one-shot use on short
+    text; hot paths should materialize ``tokens()`` into a column and call
+    ``word_shingles_of`` (see its docstring for why)."""
+    return word_shingles_of(tokens(col), n, distinct)
 
 
 def punct_ratio(col: Column | str) -> Column:

@@ -931,12 +931,16 @@ def q32_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sql(num_hashes: int = 16, shingle_words: int = 3) -> str:
     """DuckDB expression list reproducing minhash_signature() bit-for-bit:
-    Broder h_i = md5(shingle || '#i'), min as fixed-length hex string (=
-    numeric min).  Independent digests per row — the property LSH banding
-    needs; see operators/dedup.py module doc for the measured failure of
-    one-digest shortcut families."""
+    h_{4d+j} = 8-hex-char lane j of md5(shingle || '#d'), min as
+    fixed-length hex string (= numeric min).  Disjoint digest bits are
+    independent hash functions — the property LSH banding needs; see
+    operators/dedup.py module doc for the measured failure of the
+    arithmetic one-digest shortcut families (lane substrings are not one
+    of them: each lane is a distinct random function, not a linear form
+    of a shared value)."""
     mins = ", ".join(
-        f"list_aggregate(list_transform(sh, x -> md5(x || '#{i}')), 'min')"
+        "list_aggregate(list_transform(sh, x -> "
+        f"substr(md5(x || '#{i // 4}'), {1 + 8 * (i % 4)}, 8)), 'min')"
         for i in range(num_hashes)
     )
     return mins
@@ -977,10 +981,19 @@ def q33_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature stage — a small parquet otherwise arrives as one partition and
     the md5 work serializes (at 100 TB the scan already has thousands of
     partitions and this repartition is a no-op cost-wise).
+
+    ``materialize=False``: this query has exactly ONE consumer of the pair
+    list, so the persist + localCheckpoint lifecycle the multi-reference
+    pipelines need (q71/q85/q107/q128) is pure overhead here — measured
+    0.38 s of the old 1.32 s at sf0.1 (the checkpoint job and its cache
+    round-trip), with identical results.
     """
     d = load_table(spark, sf_dir, "documents")
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    return lsh_candidate_pairs(d, "doc_id", "text", num_hashes=16, shingle_words=3, bands=_Q33_BANDS)
+    return lsh_candidate_pairs(
+        d, "doc_id", "text", num_hashes=16, shingle_words=3, bands=_Q33_BANDS,
+        materialize=False,
+    )
 
 
 @query(

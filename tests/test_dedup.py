@@ -289,7 +289,11 @@ def test_keep_best_prefers_quality_over_id(spark):
 
     from re_data_pipeline_spark.operators.dedup import cluster_dedup_keep_best
 
-    base = "the quick brown fox jumps over the lazy dog again and again"
+    # long shared prefix → shingle Jaccard ≈ 38/41: band collision is
+    # near-certain under any independent hash family
+    base = " ".join(
+        f"word{i} filler{i % 7} token{i % 5}" for i in range(13)
+    )  # 39 words
     rows = [
         (1, base),                          # cluster, shorter
         (2, base + " extra tail words"),    # cluster, LONGEST -> kept

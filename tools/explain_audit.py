@@ -251,6 +251,22 @@ CHECKS = [
         "min table.",
     ),
     (
+        "q128_keep_best_dedup",
+        "keep-best dedup: cluster-scoped window, corpus passes via anti-join",
+        [
+            (r"hashpartitioning\(component", "rank window shuffles by component id — its input is cluster members only (df ⨝ comps inner), never the corpus"),
+            (r"LeftAnti", "corpus exits through an anti-join against the small loser list"),
+            (r"!Exchange SinglePartition", "no single-partition stage anywhere"),
+        ],
+        "The CC spine (iterative label propagation) localCheckpoints its "
+        "edge list and every iteration's labels (operators/dedup.py "
+        "connected_components), so this final plan reads the labels as a "
+        "checkpoint scan — per-iteration lineage never accumulates.  The "
+        "quality window runs over clustered rows only (≤ 2·|confirmed "
+        "pairs|); 100 TB of singletons never shuffle — they stream through "
+        "the broadcast anti-join map-side.",
+    ),
+    (
         "q153_prefix_filter_join",
         "prefix-filter join: equi-join on prefix tokens, never all-pairs",
         [
