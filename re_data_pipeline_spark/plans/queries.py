@@ -4723,98 +4723,51 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-window registration order
 # ---------------------------------------------------------------------------
 # The correctness driver verifies the FIRST 50 registered queries, in order.
-# Round-5 rotation: (a) the five never-driver-checked queries (q45/q53/q75/
-# q103/q115) enter with their new oracles — with this window every one of
-# the 120 registered queries has had ≥1 driver row; (b) every query whose
-# CODE or ORACLE changed this round anchors here: the ANN pair (q41/q69,
-# rows-only → full DuckDB replay oracles), the lsh_candidate_pairs family
-# (q33/q71/q85/q107 — persist-lifecycle change), the LLM-harness pair
-# (q42/q43 — limiter-in-retry), q48 (routing estimate), q119 (expression
-# ray cast), q20 (safe_cast whitespace), q113 (changed-oracle anchor, one
-# more round per the r4 verdict); (c) the remaining 33 slots go to the
-# queries whose last driver row is oldest (round 2) — bench-headline
-# queries first, since their timings are only meaningful while their
-# correctness stays anchored.  Everything rotated out is pinned by green
-# rows in r3+r4 with unchanged code, and tools/parity.py still verifies
-# ALL registered queries every session.  Mid-round additions q121/q122/
-# q123 (new operators, new oracles) displaced q118/q114/q99 — each r2-green
-# with code unchanged since.
+# Round-6 rotation: (a) the 15 never-driver-checked queries (q141–q156
+# except q147, which anchored in r5) — after this window EVERY registered
+# query has had ≥1 green driver row; (b) q157 (new this round:
+# stream-stream LEFT OUTER timeout flush); (c) every query whose code or
+# oracle changed this round: the minhash lane-split family (q33/q34/q71/
+# q72/q82/q85/q107/q121/q125/q128 — new hash construction changes both
+# sides of those oracles; q128 additionally restructured to the
+# cluster-scoped window; q152 in (a) got the distributed frontier),
+# q129 (exact pmod division), q133 (NULL-safe salt + how validation);
+# (d) the 22 remaining slots go to the queries whose last green driver row
+# is oldest — all 16 remaining r1 rows, then 6 r2 rows (bench-headline
+# and e2e-pipeline first).  Everything rotated out is pinned by r3+/r5
+# green rows with unchanged code, and tools/parity.py still verifies ALL
+# registered queries every session.
 
 DRIVER_WINDOW: list[str] = [
-    # new oracles: previously never driver-checked (completes 120/120)
-    "q45_multimodal_features", "q53_approx_distinct", "q75_percentile_approx",
-    "q103_ivf_kmeans", "q115_pq_adc_topk",
-    # ANN pair: rows-only → full DuckDB replay oracles this round
-    "q41_ann_lsh", "q69_ivf_ann",
-    # changed-code anchors
-    "q20_safe_cast", "q113_quality_report",
-    "q33_minhash_lsh", "q71_near_dedup_pipeline", "q85_cluster_dedup",
-    "q107_incremental_dedup",
-    "q42_llm_extract", "q43_embed_column", "q48_transcripts_pipeline",
-    "q119_multipolygon_zones",
-    # new this round: big-star/small-star CC (shares q82's oracle) and the
-    # Gopher repetition-filter metrics and SemDeDup semantic dedup
-    "q121_cc_bigstar", "q122_repetition_metrics", "q123_semantic_dedup",
-    # bench-headline queries last checked in r2
-    "q01_pricing_summary", "q04_multi_join_revenue", "q07_topk_per_group",
-    "q14_grid_agg", "q35_cosine_topk",
-    "q38_radius_join", "q96_tfidf_top_terms",
-    "q100_contamination", "q82_connected_components",
-    # new this session: DSIR selection, span dedup, hashed classifier,
-    # compaction planner — first driver anchor for each
-    "q124_dsir_importance", "q125_span_dedup", "q126_quality_classifier",
-    "q127_compaction_plan",
-    # core operators / sinks / sources last checked in r2 (q05/q06/q09/q11
-    # displaced by the four new queries — stock-operator bodies, r2-green,
-    # code unchanged since)
-    # mid-round-5 additions: the four pipeline traces got full-value DuckDB
-    # replay oracles (previously rows-only) — anchor all of them; displaced
-    # q39/q58/q59 (stock geo/source ops, r2-green, code unchanged since)
-    "q46_listings_pipeline", "q47_rental_grid_pipeline",
-    "q91_brochure_pipeline",
-    # round-5 new operators, each with a first driver anchor: keep-best
-    # cluster dedup, exact largest-remainder domain mixture, Bloom-prefilter
-    # anti-join, watermarked stream-stream join.  Displaced q25/q26/q32/q37
-    # (r2-green, code unchanged; their operators are additionally exercised
-    # inside the newly-anchored q46/q47/q48 pipeline oracles — upsert in
-    # q46/q47, chunking in q48, fingerprint hashing across the dedup family)
-    "q128_keep_best_dedup", "q129_domain_mixture",
-    "q130_bloom_prefilter", "q131_stream_stream_join",
-    # distributed BPE pair counting and explicit salted skew join (displaced
-    # q12/q24 — stock window/agg operators, r2-green, code unchanged since)
-    "q132_bpe_pair_counts", "q133_salted_join",
-    # SCD2 history build from a change log (displaced q56 — r2-green,
-    # geocode fallback also exercised by test_http_source rate-limit tests)
-    "q134_scd2_history",
-    # inverted-index build (displaced q61 — r2-green salted AGG; the salting
-    # technique is now window-anchored through q133's salted JOIN)
-    "q135_inverted_index",
-    # fixed-point PageRank and leakage-safe grouped split (displaced q27/q29
-    # — batch event-time windows, r1/r2-green, code unchanged; the same
-    # window operators stay anchored through the q44/q101 streaming forms,
-    # r4-green)
-    "q136_pagerank", "q137_grouped_split",
-    # radius-bounded spatial kNN and OHLC downsampling (displaced q57/q97 —
-    # r2-green as-of join / sequence packing, code unchanged since)
-    "q138_spatial_knn", "q139_ohlc_downsample",
-    # bounded-state streaming dedup (displaced q63 — r2-green REIT PDF
-    # pipeline, import-gated extractor covered by test_reit e2e)
-    "q140_stream_dedup_watermark",
-    # from-scratch HLL: register-vector md5 + exact-integer harmonic sum —
-    # the sketch family's first driver anchor beyond Spark's built-ins
-    # (displaced q120 — r2-green HTTP pushdown, paging/pushdown also
-    # pytest-gated in test_http_source)
-    "q147_hll_sketch",
+    # (a) first driver anchor: the round-5 late additions
+    "q141_interval_lookup", "q142_transition_matrix", "q143_snapshot_diff",
+    "q144_scd1_merge", "q145_bm25_topk", "q146_countmin_sketch",
+    "q148_spatial_clusters", "q149_mad_outliers", "q150_sequence_pattern",
+    "q151_item_cooccurrence", "q152_skyline", "q153_prefix_filter_join",
+    "q154_index_merge", "q155_grouped_kfold", "q156_curation_v2",
+    # (b) new this round
+    "q157_stream_left_outer",
+    # (c) changed-code/oracle anchors: minhash lane family + advisory fixes
+    "q33_minhash_lsh", "q34_ngram_jaccard", "q71_near_dedup_pipeline",
+    "q72_curation_pipeline", "q82_connected_components", "q85_cluster_dedup",
+    "q107_incremental_dedup", "q121_cc_bigstar", "q125_span_dedup",
+    "q128_keep_best_dedup", "q129_domain_mixture", "q133_salted_join",
+    # (d) oldest driver rows: every remaining r1-green query …
+    "q03_broadcast_join_agg", "q08_distinct", "q10_except",
+    "q12_running_total", "q13_rollup", "q15_date_lookback",
+    "q17_regexp_extract", "q18_string_cleanup", "q28_sliding_window",
+    "q36_centroid_similarity", "q39_grid_cell_assign", "q49_time_format",
+    "q50_url_parse", "q51_cube", "q52_count_distinct", "q61_salted_agg",
+    # … then the oldest r2-green: bench headlines (q24/q27/q29/q57/q97)
+    # and the REIT e2e pipeline trace
+    "q24_collect_sorted", "q27_tumbling_window", "q29_session_window",
+    "q57_asof_join", "q97_sequence_packing", "q63_reit_pipeline",
 ]
-# Registered but outside the 50-slot window this round (parity-verified
-# locally; first driver anchors belong in the r6 rotation): q141_interval
-# _lookup, q142_transition_matrix, q143_snapshot_diff, q144_scd1_merge,
-# q145_bm25_topk, q146_countmin_sketch, q147_hll_sketch,
-# q148_spatial_clusters, q149_mad_outliers, q150_sequence_pattern,
-# q151_item_cooccurrence, q152_skyline, q153_prefix_filter_join,
-# q154_index_merge, q155_grouped_kfold, q156_curation_v2 —
-# added after the window filled with this round's changed-code and
-# first-anchor obligations.
+# Still outside the 50-slot window this round (all parity-verified locally
+# each session; every one has a green r2 driver row with code unchanged
+# since): q02/q05/q06/q09/q11/q16/q19/q21/q22/q23/q25/q26/q30/q31/q32/q37/
+# q40/q56/q58/q59/q60/q62/q98/q99/q114/q118/q120 — they rotate back in r7
+# now that first-anchor obligations are cleared.
 
 
 # Window entries intentionally checked rows-only (non-SQL-expressible).
@@ -6582,3 +6535,95 @@ def q139_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 6).alias("close"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "q157_stream_left_outer",
+    """
+    SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts
+    FROM events v LEFT JOIN events c
+      ON v.user_id = c.user_id
+     AND c.event_type = 'click' AND c.user_id % 2 = 0
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    WHERE v.event_type = 'view'
+    """,
+)
+def q157_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join with timeout-flush null
+    emission: every view pairs with its follow-up clicks inside 30 min, and
+    views with NO click emit (view_id, NULL) once the watermark passes
+    their join window — the state is EVICTED, not leaked, which is what
+    makes an unbounded left join survive at streaming-100 TB.  Reference
+    analogue: the orphan-detection anti-joins of
+    transcripts_to_vector_db.py:110-158 (rows that never found a partner
+    must still be reported).
+
+    Drain mechanics: each side stages as ONE file carrying a sentinel row
+    at max(ts)+1 day, so the single data micro-batch buffers everything
+    with watermark 0 (nothing falsely dropped regardless of row order) and
+    the trailing no-data micro-batch (noDataMicroBatches, on by default)
+    advances the watermark past every real join window and flushes all
+    unmatched lefts.  Sentinels carry user_id −1 (matches nothing real)
+    and are filtered from the result.  Deterministic ⇒ oracled against the
+    batch LEFT JOIN, the same parity technique as q131/q44/q101.
+    """
+    import datetime
+    import shutil
+    import tempfile
+
+    from re_data_pipeline_spark.streaming.stream_ops import (
+        read_stream,
+        run_available_now_memory,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(
+        (F.col("event_type") == "click") & (F.col("user_id") % 2 == 0)
+    ).select("event_id", "user_id", "ts")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinel_ts = max_ts + datetime.timedelta(days=1)
+    stage = tempfile.mkdtemp(prefix="q157_events_")
+    vdir, cdir = f"{stage}/v", f"{stage}/c"
+    try:
+        for side, d in ((views, vdir), (clicks, cdir)):
+            side.unionByName(
+                spark.createDataFrame([(-1, -1, sentinel_ts)], side.schema)
+            ).coalesce(1).write.parquet(d)
+        vs = read_stream(spark, vdir, views.schema).selectExpr(
+            "event_id AS view_id", "user_id", "ts AS v_ts"
+        )
+        cs = read_stream(spark, cdir, clicks.schema).selectExpr(
+            "event_id AS click_id", "user_id AS c_user_id", "ts AS c_ts"
+        )
+        # NOTE: the sentinel filter must run on the BATCH result, not inside
+        # the streaming plan — a `view_id >= 0` predicate there is pushed
+        # below the left-side watermark node, the sentinel view row dies
+        # before reaching the watermark operator, the views watermark stops
+        # at the last REAL view, and every unmatched view whose join window
+        # ends after it never flushes (measured: the 4 newest views were
+        # silently missing).
+        joined = (
+            vs.withWatermark("v_ts", "1 second")
+            .join(
+                cs.withWatermark("c_ts", "1 second"),
+                (F.col("user_id") == F.col("c_user_id"))
+                & (F.col("c_ts") >= F.col("v_ts"))
+                & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+                "leftOuter",
+            )
+            .select(
+                "view_id",
+                "click_id",
+                "user_id",
+                F.date_format("v_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+            )
+        )
+        run_available_now_memory(joined, "q157_out", "append")
+        out = spark.table("q157_out").where(F.col("view_id") >= 0)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

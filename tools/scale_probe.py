@@ -1,0 +1,262 @@
+"""Empirical scale probe for the iterative / dedup operator family.
+
+PLANS.md asserts plan shapes and SHUFFLES.md measures traffic at one scale;
+this tool measures how wall time and shuffle volume GROW with input size —
+the first empirical evidence behind the "survives a 100× scale-up" claims.
+
+Method: generate a synthetic corpus / graph / point set at three sizes
+(1×, ~3×, 10× of the sf0.1-equivalent), run each operator at each size
+against the noop sink, and fit the scaling exponent
+``log(t_10x / t_1x) / log(10)`` — 1.0 = perfectly linear, ≤ ~1.2 expected
+for shuffle-bound linear algorithms (log-factor from sort/merge), ≥ ~2
+means a quadratic stage survived somewhere.  Shuffle-row growth is the
+cross-check: a linear-time operator with quadratic shuffle growth is a
+latent scale bug even if wall time looks fine at these sizes.
+
+The corpus is NOT the driver testdata (read-only, capped at sf0.1): it is
+generated IN SPARK, distributed, from md5 arithmetic — deterministic
+without any driver-side rows.  10% of docs are near-duplicates (tail-edit
+copies of a base doc) so the dedup family has real cluster structure;
+graphs get a hub node (1% of edges) so skew paths are exercised.
+
+Usage: python tools/scale_probe.py [--quick]
+Writes the ``## Measured scaling`` section of SCALING.md.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import re
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from re_data_pipeline_spark.session import get_spark
+
+VOCAB = 20_000
+DOC_LEN = 80
+DUP_RATE = 0.1
+
+
+def synth_documents(spark: SparkSession, n_docs: int) -> DataFrame:
+    """Deterministic synthetic corpus: doc i's token j is
+    w<md5(src_i, j) % VOCAB>; docs with id ≥ base copy doc (id % base)
+    except their last 4 tokens (near-dup, tail edit).  Map-only generation
+    from spark.range — no driver rows, any scale."""
+    base_n = int(n_docs * (1 - DUP_RATE))
+    df = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    src = F.when(F.col("doc_id") < base_n, F.col("doc_id")).otherwise(
+        F.col("doc_id") % base_n
+    )
+    is_dup = F.col("doc_id") >= base_n
+    df = df.withColumn("__src", src).withColumn("__edit", is_dup)
+
+    def tok(j):
+        seed = F.when(
+            F.col("__edit") & (j > F.lit(DOC_LEN - 4)),
+            F.concat_ws("_", F.lit("edit"), F.col("doc_id"), j),
+        ).otherwise(F.concat_ws("_", F.col("__src"), j))
+        return F.concat(
+            F.lit("w"),
+            F.conv(F.substring(F.md5(seed), 1, 14), 16, 10) % VOCAB,
+        )
+
+    toks = F.transform(F.sequence(F.lit(1), F.lit(DOC_LEN)), tok)
+    return (
+        df.withColumn("text", F.array_join(toks, " "))
+        .withColumn("lang", F.lit("en"))
+        .withColumn("source", F.lit("synth"))
+        .withColumn("n_chars", F.length("text"))
+        .drop("__src", "__edit")
+    )
+
+
+def synth_edges(spark: SparkSession, n_nodes: int, avg_degree: int = 4) -> DataFrame:
+    """Deterministic random-ish graph with a hub: edge k connects
+    (k % n) → md5-derived pseudo-random node, except 1% of edges which
+    attach to node 0 (the skew case big-star/small-star exists for)."""
+    n_edges = n_nodes * avg_degree
+    e = spark.range(n_edges).select(
+        (F.col("id") % n_nodes).alias("id_a"),
+        F.when(F.col("id") % 100 == 0, F.lit(0)).otherwise(
+            F.conv(F.substring(F.md5(F.concat(F.lit("e"), F.col("id"))), 1, 14), 16, 10)
+            % n_nodes
+        ).alias("id_b"),
+    )
+    return e.where(F.col("id_a") != F.col("id_b"))
+
+
+def synth_points(spark: SparkSession, n: int) -> DataFrame:
+    """Anti-correlated 2-D points (the large-frontier hard case)."""
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 13) % 9973).cast("double").alias("cost"),
+        (9972 - (F.col("id") * 13) % 9973 + (F.col("id") * 31) % 293)
+        .cast("double")
+        .alias("delay"),
+    )
+
+
+def rest_totals(ui: str, app_id: str) -> dict[str, int]:
+    with urllib.request.urlopen(
+        f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
+    ) as r:
+        stages = json.load(r)
+    out = {"shuffle_rows": 0, "shuffle_bytes": 0, "input_rows": 0}
+    for s in stages:
+        out["shuffle_rows"] += s.get("shuffleWriteRecords", 0)
+        out["shuffle_bytes"] += s.get("shuffleWriteBytes", 0)
+        out["input_rows"] += s.get("inputRecords", 0)
+    return out
+
+
+def run_probe(spark, ui, app_id, build, runs=2):
+    """build() -> DataFrame; returns (best_sec, shuffle_rows, shuffle_bytes)
+    for one full execution (metrics from the first timed run)."""
+    build().write.format("noop").mode("overwrite").save()  # warm
+    best, srows, sbytes = float("inf"), 0, 0
+    for i in range(runs):
+        before = rest_totals(ui, app_id)
+        t0 = time.time()
+        build().write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        after = rest_totals(ui, app_id)
+        if i == 0:
+            srows = after["shuffle_rows"] - before["shuffle_rows"]
+            sbytes = after["shuffle_bytes"] - before["shuffle_bytes"]
+        best = min(best, dt)
+    return best, srows, sbytes
+
+
+def main() -> int:
+    quick = "--quick" in sys.argv
+    scales = [5_000, 15_000, 50_000] if not quick else [2_000, 6_000, 20_000]
+
+    from re_data_pipeline_spark.operators.dedup import (
+        cluster_dedup_keep_best,
+        connected_components_bss,
+        near_dedup_pipeline,
+        jaccard_on_pairs,
+        prefix_filter_pairs,
+    )
+    from re_data_pipeline_spark.operators.frontier import pareto_frontier_2d
+    from re_data_pipeline_spark.operators.graph import pagerank_fixed
+
+    spark = get_spark(
+        app_name="scale_probe", extra_conf={"spark.ui.enabled": "true"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    ui = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+
+    # materialize each scale's inputs once to parquet so probes measure the
+    # operator, not the generator
+    import shutil
+    import tempfile
+
+    stage_dir = tempfile.mkdtemp(prefix="scale_probe_")
+    inputs = {}
+    for n in scales:
+        docs_p = f"{stage_dir}/docs_{n}"
+        synth_documents(spark, n).repartition(32).write.parquet(docs_p)
+        edges_p = f"{stage_dir}/edges_{n}"
+        synth_edges(spark, n * 4).repartition(32).write.parquet(edges_p)
+        pts_p = f"{stage_dir}/pts_{n}"
+        synth_points(spark, n * 40).repartition(32).write.parquet(pts_p)
+        inputs[n] = (docs_p, edges_p, pts_p)
+
+    def docs(n):
+        return spark.read.parquet(inputs[n][0])
+
+    def edges(n):
+        return spark.read.parquet(inputs[n][1])
+
+    def pts(n):
+        return spark.read.parquet(inputs[n][2])
+
+    PROBES = {
+        "near_dedup_pipeline (LSH→verify→anti)": lambda n: near_dedup_pipeline(
+            docs(n), threshold=0.5
+        ),
+        "cluster_dedup_keep_best (LSH→CC→window→anti)": lambda n: cluster_dedup_keep_best(
+            docs(n), F.col("n_chars").cast("bigint"), threshold=0.5
+        ),
+        "connected_components_bss (hub graph)": lambda n: connected_components_bss(
+            edges(n)
+        ),
+        "pagerank_fixed (5 rounds, hub graph)": lambda n: pagerank_fixed(
+            edges(n).selectExpr("id_a AS src", "id_b AS dst"), iterations=5
+        ),
+        "prefix_filter join (J≥0.8, exact)": lambda n: jaccard_on_pairs(
+            prefix_filter_pairs(docs(n), threshold_num=4, threshold_den=5),
+            docs(n),
+            shingle_words=1,
+        ),
+        "pareto_frontier_2d (anti-correlated)": lambda n: pareto_frontier_2d(
+            pts(n), "cost", "delay", "k"
+        ),
+    }
+
+    results: dict[str, dict[int, tuple]] = {}
+    for label, build in PROBES.items():
+        results[label] = {}
+        for n in scales:
+            sec, srows, sbytes = run_probe(spark, ui, app_id, lambda: build(n))
+            results[label][n] = (sec, srows, sbytes)
+            print(f"{label} @ {n}: {sec:.2f}s shuffle_rows={srows:,}")
+
+    ratio = scales[-1] / scales[0]
+    lines = [
+        "## Measured scaling (tools/scale_probe.py)\n",
+        f"Synthetic corpus/graph/points at {scales[0]:,} / {scales[1]:,} / "
+        f"{scales[-1]:,} docs (×4 edges, ×40 points), {DUP_RATE:.0%} near-dup "
+        "rate, 1% hub edges.  exp = log(t_big/t_small)/log(size ratio): 1.0 "
+        "is linear; shuffle-row exp is the latent-bug detector (quadratic "
+        "candidate generation shows there first, before wall time).\n",
+        "| operator | "
+        + " | ".join(f"t@{n//1000}k" for n in scales)
+        + " | time exp | shuffle rows @max | shuffle exp |",
+        "|---|" + "---|" * (len(scales) + 3),
+    ]
+    for label, by_n in results.items():
+        t0, s0 = by_n[scales[0]][0], max(by_n[scales[0]][1], 1)
+        t2, s2 = by_n[scales[-1]][0], max(by_n[scales[-1]][1], 1)
+        texp = math.log(t2 / t0) / math.log(ratio)
+        sexp = math.log(s2 / s0) / math.log(ratio)
+        cells = " | ".join(f"{by_n[n][0]:.2f}s" for n in scales)
+        lines.append(
+            f"| {label} | {cells} | {texp:.2f} | {by_n[scales[-1]][1]:,} | {sexp:.2f} |"
+        )
+    lines.append(
+        "\nWall-time exponents below ~0.5 mean the operator is still "
+        "overhead-bound at these sizes (fixed JVM/stage costs dominate); "
+        "the shuffle exponent is the honest signal there.\n"
+    )
+    section = "\n".join(lines)
+
+    scaling_md = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
+    )
+    with open(scaling_md) as f:
+        txt = f.read()
+    marker = "## Measured scaling"
+    if marker in txt:
+        txt = txt[: txt.index(marker)].rstrip() + "\n\n" + section
+    else:
+        txt = txt.rstrip() + "\n\n" + section
+    with open(scaling_md, "w") as f:
+        f.write(txt)
+    print("\nwrote SCALING.md §Measured scaling")
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
