@@ -846,6 +846,16 @@ def prefix_filter_pairs(
     Plan: token df agg (map-combined) → broadcast-rank the order back →
     per-doc sort + slice → prefix explode → equi-join on the token.
     Shuffle volume is Σ prefix lengths, a (1−t) fraction of the corpus.
+
+    Input-sensitivity caveat (measured, tools/scale_probe.py): candidate
+    volume grows ~n²/|V| — prefix filtering is effective exactly when
+    rarest-first prefix tokens are rare.  Real text obeys Heaps' law
+    (vocabulary grows with the corpus) and stays near-linear; a
+    low-diversity corpus (fixed small vocabulary: logs, templated text)
+    degrades toward all-pairs — measured 20M candidates at 20k docs under
+    a fixed 20k-token vocabulary.  For such corpora use
+    ``lsh_candidate_pairs`` (band-bounded candidate volume) and accept
+    probabilistic recall.
     """
     from pyspark.sql.window import Window
 

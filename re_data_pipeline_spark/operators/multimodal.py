@@ -9,11 +9,13 @@ Design for 100 TB of media:
   operator actually needs bytes (check ReadSchema in .explain);
 - decode/resize/frame-sample run as ``mapInPandas`` stages — Arrow moves the
   bytes column batch-wise, one decoder instance per task;
-- actual codec work is pluggable.  The container has no image/audio libs, so
-  the default decoder is a clearly-marked deterministic fake (shape/feature
-  math from the byte stream itself); ``decoder="real"`` raises
-  NotImplementedError at the call site where PIL/ffmpeg would plug in.  The
-  Spark-side plumbing — schemas, batching, partitioning — is real and tested.
+- actual codec work is pluggable.  The default decoder is a clearly-marked
+  deterministic fake (shape/feature math from the byte stream itself);
+  ``decoder="real"`` dispatches to the import-gated PIL/soundfile/PyAV
+  codecs in ``_real_decode`` — the import happens inside the executor task
+  and raises with a clear message when the codec lib is absent (this
+  container ships none of them).  The Spark-side plumbing — schemas,
+  batching, partitioning — is real and tested either way.
 """
 
 from __future__ import annotations

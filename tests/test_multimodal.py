@@ -113,3 +113,54 @@ def test_metadata_scan_prunes_binary(spark, tmp_path):
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "content" not in plan
     assert scan.count() == 6
+
+
+@pytest.mark.skipif(not _lib("soundfile"), reason="soundfile not installed")
+def test_real_audio_decode_roundtrip(spark):
+    """With soundfile present (extra `audio`): encode a tiny WAV, decode
+    through the real path — mono float32 samples, feature length intact."""
+    import io
+
+    import numpy as np
+    import soundfile
+
+    samples = np.sin(np.linspace(0, 3.14, 800)).astype(np.float32)
+    buf = io.BytesIO()
+    soundfile.write(buf, samples, 8000, format="WAV")
+    media = spark.createDataFrame(
+        [(0, "audio", bytearray(buf.getvalue()), None)],
+        synthetic_media(spark, 1).schema,
+    )
+    row = decode_features(media, decoder="real").collect()[0]
+    assert tuple(row.decoded_shape) == (800,)
+    assert len(row.feature) == 16
+
+
+@pytest.mark.skipif(not _lib("av"), reason="PyAV not installed")
+def test_real_video_decode_roundtrip(spark):
+    """With PyAV present (extra `video`): encode 3 tiny frames, decode
+    through the real path — stacked (N, H, W, 3) frames."""
+    import io
+
+    import av
+    import numpy as np
+
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=5)
+        stream.width, stream.height = 16, 16
+        stream.pix_fmt = "yuv420p"
+        for i in range(3):
+            arr = np.full((16, 16, 3), i * 40, dtype=np.uint8)
+            frame = av.VideoFrame.from_ndarray(arr, format="rgb24")
+            for packet in stream.encode(frame):
+                container.mux(packet)
+        for packet in stream.encode():
+            container.mux(packet)
+    media = spark.createDataFrame(
+        [(0, "video", bytearray(buf.getvalue()), None)],
+        synthetic_media(spark, 1).schema,
+    )
+    row = decode_features(media, decoder="real").collect()[0]
+    shape = tuple(row.decoded_shape)
+    assert shape[0] == 3 and shape[1:] == (16, 16, 3)
