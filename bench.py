@@ -62,6 +62,10 @@ HEADLINE = [
     "q132_bpe_pair_counts",      # word-table-first tokenizer pass
     "q135_inverted_index",       # df + capped postings build
     "q136_pagerank",             # fixed-point iterative propagation
+    # round-6 additions: the distributed skyline and the exact
+    # set-similarity join — both now plan-audited, keep them visible
+    "q152_skyline",              # range-partitioned frontier scan
+    "q153_prefix_filter_join",   # prefix-indexed exact Jaccard join
 ]
 
 
