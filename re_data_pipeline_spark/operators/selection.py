@@ -262,3 +262,39 @@ def grouped_kfold(
         % k
     )
     return df.withColumn("fold", fold.cast("int"))
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    strata_col: Column | str,
+    k: int,
+    id_col: Column | str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """EXACTLY min(k, |stratum|) rows per stratum, deterministically.
+
+    Per-domain subsampling for corpus recipes needs exact counts (a
+    Bernoulli ``df.sample`` gives binomial noise per stratum and a
+    different result every partitioning) and reproducibility (the same
+    corpus must yield the same sample across runs, engines, and
+    backfills).  Order within a stratum is an md5 priority over
+    (salt, id) — a fixed random permutation, so growing a stratum leaves
+    previously-sampled ids stable until they are outranked, and two
+    engines agree bit-for-bit.
+
+    Plan: ONE rank window keyed by the stratum (shuffle by stratum;
+    per-partition state is stratum-sized).  A skewed giant stratum is the
+    window's known hot key — for those, pre-filter with an approximate
+    per-key count and a looser md5-prefix cut before the exact window.
+    """
+    from pyspark.sql.window import Window
+
+    s = F.col(strata_col) if isinstance(strata_col, str) else strata_col
+    i = F.col(id_col) if isinstance(id_col, str) else id_col
+    pri = F.md5(F.concat_ws(":", F.lit(salt), i.cast("string")))
+    w = Window.partitionBy(s).orderBy(pri.asc(), i.asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -4745,19 +4745,21 @@ DRIVER_WINDOW: list[str] = [
     "q148_spatial_clusters", "q149_mad_outliers", "q150_sequence_pattern",
     "q151_item_cooccurrence", "q152_skyline", "q153_prefix_filter_join",
     "q154_index_merge", "q155_grouped_kfold", "q156_curation_v2",
-    # (b) new this round
-    "q157_stream_left_outer",
+    # (b) new this round (q158/q159/q160 displaced q08/q10/q52 — stock
+    # distinct/except/count-distinct bodies, r1-green, code unchanged)
+    "q157_stream_left_outer", "q158_stratified_sample",
+    "q159_triangle_count", "q160_epoch_shuffle",
     # (c) changed-code/oracle anchors: minhash lane family + advisory fixes
     "q33_minhash_lsh", "q34_ngram_jaccard", "q71_near_dedup_pipeline",
     "q72_curation_pipeline", "q82_connected_components", "q85_cluster_dedup",
     "q107_incremental_dedup", "q121_cc_bigstar", "q125_span_dedup",
     "q128_keep_best_dedup", "q129_domain_mixture", "q133_salted_join",
     # (d) oldest driver rows: every remaining r1-green query …
-    "q03_broadcast_join_agg", "q08_distinct", "q10_except",
+    "q03_broadcast_join_agg",
     "q12_running_total", "q13_rollup", "q15_date_lookback",
     "q17_regexp_extract", "q18_string_cleanup", "q28_sliding_window",
     "q36_centroid_similarity", "q39_grid_cell_assign", "q49_time_format",
-    "q50_url_parse", "q51_cube", "q52_count_distinct", "q61_salted_agg",
+    "q50_url_parse", "q51_cube", "q61_salted_agg",
     # … then the oldest r2-green: bench headlines (q24/q27/q29/q57/q97)
     # and the REIT e2e pipeline trace
     "q24_collect_sorted", "q27_tumbling_window", "q29_session_window",
@@ -6627,3 +6629,116 @@ def q157_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+@query(
+    "q158_stratified_sample",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('sample:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def q158_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-count stratified sampling: EXACTLY min(20, |stratum|) docs per
+    language, by md5 priority — the per-domain subsample step of a corpus
+    recipe.  Bernoulli ``df.sample`` gives binomial noise per stratum and
+    changes with partitioning; this is deterministic across runs, engines
+    and backfills (and stable under corpus growth until a new doc outranks
+    an old one).  One stratum-keyed rank window; oracle is the identical
+    ROW_NUMBER in DuckDB."""
+    from re_data_pipeline_spark.operators.selection import stratified_sample_exact
+
+    d = load_table(spark, sf_dir, "documents")
+    out = stratified_sample_exact(d, "lang", 20, "doc_id")
+    return out.select("doc_id", "lang")
+
+
+@query(
+    "q159_triangle_count",
+    """
+    WITH nodes AS (
+      SELECT c_custkey AS n FROM customer WHERE c_custkey < 990
+    ), e0 AS (
+      SELECT n AS s, n + 1 AS d FROM nodes WHERE n % 30 < 29 AND n + 1 < 990
+      UNION ALL
+      SELECT n, n + 30 FROM nodes WHERE n + 30 < 990
+      UNION ALL
+      SELECT n, n + 31 FROM nodes WHERE n % 30 < 29 AND n + 31 < 990
+    ), e AS (
+      SELECT DISTINCT LEAST(s, d) AS u, GREATEST(s, d) AS v FROM e0 WHERE s <> d
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e ab JOIN e bc ON ab.v = bc.u
+    WHERE EXISTS (SELECT 1 FROM e ac WHERE ac.u = ab.u AND ac.v = bc.v)
+    """,
+)
+def q159_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count (graph cohesion / clustering-coefficient
+    numerator) over a deterministic triangulated-grid graph: nodes on a
+    30-wide grid, edges right / down / down-right — every unit cell closes
+    two triangles, so the count is large and structure-sensitive (any
+    missed or duplicated edge shifts it).  Ordered-edge two-join plan
+    (`operators/graph.triangle_count`): each join probes only
+    higher-numbered neighbors — the standard hub-taming orientation.
+    Oracle: the same ordered-edge join in DuckDB."""
+    from re_data_pipeline_spark.operators.graph import triangle_count
+
+    n = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 990).select(
+        F.col("c_custkey").alias("n")
+    )
+    e = (
+        n.where((F.col("n") % 30 < 29) & (F.col("n") + 1 < 990)).select(
+            F.col("n").alias("src"), (F.col("n") + 1).alias("dst")
+        )
+        .unionAll(
+            n.where(F.col("n") + 30 < 990).select(
+                F.col("n").alias("src"), (F.col("n") + 30).alias("dst")
+            )
+        )
+        .unionAll(
+            n.where((F.col("n") % 30 < 29) & (F.col("n") + 31 < 990)).select(
+                F.col("n").alias("src"), (F.col("n") + 31).alias("dst")
+            )
+        )
+    )
+    return triangle_count(e)
+
+
+@query(
+    "q160_epoch_shuffle",
+    """
+    SELECT doc_id, epoch, CAST(ROW_NUMBER() OVER (
+             PARTITION BY epoch
+             ORDER BY md5('epoch:' || CAST(epoch AS VARCHAR) || ':' ||
+                          CAST(doc_id AS VARCHAR)), doc_id
+           ) - 1 AS BIGINT) AS position
+    FROM (SELECT doc_id FROM documents), (SELECT 0 AS epoch UNION ALL SELECT 1)
+    """,
+)
+def q160_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch global shuffle for training dataloaders:
+    each epoch assigns every document a dense 0-based position under a
+    fresh md5 permutation — reproducible across runs/engines, different
+    across epochs, and computed WITHOUT a single-partition sort: the
+    md5 priority feeds `operators/ids.assign_ordinals` (range-partition →
+    per-partition sort → partition-count-sized prefix-sum), so a 100 TB
+    epoch shuffle is two distributed passes.  Oracle: the naive global
+    ROW_NUMBER per epoch."""
+    from re_data_pipeline_spark.operators.ids import assign_ordinals
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    parts = []
+    for epoch in (0, 1):
+        pri = F.md5(
+            F.concat_ws(":", F.lit("epoch"), F.lit(epoch), F.col("doc_id").cast("string"))
+        )
+        e = d.withColumn("epoch", F.lit(epoch)).withColumn("__pri", pri)
+        out = assign_ordinals(e, [F.asc("__pri"), F.asc("doc_id")], ordinal_col="position")
+        parts.append(out.select("doc_id", "epoch", F.col("position").cast("bigint").alias("position")))
+    return parts[0].unionByName(parts[1])

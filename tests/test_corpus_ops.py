@@ -270,3 +270,19 @@ def test_index_merge_equals_rebuild(spark):
         ).collect()
     }
     assert merged == rebuilt
+
+
+def test_triangle_count_hand_graphs(spark):
+    from re_data_pipeline_spark.operators.graph import triangle_count
+
+    # K4 = 4 triangles; edge list given unordered/duplicated/reversed to
+    # prove canonicalization
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (2, 1), (3, 1)]
+    df = spark.createDataFrame(k4, "src long, dst long")
+    assert triangle_count(df).collect()[0].n_triangles == 4
+    # path graph: no triangles
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    assert triangle_count(path).collect()[0].n_triangles == 0
+    # self-loops must not create triangles
+    loops = spark.createDataFrame([(1, 1), (1, 2), (2, 3), (1, 3)], "src long, dst long")
+    assert triangle_count(loops).collect()[0].n_triangles == 1

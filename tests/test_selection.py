@@ -256,3 +256,35 @@ def test_grouped_kfold_partitions_groups(spark):
     sizes = {r.fold: r.n for r in
              out.select("grp", "fold").distinct().groupBy("fold").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert all(30 <= n <= 90 for n in sizes.values())
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    from re_data_pipeline_spark.operators.selection import stratified_sample_exact
+
+    rows = [(i, "a" if i < 50 else ("b" if i < 58 else "c")) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out1 = stratified_sample_exact(df, "lang", 10, "doc_id").collect()
+    out2 = stratified_sample_exact(df, "lang", 10, "doc_id").collect()
+    by_lang = {}
+    for r in out1:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    # exact: min(k, |stratum|) per stratum — a (50), b (8), c (2)
+    assert {k: len(v) for k, v in by_lang.items()} == {"a": 10, "b": 8, "c": 2}
+    assert {(r.doc_id, r.lang) for r in out1} == {(r.doc_id, r.lang) for r in out2}
+    # different salt -> different permutation of the big stratum
+    alt = stratified_sample_exact(df, "lang", 10, "doc_id", salt="other").collect()
+    assert {r.doc_id for r in alt if r.lang == "a"} != by_lang["a"]
+
+
+def test_stratified_sample_stable_under_growth(spark):
+    """Adding rows to a stratum must only evict by outranking — the md5
+    priority is per-row, so previously-sampled ids with winning priorities
+    stay sampled."""
+    from re_data_pipeline_spark.operators.selection import stratified_sample_exact
+
+    small = spark.createDataFrame([(i, "x") for i in range(30)], "doc_id long, lang string")
+    big = spark.createDataFrame([(i, "x") for i in range(60)], "doc_id long, lang string")
+    s_small = {r.doc_id for r in stratified_sample_exact(small, "lang", 10, "doc_id").collect()}
+    s_big = {r.doc_id for r in stratified_sample_exact(big, "lang", 10, "doc_id").collect()}
+    # survivors of the grown corpus that existed before were already sampled
+    assert s_big & set(range(30)) <= s_small
