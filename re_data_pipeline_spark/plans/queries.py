@@ -4745,10 +4745,11 @@ DRIVER_WINDOW: list[str] = [
     "q148_spatial_clusters", "q149_mad_outliers", "q150_sequence_pattern",
     "q151_item_cooccurrence", "q152_skyline", "q153_prefix_filter_join",
     "q154_index_merge", "q155_grouped_kfold", "q156_curation_v2",
-    # (b) new this round (q158/q159/q160 displaced q08/q10/q52 — stock
-    # distinct/except/count-distinct bodies, r1-green, code unchanged)
+    # (b) new this round (q158/q159/q160/q161 displaced q08/q10/q52/q51 —
+    # stock distinct/except/count-distinct/cube bodies, r1-green, code
+    # unchanged since)
     "q157_stream_left_outer", "q158_stratified_sample",
-    "q159_triangle_count", "q160_epoch_shuffle",
+    "q159_triangle_count", "q160_epoch_shuffle", "q161_bpe_train",
     # (c) changed-code/oracle anchors: minhash lane family + advisory fixes
     "q33_minhash_lsh", "q34_ngram_jaccard", "q71_near_dedup_pipeline",
     "q72_curation_pipeline", "q82_connected_components", "q85_cluster_dedup",
@@ -4759,7 +4760,7 @@ DRIVER_WINDOW: list[str] = [
     "q12_running_total", "q13_rollup", "q15_date_lookback",
     "q17_regexp_extract", "q18_string_cleanup", "q28_sliding_window",
     "q36_centroid_similarity", "q39_grid_cell_assign", "q49_time_format",
-    "q50_url_parse", "q51_cube", "q61_salted_agg",
+    "q50_url_parse", "q61_salted_agg",
     # … then the oldest r2-green: bench headlines (q24/q27/q29/q57/q97)
     # and the REIT e2e pipeline trace
     "q24_collect_sorted", "q27_tumbling_window", "q29_session_window",
@@ -6742,3 +6743,71 @@ def q160_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = assign_ordinals(e, [F.asc("__pri"), F.asc("doc_id")], ordinal_col="position")
         parts.append(out.select("doc_id", "epoch", F.col("position").cast("bigint").alias("position")))
     return parts[0].unionByName(parts[1])
+
+
+def _bpe_round_sql(i: int) -> str:
+    """One DuckDB BPE round: pair counts over w{i-1}, argmax b{i}, merged
+    word table w{i}.  The list_reduce fold replays _apply_merge exactly
+    (see operators/bpe.py: fold ≡ greedy leftmost non-overlapping merge)."""
+    prev, cur = i - 1, i
+    return f"""
+pc{cur} AS (
+  SELECT p.l AS l, p.r AS r, SUM(freq) AS c FROM (
+    SELECT freq,
+           unnest(list_transform(range(1, len(toks)),
+                                 j -> {{'l': toks[j], 'r': toks[j+1]}})) AS p
+    FROM w{prev} WHERE len(toks) >= 2
+  ) GROUP BY 1, 2
+),
+b{cur} AS (SELECT l, r, c FROM pc{cur} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+w{cur} AS (
+  SELECT w, freq,
+    string_split(
+      list_reduce(toks, (acc, x) ->
+        CASE WHEN (acc = b{cur}.l OR ends_with(acc, '|' || b{cur}.l)) AND x = b{cur}.r
+             THEN left(acc, len(acc) - len(b{cur}.l)) || b{cur}.l || b{cur}.r
+             ELSE acc || '|' || x END),
+      '|') AS toks
+  FROM w{prev}, b{cur}
+)"""
+
+
+_Q161_SQL = f"""
+WITH w0 AS (
+  SELECT w, COUNT(*) AS freq,
+         list_transform(range(1, len(w) + 1),
+                        i -> substr(w, CAST(i AS INT), 1)) AS toks
+  FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+    FROM documents
+  )
+  WHERE len(w) BETWEEN 2 AND 12
+  GROUP BY w
+),
+{_bpe_round_sql(1)},
+{_bpe_round_sql(2)},
+{_bpe_round_sql(3)}
+SELECT merge_rank, l AS "left", r AS "right", CAST(c AS BIGINT) AS pair_count
+FROM (
+  SELECT 0 AS merge_rank, l, r, c FROM b1
+  UNION ALL SELECT 1, l, r, c FROM b2
+  UNION ALL SELECT 2, l, r, c FROM b3
+)
+"""
+
+
+@query("q161_bpe_train", _Q161_SQL)
+def q161_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING — three full merge rounds (pair
+    count → deterministic argmax → fold-merge the word table), not just
+    the iteration-0 pair counts of q132.  After one corpus pass the loop
+    runs entirely over the vocabulary-sized (word, freq, toks) table; the
+    only driver exchange is the 1-row argmax per round (the k-means
+    centroid pattern).  The merge application is a LEFT FOLD (greedy
+    leftmost non-overlapping, `operators/bpe.py`), replayed bit-for-bit in
+    DuckDB via list_reduce — so the oracle verifies the learned RULES, the
+    true training artifact."""
+    from re_data_pipeline_spark.operators.bpe import bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_train(d, "text", num_merges=3, max_word_len=12)

@@ -286,3 +286,40 @@ def test_triangle_count_hand_graphs(spark):
     # self-loops must not create triangles
     loops = spark.createDataFrame([(1, 1), (1, 2), (2, 3), (1, 3)], "src long, dst long")
     assert triangle_count(loops).collect()[0].n_triangles == 1
+
+
+def test_bpe_train_learns_classic_merges(spark):
+    """Sennrich-style hand corpus: the first rules must be the highest-
+    count pairs under the (count desc, left asc, right asc) order."""
+    from re_data_pipeline_spark.operators.bpe import bpe_train
+
+    df = spark.createDataFrame(
+        [("low low low lower lowest newer newest",), ("wider wide new new new",)],
+        "text string",
+    )
+    rules = [(r.left, r.right, r.pair_count) for r in
+             bpe_train(df, num_merges=4).orderBy("merge_rank").collect()]
+    # (e,w)=5 ties (l,o)/(o,w)/(n,e) but wins lexicographically; after
+    # e+w, (l,o) wins; then lo+w; then (n,ew)
+    assert rules[0] == ("e", "w", 5)
+    assert rules[1] == ("l", "o", 5)
+    assert rules[2] == ("lo", "w", 5)
+    assert rules[3] == ("n", "ew", 5)
+
+
+def test_bpe_merge_fold_is_greedy_nonoverlapping(spark):
+    """'aaaa' under merge (a,a) must become [aa, aa] — the fold must not
+    re-merge the freshly merged tail ('aaa' stays [aa, a])."""
+    from pyspark.sql import functions as F
+
+    from re_data_pipeline_spark.operators.bpe import _apply_merge
+
+    df = spark.createDataFrame(
+        [(1, ["a", "a", "a", "a"]), (2, ["a", "a", "a"]), (3, ["b", "a", "a"])],
+        "id long, toks array<string>",
+    )
+    out = {r.id: r.m for r in df.select(
+        "id", _apply_merge(F.col("toks"), "a", "a").alias("m")).collect()}
+    assert out[1] == ["aa", "aa"]
+    assert out[2] == ["aa", "a"]
+    assert out[3] == ["b", "aa"]
