@@ -129,3 +129,44 @@ def bpe_train(
     return spark.createDataFrame(
         rules, "merge_rank int, left string, right string, pair_count bigint"
     )
+
+
+def bpe_encode_counts(
+    df: DataFrame,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    max_word_len: int = 12,
+) -> DataFrame:
+    """Tokenize the corpus under learned merge rules; returns per-document
+    ``(doc_id, n_words, n_bpe_tokens)``.
+
+    Scale shape — the same vocabulary trick as training: the merges are
+    applied (k chained folds) to the DISTINCT-WORD table only, producing a
+    ``word → token-count`` lookup that broadcasts onto the per-document
+    word stream; the corpus itself is touched by exactly one explode +
+    one map-combined aggregate.  Words outside the [2, max_word_len]
+    training band are excluded from both counts (consistent with
+    ``build_word_table``).
+    """
+    doc_words = df.select(
+        F.col("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")).alias("w"),
+    ).where((F.length("w") >= 2) & (F.length("w") <= max_word_len))
+
+    vocab = doc_words.select("w").distinct()
+    toks = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.col("w").substr(i, F.lit(1)),
+    )
+    for left, right in merges:
+        toks = _apply_merge(toks, left, right)
+    lookup = vocab.select("w", F.size(toks).alias("__nt"))
+
+    return (
+        doc_words.join(F.broadcast(lookup), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("__nt").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )

@@ -4745,11 +4745,11 @@ DRIVER_WINDOW: list[str] = [
     "q148_spatial_clusters", "q149_mad_outliers", "q150_sequence_pattern",
     "q151_item_cooccurrence", "q152_skyline", "q153_prefix_filter_join",
     "q154_index_merge", "q155_grouped_kfold", "q156_curation_v2",
-    # (b) new this round (q158/q159/q160/q161 displaced q08/q10/q52/q51 —
-    # stock distinct/except/count-distinct/cube bodies, r1-green, code
-    # unchanged since)
+    # (b) new this round (q158-q162 displaced q08/q10/q52/q51/q61 — stock
+    # distinct/except/count-distinct/cube/salted-agg bodies, r1-green, code
+    # unchanged since; q61's salting technique stays anchored via q133)
     "q157_stream_left_outer", "q158_stratified_sample",
-    "q159_triangle_count", "q160_epoch_shuffle", "q161_bpe_train",
+    "q159_triangle_count", "q160_epoch_shuffle", "q161_bpe_train", "q162_bpe_encode",
     # (c) changed-code/oracle anchors: minhash lane family + advisory fixes
     "q33_minhash_lsh", "q34_ngram_jaccard", "q71_near_dedup_pipeline",
     "q72_curation_pipeline", "q82_connected_components", "q85_cluster_dedup",
@@ -4760,7 +4760,7 @@ DRIVER_WINDOW: list[str] = [
     "q12_running_total", "q13_rollup", "q15_date_lookback",
     "q17_regexp_extract", "q18_string_cleanup", "q28_sliding_window",
     "q36_centroid_similarity", "q39_grid_cell_assign", "q49_time_format",
-    "q50_url_parse", "q61_salted_agg",
+    "q50_url_parse",
     # … then the oldest r2-green: bench headlines (q24/q27/q29/q57/q97)
     # and the REIT e2e pipeline trace
     "q24_collect_sorted", "q27_tumbling_window", "q29_session_window",
@@ -6811,3 +6811,54 @@ def q161_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return bpe_train(d, "text", num_merges=3, max_word_len=12)
+
+
+_Q162_SQL = f"""
+WITH w0 AS (
+  SELECT w, COUNT(*) AS freq,
+         list_transform(range(1, len(w) + 1),
+                        i -> substr(w, CAST(i AS INT), 1)) AS toks
+  FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+    FROM documents
+  )
+  WHERE len(w) BETWEEN 2 AND 12
+  GROUP BY w
+),
+{_bpe_round_sql(1)},
+{_bpe_round_sql(2)},
+{_bpe_round_sql(3)},
+v AS (
+  SELECT w, len(toks) AS nt FROM w3
+),
+dw AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+    FROM documents
+  ) WHERE len(w) BETWEEN 2 AND 12
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(nt) AS BIGINT) AS n_bpe_tokens
+FROM dw JOIN v USING (w)
+GROUP BY doc_id
+"""
+
+
+@query("q162_bpe_encode", _Q162_SQL)
+def q162_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION — the other half of q161: learn 3 merge
+    rules, then tokenize the corpus under them, emitting per-document
+    word and BPE-token counts (the real token budget a packing/pricing
+    pass consumes, vs q68's whitespace proxy).  Scale shape: merges apply
+    to the DISTINCT-WORD table only (k chained folds on a vocabulary-
+    sized frame), which broadcasts as a word→token-count lookup onto the
+    corpus word stream — the corpus sees one explode + one map-combined
+    agg, never per-word fold work."""
+    from re_data_pipeline_spark.operators.bpe import bpe_encode_counts, bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    rules = bpe_train(d, "text", num_merges=3, max_word_len=12).orderBy("merge_rank").collect()
+    merges = [(r["left"], r["right"]) for r in rules]
+    return bpe_encode_counts(d, "text", merges, max_word_len=12)

@@ -323,3 +323,18 @@ def test_bpe_merge_fold_is_greedy_nonoverlapping(spark):
     assert out[1] == ["aa", "aa"]
     assert out[2] == ["aa", "a"]
     assert out[3] == ["b", "aa"]
+
+
+def test_bpe_encode_counts_hand_example(spark):
+    """Token counts under explicit merges: 'lower' with merges (l,o),(lo,w)
+    -> [low, e, r] = 3 tokens; unmergeable words keep char counts."""
+    from re_data_pipeline_spark.operators.bpe import bpe_encode_counts
+
+    df = spark.createDataFrame(
+        [(1, "lower lower ab"), (2, "xyz")], "doc_id long, text string"
+    )
+    out = {r.doc_id: (r.n_words, r.n_bpe_tokens) for r in bpe_encode_counts(
+        df, "text", [("l", "o"), ("lo", "w")]).collect()}
+    # doc1: lower(5 chars -> lo w e r -> low e r = 3) x2, ab (2)
+    assert out[1] == (3, 3 + 3 + 2)
+    assert out[2] == (1, 3)
