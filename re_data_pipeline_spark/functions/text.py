@@ -86,6 +86,18 @@ def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = STOPWORDS_EN)
     return hits / F.size(toks)
 
 
+def duplicate_ngram_fraction_of(sh: Column) -> Column:
+    """``duplicate_ngram_fraction`` from a MATERIALIZED shingle column.
+
+    Hot paths must materialize the shingle array first (withColumn):
+    higher-order functions are interpreted with no subexpression
+    elimination, so each of the three references here would otherwise
+    re-derive the whole tokenize→shingle expression — and any split()
+    inside the shingle lambda re-runs per element (see
+    ``word_shingles_of``).  Measured on q122: 2.7× end-to-end."""
+    return F.try_divide(F.size(sh) - F.size(F.array_distinct(sh)), F.size(sh))
+
+
 def duplicate_ngram_fraction(col: Column | str, n: int) -> Column:
     """Fraction of word n-grams that are repeats of an earlier occurrence:
     (total − distinct) / total — the Gopher repetition filter family
@@ -93,30 +105,35 @@ def duplicate_ngram_fraction(col: Column | str, n: int) -> Column:
     boilerplate/spam).  Pure expressions, map-only at 100 TB.
 
     NULL for docs with no n-grams (empty text) via try_divide.
-    """
-    sh = word_shingles(col, n, distinct=False)
-    return F.try_divide(F.size(sh) - F.size(F.array_distinct(sh)), F.size(sh))
+    Convenience one-shot form; hot paths use ``_of`` on a materialized
+    shingle column."""
+    return duplicate_ngram_fraction_of(word_shingles(col, n, distinct=False))
 
 
-def top_ngram_char_fraction(col: Column | str, n: int) -> Column:
-    """Fraction of the document's characters covered by its single most
-    frequent word n-gram: occurrences × gram length / total chars (the
-    other half of the Gopher repetition family).
+def top_ngram_char_fraction_of(sh: Column, text: Column) -> Column:
+    """``top_ngram_char_fraction`` from a MATERIALIZED shingle column —
+    see ``duplicate_ngram_fraction_of`` for why materialization matters.
 
     Shape note: the occurrence count is a nested higher-order expression
     (``transform`` over distinct grams, ``filter`` over all grams) —
     O(distinct × total) per document, still map-only/JVM-side but outside
     whole-stage codegen.  Fine for bounded documents; for a corpus of very
     long documents compute it relationally instead (posexplode → count →
-    max per doc), trading a shuffle for linear per-doc cost.
-    """
-    c = _c(col)
-    sh = word_shingles(col, n, distinct=False)
+    max per doc), trading a shuffle for linear per-doc cost."""
     cover = F.transform(
         F.array_distinct(sh),
         lambda g: F.size(F.filter(sh, lambda x: x == g)) * F.length(g),
     )
-    return F.try_divide(F.array_max(cover), F.length(c))
+    return F.try_divide(F.array_max(cover), F.length(text))
+
+
+def top_ngram_char_fraction(col: Column | str, n: int) -> Column:
+    """Fraction of the document's characters covered by its single most
+    frequent word n-gram: occurrences × gram length / total chars (the
+    other half of the Gopher repetition family).  Convenience one-shot
+    form; hot paths use ``_of`` on a materialized shingle column."""
+    c = _c(col)
+    return top_ngram_char_fraction_of(word_shingles(col, n, distinct=False), c)
 
 
 def duplicate_line_fraction(col: Column | str, sep: str = "\n") -> Column:
