@@ -1247,7 +1247,6 @@ def q49_time_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q50_url_parse",
     """
     SELECT doc_id,
            regexp_extract('https://youtube.example/watch?v=vid' || doc_id || '&t=9s',
@@ -4760,6 +4759,7 @@ DRIVER_WINDOW: list[str] = [
     # unchanged since; q61's salting technique stays anchored via q133)
     "q157_stream_left_outer", "q158_stratified_sample",
     "q159_triangle_count", "q160_epoch_shuffle", "q161_bpe_train", "q162_bpe_encode",
+    "q163_record_linkage",
     # (c) changed-code/oracle anchors: minhash lane family + advisory fixes
     "q33_minhash_lsh", "q34_ngram_jaccard", "q71_near_dedup_pipeline",
     "q72_curation_pipeline", "q82_connected_components", "q85_cluster_dedup",
@@ -4770,7 +4770,6 @@ DRIVER_WINDOW: list[str] = [
     "q12_running_total", "q13_rollup", "q15_date_lookback",
     "q17_regexp_extract", "q18_string_cleanup", "q28_sliding_window",
     "q36_centroid_similarity", "q39_grid_cell_assign", "q49_time_format",
-    "q50_url_parse",
     # … then the oldest r2-green: bench headlines (q24/q27/q29/q57/q97)
     # and the REIT e2e pipeline trace
     "q24_collect_sorted", "q27_tumbling_window", "q29_session_window",
@@ -6872,3 +6871,71 @@ def q162_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules = bpe_train(d, "text", num_merges=3, max_word_len=12).orderBy("merge_rank").collect()
     merges = [(r["left"], r["right"]) for r in rules]
     return bpe_encode_counts(d, "text", merges, max_word_len=12)
+
+
+_Q163_SQL = """
+WITH a AS (
+  SELECT c_custkey AS id_a, c_nationkey, c_mktsegment,
+         regexp_replace(c_name, '[^0-9]', '', 'g') AS name_digits,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+),
+b AS (
+  SELECT c_custkey + 100000 AS id_b, c_nationkey, c_mktsegment,
+         regexp_replace(upper(c_name) || ' LLC', '[^0-9]', '', 'g') AS name_digits,
+         CAST(round(c_acctbal * 100) AS BIGINT)
+           + CASE WHEN c_custkey % 2 = 1 THEN 7 ELSE 0 END AS cents
+  FROM customer WHERE c_custkey % 3 = 0
+)
+SELECT id_a, id_b, CAST(
+         CASE WHEN a.name_digits = b.name_digits THEN 3 ELSE 0 END
+       + CASE WHEN a.cents = b.cents THEN 2 ELSE 0 END AS INT) AS score
+FROM a JOIN b
+  ON a.c_nationkey = b.c_nationkey AND a.c_mktsegment = b.c_mktsegment
+WHERE CASE WHEN a.name_digits = b.name_digits THEN 3 ELSE 0 END
+    + CASE WHEN a.cents = b.cents THEN 2 ELSE 0 END >= 3
+"""
+
+
+@query("q163_record_linkage", _Q163_SQL)
+def q163_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source entity resolution (blocking + weighted agreement,
+    `operators/linkage.py`): source B is a synthetically dirtied feed
+    (uppercased names with a legal suffix, half the balances off by 7
+    cents) of every third customer.  Blocking on (nation, segment) keeps
+    candidates at Σ block² — never |A|×|B|; integer agreement weights
+    (normalized-name 3, balance-cents 2, threshold 3) make the score
+    exact in both engines.  Reference analogue: the uuid-keyed broker-
+    listing merge (`combine_broker_listings.py:111-157`) — this operator
+    is what MINTS such a key when sources don't share one."""
+    from re_data_pipeline_spark.operators.linkage import record_linkage
+
+    c = load_table(spark, sf_dir, "customer")
+    digits = lambda col: F.regexp_replace(col, "[^0-9]", "")
+    a = c.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_nationkey").alias("a_nation"),
+        F.col("c_mktsegment").alias("a_seg"),
+        digits(F.col("c_name")).alias("a_name_digits"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("a_cents"),
+    )
+    b = c.where(F.col("c_custkey") % 3 == 0).select(
+        (F.col("c_custkey") + 100000).alias("id_b"),
+        F.col("c_nationkey").alias("b_nation"),
+        F.col("c_mktsegment").alias("b_seg"),
+        digits(F.concat(F.upper(F.col("c_name")), F.lit(" LLC"))).alias("b_name_digits"),
+        (
+            F.round(F.col("c_acctbal") * 100).cast("bigint")
+            + F.when(F.col("c_custkey") % 2 == 1, F.lit(7)).otherwise(F.lit(0))
+        ).alias("b_cents"),
+    )
+    return record_linkage(
+        a,
+        b,
+        block_on=[("a_nation", "b_nation"), ("a_seg", "b_seg")],
+        rules=[
+            (F.col("a_name_digits") == F.col("b_name_digits"), 3),
+            (F.col("a_cents") == F.col("b_cents"), 2),
+        ],
+        threshold=3,
+    )

@@ -338,3 +338,49 @@ def test_bpe_encode_counts_hand_example(spark):
     # doc1: lower(5 chars -> lo w e r -> low e r = 3) x2, ab (2)
     assert out[1] == (3, 3 + 3 + 2)
     assert out[2] == (1, 3)
+
+
+def test_record_linkage_blocks_and_scores(spark):
+    from pyspark.sql import functions as F
+
+    from re_data_pipeline_spark.operators.linkage import record_linkage
+
+    a = spark.createDataFrame(
+        [(1, "east", "alice", 100), (2, "east", "bob", 200), (3, "west", "carol", 300)],
+        "id_a long, a_region string, a_name string, a_bal long",
+    )
+    b = spark.createDataFrame(
+        [
+            (11, "east", "alice", 100),   # full match -> 5
+            (12, "east", "alice", 999),   # name only -> 3
+            (13, "west", "alice", 100),   # wrong block vs 1 -> never compared
+            (14, "east", "dave", 200),    # balance only vs 2 -> 2, below threshold
+        ],
+        "id_b long, b_region string, b_name string, b_bal long",
+    )
+    got = {(r.id_a, r.id_b): r.score for r in record_linkage(
+        a, b,
+        block_on=[("a_region", "b_region")],
+        rules=[(F.col("a_name") == F.col("b_name"), 3),
+               (F.col("a_bal") == F.col("b_bal"), 2)],
+        threshold=3,
+    ).collect()}
+    assert got == {(1, 11): 5, (1, 12): 3}
+    # blocking means (1, 13) was never even a candidate despite full
+    # name+balance agreement — recall is governed by the blocking key
+    assert (1, 13) not in got
+
+
+def test_record_linkage_null_rule_contributes_zero(spark):
+    from pyspark.sql import functions as F
+
+    from re_data_pipeline_spark.operators.linkage import record_linkage
+
+    a = spark.createDataFrame([(1, "k", None)], "id_a long, ka string, va string")
+    b = spark.createDataFrame([(2, "k", "x")], "id_b long, kb string, vb string")
+    got = record_linkage(
+        a, b, [("ka", "kb")],
+        [(F.col("va") == F.col("vb"), 3), (F.lit(True), 3)], threshold=3,
+    ).collect()
+    # NULL comparison -> 0, the always-true rule -> 3: exactly threshold
+    assert [(r.id_a, r.id_b, r.score) for r in got] == [(1, 2, 3)]
