@@ -267,6 +267,29 @@ CHECKS = [
         "the broadcast anti-join map-side.",
     ),
     (
+        "q163_record_linkage",
+        "record linkage: blocking equi-join, no cross join",
+        [
+            (r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", "candidates come from an equi-join on the blocking keys"),
+            (r"!(CartesianProduct|BroadcastNestedLoopJoin)", "no |A|x|B| comparison anywhere"),
+        ],
+        "Blocking bounds candidate pairs at Σ block² — the linkage scale "
+        "lever; agreement scoring is map-side column algebra above the "
+        "join, and AQE skew-splits hot blocks.",
+    ),
+    (
+        "q158_stratified_sample",
+        "stratified sample: one stratum-keyed rank window",
+        [
+            (r"hashpartitioning\(lang", "single shuffle keyed by the stratum"),
+            (r"WindowGroupLimit|Window", "rank window (group-limit pushdown where available)"),
+            (r"!Exchange SinglePartition", "no global sort"),
+        ],
+        "Exactly one exchange on the stratum key; WindowGroupLimit keeps "
+        "k rows per stratum before the filter, so per-partition state is "
+        "k-bounded regardless of stratum size.",
+    ),
+    (
         "q153_prefix_filter_join",
         "prefix-filter join: equi-join on prefix tokens, never all-pairs",
         [
