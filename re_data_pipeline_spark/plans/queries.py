@@ -21,6 +21,7 @@ Cross-engine exactness rules used throughout (so value-hashes match bit-wise):
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -60,7 +61,15 @@ ORACLES: dict[str, str] = {}
 
 
 def query(name: str, oracle: str | None = None):
+    # fail at import on malformed registrations: a mis-edit once dropped a
+    # decorator's name line, registering the ORACLE SQL as the query name —
+    # which silently became a nameless rows-only entry in the driver gate
+    if not re.fullmatch(r"q\d+_[a-z0-9_]+", name):
+        raise ValueError(f"@query name must match q<N>_<slug>, got: {name[:60]!r}")
+
     def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate @query registration: {name}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
@@ -1247,6 +1256,7 @@ def q49_time_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q50_url_parse",
     """
     SELECT doc_id,
            regexp_extract('https://youtube.example/watch?v=vid' || doc_id || '&t=9s',
