@@ -89,3 +89,66 @@ def test_safe_cast_double_matches_python(spark, batch):
     want = [ref_safe_double(v) for v in batch]
     for g, w in zip(got, want):
         assert g == w or abs(g - w) < 1e-9, (g, w, batch)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 operators: BPE fold and 2-D Pareto frontier vs Python references
+# ---------------------------------------------------------------------------
+
+def ref_bpe_merge(toks, left, right):
+    """Greedy leftmost non-overlapping merge, direct transcription."""
+    out = []
+    for t in toks:
+        if out and out[-1] == left and t == right:
+            out[-1] = left + right
+        else:
+            out.append(t)
+    return out
+
+
+tok_strategy = st.lists(st.sampled_from(["a", "b", "c", "ab", "ba"]), min_size=1, max_size=12)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(tok_strategy, min_size=1, max_size=20),
+       st.sampled_from([("a", "b"), ("a", "a"), ("b", "a"), ("ab", "a")]))
+def test_bpe_fold_matches_reference(spark, token_lists, merge):
+    from pyspark.sql import functions as F
+
+    from re_data_pipeline_spark.operators.bpe import _apply_merge
+
+    left, right = merge
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(token_lists)], "id long, toks array<string>"
+    )
+    got = {r.id: r.m for r in df.select(
+        "id", _apply_merge(F.col("toks"), left, right).alias("m")).collect()}
+    for i, toks in enumerate(token_lists):
+        assert got[i] == ref_bpe_merge(toks, left, right), (toks, merge)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)), min_size=1, max_size=60,
+    unique=True,
+))
+def test_pareto_frontier_matches_bruteforce_property(spark, pts):
+    from re_data_pipeline_spark.operators.frontier import pareto_frontier_2d
+
+    rows = [(i, float(c), float(d)) for i, (c, d) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "k long, cost double, delay double")
+    got = sorted(r.k for r in
+                 pareto_frontier_2d(df, "cost", "delay", "k", num_partitions=3).collect())
+    # brute force; the strategy generates unique (cost, delay) pairs, so
+    # the operator's coincident-point caveat doesn't apply and the result
+    # must match exactly (no duplicate emission, no misses)
+    idx = list(range(len(pts)))
+    want = sorted(
+        i for i in idx
+        if not any(
+            (pts[j][0] <= pts[i][0] and pts[j][1] <= pts[i][1]
+             and (pts[j][0] < pts[i][0] or pts[j][1] < pts[i][1]))
+            for j in idx
+        )
+    )
+    assert got == want, (pts, got, want)
