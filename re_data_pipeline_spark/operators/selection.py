@@ -298,3 +298,42 @@ def stratified_sample_exact(
         .where(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def quota_sample(
+    df: DataFrame,
+    domain_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Sample EXACTLY ``budget`` rows, proportionally across domains —
+    ``mixture_allocation`` (largest-remainder quotas, exact decimal
+    arithmetic) composed with ``stratified_sample_exact``'s md5 rank
+    window, with the per-domain k coming from the quota table instead of
+    a constant.  The corpus-recipe primitive: "give me a 1M-doc sample
+    with the corpus's own domain mix, reproducibly".
+
+    Plan: map-combined domain counts → |domains|-row quota table
+    (broadcast) → ONE rank window keyed by domain → quota filter.  Note
+    a domain's quota can exceed another's size only if sizes change
+    between counting and sampling — both run over the same frame here,
+    so Σ emitted = budget exactly (quota_d ≤ n_d by construction of
+    proportional floors + ≤1 leftover unit per domain).
+    """
+    from pyspark.sql.window import Window
+
+    quotas = mixture_allocation(
+        df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n")),
+        domain_col,
+        "__n",
+        budget,
+    ).select(domain_col, "quota")
+    pri = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(domain_col).orderBy(pri.asc(), F.col(id_col).asc())
+    return (
+        df.join(F.broadcast(quotas), domain_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= F.col("quota"))
+        .drop("__rn", "quota")
+    )

@@ -4769,7 +4769,7 @@ DRIVER_WINDOW: list[str] = [
     # unchanged since; q61's salting technique stays anchored via q133)
     "q157_stream_left_outer", "q158_stratified_sample",
     "q159_triangle_count", "q160_epoch_shuffle", "q161_bpe_train", "q162_bpe_encode",
-    "q163_record_linkage",
+    "q163_record_linkage", "q164_quota_sample",
     # (c) changed-code/oracle anchors: minhash lane family + advisory fixes
     "q33_minhash_lsh", "q34_ngram_jaccard", "q71_near_dedup_pipeline",
     "q72_curation_pipeline", "q82_connected_components", "q85_cluster_dedup",
@@ -4779,7 +4779,7 @@ DRIVER_WINDOW: list[str] = [
     "q03_broadcast_join_agg",
     "q12_running_total", "q13_rollup", "q15_date_lookback",
     "q17_regexp_extract", "q18_string_cleanup", "q28_sliding_window",
-    "q36_centroid_similarity", "q39_grid_cell_assign", "q49_time_format",
+    "q36_centroid_similarity", "q39_grid_cell_assign",
     # … then the oldest r2-green: bench headlines (q24/q27/q29/q57/q97)
     # and the REIT e2e pipeline trace
     "q24_collect_sorted", "q27_tumbling_window", "q29_session_window",
@@ -6949,3 +6949,45 @@ def q163_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         threshold=3,
     )
+
+
+_Q164_BUDGET = 120
+_Q164_SQL = f"""
+WITH sizes AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+), tot AS (
+  SELECT SUM(n) AS t FROM sizes
+), base AS (
+  SELECT lang, n, (n * {_Q164_BUDGET}) // t AS b, (n * {_Q164_BUDGET}) % t AS rem
+  FROM sizes, tot
+), leftover AS (
+  SELECT {_Q164_BUDGET} - SUM(b) AS l FROM base
+), quota AS (
+  SELECT lang,
+         b + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC) <= l
+                  THEN 1 ELSE 0 END AS q
+  FROM base, leftover
+), ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5('sample:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked JOIN quota USING (lang) WHERE rn <= q
+"""
+
+
+@query("q164_quota_sample", _Q164_SQL)
+def q164_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-budget proportional sampling: Hamilton quotas per language
+    (`mixture_allocation`, exact decimal arithmetic) feed the md5 rank
+    window (`quota_sample`) — emits EXACTLY the budget, split across
+    domains by largest remainder, deterministically.  The one-line recipe
+    step "sample 120 docs with the corpus's own language mix".  Oracle:
+    integer Hamilton + the identical ROW_NUMBER in DuckDB."""
+    from re_data_pipeline_spark.operators.selection import quota_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return quota_sample(d, "lang", _Q164_BUDGET, "doc_id").select("doc_id", "lang")

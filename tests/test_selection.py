@@ -288,3 +288,21 @@ def test_stratified_sample_stable_under_growth(spark):
     s_big = {r.doc_id for r in stratified_sample_exact(big, "lang", 10, "doc_id").collect()}
     # survivors of the grown corpus that existed before were already sampled
     assert s_big & set(range(30)) <= s_small
+
+
+def test_quota_sample_exact_budget_and_proportions(spark):
+    from re_data_pipeline_spark.operators.selection import quota_sample
+
+    rows = ([(i, "a") for i in range(70)] + [(100 + i, "b") for i in range(20)]
+            + [(200 + i, "c") for i in range(10)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = quota_sample(df, "lang", 10, "doc_id").collect()
+    by = {}
+    for r in out:
+        by[r.lang] = by.get(r.lang, 0) + 1
+    # 70/20/10 of 100 at budget 10 -> exact 7/2/1
+    assert by == {"a": 7, "b": 2, "c": 1}
+    assert len(out) == 10
+    # deterministic
+    out2 = quota_sample(df, "lang", 10, "doc_id").collect()
+    assert {r.doc_id for r in out} == {r.doc_id for r in out2}

@@ -205,6 +205,23 @@ def main() -> int:
     def pts(n):
         return spark.read.parquet(inputs[n][2])
 
+    def _inverted(d):
+        from re_data_pipeline_spark.operators.indexing import inverted_index
+
+        return inverted_index(d, min_df=2, max_df_fraction=0.5, max_postings=20)
+
+    def _bpe(d):
+        from re_data_pipeline_spark.operators.bpe import bpe_train
+
+        return bpe_train(d, "text", num_merges=3)
+
+    def _dsir(d):
+        from re_data_pipeline_spark.operators.selection import dsir_log_weights
+
+        return dsir_log_weights(
+            d, "doc_id", "text", F.col("doc_id") % 10 == 0, n_buckets=256
+        )
+
     PROBES = {
         "near_dedup_pipeline (LSH→verify→anti)": lambda n: near_dedup_pipeline(
             docs(n), threshold=0.5
@@ -226,6 +243,9 @@ def main() -> int:
         "pareto_frontier_2d (anti-correlated)": lambda n: pareto_frontier_2d(
             pts(n), "cost", "delay", "k"
         ),
+        "inverted_index (df-banded, capped postings)": lambda n: _inverted(docs(n)),
+        "bpe_train (3 merge rounds)": lambda n: _bpe(docs(n)),
+        "dsir_log_weights (hashed unigrams)": lambda n: _dsir(docs(n)),
     }
 
     results: dict[str, dict[int, tuple]] = {}
