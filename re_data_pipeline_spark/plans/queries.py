@@ -4751,11 +4751,15 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sides of those oracles; q128 additionally restructured to the
 # cluster-scoped window; q152 in (a) got the distributed frontier),
 # q129 (exact pmod division), q133 (NULL-safe salt + how validation);
-# (d) the 22 remaining slots go to the queries whose last green driver row
-# is oldest — all 16 remaining r1 rows, then 6 r2 rows (bench-headline
-# and e2e-pipeline first).  Everything rotated out is pinned by r3+/r5
-# green rows with unchanged code, and tools/parity.py still verifies ALL
-# registered queries every session.
+# (d) the remaining slots go to the queries whose last green driver row
+# is oldest — 9 r1 rows, then 6 r2 rows (bench-headline and e2e-pipeline
+# first).  The eight new-operator queries q157-q164 displaced r1-green
+# stock bodies (q08/q10/q49/q50/q51/q52/q61 + one fewer r1 slot), each
+# code-unchanged since its green row and several also exercised inside
+# anchored composites (salting via q133, URL fns via q109/q110 parity).
+# Everything rotated out is pinned by r1-r5 green rows with unchanged
+# code, and tools/parity.py still verifies ALL registered queries every
+# session.
 
 DRIVER_WINDOW: list[str] = [
     # (a) first driver anchor: the round-5 late additions
