@@ -14,7 +14,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from re_data_pipeline_spark.functions.cleaning import normalize_sale_or_lease, safe_cast
-from re_data_pipeline_spark.functions.geo import cell_corners_str
 from re_data_pipeline_spark.llm.harness import embed_column, llm_map
 from re_data_pipeline_spark.operators.chunking import chunk_snippets, timestamped_link
 from re_data_pipeline_spark.operators.similarity import (

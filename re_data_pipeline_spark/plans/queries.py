@@ -50,7 +50,7 @@ from re_data_pipeline_spark.operators.dedup import (
     simhash,
 )
 from re_data_pipeline_spark.operators.similarity import ann_lsh_topk, cosine_topk
-from re_data_pipeline_spark.operators.spatial import grid_aggregate, radius_join
+from re_data_pipeline_spark.operators.spatial import radius_join
 from re_data_pipeline_spark.operators.upsert import delisted_rows, upsert_append
 from re_data_pipeline_spark.operators.windows import session, sliding, tumbling
 
