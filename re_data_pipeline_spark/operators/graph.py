@@ -101,3 +101,48 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .join(ac, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")), "left_semi")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    max_iterations: int = 64,
+) -> DataFrame:
+    """Multi-source BFS over a DIRECTED edge list → ``(node, dist)`` with
+    the minimum hop count from any source (sources at 0).  Unreachable
+    nodes are absent.  The third iterative-graph shape next to connected
+    components (connectivity) and PageRank (numeric fixpoint): frontier
+    expansion with monotone state.
+
+    Each round: frontier ⨝ edges → candidate nodes → anti-join against
+    the visited set (BFS's first visit IS the min distance, so no
+    re-relaxation ever happens — unlike weighted SSSP).  Shuffles are
+    keyed on node ids; per-round lineage is localCheckpoint-truncated;
+    rounds = eccentricity of the source set.  At 100 TB scale the frontier
+    is the only growing term — visited stays an id set, and hub fan-out
+    is one AQE-splittable join per round.
+    """
+    visited = sources.select(F.col(node), F.lit(0).alias("dist")).distinct().localCheckpoint()
+    frontier = visited
+    for level in range(1, max_iterations + 1):
+        nxt = (
+            frontier.join(edges, frontier[node] == edges[src])
+            .select(F.col(dst).alias(node))
+            .distinct()
+            .join(visited, node, "left_anti")
+            .withColumn("dist", F.lit(level))
+        )
+        nxt = nxt.localCheckpoint()
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    else:
+        raise RuntimeError(
+            f"bfs_distances did not exhaust the frontier in {max_iterations} "
+            "rounds — raise max_iterations (graph eccentricity too large)"
+        )
+    return visited

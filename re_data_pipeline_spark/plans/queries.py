@@ -4773,7 +4773,7 @@ DRIVER_WINDOW: list[str] = [
     # unchanged since; q61's salting technique stays anchored via q133)
     "q157_stream_left_outer", "q158_stratified_sample",
     "q159_triangle_count", "q160_epoch_shuffle", "q161_bpe_train", "q162_bpe_encode",
-    "q163_record_linkage", "q164_quota_sample",
+    "q163_record_linkage", "q164_quota_sample", "q165_bfs_distances",
     # (c) changed-code/oracle anchors: minhash lane family + advisory fixes
     "q33_minhash_lsh", "q34_ngram_jaccard", "q71_near_dedup_pipeline",
     "q72_curation_pipeline", "q82_connected_components", "q85_cluster_dedup",
@@ -4783,7 +4783,7 @@ DRIVER_WINDOW: list[str] = [
     "q03_broadcast_join_agg",
     "q12_running_total", "q13_rollup", "q15_date_lookback",
     "q17_regexp_extract", "q18_string_cleanup", "q28_sliding_window",
-    "q36_centroid_similarity", "q39_grid_cell_assign",
+    "q36_centroid_similarity",
     # … then the oldest r2-green: bench headlines (q24/q27/q29/q57/q97)
     # and the REIT e2e pipeline trace
     "q24_collect_sorted", "q27_tumbling_window", "q29_session_window",
@@ -6995,3 +6995,55 @@ def q164_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return quota_sample(d, "lang", _Q164_BUDGET, "doc_id").select("doc_id", "lang")
+
+
+_Q165_SQL = """
+WITH RECURSIVE nodes AS (
+  SELECT c_custkey AS n FROM customer WHERE c_custkey < 990
+), e0 AS (
+  SELECT n AS s, n + 1 AS d FROM nodes WHERE n % 30 < 29 AND n + 1 < 990
+  UNION ALL
+  SELECT n, n + 30 FROM nodes WHERE n + 30 < 990
+), edges AS (
+  SELECT s, d FROM e0 UNION SELECT d, s FROM e0
+), srcs AS (
+  SELECT n FROM nodes WHERE n % 97 = 0
+), walk(node, dist) AS (
+  SELECT n, 0 FROM srcs
+  UNION
+  SELECT e.d, w.dist + 1
+  FROM walk w JOIN edges e ON e.s = w.node
+  WHERE w.dist < 70
+)
+SELECT node, CAST(MIN(dist) AS INT) AS dist FROM walk GROUP BY node
+"""
+
+
+@query("q165_bfs_distances", _Q165_SQL)
+def q165_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances over the undirected 30-wide grid
+    graph (sources: every 97th node) — the frontier-expansion iterative
+    shape, complementing connected components (connectivity) and PageRank
+    (numeric fixpoint).  Frontier ⨝ edges → anti-join visited per round,
+    lineage checkpoint-truncated; the grid's eccentricity (~60 from the
+    corner sources) exercises a deep iteration count no near-dup cluster
+    ever would.  Oracle: recursive-CTE walk with MIN(dist) per node."""
+    from re_data_pipeline_spark.operators.graph import bfs_distances
+
+    n = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 990).select(
+        F.col("c_custkey").alias("n")
+    )
+    e0 = (
+        n.where((F.col("n") % 30 < 29) & (F.col("n") + 1 < 990)).select(
+            F.col("n").alias("src"), (F.col("n") + 1).alias("dst")
+        )
+        .unionAll(
+            n.where(F.col("n") + 30 < 990).select(
+                F.col("n").alias("src"), (F.col("n") + 30).alias("dst")
+            )
+        )
+    )
+    edges = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    sources = n.where(F.col("n") % 97 == 0).select(F.col("n").alias("node"))
+    out = bfs_distances(edges, sources, max_iterations=80)
+    return out.select("node", F.col("dist").cast("int").alias("dist"))

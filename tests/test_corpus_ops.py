@@ -384,3 +384,27 @@ def test_record_linkage_null_rule_contributes_zero(spark):
     ).collect()
     # NULL comparison -> 0, the always-true rule -> 3: exactly threshold
     assert [(r.id_a, r.id_b, r.score) for r in got] == [(1, 2, 3)]
+
+
+def test_bfs_distances_hand_graph(spark):
+    from re_data_pipeline_spark.operators.graph import bfs_distances
+
+    # path 1-2-3-4 with a shortcut 1-4; source {1}: dist(4) must be 1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4), (9, 10)], "src long, dst long"
+    )
+    und = edges.unionAll(edges.selectExpr("dst AS src", "src AS dst"))
+    srcs = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.dist for r in bfs_distances(und, srcs).collect()}
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2}  # 9,10 unreachable -> absent
+
+
+def test_bfs_multi_source_takes_min(spark):
+    from re_data_pipeline_spark.operators.graph import bfs_distances
+
+    # chain 1-2-3-4-5, sources {1, 5}: 3 is 2 hops from either side
+    edges = spark.createDataFrame([(i, i + 1) for i in range(1, 5)], "src long, dst long")
+    und = edges.unionAll(edges.selectExpr("dst AS src", "src AS dst"))
+    srcs = spark.createDataFrame([(1,), (5,)], "node long")
+    got = {r.node: r.dist for r in bfs_distances(und, srcs).collect()}
+    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
