@@ -62,10 +62,11 @@ HEADLINE = [
     "q132_bpe_pair_counts",      # word-table-first tokenizer pass
     "q135_inverted_index",       # df + capped postings build
     "q136_pagerank",             # fixed-point iterative propagation
-    # round-6 additions: the distributed skyline and the exact
-    # set-similarity join — both now plan-audited, keep them visible
+    # round-6 additions: the distributed skyline, the exact
+    # set-similarity join, and the BPE trainer — keep them visible
     "q152_skyline",              # range-partitioned frontier scan
     "q153_prefix_filter_join",   # prefix-indexed exact Jaccard join
+    "q161_bpe_train",            # iterative tokenizer merge loop
 ]
 
 
