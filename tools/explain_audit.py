@@ -267,6 +267,19 @@ CHECKS = [
         "the broadcast anti-join map-side.",
     ),
     (
+        "q160_epoch_shuffle",
+        "epoch shuffle: distributed ordinals, no global sort",
+        [
+            (r"rangepartitioning\(__pri", "positions come from a range partition on the md5 priority"),
+            (r"!Exchange SinglePartition", "no single-partition stage anywhere in the executed plan"),
+        ],
+        "A naive ROW_NUMBER() OVER (ORDER BY md5) funnels every row "
+        "through one task; assign_ordinals range-partitions on the "
+        "priority, sorts within partitions, and prefix-sums the "
+        "partition-count-sized offsets — a 100 TB epoch shuffle is two "
+        "distributed passes.",
+    ),
+    (
         "q163_record_linkage",
         "record linkage: blocking equi-join, no cross join",
         [
