@@ -146,3 +146,71 @@ def bfs_distances(
             "rounds — raise max_iterations (graph eccentricity too large)"
         )
     return visited
+
+
+def sssp_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    node: str = "node",
+    max_iterations: int = 256,
+) -> DataFrame:
+    """Single/multi-source shortest WEIGHTED path distances (non-negative
+    integer weights) → ``(node, dist)``; unreachable nodes absent.
+
+    Frontier-limited Bellman-Ford: each round relaxes only out-edges of
+    nodes whose distance improved last round (the delta-stepping intuition
+    without buckets), so settled regions stop generating traffic.  Rounds
+    ≤ the hop count of the longest minimum-weight path; each round is one
+    node-keyed join + min-combine + improvement anti-filter, with lineage
+    localCheckpoint-truncated — the CC/PageRank/BFS loop discipline.
+    Weights must be ≥ 0 (negative edges need true Bellman-Ford with a
+    final negative-cycle probe — out of scope for distance-to-content
+    use cases).
+    """
+    dist = (
+        sources.select(F.col(node), F.lit(0).cast("long").alias("dist"))
+        .distinct()
+        .localCheckpoint()
+    )
+    frontier = dist
+    for _ in range(max_iterations):
+        cand = (
+            frontier.join(edges, frontier[node] == edges[src])
+            .select(
+                edges[dst].alias("__n"),
+                (frontier["dist"] + edges[weight]).alias("__cand"),
+            )
+            .groupBy("__n")
+            .agg(F.min("__cand").alias("__cand"))
+        )
+        improved = (
+            cand.join(dist, cand["__n"] == dist[node], "left")
+            .where(dist["dist"].isNull() | (F.col("__cand") < dist["dist"]))
+            .select(F.col("__n").alias(node), F.col("__cand").alias("dist"))
+            .localCheckpoint()
+        )
+        if improved.isEmpty():
+            break
+        new_dist = (
+            dist.withColumnRenamed("dist", "__old")
+            .join(improved.withColumnRenamed("dist", "__new"), node, "full")
+            .select(
+                node,
+                F.least(
+                    F.coalesce(F.col("__old"), F.col("__new")),
+                    F.coalesce(F.col("__new"), F.col("__old")),
+                ).alias("dist"),
+            )
+            .localCheckpoint()
+        )
+        dist = new_dist
+        frontier = improved
+    else:
+        raise RuntimeError(
+            f"sssp_distances did not settle in {max_iterations} rounds — "
+            "raise max_iterations (longest min-weight path has more hops)"
+        )
+    return dist
