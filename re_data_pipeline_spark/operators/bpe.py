@@ -142,11 +142,17 @@ def bpe_encode_counts(
 
     Scale shape — the same vocabulary trick as training: the merges are
     applied (k chained folds) to the DISTINCT-WORD table only, producing a
-    ``word → token-count`` lookup that broadcasts onto the per-document
-    word stream; the corpus itself is touched by exactly one explode +
-    one map-combined aggregate.  Words outside the [2, max_word_len]
-    training band are excluded from both counts (consistent with
-    ``build_word_table``).
+    ``word → token-count`` lookup joined back onto the per-document word
+    stream; the corpus itself is touched by exactly one explode + one
+    map-combined aggregate.  The lookup join carries NO broadcast hint:
+    the distinct-word table is word-vocabulary-sized and grows with the
+    corpus (~10⁸ words at 100 TB — a forced broadcast OOMs the driver).
+    The word stream shuffles on ``w`` either way, so a shuffle sort-merge
+    join costs nothing extra asymptotically, and AQE still upgrades to a
+    runtime broadcast whenever the MEASURED lookup size is under
+    autoBroadcastJoinThreshold — the size-bounded gate.  Words outside
+    the [2, max_word_len] training band are excluded from both counts
+    (consistent with ``build_word_table``).
     """
     doc_words = df.select(
         F.col("doc_id"),
@@ -163,7 +169,7 @@ def bpe_encode_counts(
     lookup = vocab.select("w", F.size(toks).alias("__nt"))
 
     return (
-        doc_words.join(F.broadcast(lookup), "w")
+        doc_words.join(lookup, "w")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_words"),

@@ -46,6 +46,8 @@ md5 hex) and the fastest correct variant in this engine.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -824,6 +826,8 @@ def prefix_filter_pairs(
     text_col: str = "text",
     threshold_num: int = 4,
     threshold_den: int = 5,
+    on_degradation: str = "warn",
+    cap_pairs_per_doc: int = 64,
 ) -> DataFrame:
     """EXACT set-similarity candidate pairs via prefix filtering (the
     PPJoin principle, Chaudhuri et al. / Xiao et al.): two token sets with
@@ -843,9 +847,17 @@ def prefix_filter_pairs(
     would silently shorten prefixes and break the no-false-negative
     guarantee.
 
-    Plan: token df agg (map-combined) → broadcast-rank the order back →
-    per-doc sort + slice → prefix explode → equi-join on the token.
-    Shuffle volume is Σ prefix lengths, a (1−t) fraction of the corpus.
+    Plan: token df agg (map-combined) → rank the order back via an
+    equi-join on the token → per-doc sort + slice → prefix explode →
+    equi-join on the token.  Shuffle volume is Σ prefix lengths, a (1−t)
+    fraction of the corpus.  The df re-join carries NO broadcast hint on
+    purpose: the token→df table is vocabulary-sized and grows with the
+    corpus (Heaps' law reaches ~10⁸ terms at 100 TB — a multi-GB relation
+    that would OOM the driver as a forced broadcast).  Σ tokens already
+    shuffles in this plan, so a shuffle join adds no new asymptotic cost,
+    and AQE still upgrades it to a runtime broadcast whenever the MEASURED
+    df size is under ``spark.sql.autoBroadcastJoinThreshold`` — the
+    size-bounded gate, for free.
 
     Input-sensitivity caveat (measured, tools/scale_probe.py): candidate
     volume grows ~n²/|V| — prefix filtering is effective exactly when
@@ -853,15 +865,24 @@ def prefix_filter_pairs(
     (vocabulary grows with the corpus) and stays near-linear; a
     low-diversity corpus (fixed small vocabulary: logs, templated text)
     degrades toward all-pairs — measured 20M candidates at 20k docs under
-    a fixed 20k-token vocabulary.  For such corpora use
-    ``lsh_candidate_pairs`` (band-bounded candidate volume) and accept
-    probabilistic recall.
+    a fixed 20k-token vocabulary.  ``on_degradation`` guards against
+    walking into that case silently: before emitting pairs, one cheap
+    aggregate over the (small) prefix table estimates the exact candidate
+    count Σ c·(c−1)/2 over prefix-token frequencies; if it exceeds
+    ``cap_pairs_per_doc × n_docs`` the operator warns (``"warn"``, default
+    — result unchanged), or routes to ``lsh_candidate_pairs``
+    (``"route"`` — band-bounded candidates, probabilistic recall), or
+    skips the check entirely (``"off"`` — no extra job).
     """
+    if on_degradation not in ("warn", "route", "off"):
+        raise ValueError(
+            f"on_degradation must be 'warn', 'route', or 'off'; got {on_degradation!r}"
+        )
     from pyspark.sql.window import Window
 
     toks = df.select(F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"))
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    ordered = toks.join(F.broadcast(dfreq), "tok").select(
+    ordered = toks.join(dfreq, "tok").select(
         id_col, F.struct(F.col("df"), F.col("tok")).alias("key")
     )
     per_doc = ordered.groupBy(id_col).agg(
@@ -875,6 +896,34 @@ def prefix_filter_pairs(
         F.col(id_col),
         F.explode(F.slice("keys", 1, prefix_len)).alias("k"),
     ).select(id_col, F.col("k.tok").alias("tok"))
+    if on_degradation != "off":
+        # One map-combined aggregate over the prefix table: the estimate is
+        # EXACT for the pre-distinct candidate volume (Σ c·(c−1)/2 emitted
+        # rows), so an over-cap reading means the equi-join genuinely fans
+        # out toward all-pairs — not a heuristic false alarm.
+        stats = (
+            pre.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.sum(F.col("c") * (F.col("c") - F.lit(1)) / F.lit(2)).alias("est_pairs"),
+                F.max("c").alias("max_prefix_df"),
+            )
+            .first()
+        )
+        n_docs = per_doc.count()
+        est = int(stats["est_pairs"] or 0)
+        if est > cap_pairs_per_doc * max(n_docs, 1):
+            msg = (
+                f"prefix_filter_pairs degradation: ~{est} candidate pairs for "
+                f"{n_docs} docs (cap {cap_pairs_per_doc}/doc; max prefix-token "
+                f"df {stats['max_prefix_df']}) — low-diversity vocabulary; "
+                "prefix filtering is degrading toward all-pairs. Use "
+                "lsh_candidate_pairs (on_degradation='route') for this corpus."
+            )
+            if on_degradation == "route":
+                warnings.warn(msg + " Routing to lsh_candidate_pairs.")
+                return lsh_candidate_pairs(df, id_col=id_col, text_col=text_col)
+            warnings.warn(msg)
     a = pre.alias("a")
     b = pre.alias("b")
     return (

@@ -21,8 +21,12 @@ This operator is the distributed form of the same scan:
 The only single-partition stage is the prefix-min window over the
 partition-count-sized min table — identical in spirit to the per-partition
 count exchange in ``assign_ordinals`` (operators/ids.py) and fine at any
-scale.  Both references to the range exchange are the identical plan
-subtree, so Spark's ReuseExchange computes it once.
+scale.  The range-partitioned intermediate feeds BOTH branches (the local
+window and the per-partition min table), so it is persisted before the
+fan-out — ``spark_partition_id`` plus ``repartitionByRange``'s sampled
+bounds are nondeterministic on recompute, and the ``__pid`` split is only
+correct when both branches provably read the SAME assignment, not merely
+when ReuseExchange happens to fire (same posture as ``assign_ordinals``).
 """
 
 from __future__ import annotations
@@ -57,7 +61,7 @@ def pareto_frontier_2d(
         df.repartitionByRange(n, *ordering)
         .sortWithinPartitions(*ordering)
         .withColumn("__pid", F.spark_partition_id())
-    )
+    ).persist()
     # (a) running min over earlier rows within the range partition
     w_local = (
         Window.partitionBy("__pid")
@@ -74,8 +78,10 @@ def pareto_frontier_2d(
     # F.least skips NULLs (earliest row of the earliest partition has both
     # NULL → no earlier row → always on the frontier)
     pm = F.least(F.col("__lm"), F.col("__gm"))
-    return (
+    out = (
         local.join(F.broadcast(prefix), "__pid")
         .where(pm.isNull() | (F.col(delay_col) < pm))
         .drop("__pid", "__lm", "__gm")
     )
+    out._frontier_cache = parts  # release path for long-lived sessions
+    return out

@@ -45,7 +45,23 @@ def record_linkage(
     join; ``rules`` — [(condition, weight)] over the joined row, each
     adding ``weight`` when the condition is true (NULL-safe: a NULL
     condition contributes 0).
+
+    Both lists must be non-empty: an empty ``block_on`` would silently
+    degenerate into the cross join this module's contract forbids, and an
+    empty ``rules`` leaves no score to threshold — reject both loudly
+    (same posture as ``salted_join``'s input validation).
     """
+    if not block_on:
+        raise ValueError(
+            "record_linkage: block_on must be non-empty — an empty blocking "
+            "key set means an all-pairs cross join, which this operator "
+            "forbids by contract (|pairs| must be Σ block², not n²)"
+        )
+    if not rules:
+        raise ValueError(
+            "record_linkage: rules must be non-empty — no agreement rules "
+            "means no score to compare against threshold"
+        )
     cond = None
     for ca, cb in block_on:
         eq = a[ca] == b[cb]

@@ -1410,7 +1410,12 @@ def q58_utm_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q59_json_glob_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-blob JSON union scan (S8 — the reference's GCS prefix
     list→parse→extend loop): stage documents as many JSON files, re-read via
-    a single glob scan with explicit schema, prove content parity."""
+    a single glob scan with explicit schema, prove content parity.
+
+    The returned frame is ``localCheckpoint``-ed (executor block storage,
+    partition-distributed) rather than frozen via ``collect()`` — the
+    staging dir is removed in ``finally``, so lineage must be cut, but a
+    driver-sized materialization would not survive sf scale-up."""
     import shutil
     import tempfile
 
@@ -1422,7 +1427,7 @@ def q59_json_glob_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.repartition(5).write.mode("overwrite").json(stage)
         back = read_json_glob(spark, f"{stage}/*.json", schema=d.schema)
         out = back.select("doc_id", "lang", "n_chars", F.md5("text").alias("text_md5"))
-        return spark.createDataFrame(out.collect(), out.schema)
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
 
@@ -3612,9 +3617,14 @@ def q96_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass of a text-curation pipeline (north-star text analysis).
 
     Plan shape: explode → two hash aggs (tf per doc-term, df per term) →
-    broadcast the tiny df/N sides back → per-doc rank window.  At 100 TB the
-    df table is vocabulary-sized (≪ corpus), so the re-join broadcasts; the
-    only big shuffles are the two aggs, both with map-side partials.  Rank
+    re-join the df side on term → per-doc rank window.  The df re-join
+    carries NO broadcast hint: term→df is vocabulary-sized and grows with
+    the corpus (Heaps' law → ~10⁸ terms at 100 TB, multi-GB — a forced
+    broadcast OOMs the driver).  tf already shuffles on term-bearing keys,
+    so a shuffle join is asymptotically free, and AQE upgrades it to a
+    runtime broadcast whenever the measured df size is under
+    autoBroadcastJoinThreshold — a size-bounded gate instead of a blind
+    hint.  Only the 1-row corpus count keeps an explicit broadcast.  Rank
     compares ROUND(tfidf, 6) (not raw doubles) so cross-engine ordering is
     bit-identical; ties break on the term string.
     """
@@ -3626,7 +3636,7 @@ def q96_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -5806,7 +5816,10 @@ def q151_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair counts join back to item counts, lift = P(ab)/(P(a)·P(b)).
     At 100 TB per-user sets are basket-sized, so the pair explode is
     Σ|basket|² — bounded by user behavior, not catalog size; counts
-    combine map-side and the item table broadcasts."""
+    combine map-side.  The item-count re-joins carry no broadcast hint —
+    the item table is catalog-sized (bounded for basket domains, but not
+    by construction), so AQE decides at runtime from the measured size;
+    only the 1-row total keeps an explicit broadcast."""
     baskets = (
         load_table(spark, sf_dir, "events")
         .groupBy("user_id")
@@ -5836,8 +5849,8 @@ def q151_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = baskets.agg(F.count(F.lit(1)).alias("n_users"))
     return (
-        pc.join(F.broadcast(ic.withColumnRenamed("item", "item_a").withColumnRenamed("n", "n_a")), "item_a")
-        .join(F.broadcast(ic.withColumnRenamed("item", "item_b").withColumnRenamed("n", "n_b")), "item_b")
+        pc.join(ic.withColumnRenamed("item", "item_a").withColumnRenamed("n", "n_a"), "item_a")
+        .join(ic.withColumnRenamed("item", "item_b").withColumnRenamed("n", "n_b"), "item_b")
         .crossJoin(F.broadcast(tot))
         .select(
             "item_a", "item_b", "n_ab",
@@ -6590,9 +6603,14 @@ def q157_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     with watermark 0 (nothing falsely dropped regardless of row order) and
     the trailing no-data micro-batch (noDataMicroBatches, on by default)
     advances the watermark past every real join window and flushes all
-    unmatched lefts.  Sentinels carry user_id −1 (matches nothing real)
-    and are filtered from the result.  Deterministic ⇒ oracled against the
-    batch LEFT JOIN, the same parity technique as q131/q44/q101.
+    unmatched lefts.  Sentinel ids are DERIVED from the data —
+    user_id/event_id below the observed minima, distinct per side so the
+    two sentinels cannot even pair with each other — rather than assuming
+    a magic constant (−1) is absent; a corpus that legitimately contained
+    the magic value would otherwise silently corrupt the join.  Sentinels
+    are filtered from the batch result on BOTH the view-side user_id and
+    the click_id.  Deterministic ⇒ oracled against the batch LEFT JOIN,
+    the same parity technique as q131/q44/q101.
     """
     import datetime
     import shutil
@@ -6610,14 +6628,23 @@ def q157_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.where(
         (F.col("event_type") == "click") & (F.col("user_id") % 2 == 0)
     ).select("event_id", "user_id", "ts")
-    max_ts = ev.agg(F.max("ts")).first()[0]
-    sentinel_ts = max_ts + datetime.timedelta(days=1)
+    bounds = ev.agg(
+        F.max("ts").alias("mx"),
+        F.min("user_id").alias("min_uid"),
+        F.min("event_id").alias("min_eid"),
+    ).first()
+    sentinel_ts = bounds["mx"] + datetime.timedelta(days=1)
+    # Below every observed id, distinct per side: the click sentinel can
+    # never equi-join a real view (or the view sentinel), and vice versa.
+    s_eid = min(bounds["min_eid"], 0) - 1
+    s_uid_v = min(bounds["min_uid"], 0) - 1
+    s_uid_c = s_uid_v - 1
     stage = tempfile.mkdtemp(prefix="q157_events_")
     vdir, cdir = f"{stage}/v", f"{stage}/c"
     try:
-        for side, d in ((views, vdir), (clicks, cdir)):
+        for side, d, s_uid in ((views, vdir, s_uid_v), (clicks, cdir, s_uid_c)):
             side.unionByName(
-                spark.createDataFrame([(-1, -1, sentinel_ts)], side.schema)
+                spark.createDataFrame([(s_eid, s_uid, sentinel_ts)], side.schema)
             ).coalesce(1).write.parquet(d)
         vs = read_stream(spark, vdir, views.schema).selectExpr(
             "event_id AS view_id", "user_id", "ts AS v_ts"
@@ -6649,7 +6676,10 @@ def q157_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         run_available_now_memory(joined, "q157_out", "append")
-        out = spark.table("q157_out").where(F.col("view_id") >= 0)
+        out = spark.table("q157_out").where(
+            (F.col("user_id") != F.lit(s_uid_v))
+            & (F.col("click_id").isNull() | (F.col("click_id") != F.lit(s_eid)))
+        )
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(stage, ignore_errors=True)

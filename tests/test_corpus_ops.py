@@ -408,3 +408,21 @@ def test_bfs_multi_source_takes_min(spark):
     srcs = spark.createDataFrame([(1,), (5,)], "node long")
     got = {r.node: r.dist for r in bfs_distances(und, srcs).collect()}
     assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_record_linkage_rejects_empty_inputs(spark):
+    """Empty block_on would silently cross-join (forbidden by contract);
+    empty rules has no score — both must raise loudly, not misbehave."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from re_data_pipeline_spark.operators.linkage import record_linkage
+
+    a = spark.createDataFrame([(1, "east")], "id_a long, a_region string")
+    b = spark.createDataFrame([(9, "east")], "id_b long, b_region string")
+    with pytest.raises(ValueError, match="block_on"):
+        record_linkage(a, b, block_on=[], rules=[(F.lit(True), 1)], threshold=1)
+    with pytest.raises(ValueError, match="rules"):
+        record_linkage(
+            a, b, block_on=[("a_region", "b_region")], rules=[], threshold=1
+        )

@@ -379,3 +379,50 @@ def test_prefix_filter_integer_ceiling(spark):
     cands = {(r.id_a, r.id_b) for r in
              prefix_filter_pairs(df2, threshold_num=4, threshold_den=5).collect()}
     assert (1, 3) in cands
+
+
+def test_prefix_filter_degradation_guard(spark):
+    """A fixed tiny vocabulary (every doc shares the same tokens) drives
+    candidate volume toward all-pairs; the guard must warn on 'warn' (result
+    unchanged), route to LSH on 'route', stay silent on 'off' and on a
+    healthy diverse corpus, and reject unknown modes."""
+    import warnings as w
+
+    import pytest
+
+    from re_data_pipeline_spark.operators.dedup import prefix_filter_pairs
+
+    # 40 docs over a 3-token vocabulary: est pairs ~ 40*39/2 >> cap*40
+    bad = spark.createDataFrame(
+        [(i, "aa bb cc") for i in range(40)], "doc_id long, text string"
+    )
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        pairs = prefix_filter_pairs(bad, cap_pairs_per_doc=4).collect()
+    assert any("degradation" in str(x.message) for x in rec)
+    assert len(pairs) == 40 * 39 // 2  # warn mode: result unchanged
+
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        routed = prefix_filter_pairs(bad, cap_pairs_per_doc=4, on_degradation="route")
+    assert any("Routing to lsh_candidate_pairs" in str(x.message) for x in rec)
+    # identical docs share every minhash band -> LSH still pairs them all
+    assert routed.count() == 40 * 39 // 2
+
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        prefix_filter_pairs(bad, cap_pairs_per_doc=4, on_degradation="off").collect()
+    assert not any("degradation" in str(x.message) for x in rec)
+
+    # diverse corpus (distinct tokens per doc): no warning under the default cap
+    good = spark.createDataFrame(
+        [(i, f"u{i}a u{i}b u{i}c u{i}d") for i in range(40)],
+        "doc_id long, text string",
+    )
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        assert prefix_filter_pairs(good).collect() == []
+    assert not any("degradation" in str(x.message) for x in rec)
+
+    with pytest.raises(ValueError, match="on_degradation"):
+        prefix_filter_pairs(bad, on_degradation="explode")

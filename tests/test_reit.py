@@ -140,3 +140,59 @@ def test_pymupdf_real_extraction(spark, tmp_path):
     rows = extract_pdf_pages(read_binary_dir(spark, str(tmp_path))).collect()
     assert len(rows) == 1 and rows[0].report_name == "real"
     assert "net income" in rows[0].page_text.lower()
+
+
+def test_pymupdf_equals_injected_extractor_contract(spark, tmp_path):
+    """EQUIVALENCE CONTRACT (runs whenever PyMuPDF is importable — CI
+    extra `pdf`): real PDFs whose pages carry known texts must flow
+    through ``extract_pdf_pages`` to the SAME (report_name, page_num)
+    rows — with matching page text modulo PyMuPDF's trailing layout
+    newline — as the sandbox's injected extractor emitting those texts,
+    so everything downstream (classification, LLM extraction) is proven
+    backend-agnostic, not just exercised on the fake."""
+    import pytest
+
+    fitz = pytest.importorskip("fitz")
+    from re_data_pipeline_spark.sources.pdf import extract_pdf_pages
+    from re_data_pipeline_spark.sources.registry import read_binary_dir
+
+    page_texts = {
+        "rpt-a": ["net income rose", "EBITDA stable"],
+        "rpt-b": ["total debt balance declined"],
+    }
+    real_dir = tmp_path / "real"
+    real_dir.mkdir()
+    for name, texts in page_texts.items():
+        doc = fitz.open()
+        for t in texts:
+            doc.new_page().insert_text((72, 72), t)
+        doc.save(str(real_dir / f"{name}.pdf"))
+        doc.close()
+
+    def injected_factory():
+        def extract(data: bytes) -> list[str]:
+            # keyed by content marker, mirroring the real fixture
+            key = bytes(data).decode()
+            return page_texts[key]
+
+        return extract
+
+    fake_dir = tmp_path / "fake"
+    fake_dir.mkdir()
+    for name in page_texts:
+        (fake_dir / f"{name}.pdf").write_bytes(name.encode())
+
+    def rows_of(df):
+        return {
+            (r.report_name, r.page_num, r.page_text.strip())
+            for r in df.collect()
+        }
+
+    real_rows = rows_of(extract_pdf_pages(read_binary_dir(spark, str(real_dir))))
+    fake_rows = rows_of(
+        extract_pdf_pages(
+            read_binary_dir(spark, str(fake_dir)), extractor_factory=injected_factory
+        )
+    )
+    assert real_rows == fake_rows
+    assert ("rpt-a", 1, "EBITDA stable") in real_rows

@@ -200,6 +200,11 @@ def test_mixture_allocation_division_boundary_exact(spark):
         base[d] += 1
     assert out == base
     assert sum(out.values()) == budget
+
+
+def test_grouped_split_no_leakage_and_deterministic(spark):
+    """grouped_split keeps every group on one side of the split and is
+    bit-stable across reruns (hash-of-group assignment, no RNG)."""
     from pyspark.sql import functions as F
 
     from re_data_pipeline_spark.operators.selection import grouped_split

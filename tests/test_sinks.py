@@ -112,3 +112,69 @@ def test_delta_sink_refuses_without_package(spark, sink_path):
         pytest.skip("delta installed; refusal path not applicable")
     with pytest.raises(ImportError, match="delta-spark not installed"):
         DeltaMergeSink(spark, sink_path, SCHEMA)
+
+
+@pytest.mark.skipif(not delta_available(), reason="delta-spark not installed")
+def test_delta_sink_equals_parquet_emulation(tmp_path):
+    """EQUIVALENCE CONTRACT (runs whenever delta-spark is importable —
+    CI extra `delta`): the SAME K2/K4 operation sequence through
+    DeltaMergeSink (real transactional MERGE) and ParquetAntiJoinSink
+    (the sandbox emulation) must yield identical table contents after
+    EVERY step — ON-CONFLICT-DO-NOTHING keeps the incumbent row on key
+    conflict (`combine_broker_listings.py:224-234`), archival delete
+    removes exactly the keys absent from the current feed
+    (`archive_delisted_properties.py:93-147`).  Subprocess for the same
+    session-isolation reason as test_delta_sink_merge_semantics."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        f"""
+        from delta import configure_spark_with_delta_pip
+        from pyspark.sql import SparkSession
+
+        from re_data_pipeline_spark.sinks import DeltaMergeSink, ParquetAntiJoinSink
+
+        builder = (
+            SparkSession.builder.appName("delta-equiv-test")
+            .master("local[4]")
+            .config("spark.sql.extensions",
+                    "io.delta.sql.DeltaSparkSessionExtension")
+            .config("spark.sql.catalog.spark_catalog",
+                    "org.apache.spark.sql.delta.catalog.DeltaCatalog")
+        )
+        dspark = configure_spark_with_delta_pip(builder).getOrCreate()
+        try:
+            schema = {SCHEMA!r}
+            delta_sink = DeltaMergeSink(dspark, {str(tmp_path / "d")!r}, schema)
+            pq_sink = ParquetAntiJoinSink(dspark, {str(tmp_path / "p")!r}, schema)
+            # K2 upsert x2 (second batch conflicts on k=1,2 with new values,
+            # brings k=4), K4 archival delete (current feed lacks k=2,4),
+            # K2 re-insert of an archived key
+            steps = [
+                ("upsert", [(1, "a"), (2, "b"), (3, "c")]),
+                ("upsert", [(1, "a2"), (2, "b2"), (4, "d")]),
+                ("delete_absent", [(1, "x"), (3, "x")]),
+                ("upsert", [(4, "d-back"), (3, "c2")]),
+            ]
+            for i, (op, rows) in enumerate(steps):
+                batch = dspark.createDataFrame(rows, schema)
+                getattr(delta_sink, op)(batch, ["k"])
+                getattr(pq_sink, op)(batch, ["k"])
+                dr = {{tuple(r) for r in delta_sink.read().collect()}}
+                pr = {{tuple(r) for r in pq_sink.read().collect()}}
+                assert dr == pr, (i, op, dr, pr)
+            assert dr == {{(1, "a"), (3, "c"), (4, "d-back")}}, dr
+        finally:
+            dspark.stop()
+        print("DELTA_EQUIV_OK")
+        """
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=600
+    )
+    assert proc.returncode == 0 and "DELTA_EQUIV_OK" in proc.stdout, (
+        proc.stdout,
+        proc.stderr,
+    )
