@@ -21,7 +21,14 @@ Each query also records a PLAN HASH (md5 of the formatted physical plan
 with exec-ids/locations/codegen-stage numbers normalized out): if a later
 round's timing moves but the plan hash is unchanged, the delta is host
 noise, not a plan regression — attributable mechanically, no wall-of-text
-diffing.  Set SPARK_GRAFT_BENCH_RUNS to override the run count.
+diffing.  Before printing, the hashes are DIFFED against the most recent
+recorded round (highest BENCH_r*.json in the repo root): every changed
+hash emits a `plan-change` warning line on stderr, so an unintended plan
+regression (a lost broadcast, a new shuffle, a pushdown that stopped
+firing) is flagged the moment it appears instead of surfacing as an
+unexplained timing drift a round later.  Intentional changes are expected
+to arrive with a commit that explains them.  Set SPARK_GRAFT_BENCH_RUNS
+to override the run count.
 """
 
 from __future__ import annotations
@@ -102,6 +109,40 @@ def plan_hash(df) -> str:
     return hashlib.md5(txt.encode("utf-8")).hexdigest()[:16]
 
 
+def prior_plan_hashes() -> tuple[str, dict[str, str]]:
+    """plan_hashes from the highest-numbered BENCH_r*.json next to this
+    file.  The driver stores the bench stdout tail as a string field, so
+    the dict is parsed out of the raw text rather than assuming the file
+    is itself the bench JSON line.  Returns ("", {}) when no prior round
+    (or no parseable hashes) exists."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    for path in reversed(files):
+        try:
+            raw = open(path).read()
+            i = raw.find("plan_hashes")
+            if i < 0:
+                continue
+            j = raw.index("{", i)
+            depth, k = 0, j
+            while True:
+                if raw[k] in "{}":
+                    depth += 1 if raw[k] == "{" else -1
+                    if depth == 0:
+                        break
+                k += 1
+            blob = raw[j : k + 1]
+            # the driver's tail field stores the line re-escaped ("\"q01\"")
+            if '\\"' in blob:
+                blob = blob.replace('\\"', '"')
+            return os.path.basename(path), json.loads(blob)
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+    return "", {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -131,6 +172,16 @@ def main() -> None:
             plans[name] = plan_hash(fn(spark, sf_dir))
         except Exception:
             plans[name] = "n/a"  # multi-job pipelines have no single plan
+
+    ref_file, prior = prior_plan_hashes()
+    for name, h in plans.items():
+        old = prior.get(name)
+        if old and h != "n/a" and old != "n/a" and h != old:
+            print(
+                f"plan-change: {name} {old} -> {h} (vs {ref_file}) — "
+                "verify intentional (new shuffle / lost broadcast / pushdown?)",
+                file=sys.stderr,
+            )
 
     total = round(sum(timings.values()), 3)
     print(

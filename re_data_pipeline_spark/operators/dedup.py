@@ -892,15 +892,25 @@ def prefix_filter_pairs(
     # ⌈(num/den)·sz⌉ in exact integer math; prefix = sz − ⌈t·sz⌉ + 1
     ceil_t = F.floor((F.lit(threshold_num) * sz + F.lit(threshold_den - 1)) / F.lit(threshold_den))
     prefix_len = (sz - ceil_t + F.lit(1)).cast("int")
-    pre = per_doc.select(
-        F.col(id_col),
-        F.explode(F.slice("keys", 1, prefix_len)).alias("k"),
-    ).select(id_col, F.col("k.tok").alias("tok"))
+    # Persisted: the self-join below reads `pre` from BOTH sides, and the
+    # degradation guard (when on) adds a third read — one materialization
+    # serves all of them (the prefix table is the (1−t)-fraction of the
+    # tokenized corpus, the smallest relation in this plan).
+    pre = (
+        per_doc.select(
+            F.col(id_col),
+            F.explode(F.slice("keys", 1, prefix_len)).alias("k"),
+        )
+        .select(id_col, F.col("k.tok").alias("tok"))
+        .persist()
+    )
     if on_degradation != "off":
-        # One map-combined aggregate over the prefix table: the estimate is
-        # EXACT for the pre-distinct candidate volume (Σ c·(c−1)/2 emitted
-        # rows), so an over-cap reading means the equi-join genuinely fans
-        # out toward all-pairs — not a heuristic false alarm.
+        # One map-combined aggregate over the (persisted) prefix table: the
+        # estimate is EXACT for the pre-distinct candidate volume
+        # (Σ c·(c−1)/2 emitted rows), so an over-cap reading means the
+        # equi-join genuinely fans out toward all-pairs — not a heuristic
+        # false alarm.  n_docs comes from the same cached table (every doc
+        # has ≥1 prefix token), not from a second lineage recompute.
         stats = (
             pre.groupBy("tok")
             .agg(F.count(F.lit(1)).alias("c"))
@@ -910,7 +920,7 @@ def prefix_filter_pairs(
             )
             .first()
         )
-        n_docs = per_doc.count()
+        n_docs = pre.select(id_col).distinct().count()
         est = int(stats["est_pairs"] or 0)
         if est > cap_pairs_per_doc * max(n_docs, 1):
             msg = (
@@ -922,11 +932,12 @@ def prefix_filter_pairs(
             )
             if on_degradation == "route":
                 warnings.warn(msg + " Routing to lsh_candidate_pairs.")
+                pre.unpersist()
                 return lsh_candidate_pairs(df, id_col=id_col, text_col=text_col)
             warnings.warn(msg)
     a = pre.alias("a")
     b = pre.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.tok") == F.col("b.tok"))
@@ -937,3 +948,5 @@ def prefix_filter_pairs(
         )
         .distinct()
     )
+    out._prefix_cache = pre  # release path for long-lived sessions
+    return out

@@ -4752,58 +4752,44 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-window registration order
 # ---------------------------------------------------------------------------
 # The correctness driver verifies the FIRST 50 registered queries, in order.
-# Round-6 rotation: (a) the 15 never-driver-checked queries (q141–q156
-# except q147, which anchored in r5) — after this window EVERY registered
-# query has had ≥1 green driver row; (b) q157 (new this round:
-# stream-stream LEFT OUTER timeout flush); (c) every query whose code or
-# oracle changed this round: the minhash lane-split family (q33/q34/q71/
-# q72/q82/q85/q107/q121/q125/q128 — new hash construction changes both
-# sides of those oracles; q128 additionally restructured to the
-# cluster-scoped window; q152 in (a) got the distributed frontier),
-# q129 (exact pmod division), q133 (NULL-safe salt + how validation);
-# (d) the remaining slots go to the queries whose last green driver row
-# is oldest — 9 r1 rows, then 6 r2 rows (bench-headline and e2e-pipeline
-# first).  The eight new-operator queries q157-q164 displaced r1-green
-# stock bodies (q08/q10/q49/q50/q51/q52/q61 + one fewer r1 slot), each
-# code-unchanged since its green row and several also exercised inside
-# anchored composites (salting via q133, URL fns via q109/q110 parity).
-# Everything rotated out is pinned by r1-r5 green rows with unchanged
+# Round-7 rotation targets the STALEST cumulative coverage (every query has
+# ≥1 green row since r6; the risk is code churn since an old row):
+# (a) all 8 queries whose last green driver row is round 1;
+# (b) all 27 whose last green row is round 2;
+# (c) every query whose code changed this round — the de-broadcast fixes
+#     (q96 TF-IDF, q153 prefix filter, q162 BPE encode, q151 co-occurrence),
+#     the q157 derived-sentinel fix, q152 (frontier persist), q163
+#     (linkage validation); q59's localCheckpoint change is already in (b);
+# (d) the remaining 8 slots go to the oldest round-4 rows, streaming/
+#     stateful-heaviest first (q44/q66/q70/q101 streaming family, q86 CDC,
+#     q94 funnel, q95 incremental agg, q105 weighted sample).
+# Everything rotated out holds a green r4-r6 driver row with unchanged
 # code, and tools/parity.py still verifies ALL registered queries every
-# session.
+# session.  Remaining r4 rows rotate in next round.
 
 DRIVER_WINDOW: list[str] = [
-    # (a) first driver anchor: the round-5 late additions
-    "q141_interval_lookup", "q142_transition_matrix", "q143_snapshot_diff",
-    "q144_scd1_merge", "q145_bm25_topk", "q146_countmin_sketch",
-    "q148_spatial_clusters", "q149_mad_outliers", "q150_sequence_pattern",
-    "q151_item_cooccurrence", "q152_skyline", "q153_prefix_filter_join",
-    "q154_index_merge", "q155_grouped_kfold", "q156_curation_v2",
-    # (b) new this round (q158-q162 displaced q08/q10/q52/q51/q61 — stock
-    # distinct/except/count-distinct/cube/salted-agg bodies, r1-green, code
-    # unchanged since; q61's salting technique stays anchored via q133)
-    "q157_stream_left_outer", "q158_stratified_sample",
-    "q159_triangle_count", "q160_epoch_shuffle", "q161_bpe_train", "q162_bpe_encode",
-    "q163_record_linkage", "q164_quota_sample", "q165_bfs_distances",
-    # (c) changed-code/oracle anchors: minhash lane family + advisory fixes
-    "q33_minhash_lsh", "q34_ngram_jaccard", "q71_near_dedup_pipeline",
-    "q72_curation_pipeline", "q82_connected_components", "q85_cluster_dedup",
-    "q107_incremental_dedup", "q121_cc_bigstar", "q125_span_dedup",
-    "q128_keep_best_dedup", "q129_domain_mixture", "q133_salted_join",
-    # (d) oldest driver rows: every remaining r1-green query …
-    "q03_broadcast_join_agg",
-    "q12_running_total", "q13_rollup", "q15_date_lookback",
-    "q17_regexp_extract", "q18_string_cleanup", "q28_sliding_window",
-    "q36_centroid_similarity",
-    # … then the oldest r2-green: bench headlines (q24/q27/q29/q57/q97)
-    # and the REIT e2e pipeline trace
-    "q24_collect_sorted", "q27_tumbling_window", "q29_session_window",
-    "q57_asof_join", "q97_sequence_packing", "q63_reit_pipeline",
+    # (a) last green row: round 1
+    "q08_distinct", "q10_except", "q39_grid_cell_assign", "q49_time_format",
+    "q50_url_parse", "q51_cube", "q52_count_distinct", "q61_salted_agg",
+    # (b) last green row: round 2
+    "q02_filter_project", "q05_anti_join", "q06_semi_join",
+    "q09_union_by_name", "q11_explode", "q16_date_parts", "q19_json_extract",
+    "q21_case_normalize", "q22_completeness_profile", "q23_enrichment_join",
+    "q25_upsert", "q26_archive_delisted", "q30_token_quality", "q31_lang_id",
+    "q32_fingerprint_dedup", "q37_chunking", "q40_simhash",
+    "q56_geocode_fallback", "q58_utm_project", "q59_json_glob_scan",
+    "q60_embedding_neardup", "q62_storeys_regex", "q98_pii_redaction",
+    "q99_interval_concurrency", "q114_grouping_sets", "q118_global_ordinals",
+    "q120_http_pushdown_scan",
+    # (c) code changed this round (de-broadcast / sentinel / persist fixes)
+    "q96_tfidf_top_terms", "q151_item_cooccurrence", "q152_skyline",
+    "q153_prefix_filter_join", "q157_stream_left_outer", "q162_bpe_encode",
+    "q163_record_linkage",
+    # (d) oldest round-4 rows, streaming/stateful-heaviest first
+    "q44_streaming_tumbling", "q66_state_flag_merge", "q70_stateful_stream",
+    "q101_streaming_sessions", "q86_cdc_latest", "q94_funnel",
+    "q95_incremental_aggregate", "q105_weighted_sample",
 ]
-# Still outside the 50-slot window this round (all parity-verified locally
-# each session; every one has a green r2 driver row with code unchanged
-# since): q02/q05/q06/q09/q11/q16/q19/q21/q22/q23/q25/q26/q30/q31/q32/q37/
-# q40/q56/q58/q59/q60/q62/q98/q99/q114/q118/q120 — they rotate back in r7
-# now that first-anchor obligations are cleared.
 
 
 # Window entries intentionally checked rows-only (non-SQL-expressible).
@@ -5775,7 +5761,13 @@ def q153_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
-    cands = prefix_filter_pairs(d, "doc_id", "text", threshold_num=4, threshold_den=5)
+    # on_degradation="off": the fixture corpus is a KNOWN fixed-vocabulary
+    # testbed on which the guard legitimately fires every run; the guard's
+    # detection logic is unit-tested (test_prefix_filter_degradation_guard)
+    # and stays the default ("warn") for real callers.
+    cands = prefix_filter_pairs(
+        d, "doc_id", "text", threshold_num=4, threshold_den=5, on_degradation="off"
+    )
     verified = jaccard_on_pairs(cands, d, "doc_id", "text", shingle_words=1)
     # both engines filter on the same double quotient: with set sizes
     # ≤ ~60, neighbouring ratios are ≥ 5e-5 apart — far beyond one ulp, so

@@ -119,14 +119,30 @@ CHECKS = [
     ),
     (
         "q96_tfidf_top_terms",
-        "TF-IDF: broadcast df re-join",
+        "TF-IDF: size-gated df re-join (no hint)",
         [
-            (r"BroadcastHashJoin", "vocabulary-sized df table broadcast"),
+            (r"BroadcastHashJoin", "df side broadcast at THIS scale — Catalyst's size-estimate choice"),
             (r"HashAggregate.*partial", "map-side partial tf/df counts"),
         ],
-        "The document-frequency table is vocabulary-sized (≪ corpus), so "
-        "re-joining idf onto the tf stream broadcasts; the corpus shuffles "
-        "only for the two aggs, both with map-side combine.",
+        "The df re-join carries NO broadcast hint (the term→df table is "
+        "vocabulary-sized and unbounded at 100 TB).  At test scale "
+        "Catalyst's size estimate is under autoBroadcastJoinThreshold, so "
+        "it broadcasts — the correct, size-bounded choice; the companion "
+        "check below proves the broadcast disappears when the gate closes, "
+        "i.e. nothing forces it.",
+    ),
+    (
+        "q96_tfidf_top_terms",
+        "TF-IDF: broadcast is gated, not forced",
+        [
+            (r"SortMergeJoin", "term join falls back to shuffle sort-merge when the size gate closes"),
+            (r"!BroadcastHashJoin", "no hint forces the vocabulary-sized df broadcast"),
+        ],
+        "With autoBroadcastJoinThreshold=-1 (simulating a df table too big "
+        "to broadcast — the 100 TB vocabulary case), the un-hinted term "
+        "join reverts to shuffle sort-merge.  Only the 1-row corpus-count "
+        "cross join keeps its explicit (bounded) broadcast hint.",
+        {"spark.sql.autoBroadcastJoinThreshold": "-1"},
     ),
     (
         "q100_contamination",
@@ -313,6 +329,32 @@ CHECKS = [
         "tokens (the (1−t) rarest fraction) are indexed and joined; exact "
         "Jaccard verifies candidates only.",
     ),
+    (
+        "q153_prefix_filter_join__nobcast",
+        "prefix-filter join: token-df rank join is gated, not forced",
+        [
+            (r"!BroadcastHashJoin", "no hint forces the vocabulary-sized token→df broadcast"),
+            (r"!CartesianProduct", "still no cross join with every broadcast disabled"),
+        ],
+        "With autoBroadcastJoinThreshold=-1 (the 100 TB vocabulary case), "
+        "every join in the body — the df rank-back join, the prefix "
+        "self-join, the Jaccard verify joins — runs as a shuffle join; no "
+        "relation in this plan carries a broadcast hint.",
+        {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    ),
+    (
+        "q162_bpe_encode",
+        "BPE encode: word-lookup join is gated, not forced",
+        [
+            (r"!BroadcastHashJoin", "no hint forces the word-vocabulary lookup broadcast"),
+            (r"HashAggregate.*partial", "per-doc token counts combine map-side"),
+        ],
+        "With autoBroadcastJoinThreshold=-1 (word vocabulary too big to "
+        "broadcast), the distinct-word→token-count lookup joins the word "
+        "stream as a shuffle join on `w` — the stream shuffles on `w` "
+        "either way, so the fallback adds no new asymptotic cost.",
+        {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    ),
 ]
 
 
@@ -336,17 +378,43 @@ def main() -> int:
         d = load_table(spark, sf_dir, "documents")
         return lsh_candidate_pairs(d, materialize=False)
 
-    overrides = {"q33_minhash_lsh": q33_lineage}
+    def q153_nobcast(spark, sf_dir):
+        # the default-conf q153 check above persists the prefix table;
+        # Spark's cache manager would serve its cached build plan (compiled
+        # WITH broadcasts) to this semantically-equal query, defeating the
+        # threshold override — rebuild from a cold cache
+        spark.catalog.clearCache()
+        return QUERIES["q153_prefix_filter_join"](spark, sf_dir)
+
+    overrides = {
+        "q33_minhash_lsh": q33_lineage,
+        "q153_prefix_filter_join__nobcast": q153_nobcast,
+    }
 
     failures = []
-    for name, title, patterns, scale_note in CHECKS:
-        df = overrides.get(name, QUERIES[name])(spark, sf_dir)
-        # trigger AQE finalization for cache/exchange visibility
-        df.write.format("noop").mode("overwrite").save()
-        plan = plan_of(df)
-        fmt = formatted(df)
+    for entry in CHECKS:
+        # optional 5th element: session confs pinned for THIS check only
+        # (e.g. autoBroadcastJoinThreshold=-1 to prove a join is size-gated
+        # rather than hint-forced), restored afterward
+        name, title, patterns, scale_note = entry[:4]
+        confs = entry[4] if len(entry) > 4 else {}
+        saved = {}
+        for k, v in confs.items():
+            saved[k] = spark.conf.get(k)
+            spark.conf.set(k, v)
+        try:
+            build = overrides[name] if name in overrides else QUERIES[name]
+            df = build(spark, sf_dir)
+            # trigger AQE finalization for cache/exchange visibility
+            df.write.format("noop").mode("overwrite").save()
+            plan = plan_of(df)
+            fmt = formatted(df)
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
         text = plan + "\n" + fmt
-        lines.append(f"## {name} — {title}\n")
+        suffix = f" [confs: {confs}]" if confs else ""
+        lines.append(f"## {name} — {title}{suffix}\n")
         ok_all = True
         for pat, desc in patterns:
             # leading "!" = NEGATIVE assertion (pattern must be absent)

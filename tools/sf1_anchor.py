@@ -1,0 +1,151 @@
+"""sf1 same-host anchor for the heavy operator family.
+
+BENCH_r*.json times the headline queries at sf0.1; the scale probe covers
+synthetic corpora to 50k docs.  This tool closes the gap between them: it
+runs the five heaviest BENCH queries — q71 near-dedup, q82 connected
+components, q128 keep-best dedup, q136 PageRank, q153 prefix-filter join —
+against an sf1-equivalent ``documents`` table (50k docs, 10× sf0.1) on the
+SAME host and records wall time + plan hash into SCALING.md, so later
+rounds can judge a 2× drift against a bigger-than-bench anchor instead of
+extrapolating.
+
+sf1 corpus construction (deterministic, replica suffixing): replica
+r ∈ 0..9 of the driver's sf0.1 documents with ``doc_id + 5000·r`` and every
+whitespace token suffixed ``r<r>`` (replica 0 keeps the original text, so
+sf0.1 is a strict subset).  Within a replica, lengths / token-frequency
+profile / near-dup structure are EXACTLY sf0.1's; across replicas, token
+sets are disjoint, so clusters multiply in COUNT (what a larger crawl
+does) rather than in size (what naive 10× duplication would do, which
+would quadratically inflate the dedup family's candidate pairs and measure
+a corpus that looks like nothing real).  Vocabulary grows 10× — the
+Heaps-law direction.
+
+q136's query body is subset-bounded (``doc_id < 100`` builds its graph),
+so its sf1 point measures fixed graph work plus a scan that grows with the
+table — it is the control row: large moves beyond scan growth mean the
+host, not a plan, moved.
+
+Usage: python tools/sf1_anchor.py        (~2-4 min; writes SCALING.md)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from bench import plan_hash
+from re_data_pipeline_spark.session import get_spark
+
+SF01_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPLICAS = 10
+HEAVY = [
+    "q71_near_dedup_pipeline",
+    "q82_connected_components",
+    "q128_keep_best_dedup",
+    "q136_pagerank",          # control: subset-bounded body, fixed work
+    "q153_prefix_filter_join",
+]
+
+
+def build_sf1_documents(spark, out_dir: str) -> int:
+    base = spark.read.parquet(os.path.join(SF01_DIR, "documents.parquet"))
+    n_base = base.count()
+    reps = []
+    for r in range(REPLICAS):
+        d = base
+        if r > 0:
+            suffixed = F.array_join(
+                F.transform(
+                    F.split(F.col("text"), r"\s+"),
+                    lambda w: F.concat(w, F.lit(f"r{r}")),
+                ),
+                " ",
+            )
+            d = d.withColumn("text", suffixed).withColumn(
+                "n_chars", F.length("text")
+            )
+        reps.append(
+            d.withColumn("doc_id", F.col("doc_id") + F.lit(r * n_base))
+        )
+    out = reps[0]
+    for d in reps[1:]:
+        out = out.unionByName(d)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+    return n_base * REPLICAS
+
+
+def main() -> int:
+    from re_data_pipeline_spark.plans.queries import QUERIES
+
+    spark = get_spark(app_name="sf1_anchor")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    stage = tempfile.mkdtemp(prefix="sf1_anchor_")
+    try:
+        n_docs = build_sf1_documents(spark, stage)
+        print(f"sf1 documents: {n_docs:,} docs at {stage}")
+
+        rows = []
+        for name in HEAVY:
+            fn = QUERIES[name]
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, stage).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            try:
+                ph = plan_hash(fn(spark, stage))
+            except Exception:
+                ph = "n/a"
+            rows.append((name, best, ph))
+            print(f"{name}: {best:.2f}s plan={ph}")
+
+        lines = [
+            "## sf1 anchor (tools/sf1_anchor.py)\n",
+            f"The five heaviest BENCH queries against an sf1-equivalent "
+            f"`documents` table ({n_docs:,} docs = 10 replica-suffixed "
+            "copies of sf0.1 — cluster COUNT scales, cluster size does "
+            "not; see the tool docstring), min of 2 noop-sink runs on "
+            "this host.  q136 is the control row: its GRAPH work is "
+            "subset-bounded (`doc_id < 100`), so only its scan grows "
+            "with sf.\n",
+            "| query | sf1 wall | plan hash |",
+            "|---|---|---|",
+        ]
+        for name, sec, ph in rows:
+            lines.append(f"| {name} | {sec:.2f}s | `{ph}` |")
+        section = "\n".join(lines) + "\n"
+
+        scaling_md = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "SCALING.md",
+        )
+        with open(scaling_md) as f:
+            txt = f.read()
+        marker = "## sf1 anchor"
+        if marker in txt:
+            head, _, tail = txt.partition(marker)
+            nxt = tail.find("\n## ")
+            rest = tail[nxt:] if nxt >= 0 else "\n"
+            txt = head + section + rest.lstrip("\n")
+        else:
+            txt = txt.rstrip() + "\n\n" + section
+        with open(scaling_md, "w") as f:
+            f.write(txt)
+        print("wrote SCALING.md §sf1 anchor")
+        return 0
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
