@@ -950,3 +950,85 @@ def prefix_filter_pairs(
     )
     out._prefix_cache = pre  # release path for long-lived sessions
     return out
+
+
+def simhash_radius_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+    radius: int = 3,
+    num_bands: int | None = None,
+) -> DataFrame:
+    """All pairs whose SimHash fingerprints are within Hamming distance
+    ``radius`` — EXACT (zero false negatives) via pigeonhole banding:
+    split the ``bits``-wide fingerprint into ``radius + 1`` contiguous
+    bands; any pair with ≤ ``radius`` differing bits must agree EXACTLY on
+    at least one band (r differences cannot touch r+1 bands), so an
+    equi-join on (band_idx, band_value) yields a candidate superset, and an
+    exact popcount-of-XOR verifies.  The multi-index pigeonhole principle
+    behind binary-code ANN (Norouzi et al.'s multi-index hashing) — the
+    deterministic complement of SRP-LSH the way ``prefix_filter_pairs``
+    complements MinHash-LSH.
+
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b`` and
+    ``hamming ≤ radius``.
+
+    Scale shape: fingerprints come from :func:`simhash` (one shuffle);
+    candidates from a band equi-join — Σ bucket² pairs, never all-pairs;
+    verification is row-local ``bit_count(a XOR b)``.  Band buckets skew
+    exactly when near-duplicate mass skews (same story as LSH bands) —
+    AQE skew-join handles hot buckets.  More bands than ``radius + 1``
+    narrows each band (bigger buckets, more candidates) and is only
+    correct if ``num_bands ≥ radius + 1``; fewer is rejected.
+    """
+    n_bands = num_bands if num_bands is not None else radius + 1
+    if n_bands < radius + 1:
+        raise ValueError(
+            f"num_bands must be ≥ radius + 1 for zero false negatives "
+            f"(pigeonhole); got num_bands={n_bands}, radius={radius}"
+        )
+    if n_bands > bits:
+        raise ValueError(f"num_bands={n_bands} exceeds bits={bits}")
+    fp = (
+        simhash(df.select(id_col, text_col), text_col, bits=bits)
+        .select(id_col, "simhash")
+        .where(F.col("simhash").isNotNull())
+    )
+    # contiguous band slices: band i covers bit offsets [i·w, min((i+1)·w, bits))
+    width = -(-bits // n_bands)  # ceil
+    band_rows = None
+    for i in range(n_bands):
+        lo = i * width
+        hi = min(lo + width, bits)
+        if lo >= bits:
+            break
+        val = F.shiftright(F.col("simhash"), lo).bitwiseAND(
+            F.lit((1 << (hi - lo)) - 1)
+        )
+        part = fp.select(
+            id_col, "simhash", F.lit(i).alias("__band"), val.alias("__bv")
+        )
+        band_rows = part if band_rows is None else band_rows.unionByName(part)
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__bv") == F.col("b.__bv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col("a.simhash").alias("__ha"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("b.simhash").alias("__hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    return (
+        cands.withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= radius)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -337,3 +337,95 @@ def quota_sample(
         .where(F.col("__rn") <= F.col("quota"))
         .drop("__rn", "quota")
     )
+
+
+def temperature_quotas(
+    df: DataFrame,
+    domain_col: str,
+    size_col: Column | str,
+    budget: int,
+    weight_scale: int = 10**6,
+) -> DataFrame:
+    """Temperature-flattened mixture quotas at T=2 (weights ∝ √size) —
+    the multilingual/low-resource up-weighting recipe (p_d ∝ n_d^α with
+    α = 1/T): raw proportional sampling starves small domains, √-scaling
+    moves budget toward them while preserving the size ordering.
+
+    Returns ``(domain, domain_size, weight, quota)`` with Σ quota =
+    ``budget`` exactly (largest-remainder apportionment over the scaled
+    weights, via :func:`mixture_allocation`'s exact decimal arithmetic).
+
+    Exactness across engines: α = 1/2 is the one non-trivial temperature
+    with a CROSS-ENGINE-EXACT float path — IEEE 754 requires sqrt to be
+    correctly rounded (unlike pow/exp/ln, which differ in final ulps
+    between libm implementations), so ``floor(sqrt(n)·scale)`` yields the
+    identical integer on Spark/JVM and DuckDB/C++ for any n < 2^53.
+    Other temperatures: pre-scale sizes yourself (``mixture_allocation``
+    accepts any size column) and accept engine-dependent last-ulp weights,
+    or use rational powers of 1/2 (n^(1/4) = sqrt∘sqrt, still exact).
+
+    Plan shape: one map-side-combined agg to |domains| rows; everything
+    after operates on domain-cardinality data (same 100 TB story as
+    ``mixture_allocation``).
+    """
+    s = F.col(size_col) if isinstance(size_col, str) else size_col
+    counts = df.groupBy(domain_col).agg(
+        F.sum(s).cast("decimal(38,0)").alias("__n")
+    )
+    w = F.floor(F.sqrt(F.col("__n").cast("double")) * F.lit(weight_scale)).cast(
+        "decimal(38,0)"
+    )
+    weighted = counts.withColumn("__w", w)
+    quotas = mixture_allocation(weighted, domain_col, "__w", budget).select(
+        domain_col,
+        F.col("domain_size").alias("weight"),
+        "quota",
+    )
+    return (
+        weighted.select(
+            domain_col, F.col("__n").cast("bigint").alias("domain_size")
+        )
+        .join(quotas, domain_col)
+        .select(domain_col, "domain_size", "weight", "quota")
+    )
+
+
+def snake_shards(
+    df: DataFrame,
+    size_col: Column | str,
+    num_shards: int,
+    order_tiebreak: list[Column | str] | None = None,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Assign rows to ``num_shards`` balanced shards by snake (boustrophedon)
+    distribution over the size-descending order — the deterministic,
+    fully-distributed cousin of longest-processing-time bin packing for
+    carving a corpus into per-worker training shards with near-equal token
+    budgets.
+
+    Rank rows by (size desc, tiebreak); row with 0-based ordinal ``o`` goes
+    to shard ``r`` if ``r < S`` else ``2S−1−r`` where ``r = o mod 2S``:
+    each full pass deals one large+one small row to every shard, so shard
+    totals differ by at most the largest item of the final pass — the
+    ~(1 + 1/pass-count) balance of LPT without LPT's sequential state.
+
+    Scale shape: the global order comes from ``assign_ordinals``
+    (operators/ids.py) — range partition + per-partition window + a
+    partition-count-sized offset exchange; NO single-partition sort stage.
+    The shard id is then pure row-local arithmetic.
+    """
+    from re_data_pipeline_spark.operators.ids import assign_ordinals
+
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be ≥ 1; got {num_shards}")
+    s = F.col(size_col) if isinstance(size_col, str) else size_col
+    order = [s.desc()] + [
+        (F.col(c) if isinstance(c, str) else c).asc()
+        for c in (order_tiebreak or [])
+    ]
+    o = assign_ordinals(df, order, "__ord")
+    r = F.pmod(F.col("__ord"), F.lit(2 * num_shards))
+    shard = F.when(r < num_shards, r).otherwise(F.lit(2 * num_shards - 1) - r)
+    out = o.withColumn(shard_col, shard.cast("int")).drop("__ord")
+    out._ordinal_cache = o._ordinal_cache
+    return out

@@ -4760,9 +4760,11 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     (q96 TF-IDF, q153 prefix filter, q162 BPE encode, q151 co-occurrence),
 #     the q157 derived-sentinel fix, q152 (frontier persist), q163
 #     (linkage validation); q59's localCheckpoint change is already in (b);
-# (d) the remaining 8 slots go to the oldest round-4 rows, streaming/
-#     stateful-heaviest first (q44/q66/q70/q101 streaming family, q86 CDC,
-#     q94 funnel, q95 incremental agg, q105 weighted sample).
+# (d) the next 5 slots go to the oldest round-4 rows, streaming/
+#     stateful-heaviest first (q44/q66/q70/q101 streaming family, q86 CDC);
+# (e) the final 3 slots anchor the queries NEW this round: q166
+#     temperature mixture, q167 simhash Hamming-radius pairs, q168 snake
+#     shard packing.
 # Everything rotated out holds a green r4-r6 driver row with unchanged
 # code, and tools/parity.py still verifies ALL registered queries every
 # session.  Remaining r4 rows rotate in next round.
@@ -4787,8 +4789,9 @@ DRIVER_WINDOW: list[str] = [
     "q163_record_linkage",
     # (d) oldest round-4 rows, streaming/stateful-heaviest first
     "q44_streaming_tumbling", "q66_state_flag_merge", "q70_stateful_stream",
-    "q101_streaming_sessions", "q86_cdc_latest", "q94_funnel",
-    "q95_incremental_aggregate", "q105_weighted_sample",
+    "q101_streaming_sessions", "q86_cdc_latest",
+    # (e) new this round
+    "q166_temperature_mixture", "q167_simhash_radius", "q168_snake_shards",
 ]
 
 
@@ -7069,3 +7072,139 @@ def q165_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources = n.where(F.col("n") % 97 == 0).select(F.col("n").alias("node"))
     out = bfs_distances(edges, sources, max_iterations=80)
     return out.select("node", F.col("dist").cast("int").alias("dist"))
+
+
+_Q166_BUDGET = 10_000
+_Q166_SCALE = 10**6
+
+
+@query(
+    "q166_temperature_mixture",
+    f"""
+    WITH c AS (
+      SELECT lang, SUM(len({_sql_tokens()}))::HUGEINT AS n
+      FROM documents GROUP BY lang
+    ), w AS (
+      SELECT lang, n,
+             CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * {_Q166_SCALE}) AS HUGEINT) AS w
+      FROM c
+    ), t AS (
+      SELECT SUM(w) AS t FROM w
+    ), q AS (
+      SELECT lang, n, w,
+             (w * {_Q166_BUDGET}) // t AS base,
+             (w * {_Q166_BUDGET}) % t AS rem
+      FROM w, t
+    ), l AS (
+      SELECT {_Q166_BUDGET} - SUM(base) AS leftover FROM q
+    ), r AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rk FROM q
+    )
+    SELECT lang, CAST(n AS BIGINT) AS domain_size, CAST(w AS BIGINT) AS weight,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota
+    FROM r, l
+    """,
+)
+def q166_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened domain mixture at T=2 (quota ∝ √tokens, exact
+    Hamilton apportionment) — the multilingual up-weighting recipe over the
+    per-language token counts; q129 is the same allocation at T=1.
+
+    √ is the one non-trivial temperature whose float path is cross-engine
+    exact (IEEE requires sqrt correctly rounded; pow/exp do not), so the
+    scaled weights — and therefore the full integer apportionment — are
+    bit-identical in Spark and DuckDB.  See
+    ``operators/selection.temperature_quotas``.
+    """
+    from re_data_pipeline_spark.operators.selection import temperature_quotas
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("__sz")
+    )
+    return temperature_quotas(
+        d, "lang", "__sz", _Q166_BUDGET, weight_scale=_Q166_SCALE
+    )
+
+
+_Q167_RADIUS = 6
+_Q167_BITS = 60
+_Q167_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv FROM tok
+), bits AS (
+  SELECT doc_id,
+         {', '.join(f"SUM(((hv >> {j}) & 1) * 2 - 1) AS b{j}" for j in range(_Q167_BITS))}
+  FROM h GROUP BY doc_id
+), fp AS (
+  SELECT doc_id,
+         ({' + '.join(f"CASE WHEN b{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(_Q167_BITS))})::BIGINT AS s
+  FROM bits
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.s, b.s)) <= {_Q167_RADIUS}
+"""
+
+
+@query("q167_simhash_radius", _Q167_SQL)
+def q167_simhash_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-radius search over SimHash fingerprints via pigeonhole
+    banding (multi-index hashing) — EXACT binary-code near-neighbor pairs
+    without an all-pairs comparison: radius+1 bands ⇒ every ≤radius pair
+    agrees exactly on some band, candidates come from a band equi-join,
+    popcount(XOR) verifies.  The oracle is brute-force all-pairs over the
+    same md5-derived fingerprints (q40's construction), so one false
+    negative from the banding — a wrong band slice, an off-by-one in the
+    bit arithmetic — hash-fails the query."""
+    from re_data_pipeline_spark.operators.dedup import simhash_radius_pairs
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return simhash_radius_pairs(
+        d, "doc_id", "text", bits=_Q167_BITS, radius=_Q167_RADIUS
+    )
+
+
+_Q168_SHARDS = 8
+
+
+@query(
+    "q168_snake_shards",
+    f"""
+    WITH s AS (
+      SELECT doc_id, CAST(len({_sql_tokens()}) AS BIGINT) AS n_tokens
+      FROM documents
+    ), o AS (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS o
+      FROM s
+    )
+    SELECT doc_id, n_tokens,
+           CAST(CASE WHEN o % {2 * _Q168_SHARDS} < {_Q168_SHARDS}
+                     THEN o % {2 * _Q168_SHARDS}
+                     ELSE {2 * _Q168_SHARDS - 1} - (o % {2 * _Q168_SHARDS})
+                END AS INT) AS shard
+    FROM o
+    """,
+)
+def q168_snake_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced training-shard assignment by snake distribution over the
+    token-count-descending order — deterministic distributed bin packing
+    for carving a corpus into per-worker shards with near-equal token
+    budgets.  The global ordinal comes from ``assign_ordinals`` (range
+    partition + per-partition window + partition-count-sized offset
+    exchange — no single-partition sort; same spine as q118/q160), so the
+    oracle's driver-side ROW_NUMBER is replicated without its
+    ``Exchange SinglePartition``."""
+    from re_data_pipeline_spark.operators.selection import snake_shards
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    return snake_shards(
+        d, "n_tokens", _Q168_SHARDS, order_tiebreak=["doc_id"]
+    ).select("doc_id", "n_tokens", "shard")

@@ -426,3 +426,39 @@ def test_prefix_filter_degradation_guard(spark):
 
     with pytest.raises(ValueError, match="on_degradation"):
         prefix_filter_pairs(bad, on_degradation="explode")
+
+
+def test_simhash_radius_pairs_complete_vs_bruteforce(spark):
+    """Pigeonhole banding must find EVERY pair within the radius (zero
+    false negatives) and nothing outside it — checked against brute-force
+    popcount over the same fingerprints; invalid band counts are
+    rejected."""
+    import itertools
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from re_data_pipeline_spark.operators.dedup import simhash, simhash_radius_pairs
+
+    # near-dup families (tail edits of shared bases) + unrelated docs
+    base_a = " ".join(f"w{i}" for i in range(40))
+    base_b = " ".join(f"v{i}" for i in range(40))
+    rows = [(0, base_a), (1, base_a + " x1"), (2, base_a + " x1 x2"),
+            (3, base_b), (4, base_b + " y1"), (5, "completely different words entirely"),
+            (6, base_a)]  # exact dup of 0 -> hamming 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    R = 6
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in simhash_radius_pairs(df, radius=R).collect()}
+
+    fps = {r.doc_id: r.simhash for r in simhash(df, "text").collect()}
+    truth = {}
+    for a, b in itertools.combinations(sorted(fps), 2):
+        d = bin(fps[a] ^ fps[b]).count("1")
+        if d <= R:
+            truth[(a, b)] = d
+    assert got == truth          # complete AND nothing extra, distances exact
+    assert got[(0, 6)] == 0      # the exact dup is found at distance 0
+
+    with pytest.raises(ValueError, match="num_bands"):
+        simhash_radius_pairs(df, radius=3, num_bands=3)

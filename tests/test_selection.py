@@ -311,3 +311,56 @@ def test_quota_sample_exact_budget_and_proportions(spark):
     # deterministic
     out2 = quota_sample(df, "lang", 10, "doc_id").collect()
     assert {r.doc_id for r in out} == {r.doc_id for r in out2}
+
+
+def test_temperature_quotas_exact_and_flattened(spark):
+    """Σ quota == budget exactly; √-scaling moves budget from the largest
+    domain toward the smallest versus T=1 proportional allocation; weights
+    match Python's math.isqrt-derived floor(sqrt(n)*1e6)."""
+    import math
+
+    from re_data_pipeline_spark.operators.selection import (
+        mixture_allocation,
+        temperature_quotas,
+    )
+
+    rows = [("big", 1_000_000), ("mid", 40_000), ("small", 2_500)]
+    df = spark.createDataFrame(rows, "domain string, n bigint")
+    budget = 9_999
+    out = {r.domain: r for r in temperature_quotas(df, "domain", "n", budget).collect()}
+    assert sum(r.quota for r in out.values()) == budget
+    for d, n in rows:
+        assert out[d].weight == math.floor(math.sqrt(n) * 1e6)
+        assert out[d].domain_size == n
+    t1 = {r.domain: r.quota for r in mixture_allocation(df, "domain", "n", budget).collect()}
+    assert out["big"].quota < t1["big"]       # largest domain gives up budget
+    assert out["small"].quota > t1["small"]   # smallest domain gains
+
+
+def test_snake_shards_balance_and_determinism(spark):
+    """Every row gets exactly one shard 0..S-1; shard token totals are
+    within one max-item of each other; assignment is bit-stable."""
+    from pyspark.sql import functions as F
+
+    from re_data_pipeline_spark.operators.selection import snake_shards
+
+    import pytest
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.pmod(F.col("id") * 37, F.lit(400)) + 1).alias("n")
+    )
+    S = 6
+    out = snake_shards(df, "n", S, order_tiebreak=["doc_id"])
+    rows = out.collect()
+    assert len(rows) == 1000 and {r.shard for r in rows} <= set(range(S))
+    totals = {}
+    for r in rows:
+        totals[r.shard] = totals.get(r.shard, 0) + r.n
+    assert len(totals) == S
+    assert max(totals.values()) - min(totals.values()) <= 400  # ≤ one max item
+    rows2 = snake_shards(df, "n", S, order_tiebreak=["doc_id"]).collect()
+    assert sorted((r.doc_id, r.shard) for r in rows) == sorted(
+        (r.doc_id, r.shard) for r in rows2
+    )
+    with pytest.raises(ValueError, match="num_shards"):
+        snake_shards(df, "n", 0)
