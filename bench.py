@@ -74,9 +74,11 @@ HEADLINE = [
     "q152_skyline",              # range-partitioned frontier scan
     "q153_prefix_filter_join",   # prefix-indexed exact Jaccard join
     "q161_bpe_train",            # iterative tokenizer merge loop
-    # round-7 additions: binary-code ANN and distributed shard packing
+    # round-7 additions: binary-code ANN, distributed shard packing, and
+    # the containment join (the heaviest of the new curation family)
     "q167_simhash_radius",       # pigeonhole band join + popcount verify
     "q168_snake_shards",         # global ordinals + snake arithmetic
+    "q169_containment_best",     # prefix-filtered containment + verify
 ]
 
 

@@ -1032,3 +1032,91 @@ def simhash_radius_pairs(
         .where(F.col("hamming") <= radius)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def containment_best(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """For each document, its best CONTAINER: the other document whose
+    token set covers the largest fraction of this document's tokens, kept
+    only when coverage ≥ ``threshold_num/threshold_den``.  Containment
+    C(a→b) = |T(a) ∩ T(b)| / |T(a)| (Broder's containment, the asymmetric
+    cousin of Jaccard) is what subset-duplication detection needs: a
+    quote, excerpt, or truncated crawl of a larger page scores near 1
+    against its source while Jaccard stays low.
+
+    Returns ``(doc_id, container_id, containment)`` — ``containment``
+    rounded to 6dp; best = max coverage, then min container id (exact
+    integer ordering on the intersection count, never float ranks).
+
+    EXACT, via the containment form of prefix filtering: order tokens
+    rarest-first (global df asc, token); if C(a→b) ≥ t then b must contain
+    one of a's first ``|a| − ⌈t·|a|⌉ + 1`` tokens — more misses than that
+    already violate the threshold.  So candidates come from an equi-join
+    of a's PREFIX tokens against the FULL token table (zero false
+    negatives), and the exact intersection count verifies.  Same no-hint
+    join discipline as ``prefix_filter_pairs``: the token-df table joins
+    without a broadcast hint (vocabulary-sized; AQE gates by measured
+    size).
+
+    Scale shape: shuffles are Σ tokens (df rank-back), Σ prefixes × df
+    (candidate join — the (1−t) rarest fraction against per-token
+    postings), and the candidate-pair intersection count.  Low-diversity
+    corpora degrade the same way ``prefix_filter_pairs`` documents —
+    bounded vocabularies make every prefix token common.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ordered = toks.join(dfreq, "tok").select(
+        id_col, F.struct(F.col("df"), F.col("tok")).alias("key")
+    )
+    per_doc = ordered.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("key")).alias("keys")
+    )
+    sz = F.size("keys")
+    ceil_t = F.floor(
+        (F.lit(threshold_num) * sz + F.lit(threshold_den - 1)) / F.lit(threshold_den)
+    )
+    prefix_len = (sz - ceil_t + F.lit(1)).cast("int")
+    pre = per_doc.select(
+        F.col(id_col).alias("id_a"),
+        sz.alias("__na"),
+        F.explode(F.slice("keys", 1, prefix_len)).alias("k"),
+    ).select("id_a", "__na", F.col("k.tok").alias("tok"))
+    full_b = toks.select(F.col(id_col).alias("id_b"), "tok")
+    cands = (
+        pre.join(full_b, "tok")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "__na", "id_b")
+        .distinct()
+    )
+    # exact |T(a) ∩ T(b)| per candidate: a's tokens matched against b's
+    ta = toks.select(F.col(id_col).alias("id_a"), "tok")
+    tb = toks.select(F.col(id_col).alias("id_b"), "tok")
+    inter = (
+        cands.join(ta, "id_a")
+        .join(tb, ["id_b", "tok"], "left_semi")
+        .groupBy("id_a", "__na", "id_b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    qual = inter.where(
+        F.col("__c") * F.lit(threshold_den) >= F.lit(threshold_num) * F.col("__na")
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("__c"), F.asc("id_b"))
+    return (
+        qual.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select(
+            F.col("id_a").alias(id_col),
+            F.col("id_b").alias("container_id"),
+            F.round(F.col("__c") / F.col("__na"), 6).alias("containment"),
+        )
+    )

@@ -1,0 +1,102 @@
+"""Corpus distribution-drift monitoring — token-distribution divergence
+between two snapshots.
+
+The reference re-crawls its sources on a schedule and diffs snapshots
+relationally (``archive_delisted_properties.py:93-147`` detects listings
+that vanished between pulls).  A training-data pipeline needs the
+DISTRIBUTIONAL version of the same check: when a crawl's token statistics
+move sharply against the previous snapshot — a site redesign, an encoding
+regression, a spam flood — downstream mixtures and quality filters silently
+skew.  Jensen–Shannon divergence per stratum is the standard drift score:
+symmetric, bounded [0, ln 2], zero iff identical distributions.
+
+Exactness: each token's contribution p·ln(p/m) is rounded to integer
+MICRO-nats before summing (the fixed-point trick of
+``selection.dsir_log_weights``) — integer sums are partition-order- and
+engine-independent, so the score replays bit-exactly in DuckDB despite ln.
+
+Scale shape: two map-combined token-count aggs (corpus → |vocab| rows per
+side), one full-outer equi-join on (stratum, token), one agg back to
+|strata| rows.  Nothing vocabulary-sized broadcasts; nothing bigger than
+Σ tokens shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from re_data_pipeline_spark.functions.text import tokens
+
+_FIXED = 10**6
+
+
+def token_js_divergence(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    stratum_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum Jensen–Shannon divergence between the token
+    distributions of snapshots ``df_a`` and ``df_b``.
+
+    Returns ``(stratum, n_tokens_a, n_tokens_b, js_micro, js)`` —
+    ``js_micro`` the exact integer micro-nat sum (the comparison-stable
+    form), ``js`` the same value in nats rounded to 6dp.  Disjoint
+    vocabularies score the maximum ln 2; a stratum present in only ONE
+    snapshot scores (ln 2)/2 — the present side's KL half is p·ln 2 per
+    token, and the empty side has no mass to contribute — a deliberate
+    convention (JS against a zero measure is undefined), chosen so "half
+    the signal is missing" reads as half the maximum score.
+    """
+
+    def counts(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(stratum_col).alias("__s"),
+                F.explode(tokens(F.col(text_col))).alias("__tok"),
+            )
+            .groupBy("__s", "__tok")
+            .agg(F.count(F.lit(1)).alias(f"__c{side}"))
+        )
+
+    ca, cb = counts(df_a, "a"), counts(df_b, "b")
+    joined = ca.join(cb, ["__s", "__tok"], "full_outer").select(
+        "__s",
+        "__tok",
+        F.coalesce("__ca", F.lit(0)).alias("__ca"),
+        F.coalesce("__cb", F.lit(0)).alias("__cb"),
+    )
+    tot = joined.groupBy("__s").agg(
+        F.sum("__ca").alias("__ta"), F.sum("__cb").alias("__tb")
+    )
+    x = joined.join(tot, "__s")
+    # p, q are per-token probabilities; m = (p+q)/2.  Terms with zero
+    # count contribute 0 to their own KL half (lim p→0 of p·ln(p/m) = 0).
+    # greatest(·,1) denominators: an all-empty side has count 0 anyway, so
+    # probabilities stay 0 instead of NULL and a one-sided stratum scores
+    # Σ p·ln(2) = ln 2 — the divergence against an empty distribution.
+    p = F.col("__ca") / F.greatest(F.col("__ta"), F.lit(1))
+    q = F.col("__cb") / F.greatest(F.col("__tb"), F.lit(1))
+    m = (p + q) / 2
+    term = (
+        F.when(F.col("__ca") > 0, p * F.log(p / m)).otherwise(F.lit(0.0)) / 2
+        + F.when(F.col("__cb") > 0, q * F.log(q / m)).otherwise(F.lit(0.0)) / 2
+    )
+    fixed = F.round(term * _FIXED, 0).cast("long")
+    return (
+        x.withColumn("__f", fixed)
+        .groupBy("__s")
+        .agg(
+            F.max("__ta").cast("bigint").alias("n_tokens_a"),
+            F.max("__tb").cast("bigint").alias("n_tokens_b"),
+            F.sum("__f").cast("bigint").alias("js_micro"),
+        )
+        .select(
+            F.col("__s").alias(stratum_col),
+            "n_tokens_a",
+            "n_tokens_b",
+            "js_micro",
+            F.round(F.col("js_micro") / float(_FIXED), 6).alias("js"),
+        )
+    )

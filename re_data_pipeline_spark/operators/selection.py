@@ -429,3 +429,94 @@ def snake_shards(
     out = o.withColumn(shard_col, shard.cast("int")).drop("__ord")
     out._ordinal_cache = o._ordinal_cache
     return out
+
+
+def char_bigram_nll(
+    train_df: DataFrame,
+    score_df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document average negative log-likelihood under a character-
+    bigram language model trained on ``train_df`` — the perplexity-style
+    quality filter of web-corpus curation (CCNet's LM filter, with the
+    KenLM swapped for the simplest model that is exactly replayable in
+    SQL): gibberish, encoding noise, and boilerplate score high NLL
+    against the corpus's own character statistics.
+
+    Returns ``(doc_id, n_bigrams, nll)`` where nll = mean −ln P(c₂|c₁)
+    in nats, Laplace-smoothed (P = (cnt(c₁c₂)+1)/(cnt(c₁·)+V), V =
+    distinct observed bigram-second characters).  Each bigram's log term
+    is rounded to integer MICRO-nats before the per-document sum (the
+    DSIR trick, ``dsir_log_weights``): integer sums are exact under any
+    partitioning and engine, where a float sum's result depends on
+    accumulation order.
+
+    ``score_df`` defaults to ``train_df`` (self-scoring); scoring a
+    different corpus left-joins the model and treats unseen bigrams with
+    the smoothed floor 1/(cnt(c₁·)+V) — cnt(c₁·) of an unseen context
+    is 0.
+
+    Scale shape: training is one explode + two map-combined aggs down to
+    |observed bigrams| rows (alphabet-bounded for alphabetic scripts,
+    corpus-bounded for ideographic ones — so the model joins back WITHOUT
+    a broadcast hint; AQE gates by measured size).  Scoring shuffles
+    Σ bigrams once for the join and once for the per-doc agg.
+    """
+    from re_data_pipeline_spark.functions.text import char_ngrams
+
+    if score_df is None:
+        score_df = train_df
+    grams = train_df.select(
+        F.explode(char_ngrams(F.col(text_col), 2, distinct=False)).alias("__g")
+    ).where(F.length("__g") == 2)
+    big = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__c2"))
+    ctx = big.groupBy(F.substring("__g", 1, 1).alias("__c1")).agg(
+        F.sum("__c2").alias("__cc")
+    )
+    v = big.agg(
+        F.count_distinct(F.substring("__g", 2, 1)).cast("double").alias("__v")
+    )
+    model = (
+        big.withColumn("__c1", F.substring("__g", 1, 1))
+        .join(ctx, "__c1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "__g",
+            F.round(
+                -F.log((F.col("__c2") + 1.0) / (F.col("__cc") + F.col("__v"))) * 1e6, 0
+            )
+            .cast("long")
+            .alias("__nll_fixed"),
+        )
+    )
+    doc_grams = score_df.select(
+        F.col(id_col),
+        F.explode(char_ngrams(F.col(text_col), 2, distinct=False)).alias("__g"),
+    ).where(F.length("__g") == 2)
+    floor_nll = (
+        ctx.crossJoin(F.broadcast(v))
+        .select(
+            F.substring(F.col("__c1"), 1, 1).alias("__c1f"),
+            F.round(F.log(F.col("__cc") + F.col("__v")) * 1e6, 0)
+            .cast("long")
+            .alias("__floor"),
+        )
+    )
+    scored = (
+        doc_grams.join(model, "__g", "left")
+        .withColumn("__c1", F.substring("__g", 1, 1))
+        .join(floor_nll, F.col("__c1") == F.col("__c1f"), "left")
+        .withColumn(
+            "__t",
+            F.coalesce(
+                F.col("__nll_fixed"),
+                F.col("__floor"),  # unseen bigram, seen context: −ln 1/(cc+V)
+                F.lit(0).cast("long"),  # unseen context: model has no opinion
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(F.sum("__t") / (F.count(F.lit(1)) * 1e6), 6).alias("nll"),
+    )

@@ -4760,11 +4760,13 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     (q96 TF-IDF, q153 prefix filter, q162 BPE encode, q151 co-occurrence),
 #     the q157 derived-sentinel fix, q152 (frontier persist), q163
 #     (linkage validation); q59's localCheckpoint change is already in (b);
-# (d) the next 5 slots go to the oldest round-4 rows, streaming/
-#     stateful-heaviest first (q44/q66/q70/q101 streaming family, q86 CDC);
-# (e) the final 3 slots anchor the queries NEW this round: q166
-#     temperature mixture, q167 simhash Hamming-radius pairs, q168 snake
-#     shard packing.
+# (d) the next 2 slots go to the oldest round-4 rows, streaming/
+#     stateful-heaviest first (q44/q66);
+# (e) the final 6 slots anchor the queries NEW this round (never
+#     driver-checked, so they outrank r4-green rows): q166 temperature
+#     mixture, q167 simhash Hamming-radius pairs, q168 snake shard
+#     packing, q169 containment join, q170 char-LM quality, q171 token
+#     drift.
 # Everything rotated out holds a green r4-r6 driver row with unchanged
 # code, and tools/parity.py still verifies ALL registered queries every
 # session.  Remaining r4 rows rotate in next round.
@@ -4788,10 +4790,10 @@ DRIVER_WINDOW: list[str] = [
     "q153_prefix_filter_join", "q157_stream_left_outer", "q162_bpe_encode",
     "q163_record_linkage",
     # (d) oldest round-4 rows, streaming/stateful-heaviest first
-    "q44_streaming_tumbling", "q66_state_flag_merge", "q70_stateful_stream",
-    "q101_streaming_sessions", "q86_cdc_latest",
+    "q44_streaming_tumbling", "q66_state_flag_merge",
     # (e) new this round
     "q166_temperature_mixture", "q167_simhash_radius", "q168_snake_shards",
+    "q169_containment_best", "q170_char_lm_quality", "q171_token_drift",
 ]
 
 
@@ -7208,3 +7210,133 @@ def q168_snake_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snake_shards(
         d, "n_tokens", _Q168_SHARDS, order_tiebreak=["doc_id"]
     ).select("doc_id", "n_tokens", "shard")
+
+
+@query(
+    "q169_containment_best",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct({_sql_tokens()})) AS t FROM documents
+    ), sz AS (
+      SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+      FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    ), q AS (
+      SELECT ia, ib, c, n FROM inter JOIN sz ON sz.doc_id = ia
+      WHERE c * 10 >= 9 * n
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY ia ORDER BY c DESC, ib) AS rk
+      FROM q
+    )
+    SELECT ia AS doc_id, ib AS container_id, ROUND(c * 1.0 / n, 6) AS containment
+    FROM r WHERE rk = 1
+    """,
+)
+def q169_containment_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-container detection via Broder containment ≥ 0.9 — the
+    subset-duplication check (excerpts/truncated crawls score ~1 against
+    their source while Jaccard stays low).  Candidates come from the
+    containment form of prefix filtering (a's rarest-prefix tokens joined
+    against the full token table — zero false negatives); the oracle is
+    brute-force all-pairs intersection counts, so a single missed
+    candidate hash-fails the query."""
+    from re_data_pipeline_spark.operators.dedup import containment_best
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return containment_best(d, "doc_id", "text", threshold_num=9, threshold_den=10)
+
+
+@query(
+    "q170_char_lm_quality",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(text)),
+                                   i -> substr(text, i::INT, 2))) AS g
+      FROM documents WHERE len(text) >= 2
+    ), gg AS (
+      SELECT g, count(*) AS c2 FROM g GROUP BY g
+    ), ctx AS (
+      SELECT substr(g, 1, 1) AS c1, SUM(c2) AS cc FROM gg GROUP BY 1
+    ), v AS (
+      SELECT count(DISTINCT substr(g, 2, 1)) AS v FROM gg
+    ), model AS (
+      SELECT g, CAST(round(-ln((c2 + 1.0) / (cc + v)) * 1000000, 0) AS BIGINT) AS f
+      FROM gg JOIN ctx ON substr(gg.g, 1, 1) = ctx.c1 CROSS JOIN v
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           ROUND(SUM(f) / (count(*) * 1000000.0), 6) AS nll
+    FROM g JOIN model USING (g) GROUP BY doc_id
+    """,
+)
+def q170_char_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram LM perplexity filter (CCNet-style quality scoring
+    with the simplest exactly-replayable model): per-document mean NLL in
+    nats against the corpus's own Laplace-smoothed character statistics.
+    Each bigram's log term is fixed-pointed to integer micro-nats before
+    the per-document sum (the DSIR trick), so the float-summation order
+    can never flip the hash."""
+    from re_data_pipeline_spark.operators.selection import char_bigram_nll
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return char_bigram_nll(d)
+
+
+@query(
+    "q171_token_drift",
+    """
+    WITH ca AS (
+      SELECT lang AS s, t AS tok, count(*) AS ca
+      FROM (SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS t
+            FROM documents WHERE doc_id % 2 = 0)
+      GROUP BY 1, 2
+    ), cb AS (
+      SELECT lang AS s, t AS tok, count(*) AS cb
+      FROM (SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS t
+            FROM documents WHERE doc_id % 2 = 1)
+      GROUP BY 1, 2
+    ), j AS (
+      SELECT COALESCE(ca.s, cb.s) AS s, COALESCE(ca.tok, cb.tok) AS tok,
+             COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+      FROM ca FULL OUTER JOIN cb ON ca.s = cb.s AND ca.tok = cb.tok
+    ), tot AS (
+      SELECT s, SUM(ca) AS ta, SUM(cb) AS tb FROM j GROUP BY s
+    ), terms AS (
+      SELECT j.s, j.ca, j.cb, tot.ta, tot.tb,
+             CAST(round((
+               CASE WHEN j.ca > 0 THEN (j.ca * 1.0 / GREATEST(tot.ta, 1))
+                 * ln((j.ca * 1.0 / GREATEST(tot.ta, 1)) /
+                      (((j.ca * 1.0 / GREATEST(tot.ta, 1)) + (j.cb * 1.0 / GREATEST(tot.tb, 1))) / 2))
+                 ELSE 0 END / 2
+               +
+               CASE WHEN j.cb > 0 THEN (j.cb * 1.0 / GREATEST(tot.tb, 1))
+                 * ln((j.cb * 1.0 / GREATEST(tot.tb, 1)) /
+                      (((j.ca * 1.0 / GREATEST(tot.ta, 1)) + (j.cb * 1.0 / GREATEST(tot.tb, 1))) / 2))
+                 ELSE 0 END / 2
+             ) * 1000000, 0) AS BIGINT) AS f
+      FROM j JOIN tot ON j.s = tot.s
+    )
+    SELECT s AS lang, CAST(MAX(ta) AS BIGINT) AS n_tokens_a,
+           CAST(MAX(tb) AS BIGINT) AS n_tokens_b,
+           CAST(SUM(f) AS BIGINT) AS js_micro,
+           ROUND(SUM(f) / 1000000.0, 6) AS js
+    FROM terms GROUP BY s
+    """,
+)
+def q171_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot distribution-drift monitoring: per-language Jensen–Shannon
+    divergence between the token distributions of two corpus snapshots
+    (even/odd doc split stands in for consecutive crawls — the reference
+    diffs snapshots relationally in archive_delisted_properties.py:93-147;
+    this is the distributional version).  Token-level terms are
+    fixed-pointed to micro-nats before the integer sum, so the score is
+    partition-order- and engine-exact."""
+    from re_data_pipeline_spark.operators.drift import token_js_divergence
+
+    d = load_table(spark, sf_dir, "documents")
+    a = d.where(F.col("doc_id") % 2 == 0)
+    b = d.where(F.col("doc_id") % 2 == 1)
+    return token_js_divergence(a, b, "lang")

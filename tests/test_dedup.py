@@ -462,3 +462,24 @@ def test_simhash_radius_pairs_complete_vs_bruteforce(spark):
 
     with pytest.raises(ValueError, match="num_bands"):
         simhash_radius_pairs(df, radius=3, num_bands=3)
+
+
+def test_containment_best_finds_source_of_excerpt(spark):
+    """An excerpt (all tokens ⊂ source) scores containment 1.0 against its
+    source even though Jaccard is low; best container = max coverage with
+    min-id tiebreak; sub-threshold docs emit nothing."""
+    from re_data_pipeline_spark.operators.dedup import containment_best
+
+    src = " ".join(f"w{i}" for i in range(30))
+    rows = [
+        (1, src),                                        # the source
+        (2, " ".join(f"w{i}" for i in range(10))),       # excerpt of 1 (C=1.0)
+        (3, src),                                        # duplicate source
+        (4, "q0 q1 q2 q3 q4 q5 q6 q7 q8 q9"),            # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in containment_best(df).collect()}
+    assert got[2].container_id == 1 and got[2].containment == 1.0  # tie -> min id
+    assert got[1].container_id == 3 and got[1].containment == 1.0
+    assert got[3].container_id == 1 and got[3].containment == 1.0
+    assert 4 not in got  # nothing covers ≥ 90% of doc 4

@@ -1,0 +1,42 @@
+"""token_js_divergence drift-score tests."""
+
+from __future__ import annotations
+
+import math
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+
+
+def test_js_zero_for_identical_distributions(spark):
+    a = _docs(spark, [(1, "en", "x y z x"), (2, "en", "x y")])
+    b = _docs(spark, [(3, "en", "x x x y y z")])  # same relative frequencies
+    from re_data_pipeline_spark.operators.drift import token_js_divergence
+
+    out = token_js_divergence(a, b, "lang").collect()
+    assert len(out) == 1 and out[0].js_micro == 0 and out[0].js == 0.0
+
+
+def test_js_ln2_for_disjoint_and_one_sided(spark):
+    from re_data_pipeline_spark.operators.drift import token_js_divergence
+
+    a = _docs(spark, [(1, "en", "aa bb cc"), (2, "xx", "only here")])
+    b = _docs(spark, [(3, "en", "dd ee ff")])
+    out = {r.lang: r for r in token_js_divergence(a, b, "lang").collect()}
+    ln2 = math.log(2)
+    # disjoint vocabularies -> JS = ln 2 (up to per-term micro rounding)
+    assert abs(out["en"].js - ln2) < 1e-5
+    # stratum present only in snapshot A -> (ln 2)/2 by convention: the
+    # present side's KL half is p*ln2 per token, the empty side has no mass
+    assert out["xx"].n_tokens_b == 0 and abs(out["xx"].js - ln2 / 2) < 1e-5
+
+
+def test_js_detects_moderate_shift(spark):
+    from re_data_pipeline_spark.operators.drift import token_js_divergence
+
+    a = _docs(spark, [(1, "en", "x " * 90 + "y " * 10)])
+    b = _docs(spark, [(2, "en", "x " * 60 + "y " * 40)])
+    out = token_js_divergence(a, b, "lang").collect()[0]
+    assert 0 < out.js < math.log(2)
+    assert out.n_tokens_a == 100 and out.n_tokens_b == 100

@@ -364,3 +364,34 @@ def test_snake_shards_balance_and_determinism(spark):
     )
     with pytest.raises(ValueError, match="num_shards"):
         snake_shards(df, "n", 0)
+
+
+def test_char_bigram_nll_ranks_gibberish_above_clean(spark):
+    """Docs made of the corpus's common bigrams score lower NLL than a doc
+    of rare character transitions; n_bigrams = len(text) − 1."""
+    from re_data_pipeline_spark.operators.selection import char_bigram_nll
+
+    common = "the cat sat on the mat and the rat ate the hat "
+    rows = [(i, common * 3) for i in range(8)] + [(99, "zqxj kvwq zzqx jxqv pzkq")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in char_bigram_nll(df).collect()}
+    assert out[99].nll > out[0].nll * 1.5
+    for i, text in rows:
+        assert out[i].n_bigrams == len(text) - 1
+
+
+def test_char_bigram_nll_scores_unseen_text(spark):
+    """Scoring a different corpus: unseen bigram with a seen context takes
+    the smoothed floor ln(cc+V); a wholly unseen context contributes 0."""
+    from re_data_pipeline_spark.operators.selection import char_bigram_nll
+
+    train = spark.createDataFrame([(1, "abab")], "doc_id long, text string")
+    # train bigrams: ab(2), ba(1); contexts a->2, b->1; V (2nd chars) = {a,b} -> 2
+    score = spark.createDataFrame([(7, "aXq")], "doc_id long, text string")
+    out = char_bigram_nll(train, score).collect()
+    assert len(out) == 1 and out[0].n_bigrams == 2
+    import math
+    # "aX": context 'a' seen (cc=2), bigram unseen -> floor ln(2+2)
+    # "Xq": context 'X' unseen -> 0
+    expected = round(round(math.log(4) * 1e6) / (2 * 1e6), 6)
+    assert out[0].nll == expected
