@@ -892,25 +892,25 @@ def prefix_filter_pairs(
     # ⌈(num/den)·sz⌉ in exact integer math; prefix = sz − ⌈t·sz⌉ + 1
     ceil_t = F.floor((F.lit(threshold_num) * sz + F.lit(threshold_den - 1)) / F.lit(threshold_den))
     prefix_len = (sz - ceil_t + F.lit(1)).cast("int")
-    # Persisted: the self-join below reads `pre` from BOTH sides, and the
-    # degradation guard (when on) adds a third read — one materialization
-    # serves all of them (the prefix table is the (1−t)-fraction of the
-    # tokenized corpus, the smallest relation in this plan).
-    pre = (
-        per_doc.select(
-            F.col(id_col),
-            F.explode(F.slice("keys", 1, prefix_len)).alias("k"),
-        )
-        .select(id_col, F.col("k.tok").alias("tok"))
-        .persist()
-    )
+    # NOT persisted, deliberately (measured): the self-join reads `pre`
+    # from both sides, but both references are the identical plan subtree,
+    # so ReuseExchange computes it once — while a .persist() here forces an
+    # InMemoryRelation that blocks AQE's runtime re-planning of the join
+    # and adds cache-store cost (measured 4.6-17 s vs 2.9 s for q153 at
+    # sf0.1).  The guard (when on) recomputes the lineage once for its
+    # estimate — one extra pass over the smallest relation in this plan.
+    pre = per_doc.select(
+        F.col(id_col),
+        F.explode(F.slice("keys", 1, prefix_len)).alias("k"),
+    ).select(id_col, F.col("k.tok").alias("tok"))
     if on_degradation != "off":
-        # One map-combined aggregate over the (persisted) prefix table: the
-        # estimate is EXACT for the pre-distinct candidate volume
-        # (Σ c·(c−1)/2 emitted rows), so an over-cap reading means the
-        # equi-join genuinely fans out toward all-pairs — not a heuristic
-        # false alarm.  n_docs comes from the same cached table (every doc
-        # has ≥1 prefix token), not from a second lineage recompute.
+        # One map-combined aggregate over the prefix table: the estimate is
+        # EXACT for the pre-distinct candidate volume (Σ c·(c−1)/2 emitted
+        # rows), so an over-cap reading means the equi-join genuinely fans
+        # out toward all-pairs — not a heuristic false alarm.  n_docs is a
+        # distinct-count of the same relation (every doc has ≥1 prefix
+        # token); the two guard actions recompute the prefix lineage — the
+        # documented cost of leaving the guard on.
         stats = (
             pre.groupBy("tok")
             .agg(F.count(F.lit(1)).alias("c"))
@@ -932,7 +932,6 @@ def prefix_filter_pairs(
             )
             if on_degradation == "route":
                 warnings.warn(msg + " Routing to lsh_candidate_pairs.")
-                pre.unpersist()
                 return lsh_candidate_pairs(df, id_col=id_col, text_col=text_col)
             warnings.warn(msg)
     a = pre.alias("a")
@@ -948,7 +947,6 @@ def prefix_filter_pairs(
         )
         .distinct()
     )
-    out._prefix_cache = pre  # release path for long-lived sessions
     return out
 
 

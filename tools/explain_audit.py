@@ -343,6 +343,20 @@ CHECKS = [
         {"spark.sql.autoBroadcastJoinThreshold": "-1"},
     ),
     (
+        "q169_containment_best",
+        "containment join: prefix-vs-full equi-join, never all-pairs, no vocab broadcast",
+        [
+            (r"!CartesianProduct", "no cross join despite exact containment semantics"),
+            (r"!BroadcastHashJoin", "no hint forces the vocabulary-sized token-df broadcast"),
+            (r"WindowGroupLimit|Window", "best-container rank window on exact integer counts"),
+        ],
+        "Candidates come from a's rarest-prefix tokens equi-joined against "
+        "the full token table (zero false negatives by the containment "
+        "prefix rule); with autoBroadcastJoinThreshold=-1 every join is a "
+        "shuffle join — nothing in the body carries a broadcast hint.",
+        {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    ),
+    (
         "q162_bpe_encode",
         "BPE encode: word-lookup join is gated, not forced",
         [
@@ -379,10 +393,10 @@ def main() -> int:
         return lsh_candidate_pairs(d, materialize=False)
 
     def q153_nobcast(spark, sf_dir):
-        # the default-conf q153 check above persists the prefix table;
-        # Spark's cache manager would serve its cached build plan (compiled
-        # WITH broadcasts) to this semantically-equal query, defeating the
-        # threshold override — rebuild from a cold cache
+        # defensive: if any earlier check cached a semantically-equal
+        # subtree, the cache manager would serve its build plan (compiled
+        # under default confs, WITH broadcasts) and defeat the threshold
+        # override — rebuild from a cold cache
         spark.catalog.clearCache()
         return QUERIES["q153_prefix_filter_join"](spark, sf_dir)
 
