@@ -993,21 +993,33 @@ def simhash_radius_pairs(
         .select(id_col, "simhash")
         .where(F.col("simhash").isNotNull())
     )
-    # contiguous band slices: band i covers bit offsets [i·w, min((i+1)·w, bits))
+    # contiguous band slices: band i covers bit offsets [i·w, min((i+1)·w, bits)).
+    # ONE explode of a per-row struct array (the lsh_bands shape), not an
+    # n_bands-way union — a union would replay the fingerprint aggregation's
+    # post-shuffle work once per band branch.
     width = -(-bits // n_bands)  # ceil
-    band_rows = None
+    entries = []
     for i in range(n_bands):
         lo = i * width
         hi = min(lo + width, bits)
         if lo >= bits:
             break
-        val = F.shiftright(F.col("simhash"), lo).bitwiseAND(
-            F.lit((1 << (hi - lo)) - 1)
+        entries.append(
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("simhash"), lo)
+                .bitwiseAND(F.lit((1 << (hi - lo)) - 1))
+                .alias("bv"),
+            )
         )
-        part = fp.select(
-            id_col, "simhash", F.lit(i).alias("__band"), val.alias("__bv")
-        )
-        band_rows = part if band_rows is None else band_rows.unionByName(part)
+    band_rows = fp.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*entries)).alias("__e")
+    ).select(
+        id_col,
+        "simhash",
+        F.col("__e.band").alias("__band"),
+        F.col("__e.bv").alias("__bv"),
+    )
     a, b = band_rows.alias("a"), band_rows.alias("b")
     cands = (
         a.join(
