@@ -103,3 +103,80 @@ def merge_inverted_indexes(
         )
         .select("term", "df", "postings")
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 3,
+) -> DataFrame:
+    """Top-``top_k`` collocations per left word by pointwise mutual
+    information over ADJACENT word pairs — the classic collocation /
+    phrase-mining statistic ("New York", "machine learning") that phrase
+    detectors and tokenizer pre-segmentation both build on.
+
+    PMI is computed entirely within the bigram event space (self-
+    normalized): PMI(w₁,w₂) = ln(c₁₂·N / (c₁•·c•₂)) with c₁• / c•₂ the
+    left-/right-position marginals and N the total bigram count — every
+    statistic derives from one bigram-count table, so no unigram pass and
+    no cross-space normalization subtleties.  Scores are fixed-pointed to
+    integer micro-nats (``pmi_micro``) and RANKED on that integer (then
+    the right word) — float ties can never reorder the top-k across
+    engines.  Pairs below ``min_count`` are dropped before scoring (rare
+    pairs have unboundedly noisy PMI — standard practice).
+
+    Returns ``(w1, w2, n_12, pmi_micro, pmi, rnk)``.
+
+    Scale shape: one explode to the bigram stream → map-combined
+    (w₁,w₂) agg → two marginal aggs of the PAIR table (vocabulary-sized,
+    not corpus-sized) → joins back on w₁/w₂ WITHOUT broadcast hints
+    (marginals are vocabulary-sized and grow with the corpus — AQE gates
+    by measured size) → per-w₁ rank window.
+    """
+    from re_data_pipeline_spark.functions.text import word_shingles_of
+
+    toks = df.select(tokens(F.col(text_col)).alias("__toks"))
+    pairs = (
+        toks.select(F.explode(word_shingles_of(F.col("__toks"), 2, distinct=False)).alias("__sh"))
+        .where(F.size(F.split(F.col("__sh"), " ")) == 2)
+        .select(
+            F.split(F.col("__sh"), " ")[0].alias("w1"),
+            F.split(F.col("__sh"), " ")[1].alias("w2"),
+        )
+    )
+    cb = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_12"))
+    left = cb.groupBy("w1").agg(F.sum("n_12").alias("__c1"))
+    right = cb.groupBy("w2").agg(F.sum("n_12").alias("__c2"))
+    n = cb.agg(F.sum("n_12").alias("__n"))
+    scored = (
+        cb.where(F.col("n_12") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            # double-space the ratio BEFORE multiplying: long·long would
+            # silently overflow at corpus scale (N ~ 1e13 bigrams at
+            # 100 TB); ln() is float anyway and both engines divide doubles
+            # identically (IEEE / is correctly rounded)
+            "pmi_micro",
+            F.round(
+                F.log(
+                    (F.col("n_12").cast("double") * F.col("__n").cast("double"))
+                    / (F.col("__c1").cast("double") * F.col("__c2").cast("double"))
+                )
+                * 1_000_000,
+                0,
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("w1").orderBy(F.desc("pmi_micro"), F.asc("w2"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= top_k)
+        .select(
+            "w1", "w2", "n_12", "pmi_micro",
+            F.round(F.col("pmi_micro") / 1_000_000.0, 6).alias("pmi"),
+            "rnk",
+        )
+    )

@@ -476,3 +476,59 @@ def pq_adc_topk(
         .orderBy(F.asc(score_col), *tiebreak)
         .limit(topk)
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 60,
+    top_n: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of retrieval result lists — the standard
+    hybrid-search combiner (lexical BM25 + dense ANN, or any N rankers):
+    score(d) = Σ_lists 1/(k + rank_list(d)), k=60 per Cormack et al.
+    Robust to incomparable score scales because only RANKS enter.
+
+    Each input frame must carry ``(id_col, rank)`` with rank ≥ 1 — the
+    top-N output of a retriever, so inputs are candidate-list-sized, not
+    corpus-sized.  Contributions are fixed-pointed to integer NANO units
+    (round(1e9/(k+rank)) — IEEE division then half-up rounding, identical
+    in any engine) and summed as integers, so fusion order and float
+    accumulation can never flip a result; ties break on the id.  A
+    document absent from a list contributes 0 for it (union semantics —
+    no outer-join NULL handling to get wrong).
+
+    Returns ``(id, rrf_nano, rrf, n_lists, rnk)`` for the global top
+    ``top_n``.
+
+    Scale note: the fusion input is Σ|lists| rows (bounded by retriever
+    top-Ns); the only ordering is a TakeOrdered top-n over that bounded
+    set — fusing is never a corpus-scale operation.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse: rankings must be non-empty")
+    tagged = [
+        r.select(
+            F.col(id_col),
+            F.round(F.lit(float(10**9)) / (F.lit(k) + F.col("rank")), 0)
+            .cast("long")
+            .alias("__c"),
+        )
+        for r in rankings
+    ]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    fused = u.groupBy(id_col).agg(
+        F.sum("__c").cast("long").alias("rrf_nano"),
+        F.count(F.lit(1)).cast("int").alias("n_lists"),
+    )
+    out = fused.orderBy(F.desc("rrf_nano"), F.asc(id_col)).limit(top_n)
+    w = Window.orderBy(F.desc("rrf_nano"), F.asc(id_col))
+    return out.withColumn("rnk", F.row_number().over(w).cast("int")).select(
+        id_col,
+        "rrf_nano",
+        F.round(F.col("rrf_nano") / 1e9, 6).alias("rrf"),
+        "n_lists",
+        "rnk",
+    )

@@ -4760,13 +4760,11 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     (q96 TF-IDF, q153 prefix filter, q162 BPE encode, q151 co-occurrence),
 #     the q157 derived-sentinel fix, q152 (frontier persist), q163
 #     (linkage validation); q59's localCheckpoint change is already in (b);
-# (d) the next 2 slots go to the oldest round-4 rows, streaming/
-#     stateful-heaviest first (q44/q66);
-# (e) the final 6 slots anchor the queries NEW this round (never
-#     driver-checked, so they outrank r4-green rows): q166 temperature
-#     mixture, q167 simhash Hamming-radius pairs, q168 snake shard
-#     packing, q169 containment join, q170 char-LM quality, q171 token
-#     drift.
+# (d)/(e): the final 8 slots anchor the queries NEW this round (never
+#     driver-checked, so they outrank every stale-but-green row): q166
+#     temperature mixture, q167 simhash Hamming-radius pairs, q168 snake
+#     shard packing, q169 containment join, q170 char-LM quality, q171
+#     token drift, q172 PMI collocations, q173 hybrid RRF.
 # Everything rotated out holds a green r4-r6 driver row with unchanged
 # code, and tools/parity.py still verifies ALL registered queries every
 # session.  Remaining r4 rows rotate in next round.
@@ -4789,11 +4787,10 @@ DRIVER_WINDOW: list[str] = [
     "q96_tfidf_top_terms", "q151_item_cooccurrence", "q152_skyline",
     "q153_prefix_filter_join", "q157_stream_left_outer", "q162_bpe_encode",
     "q163_record_linkage",
-    # (d) oldest round-4 rows, streaming/stateful-heaviest first
-    "q44_streaming_tumbling", "q66_state_flag_merge",
-    # (e) new this round
+    # (d)/(e) new this round — never driver-checked
     "q166_temperature_mixture", "q167_simhash_radius", "q168_snake_shards",
     "q169_containment_best", "q170_char_lm_quality", "q171_token_drift",
+    "q172_pmi_collocations", "q173_hybrid_rrf",
 ]
 
 
@@ -7350,3 +7347,169 @@ def q171_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = d.where(F.col("doc_id") % 2 == 0)
     b = d.where(F.col("doc_id") % 2 == 1)
     return token_js_divergence(a, b, "lang")
+
+
+_Q172_MIN_COUNT = 5
+
+
+@query(
+    "q172_pmi_collocations",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_sql_tokens()} AS t FROM documents
+    ), pairs AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toks, unnest(range(1, len(t))) u(i)
+    ), cb AS (
+      SELECT w1, w2, COUNT(*) AS n_12 FROM pairs GROUP BY 1, 2
+    ), lft AS (
+      SELECT w1, SUM(n_12) AS c1 FROM cb GROUP BY 1
+    ), rgt AS (
+      SELECT w2, SUM(n_12) AS c2 FROM cb GROUP BY 1
+    ), n AS (
+      SELECT SUM(n_12) AS n FROM cb
+    ), scored AS (
+      SELECT cb.w1, cb.w2, cb.n_12,
+             CAST(round(ln((cb.n_12 * 1.0 * n.n) / (lft.c1 * 1.0 * rgt.c2))
+                        * 1000000, 0) AS BIGINT) AS pmi_micro
+      FROM cb JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN n
+      WHERE cb.n_12 >= {_Q172_MIN_COUNT}
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY w1 ORDER BY pmi_micro DESC, w2) AS rk
+      FROM scored
+    )
+    SELECT w1, w2, n_12, pmi_micro,
+           ROUND(pmi_micro / 1000000.0, 6) AS pmi, CAST(rk AS INT) AS rnk
+    FROM r WHERE rk <= 3
+    """,
+)
+def q172_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-3 right-neighbors per word by PMI over
+    adjacent word pairs — phrase detection / tokenizer pre-segmentation
+    statistics.  PMI is self-normalized in bigram space (marginals and N
+    all derive from the one pair table), scores are fixed-pointed to
+    integer micro-nats and RANKED on the integer, so float ties cannot
+    reorder the top-k across engines."""
+    from re_data_pipeline_spark.operators.indexing import pmi_collocations
+
+    d = load_table(spark, sf_dir, "documents").select("text")
+    return pmi_collocations(d, "text", min_count=_Q172_MIN_COUNT, top_k=3)
+
+
+_Q173_K = 60
+_Q173_LIST_N = 50
+
+
+@query(
+    "q173_hybrid_rrf",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_sql_tokens()}) AS term FROM documents
+    ), dl AS (
+      SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT (SELECT COUNT(*) FROM dl) AS n,
+             (SELECT AVG(len) FROM dl) AS avgdl
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ({', '.join(repr(t) for t in _BM25_QUERY)})
+      GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), contrib AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * ({_BM25_K1} + 1.0))
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * dl.len / stats.avgdl))
+               * 1000000, 0) AS BIGINT) AS c
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+    ), bm25 AS (
+      SELECT doc_id, ROUND(SUM(c) / 1000000.0, 6) AS s
+      FROM contrib GROUP BY doc_id
+    ), lex AS (
+      SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rank
+      FROM bm25 ORDER BY s DESC, doc_id LIMIT {_Q173_LIST_N}
+    ), prior AS (
+      SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+      FROM documents ORDER BY n_chars DESC, doc_id LIMIT {_Q173_LIST_N}
+    ), contribs AS (
+      SELECT doc_id, CAST(round(1000000000.0 / ({_Q173_K} + rank), 0) AS BIGINT) AS c
+      FROM lex
+      UNION ALL
+      SELECT doc_id, CAST(round(1000000000.0 / ({_Q173_K} + rank), 0) AS BIGINT) AS c
+      FROM prior
+    ), fused AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS rrf_nano,
+             CAST(COUNT(*) AS INT) AS n_lists
+      FROM contribs GROUP BY doc_id
+      ORDER BY rrf_nano DESC, doc_id LIMIT 10
+    )
+    SELECT doc_id, rrf_nano, ROUND(rrf_nano / 1000000000.0, 6) AS rrf, n_lists,
+           CAST(row_number() OVER (ORDER BY rrf_nano DESC, doc_id) AS INT) AS rnk
+    FROM fused
+    """,
+)
+def q173_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval fusion: BM25 keyword top-50 (q145's scoring,
+    k1=1.2 b=0.75) fused with a document-length prior top-50 by
+    reciprocal-rank fusion (k=60) — the standard lexical+prior combiner
+    (rank-only, so incomparable score scales don't matter).  Contributions
+    are integer nano units; ranks come from TakeOrdered-bounded lists, so
+    the only windows run over ≤50-row frames — never corpus-scale."""
+    from re_data_pipeline_spark.functions.text import tokens as tok_fn
+    from re_data_pipeline_spark.operators.similarity import rrf_fuse
+
+    d = load_table(spark, sf_dir, "documents")
+    # --- list 1: BM25 top-50 (deliberately the same scoring expression as
+    # q145 — duplicated rather than refactored so q145's oracled body stays
+    # byte-stable; the fusion operator is what's new here)
+    toks = d.select("doc_id", F.explode(tok_fn("text")).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("len").alias("avgdl"))
+    tf = (
+        toks.where(F.col("term").isin(_BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+                * (F.col("tf") * (_BM25_K1 + 1.0))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1.0 - _BM25_B + _BM25_B * F.col("len") / F.col("avgdl"))
+                )
+                * 1_000_000,
+                0,
+            )
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    bm25 = contrib.groupBy("doc_id").agg(
+        F.round(F.sum("c") / 1_000_000.0, 6).alias("s")
+    )
+    w_lex = Window.orderBy(F.desc("s"), F.asc("doc_id"))
+    lex = (
+        bm25.orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(_Q173_LIST_N)
+        .withColumn("rank", F.row_number().over(w_lex))
+    )
+    # --- list 2: document-length prior top-50
+    w_pri = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    prior = (
+        d.select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(_Q173_LIST_N)
+        .withColumn("rank", F.row_number().over(w_pri))
+    )
+    return rrf_fuse([lex, prior], "doc_id", k=_Q173_K, top_n=10)

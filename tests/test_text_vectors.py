@@ -223,3 +223,68 @@ def test_repetition_metrics_known_values(spark):
     }
     assert abs(vals[1] - 1 / 3) < 1e-12  # lines x,y,x -> one repeat of three
     assert vals[2] is None
+
+
+def test_pmi_collocations_matches_python(spark):
+    """PMI ranks and fixed-point scores replay exactly in plain Python; the
+    min-count gate drops rare pairs; top-k per left word holds."""
+    import math
+    from collections import Counter
+
+    from re_data_pipeline_spark.operators.indexing import pmi_collocations
+
+    docs = [
+        "new york new york city hall",
+        "new york is a city",
+        "city hall of new york",
+        "a b a b a b",
+    ]
+    df = spark.createDataFrame([(t,) for t in docs], "text string")
+    got = {(r.w1, r.w2): (r.n_12, r.pmi_micro, r.rnk)
+           for r in pmi_collocations(df, "text", min_count=2, top_k=2).collect()}
+
+    pairs = Counter()
+    for t in docs:
+        ws = t.split()
+        pairs.update(zip(ws, ws[1:]))
+    left, right = Counter(), Counter()
+    for (w1, w2), c in pairs.items():
+        left[w1] += c
+        right[w2] += c
+    n = sum(pairs.values())
+    exp = {}
+    for (w1, w2), c in pairs.items():
+        if c >= 2:
+            exp[(w1, w2)] = (c, round(math.log(c * n / (left[w1] * right[w2])) * 1e6))
+    # every expected pair with rank<=2 appears with the exact micro score
+    by_w1 = {}
+    for (w1, w2), (c, micro) in exp.items():
+        by_w1.setdefault(w1, []).append((-micro, w2, c))
+    for w1, lst in by_w1.items():
+        for rk, (neg, w2, c) in enumerate(sorted(lst)[:2], 1):
+            assert got[(w1, w2)] == (c, -neg, rk), (w1, w2)
+    assert ("york", "is") not in got  # count 1 < min_count
+
+
+def test_rrf_fuse_exact_and_union_semantics(spark):
+    """Fusion score = Σ round(1e9/(k+rank)) over lists containing the doc;
+    docs in one list only still rank; ties break on id; empty input raises."""
+    import pytest
+    from re_data_pipeline_spark.operators.similarity import rrf_fuse
+
+    l1 = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    l2 = spark.createDataFrame([(2, 1), (9, 2)], "doc_id long, rank int")
+    out = {r.doc_id: r for r in rrf_fuse([l1, l2], k=60, top_n=10).collect()}
+
+    def c(rank):
+        return round(1e9 / (60 + rank))
+
+    assert out[2].rrf_nano == c(2) + c(1) and out[2].n_lists == 2
+    assert out[1].rrf_nano == c(1) and out[1].n_lists == 1
+    assert out[9].rrf_nano == c(2)
+    # doc 2 (in both lists) outranks everything
+    assert out[2].rnk == 1
+    # tie: docs 1 and 9 have different scores; check total ordering is dense
+    assert sorted(r.rnk for r in out.values()) == [1, 2, 3, 4]
+    with pytest.raises(ValueError, match="non-empty"):
+        rrf_fuse([])

@@ -154,6 +154,13 @@ def run_probe(spark, ui, app_id, build, runs=2):
 def main() -> int:
     quick = "--quick" in sys.argv
     scales = [5_000, 15_000, 50_000] if not quick else [2_000, 6_000, 20_000]
+    # --only <substring>: probe just the matching operators and write the
+    # results as a dated re-measure subsection under "## Measured scaling"
+    # instead of replacing the full table — for re-verifying one family
+    # after a targeted change without a full (>10 min) probe run.
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1].lower()
 
     from re_data_pipeline_spark.operators.dedup import (
         cluster_dedup_keep_best,
@@ -248,6 +255,12 @@ def main() -> int:
         "dsir_log_weights (hashed unigrams)": lambda n: _dsir(docs(n)),
     }
 
+    if only:
+        PROBES = {k: v for k, v in PROBES.items() if only in k.lower()}
+        if not PROBES:
+            print(f"--only {only!r} matched no probes")
+            return 1
+
     results: dict[str, dict[int, tuple]] = {}
     for label, build in PROBES.items():
         results[label] = {}
@@ -294,21 +307,51 @@ def main() -> int:
         "low, and the probe's Heaps-law corpus reflects real text, where "
         "rarest-first prefixes stay rare.\n"
     )
-    section = "\n".join(lines)
-
     scaling_md = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
     )
     with open(scaling_md) as f:
         txt = f.read()
-    marker = "## Measured scaling"
-    if marker in txt:
-        txt = txt[: txt.index(marker)].rstrip() + "\n\n" + section
+
+    def replace_section(text: str, marker: str, new_section: str) -> str:
+        """Swap the section starting at ``marker`` (to the next top-level
+        ``## `` heading, exclusive) for ``new_section``; append if absent.
+        Preserves everything after the section — a full-table rewrite must
+        not eat later sections (e.g. '## sf1 anchor')."""
+        if marker not in text:
+            return text.rstrip() + "\n\n" + new_section
+        head, _, tail = text.partition(marker)
+        nxt = tail.find("\n## ")
+        rest = tail[nxt:] if nxt >= 0 else "\n"
+        return head + new_section.rstrip() + "\n" + rest
+
+    if only:
+        # dated re-measure subsection UNDER the main table: swap only the
+        # same-named subsection if it already exists
+        sub_marker = "### Re-measure (--only)"
+        sub = "\n".join(
+            [f"{sub_marker}\n",
+             f"`--only {only}` re-run over {', '.join(f'{n:,}' for n in scales)} "
+             "docs after a targeted change; the full table above is the last "
+             "full-probe run.\n"]
+            + lines[2:4 + len(results)]  # table header + result rows only
+        ) + "\n"
+        if sub_marker in txt:
+            head, _, tail = txt.partition(sub_marker)
+            cuts = [i for i in (tail.find("\n## "), tail.find("\n### ")) if i >= 0]
+            rest = tail[min(cuts):] if cuts else "\n"
+            txt = head + sub.rstrip() + "\n" + rest
+        elif "\n## sf1 anchor" in txt:
+            i = txt.index("\n## sf1 anchor")
+            txt = txt[:i].rstrip() + "\n\n" + sub + txt[i:]
+        else:
+            txt = txt.rstrip() + "\n\n" + sub
+        print("\nwrote SCALING.md §Measured scaling — Re-measure subsection")
     else:
-        txt = txt.rstrip() + "\n\n" + section
+        txt = replace_section(txt, "## Measured scaling", "\n".join(lines))
+        print("\nwrote SCALING.md §Measured scaling")
     with open(scaling_md, "w") as f:
         f.write(txt)
-    print("\nwrote SCALING.md §Measured scaling")
     shutil.rmtree(stage_dir, ignore_errors=True)
     return 0
 
