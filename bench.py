@@ -132,18 +132,20 @@ def prior_plan_hashes() -> tuple[str, dict[str, str]]:
                 continue
             j = raw.index("{", i)
             depth, k = 0, j
-            while True:
+            while k < len(raw):
                 if raw[k] in "{}":
                     depth += 1 if raw[k] == "{" else -1
                     if depth == 0:
                         break
                 k += 1
+            if k >= len(raw):
+                continue  # truncated tail: unbalanced braces, try older file
             blob = raw[j : k + 1]
             # the driver's tail field stores the line re-escaped ("\"q01\"")
             if '\\"' in blob:
                 blob = blob.replace('\\"', '"')
             return os.path.basename(path), json.loads(blob)
-        except (ValueError, OSError, json.JSONDecodeError):
+        except (ValueError, OSError, IndexError, json.JSONDecodeError):
             continue
     return "", {}
 

@@ -993,25 +993,31 @@ def simhash_radius_pairs(
         .select(id_col, "simhash")
         .where(F.col("simhash").isNotNull())
     )
-    # contiguous band slices: band i covers bit offsets [i·w, min((i+1)·w, bits)).
+    # Contiguous band slices covering ALL bits with EXACTLY n_bands bands:
+    # floor width with the remainder spread over the first (bits mod
+    # n_bands) bands.  A ceil width would be WRONG here — ceil(bits/n)
+    # makes only ceil(bits/width) bands non-empty, which can fall below
+    # radius+1 and silently break the pigeonhole guarantee (e.g. bits=10,
+    # radius=6 → 7 requested bands but ceil width 2 covers them in 5 —
+    # a hamming-6 pair can then differ in every band and be lost).
     # ONE explode of a per-row struct array (the lsh_bands shape), not an
     # n_bands-way union — a union would replay the fingerprint aggregation's
     # post-shuffle work once per band branch.
-    width = -(-bits // n_bands)  # ceil
+    base, extra = divmod(bits, n_bands)
     entries = []
+    lo = 0
     for i in range(n_bands):
-        lo = i * width
-        hi = min(lo + width, bits)
-        if lo >= bits:
-            break
+        w = base + (1 if i < extra else 0)
         entries.append(
             F.struct(
                 F.lit(i).alias("band"),
                 F.shiftright(F.col("simhash"), lo)
-                .bitwiseAND(F.lit((1 << (hi - lo)) - 1))
+                .bitwiseAND(F.lit((1 << w) - 1))
                 .alias("bv"),
             )
         )
+        lo += w
+    assert lo == bits and len(entries) == n_bands
     band_rows = fp.select(
         F.col(id_col), F.col("simhash"), F.explode(F.array(*entries)).alias("__e")
     ).select(

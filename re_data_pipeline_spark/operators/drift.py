@@ -75,7 +75,8 @@ def token_js_divergence(
     # count contribute 0 to their own KL half (lim p→0 of p·ln(p/m) = 0).
     # greatest(·,1) denominators: an all-empty side has count 0 anyway, so
     # probabilities stay 0 instead of NULL and a one-sided stratum scores
-    # Σ p·ln(2) = ln 2 — the divergence against an empty distribution.
+    # Σ p·ln(2)/2 = (ln 2)/2 — the present side's KL half against an empty
+    # distribution (the documented convention; see docstring).
     p = F.col("__ca") / F.greatest(F.col("__ta"), F.lit(1))
     q = F.col("__cb") / F.greatest(F.col("__tb"), F.lit(1))
     m = (p + q) / 2

@@ -454,8 +454,12 @@ def char_bigram_nll(
 
     ``score_df`` defaults to ``train_df`` (self-scoring); scoring a
     different corpus left-joins the model and treats unseen bigrams with
-    the smoothed floor 1/(cnt(c₁·)+V) — cnt(c₁·) of an unseen context
-    is 0.
+    the smoothed floor 1/(cnt(c₁·)+V) — a wholly unseen CONTEXT has
+    cnt(c₁·) = 0, so its floor is 1/V → NLL ln V.  Out-of-alphabet
+    gibberish therefore scores the worst plausible per-bigram surprise,
+    never a free pass (a 0 here would rank foreign-script noise as
+    perfect-quality text — the exact inversion a quality filter must not
+    have).
 
     Scale shape: training is one explode + two map-combined aggs down to
     |observed bigrams| rows (alphabet-bounded for alphabetic scripts,
@@ -507,12 +511,15 @@ def char_bigram_nll(
         doc_grams.join(model, "__g", "left")
         .withColumn("__c1", F.substring("__g", 1, 1))
         .join(floor_nll, F.col("__c1") == F.col("__c1f"), "left")
+        .crossJoin(F.broadcast(v))
         .withColumn(
             "__t",
             F.coalesce(
                 F.col("__nll_fixed"),
                 F.col("__floor"),  # unseen bigram, seen context: −ln 1/(cc+V)
-                F.lit(0).cast("long"),  # unseen context: model has no opinion
+                # unseen context: cnt(c1·)=0 → floor 1/V → NLL ln V (the
+                # worst plausible surprise, NOT 0 — see docstring)
+                F.round(F.log(F.col("__v")) * 1e6, 0).cast("long"),
             ),
         )
     )

@@ -483,3 +483,29 @@ def test_containment_best_finds_source_of_excerpt(spark):
     assert got[1].container_id == 3 and got[1].containment == 1.0
     assert got[3].container_id == 1 and got[3].containment == 1.0
     assert 4 not in got  # nothing covers ≥ 90% of doc 4
+
+
+def test_simhash_radius_pairs_non_divisible_band_widths(spark):
+    """Regression: bits not divisible by radius+1 must still produce
+    EXACTLY radius+1 bands (floor width + spread remainder).  A ceil width
+    collapses the band count below radius+1 (bits=10, radius=6 -> 5 bands
+    of width 2) and silently loses pairs that differ in every band —
+    checked against brute force on the same 10-bit fingerprints."""
+    import itertools
+
+    from re_data_pipeline_spark.operators.dedup import simhash, simhash_radius_pairs
+
+    rows = [(i, " ".join(f"t{(i * 7 + j * 13) % 23}" for j in range(12)))
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    B, R = 10, 6
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in simhash_radius_pairs(df, bits=B, radius=R).collect()}
+    fps = {r.doc_id: r.simhash for r in simhash(df, "text", bits=B).collect()}
+    truth = {}
+    for a, b in itertools.combinations(sorted(fps), 2):
+        d = bin(fps[a] ^ fps[b]).count("1")
+        if d <= R:
+            truth[(a, b)] = d
+    assert truth, "fixture must produce in-radius pairs"
+    assert got == truth

@@ -382,7 +382,9 @@ def test_char_bigram_nll_ranks_gibberish_above_clean(spark):
 
 def test_char_bigram_nll_scores_unseen_text(spark):
     """Scoring a different corpus: unseen bigram with a seen context takes
-    the smoothed floor ln(cc+V); a wholly unseen context contributes 0."""
+    the smoothed floor ln(cc+V); a wholly unseen context takes ln V — the
+    worst plausible surprise, never 0 (a 0 would rank out-of-alphabet
+    gibberish as perfect text)."""
     from re_data_pipeline_spark.operators.selection import char_bigram_nll
 
     train = spark.createDataFrame([(1, "abab")], "doc_id long, text string")
@@ -392,6 +394,16 @@ def test_char_bigram_nll_scores_unseen_text(spark):
     assert len(out) == 1 and out[0].n_bigrams == 2
     import math
     # "aX": context 'a' seen (cc=2), bigram unseen -> floor ln(2+2)
-    # "Xq": context 'X' unseen -> 0
-    expected = round(round(math.log(4) * 1e6) / (2 * 1e6), 6)
+    # "Xq": context 'X' unseen -> ln V = ln 2
+    expected = round(
+        (round(math.log(4) * 1e6) + round(math.log(2) * 1e6)) / (2 * 1e6), 6
+    )
     assert out[0].nll == expected
+
+    # pure out-of-alphabet gibberish must score WORSE than in-distribution
+    # text, not better
+    both = spark.createDataFrame(
+        [(1, "abababab"), (2, "XYZW QRST")], "doc_id long, text string"
+    )
+    scores = {r.doc_id: r.nll for r in char_bigram_nll(train, both).collect()}
+    assert scores[2] > scores[1]

@@ -160,7 +160,11 @@ def main() -> int:
     # after a targeted change without a full (>10 min) probe run.
     only = None
     if "--only" in sys.argv:
-        only = sys.argv[sys.argv.index("--only") + 1].lower()
+        i = sys.argv.index("--only") + 1
+        if i >= len(sys.argv):
+            print("usage: scale_probe.py [--quick] [--only <substring>]")
+            return 1
+        only = sys.argv[i].lower()
 
     from re_data_pipeline_spark.operators.dedup import (
         cluster_dedup_keep_best,

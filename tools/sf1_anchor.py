@@ -57,6 +57,10 @@ HEAVY = [
 def build_sf1_documents(spark, out_dir: str) -> int:
     base = spark.read.parquet(os.path.join(SF01_DIR, "documents.parquet"))
     n_base = base.count()
+    # replica id offset = max(doc_id)+1, NOT the row count: sparse or
+    # non-zero-based ids would otherwise collide across replicas and the
+    # dedup-family anchors would silently measure a corrupted corpus
+    id_stride = (base.agg(F.max("doc_id")).first()[0] or 0) + 1
     reps = []
     for r in range(REPLICAS):
         d = base
@@ -72,7 +76,7 @@ def build_sf1_documents(spark, out_dir: str) -> int:
                 "n_chars", F.length("text")
             )
         reps.append(
-            d.withColumn("doc_id", F.col("doc_id") + F.lit(r * n_base))
+            d.withColumn("doc_id", F.col("doc_id") + F.lit(r * id_stride))
         )
     out = reps[0]
     for d in reps[1:]:
