@@ -101,3 +101,76 @@ def token_js_divergence(
             F.round(F.col("js_micro") / float(_FIXED), 6).alias("js"),
         )
     )
+
+
+def embedding_centroid_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    stratum_col,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-stratum centroid drift between two embedding snapshots: the
+    cosine between the snapshots' mean vectors plus the centroid-norm
+    ratio — the standard early-warning when an embedder version bump or an
+    upstream content shift moves a corpus region (ANN recall and SemDeDup
+    thresholds silently degrade long before counts move).
+
+    Returns ``(stratum, n_a, n_b, centroid_cosine, norm_ratio)`` —
+    cosine of the two mean vectors (1.0 = no directional drift) and
+    |mean_b|/|mean_a|, both rounded to 6dp.
+
+    Exactness: each component is fixed-pointed to integer micro units
+    BEFORE the per-stratum sum (float sums are partition-order-dependent;
+    integer sums are not), and the dot/norm accumulations over summed
+    components run in decimal(38,0) — component sums reach ~1e6·n and
+    their squares overflow int64 at corpus scale, where decimal stays
+    exact.  The final cosine divides exact integers as doubles — one
+    correctly-rounded IEEE operation per stratum, identical in any engine.
+
+    Scale shape: one posexplode per side → map-combined (stratum, dim)
+    integer sums (|strata|·dim rows — model-sized, not corpus-sized) →
+    per-stratum dot/norm agg → |strata| rows out.  ``stratum_col`` may be
+    a Column (e.g. a bucket expression) or a column name.
+    """
+    s = F.col(stratum_col) if isinstance(stratum_col, str) else stratum_col
+
+    def sums(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.select(
+                s.alias("__s"),
+                F.posexplode(F.col(vec_col)).alias("__d", "__v"),
+            )
+            .withColumn("__f", F.round(F.col("__v") * 1e6, 0).cast("long"))
+            .groupBy("__s", "__d")
+            .agg(
+                F.sum("__f").cast("decimal(38,0)").alias(f"__sum{side}"),
+                F.count(F.lit(1)).cast("bigint").alias(f"__n{side}"),
+            )
+        )
+
+    a, b = sums(df_a, "a"), sums(df_b, "b")
+    j = a.join(b, ["__s", "__d"])
+    # cosine is scale-invariant, so the un-divided component SUMS stand in
+    # for the means (n_a/n_b cancel); the norm ratio re-applies the counts.
+    acc = j.groupBy("__s").agg(
+        F.sum(F.col("__suma") * F.col("__sumb")).alias("__dot"),
+        F.sum(F.col("__suma") * F.col("__suma")).alias("__na2"),
+        F.sum(F.col("__sumb") * F.col("__sumb")).alias("__nb2"),
+        F.max("__na").alias("n_a"),
+        F.max("__nb").alias("n_b"),
+    )
+    cos = F.col("__dot").cast("double") / (
+        F.sqrt(F.col("__na2").cast("double")) * F.sqrt(F.col("__nb2").cast("double"))
+    )
+    ratio = (F.sqrt(F.col("__nb2").cast("double")) / F.col("n_b")) / (
+        F.sqrt(F.col("__na2").cast("double")) / F.col("n_a")
+    )
+    return acc.select(
+        F.col("__s").alias(
+            stratum_col if isinstance(stratum_col, str) else "stratum"
+        ),
+        "n_a",
+        "n_b",
+        F.round(cos, 6).alias("centroid_cosine"),
+        F.round(ratio, 6).alias("norm_ratio"),
+    )

@@ -4755,7 +4755,9 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-7 rotation targets the STALEST cumulative coverage (every query has
 # ≥1 green row since r6; the risk is code churn since an old row):
 # (a) all 8 queries whose last green driver row is round 1;
-# (b) all 27 whose last green row is round 2;
+# (b) 26 of the 27 whose last green row is round 2 (q02 — a stock
+#     filter/project body, code untouched since r1 and parity-verified
+#     every session — yields its slot to never-checked q174);
 # (c) every query whose code changed this round — the de-broadcast fixes
 #     (q96 TF-IDF, q153 prefix filter, q162 BPE encode, q151 co-occurrence),
 #     the q157 derived-sentinel fix, q152 (frontier persist), q163
@@ -4764,7 +4766,8 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     driver-checked, so they outrank every stale-but-green row): q166
 #     temperature mixture, q167 simhash Hamming-radius pairs, q168 snake
 #     shard packing, q169 containment join, q170 char-LM quality, q171
-#     token drift, q172 PMI collocations, q173 hybrid RRF.
+#     token drift, q172 PMI collocations, q173 hybrid RRF, q174
+#     embedding centroid drift.
 # Everything rotated out holds a green r4-r6 driver row with unchanged
 # code, and tools/parity.py still verifies ALL registered queries every
 # session.  Remaining r4 rows rotate in next round.
@@ -4774,7 +4777,7 @@ DRIVER_WINDOW: list[str] = [
     "q08_distinct", "q10_except", "q39_grid_cell_assign", "q49_time_format",
     "q50_url_parse", "q51_cube", "q52_count_distinct", "q61_salted_agg",
     # (b) last green row: round 2
-    "q02_filter_project", "q05_anti_join", "q06_semi_join",
+    "q05_anti_join", "q06_semi_join",
     "q09_union_by_name", "q11_explode", "q16_date_parts", "q19_json_extract",
     "q21_case_normalize", "q22_completeness_profile", "q23_enrichment_join",
     "q25_upsert", "q26_archive_delisted", "q30_token_quality", "q31_lang_id",
@@ -4790,7 +4793,7 @@ DRIVER_WINDOW: list[str] = [
     # (d)/(e) new this round — never driver-checked
     "q166_temperature_mixture", "q167_simhash_radius", "q168_snake_shards",
     "q169_containment_best", "q170_char_lm_quality", "q171_token_drift",
-    "q172_pmi_collocations", "q173_hybrid_rrf",
+    "q172_pmi_collocations", "q173_hybrid_rrf", "q174_embedding_drift",
 ]
 
 
@@ -7513,3 +7516,54 @@ def q173_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w_pri))
     )
     return rrf_fuse([lex, prior], "doc_id", k=_Q173_K, top_n=10)
+
+
+@query(
+    "q174_embedding_drift",
+    """
+    WITH e AS (
+      SELECT (vec_id // 2) % 4 AS s, vec_id % 2 AS side,
+             embedding::DOUBLE[] AS v
+      FROM embeddings
+    ), comp AS (
+      SELECT s, side, i AS d,
+             CAST(round(v[i] * 1000000, 0) AS HUGEINT) AS f
+      FROM e, unnest(range(1, len(v) + 1)) u(i)
+    ), su AS (
+      SELECT s, side, d, SUM(f) AS sm, COUNT(*) AS n
+      FROM comp GROUP BY 1, 2, 3
+    ), j AS (
+      SELECT a.s, a.d, a.sm AS sa, b.sm AS sb, a.n AS na, b.n AS nb
+      FROM su a JOIN su b ON a.s = b.s AND a.d = b.d
+      WHERE a.side = 0 AND b.side = 1
+    ), acc AS (
+      SELECT s, SUM(sa * sb) AS dot, SUM(sa * sa) AS na2, SUM(sb * sb) AS nb2,
+             MAX(na) AS n_a, MAX(nb) AS n_b
+      FROM j GROUP BY s
+    )
+    SELECT CAST(s AS BIGINT) AS stratum,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))), 6)
+             AS centroid_cosine,
+           ROUND((sqrt(CAST(nb2 AS DOUBLE)) / n_b)
+                 / (sqrt(CAST(na2 AS DOUBLE)) / n_a), 6) AS norm_ratio
+    FROM acc
+    """,
+)
+def q174_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-snapshot centroid drift per stratum: cosine between the
+    two snapshots' mean vectors plus centroid-norm ratio (even/odd vec_id
+    split stands in for consecutive embedder runs; stratum = (vec_id/2)%4
+    so both snapshots populate every stratum).  Component sums are integer
+    micro units, dot/norms decimal-exact — the one double division per
+    stratum is identical in any engine.  See
+    ``operators/drift.embedding_centroid_drift``."""
+    from re_data_pipeline_spark.operators.drift import embedding_centroid_drift
+
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "stratum", F.pmod(F.floor(F.col("vec_id") / 2), F.lit(4)).cast("bigint")
+    )
+    a = e.where(F.col("vec_id") % 2 == 0)
+    b = e.where(F.col("vec_id") % 2 == 1)
+    return embedding_centroid_drift(a, b, "stratum", "embedding")

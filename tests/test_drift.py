@@ -40,3 +40,37 @@ def test_js_detects_moderate_shift(spark):
     out = token_js_divergence(a, b, "lang").collect()[0]
     assert 0 < out.js < math.log(2)
     assert out.n_tokens_a == 100 and out.n_tokens_b == 100
+
+
+def test_embedding_centroid_drift_identity_and_inversion(spark):
+    """Identical snapshots -> cosine 1.0, norm ratio 1.0; a negated
+    snapshot -> cosine -1.0; a doubled snapshot -> ratio 2.0 with cosine
+    1.0 (direction unchanged)."""
+    from pyspark.sql import functions as F
+
+    from re_data_pipeline_spark.operators.drift import embedding_centroid_drift
+
+    base = spark.createDataFrame(
+        [(i, [float(i % 3 + 1), 2.0, -1.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    ).withColumn("stratum", F.lit(0).cast("bigint"))
+
+    same = embedding_centroid_drift(base, base, "stratum").collect()[0]
+    assert same.centroid_cosine == 1.0 and same.norm_ratio == 1.0
+    assert same.n_a == 8 and same.n_b == 8
+
+    neg = base.select(
+        "vec_id",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+        "stratum",
+    )
+    flipped = embedding_centroid_drift(base, neg, "stratum").collect()[0]
+    assert flipped.centroid_cosine == -1.0 and flipped.norm_ratio == 1.0
+
+    dbl = base.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * 2).alias("embedding"),
+        "stratum",
+    )
+    scaled = embedding_centroid_drift(base, dbl, "stratum").collect()[0]
+    assert scaled.centroid_cosine == 1.0 and scaled.norm_ratio == 2.0

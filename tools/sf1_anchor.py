@@ -98,35 +98,49 @@ def main() -> int:
         n_docs = build_sf1_documents(spark, stage)
         print(f"sf1 documents: {n_docs:,} docs at {stage}")
 
+        def best_of(fn, sf_path, runs=2):
+            best = float("inf")
+            for _ in range(runs):
+                t0 = time.time()
+                fn(spark, sf_path).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            return best
+
         rows = []
         for name in HEAVY:
             fn = QUERIES[name]
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.time()
-                fn(spark, stage).write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
+            # same-session sf0.1 baseline FIRST (also warms codegen so the
+            # sf1 number isn't billed for Janino compilation)
+            base_s = best_of(fn, SF01_DIR)
+            sf1_s = best_of(fn, stage)
             try:
                 ph = plan_hash(fn(spark, stage))
             except Exception:
                 ph = "n/a"
-            rows.append((name, best, ph))
-            print(f"{name}: {best:.2f}s plan={ph}")
+            rows.append((name, base_s, sf1_s, ph))
+            print(f"{name}: sf0.1={base_s:.2f}s sf1={sf1_s:.2f}s "
+                  f"x{sf1_s / base_s:.1f} plan={ph}")
 
         lines = [
             "## sf1 anchor (tools/sf1_anchor.py)\n",
             f"The five heaviest BENCH queries against an sf1-equivalent "
             f"`documents` table ({n_docs:,} docs = 10 replica-suffixed "
             "copies of sf0.1 — cluster COUNT scales, cluster size does "
-            "not; see the tool docstring), min of 2 noop-sink runs on "
-            "this host.  q136 is the control row: its GRAPH work is "
-            "subset-bounded (`doc_id < 100`), so only its scan grows "
-            "with sf.\n",
-            "| query | sf1 wall | plan hash |",
-            "|---|---|---|",
+            "not; see the tool docstring), min of 2 noop-sink runs.  The "
+            "sf0.1 column is measured in the SAME session, so the 10× "
+            "ratio is host-noise-free; a ratio well under 10 means the "
+            "operator amortizes its fixed stage costs and scales "
+            "sublinearly at this step.  q136 is the control row: its "
+            "GRAPH work is subset-bounded (`doc_id < 100`), so only its "
+            "scan grows with sf.\n",
+            "| query | sf0.1 wall | sf1 wall | ratio (10× data) | plan hash |",
+            "|---|---|---|---|---|",
         ]
-        for name, sec, ph in rows:
-            lines.append(f"| {name} | {sec:.2f}s | `{ph}` |")
+        for name, base_s, sf1_s, ph in rows:
+            lines.append(
+                f"| {name} | {base_s:.2f}s | {sf1_s:.2f}s "
+                f"| {sf1_s / base_s:.1f}× | `{ph}` |"
+            )
         section = "\n".join(lines) + "\n"
 
         scaling_md = os.path.join(
