@@ -152,3 +152,84 @@ def test_pareto_frontier_matches_bruteforce_property(spark, pts):
         )
     )
     assert got == want, (pts, got, want)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=500), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=7),
+)
+def test_snake_shards_balance_property(spark, sizes, n_shards):
+    """For arbitrary size multisets: every row lands on exactly one shard
+    in [0, S); shard totals differ by at most the largest item."""
+    from re_data_pipeline_spark.operators.selection import snake_shards
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sizes)], "doc_id long, n long"
+    )
+    rows = snake_shards(df, "n", n_shards, order_tiebreak=["doc_id"]).collect()
+    assert len(rows) == len(sizes)
+    assert {r.shard for r in rows} <= set(range(n_shards))
+    totals = [0] * n_shards
+    for r in rows:
+        totals[r.shard] += r.n
+    assert max(totals) - min(totals) <= max(sizes)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=11), min_size=3, max_size=10
+        ).map(lambda ws: " ".join(f"t{w}" for w in ws)),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_containment_prefix_rule_no_false_negatives(spark, texts):
+    """For arbitrary small corpora, the prefix-filtered containment join
+    must find EXACTLY the brute-force best containers (the containment
+    prefix rule has zero false negatives)."""
+    from re_data_pipeline_spark.operators.dedup import containment_best
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r.doc_id: (r.container_id, r.containment)
+           for r in containment_best(df, threshold_num=7, threshold_den=10).collect()}
+
+    sets = {i: set(t.split()) for i, t in enumerate(texts)}
+    expect = {}
+    for a in sets:
+        best = None
+        for b in sets:
+            if a == b:
+                continue
+            c = len(sets[a] & sets[b])
+            if c * 10 >= 7 * len(sets[a]):
+                key = (-c, b)
+                if best is None or key < best:
+                    best = key
+        if best is not None:
+            c, b = -best[0], best[1]
+            expect[a] = (b, round(c / len(sets[a]), 6))
+    assert got == expect
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=10**9), min_size=1, max_size=12),
+    st.integers(min_value=1, max_value=10**6),
+)
+def test_temperature_quotas_exact_sum_and_monotone(spark, sizes, budget):
+    """Σ quota == budget exactly for arbitrary inputs, and a domain with a
+    strictly larger size never receives a smaller quota (pairwise
+    monotonicity of largest-remainder over monotone weights)."""
+    from re_data_pipeline_spark.operators.selection import temperature_quotas
+
+    rows = [(f"d{i:02d}", s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "domain string, n bigint")
+    out = {r.domain: r for r in temperature_quotas(df, "domain", "n", budget).collect()}
+    assert sum(r.quota for r in out.values()) == budget
+    for da, sa in rows:
+        for db, sb in rows:
+            if sa > sb:
+                assert out[da].quota >= out[db].quota, (da, db)
