@@ -2622,15 +2622,23 @@ def q86_cdc_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q87_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution windows (ntile, percent_rank) with unique tiebreak."""
-    from pyspark.sql.window import Window
+    """Distribution windows (ntile, percent_rank) with unique tiebreak —
+    computed on the distributed ordinal spine (``exact_ntile`` /
+    ``exact_percent_rank``), NOT a global ``Window.orderBy``: the filter
+    keeps a constant fraction of orders, so the frame scales with the
+    corpus and an unpartitioned window would plan the
+    ``Exchange SinglePartition`` this engine bans for corpus-scale data."""
+    from re_data_pipeline_spark.operators.ids import (
+        exact_ntile,
+        exact_percent_rank,
+    )
 
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 41 == 0)
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return o.select(
-        "o_orderkey",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    order = ["o_totalprice", "o_orderkey"]
+    t = exact_ntile(o, order, 4, "quartile")
+    t = exact_percent_rank(t, order, "pr")
+    return t.select(
+        "o_orderkey", F.col("quartile").cast("long").alias("quartile"), "pr"
     )
 
 
@@ -4696,10 +4704,15 @@ def q116_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q117_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (recency/frequency/monetary quartiles) — the
     behavioral-scoring rollup: one agg pass builds the per-user profile,
-    three ntile windows assign quartiles with explicit user_id tiebreaks so
-    bucket boundaries are engine-deterministic.  Monetary sums are decimal;
+    then three ``exact_ntile`` passes assign quartiles with explicit
+    user_id tiebreaks.  The profile table is USER-cardinality — it scales
+    with the corpus, so the quartiles ride the distributed ordinal spine
+    (three range exchanges, one per ordering) instead of three
+    single-partition ``Window.orderBy`` sorts.  Monetary sums are decimal;
     recency is whole days from the corpus max timestamp (scalar subquery).
     """
+    from re_data_pipeline_spark.operators.ids import exact_ntile
+
     e = load_table(spark, sf_dir, "events")
     anchor = e.agg(F.max("ts").alias("mx"))
     rfm = (
@@ -4713,14 +4726,17 @@ def q117_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("value")).cast("double").alias("monetary"),
         )
     )
-    return rfm.select(
+    t = exact_ntile(rfm, [F.col("recency_days").asc(), F.col("user_id").asc()], 4, "r_quartile")
+    t = exact_ntile(t, [F.col("frequency").desc(), F.col("user_id").asc()], 4, "f_quartile")
+    t = exact_ntile(t, [F.col("monetary").desc(), F.col("user_id").asc()], 4, "m_quartile")
+    return t.select(
         "user_id",
         "recency_days",
         "frequency",
         "monetary",
-        F.ntile(4).over(Window.orderBy("recency_days", "user_id")).cast("int").alias("r_quartile"),
-        F.ntile(4).over(Window.orderBy(F.desc("frequency"), "user_id")).cast("int").alias("f_quartile"),
-        F.ntile(4).over(Window.orderBy(F.desc("monetary"), "user_id")).cast("int").alias("m_quartile"),
+        F.col("r_quartile").cast("int").alias("r_quartile"),
+        F.col("f_quartile").cast("int").alias("f_quartile"),
+        F.col("m_quartile").cast("int").alias("m_quartile"),
     )
 
 
@@ -4755,13 +4771,17 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round-7 rotation targets the STALEST cumulative coverage (every query has
 # ≥1 green row since r6; the risk is code churn since an old row):
 # (a) all 8 queries whose last green driver row is round 1;
-# (b) 26 of the 27 whose last green row is round 2 (q02 — a stock
-#     filter/project body, code untouched since r1 and parity-verified
-#     every session — yields its slot to never-checked q174);
+# (b) 24 of the 27 whose last green row is round 2 (q02/q05/q06 — stock
+#     filter/anti-join/semi-join bodies, code untouched since r1-r2,
+#     parity-verified every session, and the anti/semi semantics stay
+#     anchored in-window via q25/q26/q130 — yield their slots to
+#     never-checked q174 and changed q87/q117);
 # (c) every query whose code changed this round — the de-broadcast fixes
 #     (q96 TF-IDF, q153 prefix filter, q162 BPE encode, q151 co-occurrence),
 #     the q157 derived-sentinel fix, q152 (frontier persist), q163
-#     (linkage validation); q59's localCheckpoint change is already in (b);
+#     (linkage validation), and q87/q117 (ntile/percent_rank moved off the
+#     global window onto the exact_ntile ordinal spine); q59's
+#     localCheckpoint change is already in (b);
 # (d)/(e): the final 8 slots anchor the queries NEW this round (never
 #     driver-checked, so they outrank every stale-but-green row): q166
 #     temperature mixture, q167 simhash Hamming-radius pairs, q168 snake
@@ -4777,7 +4797,6 @@ DRIVER_WINDOW: list[str] = [
     "q08_distinct", "q10_except", "q39_grid_cell_assign", "q49_time_format",
     "q50_url_parse", "q51_cube", "q52_count_distinct", "q61_salted_agg",
     # (b) last green row: round 2
-    "q05_anti_join", "q06_semi_join",
     "q09_union_by_name", "q11_explode", "q16_date_parts", "q19_json_extract",
     "q21_case_normalize", "q22_completeness_profile", "q23_enrichment_join",
     "q25_upsert", "q26_archive_delisted", "q30_token_quality", "q31_lang_id",
@@ -4787,6 +4806,7 @@ DRIVER_WINDOW: list[str] = [
     "q99_interval_concurrency", "q114_grouping_sets", "q118_global_ordinals",
     "q120_http_pushdown_scan",
     # (c) code changed this round (de-broadcast / sentinel / persist fixes)
+    "q87_rank_distribution", "q117_rfm_segments",
     "q96_tfidf_top_terms", "q151_item_cooccurrence", "q152_skyline",
     "q153_prefix_filter_join", "q157_stream_left_outer", "q162_bpe_encode",
     "q163_record_linkage",

@@ -340,3 +340,39 @@ def test_pareto_frontier_no_row_scale_single_partition(spark):
         tail = plan[m.start() : m.start() + 2000]
         assert "partial_min" in tail or "__m" in tail, tail[:400]
     assert "rangepartitioning(cost" in plan
+
+
+def test_exact_ntile_matches_sql_semantics(spark):
+    """exact_ntile must reproduce SQL NTILE bucket sizes exactly: first
+    n mod k buckets get ceil(n/k) rows; n < k gives one row per leading
+    bucket — checked against Spark's own windowed NTILE on shuffled
+    inputs, plus the single-row percent_rank edge."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from re_data_pipeline_spark.operators.ids import (
+        exact_ntile,
+        exact_percent_rank,
+    )
+
+    for n, k in [(10, 4), (12, 4), (3, 7), (1, 4), (8, 3)]:
+        df = spark.range(n).select((F.col("id") * 37 % 101).alias("v"), F.col("id"))
+        got = {
+            (r.v, r.id): r.nt
+            for r in exact_ntile(df, [F.col("v").asc(), F.col("id").asc()], k, "nt").collect()
+        }
+        w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+        ref = {
+            (r.v, r.id): r.nt
+            for r in df.select("v", "id", F.ntile(k).over(w).alias("nt")).collect()
+        }
+        assert got == ref, (n, k)
+
+    pr = exact_percent_rank(
+        spark.range(1).select(F.col("id").alias("v")), [F.col("v").asc()], "pr"
+    ).collect()
+    assert pr[0].pr == 0.0
+
+    df5 = spark.range(5).select(F.col("id").alias("v"))
+    got5 = {r.v: r.pr for r in exact_percent_rank(df5, [F.col("v").asc()], "pr").collect()}
+    assert got5 == {0: 0.0, 1: 0.25, 2: 0.5, 3: 0.75, 4: 1.0}

@@ -343,6 +343,32 @@ CHECKS = [
         {"spark.sql.autoBroadcastJoinThreshold": "-1"},
     ),
     (
+        "q87_rank_distribution",
+        "distribution windows on the ordinal spine — no single-partition sort",
+        [
+            (r"!Exchange SinglePartition", "ntile/percent_rank via exact_ntile/exact_percent_rank, not a global window"),
+            (r"rangepartitioning", "ordinals from range partition + local windows"),
+        ],
+        "The filtered frame is a constant fraction of orders — corpus-"
+        "scale — so NTILE and PERCENT_RANK ride assign_ordinals (range "
+        "exchange + per-partition window + partition-count offsets) with "
+        "the bucket/fraction as row-local arithmetic on the ordinal.",
+    ),
+    (
+        "q117_rfm_segments",
+        "RFM quartiles on the ordinal spine — no global ntile window",
+        [
+            (r"!ntile\(", "no windowed NTILE anywhere — quartiles are row-local arithmetic on ordinals"),
+            (r"rangepartitioning", "one range exchange per quartile ordering"),
+        ],
+        "The per-user profile scales with the corpus; each quartile "
+        "ordering costs one range exchange (the q118/q160/q168 spine).  "
+        "The plan's one remaining Exchange SinglePartition is the 1-row "
+        "max-timestamp anchor aggregate — map-side partials reducing to a "
+        "single row, fine at any scale (same class as assign_ordinals' "
+        "partition-count exchange).",
+    ),
+    (
         "q169_containment_best",
         "containment join: prefix-vs-full equi-join, never all-pairs, no vocab broadcast",
         [
