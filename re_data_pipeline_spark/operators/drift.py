@@ -117,7 +117,11 @@ def embedding_centroid_drift(
 
     Returns ``(stratum, n_a, n_b, centroid_cosine, norm_ratio)`` —
     cosine of the two mean vectors (1.0 = no directional drift) and
-    |mean_b|/|mean_a|, both rounded to 6dp.
+    |mean_b|/|mean_a|, both rounded to 6dp.  A stratum present in only
+    ONE snapshot is SURFACED (the alarm case), with the missing side's
+    count 0 and NULL cosine/ratio; under an embedder dimensionality
+    change, dimensions present in only one side count toward that side's
+    norm (penalizing the cosine) rather than being silently truncated.
 
     Exactness: each component is fixed-pointed to integer micro units
     BEFORE the per-stratum sum (float sums are partition-order-dependent;
@@ -142,14 +146,30 @@ def embedding_centroid_drift(
             )
             .withColumn("__f", F.round(F.col("__v") * 1e6, 0).cast("long"))
             .groupBy("__s", "__d")
+            # decimal BEFORE the sum: per-component fixed units are ~1e6·v,
+            # and an int64 sum wraps silently past ~1e13 rows per stratum —
+            # the DuckDB oracle sums in HUGEINT, so an int64 wrap here
+            # would diverge the engines exactly at scale
             .agg(
-                F.sum("__f").cast("decimal(38,0)").alias(f"__sum{side}"),
+                F.sum(F.col("__f").cast("decimal(38,0)")).alias(f"__sum{side}"),
                 F.count(F.lit(1)).cast("bigint").alias(f"__n{side}"),
             )
         )
 
     a, b = sums(df_a, "a"), sums(df_b, "b")
-    j = a.join(b, ["__s", "__d"])
+    # FULL OUTER on (stratum, dim): a drift monitor must SURFACE, not drop,
+    # a stratum that vanished from one snapshot (it emits with the missing
+    # side's count 0 and NULL cosine/ratio) — and under a dimensionality
+    # change the unmatched dimensions still count toward their own side's
+    # norm, penalizing the cosine instead of silently truncating to the
+    # shared prefix (same posture as token_js_divergence's full outer).
+    j = a.join(b, ["__s", "__d"], "full_outer").select(
+        "__s",
+        F.coalesce("__suma", F.lit(0).cast("decimal(38,0)")).alias("__suma"),
+        F.coalesce("__sumb", F.lit(0).cast("decimal(38,0)")).alias("__sumb"),
+        F.coalesce("__na", F.lit(0)).alias("__na"),
+        F.coalesce("__nb", F.lit(0)).alias("__nb"),
+    )
     # cosine is scale-invariant, so the un-divided component SUMS stand in
     # for the means (n_a/n_b cancel); the norm ratio re-applies the counts.
     acc = j.groupBy("__s").agg(
@@ -159,11 +179,18 @@ def embedding_centroid_drift(
         F.max("__na").alias("n_a"),
         F.max("__nb").alias("n_b"),
     )
-    cos = F.col("__dot").cast("double") / (
-        F.sqrt(F.col("__na2").cast("double")) * F.sqrt(F.col("__nb2").cast("double"))
+    # explicit NULL for one-sided strata: 0/0 is NULL in Spark but NaN in
+    # DuckDB — an unguarded division would diverge the engines
+    both = (F.col("__na2") > 0) & (F.col("__nb2") > 0)
+    cos = F.when(
+        both,
+        F.col("__dot").cast("double")
+        / (F.sqrt(F.col("__na2").cast("double")) * F.sqrt(F.col("__nb2").cast("double"))),
     )
-    ratio = (F.sqrt(F.col("__nb2").cast("double")) / F.col("n_b")) / (
-        F.sqrt(F.col("__na2").cast("double")) / F.col("n_a")
+    ratio = F.when(
+        both,
+        (F.sqrt(F.col("__nb2").cast("double")) / F.col("n_b"))
+        / (F.sqrt(F.col("__na2").cast("double")) / F.col("n_a")),
     )
     return acc.select(
         F.col("__s").alias(

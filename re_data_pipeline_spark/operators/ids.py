@@ -58,6 +58,73 @@ def assign_ordinals(
     return out
 
 
+def _carry_caches(src_df: DataFrame, out: DataFrame, new_cache) -> DataFrame:
+    """Propagate persisted-spine handles through chained rank operators.
+
+    ``_ordinal_cache`` stays "the most recent spine" (assign_ordinals'
+    original contract); ``_ordinal_caches`` accumulates EVERY spine pinned
+    along the chain — without it, a chained call (q117's three quartile
+    orderings) would overwrite the only handle to the previous call's
+    persisted data, leaving it pinned but unreleasable in long-lived
+    sessions."""
+    caches = list(getattr(src_df, "_ordinal_caches", []))
+    prev = getattr(src_df, "_ordinal_cache", None)
+    if prev is not None and prev not in caches:
+        caches.append(prev)
+    caches.append(new_cache)
+    out._ordinal_cache = new_cache
+    out._ordinal_caches = caches
+    return out
+
+
+def rank_features(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    ntile_k: int | None = None,
+    ntile_col: str = "ntile",
+    percent_rank_col: str | None = None,
+    digits: int = 6,
+) -> DataFrame:
+    """Exact NTILE and/or PERCENT_RANK over ONE shared ordinal spine —
+    both are row-local arithmetic on the same global ordinal, so asking
+    for both costs one ``assign_ordinals`` (one range exchange, one
+    persist, one count collect), not two.
+
+    NTILE semantics exactly match SQL: with n rows, the first ``n mod k``
+    buckets carry ``⌈n/k⌉`` rows (n < k → one row per leading bucket).
+    PERCENT_RANK = (rank−1)/(n−1), which equals ordinal/(n−1) under a
+    unique total order; a single-row frame scores 0.0.  ``order_cols``
+    must define a total order (unique tiebreak), as for
+    ``assign_ordinals``.
+    """
+    if ntile_k is None and percent_rank_col is None:
+        raise ValueError("rank_features: request ntile_k and/or percent_rank_col")
+    o = assign_ordinals(df, order_cols, "__ord_rf")
+    n = o._ordinal_total
+    ord_c = F.col("__ord_rf")
+    out = o
+    if ntile_k is not None:
+        q, r = divmod(n, ntile_k) if n else (0, 0)
+        if q == 0:
+            bucket = ord_c + 1  # n < k: one row per leading bucket
+        else:
+            big = r * (q + 1)
+            bucket = (
+                F.when(ord_c < big, F.floor(ord_c / (q + 1)))
+                .otherwise(r + F.floor((ord_c - big) / q))
+                + 1
+            )
+        out = out.withColumn(ntile_col, bucket.cast("int"))
+    if percent_rank_col is not None:
+        pr = (
+            F.lit(0.0)
+            if n <= 1
+            else F.round(ord_c / F.lit(float(n - 1)), digits)
+        )
+        out = out.withColumn(percent_rank_col, pr)
+    return _carry_caches(df, out.drop("__ord_rf"), o._ordinal_cache)
+
+
 def exact_ntile(
     df: DataFrame,
     order_cols: list[Column | str],
@@ -65,31 +132,8 @@ def exact_ntile(
     out_col: str = "ntile",
 ) -> DataFrame:
     """Exact ``NTILE(k) OVER (ORDER BY ...)`` without the single-partition
-    window: global ordinals come from :func:`assign_ordinals` (range
-    partition + per-partition window + partition-count offset exchange),
-    and the bucket is pure row-local arithmetic on the ordinal against the
-    (driver-known, already-collected) total — SQL NTILE semantics exactly:
-    with n rows, the first ``n mod k`` buckets carry ``⌈n/k⌉`` rows.
-
-    ``order_cols`` must define a total order (unique tiebreak), as for
-    ``assign_ordinals``.
-    """
-    o = assign_ordinals(df, order_cols, "__ord_nt")
-    n = o._ordinal_total
-    q, r = divmod(n, k) if n else (0, 0)
-    ord_c = F.col("__ord_nt")
-    if q == 0:
-        bucket = ord_c + 1  # n < k: one row per leading bucket
-    else:
-        big = r * (q + 1)
-        bucket = (
-            F.when(ord_c < big, F.floor(ord_c / (q + 1)))
-            .otherwise(r + F.floor((ord_c - big) / q))
-            + 1
-        )
-    out = o.withColumn(out_col, bucket.cast("int")).drop("__ord_nt")
-    out._ordinal_cache = o._ordinal_cache
-    return out
+    window — see :func:`rank_features` (this is the ntile-only form)."""
+    return rank_features(df, order_cols, ntile_k=k, ntile_col=out_col)
 
 
 def exact_percent_rank(
@@ -98,17 +142,7 @@ def exact_percent_rank(
     out_col: str = "percent_rank",
     digits: int = 6,
 ) -> DataFrame:
-    """Exact ``PERCENT_RANK() OVER (ORDER BY ...)`` (= (rank−1)/(n−1),
-    which equals ordinal/(n−1) under a unique total order) without the
-    single-partition window — same ordinal spine as :func:`exact_ntile`.
-    A single-row frame scores 0.0, matching SQL."""
-    o = assign_ordinals(df, order_cols, "__ord_pr")
-    n = o._ordinal_total
-    pr = (
-        F.lit(0.0)
-        if n <= 1
-        else F.round(F.col("__ord_pr") / F.lit(float(n - 1)), digits)
-    )
-    out = o.withColumn(out_col, pr).drop("__ord_pr")
-    out._ordinal_cache = o._ordinal_cache
-    return out
+    """Exact ``PERCENT_RANK() OVER (ORDER BY ...)`` without the
+    single-partition window — see :func:`rank_features` (the
+    percent-rank-only form)."""
+    return rank_features(df, order_cols, percent_rank_col=out_col, digits=digits)

@@ -2628,15 +2628,18 @@ def q87_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps a constant fraction of orders, so the frame scales with the
     corpus and an unpartitioned window would plan the
     ``Exchange SinglePartition`` this engine bans for corpus-scale data."""
-    from re_data_pipeline_spark.operators.ids import (
-        exact_ntile,
-        exact_percent_rank,
-    )
+    from re_data_pipeline_spark.operators.ids import rank_features
 
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 41 == 0)
-    order = ["o_totalprice", "o_orderkey"]
-    t = exact_ntile(o, order, 4, "quartile")
-    t = exact_percent_rank(t, order, "pr")
+    # one shared spine: ntile and percent_rank use the same ordering, so
+    # rank_features computes both from a single assign_ordinals pass
+    t = rank_features(
+        o,
+        ["o_totalprice", "o_orderkey"],
+        ntile_k=4,
+        ntile_col="quartile",
+        percent_rank_col="pr",
+    )
     return t.select(
         "o_orderkey", F.col("quartile").cast("long").alias("quartile"), "pr"
     )

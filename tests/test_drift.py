@@ -74,3 +74,38 @@ def test_embedding_centroid_drift_identity_and_inversion(spark):
     )
     scaled = embedding_centroid_drift(base, dbl, "stratum").collect()[0]
     assert scaled.centroid_cosine == 1.0 and scaled.norm_ratio == 2.0
+
+
+def test_embedding_drift_surfaces_one_sided_stratum(spark):
+    """A stratum that vanished from one snapshot must appear in the output
+    (count 0, NULL cosine/ratio) — the alarm case a drift monitor exists
+    for — and dimension mismatches penalize the cosine instead of
+    silently truncating to the shared prefix."""
+    from pyspark.sql import functions as F
+
+    from re_data_pipeline_spark.operators.drift import embedding_centroid_drift
+
+    a = spark.createDataFrame(
+        [(0, "s0", [1.0, 0.0]), (1, "s1", [0.5, 0.5])],
+        "vec_id long, stratum string, embedding array<double>",
+    )
+    b = spark.createDataFrame(
+        [(2, "s0", [1.0, 0.0])],
+        "vec_id long, stratum string, embedding array<double>",
+    )
+    out = {r.stratum: r for r in embedding_centroid_drift(a, b, "stratum").collect()}
+    assert set(out) == {"s0", "s1"}
+    assert out["s0"].centroid_cosine == 1.0
+    assert out["s1"].n_b == 0
+    assert out["s1"].centroid_cosine is None and out["s1"].norm_ratio is None
+
+    # dimensionality change: b's extra dimension counts toward b's norm,
+    # so the cosine drops below 1 even though the shared prefix matches
+    b2 = spark.createDataFrame(
+        [(3, "s0", [1.0, 0.0, 1.0])],
+        "vec_id long, stratum string, embedding array<double>",
+    )
+    mixed = embedding_centroid_drift(
+        a.where(F.col("stratum") == "s0"), b2, "stratum"
+    ).collect()[0]
+    assert mixed.centroid_cosine is not None and mixed.centroid_cosine < 1.0
