@@ -80,6 +80,25 @@ class Engine:
             "transcripts, reit_metrics"
         )
 
+    # -- cache discipline ---------------------------------------------------
+    def release(self, df: DataFrame, blocking: bool = False) -> int:
+        """Unpersist every operator-pinned cache handle riding ``df`` —
+        ordinal spines (``operators/ids``), the skyline's range-partitioned
+        frame (``operators/frontier``), and any incremental-dedup bucket
+        table — after the caller has materialized the result.  Long-lived
+        sessions that chain spine-backed queries (q117 pins three spines
+        per call) MUST release, or persisted frames accumulate for the
+        session's lifetime.  Returns the number of frames released."""
+        from re_data_pipeline_spark.operators.ids import release_spines
+
+        n = release_spines(df, blocking)
+        for attr in ("_frontier_cache", "new_buckets"):
+            h = getattr(df, attr, None)
+            if h is not None:
+                h.unpersist(blocking)
+                n += 1
+        return n
+
     # -- convenience operators ---------------------------------------------
     def profile(self, df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         from re_data_pipeline_spark.functions.cleaning import profile_completeness

@@ -8,17 +8,44 @@ what kills a 100 TB job.  The scalable construction (the DataFrame form of
 1. range-partition by the order key (sampled boundaries → balanced ranges),
 2. sort within each partition (no global exchange),
 3. count rows per partition (tiny agg), prefix-sum the counts on the driver,
-4. ordinal = partition offset + local row_number.
+4. ordinal = partition offset + local row index.
 
-The order key must be unique (add a tiebreak column) or ties straddling a
-range boundary could interleave.
+Step 4 is MAP-ONLY: ``monotonically_increasing_id()`` evaluated over the
+persisted sorted frame already encodes ``(partition_id << 33) | local_index``
+in row order, so the local index is ``mid & (2^33 − 1)`` — pure arithmetic,
+no window.  (Through round 7 this step was a ``row_number()`` window over
+``spark_partition_id()``, which planned a SECOND full-data
+``Exchange hashpartitioning(__pid)`` + re-sort after the range exchange —
+scale-safe but 2× the necessary data movement; PLANS.md §q87/§q117 showed
+q117 paying it three times.  The id arithmetic keeps ONE data-scale
+exchange per spine.)
+
+Determinism: ``monotonically_increasing_id`` is only stable when the rows
+under it have a fixed partition + order, which is exactly what
+``repartitionByRange(...).sortWithinPartitions(...)`` over a total order
+guarantees — and the frame is persisted before both consumers (the count
+pass and the output), so a cache-eviction recompute replays the identical
+shuffle+sort and regenerates identical ids.  The order key must be unique
+(add a tiebreak column) or ties straddling a range boundary could
+interleave.
+
+Cache discipline: every spine pins one persisted frame.  Callers that
+materialize inside the operator release it themselves; callers that RETURN
+a lazy plan (the query bodies) carry the handle on the returned DataFrame
+(``carry_spines``) so a long-lived session can ``release_spines(df)`` after
+materializing — or wrap the whole build in ``spine_scope()`` and let the
+scope unpersist every spine it saw.
 """
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
+
+_LOCAL_BITS = 33  # monotonically_increasing_id: id = (pid << 33) | local_index
+_SCOPE_STACK: list[list[DataFrame]] = []
 
 
 def assign_ordinals(
@@ -33,14 +60,20 @@ def assign_ordinals(
     The repartitioned+sorted intermediate is persisted (it feeds both the
     count pass and the output); the handle is exposed on the result as
     ``._ordinal_cache`` so long-lived callers can ``unpersist()`` after
-    materializing."""
+    materializing (see also :func:`release_spines` / :func:`spine_scope`)."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     parts = (
         df.repartitionByRange(n, *order_cols)
         .sortWithinPartitions(*order_cols)
+        # pid + mid evaluate in the same narrow stage over the sorted rows:
+        # mid's partition component IS spark_partition_id, and its low 33
+        # bits count rows in iterator (= sorted) order
         .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__mid", F.monotonically_increasing_id())
     )
     parts = parts.persist()
+    if _SCOPE_STACK:
+        _SCOPE_STACK[-1].append(parts)
     counts = {r["__pid"]: r["n"] for r in parts.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()}
     offsets, acc = {}, 0
     for pid in sorted(counts):
@@ -49,11 +82,12 @@ def assign_ordinals(
     offset_expr = F.element_at(
         F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv]), F.col("__pid")
     )
-    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    local = F.col("__mid").bitwiseAND(F.lit((1 << _LOCAL_BITS) - 1))
     out = parts.withColumn(
-        ordinal_col, (offset_expr + F.row_number().over(w) - 1).cast("bigint")
-    ).drop("__pid")
+        ordinal_col, (offset_expr + local).cast("bigint")
+    ).drop("__pid", "__mid")
     out._ordinal_cache = parts  # release path for long-lived sessions
+    out._ordinal_caches = [parts]
     out._ordinal_total = acc  # total row count (already collected — free)
     return out
 
@@ -69,12 +103,63 @@ def _carry_caches(src_df: DataFrame, out: DataFrame, new_cache) -> DataFrame:
     sessions."""
     caches = list(getattr(src_df, "_ordinal_caches", []))
     prev = getattr(src_df, "_ordinal_cache", None)
-    if prev is not None and prev not in caches:
+    if prev is not None and not any(prev is c for c in caches):
         caches.append(prev)
-    caches.append(new_cache)
-    out._ordinal_cache = new_cache
+    if new_cache is not None and not any(new_cache is c for c in caches):
+        caches.append(new_cache)
+    out._ordinal_cache = new_cache if new_cache is not None else prev
     out._ordinal_caches = caches
     return out
+
+
+def carry_spines(src_df: DataFrame, out: DataFrame) -> DataFrame:
+    """Copy spine-cache handles from ``src_df`` onto ``out`` — for bodies
+    that finish with ``.select(...)``/``.withColumn(...)``, which return a
+    NEW DataFrame without the ``_ordinal_cache(s)`` attributes.  Without
+    this, the final projection silently strips the only release handle and
+    the persisted spine stays pinned for the session's lifetime."""
+    return _carry_caches(src_df, out, getattr(src_df, "_ordinal_cache", None))
+
+
+def release_spines(df: DataFrame, blocking: bool = False) -> int:
+    """Unpersist every spine cache handle attached to ``df`` (both the
+    ``_ordinal_caches`` accumulation and the legacy single
+    ``_ordinal_cache``); call AFTER materializing.  Returns the number of
+    frames released.  Safe to call twice (unpersist is idempotent) and on
+    frames that carry no handles (returns 0)."""
+    handles: list[DataFrame] = list(getattr(df, "_ordinal_caches", []))
+    single = getattr(df, "_ordinal_cache", None)
+    if single is not None and not any(single is h for h in handles):
+        handles.append(single)
+    for h in handles:
+        h.unpersist(blocking)
+    return len(handles)
+
+
+@contextmanager
+def spine_scope(blocking: bool = False):
+    """Context manager that releases EVERY spine persisted by
+    ``assign_ordinals`` inside the ``with`` block — the belt-and-braces
+    release path for long-lived sessions that materialize inside the
+    scope::
+
+        with spine_scope():
+            df = exact_ntile(frame, [...], 4)
+            df.write.parquet(...)        # materialize INSIDE the scope
+        # ← all spines unpersisted here
+
+    Do NOT return a still-lazy plan out of the scope and materialize later:
+    the spines would already be unpersisted and the plan would recompute
+    them (correct — the sorted order is deterministic — but the persist's
+    cost savings are lost).  Scopes nest; each releases only its own."""
+    handles: list[DataFrame] = []
+    _SCOPE_STACK.append(handles)
+    try:
+        yield handles
+    finally:
+        _SCOPE_STACK.pop()
+        for h in handles:
+            h.unpersist(blocking)
 
 
 def rank_features(

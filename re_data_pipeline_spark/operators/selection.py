@@ -410,11 +410,12 @@ def snake_shards(
     ~(1 + 1/pass-count) balance of LPT without LPT's sequential state.
 
     Scale shape: the global order comes from ``assign_ordinals``
-    (operators/ids.py) — range partition + per-partition window + a
-    partition-count-sized offset exchange; NO single-partition sort stage.
-    The shard id is then pure row-local arithmetic.
+    (operators/ids.py) — range partition + per-partition sort + map-only id
+    arithmetic + a partition-count-sized offset exchange; NO
+    single-partition sort stage.  The shard id is then pure row-local
+    arithmetic.
     """
-    from re_data_pipeline_spark.operators.ids import assign_ordinals
+    from re_data_pipeline_spark.operators.ids import assign_ordinals, carry_spines
 
     if num_shards < 1:
         raise ValueError(f"num_shards must be ≥ 1; got {num_shards}")
@@ -427,8 +428,9 @@ def snake_shards(
     r = F.pmod(F.col("__ord"), F.lit(2 * num_shards))
     shard = F.when(r < num_shards, r).otherwise(F.lit(2 * num_shards - 1) - r)
     out = o.withColumn(shard_col, shard.cast("int")).drop("__ord")
-    out._ordinal_cache = o._ordinal_cache
-    return out
+    # carry (not just copy) the spine handle: chained calls must accumulate
+    # handles or the previous spine becomes pinned-but-unreleasable
+    return carry_spines(o, out)
 
 
 def char_bigram_nll(

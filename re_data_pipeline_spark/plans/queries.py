@@ -2628,7 +2628,7 @@ def q87_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps a constant fraction of orders, so the frame scales with the
     corpus and an unpartitioned window would plan the
     ``Exchange SinglePartition`` this engine bans for corpus-scale data."""
-    from re_data_pipeline_spark.operators.ids import rank_features
+    from re_data_pipeline_spark.operators.ids import carry_spines, rank_features
 
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 41 == 0)
     # one shared spine: ntile and percent_rank use the same ordering, so
@@ -2640,8 +2640,10 @@ def q87_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ntile_col="quartile",
         percent_rank_col="pr",
     )
-    return t.select(
-        "o_orderkey", F.col("quartile").cast("long").alias("quartile"), "pr"
+    # the final projection returns a NEW DataFrame — carry the persisted
+    # spine handle onto it so sessions can release_spines() after collect
+    return carry_spines(
+        t, t.select("o_orderkey", F.col("quartile").cast("long").alias("quartile"), "pr")
     )
 
 
@@ -4714,7 +4716,7 @@ def q117_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition ``Window.orderBy`` sorts.  Monetary sums are decimal;
     recency is whole days from the corpus max timestamp (scalar subquery).
     """
-    from re_data_pipeline_spark.operators.ids import exact_ntile
+    from re_data_pipeline_spark.operators.ids import carry_spines, exact_ntile
 
     e = load_table(spark, sf_dir, "events")
     anchor = e.agg(F.max("ts").alias("mx"))
@@ -4732,14 +4734,19 @@ def q117_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = exact_ntile(rfm, [F.col("recency_days").asc(), F.col("user_id").asc()], 4, "r_quartile")
     t = exact_ntile(t, [F.col("frequency").desc(), F.col("user_id").asc()], 4, "f_quartile")
     t = exact_ntile(t, [F.col("monetary").desc(), F.col("user_id").asc()], 4, "m_quartile")
-    return t.select(
-        "user_id",
-        "recency_days",
-        "frequency",
-        "monetary",
-        F.col("r_quartile").cast("int").alias("r_quartile"),
-        F.col("f_quartile").cast("int").alias("f_quartile"),
-        F.col("m_quartile").cast("int").alias("m_quartile"),
+    # t accumulated THREE spine handles (_ordinal_caches) — carry them
+    # through the final projection so release_spines() can free all three
+    return carry_spines(
+        t,
+        t.select(
+            "user_id",
+            "recency_days",
+            "frequency",
+            "monetary",
+            F.col("r_quartile").cast("int").alias("r_quartile"),
+            F.col("f_quartile").cast("int").alias("f_quartile"),
+            F.col("m_quartile").cast("int").alias("m_quartile"),
+        ),
     )
 
 
@@ -4760,11 +4767,11 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle IS the naive global window — proving the distributed construction
     produces identical ordinals while every stage stays partition-parallel.
     """
-    from re_data_pipeline_spark.operators.ids import assign_ordinals
+    from re_data_pipeline_spark.operators.ids import assign_ordinals, carry_spines
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     out = assign_ordinals(o, [F.desc("o_totalprice"), F.asc("o_orderkey")])
-    return out.select("o_orderkey", "ordinal")
+    return carry_spines(out, out.select("o_orderkey", "ordinal"))
 
 
 # ---------------------------------------------------------------------------
@@ -6807,15 +6814,19 @@ def q160_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from re_data_pipeline_spark.operators.ids import assign_ordinals
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    parts = []
+    parts, spines = [], []
     for epoch in (0, 1):
         pri = F.md5(
             F.concat_ws(":", F.lit("epoch"), F.lit(epoch), F.col("doc_id").cast("string"))
         )
         e = d.withColumn("epoch", F.lit(epoch)).withColumn("__pri", pri)
         out = assign_ordinals(e, [F.asc("__pri"), F.asc("doc_id")], ordinal_col="position")
+        spines.append(out._ordinal_cache)
         parts.append(out.select("doc_id", "epoch", F.col("position").cast("bigint").alias("position")))
-    return parts[0].unionByName(parts[1])
+    u = parts[0].unionByName(parts[1])
+    # both epoch spines ride the union so release_spines() frees them
+    u._ordinal_cache, u._ordinal_caches = spines[-1], spines
+    return u
 
 
 def _bpe_round_sql(i: int) -> str:
@@ -7230,9 +7241,10 @@ def q168_snake_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n_tokens"),
     )
-    return snake_shards(
-        d, "n_tokens", _Q168_SHARDS, order_tiebreak=["doc_id"]
-    ).select("doc_id", "n_tokens", "shard")
+    from re_data_pipeline_spark.operators.ids import carry_spines
+
+    s = snake_shards(d, "n_tokens", _Q168_SHARDS, order_tiebreak=["doc_id"])
+    return carry_spines(s, s.select("doc_id", "n_tokens", "shard"))
 
 
 @query(

@@ -274,6 +274,91 @@ def test_assign_ordinals_dense_and_ordered(spark):
     )
 
 
+def _persisted_nonckpt_ids(spark):
+    """Ids of persisted RDDs that are not localCheckpoint marks (same
+    technique as tests/test_dedup._leaked_persist_ids)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {
+        rid for rid, jrdd in dict(jmap).items() if not jrdd.rdd().isLocallyCheckpointed()
+    }
+
+
+def test_assign_ordinals_plan_map_only_after_range_exchange(spark):
+    """r7 verdict task 2: the spine must pay exactly ONE data-scale
+    exchange (the range partition).  The ordinal is
+    monotonically_increasing_id arithmetic over the persisted sorted frame
+    — no row_number window, so no Exchange hashpartitioning(__pid) and no
+    Window node anywhere in the output plan."""
+    from re_data_pipeline_spark.operators.ids import assign_ordinals, release_spines
+
+    df = spark.range(0, 500).select((F.col("id") * 13 % 97).alias("k"), "id")
+    out = assign_ordinals(df, [F.asc("k"), F.asc("id")], num_partitions=5)
+    plan = out._jdf.queryExecution().toString()
+    assert "hashpartitioning" not in plan
+    assert "Window" not in plan
+    assert "rangepartitioning" in plan  # the one data-scale exchange
+    release_spines(out)
+
+
+def test_spine_caches_released_no_persisted_rdd_growth(spark):
+    """r7 verdict task 7 + ADVICE: chained spine calls accumulate release
+    handles through the FINAL projection (carry_spines), and
+    release_spines() leaves zero persisted-RDD growth in the session."""
+    from re_data_pipeline_spark.operators.ids import exact_ntile, release_spines
+
+    before = _persisted_nonckpt_ids(spark)
+    df = spark.range(0, 300).select((F.col("id") * 7 % 50).alias("v"), "id")
+    t = exact_ntile(df, [F.col("v").asc(), F.col("id").asc()], 4, "q1")
+    t = exact_ntile(t, [F.col("v").desc(), F.col("id").asc()], 4, "q2")
+    t = exact_ntile(t, [F.col("id").asc()], 4, "q3")
+    final = t.select("id", "q1", "q2", "q3")
+    from re_data_pipeline_spark.operators.ids import carry_spines
+
+    final = carry_spines(t, final)
+    final.count()  # materialize (pins the three spines)
+    assert len(final._ordinal_caches) == 3  # one handle per chained spine
+    assert release_spines(final) == 3
+    assert _persisted_nonckpt_ids(spark) <= before
+
+
+def test_query_bodies_carry_spine_handles(spark, sf_dir):
+    """The spine-backed query bodies (q87/q117/q118/q160/q168) end in a
+    projection/union — each must still expose its release handles, and an
+    Engine.release() must drop them all."""
+    from re_data_pipeline_spark.engine import Engine
+    from re_data_pipeline_spark.plans.queries import QUERIES
+
+    eng = Engine(spark, sf_dir)
+    expected = {
+        "q87_rank_distribution": 1,
+        "q117_rfm_segments": 3,
+        "q118_global_ordinals": 1,
+        "q160_epoch_shuffle": 2,
+        "q168_snake_shards": 1,
+    }
+    before = _persisted_nonckpt_ids(spark)
+    for name, n_spines in expected.items():
+        df = QUERIES[name](spark, sf_dir)
+        assert len(df._ordinal_caches) == n_spines, name
+        df.count()
+        assert eng.release(df) == n_spines, name
+    assert _persisted_nonckpt_ids(spark) <= before
+
+
+def test_spine_scope_releases_on_exit(spark):
+    """spine_scope() unpersists every spine created inside the block."""
+    from re_data_pipeline_spark.operators.ids import assign_ordinals, spine_scope
+
+    before = _persisted_nonckpt_ids(spark)
+    df = spark.range(0, 100).select((F.col("id") % 13).alias("k"), "id")
+    with spine_scope() as handles:
+        out = assign_ordinals(df, [F.asc("k"), F.asc("id")], num_partitions=3)
+        got = sorted(r["ordinal"] for r in out.collect())
+        assert got == list(range(100))
+        assert len(handles) == 1
+    assert _persisted_nonckpt_ids(spark) <= before
+
+
 def test_quality_check_on_empty_table(spark):
     """An empty table is vacuously clean: rate 0.0, no ANSI divide-by-zero,
     and the enforce gate passes."""
