@@ -92,7 +92,7 @@ class Engine:
         from re_data_pipeline_spark.operators.ids import release_spines
 
         n = release_spines(df, blocking)
-        for attr in ("_frontier_cache", "new_buckets"):
+        for attr in ("_frontier_cache", "new_buckets", "_fp_cache"):
             h = getattr(df, attr, None)
             if h is not None:
                 h.unpersist(blocking)

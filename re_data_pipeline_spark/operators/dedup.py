@@ -642,18 +642,43 @@ def semantic_dedup_pipeline(
     return df.join(losers, id_col, "left_anti")
 
 
-def simhash(df: DataFrame, text_col: str = "text", bits: int = 60, out_col: str = "simhash") -> DataFrame:
-    """Append a ``bits``-wide (≤60, fits signed BIGINT) SimHash fingerprint.
+_SIMHASH_WORD_BITS = 60  # bits per fingerprint word (15 md5 hex chars < 2^60)
 
-    Token hash = first 15 hex chars of md5 (60 bits, engine-portable);
-    bit_j(doc) = sign of Σ_tokens (bit_j(h(token))·2 − 1).  Implemented as
-    explode → one md5 per token → single groupBy with ``bits`` sums — one
-    shuffle regardless of bit width.
 
-    Bits come from integer ``shiftright`` on a LONG (15 hex digits < 2^60
-    fits signed 64-bit).  Decimal division would round at result scale and
-    can flip a bit when the true quotient's fraction exceeds 0.9999995.
+def simhash_multi(
+    df: DataFrame,
+    text_col: str = "text",
+    bits: int = 120,
+    out_col: str = "simhash_words",
+) -> DataFrame:
+    """Append a ``bits``-wide SimHash fingerprint as ``array<bigint>`` —
+    word w holds fingerprint bits [60w, 60w+60) in its low bits.
+
+    Fingerprint width must SCALE WITH THE CORPUS for Hamming-radius search
+    (:func:`simhash_radius_pairs`): with ``radius+1`` pigeonhole bands, a
+    band is ``bits/(radius+1)`` wide and expected per-band candidate volume
+    has an ~n²/2^width floor even on uniformly random fingerprints — so
+    choose ``bits ≥ (radius+1)·log₂(n_docs)`` (e.g. 10⁹ docs at radius 3 →
+    ≥120 bits; radius 6 → ≥210, use 240).  A single 64-bit word (the r7
+    representation) caps bands at ~16 bits for radius 3 — a quadratic
+    floor at corpus scale, which is exactly why this emits an array.
+
+    Per-token hashes are md5-derived and engine-portable: digest d of a
+    token is ``md5(token)`` for d=0 and ``md5(token ∥ '§d')`` for d≥1;
+    each digest's 30 leading hex chars yield two 60-bit words (chars 1-15
+    and 16-30).  bit_j(doc) = sign of Σ_tokens (bit_j(h(token))·2 − 1),
+    computed as explode → md5s per token → ONE groupBy with ``bits`` sums
+    — one shuffle regardless of width.  Bits come from integer
+    ``shiftright`` on a LONG; decimal division would round at result scale
+    and can flip a bit when the true quotient's fraction exceeds
+    0.9999995.
+
+    Word 0 is bit-identical to :func:`simhash`'s scalar fingerprint (same
+    hex lane, same sign rule).
     """
+    if bits < 1:
+        raise ValueError(f"bits must be ≥ 1; got {bits}")
+    n_words = -(-bits // _SIMHASH_WORD_BITS)
     # fingerprint per DISTINCT text, then join back on an md5 key: every
     # input row survives (null text -> null fingerprint via the left join,
     # duplicate rows are preserved), and repeated texts hash once
@@ -662,27 +687,61 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 60, out_col: str 
         .where(F.col("__text").isNotNull())
         .distinct()
     )
+    hcols = []
+    for w in range(n_words):
+        digest, half = divmod(w, 2)
+        src = (
+            F.col("__tok")
+            if digest == 0
+            else F.concat(F.col("__tok"), F.lit(f"§{digest}"))
+        )
+        hcols.append(
+            F.conv(F.substring(F.md5(src), 1 + 15 * half, 15), 16, 10)
+            .cast("long")
+            .alias(f"__h{w}")
+        )
     toks = texts.select(
         "__text", F.explode(F.split(F.trim(F.col("__text")), r"\s+")).alias("__tok")
-    ).withColumn(
-        "__h", F.conv(F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10).cast("long")
-    )
+    ).select("__text", *hcols)
     bit_sums = toks.groupBy("__text").agg(
         *[
-            F.sum((F.shiftright(F.col("__h"), j) % 2) * 2 - 1).alias(f"__b{j}")
+            F.sum(
+                (F.shiftright(F.col(f"__h{j // _SIMHASH_WORD_BITS}"), j % _SIMHASH_WORD_BITS) % 2)
+                * 2
+                - 1
+            ).alias(f"__b{j}")
             for j in range(bits)
         ]
     )
-    sim = None
-    for j in range(bits):
-        term = F.when(F.col(f"__b{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    fp = bit_sums.select(F.md5("__text").alias("__sk"), sim.cast("long").alias(out_col))
+    words = []
+    for w in range(n_words):
+        word = None
+        for i in range(min(_SIMHASH_WORD_BITS, bits - w * _SIMHASH_WORD_BITS)):
+            j = w * _SIMHASH_WORD_BITS + i
+            term = F.when(F.col(f"__b{j}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+            word = term if word is None else word + term
+        words.append(word.cast("long"))
+    fp = bit_sums.select(F.md5("__text").alias("__sk"), F.array(*words).alias(out_col))
     return (
         df.withColumn("__sk", F.md5(F.col(text_col)))
         .join(fp, "__sk", "left")
         .drop("__sk")
     )
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 60, out_col: str = "simhash") -> DataFrame:
+    """Append a ``bits``-wide (≤60, fits signed BIGINT) SimHash fingerprint
+    — the single-word form of :func:`simhash_multi` (same md5 hex lane,
+    same sign rule; ``simhash(df)[out_col] == simhash_multi(df)[out][0]``).
+    Use :func:`simhash_multi` when fingerprints must widen with the corpus
+    (Hamming-radius banding)."""
+    if bits > _SIMHASH_WORD_BITS:
+        raise ValueError(
+            f"scalar simhash caps at {_SIMHASH_WORD_BITS} bits (signed BIGINT); "
+            f"got {bits} — use simhash_multi for wider fingerprints"
+        )
+    out = simhash_multi(df, text_col, bits, "__simhash_w")
+    return out.withColumn(out_col, F.element_at("__simhash_w", 1)).drop("__simhash_w")
 
 
 def incremental_lsh_dedup(
@@ -907,10 +966,12 @@ def prefix_filter_pairs(
         # One map-combined aggregate over the prefix table: the estimate is
         # EXACT for the pre-distinct candidate volume (Σ c·(c−1)/2 emitted
         # rows), so an over-cap reading means the equi-join genuinely fans
-        # out toward all-pairs — not a heuristic false alarm.  n_docs is a
-        # distinct-count of the same relation (every doc has ≥1 prefix
-        # token); the two guard actions recompute the prefix lineage — the
-        # documented cost of leaving the guard on.
+        # out toward all-pairs — not a heuristic false alarm.  The guard
+        # costs ONE pass over the prefix lineage (r7 ran two: this agg plus
+        # a distinct-count of the same relation); n_docs now comes from a
+        # count of the input frame — metadata-only on a raw parquet scan,
+        # and an upper bound on prefix docs (empty-token docs inflate it),
+        # which only makes the cap marginally laxer.
         stats = (
             pre.groupBy("tok")
             .agg(F.count(F.lit(1)).alias("c"))
@@ -920,7 +981,7 @@ def prefix_filter_pairs(
             )
             .first()
         )
-        n_docs = pre.select(id_col).distinct().count()
+        n_docs = df.count()
         est = int(stats["est_pairs"] or 0)
         if est > cap_pairs_per_doc * max(n_docs, 1):
             msg = (
@@ -954,9 +1015,11 @@ def simhash_radius_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 60,
+    bits: int = 120,
     radius: int = 3,
     num_bands: int | None = None,
+    on_degradation: str = "warn",
+    cap_pairs_per_doc: int = 64,
 ) -> DataFrame:
     """All pairs whose SimHash fingerprints are within Hamming distance
     ``radius`` — EXACT (zero false negatives) via pigeonhole banding:
@@ -964,21 +1027,43 @@ def simhash_radius_pairs(
     bands; any pair with ≤ ``radius`` differing bits must agree EXACTLY on
     at least one band (r differences cannot touch r+1 bands), so an
     equi-join on (band_idx, band_value) yields a candidate superset, and an
-    exact popcount-of-XOR verifies.  The multi-index pigeonhole principle
-    behind binary-code ANN (Norouzi et al.'s multi-index hashing) — the
-    deterministic complement of SRP-LSH the way ``prefix_filter_pairs``
-    complements MinHash-LSH.
+    exact per-word popcount-of-XOR verifies.  The multi-index pigeonhole
+    principle behind binary-code ANN (Norouzi et al.'s multi-index
+    hashing) — the deterministic complement of SRP-LSH the way
+    ``prefix_filter_pairs`` complements MinHash-LSH.
 
     Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b`` and
     ``hamming ≤ radius``.
 
-    Scale shape: fingerprints come from :func:`simhash` (one shuffle);
-    candidates from a band equi-join — Σ bucket² pairs, never all-pairs;
-    verification is row-local ``bit_count(a XOR b)``.  Band buckets skew
-    exactly when near-duplicate mass skews (same story as LSH bands) —
-    AQE skew-join handles hot buckets.  More bands than ``radius + 1``
-    narrows each band (bigger buckets, more candidates) and is only
-    correct if ``num_bands ≥ radius + 1``; fewer is rejected.
+    **Width rule (the 100 TB knob):** band width is ``bits/(radius+1)``
+    and expected per-band candidates have an ~n²/2^width floor even on
+    uniformly random fingerprints, so ``bits`` must grow with the corpus:
+    choose ``bits ≥ (radius+1)·log₂(n_docs)`` (10⁹ docs: ≥120 at radius 3,
+    240 at radius 6).  Fingerprints are ``array<bigint>``
+    (:func:`simhash_multi`), so width is unbounded — the r7 single-BIGINT
+    representation capped bands at ~16 bits at radius 3, a quadratic
+    candidate floor no skew-handling can fix.  Measured
+    (tools/scale_probe.py): at fixed radius and adequate width, candidate
+    rows grow ~linearly with docs; at the capped width they grow ~n².
+
+    ``on_degradation`` guards the band join the way
+    ``prefix_filter_pairs`` guards its prefix join: one map-combined
+    aggregate over the band table computes the EXACT pre-distinct
+    candidate volume Σ c·(c−1)/2 over bucket sizes; if it exceeds
+    ``cap_pairs_per_doc × n_docs`` the operator warns (``"warn"``,
+    default — result unchanged; the message says how wide ``bits`` must
+    be), raises (``"error"``), or skips the check (``"off"``).  While the
+    guard is on, the fingerprint frame is persisted so its Σ-tokens
+    aggregation runs once, not twice; the handle rides the result as
+    ``._fp_cache`` (released by ``Engine.release``).
+
+    Scale shape: fingerprints cost one shuffle; candidates come from a
+    band equi-join — Σ bucket² pairs, never all-pairs; verification is
+    row-local popcount.  Band buckets also skew when near-duplicate mass
+    skews (same story as LSH bands) — AQE skew-join handles hot buckets;
+    the uniform floor above is what only width can fix.  More bands than
+    ``radius + 1`` narrows each band (bigger buckets, more candidates) and
+    is only correct if ``num_bands ≥ radius + 1``; fewer is rejected.
     """
     n_bands = num_bands if num_bands is not None else radius + 1
     if n_bands < radius + 1:
@@ -988,11 +1073,23 @@ def simhash_radius_pairs(
         )
     if n_bands > bits:
         raise ValueError(f"num_bands={n_bands} exceeds bits={bits}")
+    if on_degradation not in ("warn", "error", "off"):
+        raise ValueError(
+            f"on_degradation must be 'warn', 'error', or 'off'; got {on_degradation!r}"
+        )
+    wb = _SIMHASH_WORD_BITS
     fp = (
-        simhash(df.select(id_col, text_col), text_col, bits=bits)
-        .select(id_col, "simhash")
-        .where(F.col("simhash").isNotNull())
+        simhash_multi(df.select(id_col, text_col), text_col, bits=bits, out_col="__w")
+        .select(id_col, "__w")
+        .where(F.col("__w").isNotNull())
     )
+    fp_cache = None
+    if on_degradation != "off":
+        # persist the fingerprint frame: the guard's bucket aggregate and
+        # the band self-join both consume it, and its lineage (Σ-tokens
+        # explode + bits-wide agg) is the expensive part of this operator
+        fp_cache = fp.persist()
+        fp = fp_cache
     # Contiguous band slices covering ALL bits with EXACTLY n_bands bands:
     # floor width with the remainder spread over the first (bits mod
     # n_bands) bands.  A ceil width would be WRONG here — ceil(bits/n)
@@ -1000,6 +1097,9 @@ def simhash_radius_pairs(
     # radius+1 and silently break the pigeonhole guarantee (e.g. bits=10,
     # radius=6 → 7 requested bands but ceil width 2 covers them in 5 —
     # a hamming-6 pair can then differ in every band and be lost).
+    # A band can straddle word boundaries: its value is assembled from the
+    # overlapping 60-bit words with shift/mask/or — still pure integer
+    # expressions inside whole-stage codegen.
     # ONE explode of a per-row struct array (the lsh_bands shape), not an
     # n_bands-way union — a union would replay the fingerprint aggregation's
     # post-shuffle work once per band branch.
@@ -1008,24 +1108,64 @@ def simhash_radius_pairs(
     lo = 0
     for i in range(n_bands):
         w = base + (1 if i < extra else 0)
-        entries.append(
-            F.struct(
-                F.lit(i).alias("band"),
-                F.shiftright(F.col("simhash"), lo)
-                .bitwiseAND(F.lit((1 << w) - 1))
-                .alias("bv"),
+        if w > 62:
+            raise ValueError(
+                f"band width {w} exceeds 62 bits (band values are BIGINT); "
+                f"raise num_bands"
             )
-        )
+        pieces = []
+        for k in range(lo // wb, -(-(lo + w) // wb)):
+            s, e = max(lo, k * wb), min(lo + w, (k + 1) * wb)
+            piece = (
+                F.shiftright(F.element_at(F.col("__w"), k + 1), s - k * wb)
+                .bitwiseAND(F.lit((1 << (e - s)) - 1))
+            )
+            pieces.append(F.shiftleft(piece, s - lo))
+        bv = pieces[0]
+        for p in pieces[1:]:
+            bv = bv.bitwiseOR(p)
+        entries.append(F.struct(F.lit(i).alias("band"), bv.alias("bv")))
         lo += w
     assert lo == bits and len(entries) == n_bands
     band_rows = fp.select(
-        F.col(id_col), F.col("simhash"), F.explode(F.array(*entries)).alias("__e")
+        F.col(id_col), F.col("__w"), F.explode(F.array(*entries)).alias("__e")
     ).select(
         id_col,
-        "simhash",
+        "__w",
         F.col("__e.band").alias("__band"),
         F.col("__e.bv").alias("__bv"),
     )
+    if on_degradation != "off":
+        # EXACT pre-distinct candidate volume from bucket sizes — one
+        # map-combined agg over the (persisted-fingerprint) band table;
+        # n_docs is a cheap count of the input frame (metadata-only on a
+        # raw parquet scan), an upper bound on fingerprinted docs that
+        # only makes the cap marginally laxer
+        stats = (
+            band_rows.groupBy("__band", "__bv")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.sum(F.col("c") * (F.col("c") - F.lit(1)) / F.lit(2)).alias("est_pairs"),
+                F.max("c").alias("max_bucket"),
+            )
+            .first()
+        )
+        n_docs = df.count()
+        est = int(stats["est_pairs"] or 0)
+        if est > cap_pairs_per_doc * max(n_docs, 1):
+            import math
+
+            need = (radius + 1) * max(1, math.ceil(math.log2(max(n_docs, 2))))
+            msg = (
+                f"simhash_radius_pairs degradation: ~{est} candidate pairs for "
+                f"{n_docs} docs (cap {cap_pairs_per_doc}/doc; max bucket "
+                f"{stats['max_bucket']}) — bands too narrow for this corpus. "
+                f"Widen fingerprints: bits ≥ (radius+1)·log₂(n) ≈ {need} "
+                f"(current bits={bits}, radius={radius})."
+            )
+            if on_degradation == "error":
+                raise RuntimeError(msg)
+            warnings.warn(msg)
     a, b = band_rows.alias("a"), band_rows.alias("b")
     cands = (
         a.join(
@@ -1036,18 +1176,29 @@ def simhash_radius_pairs(
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
-            F.col("a.simhash").alias("__ha"),
+            F.col("a.__w").alias("__ha"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("b.simhash").alias("__hb"),
+            F.col("b.__w").alias("__hb"),
         )
         .distinct()
     )
-    ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
-    return (
+    # exact Hamming distance: per-word popcount of XOR, statically unrolled
+    # (codegen-friendly — no higher-order-function overhead per candidate)
+    n_words = -(-bits // wb)
+    ham = None
+    for k in range(n_words):
+        t = F.bit_count(
+            F.element_at("__ha", k + 1).bitwiseXOR(F.element_at("__hb", k + 1))
+        )
+        ham = t if ham is None else ham + t
+    out = (
         cands.withColumn("hamming", ham.cast("int"))
         .where(F.col("hamming") <= radius)
         .select("id_a", "id_b", "hamming")
     )
+    if fp_cache is not None:
+        out._fp_cache = fp_cache  # release path for long-lived sessions
+    return out
 
 
 def containment_best(
@@ -1056,6 +1207,8 @@ def containment_best(
     text_col: str = "text",
     threshold_num: int = 9,
     threshold_den: int = 10,
+    on_degradation: str = "warn",
+    cap_pairs_per_doc: int = 64,
 ) -> DataFrame:
     """For each document, its best CONTAINER: the other document whose
     token set covers the largest fraction of this document's tokens, kept
@@ -1083,10 +1236,19 @@ def containment_best(
     (candidate join — the (1−t) rarest fraction against per-token
     postings), and the candidate-pair intersection count.  Low-diversity
     corpora degrade the same way ``prefix_filter_pairs`` documents —
-    bounded vocabularies make every prefix token common.
+    bounded vocabularies make every prefix token common.  ``on_degradation``
+    is the same guard as its sibling's: before the candidate join, one
+    aggregate over (prefix counts ⋈ token df) computes the EXACT
+    pre-distinct candidate volume Σ_tok pre(tok)·df(tok); over
+    ``cap_pairs_per_doc × n_docs`` it warns (``"warn"``, default — result
+    unchanged), raises (``"error"``), or skips (``"off"``).
     """
     from pyspark.sql.window import Window
 
+    if on_degradation not in ("warn", "error", "off"):
+        raise ValueError(
+            f"on_degradation must be 'warn', 'error', or 'off'; got {on_degradation!r}"
+        )
     toks = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
     )
@@ -1108,6 +1270,35 @@ def containment_best(
         F.explode(F.slice("keys", 1, prefix_len)).alias("k"),
     ).select("id_a", "__na", F.col("k.tok").alias("tok"))
     full_b = toks.select(F.col(id_col).alias("id_b"), "tok")
+    if on_degradation != "off":
+        # EXACT pre-filter candidate volume of the prefix-vs-full equi-join:
+        # Σ_tok pre(tok)·df(tok) — every (prefix row, posting row) token
+        # match becomes one candidate row before the id_a≠id_b filter and
+        # distinct.  Cost: one pass over the prefix lineage + the
+        # (vocab-sized) token-df agg; n_docs is a cheap input count.
+        stats = (
+            pre.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("pc"))
+            .join(dfreq, "tok")
+            .agg(
+                F.sum(F.col("pc") * F.col("df")).alias("est_pairs"),
+                F.max("df").alias("max_df"),
+            )
+            .first()
+        )
+        n_docs = df.count()
+        est = int(stats["est_pairs"] or 0)
+        if est > cap_pairs_per_doc * max(n_docs, 1):
+            msg = (
+                f"containment_best degradation: ~{est} candidate rows for "
+                f"{n_docs} docs (cap {cap_pairs_per_doc}/doc; max token df "
+                f"{stats['max_df']}) — low-diversity vocabulary; every prefix "
+                "token is common, so the prefix-vs-postings join is degrading "
+                "toward all-pairs."
+            )
+            if on_degradation == "error":
+                raise RuntimeError(msg)
+            warnings.warn(msg)
     cands = (
         pre.join(full_b, "tok")
         .where(F.col("id_a") != F.col("id_b"))

@@ -501,16 +501,36 @@ def rrf_fuse(
     Returns ``(id, rrf_nano, rrf, n_lists, rnk)`` for the global top
     ``top_n``.
 
+    Input hygiene: a doc_id repeated WITHIN one ranking frame counts once,
+    at its best (minimum) rank — a per-list min-rank dedup runs before the
+    union, so a sloppy retriever can't inflate ``rrf_nano``/``n_lists``
+    by emitting a document twice.  Ranks must be ≥ 1 (rank 0 would score
+    above any legal rank); violations raise at materialization via an
+    ``assert_true`` guard embedded in the scoring expression — no extra
+    validation job over the (possibly expensive) retriever lineage.
+
     Scale note: the fusion input is Σ|lists| rows (bounded by retriever
     top-Ns); the only ordering is a TakeOrdered top-n over that bounded
     set — fusing is never a corpus-scale operation.
     """
     if not rankings:
         raise ValueError("rrf_fuse: rankings must be non-empty")
+    # assert_true returns NULL when the predicate holds (and raises when it
+    # doesn't), so coalescing its long-cast into the rank is a no-op that
+    # keeps the check lazy and inside the same projection
+    rank_checked = F.col("rank") + F.coalesce(
+        F.assert_true(F.col("rank") >= 1, F.lit("rrf_fuse: rank must be ≥ 1")).cast(
+            "long"
+        ),
+        F.lit(0),
+    )
     tagged = [
-        r.select(
+        r.select(F.col(id_col), rank_checked.alias("__r"))
+        .groupBy(id_col)
+        .agg(F.min("__r").alias("__r"))
+        .select(
             F.col(id_col),
-            F.round(F.lit(float(10**9)) / (F.lit(k) + F.col("rank")), 0)
+            F.round(F.lit(float(10**9)) / (F.lit(k) + F.col("__r")), 0)
             .cast("long")
             .alias("__c"),
         )

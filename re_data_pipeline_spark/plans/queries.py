@@ -7163,38 +7163,45 @@ def q166_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q167_RADIUS = 6
-_Q167_BITS = 60
+_Q167_BITS = 120  # 2×60-bit words — r8 widened off the single-BIGINT cap
 _Q167_SQL = f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t FROM documents
 ), h AS (
-  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS hv FROM tok
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h0,
+                 ('0x' || substr(md5(t), 16, 15))::BIGINT AS h1
+  FROM tok
 ), bits AS (
   SELECT doc_id,
-         {', '.join(f"SUM(((hv >> {j}) & 1) * 2 - 1) AS b{j}" for j in range(_Q167_BITS))}
+         {', '.join(f"SUM(((h{j // 60} >> {j % 60}) & 1) * 2 - 1) AS b{j}" for j in range(_Q167_BITS))}
   FROM h GROUP BY doc_id
 ), fp AS (
   SELECT doc_id,
-         ({' + '.join(f"CASE WHEN b{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(_Q167_BITS))})::BIGINT AS s
+         ({' + '.join(f"CASE WHEN b{j} > 0 THEN {2 ** (j % 60)} ELSE 0 END" for j in range(60))})::BIGINT AS s0,
+         ({' + '.join(f"CASE WHEN b{j} > 0 THEN {2 ** (j % 60)} ELSE 0 END" for j in range(60, 120))})::BIGINT AS s1
   FROM bits
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+       CAST(bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1)) AS INT) AS hamming
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.s, b.s)) <= {_Q167_RADIUS}
+WHERE bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1)) <= {_Q167_RADIUS}
 """
 
 
 @query("q167_simhash_radius", _Q167_SQL)
 def q167_simhash_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hamming-radius search over SimHash fingerprints via pigeonhole
-    banding (multi-index hashing) — EXACT binary-code near-neighbor pairs
-    without an all-pairs comparison: radius+1 bands ⇒ every ≤radius pair
-    agrees exactly on some band, candidates come from a band equi-join,
-    popcount(XOR) verifies.  The oracle is brute-force all-pairs over the
-    same md5-derived fingerprints (q40's construction), so one false
-    negative from the banding — a wrong band slice, an off-by-one in the
-    bit arithmetic — hash-fails the query."""
+    """Hamming-radius search over WIDE (120-bit, ``array<bigint>``) SimHash
+    fingerprints via pigeonhole banding (multi-index hashing) — EXACT
+    binary-code near-neighbor pairs without an all-pairs comparison:
+    radius+1 bands ⇒ every ≤radius pair agrees exactly on some band,
+    candidates come from a band equi-join, per-word popcount(XOR)
+    verifies.  Width scales with the corpus (bits ≥ (radius+1)·log₂ n —
+    the r7 single-BIGINT representation had an ~n²/2¹⁶-per-band candidate
+    floor at corpus scale; see ``operators/dedup.simhash_multi``).  The
+    oracle is brute-force all-pairs over the same two md5-derived 60-bit
+    words, so one false negative from the banding — a wrong band slice,
+    a word-boundary straddle bug, an off-by-one in the bit arithmetic —
+    hash-fails the query."""
     from re_data_pipeline_spark.operators.dedup import simhash_radius_pairs
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -7560,6 +7567,7 @@ def q173_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT (vec_id // 2) % 4 AS s, vec_id % 2 AS side,
              embedding::DOUBLE[] AS v
       FROM embeddings
+      WHERE vec_id % 2 = 0 OR (vec_id // 2) % 4 <> 3
     ), comp AS (
       SELECT s, side, i AS d,
              CAST(round(v[i] * 1000000, 0) AS HUGEINT) AS f
@@ -7567,38 +7575,51 @@ def q173_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), su AS (
       SELECT s, side, d, SUM(f) AS sm, COUNT(*) AS n
       FROM comp GROUP BY 1, 2, 3
-    ), j AS (
-      SELECT a.s, a.d, a.sm AS sa, b.sm AS sb, a.n AS na, b.n AS nb
-      FROM su a JOIN su b ON a.s = b.s AND a.d = b.d
-      WHERE a.side = 0 AND b.side = 1
+    ), sa AS (SELECT s, d, sm, n FROM su WHERE side = 0),
+    sb AS (SELECT s, d, sm, n FROM su WHERE side = 1),
+    j AS (
+      SELECT COALESCE(sa.s, sb.s) AS s,
+             COALESCE(sa.sm, 0) AS sma, COALESCE(sb.sm, 0) AS smb,
+             COALESCE(sa.n, 0) AS na, COALESCE(sb.n, 0) AS nb
+      FROM sa FULL OUTER JOIN sb ON sa.s = sb.s AND sa.d = sb.d
     ), acc AS (
-      SELECT s, SUM(sa * sb) AS dot, SUM(sa * sa) AS na2, SUM(sb * sb) AS nb2,
+      SELECT s, SUM(sma * smb) AS dot, SUM(sma * sma) AS na2,
+             SUM(smb * smb) AS nb2,
              MAX(na) AS n_a, MAX(nb) AS n_b
       FROM j GROUP BY s
     )
     SELECT CAST(s AS BIGINT) AS stratum,
            CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-           ROUND(CAST(dot AS DOUBLE)
-                 / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))), 6)
-             AS centroid_cosine,
-           ROUND((sqrt(CAST(nb2 AS DOUBLE)) / n_b)
-                 / (sqrt(CAST(na2 AS DOUBLE)) / n_a), 6) AS norm_ratio
+           CASE WHEN na2 > 0 AND nb2 > 0 THEN
+             ROUND(CAST(dot AS DOUBLE)
+                   / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))), 6)
+           END AS centroid_cosine,
+           CASE WHEN na2 > 0 AND nb2 > 0 THEN
+             ROUND((sqrt(CAST(nb2 AS DOUBLE)) / n_b)
+                   / (sqrt(CAST(na2 AS DOUBLE)) / n_a), 6)
+           END AS norm_ratio
     FROM acc
     """,
 )
 def q174_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-snapshot centroid drift per stratum: cosine between the
     two snapshots' mean vectors plus centroid-norm ratio (even/odd vec_id
-    split stands in for consecutive embedder runs; stratum = (vec_id/2)%4
-    so both snapshots populate every stratum).  Component sums are integer
-    micro units, dot/norms decimal-exact — the one double division per
-    stratum is identical in any engine.  See
-    ``operators/drift.embedding_centroid_drift``."""
+    split stands in for consecutive embedder runs; stratum = (vec_id/2)%4).
+    Stratum 3 is deliberately EXCLUDED from snapshot b, so the fixture
+    exercises the one-sided alarm path — the operator's FULL OUTER join
+    surfaces the vanished stratum with n_b=0 and NULL cosine/ratio, and
+    the oracle mirrors the same full-outer + NULL-guard convention (an
+    inner-join oracle would only ever agree by luck of a two-sided
+    fixture).  Component sums are integer micro units, dot/norms
+    decimal-exact — the one double division per stratum is identical in
+    any engine.  See ``operators/drift.embedding_centroid_drift``."""
     from re_data_pipeline_spark.operators.drift import embedding_centroid_drift
 
     e = load_table(spark, sf_dir, "embeddings").withColumn(
         "stratum", F.pmod(F.floor(F.col("vec_id") / 2), F.lit(4)).cast("bigint")
     )
     a = e.where(F.col("vec_id") % 2 == 0)
-    b = e.where(F.col("vec_id") % 2 == 1)
+    # drop stratum 3 from snapshot b: the one-sided (vanished-stratum)
+    # alarm path must be exercised, not merely not hit
+    b = e.where((F.col("vec_id") % 2 == 1) & (F.col("stratum") != 3))
     return embedding_centroid_drift(a, b, "stratum", "embedding")

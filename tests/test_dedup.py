@@ -451,10 +451,14 @@ def test_simhash_radius_pairs_complete_vs_bruteforce(spark):
     got = {(r.id_a, r.id_b): r.hamming
            for r in simhash_radius_pairs(df, radius=R).collect()}
 
-    fps = {r.doc_id: r.simhash for r in simhash(df, "text").collect()}
+    # brute force over the same (default-width, multi-word) fingerprints
+    from re_data_pipeline_spark.operators.dedup import simhash_multi
+
+    fps = {r.doc_id: list(r.simhash_words)
+           for r in simhash_multi(df, "text").collect()}
     truth = {}
     for a, b in itertools.combinations(sorted(fps), 2):
-        d = bin(fps[a] ^ fps[b]).count("1")
+        d = sum(bin(x ^ y).count("1") for x, y in zip(fps[a], fps[b]))
         if d <= R:
             truth[(a, b)] = d
     assert got == truth          # complete AND nothing extra, distances exact
@@ -509,3 +513,132 @@ def test_simhash_radius_pairs_non_divisible_band_widths(spark):
             truth[(a, b)] = d
     assert truth, "fixture must produce in-radius pairs"
     assert got == truth
+
+
+def test_containment_best_degradation_guard(spark):
+    """r7 verdict task 3: a low-diversity corpus (tiny fixed vocabulary →
+    every prefix token common) must trip containment_best's candidate-
+    volume guard; 'warn' leaves the result unchanged, 'error' raises,
+    'off' stays silent."""
+    import warnings as w
+
+    import pytest
+
+    from re_data_pipeline_spark.operators.dedup import containment_best
+
+    # 30 docs drawn from a 4-token vocabulary — prefix tokens are all common
+    rows = [(i, " ".join(f"v{(i + j) % 4}" for j in range(4))) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        warned = containment_best(df, cap_pairs_per_doc=1).collect()
+        assert any("containment_best degradation" in str(x.message) for x in rec)
+
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        silent = containment_best(df, cap_pairs_per_doc=1, on_degradation="off").collect()
+        assert not any("degradation" in str(x.message) for x in rec)
+    assert sorted(map(tuple, warned)) == sorted(map(tuple, silent))  # result unchanged
+
+    with pytest.raises(RuntimeError, match="degradation"):
+        containment_best(df, cap_pairs_per_doc=1, on_degradation="error")
+
+    with pytest.raises(ValueError, match="on_degradation"):
+        containment_best(df, on_degradation="explode")
+
+    # a healthy (diverse) corpus must NOT warn under the default cap
+    diverse = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(8))) for i in range(30)],
+        "doc_id long, text string",
+    )
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        containment_best(diverse).collect()
+        assert not any("degradation" in str(x.message) for x in rec)
+
+
+def test_simhash_multi_word0_matches_scalar_and_widens(spark):
+    """simhash_multi's word 0 is bit-identical to the scalar simhash (same
+    md5 lane, same sign rule); wider fingerprints add words without
+    changing word 0."""
+    from re_data_pipeline_spark.operators.dedup import simhash, simhash_multi
+
+    df = docs_df(spark)
+    scalar = {r.doc_id: r.simhash for r in simhash(df, "text").collect()}
+    multi = {r.doc_id: list(r.simhash_words)
+             for r in simhash_multi(df, "text", bits=240).collect()}
+    for d, words in multi.items():
+        assert len(words) == 4
+        assert words[0] == scalar[d]
+        assert all(0 <= w < (1 << 60) for w in words)
+    # 240-bit uses two digests — words 2/3 must not just repeat words 0/1
+    assert any(w[2] != w[0] or w[3] != w[1] for w in multi.values())
+
+
+def test_simhash_radius_pairs_band_straddles_word_boundary(spark):
+    """Bands that straddle the 60-bit word boundary must extract the exact
+    bit slice (shift/mask across two words) — verified against brute-force
+    popcount on the same 100-bit fingerprints (bands [0,25) [25,50)
+    [50,75) [75,100): the third straddles words 0/1)."""
+    import itertools
+
+    from re_data_pipeline_spark.operators.dedup import (
+        simhash_multi,
+        simhash_radius_pairs,
+    )
+
+    base = " ".join(f"s{i}" for i in range(25))
+    rows = [(i, base + " " + " ".join(f"e{i}{j}" for j in range(i % 4)))
+            for i in range(24)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    B, R = 100, 3
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in simhash_radius_pairs(df, bits=B, radius=R).collect()}
+    fps = {r.doc_id: list(r.simhash_words)
+           for r in simhash_multi(df, "text", bits=B).collect()}
+    truth = {}
+    for a, b in itertools.combinations(sorted(fps), 2):
+        d = sum(bin(x ^ y).count("1") for x, y in zip(fps[a], fps[b]))
+        if d <= R:
+            truth[(a, b)] = d
+    assert truth, "fixture must produce in-radius pairs"
+    assert got == truth
+
+
+def test_simhash_radius_pairs_degradation_guard(spark):
+    """A corpus of near-identical fingerprints blows the Σ c·(c−1)/2
+    bucket estimate: 'warn' emits the width advice without changing the
+    result; 'error' raises; 'off' stays silent; and the guard's persisted
+    fingerprint frame is exposed for release."""
+    import warnings as w
+
+    import pytest
+
+    from re_data_pipeline_spark.operators.dedup import simhash_radius_pairs
+
+    rows = [(i, "the same text every time") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        out = simhash_radius_pairs(df, radius=2, cap_pairs_per_doc=1)
+        n = out.count()
+        assert n == 40 * 39 // 2  # all identical -> every pair at distance 0
+        assert any("Widen fingerprints" in str(x.message) for x in rec)
+        assert hasattr(out, "_fp_cache")
+        out._fp_cache.unpersist()
+
+    with pytest.raises(RuntimeError, match="Widen fingerprints"):
+        simhash_radius_pairs(df, radius=2, cap_pairs_per_doc=1,
+                             on_degradation="error")
+
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        out = simhash_radius_pairs(df, radius=2, cap_pairs_per_doc=1,
+                                   on_degradation="off")
+        assert out.count() == 40 * 39 // 2
+        assert not any("degradation" in str(x.message) for x in rec)
+        assert not hasattr(out, "_fp_cache")
+
+    with pytest.raises(ValueError, match="on_degradation"):
+        simhash_radius_pairs(df, on_degradation="explode")

@@ -288,3 +288,29 @@ def test_rrf_fuse_exact_and_union_semantics(spark):
     assert sorted(r.rnk for r in out.values()) == [1, 2, 3, 4]
     with pytest.raises(ValueError, match="non-empty"):
         rrf_fuse([])
+
+
+def test_rrf_fuse_dedups_within_list_and_rejects_bad_ranks(spark):
+    """ADVICE r7: a doc_id repeated WITHIN one list counts once at its best
+    rank (no rrf_nano/n_lists inflation), and rank < 1 fails loudly at
+    materialization instead of silently outscoring legal ranks."""
+    import pytest
+
+    from re_data_pipeline_spark.operators.similarity import rrf_fuse
+
+    dup = spark.createDataFrame(
+        [(1, 1), (1, 3), (2, 2)], "doc_id long, rank int"
+    )
+    other = spark.createDataFrame([(1, 2)], "doc_id long, rank int")
+    out = {r.doc_id: r for r in rrf_fuse([dup, other], k=60, top_n=10).collect()}
+
+    def c(rank):
+        return round(1e9 / (60 + rank))
+
+    assert out[1].rrf_nano == c(1) + c(2)  # min rank 1 from the dup list
+    assert out[1].n_lists == 2             # NOT 3
+    assert out[2].rrf_nano == c(2) and out[2].n_lists == 1
+
+    bad = spark.createDataFrame([(5, 0)], "doc_id long, rank int")
+    with pytest.raises(Exception, match="rank must be"):
+        rrf_fuse([bad], k=60, top_n=5).collect()
