@@ -79,6 +79,11 @@ HEADLINE = [
     "q167_simhash_radius",       # pigeonhole band join + popcount verify
     "q168_snake_shards",         # global ordinals + snake arithmetic
     "q169_containment_best",     # prefix-filtered containment + verify
+    # round-8 additions: the prefix-sum spine (Arrow scan), the vocab
+    # coverage curve riding it, and the signature-estimate join
+    "q175_global_cumsum",        # range exchange + map-only Arrow scan
+    "q176_vocab_coverage",       # prefix-sum spine over the vocab table
+    "q178_minhash_estimate",     # persisted signatures + lane-agreement join
 ]
 
 
@@ -191,19 +196,37 @@ def main() -> None:
             )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_headline_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "plan_hashes": plans,
-                "runs_per_query": n_runs,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_headline_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "plan_hashes": plans,
+        "runs_per_query": n_runs,
+        "sf": sf,
+    }
+    print(json.dumps(payload))
+    # ALSO write the complete record locally: the driver stores only a
+    # stdout TAIL, which truncated BENCH_r07's first seven headline rows
+    # (r7 verdict, What's missing #2) — .benchmarks/bench_r<N>.json keeps
+    # the repo's own full per-round record (N = next round number,
+    # inferred from the highest BENCH_r*.json the driver has written)
+    try:
+        import glob
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        ns = [
+            int(m.group(1))
+            for f in glob.glob(os.path.join(here, "BENCH_r*.json"))
+            if (m := re.search(r"BENCH_r(\d+)", f))
+        ]
+        nxt = (max(ns) + 1) if ns else 1
+        bdir = os.path.join(here, ".benchmarks")
+        os.makedirs(bdir, exist_ok=True)
+        with open(os.path.join(bdir, f"bench_r{nxt:02d}.json"), "w") as f:
+            json.dump(payload, f, indent=1)
+    except Exception as e:  # the record is best-effort; never fail the bench
+        print(f"local bench record not written: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

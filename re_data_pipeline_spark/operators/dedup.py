@@ -1156,13 +1156,31 @@ def simhash_radius_pairs(
             import math
 
             need = (radius + 1) * max(1, math.ceil(math.log2(max(n_docs, 2))))
-            msg = (
+            head = (
                 f"simhash_radius_pairs degradation: ~{est} candidate pairs for "
                 f"{n_docs} docs (cap {cap_pairs_per_doc}/doc; max bucket "
-                f"{stats['max_bucket']}) — bands too narrow for this corpus. "
-                f"Widen fingerprints: bits ≥ (radius+1)·log₂(n) ≈ {need} "
-                f"(current bits={bits}, radius={radius})."
+                f"{stats['max_bucket']}). "
             )
+            if bits < need:
+                # uniform floor: bands narrower than log₂(n) collide by
+                # the pigeonhole of the hash itself — only width fixes it
+                advice = (
+                    f"Bands too narrow for this corpus — widen fingerprints: "
+                    f"bits ≥ (radius+1)·log₂(n) ≈ {need} "
+                    f"(current bits={bits}, radius={radius})."
+                )
+            else:
+                # width already adequate: the mass is near-duplicate
+                # fingerprint skew — real duplicate structure the verify
+                # stage will confirm; AQE skew-join handles hot buckets
+                advice = (
+                    f"Width is adequate (bits={bits} ≥ {need} needed), so the "
+                    "candidate mass is near-duplicate fingerprint skew — real "
+                    "duplicate clusters, not band narrowness; AQE skew-join "
+                    "handles the hot buckets.  Raise cap_pairs_per_doc if this "
+                    "duplication level is expected for the corpus."
+                )
+            msg = head + advice
             if on_degradation == "error":
                 raise RuntimeError(msg)
             warnings.warn(msg)
@@ -1327,3 +1345,72 @@ def containment_best(
             F.round(F.col("__c") / F.col("__na"), 6).alias("containment"),
         )
     )
+
+
+def minhash_estimate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_words: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH candidate pairs WITH their MinHash Jaccard estimate — the
+    signature-only similarity report: est_J = (# agreeing signature lanes)
+    / num_hashes, the unbiased MinHash estimator (each lane agrees with
+    probability J).  The cheap middle tier between raw candidate pairs
+    (no score) and ``jaccard_on_pairs`` (exact, but re-tokenizes both
+    documents per pair): dedup triage, threshold sweeps, and
+    cluster-quality dashboards read the estimate straight off signatures
+    already computed for banding.
+
+    Returns ``(id_a, id_b, matching_lanes, est_jaccard)`` with
+    ``id_a < id_b`` — ``matching_lanes`` the exact integer agreement
+    count (the comparison-stable form), ``est_jaccard`` its /num_hashes
+    ratio at 6dp.
+
+    Scale shape: ONE signature pass (persisted — it feeds both banding
+    and the estimate join; handle on the result as ``._fp_cache``),
+    band-bounded candidates, then two signature equi-joins on the pair
+    ids; lane agreement is a row-local ``zip_with`` + ``filter`` over
+    num_hashes-sized arrays.  Nothing is all-pairs; nothing re-reads
+    text after the signature pass.
+    """
+    sigs = minhash_signature(
+        df.select(id_col, text_col), text_col, num_hashes, shingle_words
+    ).select(id_col, "minhash").persist()
+    rows_per_band = num_hashes // bands
+    nb = lsh_bands(sigs, id_col, "minhash", bands, rows_per_band)
+    a, b = nb.alias("a"), nb.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("__sa"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("__sb"))
+    matching = F.size(
+        F.filter(
+            F.zip_with(F.col("__sa"), F.col("__sb"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    out = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            matching.cast("int").alias("matching_lanes"),
+            F.round(matching / F.lit(float(num_hashes)), 6).alias("est_jaccard"),
+        )
+    )
+    out._fp_cache = sigs  # release path (Engine.release) for long sessions
+    return out

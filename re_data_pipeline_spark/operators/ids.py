@@ -162,6 +162,141 @@ def spine_scope(blocking: bool = False):
             h.unpersist(blocking)
 
 
+def assign_prefix_sums(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    value_col: str,
+    out_col: str = "running_sum",
+    ordinal_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global running total of ``value_col`` following ``order_cols``
+    — ``SUM(v) OVER (ORDER BY ...)`` without the single-partition window.
+
+    Same two-level construction as :func:`assign_ordinals`, summing values
+    instead of counting rows: range partition + sort within partitions,
+    per-partition TOTALS collected (a partition-count-sized agg) and
+    prefix-summed on the driver, then ONE Arrow-batched ``mapInPandas``
+    scan per partition adds ``offset + cumulative-within-partition`` —
+    map-only after the single range exchange.  The scan is the one place
+    this engine needs per-partition imperative state (a running carry
+    across Arrow batches); no relational form expresses a scan without
+    either a global window or a second full-data exchange.
+
+    ``value_col`` must be an integral column (bigint) — fixed-point
+    decimals/floats first (e.g. ``F.round(x * 100, 0).cast("long")``):
+    integer prefix sums are exact and engine-portable, float scans are
+    order-sensitive in the last ulp.  NULLs count as 0.  int64 overflow is
+    the caller's contract, as for any bigint SUM (cumulative corpus token
+    counts ~1e15 sit far from the 9.2e18 edge).
+
+    ``ordinal_col`` optionally emits the global 0-based ordinal from the
+    SAME pass (monotonically_increasing_id arithmetic — free), for
+    rank+cumulative consumers like ``vocab_coverage``.
+
+    Exposes ``._ordinal_cache`` (the persisted sorted frame — release
+    after materializing) and ``._prefix_total`` (the grand total,
+    already collected — free).
+    """
+    import pandas as pd  # noqa: F401  (mapInPandas contract)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parts = (
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__mid", F.monotonically_increasing_id())
+    )
+    parts = parts.persist()
+    if _SCOPE_STACK:
+        _SCOPE_STACK[-1].append(parts)
+    tots = parts.groupBy("__pid").agg(
+        F.sum(F.col(value_col)).alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()
+    sums = {r["__pid"]: int(r["s"] or 0) for r in tots}
+    cnts = {r["__pid"]: r["n"] for r in tots}
+    offsets, ord_offsets, acc, oacc = {}, {}, 0, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        ord_offsets[pid] = oacc
+        acc += sums[pid]
+        oacc += cnts[pid]
+    in_fields = [f for f in parts.schema.fields if f.name not in ("__pid", "__mid")]
+    out_fields = list(in_fields) + [StructField(out_col, LongType())]
+    if ordinal_col is not None:
+        out_fields.append(StructField(ordinal_col, LongType()))
+    out_names = [f.name for f in out_fields]
+    mask = (1 << _LOCAL_BITS) - 1
+
+    def scan(batches):
+        run = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["__pid"].iloc[0])
+            if run is None:
+                run = offsets[pid]
+            vals = pdf[value_col].fillna(0).to_numpy(dtype="int64")
+            cum = vals.cumsum() + run
+            run = int(cum[-1])
+            pdf = pdf.copy()
+            pdf[out_col] = cum
+            if ordinal_col is not None:
+                mids = pdf["__mid"].to_numpy(dtype="int64")
+                pdf[ordinal_col] = (mids & mask) + ord_offsets[pid]
+            yield pdf[out_names]
+
+    out = parts.mapInPandas(scan, StructType(out_fields))
+    out._ordinal_cache = parts
+    out._ordinal_caches = [parts]
+    out._prefix_total = acc
+    out._ordinal_total = oacc
+    return out
+
+
+def exact_quantiles(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    value_col: str,
+    quantiles: list[tuple[int, int]] = ((1, 4), (1, 2), (3, 4), (9, 10), (99, 100)),
+    out_value_col: str = "value",
+) -> DataFrame:
+    """EXACT nearest-rank quantiles over a total order — the distributed
+    form of ``quantile_disc`` without a single-partition sort: one ordinal
+    spine (:func:`assign_ordinals`), then each quantile q=num/den selects
+    the row with 0-based ordinal ``⌈q·n⌉ − 1`` (computed in pure integer
+    arithmetic — float ceil at representation boundaries would pick a
+    neighbor).  Returns ``(q_num, q_den, value)``, one row per requested
+    quantile; an empty frame returns no rows.
+
+    The selection is an equi-join of the (broadcast, k-row) quantile spec
+    against the spine — the corpus-scale side is touched once.  Use for
+    exact length/score distribution cuts where approx_percentile's error
+    bound is not acceptable (e.g. packing budgets tied to hard context
+    limits).
+    """
+    o = assign_ordinals(df, order_cols, "__q_ord")
+    n = o._ordinal_total
+    spark = df.sparkSession
+    spec_rows = []
+    for num, den in quantiles:
+        if not (0 < num <= den):
+            raise ValueError(f"quantile {num}/{den} outside (0, 1]")
+        if n > 0:
+            idx = (num * n + den - 1) // den - 1  # ⌈q·n⌉ − 1, exact
+            spec_rows.append((num, den, idx))
+    spec = spark.createDataFrame(
+        spec_rows, "q_num int, q_den int, __q_ord bigint"
+    )
+    out = (
+        F.broadcast(spec)
+        .join(o, "__q_ord")
+        .select("q_num", "q_den", F.col(value_col).alias(out_value_col))
+    )
+    return _carry_caches(df, out, o._ordinal_cache)
+
+
 def rank_features(
     df: DataFrame,
     order_cols: list[Column | str],

@@ -180,3 +180,63 @@ def pmi_collocations(
             "rnk",
         )
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    thresholds: tuple[int, ...] = (90, 95, 99),
+) -> DataFrame:
+    """Vocabulary-coverage curve: for each percentage threshold, the
+    minimal top-k vocabulary (tokens ranked by frequency desc, token asc)
+    whose cumulative token mass reaches that fraction of the corpus — the
+    sizing question every tokenizer/vocab-pruning decision asks ("how many
+    types cover 99% of tokens?").
+
+    Returns ``(threshold_pct, vocab_size, coverage)`` — ``vocab_size`` the
+    minimal k, ``coverage`` the exact mass fraction AT that k (≥ the
+    threshold; 6dp).  Comparisons are pure integer arithmetic
+    (``cum·100 ≥ pct·total``) — no float thresholds to straddle a
+    boundary differently per engine.
+
+    Scale shape: one map-combined token-count agg (corpus → |vocab| rows),
+    then ONE prefix-sum spine over the vocabulary table
+    (``ids.assign_prefix_sums`` — range exchange + map-only scan; never a
+    single-partition window even though |vocab| ~10⁸ at 100 TB), and a
+    |vocab|-row min-aggregate per threshold, all in one agg pass.  The
+    cumulative-mass monotonicity makes ``min(cum | qualifying)`` the mass
+    at the minimal k — no re-join to look it up.
+    """
+    from re_data_pipeline_spark.operators.ids import assign_prefix_sums, carry_spines
+
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ps = assign_prefix_sums(
+        counts,
+        [F.desc("c"), F.asc("tok")],
+        "c",
+        out_col="__cum",
+        ordinal_col="__rank",
+    )
+    total = ps._prefix_total
+    aggs = []
+    for i, pct in enumerate(thresholds):
+        cond = F.col("__cum") * 100 >= F.lit(int(pct)) * F.lit(total)
+        aggs.append(F.min(F.when(cond, F.col("__rank") + 1)).alias(f"__k{i}"))
+        aggs.append(F.min(F.when(cond, F.col("__cum"))).alias(f"__c{i}"))
+    row = ps.agg(*aggs)
+    pieces = [
+        row.select(
+            F.lit(int(pct)).alias("threshold_pct"),
+            F.col(f"__k{i}").cast("bigint").alias("vocab_size"),
+            F.round(F.col(f"__c{i}") / F.lit(float(total or 1)), 6).alias("coverage"),
+        )
+        for i, pct in enumerate(thresholds)
+    ]
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return carry_spines(ps, out)

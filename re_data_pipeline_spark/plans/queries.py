@@ -4778,52 +4778,51 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-window registration order
 # ---------------------------------------------------------------------------
 # The correctness driver verifies the FIRST 50 registered queries, in order.
-# Round-7 rotation targets the STALEST cumulative coverage (every query has
-# ≥1 green row since r6; the risk is code churn since an old row):
-# (a) all 8 queries whose last green driver row is round 1;
-# (b) 24 of the 27 whose last green row is round 2 (q02/q05/q06 — stock
-#     filter/anti-join/semi-join bodies, code untouched since r1-r2,
-#     parity-verified every session, and the anti/semi semantics stay
-#     anchored in-window via q25/q26/q130 — yield their slots to
-#     never-checked q174 and changed q87/q117);
-# (c) every query whose code changed this round — the de-broadcast fixes
-#     (q96 TF-IDF, q153 prefix filter, q162 BPE encode, q151 co-occurrence),
-#     the q157 derived-sentinel fix, q152 (frontier persist), q163
-#     (linkage validation), and q87/q117 (ntile/percent_rank moved off the
-#     global window onto the exact_ntile ordinal spine); q59's
-#     localCheckpoint change is already in (b);
-# (d)/(e): the final 8 slots anchor the queries NEW this round (never
-#     driver-checked, so they outrank every stale-but-green row): q166
-#     temperature mixture, q167 simhash Hamming-radius pairs, q168 snake
-#     shard packing, q169 containment join, q170 char-LM quality, q171
-#     token drift, q172 PMI collocations, q173 hybrid RRF, q174
-#     embedding centroid drift.
-# Everything rotated out holds a green r4-r6 driver row with unchanged
+# Round-8 rotation:
+# (a) the round-2-last stock trio q02/q05/q06 finally rotates in (their
+#     deferral made README's freshness claim false — r7 verdict #3);
+# (b) every query whose code changed this round: q87/q117/q118/q160/q168
+#     (assign_ordinals went map-only — monotonically_increasing_id
+#     arithmetic replaced the row_number window — and all spine bodies now
+#     carry release handles), q153 (guard now single-pass), q167 (SimHash
+#     widened to 120-bit array<bigint> fingerprints + bucket guard), q169
+#     (containment degradation guard), q173 (rrf per-list dedup + rank
+#     validation), q174 (full-outer oracle + one-sided-stratum fixture);
+# (c) the queries NEW this round: q175 prefix-sum spine cumsum, q176
+#     vocab coverage, q177 exact quantiles, q178 MinHash Jaccard estimate;
+# (d) 33 of the 38 rows whose last green driver row is round 4.  The 5
+#     deferred (q54_first_available, q55_limit_topn, q64_lag_lead,
+#     q90_array_setops, q92_date_trunc_spectrum) are stock-expression
+#     bodies untouched since r3, parity-verified every session — they
+#     rotate in round 9.
+# Everything rotated out holds a green r5-r7 driver row with unchanged
 # code, and tools/parity.py still verifies ALL registered queries every
-# session.  Remaining r4 rows rotate in next round.
+# session.
 
 DRIVER_WINDOW: list[str] = [
-    # (a) last green row: round 1
-    "q08_distinct", "q10_except", "q39_grid_cell_assign", "q49_time_format",
-    "q50_url_parse", "q51_cube", "q52_count_distinct", "q61_salted_agg",
-    # (b) last green row: round 2
-    "q09_union_by_name", "q11_explode", "q16_date_parts", "q19_json_extract",
-    "q21_case_normalize", "q22_completeness_profile", "q23_enrichment_join",
-    "q25_upsert", "q26_archive_delisted", "q30_token_quality", "q31_lang_id",
-    "q32_fingerprint_dedup", "q37_chunking", "q40_simhash",
-    "q56_geocode_fallback", "q58_utm_project", "q59_json_glob_scan",
-    "q60_embedding_neardup", "q62_storeys_regex", "q98_pii_redaction",
-    "q99_interval_concurrency", "q114_grouping_sets", "q118_global_ordinals",
-    "q120_http_pushdown_scan",
-    # (c) code changed this round (de-broadcast / sentinel / persist fixes)
-    "q87_rank_distribution", "q117_rfm_segments",
-    "q96_tfidf_top_terms", "q151_item_cooccurrence", "q152_skyline",
-    "q153_prefix_filter_join", "q157_stream_left_outer", "q162_bpe_encode",
-    "q163_record_linkage",
-    # (d)/(e) new this round — never driver-checked
-    "q166_temperature_mixture", "q167_simhash_radius", "q168_snake_shards",
-    "q169_containment_best", "q170_char_lm_quality", "q171_token_drift",
-    "q172_pmi_collocations", "q173_hybrid_rrf", "q174_embedding_drift",
+    # (a) the deferred round-2 stock trio
+    "q02_filter_project", "q05_anti_join", "q06_semi_join",
+    # (b) code changed this round
+    "q87_rank_distribution", "q117_rfm_segments", "q118_global_ordinals",
+    "q160_epoch_shuffle", "q168_snake_shards",
+    "q153_prefix_filter_join", "q167_simhash_radius", "q169_containment_best",
+    "q173_hybrid_rrf", "q174_embedding_drift",
+    # (c) new this round — never driver-checked
+    "q175_global_cumsum", "q176_vocab_coverage", "q177_exact_quantiles",
+    "q178_minhash_estimate",
+    # (d) last green row: round 4
+    "q44_streaming_tumbling", "q101_streaming_sessions", "q102_zorder_layout",
+    "q104_embedding_minmax", "q105_weighted_sample", "q106_scalar_quantization",
+    "q108_grouped_regression", "q109_canonical_url", "q110_html_to_text",
+    "q111_topn_order_revenue", "q112_regional_supplier_volume",
+    "q116_cohort_retention",
+    "q65_first_occurrence", "q66_state_flag_merge", "q67_rolling_hash",
+    "q68_bpe_token_count", "q70_stateful_stream", "q73_band_join",
+    "q74_percentiles", "q76_histogram", "q77_levenshtein",
+    "q78_deterministic_sample", "q79_pivot", "q80_unpivot",
+    "q81_stratified_sample", "q83_gap_fill", "q84_zscore_outliers",
+    "q86_cdc_latest", "q88_conditional_agg", "q89_above_average",
+    "q93_word_count", "q94_funnel", "q95_incremental_aggregate",
 ]
 
 
@@ -7206,8 +7205,13 @@ def q167_simhash_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # cap raised above the default 64/doc: the synthetic corpus is
+    # DELIBERATELY near-dup dense (~10% templated copies), so its candidate
+    # mass is real duplicate structure, not band narrowness — the guard
+    # stays on to catch genuine width problems
     return simhash_radius_pairs(
-        d, "doc_id", "text", bits=_Q167_BITS, radius=_Q167_RADIUS
+        d, "doc_id", "text", bits=_Q167_BITS, radius=_Q167_RADIUS,
+        cap_pairs_per_doc=512,
     )
 
 
@@ -7298,7 +7302,14 @@ def q169_containment_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     )
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    return containment_best(d, "doc_id", "text", threshold_num=9, threshold_den=10)
+    # cap raised above the default 64/doc: the synthetic sf corpus is a
+    # small-vocabulary fixture whose prefix tokens are genuinely common —
+    # the candidate density is the fixture's, not a plan regression; the
+    # guard stays on (and is unit-tested to fire on low-diversity corpora)
+    return containment_best(
+        d, "doc_id", "text", threshold_num=9, threshold_den=10,
+        cap_pairs_per_doc=4096,
+    )
 
 
 @query(
@@ -7623,3 +7634,170 @@ def q174_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # alarm path must be exercised, not merely not hit
     b = e.where((F.col("vec_id") % 2 == 1) & (F.col("stratum") != 3))
     return embedding_centroid_drift(a, b, "stratum", "embedding")
+
+
+# ---------------------------------------------------------------------------
+# Round 8: distributed-scan infrastructure (prefix-sum spine) + signature
+# similarity estimation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q175_global_cumsum",
+    """
+    WITH v AS (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_orderkey, cents,
+           CAST(SUM(cents) OVER (ORDER BY o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS running_cents
+    FROM v
+    """,
+)
+def q175_global_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global running total WITHOUT the single-partition window the
+    naive ``SUM() OVER (ORDER BY …)`` plans: the prefix-sum spine
+    (``operators/ids.assign_prefix_sums``) — range partition + in-partition
+    sort, per-partition totals prefix-summed on the driver, one Arrow
+    mapInPandas scan adds offset + within-partition cumulative.  Money is
+    fixed-pointed to integer cents before summing (integer prefix sums are
+    exact and engine-portable; float scans are order-sensitive).  The
+    oracle IS the naive global window — proving the distributed scan
+    produces identical running totals while every stage stays
+    partition-parallel.  The W1-sorted-report analogue of the reference's
+    cumulative rollups, re-expressed for corpus scale."""
+    from re_data_pipeline_spark.operators.ids import assign_prefix_sums, carry_spines
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    ps = assign_prefix_sums(o, [F.asc("o_orderkey")], "cents", out_col="running_cents")
+    return carry_spines(ps, ps.select("o_orderkey", "cents", "running_cents"))
+
+
+@query(
+    "q176_vocab_coverage",
+    f"""
+    WITH tok AS (
+      SELECT unnest({_sql_tokens()}) AS t FROM documents
+    ), c AS (
+      SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+    ), r AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rk,
+             SUM(c) OVER (ORDER BY c DESC, t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM c
+    ), tot AS (SELECT SUM(c) AS tt FROM c)
+    SELECT pct AS threshold_pct,
+           (SELECT CAST(MIN(rk) AS BIGINT) FROM r, tot
+             WHERE cum * 100 >= pct * tt) AS vocab_size,
+           (SELECT ROUND(CAST(MIN(cum) AS DOUBLE) / CAST(MAX(tt) AS DOUBLE), 6)
+              FROM r, tot WHERE cum * 100 >= pct * tt) AS coverage
+    FROM (VALUES (90), (95), (99)) v(pct)
+    """,
+)
+def q176_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage curve: minimal top-k vocabulary covering
+    90/95/99% of corpus token mass — the tokenizer/vocab-pruning sizing
+    report (``operators/indexing.vocab_coverage``).  Rank and cumulative
+    mass both come from ONE prefix-sum spine pass over the vocabulary
+    table (|V| ~10⁸ at 100 TB — far too big for the oracle's global
+    window), thresholds compare in pure integer arithmetic, and the mass
+    AT the minimal k falls out of cum's monotonicity (min over the
+    qualifying set) without a re-join."""
+    from re_data_pipeline_spark.operators.indexing import vocab_coverage
+
+    d = load_table(spark, sf_dir, "documents").select("text")
+    return vocab_coverage(d, "text", thresholds=(90, 95, 99))
+
+
+@query(
+    "q177_exact_quantiles",
+    """
+    WITH v AS (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ), s AS (
+      SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) - 1 AS o
+      FROM v
+    ), n AS (SELECT COUNT(*) AS c FROM v)
+    SELECT q_num, q_den,
+           (SELECT cents FROM s, n
+             WHERE o = (q_num * c + q_den - 1) // q_den - 1) AS value
+    FROM (VALUES (1, 4), (1, 2), (3, 4), (9, 10), (99, 100)) q(q_num, q_den)
+    """,
+)
+def q177_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT nearest-rank quantiles (p25/p50/p75/p90/p99) of the order-value
+    distribution — ``operators/ids.exact_quantiles``: one ordinal spine,
+    then each quantile q selects ordinal ⌈q·n⌉−1 via a broadcast k-row
+    spec join; index arithmetic is pure integer (float ceil at
+    representation boundaries picks a neighbor).  The scale story vs
+    ``approx_percentile``: exact cuts for hard limits (context-length
+    packing budgets, contract SLAs), at one range exchange instead of a
+    single-reducer sort.  Values are fixed-point cents, so engines agree
+    bit-for-bit."""
+    from re_data_pipeline_spark.operators.ids import carry_spines, exact_quantiles
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    out = exact_quantiles(
+        o,
+        [F.asc("cents"), F.asc("o_orderkey")],
+        "cents",
+        quantiles=((1, 4), (1, 2), (3, 4), (9, 10), (99, 100)),
+    )
+    return carry_spines(out, out.select("q_num", "q_den", "value"))
+
+
+_Q178_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_sql_tokens()} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 1) + 1),
+           j -> array_to_string(t[j:j+2], ' '))) AS sh
+  FROM toks
+), sig AS (
+  SELECT doc_id, [{_minhash_sql(16, 3)}] AS sig FROM sh
+), buckets AS (
+  SELECT doc_id, b.i AS band,
+         md5(array_to_string(sig[b.i*4+1:b.i*4+4], '|')) AS band_key
+  FROM sig, generate_series(0, 3) b(i)
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT p.id_a, p.id_b,
+       CAST(len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) AS INT)
+         AS matching_lanes,
+       ROUND(len(list_filter(range(1, 17), i -> sa.sig[i] = sb.sig[i])) / 16.0, 6)
+         AS est_jaccard
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.id_a
+JOIN sig sb ON sb.doc_id = p.id_b
+"""
+
+
+@query("q178_minhash_estimate", _Q178_SQL)
+def q178_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs scored by the MinHash Jaccard ESTIMATE
+    (agreeing lanes / 16) — the signature-only similarity report between
+    raw candidates and exact verification
+    (``operators/dedup.minhash_estimate_pairs``): one persisted signature
+    pass feeds both banding and the estimate join, agreement is a
+    row-local zip_with over 16-lane arrays, and the integer lane count is
+    the comparison-stable column.  Oracle replays signatures, banding,
+    and lane agreement from the same md5 construction as q33."""
+    from re_data_pipeline_spark.operators.dedup import minhash_estimate_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return minhash_estimate_pairs(d, "doc_id", "text", 16, 3, 4)

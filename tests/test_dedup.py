@@ -515,6 +515,23 @@ def test_simhash_radius_pairs_non_divisible_band_widths(spark):
     assert got == truth
 
 
+def test_minhash_estimate_pairs_values_and_release(spark):
+    """Estimate = agreeing lanes / 16 over LSH candidates: identical docs
+    score 1.0 (all 16 lanes), near-dups land strictly between the exact-dup
+    and nothing, the signature cache handle is exposed for release."""
+    from re_data_pipeline_spark.operators.dedup import minhash_estimate_pairs
+
+    out = minhash_estimate_pairs(docs_df(spark), "doc_id", "text")
+    got = {(r.id_a, r.id_b): r for r in out.collect()}
+    assert got[(1, 4)].matching_lanes == 16 and got[(1, 4)].est_jaccard == 1.0
+    assert (1, 2) in got and 1 <= got[(1, 2)].matching_lanes <= 16
+    assert all(
+        abs(r.est_jaccard - r.matching_lanes / 16) < 1e-9 for r in got.values()
+    )
+    assert hasattr(out, "_fp_cache")
+    out._fp_cache.unpersist()
+
+
 def test_containment_best_degradation_guard(spark):
     """r7 verdict task 3: a low-diversity corpus (tiny fixed vocabulary →
     every prefix token common) must trip containment_best's candidate-
@@ -621,14 +638,26 @@ def test_simhash_radius_pairs_degradation_guard(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     with w.catch_warnings(record=True) as rec:
         w.simplefilter("always")
+        # adequate width (120 ≥ 3·log₂40): overflow is attributed to
+        # near-dup fingerprint skew, NOT band narrowness
         out = simhash_radius_pairs(df, radius=2, cap_pairs_per_doc=1)
         n = out.count()
         assert n == 40 * 39 // 2  # all identical -> every pair at distance 0
-        assert any("Widen fingerprints" in str(x.message) for x in rec)
+        assert any(
+            "near-duplicate fingerprint skew" in str(x.message) for x in rec
+        )
         assert hasattr(out, "_fp_cache")
         out._fp_cache.unpersist()
 
-    with pytest.raises(RuntimeError, match="Widen fingerprints"):
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        # inadequate width (8 < 3·log₂40 = 18): the advice is to widen
+        out = simhash_radius_pairs(df, bits=8, radius=2, cap_pairs_per_doc=1)
+        out.count()
+        assert any("widen fingerprints" in str(x.message) for x in rec)
+        out._fp_cache.unpersist()
+
+    with pytest.raises(RuntimeError, match="degradation"):
         simhash_radius_pairs(df, radius=2, cap_pairs_per_doc=1,
                              on_degradation="error")
 

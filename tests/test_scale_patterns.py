@@ -345,6 +345,76 @@ def test_query_bodies_carry_spine_handles(spark, sf_dir):
     assert _persisted_nonckpt_ids(spark) <= before
 
 
+def test_assign_prefix_sums_matches_sequential_scan(spark):
+    """Global running total must equal the sequential cumsum over the total
+    order, across many range partitions, with NULLs counting 0, ordinals
+    from the same pass, and a map-only plan after the range exchange."""
+    from re_data_pipeline_spark.operators.ids import assign_prefix_sums, release_spines
+
+    rows = [((i * 37) % 101, i, (i * 7) % 13 if i % 9 else None) for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, id long, v long")
+    out = assign_prefix_sums(
+        df, [F.asc("k"), F.asc("id")], "v", out_col="cum", ordinal_col="ord",
+        num_partitions=7,
+    )
+    got = sorted(out.collect(), key=lambda r: (r.k, r.id))
+    expect, run = [], 0
+    for k, i, v in sorted(rows):
+        run += v or 0
+        expect.append(run)
+    assert [r.cum for r in got] == expect
+    assert [r.ord for r in got] == list(range(400))
+    assert out._prefix_total == expect[-1]
+    plan = out._jdf.queryExecution().toString()
+    assert "hashpartitioning" not in plan and "Window" not in plan
+    release_spines(out)
+
+
+def test_exact_quantiles_nearest_rank(spark):
+    """exact_quantiles must reproduce the nearest-rank definition
+    value[⌈q·n⌉−1] exactly, including the tiny-n edge where several
+    quantiles land on the same element."""
+    import math
+
+    from re_data_pipeline_spark.operators.ids import exact_quantiles, release_spines
+
+    vals = [((i * 31) % 97) * 10 for i in range(41)]
+    df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(vals)], "v long, id long"
+    )
+    qs = [(1, 100), (1, 4), (1, 2), (3, 4), (1, 1)]
+    out = exact_quantiles(df, [F.asc("v"), F.asc("id")], "v", quantiles=qs)
+    got = {(r.q_num, r.q_den): r.value for r in out.collect()}
+    s = sorted(vals)
+    for num, den in qs:
+        assert got[(num, den)] == s[math.ceil(num * len(s) / den) - 1], (num, den)
+    release_spines(out)
+
+    tiny = spark.createDataFrame([(5, 0), (7, 1)], "v long, id long")
+    t = exact_quantiles(tiny, [F.asc("v"), F.asc("id")], "v", quantiles=[(1, 100), (1, 1)])
+    assert {(r.q_num, r.q_den): r.value for r in t.collect()} == {
+        (1, 100): 5, (1, 1): 7,
+    }
+    release_spines(t)
+
+
+def test_vocab_coverage_hand_computed(spark):
+    """Coverage thresholds on a hand-countable corpus: 10 'a', 6 'b',
+    3 'c', 1 'd' (total 20): 90% → top-3 (19/20=0.95... no: a+b=16 <18,
+    a+b+c=19 ≥18 → k=3, cov 0.95), 95% → k=3 (19 ≥ 19), 99% → k=4."""
+    from re_data_pipeline_spark.operators.indexing import vocab_coverage
+    from re_data_pipeline_spark.operators.ids import release_spines
+
+    text = " ".join(["a"] * 10 + ["b"] * 6 + ["c"] * 3 + ["d"])
+    df = spark.createDataFrame([(text,)], "text string")
+    out = vocab_coverage(df, "text", thresholds=(90, 95, 99))
+    got = {r.threshold_pct: (r.vocab_size, r.coverage) for r in out.collect()}
+    assert got[90] == (3, 0.95)
+    assert got[95] == (3, 0.95)
+    assert got[99] == (4, 1.0)
+    release_spines(out)
+
+
 def test_spine_scope_releases_on_exit(spark):
     """spine_scope() unpersists every spine created inside the block."""
     from re_data_pipeline_spark.operators.ids import assign_ordinals, spine_scope

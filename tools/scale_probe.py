@@ -172,6 +172,7 @@ def main() -> int:
         near_dedup_pipeline,
         jaccard_on_pairs,
         prefix_filter_pairs,
+        simhash_radius_pairs,
     )
     from re_data_pipeline_spark.operators.frontier import pareto_frontier_2d
     from re_data_pipeline_spark.operators.graph import pagerank_fixed
@@ -253,6 +254,13 @@ def main() -> int:
         ),
         "pareto_frontier_2d (anti-correlated)": lambda n: pareto_frontier_2d(
             pts(n), "cost", "delay", "k"
+        ),
+        # guard ON (the shipped default): the probe measures what users run.
+        # Candidate volume at fixed radius must grow ~linearly when width
+        # obeys bits ≥ (radius+1)·log₂(n) — the r8 array<bigint> widening's
+        # whole point (the 64-bit cap had an ~n²/2^width floor).
+        "simhash_radius_pairs (120-bit, r=3)": lambda n: simhash_radius_pairs(
+            docs(n), "doc_id", "text", bits=120, radius=3
         ),
         "inverted_index (df-banded, capped postings)": lambda n: _inverted(docs(n)),
         "bpe_train (3 merge rounds)": lambda n: _bpe(docs(n)),

@@ -2,8 +2,9 @@
 
 BENCH_r*.json times the headline queries at sf0.1; the scale probe covers
 synthetic corpora to 50k docs.  This tool closes the gap between them: it
-runs the five heaviest BENCH queries — q71 near-dedup, q82 connected
-components, q128 keep-best dedup, q136 PageRank, q153 prefix-filter join —
+runs the heaviest BENCH queries — q71 near-dedup, q82 connected
+components, q128 keep-best dedup, q136 PageRank, q153 prefix-filter join,
+q167 simhash radius (120-bit bands), q169 containment join —
 against an sf1-equivalent ``documents`` table (50k docs, 10× sf0.1) on the
 SAME host and records wall time + plan hash into SCALING.md, so later
 rounds can judge a 2× drift against a bigger-than-bench anchor instead of
@@ -51,6 +52,10 @@ HEAVY = [
     "q128_keep_best_dedup",
     "q136_pagerank",          # control: subset-bounded body, fixed work
     "q153_prefix_filter_join",
+    # r8: the two slowest headline queries — wide-fingerprint band join and
+    # the containment prefix join — anchored before r9 judges them
+    "q167_simhash_radius",
+    "q169_containment_best",
 ]
 
 
@@ -123,7 +128,7 @@ def main() -> int:
 
         lines = [
             "## sf1 anchor (tools/sf1_anchor.py)\n",
-            f"The five heaviest BENCH queries against an sf1-equivalent "
+            f"The heaviest BENCH queries against an sf1-equivalent "
             f"`documents` table ({n_docs:,} docs = 10 replica-suffixed "
             "copies of sf0.1 — cluster COUNT scales, cluster size does "
             "not; see the tool docstring), min of 2 noop-sink runs.  The "
