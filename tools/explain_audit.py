@@ -284,16 +284,21 @@ CHECKS = [
     ),
     (
         "q160_epoch_shuffle",
-        "epoch shuffle: distributed ordinals, no global sort",
+        "epoch shuffle: distributed ordinals, no global sort, map-only spine",
         [
             (r"rangepartitioning\(__pri", "positions come from a range partition on the md5 priority"),
             (r"!Exchange SinglePartition", "no single-partition stage anywhere in the executed plan"),
+            (r"!Exchange hashpartitioning\(__pid", "no second full-data exchange — ordinals are id arithmetic, not a __pid window"),
+            (r"monotonically_increasing_id", "local index from the id encoding on the sorted cache"),
         ],
         "A naive ROW_NUMBER() OVER (ORDER BY md5) funnels every row "
         "through one task; assign_ordinals range-partitions on the "
         "priority, sorts within partitions, and prefix-sums the "
-        "partition-count-sized offsets — a 100 TB epoch shuffle is two "
-        "distributed passes.",
+        "partition-count-sized offsets.  Since r8 the local index is "
+        "monotonically_increasing_id arithmetic over the persisted sorted "
+        "frame — the r7 row_number-over-__pid window (which re-exchanged "
+        "the full data by __pid) is gone: a 100 TB epoch shuffle pays ONE "
+        "data-scale exchange per epoch.",
     ),
     (
         "q163_record_linkage",
@@ -344,29 +349,74 @@ CHECKS = [
     ),
     (
         "q87_rank_distribution",
-        "distribution windows on the ordinal spine — no single-partition sort",
+        "distribution windows on the ordinal spine — map-only after the range exchange",
         [
             (r"!Exchange SinglePartition", "ntile/percent_rank via exact_ntile/exact_percent_rank, not a global window"),
-            (r"rangepartitioning", "ordinals from range partition + local windows"),
+            (r"rangepartitioning", "ordinals from range partition + id arithmetic"),
+            (r"!Exchange hashpartitioning\(__pid", "no second full-data exchange (the r7 __pid-window cost, removed)"),
+            (r"!Window", "no window operator anywhere — bucket/fraction are row-local arithmetic"),
         ],
         "The filtered frame is a constant fraction of orders — corpus-"
         "scale — so NTILE and PERCENT_RANK ride assign_ordinals (range "
-        "exchange + per-partition window + partition-count offsets) with "
-        "the bucket/fraction as row-local arithmetic on the ordinal.",
+        "exchange, in-partition sort, monotonically_increasing_id local "
+        "index + partition-count offsets) with the bucket/fraction as "
+        "row-local arithmetic on the ordinal.  ONE data-scale exchange "
+        "total.",
     ),
     (
         "q117_rfm_segments",
-        "RFM quartiles on the ordinal spine — no global ntile window",
+        "RFM quartiles on the ordinal spine — no global ntile window, no __pid exchange",
         [
             (r"!ntile\(", "no windowed NTILE anywhere — quartiles are row-local arithmetic on ordinals"),
             (r"rangepartitioning", "one range exchange per quartile ordering"),
+            (r"!Exchange hashpartitioning\(__pid", "r7 paid this 2x-data-movement exchange three times; r8 pays zero"),
         ],
         "The per-user profile scales with the corpus; each quartile "
-        "ordering costs one range exchange (the q118/q160/q168 spine).  "
-        "The plan's one remaining Exchange SinglePartition is the 1-row "
-        "max-timestamp anchor aggregate — map-side partials reducing to a "
-        "single row, fine at any scale (same class as assign_ordinals' "
-        "partition-count exchange).",
+        "ordering costs exactly one range exchange (the q118/q160/q168 "
+        "spine) — the row_number-over-__pid windows that re-exchanged the "
+        "profile by __pid after every range partition are replaced by "
+        "monotonically_increasing_id arithmetic on the persisted sorted "
+        "frames.  The plan's one remaining Exchange SinglePartition is "
+        "the 1-row max-timestamp anchor aggregate — map-side partials "
+        "reducing to a single row, fine at any scale (same class as "
+        "assign_ordinals' partition-count exchange).",
+    ),
+    (
+        "q167_simhash_radius",
+        "wide-fingerprint band join: pigeonhole candidates, never all-pairs",
+        [
+            (r"!CartesianProduct", "candidates come from the (band, value) equi-join"),
+            (r"bit_count", "row-local per-word XOR popcount verify"),
+            (r"HashAggregate.*partial", "fingerprint bit sums combine map-side"),
+        ],
+        "120-bit array<bigint> fingerprints from simhash_multi: bands are "
+        "~17 bits at radius 6 here and WIDEN with the corpus (bits ≥ "
+        "(radius+1)·log₂ n), so the per-band n²/2^width uniform candidate "
+        "floor falls as the corpus grows — the r7 single-BIGINT cap (≤16-"
+        "bit bands at radius 3 forever) is gone.  One explode emits all "
+        "radius+1 bands; band values assemble across word boundaries with "
+        "shift/mask/or inside codegen; the Σ bucket² guard estimates "
+        "candidate volume from the persisted fingerprint frame before the "
+        "join runs.  Measured: candidate rows 20k/60k/200k at 5k/15k/50k "
+        "docs (SCALING.md) — linear at fixed radius.",
+    ),
+    (
+        "q175_global_cumsum",
+        "prefix-sum spine: one range exchange, then a map-only Arrow scan",
+        [
+            (r"rangepartitioning\(o_orderkey", "running totals from a range partition on the order key"),
+            (r"MapInPandas", "the scan is one Arrow-batched pass with a per-partition carry"),
+            (r"!Exchange SinglePartition", "never the naive global-window single reducer"),
+            (r"!Window", "no window operator — the scan is imperative per-partition state"),
+        ],
+        "SUM() OVER (ORDER BY …) with no PARTITION BY plans one reducer "
+        "scanning the world; assign_prefix_sums range-partitions, sorts "
+        "within partitions, prefix-sums the partition TOTALS on the "
+        "driver (partition-count rows), and adds offset + within-"
+        "partition cumulative in a single mapInPandas pass — the one "
+        "place the engine uses imperative per-partition state, because "
+        "no relational form expresses a scan without a second full-data "
+        "exchange.",
     ),
     (
         "q169_containment_best",
