@@ -1414,3 +1414,92 @@ def minhash_estimate_pairs(
     )
     out._fp_cache = sigs  # release path (Engine.release) for long sessions
     return out
+
+
+def lsh_recall_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    num_hashes: int = 16,
+    shingle_words: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """MEASURED recall/precision of the probabilistic LSH tier against the
+    EXACT shingle-Jaccard truth on the same corpus — the "measure, don't
+    guess" audit for a dedup configuration: before trusting (bands, rows)
+    at production scale, run this on a sample and read the recall the
+    banding actually delivers at the threshold that matters.
+
+    Truth = all pairs with exact Jaccard ≥ num/den over distinct
+    ``shingle_words``-shingles (shingle-explode equi-join — complete for
+    any threshold > 0, since a qualifying pair shares ≥1 shingle).
+    Candidates = ``lsh_candidate_pairs`` under the same shingling.
+    Returns ONE row:
+    ``(n_true, n_candidates, n_hit, recall, precision)`` — ``n_hit`` the
+    true pairs the banding surfaced, ``precision`` the fraction of
+    candidates that verify at the threshold.  The threshold is RATIONAL
+    and every comparison is integer (``inter·den ≥ union·num``) — a float
+    boundary can't move a pair between engines.
+
+    Scale shape: the truth join is O(Σ shingle postings²) per shingle —
+    the expensive exact tier, which is exactly why it runs on a SAMPLE
+    while LSH runs on the corpus; both sides reduce to pair sets and a
+    3-count aggregate.  Nothing here is all-pairs.
+    """
+    sh = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.explode(word_shingles_of(F.col("__toks"), shingle_words)).alias("s"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    truth = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sza")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("szb")), "id_b")
+        .where(
+            F.col("inter") * F.lit(threshold_den)
+            >= (F.col("sza") + F.col("szb") - F.col("inter")) * F.lit(threshold_num)
+        )
+        .select("id_a", "id_b")
+    )
+    cands = lsh_candidate_pairs(
+        df, id_col, text_col, num_hashes=num_hashes, shingle_words=shingle_words,
+        bands=bands, materialize=False,
+    ).select("id_a", "id_b")
+    # truth ∩ candidates, counted once (a semi-join from either side is the
+    # same intersection — n_hit serves both recall and precision)
+    hit = truth.join(cands, ["id_a", "id_b"], "left_semi")
+    report = (
+        truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+        .crossJoin(cands.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit")))
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hit",
+            F.when(
+                F.col("n_true") > 0, F.round(F.col("n_hit") / F.col("n_true"), 6)
+            ).alias("recall"),
+            F.when(
+                F.col("n_candidates") > 0,
+                F.round(F.col("n_hit") / F.col("n_candidates"), 6),
+            ).alias("precision"),
+        )
+    )
+    return report

@@ -116,3 +116,53 @@ def scd2_history(
         "valid_from",
         F.lead("valid_from").over(w2).alias("valid_to"),
     )
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_cols: list[Column | str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Heavy-hitter report for a prospective shuffle key — the diagnostic
+    you run BEFORE a 100 TB groupBy/join on that key: the top ``top_n``
+    keys by row count with each one's corpus share, skew factor (count ÷
+    mean rows per key), and the integer salt fan-out that would level it
+    (``⌈count·n_keys/total⌉`` — the split count ``salted_agg``/AQE skew
+    join would need).  A skew factor near 1 means the key is safe; tens
+    means one reducer owns the stage.
+
+    Returns ``(key..., n_rows, share, skew_factor, suggested_salt, rnk)``.
+
+    Exactness: share and skew are exact rationals rounded at 6dp;
+    ``suggested_salt`` is integer-ceil arithmetic (never float).  Scale
+    shape: one map-combined count agg (corpus → |keys| rows), a 1-row
+    stats agg broadcast back, and a ``top_n`` TakeOrdered — the corpus is
+    touched once and nothing key-cardinality-sized ever sorts globally.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
+    counts = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    stats = counts.agg(
+        F.sum("n_rows").alias("__total"), F.count(F.lit(1)).alias("__nkeys")
+    )
+    top = (
+        counts.crossJoin(F.broadcast(stats))
+        .orderBy(F.desc("n_rows"), *[c.asc() for c in cols])
+        .limit(top_n)
+    )
+    w = Window.orderBy(F.desc("n_rows"), *[c.asc() for c in cols])
+    return (
+        top.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .select(
+            *[c for c in top.columns if c not in ("__total", "__nkeys", "rnk")],
+            F.round(F.col("n_rows") / F.col("__total"), 6).alias("share"),
+            (F.round(F.col("n_rows") * F.col("__nkeys") / F.col("__total"), 6)).alias(
+                "skew_factor"
+            ),
+            # integer ceil via DIV, not floor(float division): at corpus
+            # scale n_rows·n_keys exceeds 2^53 and a double round-trip
+            # could be off by one
+            F.expr("CAST((n_rows * __nkeys + __total - 1) DIV __total AS INT)")
+            .alias("suggested_salt"),
+            "rnk",
+        )
+    )

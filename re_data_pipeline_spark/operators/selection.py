@@ -529,3 +529,52 @@ def char_bigram_nll(
         F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
         F.round(F.sum("__t") / (F.count(F.lit(1)) * 1e6), 6).alias("nll"),
     )
+
+
+def curriculum_interleave(
+    df: DataFrame,
+    tier_col: str,
+    order_cols: list,
+    num_tiers: int,
+    key_col: str = "interleave_key",
+    rank_col: str = "tier_rank",
+) -> DataFrame:
+    """Deterministic curriculum ordering that ROUND-ROBINS difficulty
+    tiers: row r of tier t gets ``interleave_key = r·T + t``, so a
+    dataloader sorting by the key sees one row from each tier in rotation
+    (easy/medium/hard mixing) instead of a difficulty-sorted corpus —
+    the standard curriculum-with-mixing recipe.  Keys are a total order
+    but deliberately NOT densified when tiers are unequal (a tier that
+    exhausts leaves gaps): densifying would cost a second spine for zero
+    training effect.
+
+    ``tier_col`` must hold integers in [0, num_tiers); ``order_cols``
+    orders WITHIN a tier (md5 of the id for a shuffled curriculum, a
+    quality score for a strict one) and must total-order rows within
+    every tier.
+
+    Scale shape: ONE ordinal spine over (tier, order) — never a
+    per-tier window (``partitionBy(tier)`` hash-exchanges the corpus
+    into ``num_tiers`` reducers: maximal skew by construction).  The
+    within-tier rank is ``global ordinal − first ordinal of the tier``,
+    with the T first-ordinals from a T-row agg broadcast back.
+    """
+    from re_data_pipeline_spark.operators.ids import assign_ordinals, carry_spines
+
+    t = F.col(tier_col)
+    o = assign_ordinals(
+        df.withColumn("__t", t.cast("int")),
+        [F.asc("__t")] + list(order_cols),
+        "__g",
+    )
+    firsts = o.groupBy("__t").agg(F.min("__g").alias("__t0"))
+    out = (
+        o.join(F.broadcast(firsts), "__t")
+        .withColumn(rank_col, (F.col("__g") - F.col("__t0")).cast("bigint"))
+        .withColumn(
+            key_col,
+            (F.col(rank_col) * F.lit(num_tiers) + F.col("__t")).cast("bigint"),
+        )
+        .drop("__t", "__g", "__t0")
+    )
+    return carry_spines(o, out)

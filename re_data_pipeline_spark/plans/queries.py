@@ -4789,12 +4789,14 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     (containment degradation guard), q173 (rrf per-list dedup + rank
 #     validation), q174 (full-outer oracle + one-sided-stratum fixture);
 # (c) the queries NEW this round: q175 prefix-sum spine cumsum, q176
-#     vocab coverage, q177 exact quantiles, q178 MinHash Jaccard estimate;
-# (d) 33 of the 38 rows whose last green driver row is round 4.  The 5
+#     vocab coverage, q177 exact quantiles, q178 MinHash Jaccard estimate,
+#     q179 key-skew report, q180 curriculum interleave, q181 LSH
+#     recall/precision audit;
+# (d) 30 of the 38 rows whose last green driver row is round 4.  The 8
 #     deferred (q54_first_available, q55_limit_topn, q64_lag_lead,
-#     q90_array_setops, q92_date_trunc_spectrum) are stock-expression
-#     bodies untouched since r3, parity-verified every session — they
-#     rotate in round 9.
+#     q79_pivot, q80_unpivot, q83_gap_fill, q90_array_setops,
+#     q92_date_trunc_spectrum) are stock-expression bodies untouched
+#     since r3, parity-verified every session — they rotate in round 9.
 # Everything rotated out holds a green r5-r7 driver row with unchanged
 # code, and tools/parity.py still verifies ALL registered queries every
 # session.
@@ -4809,7 +4811,8 @@ DRIVER_WINDOW: list[str] = [
     "q173_hybrid_rrf", "q174_embedding_drift",
     # (c) new this round — never driver-checked
     "q175_global_cumsum", "q176_vocab_coverage", "q177_exact_quantiles",
-    "q178_minhash_estimate",
+    "q178_minhash_estimate", "q179_key_skew_report",
+    "q180_curriculum_interleave", "q181_lsh_recall_report",
     # (d) last green row: round 4
     "q44_streaming_tumbling", "q101_streaming_sessions", "q102_zorder_layout",
     "q104_embedding_minmax", "q105_weighted_sample", "q106_scalar_quantization",
@@ -4819,8 +4822,8 @@ DRIVER_WINDOW: list[str] = [
     "q65_first_occurrence", "q66_state_flag_merge", "q67_rolling_hash",
     "q68_bpe_token_count", "q70_stateful_stream", "q73_band_join",
     "q74_percentiles", "q76_histogram", "q77_levenshtein",
-    "q78_deterministic_sample", "q79_pivot", "q80_unpivot",
-    "q81_stratified_sample", "q83_gap_fill", "q84_zscore_outliers",
+    "q78_deterministic_sample",
+    "q81_stratified_sample", "q84_zscore_outliers",
     "q86_cdc_latest", "q88_conditional_agg", "q89_above_average",
     "q93_word_count", "q94_funnel", "q95_incremental_aggregate",
 ]
@@ -7801,3 +7804,169 @@ def q178_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return minhash_estimate_pairs(d, "doc_id", "text", 16, 3, 4)
+
+
+@query(
+    "q179_key_skew_report",
+    """
+    WITH c AS (
+      SELECT o_custkey, COUNT(*) AS n_rows FROM orders GROUP BY o_custkey
+    ), s AS (
+      SELECT SUM(n_rows) AS total, COUNT(*) AS nkeys FROM c
+    ), t AS (
+      SELECT o_custkey, n_rows, total, nkeys,
+             row_number() OVER (ORDER BY n_rows DESC, o_custkey) AS rnk
+      FROM c, s ORDER BY n_rows DESC, o_custkey LIMIT 10
+    )
+    SELECT o_custkey, n_rows,
+           ROUND(n_rows / total, 6) AS share,
+           ROUND(n_rows * nkeys / total, 6) AS skew_factor,
+           CAST((n_rows * nkeys + total - 1) // total AS INT) AS suggested_salt,
+           CAST(rnk AS INT) AS rnk
+    FROM t
+    """,
+)
+def q179_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter shuffle-key diagnostic
+    (``operators/maintenance.key_skew_report``): top-10 order keys by row
+    count with corpus share, skew factor vs the mean key, and the integer
+    salt fan-out that would level each — the report you read BEFORE
+    committing a 100 TB groupBy/join to a key (the measured complement of
+    q61's salted agg and q133's salted join).  One map-combined count agg,
+    one broadcast 1-row stats agg, one top-10 TakeOrdered; the
+    suggested_salt ceil is integer DIV (a float round-trip is off-by-one
+    past 2^53)."""
+    from re_data_pipeline_spark.operators.maintenance import key_skew_report
+
+    o = load_table(spark, sf_dir, "orders")
+    return key_skew_report(o, ["o_custkey"], top_n=10)
+
+
+@query(
+    "q180_curriculum_interleave",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('tier:' || CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT % 3 AS INT) AS tier,
+             md5('cur:' || CAST(doc_id AS VARCHAR)) AS pri
+      FROM documents
+    ), r AS (
+      SELECT doc_id, tier,
+             row_number() OVER (PARTITION BY tier ORDER BY pri, doc_id) - 1
+               AS tier_rank
+      FROM t
+    )
+    SELECT doc_id, tier, CAST(tier_rank AS BIGINT) AS tier_rank,
+           CAST(tier_rank * 3 + tier AS BIGINT) AS interleave_key
+    FROM r
+    """,
+)
+def q180_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering with tier mixing
+    (``operators/selection.curriculum_interleave``): quality-tiered
+    documents get interleave keys that round-robin easy/medium/hard under
+    a deterministic md5 within-tier shuffle — row r of tier t keys at
+    r·3+t.  ONE ordinal spine over (tier, priority) — never a
+    ``partitionBy(tier)`` window, which would hash the corpus into 3
+    reducers (maximal skew by construction); within-tier ranks are global
+    ordinal − the tier's first ordinal (a 3-row broadcast)."""
+    from re_data_pipeline_spark.operators.selection import curriculum_interleave
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        # deterministic md5-derived tier (the fixture has no quality column;
+        # a real pipeline feeds classifier_score terciles here)
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("tier:"), F.col("doc_id").cast("string"))),
+                    1,
+                    2,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(3),
+        )
+        .cast("int")
+        .alias("tier"),
+        F.md5(F.concat(F.lit("cur:"), F.col("doc_id").cast("string"))).alias("__pri"),
+    )
+    out = curriculum_interleave(
+        d, "tier", [F.asc("__pri"), F.asc("doc_id")], num_tiers=3
+    )
+    from re_data_pipeline_spark.operators.ids import carry_spines
+
+    return carry_spines(
+        out, out.select("doc_id", "tier", "tier_rank", "interleave_key")
+    )
+
+
+_Q181_TNUM, _Q181_TDEN = 1, 2
+_Q181_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_sql_tokens()} AS t FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 1) + 1),
+           j -> array_to_string(t[j:j+2], ' ')))) AS s
+  FROM toks
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), truth AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE i * {_Q181_TDEN} >= (sa.sz + sb.sz - i) * {_Q181_TNUM}
+), shl AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 1) + 1),
+           j -> array_to_string(t[j:j+2], ' '))) AS sh
+  FROM toks
+), sig AS (
+  SELECT doc_id, [{_minhash_sql(16, 3)}] AS sig
+  FROM (SELECT doc_id, sh FROM shl)
+), buckets AS (
+  SELECT doc_id, b.i AS band,
+         md5(array_to_string(sig[b.i*4+1:b.i*4+4], '|')) AS band_key
+  FROM sig, generate_series(0, 3) b(i)
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), hit AS (
+  SELECT t.id_a, t.id_b FROM truth t
+  JOIN cands c ON c.id_a = t.id_a AND c.id_b = t.id_b
+)
+SELECT (SELECT COUNT(*) FROM truth)::BIGINT AS n_true,
+       (SELECT COUNT(*) FROM cands)::BIGINT AS n_candidates,
+       (SELECT COUNT(*) FROM hit)::BIGINT AS n_hit,
+       CASE WHEN (SELECT COUNT(*) FROM truth) > 0 THEN
+         ROUND((SELECT COUNT(*) FROM hit) * 1.0 / (SELECT COUNT(*) FROM truth), 6)
+       END AS recall,
+       CASE WHEN (SELECT COUNT(*) FROM cands) > 0 THEN
+         ROUND((SELECT COUNT(*) FROM hit) * 1.0 / (SELECT COUNT(*) FROM cands), 6)
+       END AS precision
+"""
+
+
+@query("q181_lsh_recall_report", _Q181_SQL)
+def q181_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH recall/precision vs the exact shingle-Jaccard truth at
+    J ≥ 1/2 (``operators/dedup.lsh_recall_report``) — the audit that turns
+    "16 hashes, 4 bands should be fine" into a number before a corpus-
+    scale run trusts it.  Truth comes from the complete shingle equi-join
+    (any qualifying pair shares a shingle), candidates from the SAME
+    shingling's banding, and the threshold comparison is integer rational
+    — the oracle replays both sides end-to-end."""
+    from re_data_pipeline_spark.operators.dedup import lsh_recall_report
+
+    d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return lsh_recall_report(
+        d, "doc_id", "text", threshold_num=_Q181_TNUM, threshold_den=_Q181_TDEN
+    )

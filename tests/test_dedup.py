@@ -515,6 +515,23 @@ def test_simhash_radius_pairs_non_divisible_band_widths(spark):
     assert got == truth
 
 
+def test_lsh_recall_report_consistent_counts(spark):
+    """The report's counts must be internally consistent (hit ≤ both
+    sides; ratios are exact roundings of the counts) and the exact-dup
+    pair must always be in truth AND candidates."""
+    from re_data_pipeline_spark.operators.dedup import lsh_recall_report
+
+    r = lsh_recall_report(docs_df(spark), "doc_id", "text",
+                          threshold_num=1, threshold_den=2).collect()[0]
+    assert r.n_true >= 1          # docs 1 and 4 are identical
+    assert r.n_hit <= min(r.n_true, r.n_candidates)
+    assert r.recall == round(r.n_hit / r.n_true, 6)
+    assert r.precision == round(r.n_hit / r.n_candidates, 6)
+    # identical docs share every band -> the banding cannot miss them,
+    # so recall over a truth set containing them is > 0
+    assert r.recall > 0
+
+
 def test_minhash_estimate_pairs_values_and_release(spark):
     """Estimate = agreeing lanes / 16 over LSH candidates: identical docs
     score 1.0 (all 16 lanes), near-dups land strictly between the exact-dup

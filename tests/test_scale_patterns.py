@@ -415,6 +415,53 @@ def test_vocab_coverage_hand_computed(spark):
     release_spines(out)
 
 
+def test_key_skew_report_hand_computed(spark):
+    """Counts 6/3/1/1/1 over 5 keys (total 12, mean 2.4): the hot key's
+    share, skew factor, and integer-ceil salt must come out exactly."""
+    from re_data_pipeline_spark.operators.maintenance import key_skew_report
+
+    rows = [("hot",)] * 6 + [("warm",)] * 3 + [("a",), ("b",), ("c",)]
+    df = spark.createDataFrame(rows, "k string")
+    got = {r.k: r for r in key_skew_report(df, ["k"], top_n=3).collect()}
+    assert set(got) == {"hot", "warm", "a"}
+    assert got["hot"].n_rows == 6 and got["hot"].rnk == 1
+    assert got["hot"].share == 0.5
+    assert got["hot"].skew_factor == 2.5          # 6 / (12/5)
+    assert got["hot"].suggested_salt == 3         # ceil(6*5/12) = ceil(2.5)
+    assert got["warm"].suggested_salt == 2        # ceil(3*5/12) = ceil(1.25)
+    assert got["a"].suggested_salt == 1
+
+
+def test_curriculum_interleave_rotates_tiers(spark):
+    """Equal tiers: sorting by interleave_key must visit tiers in strict
+    0,1,2 rotation; unequal tiers keep keys strictly ordered with dense
+    within-tier ranks (gaps allowed, by contract)."""
+    from re_data_pipeline_spark.operators.ids import release_spines
+    from re_data_pipeline_spark.operators.selection import curriculum_interleave
+
+    rows = [(i, i % 3) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, tier int")
+    out = curriculum_interleave(df, "tier", [F.asc("id")], num_tiers=3)
+    got = sorted(out.collect(), key=lambda r: r.interleave_key)
+    assert [r.tier for r in got] == [0, 1, 2] * 10  # strict rotation
+    release_spines(out)
+
+    uneq = spark.createDataFrame(
+        [(i, 0) for i in range(5)] + [(100 + i, 1) for i in range(2)],
+        "id long, tier int",
+    )
+    out2 = curriculum_interleave(uneq, "tier", [F.asc("id")], num_tiers=2)
+    rows2 = sorted(out2.collect(), key=lambda r: r.interleave_key)
+    keys = [r.interleave_key for r in rows2]
+    assert len(set(keys)) == len(keys)  # strict total order
+    for t in (0, 1):  # dense 0-based rank within each tier
+        ranks = [r.tier_rank for r in rows2 if r.tier == t]
+        assert sorted(ranks) == list(range(len(ranks)))
+    # the first four positions alternate while both tiers have rows
+    assert [r.tier for r in rows2[:4]] == [0, 1, 0, 1]
+    release_spines(out2)
+
+
 def test_spine_scope_releases_on_exit(spark):
     """spine_scope() unpersists every spine created inside the block."""
     from re_data_pipeline_spark.operators.ids import assign_ordinals, spine_scope
