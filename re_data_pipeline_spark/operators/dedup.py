@@ -1503,3 +1503,49 @@ def lsh_recall_report(
         )
     )
     return report
+
+
+def dup_cluster_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_chars: int | None = None,
+) -> DataFrame:
+    """Exact-duplicate cluster-size profile — the dedup HEALTH report:
+    for each cluster size s, how many fingerprint clusters have exactly s
+    members, how many documents they hold, and what corpus share that is.
+    Read it before and after a dedup pass: a fat tail (huge s) is
+    templated boilerplate; `pct_docs` at s=1 is the unique fraction; the
+    s≥2 mass is exactly what ``exact_dedup`` will remove minus one doc
+    per cluster.
+
+    Fingerprint = md5 of normalized text (``functions.text.doc_fingerprint``),
+    optionally truncated to the first ``prefix_chars`` characters first
+    (the q32 prefix trick for corpora whose duplicates share heads).
+
+    Returns ``(cluster_size, n_clusters, n_docs, pct_docs)``.
+
+    Scale shape: two map-combined aggs (corpus → |clusters| rows →
+    |distinct sizes| rows — tiny) and one broadcast 1-row total; nothing
+    cluster-cardinality-sized sorts or collects.
+    """
+    t = F.col(text_col)
+    if prefix_chars is not None:
+        t = F.substring(t, 1, prefix_chars)
+    fp = df.select(doc_fingerprint(t).alias("__fp"))
+    clusters = fp.groupBy("__fp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    hist = clusters.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters")
+    )
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        hist.crossJoin(F.broadcast(total))
+        .select(
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+            F.round(
+                F.col("cluster_size") * F.col("n_clusters") / F.col("__total"), 6
+            ).alias("pct_docs"),
+        )
+    )

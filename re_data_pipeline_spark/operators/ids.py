@@ -297,6 +297,68 @@ def exact_quantiles(
     return _carry_caches(df, out, o._ordinal_cache)
 
 
+def weighted_quantiles(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    weight_col: str,
+    value_col: str,
+    quantiles: list[tuple[int, int]] = ((1, 2), (3, 4), (9, 10)),
+    out_value_col: str = "value",
+) -> DataFrame:
+    """EXACT weighted quantiles over a total order: the first row (in
+    ``order_cols`` order) whose cumulative weight reaches ``q·W`` — e.g.
+    "the document length the median TOKEN lives in", the packing-budget
+    question plain row quantiles (:func:`exact_quantiles`) get wrong when
+    long documents carry most of the mass.
+
+    One prefix-sum spine (:func:`assign_prefix_sums` — weights must be
+    integral bigints), then per-quantile selection is a single aggregate
+    row unpivoted to a k-row broadcast spec joined back on the ordinal;
+    the reach test is pure integer arithmetic (``cum·den ≥ num·W``).
+    Returns ``(q_num, q_den, value, cum_weight)``.
+    """
+    ps = assign_prefix_sums(
+        df, order_cols, weight_col, out_col="__wq_cum", ordinal_col="__wq_ord"
+    )
+    W = ps._prefix_total
+    for num, den in quantiles:
+        if not (0 < num <= den):
+            raise ValueError(f"quantile {num}/{den} outside (0, 1]")
+    row = ps.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("__wq_cum") * F.lit(den) >= F.lit(num) * F.lit(W),
+                    F.col("__wq_ord"),
+                )
+            ).alias(f"__o{i}")
+            for i, (num, den) in enumerate(quantiles)
+        ]
+    )
+    pieces = [
+        row.select(
+            F.lit(num).alias("q_num"),
+            F.lit(den).alias("q_den"),
+            F.col(f"__o{i}").alias("__wq_ord"),
+        )
+        for i, (num, den) in enumerate(quantiles)
+    ]
+    spec = pieces[0]
+    for p in pieces[1:]:
+        spec = spec.unionByName(p)
+    out = (
+        F.broadcast(spec)
+        .join(ps, "__wq_ord")
+        .select(
+            "q_num",
+            "q_den",
+            F.col(value_col).alias(out_value_col),
+            F.col("__wq_cum").alias("cum_weight"),
+        )
+    )
+    return _carry_caches(df, out, ps._ordinal_cache)
+
+
 def rank_features(
     df: DataFrame,
     order_cols: list[Column | str],

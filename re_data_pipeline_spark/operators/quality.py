@@ -80,3 +80,57 @@ def split_valid(df: DataFrame, rules: dict[str, Column]) -> tuple[DataFrame, Dat
     for cond in rules.values():
         all_pass = all_pass & F.coalesce(cond, F.lit(False))
     return df.where(all_pass), df.where(~all_pass)
+
+
+def char_entropy(
+    df, text_col: str = "text", id_col: str = "doc_id", out_col: str = "entropy"
+):
+    """Per-document character Shannon entropy in nats — the classic
+    cheap gibberish/boilerplate gate (near-zero entropy = repeated filler,
+    ≥ ~4.2 nats over ASCII text = keyboard mash / base64 blobs; natural
+    prose sits ~2.5-3.2).  Complements the char-bigram LM
+    (``selection.char_bigram_nll``): entropy needs NO trained model, so it
+    runs in the very first scan pass of a new crawl.
+
+    MAP-ONLY: the per-doc character histogram is higher-order-function
+    algebra over the char array — ``aggregate(distinct_chars, Σ term)``
+    with ``count(c) = size(filter(chars, x -> x = c))`` — so scoring
+    100 TB is one scan with zero shuffles (O(|doc|·|alphabet|) comparisons
+    per row inside codegen; alphabets are small).  The char array and its
+    distinct form are MATERIALIZED columns first: Spark has no
+    common-subexpression elimination inside HOF lambdas, so inlining
+    either would re-split the text once per distinct character.
+
+    Exactness: each character's −(c/n)·ln(c/n) term is fixed-pointed to
+    integer MICRO-nats before the HOF integer sum — partition-order- and
+    engine-independent.  Returns ``(id_col, n_chars, entropy_micro,
+    entropy)``; empty/null text yields NULLs.
+    """
+
+    d = df.withColumn("__chars", F.split(F.col(text_col), "")).withColumn(
+        "__dc", F.array_distinct(F.col("__chars"))
+    )
+    # counts materialized as their own ARRAY column: the entropy term
+    # reads each count twice (p and ln p), and a filter() recomputed per
+    # read would scan the char array 2·|alphabet| times per row
+    d = d.withColumn(
+        "__cnt",
+        F.transform(
+            "__dc", lambda c: F.size(F.filter("__chars", lambda x: x == c))
+        ),
+    )
+    # n from length(), not size(__chars): split("", "") yields [""] (one
+    # artifact element), so an empty doc would otherwise count 1 char
+    n = F.length(F.col(text_col))
+    micro = F.aggregate(
+        "__cnt",
+        F.lit(0).cast("long"),
+        lambda acc, cnt: acc
+        + F.round(-(cnt / n) * F.log(cnt / n) * 1_000_000, 0).cast("long"),
+    )
+    return d.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_chars"),
+        F.when(n > 0, micro).alias("entropy_micro"),
+        F.when(n > 0, F.round(micro / 1e6, 6)).alias(out_col),
+    )

@@ -4791,10 +4791,12 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (c) the queries NEW this round: q175 prefix-sum spine cumsum, q176
 #     vocab coverage, q177 exact quantiles, q178 MinHash Jaccard estimate,
 #     q179 key-skew report, q180 curriculum interleave, q181 LSH
-#     recall/precision audit;
-# (d) 30 of the 38 rows whose last green driver row is round 4.  The 8
+#     recall/precision audit, q182 char entropy, q183 dup-cluster
+#     profile, q184 weighted quantiles;
+# (d) 27 of the 38 rows whose last green driver row is round 4.  The 11
 #     deferred (q54_first_available, q55_limit_topn, q64_lag_lead,
-#     q79_pivot, q80_unpivot, q83_gap_fill, q90_array_setops,
+#     q76_histogram, q79_pivot, q80_unpivot, q83_gap_fill,
+#     q88_conditional_agg, q89_above_average, q90_array_setops,
 #     q92_date_trunc_spectrum) are stock-expression bodies untouched
 #     since r3, parity-verified every session — they rotate in round 9.
 # Everything rotated out holds a green r5-r7 driver row with unchanged
@@ -4813,6 +4815,8 @@ DRIVER_WINDOW: list[str] = [
     "q175_global_cumsum", "q176_vocab_coverage", "q177_exact_quantiles",
     "q178_minhash_estimate", "q179_key_skew_report",
     "q180_curriculum_interleave", "q181_lsh_recall_report",
+    "q182_char_entropy", "q183_dup_cluster_profile",
+    "q184_weighted_quantiles",
     # (d) last green row: round 4
     "q44_streaming_tumbling", "q101_streaming_sessions", "q102_zorder_layout",
     "q104_embedding_minmax", "q105_weighted_sample", "q106_scalar_quantization",
@@ -4821,10 +4825,10 @@ DRIVER_WINDOW: list[str] = [
     "q116_cohort_retention",
     "q65_first_occurrence", "q66_state_flag_merge", "q67_rolling_hash",
     "q68_bpe_token_count", "q70_stateful_stream", "q73_band_join",
-    "q74_percentiles", "q76_histogram", "q77_levenshtein",
+    "q74_percentiles", "q77_levenshtein",
     "q78_deterministic_sample",
     "q81_stratified_sample", "q84_zscore_outliers",
-    "q86_cdc_latest", "q88_conditional_agg", "q89_above_average",
+    "q86_cdc_latest",
     "q93_word_count", "q94_funnel", "q95_incremental_aggregate",
 ]
 
@@ -7970,3 +7974,122 @@ def q181_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_recall_report(
         d, "doc_id", "text", threshold_num=_Q181_TNUM, threshold_den=_Q181_TDEN
     )
+
+
+@query(
+    "q182_char_entropy",
+    """
+    WITH d AS (
+      SELECT doc_id, text, len(text) AS n FROM documents
+    ), ch AS (
+      SELECT doc_id, n,
+             list_transform(range(1, n + 1), i -> text[i]) AS cs
+      FROM d
+    ), cnts AS (
+      SELECT doc_id, n,
+             list_transform(list_distinct(cs),
+                            x -> len(list_filter(cs, y -> y = x))) AS c
+      FROM ch
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+           CASE WHEN n > 0 THEN CAST(list_aggregate(
+             list_transform(c, k -> CAST(round(-(k * 1.0 / n) * ln(k * 1.0 / n)
+                                               * 1000000, 0) AS BIGINT)),
+             'sum') AS BIGINT) END AS entropy_micro,
+           CASE WHEN n > 0 THEN ROUND(CAST(list_aggregate(
+             list_transform(c, k -> CAST(round(-(k * 1.0 / n) * ln(k * 1.0 / n)
+                                               * 1000000, 0) AS BIGINT)),
+             'sum') AS DOUBLE) / 1000000.0, 6) END AS entropy
+    FROM cnts
+    """,
+)
+def q182_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character Shannon entropy
+    (``operators/quality.char_entropy``) — the model-free gibberish/
+    boilerplate gate that runs in the FIRST scan pass of a new crawl:
+    MAP-ONLY higher-order-function algebra (char array → distinct →
+    per-char counts → micro-nat integer fold), zero shuffles, with the
+    count array materialized so the p·ln p double-read doesn't rescan the
+    char array (Spark HOFs have no common-subexpression elimination)."""
+    from re_data_pipeline_spark.operators.quality import char_entropy
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return char_entropy(d, "text", "doc_id")
+
+
+@query(
+    "q183_dup_cluster_profile",
+    """
+    WITH fp AS (
+      SELECT md5(lower(trim(regexp_replace(substr(text, 1, 80), '\\s+', ' ', 'g')))) AS f
+      FROM documents
+    ), cl AS (
+      SELECT f, COUNT(*) AS cluster_size FROM fp GROUP BY f
+    ), h AS (
+      SELECT cluster_size, COUNT(*) AS n_clusters FROM cl GROUP BY cluster_size
+    ), t AS (SELECT COUNT(*) AS total FROM documents)
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(n_clusters AS BIGINT) AS n_clusters,
+           CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+           ROUND(cluster_size * n_clusters / total, 6) AS pct_docs
+    FROM h, t
+    """,
+)
+def q183_dup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster-size histogram
+    (``operators/dedup.dup_cluster_profile``) on the same 80-char-prefix
+    fingerprint as q32 (so the synthetic corpus actually clusters) — the
+    dedup HEALTH report: unique fraction at size 1, removable mass in the
+    s≥2 tail.  Two map-combined aggs + one broadcast total; nothing
+    cluster-cardinality-sized sorts."""
+    from re_data_pipeline_spark.operators.dedup import dup_cluster_profile
+
+    d = load_table(spark, sf_dir, "documents")
+    return dup_cluster_profile(d, "doc_id", "text", prefix_chars=80)
+
+
+@query(
+    "q184_weighted_quantiles",
+    f"""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             CAST(len({_sql_tokens()}) AS BIGINT) AS w
+      FROM documents
+    ), s AS (
+      SELECT n_chars, w,
+             SUM(w) OVER (ORDER BY n_chars, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM d
+    ), tot AS (SELECT SUM(w) AS tw FROM d)
+    SELECT q_num, q_den,
+           (SELECT n_chars FROM s, tot
+             WHERE cum * q_den >= q_num * tw
+             ORDER BY cum, n_chars LIMIT 1) AS value,
+           (SELECT CAST(MIN(cum) AS BIGINT) FROM s, tot
+             WHERE cum * q_den >= q_num * tw) AS cum_weight
+    FROM (VALUES (1, 2), (3, 4), (9, 10)) q(q_num, q_den)
+    """,
+)
+def q184_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-WEIGHTED document-length quantiles
+    (``operators/ids.weighted_quantiles``): the length at which the
+    median/p75/p90 TOKEN lives — the packing-budget cut that plain row
+    quantiles (q177) get wrong when long documents carry most of the
+    token mass.  One prefix-sum spine over (n_chars, doc_id) summing
+    token counts, one aggregate row unpivoted to a 3-row broadcast spec,
+    integer reach tests throughout."""
+    from re_data_pipeline_spark.operators.ids import carry_spines, weighted_quantiles
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("__w"),
+    )
+    out = weighted_quantiles(
+        d,
+        [F.asc("n_chars"), F.asc("doc_id")],
+        "__w",
+        "n_chars",
+        quantiles=((1, 2), (3, 4), (9, 10)),
+    )
+    return carry_spines(out, out.select("q_num", "q_den", "value", "cum_weight"))

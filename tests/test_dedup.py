@@ -515,6 +515,21 @@ def test_simhash_radius_pairs_non_divisible_band_widths(spark):
     assert got == truth
 
 
+def test_dup_cluster_profile_known_clusters(spark):
+    """6 docs in clusters of sizes 3, 2, 1 → histogram rows (1,1), (2,1),
+    (3,1) with exact doc counts and shares."""
+    from re_data_pipeline_spark.operators.dedup import dup_cluster_profile
+
+    rows = [(1, "same text"), (2, "same  TEXT "), (3, "Same text"),
+            (4, "other doc"), (5, "other  DOC"), (6, "unique one")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.cluster_size: r for r in dup_cluster_profile(df).collect()}
+    assert got[3].n_clusters == 1 and got[3].n_docs == 3 and got[3].pct_docs == 0.5
+    assert got[2].n_clusters == 1 and got[2].n_docs == 2
+    assert got[1].n_clusters == 1 and got[1].n_docs == 1
+    assert abs(sum(r.pct_docs for r in got.values()) - 1.0) < 1e-9
+
+
 def test_lsh_recall_report_consistent_counts(spark):
     """The report's counts must be internally consistent (hit ≤ both
     sides; ratios are exact roundings of the counts) and the exact-dup

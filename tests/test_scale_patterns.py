@@ -415,6 +415,57 @@ def test_vocab_coverage_hand_computed(spark):
     release_spines(out)
 
 
+def test_char_entropy_hand_values(spark):
+    """Entropy micro-nats must match the Python truth; uniform text scores
+    0; null and empty text yield NULL entropy with correct n_chars."""
+    import math
+    from collections import Counter
+
+    from re_data_pipeline_spark.operators.quality import char_entropy
+
+    rows = [(1, "aabb"), (2, "aaaa"), (3, "abcdefgh"), (4, None), (5, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in char_entropy(df).collect()}
+
+    def truth(s):
+        n = len(s)
+        return sum(
+            round(-(c / n) * math.log(c / n) * 1e6) for c in Counter(s).values()
+        )
+
+    for i, s in [(1, "aabb"), (2, "aaaa"), (3, "abcdefgh")]:
+        assert got[i].entropy_micro == truth(s), i
+        assert got[i].n_chars == len(s)
+    assert got[2].entropy == 0.0                      # uniform -> zero
+    assert got[4].entropy_micro is None and got[4].n_chars is None
+    assert got[5].entropy_micro is None and got[5].n_chars == 0
+
+
+def test_weighted_quantiles_diverge_from_row_quantiles(spark):
+    """One huge-weight row must pull the weighted median to itself while
+    the row median stays put — the exact scenario the operator exists for."""
+    from re_data_pipeline_spark.operators.ids import (
+        exact_quantiles,
+        release_spines,
+        weighted_quantiles,
+    )
+
+    # values 1..9 weight 1, value 100 weight 1000
+    rows = [(v, 1, v) for v in range(1, 10)] + [(100, 1000, 10)]
+    df = spark.createDataFrame(rows, "v long, w long, id long")
+    wq = weighted_quantiles(
+        df, [F.asc("v"), F.asc("id")], "w", "v", quantiles=[(1, 2)]
+    )
+    got = wq.collect()[0]
+    assert got.value == 100          # the median unit of MASS lives at 100
+    assert got.cum_weight == 1009    # all weight through value 100
+    release_spines(wq)
+
+    rq = exact_quantiles(df, [F.asc("v"), F.asc("id")], "v", quantiles=[(1, 2)])
+    assert rq.collect()[0].value == 5  # row median unmoved
+    release_spines(rq)
+
+
 def test_key_skew_report_hand_computed(spark):
     """Counts 6/3/1/1/1 over 5 keys (total 12, mean 2.4): the hot key's
     share, skew factor, and integer-ceil salt must come out exactly."""
