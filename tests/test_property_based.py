@@ -233,3 +233,80 @@ def test_temperature_quotas_exact_sum_and_monotone(spark, sizes, budget):
         for db, sb in rows:
             if sa > sb:
                 assert out[da].quota >= out[db].quota, (da, db)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(-100, 100)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(2, 7),
+)
+def test_prefix_sums_match_sequential_property(spark, rows, nparts):
+    """assign_prefix_sums over arbitrary (key, value) batches must equal
+    the sequential scan of the sorted list, for any partition count."""
+    from re_data_pipeline_spark.operators.ids import assign_prefix_sums, release_spines
+
+    data = [(k, i, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k long, id long, v long")
+    out = assign_prefix_sums(
+        df, ["k", "id"], "v", out_col="cum", ordinal_col="o", num_partitions=nparts
+    )
+    got = sorted(out.collect(), key=lambda r: (r.k, r.id))
+    run, expect = 0, []
+    for k, i, v in sorted(data):
+        run += v
+        expect.append(run)
+    assert [r.cum for r in got] == expect
+    assert [r.o for r in got] == list(range(len(data)))
+    release_spines(out)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(0, 1000), min_size=1, max_size=60),
+    st.sampled_from([(1, 100), (1, 4), (1, 2), (3, 4), (9, 10), (1, 1)]),
+)
+def test_exact_quantiles_nearest_rank_property(spark, vals, q):
+    """exact_quantiles must pick sorted[⌈q·n⌉−1] for arbitrary multisets
+    (duplicates included) and any single quantile."""
+    import math
+
+    from re_data_pipeline_spark.operators.ids import exact_quantiles, release_spines
+
+    df = spark.createDataFrame(
+        [(v, i) for i, v in enumerate(vals)], "v long, id long"
+    )
+    out = exact_quantiles(df, ["v", "id"], "v", quantiles=[q])
+    got = out.collect()[0].value
+    s = sorted(vals)
+    assert got == s[math.ceil(q[0] * len(s) / q[1]) - 1]
+    release_spines(out)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.text(alphabet="abcxy ", min_size=0, max_size=40), min_size=1, max_size=20))
+def test_char_entropy_matches_python_property(spark, texts):
+    """char_entropy micro-nats equal the Python Counter transcription for
+    arbitrary strings over a small alphabet (incl. empty strings)."""
+    import math
+    from collections import Counter
+
+    from re_data_pipeline_spark.operators.quality import char_entropy
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.entropy_micro for r in char_entropy(df).collect()}
+    for i, t in enumerate(texts):
+        if len(t) == 0:
+            assert got[i] is None
+        else:
+            n = len(t)
+            truth = sum(
+                round(-(c / n) * math.log(c / n) * 1e6)
+                for c in Counter(t).values()
+            )
+            assert got[i] == truth, (i, t)
