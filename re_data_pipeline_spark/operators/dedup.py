@@ -545,6 +545,7 @@ def cluster_dedup_keep_best(
     shingle_words: int = 3,
     bands: int = 4,
     threshold: float = 0.5,
+    keep_k: int = 1,
 ) -> DataFrame:
     """Quality-aware cluster dedup: keep each near-duplicate cluster's BEST
     row (max ``quality_col``, min id tiebreak) instead of its minimum id.
@@ -566,9 +567,16 @@ def cluster_dedup_keep_best(
     windowed the ENTIRE corpus by component — a full-corpus shuffle at
     100 TB for work that only cluster members need; r5 verdict flagged it
     as the most expensive headline query.)
+
+    ``keep_k`` keeps the top-k members per cluster (quality desc, id asc)
+    instead of just the best — the "bounded diversity" policy when
+    near-duplicates carry complementary noise (keep 2-3 independent
+    scrapes of an article, drop the other 400 mirror copies).
     """
     from pyspark.sql.window import Window
 
+    if keep_k < 1:
+        raise ValueError(f"keep_k must be ≥ 1; got {keep_k}")
     q = F.col(quality_col) if isinstance(quality_col, str) else quality_col
     cands = lsh_candidate_pairs(df, id_col, text_col, num_hashes, shingle_words, bands)
     confirmed = jaccard_on_pairs(cands, df, id_col, text_col, shingle_words).where(
@@ -583,7 +591,7 @@ def cluster_dedup_keep_best(
     )
     losers = (
         clustered.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") > 1)
+        .where(F.col("__rn") > keep_k)
         .select(id_col)
     )
     return df.join(losers, id_col, "left_anti")
@@ -1547,5 +1555,90 @@ def dup_cluster_profile(
             F.round(
                 F.col("cluster_size") * F.col("n_clusters") / F.col("__total"), 6
             ).alias("pct_docs"),
+        )
+    )
+
+
+def cross_corpus_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    num_hashes: int = 16,
+    shingle_words: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """DOCUMENT-level benchmark decontamination: training documents that
+    are near-duplicates of a benchmark document, found by an LSH band
+    join ACROSS the two corpora (A×B only — within-corpus pairs are never
+    generated, unlike ``lsh_candidate_pairs``' self-join) and verified
+    with exact shingle Jaccard at a RATIONAL threshold.  The doc-level
+    complement of q100's n-gram overlap scan: n-gram overlap catches a
+    quoted test QUESTION inside a long page; this catches wholesale
+    near-copies of benchmark documents cheaply at corpus scale.
+
+    Returns ``(train_id, bench_id, jaccard)`` — every verified
+    contaminated (train, bench) pair; anti-join ``train`` on ``train_id``
+    to clean.
+
+    Scale shape: one signature pass per side (map-only), candidates from
+    the band equi-join with the BENCHMARK side small — at 100 TB the
+    bench bucket table is broadcast-sized and AQE turns the join into a
+    broadcast automatically (no hint: benchmarks grow too); verification
+    re-tokenizes only docs appearing in some candidate pair (semi-join
+    pruned).  Threshold comparisons are integer (``inter·den ≥
+    union·num``); ``jaccard`` is the exact ratio at 6dp.
+    """
+    rows_per_band = num_hashes // bands
+    ba = lsh_bands(
+        minhash_signature(train.select(id_col, text_col), text_col, num_hashes, shingle_words),
+        id_col, "minhash", bands, rows_per_band,
+    ).select(F.col(id_col).alias("train_id"), "band", "band_key")
+    bb = lsh_bands(
+        minhash_signature(bench.select(id_col, text_col), text_col, num_hashes, shingle_words),
+        id_col, "minhash", bands, rows_per_band,
+    ).select(F.col(id_col).alias("bench_id"), "band", "band_key")
+    cands = ba.join(bb, ["band", "band_key"]).select("train_id", "bench_id").distinct()
+
+    def shingle_set(df: DataFrame, out_id: str) -> DataFrame:
+        return (
+            df.select(F.col(id_col).alias(out_id), tokens(F.col(text_col)).alias("__t"))
+            .select(out_id, F.explode(word_shingles_of(F.col("__t"), shingle_words)).alias("s"))
+            .distinct()
+        )
+
+    sa = shingle_set(
+        train.join(cands.select("train_id").distinct(),
+                   train[id_col] == F.col("train_id"), "left_semi"),
+        "train_id",
+    )
+    sb = shingle_set(
+        bench.join(cands.select("bench_id").distinct(),
+                   bench[id_col] == F.col("bench_id"), "left_semi"),
+        "bench_id",
+    )
+    za = sa.groupBy("train_id").agg(F.count(F.lit(1)).alias("__na"))
+    zb = sb.groupBy("bench_id").agg(F.count(F.lit(1)).alias("__nb"))
+    inter = (
+        cands.join(sa, "train_id")
+        .join(sb, ["bench_id", "s"], "left_semi")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    return (
+        inter.join(za, "train_id")
+        .join(zb, "bench_id")
+        .where(
+            F.col("__i") * F.lit(threshold_den)
+            >= (F.col("__na") + F.col("__nb") - F.col("__i")) * F.lit(threshold_num)
+        )
+        .select(
+            "train_id",
+            "bench_id",
+            F.round(
+                F.col("__i") / (F.col("__na") + F.col("__nb") - F.col("__i")), 6
+            ).alias("jaccard"),
         )
     )

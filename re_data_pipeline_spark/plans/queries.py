@@ -4792,13 +4792,15 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     vocab coverage, q177 exact quantiles, q178 MinHash Jaccard estimate,
 #     q179 key-skew report, q180 curriculum interleave, q181 LSH
 #     recall/precision audit, q182 char entropy, q183 dup-cluster
-#     profile, q184 weighted quantiles;
-# (d) 27 of the 38 rows whose last green driver row is round 4.  The 11
+#     profile, q184 weighted quantiles, q185 cross-corpus decontamination,
+#     q186 keep-top-k dedup;
+# (d) 25 of the 38 rows whose last green driver row is round 4.  The 13
 #     deferred (q54_first_available, q55_limit_topn, q64_lag_lead,
-#     q76_histogram, q79_pivot, q80_unpivot, q83_gap_fill,
-#     q88_conditional_agg, q89_above_average, q90_array_setops,
-#     q92_date_trunc_spectrum) are stock-expression bodies untouched
-#     since r3, parity-verified every session — they rotate in round 9.
+#     q74_percentiles, q76_histogram, q79_pivot, q80_unpivot,
+#     q83_gap_fill, q86_cdc_latest, q88_conditional_agg,
+#     q89_above_average, q90_array_setops, q92_date_trunc_spectrum) are
+#     stock-expression bodies untouched since r3, parity-verified every
+#     session — they rotate in round 9 (which has ~37 free slots).
 # Everything rotated out holds a green r5-r7 driver row with unchanged
 # code, and tools/parity.py still verifies ALL registered queries every
 # session.
@@ -4816,7 +4818,8 @@ DRIVER_WINDOW: list[str] = [
     "q178_minhash_estimate", "q179_key_skew_report",
     "q180_curriculum_interleave", "q181_lsh_recall_report",
     "q182_char_entropy", "q183_dup_cluster_profile",
-    "q184_weighted_quantiles",
+    "q184_weighted_quantiles", "q185_cross_corpus_decontam",
+    "q186_keep_top_k_dedup",
     # (d) last green row: round 4
     "q44_streaming_tumbling", "q101_streaming_sessions", "q102_zorder_layout",
     "q104_embedding_minmax", "q105_weighted_sample", "q106_scalar_quantization",
@@ -4825,10 +4828,9 @@ DRIVER_WINDOW: list[str] = [
     "q116_cohort_retention",
     "q65_first_occurrence", "q66_state_flag_merge", "q67_rolling_hash",
     "q68_bpe_token_count", "q70_stateful_stream", "q73_band_join",
-    "q74_percentiles", "q77_levenshtein",
+    "q77_levenshtein",
     "q78_deterministic_sample",
     "q81_stratified_sample", "q84_zscore_outliers",
-    "q86_cdc_latest",
     "q93_word_count", "q94_funnel", "q95_incremental_aggregate",
 ]
 
@@ -8093,3 +8095,84 @@ def q184_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantiles=((1, 2), (3, 4), (9, 10)),
     )
     return carry_spines(out, out.select("q_num", "q_den", "value", "cum_weight"))
+
+
+_Q185_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_sql_tokens()} AS t FROM documents
+), sh0 AS (
+  SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 1) + 1),
+           j -> array_to_string(t[j:j+2], ' '))) AS sh
+  FROM toks
+), sig AS (
+  SELECT doc_id, [{_minhash_sql(16, 3)}] AS sig FROM sh0
+), bk AS (
+  SELECT doc_id, b.i AS band,
+         md5(array_to_string(sig[b.i*4+1:b.i*4+4], '|')) AS band_key
+  FROM sig, generate_series(0, 3) b(i)
+), cands AS (
+  SELECT DISTINCT a.doc_id AS train_id, b.doc_id AS bench_id
+  FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id % 7 <> 0 AND b.doc_id % 7 = 0
+), shx AS (
+  SELECT doc_id, unnest(sh) AS s FROM sh0
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM shx GROUP BY doc_id
+), inter AS (
+  SELECT c.train_id, c.bench_id, COUNT(*) AS i
+  FROM cands c JOIN shx a ON a.doc_id = c.train_id
+               JOIN shx b ON b.doc_id = c.bench_id AND a.s = b.s
+  GROUP BY 1, 2
+)
+SELECT i.train_id, i.bench_id,
+       ROUND(i.i * 1.0 / (sa.sz + sb.sz - i.i), 6) AS jaccard
+FROM inter i JOIN sizes sa ON sa.doc_id = i.train_id
+             JOIN sizes sb ON sb.doc_id = i.bench_id
+WHERE i.i * 2 >= (sa.sz + sb.sz - i.i) * 1
+"""
+
+
+@query("q185_cross_corpus_decontam", _Q185_SQL)
+def q185_cross_corpus_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level benchmark decontamination
+    (``operators/dedup.cross_corpus_contamination``): training docs
+    (doc_id % 7 ≠ 0) that are verified near-duplicates (exact shingle
+    Jaccard ≥ 1/2, integer comparison) of benchmark docs (doc_id % 7 = 0),
+    surfaced via an A×B LSH band join that never generates within-corpus
+    pairs.  The doc-level complement of q100's n-gram overlap scan; at
+    100 TB the benchmark bucket table is the small side and AQE
+    broadcast-gates it by measured size (no hint)."""
+    from re_data_pipeline_spark.operators.dedup import cross_corpus_contamination
+
+    d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    train = d.where(F.col("doc_id") % 7 != 0)
+    bench = d.where(F.col("doc_id") % 7 == 0)
+    return cross_corpus_contamination(
+        train, bench, "doc_id", "text", threshold_num=1, threshold_den=2
+    )
+
+
+_Q186_SQL = _Q128_SQL.replace(
+    "SELECT doc_id, quality FROM ranked WHERE rn = 1",
+    "SELECT doc_id, quality FROM ranked WHERE rn <= 2",
+)
+
+
+@query("q186_keep_top_k_dedup", _Q186_SQL)
+def q186_keep_top_k_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-diversity cluster dedup: q128's LSH → Jaccard-confirm →
+    connected-components spine, keeping each cluster's top-2 members by
+    quality (``cluster_dedup_keep_best(keep_k=2)``) — the policy when
+    near-duplicates carry complementary noise (keep 2 independent scrapes,
+    drop the other mirrors).  The oracle is q128's recursive-CTE component
+    graph with the rank cut at 2."""
+    from re_data_pipeline_spark.operators.dedup import cluster_dedup_keep_best
+
+    d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    d = d.withColumn("quality", F.length("text").cast("bigint"))
+    return cluster_dedup_keep_best(d, "quality", threshold=0.5, keep_k=2).select(
+        "doc_id", "quality"
+    )

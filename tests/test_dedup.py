@@ -515,6 +515,55 @@ def test_simhash_radius_pairs_non_divisible_band_widths(spark):
     assert got == truth
 
 
+def test_keep_top_k_per_cluster(spark):
+    """keep_k=2 keeps the two best members of a 4-doc cluster (quality
+    desc, id asc) and every singleton; keep_k=1 matches the old behavior;
+    keep_k=0 is rejected."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from re_data_pipeline_spark.operators.dedup import cluster_dedup_keep_best
+
+    base = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (1, base + " a"), (2, base + " b"), (3, base + " c"), (4, base),
+        (9, "totally unrelated content here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "q", F.col("doc_id").cast("bigint")  # quality = id -> best is 4, then 3
+    )
+    kept2 = {r.doc_id for r in cluster_dedup_keep_best(df, "q", threshold=0.5, keep_k=2).collect()}
+    assert kept2 == {4, 3, 9}
+    kept1 = {r.doc_id for r in cluster_dedup_keep_best(df, "q", threshold=0.5).collect()}
+    assert kept1 == {4, 9}
+    with pytest.raises(ValueError, match="keep_k"):
+        cluster_dedup_keep_best(df, "q", keep_k=0)
+
+
+def test_cross_corpus_contamination_directional(spark):
+    """A train copy of a bench doc is surfaced as (train_id, bench_id);
+    near-dups WITHIN one corpus never appear; jaccard is the exact
+    distinct-shingle ratio."""
+    from re_data_pipeline_spark.operators.dedup import cross_corpus_contamination
+
+    base = " ".join(f"w{i}" for i in range(40))
+    train = spark.createDataFrame(
+        [(1, base), (2, base + " edit"), (3, "other text entirely here")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, base), (101, base)],  # 100/101 are dups of each other too
+        "doc_id long, text string",
+    )
+    got = {(r.train_id, r.bench_id): r.jaccard
+           for r in cross_corpus_contamination(train, bench).collect()}
+    assert (1, 100) in got and got[(1, 100)] == 1.0
+    assert (1, 101) in got
+    assert (2, 100) in got and got[(2, 100)] < 1.0
+    assert all(t in (1, 2) and b in (100, 101) for t, b in got)
+    assert (100, 101) not in got and (1, 2) not in got  # no within-corpus pairs
+
+
 def test_dup_cluster_profile_known_clusters(spark):
     """6 docs in clusters of sizes 3, 2, 1 → histogram rows (1,1), (2,1),
     (3,1) with exact doc counts and shares."""
