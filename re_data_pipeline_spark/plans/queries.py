@@ -4793,14 +4793,15 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     q179 key-skew report, q180 curriculum interleave, q181 LSH
 #     recall/precision audit, q182 char entropy, q183 dup-cluster
 #     profile, q184 weighted quantiles, q185 cross-corpus decontamination,
-#     q186 keep-top-k dedup;
-# (d) 25 of the 38 rows whose last green driver row is round 4.  The 13
+#     q186 keep-top-k dedup, q187 streaming incremental dedup;
+# (d) 24 of the 38 rows whose last green driver row is round 4.  The 14
 #     deferred (q54_first_available, q55_limit_topn, q64_lag_lead,
 #     q74_percentiles, q76_histogram, q79_pivot, q80_unpivot,
 #     q83_gap_fill, q86_cdc_latest, q88_conditional_agg,
-#     q89_above_average, q90_array_setops, q92_date_trunc_spectrum) are
-#     stock-expression bodies untouched since r3, parity-verified every
-#     session — they rotate in round 9 (which has ~37 free slots).
+#     q89_above_average, q90_array_setops, q92_date_trunc_spectrum,
+#     q93_word_count) are stock-expression bodies untouched since r3,
+#     parity-verified every session — they rotate in round 9 (which has
+#     ~36 free slots).
 # Everything rotated out holds a green r5-r7 driver row with unchanged
 # code, and tools/parity.py still verifies ALL registered queries every
 # session.
@@ -4819,7 +4820,7 @@ DRIVER_WINDOW: list[str] = [
     "q180_curriculum_interleave", "q181_lsh_recall_report",
     "q182_char_entropy", "q183_dup_cluster_profile",
     "q184_weighted_quantiles", "q185_cross_corpus_decontam",
-    "q186_keep_top_k_dedup",
+    "q186_keep_top_k_dedup", "q187_streaming_incremental_dedup",
     # (d) last green row: round 4
     "q44_streaming_tumbling", "q101_streaming_sessions", "q102_zorder_layout",
     "q104_embedding_minmax", "q105_weighted_sample", "q106_scalar_quantization",
@@ -4831,7 +4832,7 @@ DRIVER_WINDOW: list[str] = [
     "q77_levenshtein",
     "q78_deterministic_sample",
     "q81_stratified_sample", "q84_zscore_outliers",
-    "q93_word_count", "q94_funnel", "q95_incremental_aggregate",
+    "q94_funnel", "q95_incremental_aggregate",
 ]
 
 
@@ -8176,3 +8177,51 @@ def q186_keep_top_k_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_dedup_keep_best(d, "quality", threshold=0.5, keep_k=2).select(
         "doc_id", "quality"
     )
+
+
+@query("q187_streaming_incremental_dedup", _Q107_SQL)
+def q187_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q107's incremental crawl dedup AS A STREAM: four id-range files
+    drained by ``streaming/stream_ops.streaming_incremental_dedup``
+    (AvailableNow + foreachBatch folding ``incremental_lsh_dedup``, the
+    index carried across micro-batches via localCheckpoint).  The staged
+    files get strictly increasing modification times so the file source
+    delivers them in id order — under which first-seen-wins equals the
+    one-shot greedy closed form, so the STREAMING protocol earns the same
+    full-value oracle as the batch fold (q107's SQL verbatim)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from re_data_pipeline_spark.streaming.stream_ops import (
+        streaming_incremental_dedup,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    qs = d.approxQuantile("doc_id", [0.25, 0.5, 0.75], 0.0)
+    stage = tempfile.mkdtemp(prefix="q187_stage_")
+    inbox = os.path.join(stage, "inbox")
+    os.makedirs(inbox)
+    try:
+        bounds = [None, *qs, None]
+        for i in range(4):
+            part = d
+            if bounds[i] is not None:
+                part = part.where(F.col("doc_id") >= bounds[i])
+            if bounds[i + 1] is not None:
+                part = part.where(F.col("doc_id") < bounds[i + 1])
+            tmp = os.path.join(stage, f"w{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(inbox, f"batch_{i:02d}.parquet")
+            shutil.copyfile(src, dst)
+            # strictly increasing mtimes: the file source orders batches by
+            # modification time, which makes delivery id-ordered
+            os.utime(dst, (1_000_000_000 + i * 10, 1_000_000_000 + i * 10))
+        kept = streaming_incremental_dedup(spark, inbox, d.schema)
+        # kept unions localCheckpoint'ed frames — already materialized, so
+        # deleting the staged files afterwards is safe
+        return kept.select("doc_id", "n_chars")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

@@ -210,3 +210,77 @@ def dedup_within_watermark(df: DataFrame, keys: list[str], ts_col: str, watermar
     never months apart) at a fraction of the state.
     """
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def streaming_incremental_dedup(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_words: int = 3,
+    bands: int = 4,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Continuous-crawl near-dup dedup as a STREAM: an ``AvailableNow``
+    ``foreachBatch`` fold of ``operators.dedup.incremental_lsh_dedup`` —
+    each micro-batch computes signatures for ITS documents only, resolves
+    collisions against the append-only bucket index of everything seen so
+    far, and appends its survivors; the updated index carries to the next
+    batch via ``localCheckpoint`` (lineage into a completed micro-batch
+    frame must be severed, or batch N+1's plan would reference batch N's
+    already-closed source).
+
+    First-seen wins across batches (the streaming-natural policy); when
+    files arrive in id order this reproduces the one-shot greedy pair
+    removal exactly — the property q187's oracle checks.  Returns the
+    kept rows of every drained batch.
+
+    100 TB shape: per-batch work is batch-sized (signatures) plus an
+    equi-join against the index partitioned by band_key; the index is
+    append-only state a production job keeps in a table (Delta/iceberg),
+    not driver memory — here it rides localCheckpoint blocks, the
+    single-process stand-in.  Per-batch bucket caches are released
+    every fold step.
+    """
+    import tempfile
+
+    from re_data_pipeline_spark.operators.dedup import incremental_lsh_dedup
+
+    stream = read_stream(
+        spark, path, schema, max_files_per_trigger=max_files_per_trigger
+    )
+    state = {
+        "index": spark.createDataFrame(
+            [], f"{id_col} bigint, band int, band_key string"
+        ),
+        "kept": None,
+    }
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        r = incremental_lsh_dedup(
+            batch_df, state["index"], id_col, text_col,
+            num_hashes, shingle_words, bands,
+        )
+        kept = r["kept"].localCheckpoint(eager=True)
+        index = r["updated_index"].localCheckpoint(eager=True)
+        r["new_buckets"].unpersist()
+        state["index"] = index
+        state["kept"] = (
+            kept if state["kept"] is None else state["kept"].unionByName(kept)
+        )
+
+    ckpt = tempfile.mkdtemp(prefix="stream_inc_dedup_ckpt_")
+    q = (
+        stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if state["kept"] is None:
+        return spark.createDataFrame([], _coerce_event_time_schema(schema))
+    return state["kept"]

@@ -341,3 +341,41 @@ def test_sessionize_merges_late_in_watermark_events(spark, tmp_path):
         (base - dt.timedelta(hours=2), base - dt.timedelta(hours=2), 1),
         (base - dt.timedelta(minutes=2), base + dt.timedelta(minutes=5), 3),
     }
+
+
+def test_streaming_incremental_dedup_equals_batch_fold(spark, tmp_path):
+    """The AvailableNow foreachBatch fold must keep exactly the docs the
+    batch incremental protocol keeps when files arrive in id order (mtimes
+    force the order), and the index must block copies of DROPPED docs in
+    later batches (the A≈B, B≈C chain)."""
+    import os
+
+    from re_data_pipeline_spark.streaming.stream_ops import (
+        streaming_incremental_dedup,
+    )
+
+    base = " ".join(f"w{i}" for i in range(40))
+    # batch 0: 1 (kept), 2 ≈ 1 (dropped).  batch 1: 3 ≈ 2 (must STILL be
+    # dropped — blocked by the dropped doc's index entry), 4 unrelated.
+    batches = [
+        [(1, base), (2, base + " x")],
+        [(3, base + " x y"), (4, "completely different words entirely")],
+    ]
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox)
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        tmp = str(tmp_path / f"w{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        import glob as g
+
+        src = g.glob(tmp + "/part-*.parquet")[0]
+        dst = os.path.join(inbox, f"b{i:02d}.parquet")
+        import shutil
+
+        shutil.copyfile(src, dst)
+        os.utime(dst, (1_000_000_000 + i * 10,) * 2)
+    kept = streaming_incremental_dedup(
+        spark, inbox, "doc_id long, text string"
+    )
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 4]
