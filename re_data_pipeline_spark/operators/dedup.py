@@ -1642,3 +1642,52 @@ def cross_corpus_contamination(
             ).alias("jaccard"),
         )
     )
+
+
+def source_dup_rates(
+    df: DataFrame,
+    stratum_col: str = "source",
+    text_col: str = "text",
+    prefix_chars: int | None = None,
+) -> DataFrame:
+    """Per-stratum exact-duplication rates — the crawl-health dashboard
+    row: for each source/domain, document count, distinct-fingerprint
+    count, duplicate share, and the largest single cluster.  A source
+    whose dup_rate jumps is mirroring/templating; the monitoring
+    complement of :func:`dup_cluster_profile` (corpus-wide histogram) and
+    the drift monitors (distributional shift).
+
+    Returns ``(stratum, n_docs, n_unique, n_dups, dup_rate,
+    max_cluster)`` — ``n_dups = n_docs − n_unique`` (exactly what
+    ``exact_dedup`` would remove within the stratum), rates exact
+    rationals at 6dp.
+
+    Scale shape: one map-combined (stratum, fingerprint) count agg →
+    one stratum agg; |strata| rows out, nothing else shuffles.
+    """
+    t = F.col(text_col)
+    if prefix_chars is not None:
+        t = F.substring(t, 1, prefix_chars)
+    clusters = (
+        df.select(F.col(stratum_col).alias("__s"), doc_fingerprint(t).alias("__fp"))
+        .groupBy("__s", "__fp")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return (
+        clusters.groupBy("__s")
+        .agg(
+            F.sum("__c").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+            F.max("__c").cast("bigint").alias("max_cluster"),
+        )
+        .select(
+            F.col("__s").alias(stratum_col),
+            "n_docs",
+            "n_unique",
+            (F.col("n_docs") - F.col("n_unique")).cast("bigint").alias("n_dups"),
+            F.round((F.col("n_docs") - F.col("n_unique")) / F.col("n_docs"), 6).alias(
+                "dup_rate"
+            ),
+            "max_cluster",
+        )
+    )

@@ -240,3 +240,52 @@ def vocab_coverage(
     for p in pieces[1:]:
         out = out.unionByName(p)
     return carry_spines(ps, out)
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 5,
+    min_docs: int = 2,
+    top_n: int = 20,
+) -> DataFrame:
+    """Corpus boilerplate LEADERBOARD: the top ``top_n`` word n-gram spans
+    by distinct-document reach — the report that names the site template /
+    navigation bar / cookie banner polluting a crawl, where per-document
+    span stats (``dedup.span_dup_stats``) only say THAT a doc is
+    boilerplate-ridden.  Returns
+    ``(span, n_docs, n_occurrences, rnk)`` for spans in ≥ ``min_docs``
+    documents, ranked by (docs desc, occurrences desc, span asc).
+
+    Scale shape: positional spans explode map-side; ONE combined agg on
+    the span computes occurrence count and distinct-doc count (map-side
+    partials collapse repeated spans within a partition before the
+    shuffle); the leaderboard is a TakeOrdered top-N with the rank window
+    running post-limit over ≤ top_n rows.  The span text itself is the
+    group key — at 100 TB group on the 64-bit span hash and re-attach one
+    example text via min(), same volume after combine.
+    """
+    from re_data_pipeline_spark.functions.text import tokens, word_shingles_of
+
+    spans = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__t")
+    ).select(
+        F.col(id_col),
+        F.explode(word_shingles_of(F.col("__t"), span_words, distinct=False)).alias(
+            "span"
+        ),
+    )
+    g = (
+        spans.groupBy("span")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.count_distinct(F.col(id_col)).cast("bigint").alias("n_docs"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+    top = g.orderBy(
+        F.desc("n_docs"), F.desc("n_occurrences"), F.asc("span")
+    ).limit(top_n)
+    w = Window.orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("span"))
+    return top.withColumn("rnk", F.row_number().over(w).cast("int"))

@@ -578,3 +578,56 @@ def curriculum_interleave(
         .drop("__t", "__g", "__t0")
     )
     return carry_spines(o, out)
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    size_col: str,
+    bucket_edges: list[int],
+    batch_rows: int,
+    order_tiebreak: list = (),
+    bucket_col: str = "bucket",
+    batch_col: str = "batch",
+) -> DataFrame:
+    """Length-bucketed inference/training batching: rows are banded by
+    ``bucket_edges`` (bucket = #edges ≤ size), ordered size-DESC within
+    each band, and grouped into fixed-count batches — the standard
+    dynamic-batching recipe that keeps each batch length-homogeneous so
+    padding waste stays near zero (batching across the length spectrum
+    pads every short row to the batch's longest).
+
+    Adds ``bucket_col`` and ``batch_col`` (0-based within the bucket).
+    Deterministic: same data ⇒ same batches, any partitioning.
+
+    Scale shape: ONE ordinal spine over (bucket, size desc, tiebreak) —
+    the same never-partitionBy(bucket) discipline as
+    ``curriculum_interleave`` (a handful of buckets would hash the corpus
+    into a handful of reducers); within-bucket rank = global ordinal −
+    the bucket's first ordinal (|buckets|-row broadcast); the batch id is
+    row-local integer division.
+    """
+    from re_data_pipeline_spark.operators.ids import assign_ordinals, carry_spines
+
+    if batch_rows < 1:
+        raise ValueError(f"batch_rows must be ≥ 1; got {batch_rows}")
+    s = F.col(size_col)
+    bucket = F.lit(0)
+    for e in bucket_edges:
+        bucket = bucket + (s >= F.lit(int(e))).cast("int")
+    d = df.withColumn(bucket_col, bucket)
+    order = [F.asc(bucket_col), s.desc()] + [
+        (F.col(c) if isinstance(c, str) else c).asc() for c in order_tiebreak
+    ]
+    o = assign_ordinals(d, order, "__lb_g")
+    firsts = o.groupBy(bucket_col).agg(F.min("__lb_g").alias("__lb_b0"))
+    out = (
+        o.join(F.broadcast(firsts), bucket_col)
+        .withColumn(
+            batch_col,
+            F.floor((F.col("__lb_g") - F.col("__lb_b0")) / F.lit(batch_rows)).cast(
+                "bigint"
+            ),
+        )
+        .drop("__lb_g", "__lb_b0")
+    )
+    return carry_spines(o, out)

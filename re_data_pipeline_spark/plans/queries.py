@@ -4793,15 +4793,19 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     q179 key-skew report, q180 curriculum interleave, q181 LSH
 #     recall/precision audit, q182 char entropy, q183 dup-cluster
 #     profile, q184 weighted quantiles, q185 cross-corpus decontamination,
-#     q186 keep-top-k dedup, q187 streaming incremental dedup;
-# (d) 24 of the 38 rows whose last green driver row is round 4.  The 14
+#     q186 keep-top-k dedup, q187 streaming incremental dedup, q188
+#     boilerplate leaderboard, q189 source dup rates, q190 length-bucketed
+#     batching;
+# (d) 21 of the 38 rows whose last green driver row is round 4.  The 17
 #     deferred (q54_first_available, q55_limit_topn, q64_lag_lead,
-#     q74_percentiles, q76_histogram, q79_pivot, q80_unpivot,
-#     q83_gap_fill, q86_cdc_latest, q88_conditional_agg,
+#     q74_percentiles, q76_histogram, q77_levenshtein, q79_pivot,
+#     q80_unpivot, q83_gap_fill, q86_cdc_latest, q88_conditional_agg,
 #     q89_above_average, q90_array_setops, q92_date_trunc_spectrum,
-#     q93_word_count) are stock-expression bodies untouched since r3,
-#     parity-verified every session — they rotate in round 9 (which has
-#     ~36 free slots).
+#     q93_word_count, q94_funnel, q95_incremental_aggregate) are
+#     stock-expression bodies untouched since r3, parity-verified every
+#     session — never-checked new queries outrank stale-but-green rows
+#     (the r7 policy); they all rotate in round 9, which has ~33 free
+#     slots.
 # Everything rotated out holds a green r5-r7 driver row with unchanged
 # code, and tools/parity.py still verifies ALL registered queries every
 # session.
@@ -4821,6 +4825,8 @@ DRIVER_WINDOW: list[str] = [
     "q182_char_entropy", "q183_dup_cluster_profile",
     "q184_weighted_quantiles", "q185_cross_corpus_decontam",
     "q186_keep_top_k_dedup", "q187_streaming_incremental_dedup",
+    "q188_boilerplate_ngrams", "q189_source_dup_rates",
+    "q190_length_batching",
     # (d) last green row: round 4
     "q44_streaming_tumbling", "q101_streaming_sessions", "q102_zorder_layout",
     "q104_embedding_minmax", "q105_weighted_sample", "q106_scalar_quantization",
@@ -4829,10 +4835,8 @@ DRIVER_WINDOW: list[str] = [
     "q116_cohort_retention",
     "q65_first_occurrence", "q66_state_flag_merge", "q67_rolling_hash",
     "q68_bpe_token_count", "q70_stateful_stream", "q73_band_join",
-    "q77_levenshtein",
     "q78_deterministic_sample",
     "q81_stratified_sample", "q84_zscore_outliers",
-    "q94_funnel", "q95_incremental_aggregate",
 ]
 
 
@@ -8225,3 +8229,120 @@ def q187_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFr
         return kept.select("doc_id", "n_chars")
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+@query(
+    "q188_boilerplate_ngrams",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_sql_tokens()} AS t FROM documents
+    ), spans AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(t) - 4, 1) + 1),
+               j -> array_to_string(t[j:j+4], ' '))) AS span
+      FROM toks
+    ), g AS (
+      SELECT span, COUNT(*) AS n_occurrences,
+             COUNT(DISTINCT doc_id) AS n_docs
+      FROM spans GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+    ), top AS (
+      SELECT span, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+             CAST(n_docs AS BIGINT) AS n_docs
+      FROM g ORDER BY n_docs DESC, n_occurrences DESC, span LIMIT 20
+    )
+    SELECT span, n_docs, n_occurrences,
+           CAST(row_number() OVER (ORDER BY n_docs DESC, n_occurrences DESC, span)
+                AS INT) AS rnk
+    FROM top
+    """,
+)
+def q188_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus boilerplate leaderboard
+    (``operators/indexing.boilerplate_ngrams``): the top-20 5-word spans
+    by distinct-document reach — names the template/navigation/banner
+    text polluting a crawl, where per-doc span stats (q125) only flag the
+    documents.  One combined span agg (occurrences + distinct docs,
+    map-side combined), TakeOrdered top-20, rank window post-limit."""
+    from re_data_pipeline_spark.operators.indexing import boilerplate_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    return boilerplate_ngrams(d, "doc_id", "text", span_words=5, top_n=20)
+
+
+@query(
+    "q189_source_dup_rates",
+    """
+    WITH fp AS (
+      SELECT source,
+             md5(lower(trim(regexp_replace(substr(text, 1, 80), '\\s+', ' ', 'g')))) AS f
+      FROM documents
+    ), cl AS (
+      SELECT source, f, COUNT(*) AS c FROM fp GROUP BY source, f
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_unique,
+           CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dups,
+           ROUND((SUM(c) - COUNT(*)) / SUM(c), 6) AS dup_rate,
+           CAST(MAX(c) AS BIGINT) AS max_cluster
+    FROM cl GROUP BY source
+    """,
+)
+def q189_source_dup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplication dashboard
+    (``operators/dedup.source_dup_rates`` on the q32 prefix fingerprint):
+    doc counts, unique fingerprints, removable duplicate share, and the
+    largest single cluster per crawl source — the row that says WHICH
+    source went spammy, where q183 histograms the whole corpus.  Two
+    map-combined aggs; |sources| rows out."""
+    from re_data_pipeline_spark.operators.dedup import source_dup_rates
+
+    d = load_table(spark, sf_dir, "documents")
+    return source_dup_rates(d, "source", "text", prefix_chars=80)
+
+
+_Q190_EDGES = (40, 80, 120)
+_Q190_BATCH = 32
+
+
+@query(
+    "q190_length_batching",
+    f"""
+    WITH d AS (
+      SELECT doc_id, CAST(len({_sql_tokens()}) AS BIGINT) AS n_tokens
+      FROM documents
+    ), b AS (
+      SELECT doc_id, n_tokens,
+             CAST({' + '.join(f"CASE WHEN n_tokens >= {e} THEN 1 ELSE 0 END" for e in _Q190_EDGES)} AS INT) AS bucket
+      FROM d
+    ), r AS (
+      SELECT doc_id, n_tokens, bucket,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY n_tokens DESC, doc_id) - 1 AS rk
+      FROM b
+    )
+    SELECT doc_id, n_tokens, bucket,
+           CAST(rk // {_Q190_BATCH} AS BIGINT) AS batch
+    FROM r
+    """,
+)
+def q190_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed dynamic batching
+    (``operators/selection.length_bucketed_batches``): documents banded at
+    40/80/120 tokens, size-desc within band, grouped into 32-row
+    batches — length-homogeneous batches keep padding
+    waste near zero for embedding/inference passes.  ONE ordinal spine
+    over (bucket, size desc, id); never a partitionBy(bucket) window
+    (4 buckets would mean 4 reducers for the whole corpus)."""
+    from re_data_pipeline_spark.operators.ids import carry_spines
+    from re_data_pipeline_spark.operators.selection import length_bucketed_batches
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    out = length_bucketed_batches(
+        d, "n_tokens", list(_Q190_EDGES), _Q190_BATCH, order_tiebreak=["doc_id"]
+    )
+    return carry_spines(out, out.select("doc_id", "n_tokens", "bucket", "batch"))

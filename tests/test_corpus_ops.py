@@ -426,3 +426,23 @@ def test_record_linkage_rejects_empty_inputs(spark):
         record_linkage(
             a, b, block_on=[("a_region", "b_region")], rules=[], threshold=1
         )
+
+
+def test_boilerplate_ngrams_finds_shared_template(spark):
+    """A 5-word template shared by 3 docs tops the leaderboard; spans in a
+    single doc never appear (min_docs=2)."""
+    from re_data_pipeline_spark.operators.indexing import boilerplate_ngrams
+
+    tpl = "all rights reserved cookie banner"
+    rows = [
+        (1, tpl + " unique one content here"),
+        (2, tpl + " other page body text"),
+        (3, tpl + " third page entirely"),
+        (4, "no template at all in this doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = boilerplate_ngrams(df, span_words=5, top_n=5).collect()
+    assert got[0].span == tpl and got[0].n_docs == 3 and got[0].rnk == 1
+    assert all(r.n_docs >= 2 for r in got)
+    solo = "no template at all in"
+    assert all(r.span != solo for r in got)

@@ -515,6 +515,24 @@ def test_simhash_radius_pairs_non_divisible_band_widths(spark):
     assert got == truth
 
 
+def test_source_dup_rates_hand_computed(spark):
+    """Source A: 3 docs in one cluster + 1 unique (dup_rate 0.5, max 3);
+    source B: 2 unique (dup_rate 0)."""
+    from re_data_pipeline_spark.operators.dedup import source_dup_rates
+
+    rows = [
+        ("A", "same text"), ("A", "Same  TEXT"), ("A", "same text "),
+        ("A", "different"),
+        ("B", "one"), ("B", "two"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {r.source: r for r in source_dup_rates(df).collect()}
+    assert got["A"].n_docs == 4 and got["A"].n_unique == 2
+    assert got["A"].n_dups == 2 and got["A"].dup_rate == 0.5
+    assert got["A"].max_cluster == 3
+    assert got["B"].n_dups == 0 and got["B"].dup_rate == 0.0
+
+
 def test_keep_top_k_per_cluster(spark):
     """keep_k=2 keeps the two best members of a 4-doc cluster (quality
     desc, id asc) and every singleton; keep_k=1 matches the old behavior;

@@ -466,6 +466,37 @@ def test_weighted_quantiles_diverge_from_row_quantiles(spark):
     release_spines(rq)
 
 
+def test_length_bucketed_batches_homogeneous(spark):
+    """Buckets from edges, size-desc order within bucket, fixed-count
+    batches, deterministic — and no batch mixes buckets."""
+    from re_data_pipeline_spark.operators.ids import release_spines
+    from re_data_pipeline_spark.operators.selection import length_bucketed_batches
+
+    rows = [(i, (i * 17) % 150) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, sz long")
+    out = length_bucketed_batches(
+        df, "sz", [50, 100], batch_rows=8, order_tiebreak=["id"]
+    )
+    got = out.collect()
+    for r in got:
+        assert r.bucket == (r.sz >= 50) + (r.sz >= 100)
+    # within a (bucket, batch): ≤ 8 rows, and batches partition the
+    # size-desc order (batch b's min size ≥ batch b+1's max size)
+    from collections import defaultdict
+
+    by_bb = defaultdict(list)
+    for r in got:
+        by_bb[(r.bucket, r.batch)].append((r.sz, r.id))
+    assert all(len(v) <= 8 for v in by_bb.values())
+    for bkt in {b for b, _ in by_bb}:
+        batches = sorted(b for bb, b in by_bb if bb == bkt)
+        for x, y in zip(batches, batches[1:]):
+            assert min(s for s, _ in by_bb[(bkt, x)]) >= max(
+                s for s, _ in by_bb[(bkt, y)]
+            )
+    release_spines(out)
+
+
 def test_key_skew_report_hand_computed(spark):
     """Counts 6/3/1/1/1 over 5 keys (total 12, mean 2.4): the hot key's
     share, skew factor, and integer-ceil salt must come out exactly."""
