@@ -1073,6 +1073,54 @@ def simhash_radius_pairs(
     ``radius + 1`` narrows each band (bigger buckets, more candidates) and
     is only correct if ``num_bands ≥ radius + 1``; fewer is rejected.
     """
+    fp = (
+        simhash_multi(df.select(id_col, text_col), text_col, bits=bits, out_col="__w")
+        .select(id_col, "__w")
+        .where(F.col("__w").isNotNull())
+    )
+    return hamming_radius_pairs_on_words(
+        fp,
+        id_col,
+        "__w",
+        bits=bits,
+        radius=radius,
+        num_bands=num_bands,
+        on_degradation=on_degradation,
+        cap_pairs_per_doc=cap_pairs_per_doc,
+        # n_docs from the INPUT frame: metadata-only on a raw parquet scan,
+        # an upper bound on fingerprinted docs that only makes the cap
+        # marginally laxer
+        n_docs_fn=df.count,
+        op_name="simhash_radius_pairs",
+    )
+
+
+def hamming_radius_pairs_on_words(
+    fp: DataFrame,
+    id_col: str,
+    words_col: str,
+    bits: int,
+    radius: int,
+    num_bands: int | None = None,
+    on_degradation: str = "warn",
+    cap_pairs_per_doc: int = 64,
+    n_docs_fn=None,
+    op_name: str = "hamming_radius_pairs_on_words",
+) -> DataFrame:
+    """The modality-agnostic Hamming-radius core: EXACT ≤``radius`` pairs
+    over PRECOMPUTED multi-word fingerprints (``array<bigint>``, ≤60
+    fingerprint bits per word) — pigeonhole banding, Σ bucket² degradation
+    guard, band equi-join, per-word popcount verify.  Both fingerprint
+    modalities delegate here: :func:`simhash_radius_pairs` (text SimHash)
+    and ``operators/multimodal.media_phash_pairs`` (image perceptual
+    hashes) — one banding/guard/verify implementation, audited once.
+
+    ``fp`` must carry ``(id_col, words_col)`` with non-null word arrays;
+    ``n_docs_fn`` (optional) supplies the guard's row count cheaply (a
+    metadata count of the raw input); default counts ``fp`` (already
+    persisted while the guard is on).  See :func:`simhash_radius_pairs`
+    for semantics, width rules, and the guard contract.
+    """
     n_bands = num_bands if num_bands is not None else radius + 1
     if n_bands < radius + 1:
         raise ValueError(
@@ -1086,16 +1134,15 @@ def simhash_radius_pairs(
             f"on_degradation must be 'warn', 'error', or 'off'; got {on_degradation!r}"
         )
     wb = _SIMHASH_WORD_BITS
-    fp = (
-        simhash_multi(df.select(id_col, text_col), text_col, bits=bits, out_col="__w")
-        .select(id_col, "__w")
-        .where(F.col("__w").isNotNull())
+    fp = fp.select(F.col(id_col), F.col(words_col).alias("__w")).where(
+        F.col("__w").isNotNull()
     )
     fp_cache = None
     if on_degradation != "off":
         # persist the fingerprint frame: the guard's bucket aggregate and
-        # the band self-join both consume it, and its lineage (Σ-tokens
-        # explode + bits-wide agg) is the expensive part of this operator
+        # the band self-join both consume it, and its lineage (e.g. the
+        # Σ-tokens explode + bits-wide agg of SimHash, or a mapInPandas
+        # decode) is the expensive part of the operator
         fp_cache = fp.persist()
         fp = fp_cache
     # Contiguous band slices covering ALL bits with EXACTLY n_bands bands:
@@ -1109,7 +1156,7 @@ def simhash_radius_pairs(
     # overlapping 60-bit words with shift/mask/or — still pure integer
     # expressions inside whole-stage codegen.
     # ONE explode of a per-row struct array (the lsh_bands shape), not an
-    # n_bands-way union — a union would replay the fingerprint aggregation's
+    # n_bands-way union — a union would replay the fingerprint stage's
     # post-shuffle work once per band branch.
     base, extra = divmod(bits, n_bands)
     entries = []
@@ -1145,10 +1192,7 @@ def simhash_radius_pairs(
     )
     if on_degradation != "off":
         # EXACT pre-distinct candidate volume from bucket sizes — one
-        # map-combined agg over the (persisted-fingerprint) band table;
-        # n_docs is a cheap count of the input frame (metadata-only on a
-        # raw parquet scan), an upper bound on fingerprinted docs that
-        # only makes the cap marginally laxer
+        # map-combined agg over the (persisted-fingerprint) band table
         stats = (
             band_rows.groupBy("__band", "__bv")
             .agg(F.count(F.lit(1)).alias("c"))
@@ -1158,14 +1202,14 @@ def simhash_radius_pairs(
             )
             .first()
         )
-        n_docs = df.count()
+        n_docs = n_docs_fn() if n_docs_fn is not None else fp.count()
         est = int(stats["est_pairs"] or 0)
         if est > cap_pairs_per_doc * max(n_docs, 1):
             import math
 
             need = (radius + 1) * max(1, math.ceil(math.log2(max(n_docs, 2))))
             head = (
-                f"simhash_radius_pairs degradation: ~{est} candidate pairs for "
+                f"{op_name} degradation: ~{est} candidate pairs for "
                 f"{n_docs} docs (cap {cap_pairs_per_doc}/doc; max bucket "
                 f"{stats['max_bucket']}). "
             )

@@ -241,3 +241,91 @@ def synthetic_media(spark, n: int = 30) -> DataFrame:
         meta = (8, 8, 4 if kind == "video" else None, 16000 if kind == "audio" else None, "fake")
         rows.append((i, kind, bytearray(content), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _ahash64(arr: np.ndarray) -> int:
+    """64-bit average-hash (aHash) of a decoded image array (H, W, 3):
+    grayscale → 8×8 block means → bit j set iff cell j > global mean
+    (row-major).  Shared by the executor-side batch kernel AND the q191
+    oracle builder, so the two sides cannot drift."""
+    gray = arr.astype(np.float64).mean(axis=2)
+    rows = [r.mean(axis=0) for r in np.array_split(gray, 8, axis=0)]
+    cells = np.stack(
+        [np.array([c.mean() for c in np.array_split(r, 8)]) for r in rows]
+    )
+    m = cells.mean()
+    v = 0
+    for j, x in enumerate(cells.ravel()):
+        if x > m:
+            v |= 1 << j
+    return v
+
+
+_AHASH_WORD_BITS = 60  # match operators/dedup's multi-word convention
+
+
+def media_ahash_words(
+    df: DataFrame, decoder: str = "fake", out_col: str = "phash_words"
+) -> DataFrame:
+    """Perceptual fingerprints for IMAGE rows: decode (fake / import-gated
+    real / custom callable) → 64-bit aHash → ``array<bigint>`` in the
+    same ≤60-bits-per-word encoding ``operators/dedup`` bands over, so
+    image near-dup search reuses the exact text machinery
+    (``hamming_radius_pairs_on_words``).  Arrow-batched mapInPandas; only
+    the id and fingerprint leave the Python boundary.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    decode = _decode_fn(decoder)
+    id_fields = [f for f in df.schema.fields if f.name in ("media_id",)]
+    schema = StructType(id_fields + [StructField(out_col, ArrayType(LongType()))])
+    mask = (1 << _AHASH_WORD_BITS) - 1
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            words = []
+            for content, kind in zip(pdf["content"], pdf["kind"]):
+                v = _ahash64(decode(bytes(content), kind))
+                words.append([v & mask, v >> _AHASH_WORD_BITS])
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], out_col: words}
+            )
+
+    return df.mapInPandas(run, schema)
+
+
+def media_phash_pairs(
+    df: DataFrame,
+    radius: int = 2,
+    decoder: str = "fake",
+    on_degradation: str = "warn",
+    cap_pairs_per_doc: int = 64,
+) -> DataFrame:
+    """Image near-duplicate pairs within Hamming ``radius`` of their
+    64-bit perceptual hashes — EXACT over the fingerprints (zero false
+    negatives) via the SAME pigeonhole banding core as text SimHash
+    (``operators/dedup.hamming_radius_pairs_on_words``): one decode+hash
+    pass (persisted while the guard is on — the decode is the expensive
+    stage), radius+1 band equi-join, per-word popcount verify, Σ bucket²
+    degradation guard.  Returns ``(id_a, id_b, hamming)``.
+
+    64 bits suits perceptual hashes (aHash/pHash are conventionally 64);
+    the banding core accepts wider words if a richer descriptor needs
+    them — same width-vs-corpus rule as SimHash."""
+    from re_data_pipeline_spark.operators.dedup import hamming_radius_pairs_on_words
+
+    imgs = df.where(F.col("kind") == "image")
+    fp = media_ahash_words(imgs, decoder)
+    return hamming_radius_pairs_on_words(
+        fp,
+        "media_id",
+        "phash_words",
+        bits=64,
+        radius=radius,
+        on_degradation=on_degradation,
+        cap_pairs_per_doc=cap_pairs_per_doc,
+        op_name="media_phash_pairs",
+    )

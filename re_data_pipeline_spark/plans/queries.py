@@ -4795,17 +4795,17 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     profile, q184 weighted quantiles, q185 cross-corpus decontamination,
 #     q186 keep-top-k dedup, q187 streaming incremental dedup, q188
 #     boilerplate leaderboard, q189 source dup rates, q190 length-bucketed
-#     batching;
-# (d) 21 of the 38 rows whose last green driver row is round 4.  The 17
+#     batching, q191 image perceptual-hash dedup;
+# (d) 20 of the 38 rows whose last green driver row is round 4.  The 18
 #     deferred (q54_first_available, q55_limit_topn, q64_lag_lead,
 #     q74_percentiles, q76_histogram, q77_levenshtein, q79_pivot,
-#     q80_unpivot, q83_gap_fill, q86_cdc_latest, q88_conditional_agg,
-#     q89_above_average, q90_array_setops, q92_date_trunc_spectrum,
-#     q93_word_count, q94_funnel, q95_incremental_aggregate) are
-#     stock-expression bodies untouched since r3, parity-verified every
-#     session — never-checked new queries outrank stale-but-green rows
-#     (the r7 policy); they all rotate in round 9, which has ~33 free
-#     slots.
+#     q80_unpivot, q83_gap_fill, q84_zscore_outliers, q86_cdc_latest,
+#     q88_conditional_agg, q89_above_average, q90_array_setops,
+#     q92_date_trunc_spectrum, q93_word_count, q94_funnel,
+#     q95_incremental_aggregate) are stock-expression bodies untouched
+#     since r3, parity-verified every session — never-checked new queries
+#     outrank stale-but-green rows (the r7 policy); they all rotate in
+#     round 9, which has ~32 free slots.
 # Everything rotated out holds a green r5-r7 driver row with unchanged
 # code, and tools/parity.py still verifies ALL registered queries every
 # session.
@@ -4826,7 +4826,7 @@ DRIVER_WINDOW: list[str] = [
     "q184_weighted_quantiles", "q185_cross_corpus_decontam",
     "q186_keep_top_k_dedup", "q187_streaming_incremental_dedup",
     "q188_boilerplate_ngrams", "q189_source_dup_rates",
-    "q190_length_batching",
+    "q190_length_batching", "q191_image_phash_dedup",
     # (d) last green row: round 4
     "q44_streaming_tumbling", "q101_streaming_sessions", "q102_zorder_layout",
     "q104_embedding_minmax", "q105_weighted_sample", "q106_scalar_quantization",
@@ -4836,7 +4836,7 @@ DRIVER_WINDOW: list[str] = [
     "q65_first_occurrence", "q66_state_flag_merge", "q67_rolling_hash",
     "q68_bpe_token_count", "q70_stateful_stream", "q73_band_join",
     "q78_deterministic_sample",
-    "q81_stratified_sample", "q84_zscore_outliers",
+    "q81_stratified_sample",
 ]
 
 
@@ -8346,3 +8346,60 @@ def q190_length_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, "n_tokens", list(_Q190_EDGES), _Q190_BATCH, order_tiebreak=["doc_id"]
     )
     return carry_spines(out, out.select("doc_id", "n_tokens", "bucket", "batch"))
+
+
+def _q191_oracle_sql(n: int = 30, radius: int = 2) -> str:
+    """Driver-replay oracle for image perceptual-hash near-dup pairs (the
+    q45 VALUES technique): recompute every image's fake decode + aHash
+    with the SAME Python functions the executors run, brute-force the
+    ≤radius pairs, and inline them.  What's under test distributedly: the
+    mapInPandas decode/hash plumbing and the shared banding/verify core."""
+    import hashlib
+
+    from re_data_pipeline_spark.operators.multimodal import _ahash64, _fake_decode
+
+    hashes = {}
+    for i in range(n):
+        if i % 3 != 0:  # synthetic_media: kind = image iff i % 3 == 0
+            continue
+        content = hashlib.md5(f"media-{i}".encode()).digest() * 4
+        v = _ahash64(_fake_decode(content, "image"))
+        hashes[i] = v
+        hashes[100 + i] = v  # the duplicated copy in the q191 fixture
+    pairs = []
+    ids = sorted(hashes)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            d = bin(hashes[ids[x]] ^ hashes[ids[y]]).count("1")
+            if d <= radius:
+                pairs.append(
+                    f"(CAST({ids[x]} AS BIGINT), CAST({ids[y]} AS BIGINT), {d})"
+                )
+    values = ",\n           ".join(pairs)
+    return (
+        f"SELECT id_a, id_b, CAST(hamming AS INT) AS hamming\n"
+        f"    FROM (VALUES {values}) t(id_a, id_b, hamming)"
+    )
+
+
+@query("q191_image_phash_dedup", _q191_oracle_sql())
+def q191_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection over binary media columns: fake-decode →
+    64-bit aHash (``operators/multimodal.media_ahash_words``) → the SAME
+    pigeonhole banding/verify core as text SimHash
+    (``dedup.hamming_radius_pairs_on_words``) at radius 2.  The fixture
+    duplicates every image's bytes under a new id (media_id + 100), so
+    each image must pair with its copy at Hamming 0 — a lost pair means
+    the decode plumbing, the word encoding, or the banding broke.  The
+    real-codec path swaps ``decoder="real"`` (import-gated PIL) with the
+    identical plan shape."""
+    from re_data_pipeline_spark.operators.multimodal import (
+        media_phash_pairs,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 30)
+    copies = media.where(F.col("kind") == "image").withColumn(
+        "media_id", F.col("media_id") + F.lit(100)
+    )
+    return media_phash_pairs(media.unionByName(copies), radius=2)

@@ -164,3 +164,36 @@ def test_real_video_decode_roundtrip(spark):
     row = decode_features(media, decoder="real").collect()[0]
     shape = tuple(row.decoded_shape)
     assert shape[0] == 3 and shape[1:] == (16, 16, 3)
+
+
+def test_media_phash_pairs_finds_byte_copies(spark):
+    """Every image's byte-identical copy must pair at Hamming 0 through
+    the full decode → aHash → banding → verify path; non-image rows are
+    excluded; the words encoding round-trips the 64-bit hash."""
+    from re_data_pipeline_spark.operators.multimodal import (
+        _ahash64,
+        _fake_decode,
+        media_ahash_words,
+        media_phash_pairs,
+        synthetic_media,
+    )
+    from pyspark.sql import functions as F
+
+    media = synthetic_media(spark, 12)
+    copies = media.where(F.col("kind") == "image").withColumn(
+        "media_id", F.col("media_id") + F.lit(100)
+    )
+    both = media.unionByName(copies)
+    got = {(r.id_a, r.id_b): r.hamming for r in media_phash_pairs(both, radius=2).collect()}
+    image_ids = [r.media_id for r in media.where(F.col("kind") == "image").collect()]
+    for i in image_ids:
+        assert got.get((i, i + 100)) == 0, i
+    # words encoding: low 60 bits + high bits reassemble the Python hash
+    words = {r.media_id: list(r.phash_words)
+             for r in media_ahash_words(media.where(F.col("kind") == "image")).collect()}
+    import hashlib
+
+    for i in image_ids:
+        content = hashlib.md5(f"media-{i}".encode()).digest() * 4
+        v = _ahash64(_fake_decode(content, "image"))
+        assert words[i][0] | (words[i][1] << 60) == v
