@@ -184,6 +184,10 @@ def main() -> None:
             plans[name] = plan_hash(fn(spark, sf_dir))
         except Exception:
             plans[name] = "n/a"  # multi-job pipelines have no single plan
+        # guard-carrying operators (q167/q178/...) pin a fingerprint cache
+        # per invocation with the release handle on the discarded result —
+        # drop everything between queries so the bench session stays flat
+        spark.catalog.clearCache()
 
     ref_file, prior = prior_plan_hashes()
     for name, h in plans.items():

@@ -1645,6 +1645,10 @@ def cross_corpus_contamination(
         id_col, "minhash", bands, rows_per_band,
     ).select(F.col(id_col).alias("bench_id"), "band", "band_key")
     cands = ba.join(bb, ["band", "band_key"]).select("train_id", "bench_id").distinct()
+    # the pair list is referenced THREE times below (two semi-join prunes +
+    # the intersection base) — materialize it once (small: candidate pairs,
+    # not corpus rows) so the two signature passes don't replay per use
+    cands = cands.localCheckpoint()
 
     def shingle_set(df: DataFrame, out_id: str) -> DataFrame:
         return (

@@ -624,9 +624,9 @@ def length_bucketed_batches(
         o.join(F.broadcast(firsts), bucket_col)
         .withColumn(
             batch_col,
-            F.floor((F.col("__lb_g") - F.col("__lb_b0")) / F.lit(batch_rows)).cast(
-                "bigint"
-            ),
+            # integer DIV, not floor(float division): ordinals pass 2^53 at
+            # extreme scale and a double round-trip is off-by-one there
+            F.expr(f"CAST((__lb_g - __lb_b0) DIV {int(batch_rows)} AS BIGINT)"),
         )
         .drop("__lb_g", "__lb_b0")
     )

@@ -115,6 +115,10 @@ def main() -> int:
             srows = [
                 tuple(row) for row in spdf.itertuples(index=False, name=None)
             ]
+            # guard-carrying operators pin fingerprint caches whose release
+            # handles ride the (now-discarded) result — keep the 191-query
+            # session flat
+            spark.catalog.clearCache()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
