@@ -297,6 +297,63 @@ def exact_quantiles(
     return _carry_caches(df, out, o._ordinal_cache)
 
 
+def grouped_exact_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column | str],
+    value_col: str,
+    quantiles: list[tuple[int, int]] = ((1, 2), (9, 10)),
+    out_value_col: str = "value",
+) -> DataFrame:
+    """EXACT nearest-rank quantiles PER GROUP — ``quantile_disc(...) GROUP
+    BY g`` without per-group windows: ONE ordinal spine over
+    (group, order) — never ``Window.partitionBy(group)``'s hash exchange
+    with whatever skew the group sizes carry — then each group's rank is
+    ``global ordinal − the group's first ordinal``, and quantile q of a
+    group with n rows selects rank ``⌈q·n⌉−1`` (pure integer arithmetic).
+    The per-group (first, count) table is one tiny agg joined back; the
+    quantile spec fans it out |groups|·|quantiles| rows, still broadcast-
+    sized for any realistic stratification.
+
+    Returns ``(group…, q_num, q_den, value)``.  ``order_cols`` must
+    total-order rows WITHIN every group (include a tiebreak).
+    """
+    for num, den in quantiles:
+        if not (0 < num <= den):
+            raise ValueError(f"quantile {num}/{den} outside (0, 1]")
+    gcols = [F.col(c) for c in group_cols]
+    o = assign_ordinals(
+        df, [c.asc() for c in gcols] + list(order_cols), "__gq_g"
+    )
+    stats = o.groupBy(*group_cols).agg(
+        F.min("__gq_g").alias("__gq_0"), F.count(F.lit(1)).alias("__gq_n")
+    )
+    # per-(group, quantile) target ordinal: first + ⌈q·n⌉ − 1, integer math
+    specs = []
+    for num, den in quantiles:
+        specs.append(
+            stats.select(
+                *group_cols,
+                F.lit(num).alias("q_num"),
+                F.lit(den).alias("q_den"),
+                (
+                    F.col("__gq_0")
+                    + F.expr(f"CAST(({num} * __gq_n + {den} - 1) DIV {den} AS BIGINT)")
+                    - F.lit(1)
+                ).alias("__gq_g"),
+            )
+        )
+    spec = specs[0]
+    for p in specs[1:]:
+        spec = spec.unionByName(p)
+    out = (
+        F.broadcast(spec)
+        .join(o.select(F.col("__gq_g"), F.col(value_col)), "__gq_g")
+        .select(*group_cols, "q_num", "q_den", F.col(value_col).alias(out_value_col))
+    )
+    return _carry_caches(df, out, o._ordinal_cache)
+
+
 def weighted_quantiles(
     df: DataFrame,
     order_cols: list[Column | str],

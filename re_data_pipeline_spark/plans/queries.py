@@ -4795,17 +4795,19 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     profile, q184 weighted quantiles, q185 cross-corpus decontamination,
 #     q186 keep-top-k dedup, q187 streaming incremental dedup, q188
 #     boilerplate leaderboard, q189 source dup rates, q190 length-bucketed
-#     batching, q191 image perceptual-hash dedup;
-# (d) 20 of the 38 rows whose last green driver row is round 4.  The 18
+#     batching, q191 image perceptual-hash dedup, q192 grouped exact
+#     quantiles;
+# (d) 19 of the 38 rows whose last green driver row is round 4.  The 19
 #     deferred (q54_first_available, q55_limit_topn, q64_lag_lead,
 #     q74_percentiles, q76_histogram, q77_levenshtein, q79_pivot,
-#     q80_unpivot, q83_gap_fill, q84_zscore_outliers, q86_cdc_latest,
-#     q88_conditional_agg, q89_above_average, q90_array_setops,
-#     q92_date_trunc_spectrum, q93_word_count, q94_funnel,
-#     q95_incremental_aggregate) are stock-expression bodies untouched
-#     since r3, parity-verified every session — never-checked new queries
-#     outrank stale-but-green rows (the r7 policy); they all rotate in
-#     round 9, which has ~32 free slots.
+#     q80_unpivot, q81_stratified_sample, q83_gap_fill,
+#     q84_zscore_outliers, q86_cdc_latest, q88_conditional_agg,
+#     q89_above_average, q90_array_setops, q92_date_trunc_spectrum,
+#     q93_word_count, q94_funnel, q95_incremental_aggregate) are
+#     stock-expression bodies untouched since r3, parity-verified every
+#     session — never-checked new queries outrank stale-but-green rows
+#     (the r7 policy); they all rotate in round 9, which has ~31 free
+#     slots.
 # Everything rotated out holds a green r5-r7 driver row with unchanged
 # code, and tools/parity.py still verifies ALL registered queries every
 # session.
@@ -4827,6 +4829,7 @@ DRIVER_WINDOW: list[str] = [
     "q186_keep_top_k_dedup", "q187_streaming_incremental_dedup",
     "q188_boilerplate_ngrams", "q189_source_dup_rates",
     "q190_length_batching", "q191_image_phash_dedup",
+    "q192_grouped_quantiles",
     # (d) last green row: round 4
     "q44_streaming_tumbling", "q101_streaming_sessions", "q102_zorder_layout",
     "q104_embedding_minmax", "q105_weighted_sample", "q106_scalar_quantization",
@@ -4836,7 +4839,6 @@ DRIVER_WINDOW: list[str] = [
     "q65_first_occurrence", "q66_state_flag_merge", "q67_rolling_hash",
     "q68_bpe_token_count", "q70_stateful_stream", "q73_band_join",
     "q78_deterministic_sample",
-    "q81_stratified_sample",
 ]
 
 
@@ -8403,3 +8405,39 @@ def q191_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", F.col("media_id") + F.lit(100)
     )
     return media_phash_pairs(media.unionByName(copies), radius=2)
+
+
+@query(
+    "q192_grouped_quantiles",
+    """
+    WITH r AS (
+      SELECT lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT r.lang, q.q_num, q.q_den, r.n_chars AS value
+    FROM r JOIN (VALUES (1, 4), (1, 2), (3, 4), (9, 10)) q(q_num, q_den)
+      ON r.rk = (q.q_num * r.n + q.q_den - 1) // q.q_den
+    """,
+)
+def q192_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language EXACT document-length quantiles
+    (``operators/ids.grouped_exact_quantiles``): p25/p50/p75/p90 per
+    stratum from ONE ordinal spine over (lang, n_chars, doc_id) — never a
+    ``Window.partitionBy(lang)`` (a handful of language partitions would
+    concentrate the corpus on a handful of reducers, with per-language
+    skew on top); per-group ranks come from a |groups|-row (first, count)
+    agg, target ordinals from integer ceil arithmetic, and the selection
+    is one broadcast spec join."""
+    from re_data_pipeline_spark.operators.ids import carry_spines, grouped_exact_quantiles
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "n_chars", "doc_id")
+    out = grouped_exact_quantiles(
+        d,
+        ["lang"],
+        [F.asc("n_chars"), F.asc("doc_id")],
+        "n_chars",
+        quantiles=((1, 4), (1, 2), (3, 4), (9, 10)),
+    )
+    return carry_spines(out, out.select("lang", "q_num", "q_den", "value"))

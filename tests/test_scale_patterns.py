@@ -497,6 +497,37 @@ def test_length_bucketed_batches_homogeneous(spark):
     release_spines(out)
 
 
+def test_grouped_exact_quantiles_vs_python(spark):
+    """Per-group nearest-rank quantiles equal sorted[⌈q·n⌉−1] per group,
+    including a 1-row group where every quantile hits the same element."""
+    import math
+
+    from re_data_pipeline_spark.operators.ids import (
+        grouped_exact_quantiles,
+        release_spines,
+    )
+
+    rows = (
+        [("a", (i * 13) % 40, i) for i in range(23)]
+        + [("b", (i * 7) % 15, 100 + i) for i in range(9)]
+        + [("solo", 42, 999)]
+    )
+    df = spark.createDataFrame(rows, "g string, v long, id long")
+    qs = [(1, 4), (1, 2), (9, 10)]
+    out = grouped_exact_quantiles(
+        df, ["g"], [F.asc("v"), F.asc("id")], "v", quantiles=qs
+    )
+    got = {(r.g, r.q_num, r.q_den): r.value for r in out.collect()}
+    by_g = {}
+    for g, v, _ in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        s = sorted(vals)
+        for num, den in qs:
+            assert got[(g, num, den)] == s[math.ceil(num * len(s) / den) - 1], (g, num, den)
+    release_spines(out)
+
+
 def test_key_skew_report_hand_computed(spark):
     """Counts 6/3/1/1/1 over 5 keys (total 12, mean 2.4): the hot key's
     share, skew factor, and integer-ceil salt must come out exactly."""
