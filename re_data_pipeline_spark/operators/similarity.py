@@ -552,3 +552,80 @@ def rrf_fuse(
         "n_lists",
         "rnk",
     )
+
+
+def ann_recall_report(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Measured recall@k of SRP-bucket ANN against the exact cosine top-k
+    for a bounded query set — the vector-side "measure, don't guess"
+    audit (the ANN sibling of ``dedup.lsh_recall_report``): before a
+    corpus-scale run trusts a plane count, read the recall it actually
+    delivers on sampled queries.  Self-matches are excluded from both
+    tiers.
+
+    Returns ``(query_id, k, n_exact, n_approx, n_hit, recall)`` per
+    query — ``recall = n_hit / k`` (a query whose bucket holds fewer
+    than ``k`` candidates caps its own recall, which is exactly the
+    signal: add plane sets or widen probes).
+
+    Scale shape: queries broadcast against the corpus (|q|·n scored rows
+    for the EXACT tier — this is an EVAL operator over a sampled query
+    set, not a serving path); per-query ranks are windows partitioned by
+    query id over that bounded product; the approx tier scores only
+    same-bucket candidates.  Every ranking tiebreaks on the id, and both
+    engines fold the cosine left-to-right, so ranks replay bit-stably.
+    """
+    from re_data_pipeline_spark.functions.vectors import cosine_similarity
+
+    q = queries.select(
+        F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qv")
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("__cos"), F.asc(id_col))
+
+    scored = (
+        corpus.select(id_col, vec_col)
+        .crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col("__qid"))
+        .withColumn("__cos", cosine_similarity(F.col(vec_col), F.col("__qv")))
+    )
+    exact = scored.withColumn("__rk", F.row_number().over(w)).where(
+        F.col("__rk") <= k
+    ).select("__qid", id_col)
+
+    bucketed = corpus.select(
+        id_col, vec_col, srp_bucket(F.col(vec_col), planes).alias("__b")
+    )
+    qb = q.withColumn("__b", srp_bucket(F.col("__qv"), planes))
+    approx = (
+        bucketed.join(F.broadcast(qb), "__b")
+        .where(F.col(id_col) != F.col("__qid"))
+        .withColumn("__cos", cosine_similarity(F.col(vec_col), F.col("__qv")))
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .select("__qid", id_col)
+    )
+    hits = exact.join(approx, ["__qid", id_col]).groupBy("__qid").agg(
+        F.count(F.lit(1)).alias("__hit")
+    )
+    n_ap = approx.groupBy("__qid").agg(F.count(F.lit(1)).alias("__nap"))
+    return (
+        q.select("__qid")
+        .join(hits, "__qid", "left")
+        .join(n_ap, "__qid", "left")
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.lit(k).cast("int").alias("k"),
+            F.lit(k).cast("bigint").alias("n_exact"),
+            F.coalesce("__nap", F.lit(0)).cast("bigint").alias("n_approx"),
+            F.coalesce("__hit", F.lit(0)).cast("bigint").alias("n_hit"),
+            F.round(F.coalesce("__hit", F.lit(0)) / F.lit(float(k)), 6).alias(
+                "recall"
+            ),
+        )
+    )

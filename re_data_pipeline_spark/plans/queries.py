@@ -4796,11 +4796,11 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     q186 keep-top-k dedup, q187 streaming incremental dedup, q188
 #     boilerplate leaderboard, q189 source dup rates, q190 length-bucketed
 #     batching, q191 image perceptual-hash dedup, q192 grouped exact
-#     quantiles;
-# (d) 19 of the 38 rows whose last green driver row is round 4.  The 19
+#     quantiles, q193 ANN recall audit;
+# (d) 18 of the 38 rows whose last green driver row is round 4.  The 20
 #     deferred (q54_first_available, q55_limit_topn, q64_lag_lead,
-#     q74_percentiles, q76_histogram, q77_levenshtein, q79_pivot,
-#     q80_unpivot, q81_stratified_sample, q83_gap_fill,
+#     q74_percentiles, q76_histogram, q77_levenshtein, q78_deterministic_sample,
+#     q79_pivot, q80_unpivot, q81_stratified_sample, q83_gap_fill,
 #     q84_zscore_outliers, q86_cdc_latest, q88_conditional_agg,
 #     q89_above_average, q90_array_setops, q92_date_trunc_spectrum,
 #     q93_word_count, q94_funnel, q95_incremental_aggregate) are
@@ -4829,7 +4829,7 @@ DRIVER_WINDOW: list[str] = [
     "q186_keep_top_k_dedup", "q187_streaming_incremental_dedup",
     "q188_boilerplate_ngrams", "q189_source_dup_rates",
     "q190_length_batching", "q191_image_phash_dedup",
-    "q192_grouped_quantiles",
+    "q192_grouped_quantiles", "q193_ann_recall_report",
     # (d) last green row: round 4
     "q44_streaming_tumbling", "q101_streaming_sessions", "q102_zorder_layout",
     "q104_embedding_minmax", "q105_weighted_sample", "q106_scalar_quantization",
@@ -4838,7 +4838,6 @@ DRIVER_WINDOW: list[str] = [
     "q116_cohort_retention",
     "q65_first_occurrence", "q66_state_flag_merge", "q67_rolling_hash",
     "q68_bpe_token_count", "q70_stateful_stream", "q73_band_join",
-    "q78_deterministic_sample",
 ]
 
 
@@ -8441,3 +8440,78 @@ def q192_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantiles=((1, 4), (1, 2), (3, 4), (9, 10)),
     )
     return carry_spines(out, out.select("lang", "q_num", "q_den", "value"))
+
+
+_Q193_K = 10
+_Q193_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 97 = 0
+), planes AS (
+  SELECT i, list_transform(range(0, 64),
+           j -> CASE WHEN ((i*7 + j*13) % 5) < 2
+                     THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) AS p
+  FROM generate_series(0, 3) s(i)
+), cdots AS (
+  SELECT e.vec_id, pl.i, {_duck_dot('e.embedding', 'pl.p')} AS d
+  FROM embeddings e CROSS JOIN planes pl
+), cbuck AS (
+  SELECT vec_id, SUM(CASE WHEN d >= 0 THEN (1::BIGINT << i) ELSE 0 END) AS b
+  FROM cdots GROUP BY vec_id
+), qdots AS (
+  SELECT q.qid, pl.i, {_duck_dot('q.qv', 'pl.p')} AS d
+  FROM q CROSS JOIN planes pl
+), qbuck AS (
+  SELECT qid, SUM(CASE WHEN d >= 0 THEN (1::BIGINT << i) ELSE 0 END) AS b
+  FROM qdots GROUP BY qid
+), exact AS (
+  SELECT q.qid, e.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q.qid
+             ORDER BY {_duck_cosine('e.embedding', 'q.qv')} DESC, e.vec_id) AS rk
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid
+), ex AS (
+  SELECT qid, vec_id FROM exact WHERE rk <= {_Q193_K}
+), approx AS (
+  SELECT q.qid, e.vec_id,
+         ROW_NUMBER() OVER (PARTITION BY q.qid
+             ORDER BY {_duck_cosine('e.embedding', 'q.qv')} DESC, e.vec_id) AS rk
+  FROM embeddings e
+  JOIN cbuck cb ON cb.vec_id = e.vec_id
+  JOIN qbuck qb ON qb.b = cb.b
+  JOIN q ON q.qid = qb.qid
+  WHERE e.vec_id <> q.qid
+), ap AS (
+  SELECT qid, vec_id FROM approx WHERE rk <= {_Q193_K}
+), nap AS (
+  SELECT qid, COUNT(*) AS na FROM ap GROUP BY qid
+), hit AS (
+  SELECT e.qid, COUNT(*) AS h
+  FROM ex e JOIN ap a ON a.qid = e.qid AND a.vec_id = e.vec_id
+  GROUP BY e.qid
+)
+SELECT q.qid AS query_id, {_Q193_K} AS k,
+       CAST({_Q193_K} AS BIGINT) AS n_exact,
+       CAST(COALESCE(na, 0) AS BIGINT) AS n_approx,
+       CAST(COALESCE(h, 0) AS BIGINT) AS n_hit,
+       ROUND(COALESCE(h, 0) / {float(_Q193_K)}, 6) AS recall
+FROM q LEFT JOIN nap ON nap.qid = q.qid LEFT JOIN hit ON hit.qid = q.qid
+"""
+
+
+@query("q193_ann_recall_report", _Q193_SQL)
+def q193_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@10 of SRP-bucket ANN vs the exact cosine top-10
+    over sampled queries (``operators/similarity.ann_recall_report``) —
+    the vector-side companion of q181's LSH recall audit: the number that
+    says whether 4 planes are enough for THIS corpus before a serving
+    path trusts them.  Both tiers, the bucket assignment, and the ranks
+    replay in DuckDB (deterministic plane pattern, left-to-right cosine
+    folds, id tiebreaks)."""
+    from re_data_pipeline_spark.operators.similarity import ann_recall_report
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") % 97 == 0)
+    planes = [
+        [1.0 if ((i * 7 + j * 13) % 5) < 2 else -1.0 for j in range(64)]
+        for i in range(4)
+    ]
+    return ann_recall_report(e, queries, planes, k=_Q193_K)
