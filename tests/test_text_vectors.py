@@ -290,6 +290,30 @@ def test_rrf_fuse_exact_and_union_semantics(spark):
         rrf_fuse([])
 
 
+def test_ann_recall_report_semantics(spark):
+    """Recall@k bounds and self-exclusion: with ONE plane set of zeros
+    every vector lands in one bucket, so approx == exact and recall is
+    1.0 for every query; n_approx never exceeds k; the query itself is
+    never its own neighbor."""
+    from re_data_pipeline_spark.operators.similarity import ann_recall_report
+
+    dim = 8
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11 - 5) for j in range(dim)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.where(F.col("vec_id") % 13 == 0)
+    # all-positive plane -> d >= 0 everywhere is NOT guaranteed; use the
+    # degenerate zero plane: d == 0 -> every vector in bucket 1
+    planes = [[0.0] * dim]
+    got = {r.query_id: r for r in ann_recall_report(df, queries, planes, k=5).collect()}
+    assert set(got) == {0, 13, 26, 39}
+    for qid, r in got.items():
+        assert r.recall == 1.0 and r.n_hit == 5 and r.n_approx == 5
+        assert r.k == 5
+
+
 def test_rrf_fuse_dedups_within_list_and_rejects_bad_ranks(spark):
     """ADVICE r7: a doc_id repeated WITHIN one list counts once at its best
     rank (no rrf_nano/n_lists inflation), and rank < 1 fails loudly at

@@ -397,8 +397,8 @@ CHECKS = [
         "radius+1 bands; band values assemble across word boundaries with "
         "shift/mask/or inside codegen; the Σ bucket² guard estimates "
         "candidate volume from the persisted fingerprint frame before the "
-        "join runs.  Measured: candidate rows 20k/60k/200k at 5k/15k/50k "
-        "docs (SCALING.md) — linear at fixed radius.",
+        "join runs.  Measured cold (guard on): shuffle rows 25k/75k/250k "
+        "at 5k/15k/50k docs (SCALING.md) — exponent 1.00 at fixed radius.",
     ),
     (
         "q175_global_cumsum",

@@ -135,10 +135,20 @@ def rest_totals(ui: str, app_id: str) -> dict[str, int]:
 
 def run_probe(spark, ui, app_id, build, runs=2):
     """build() -> DataFrame; returns (best_sec, shuffle_rows, shuffle_bytes)
-    for one full execution (metrics from the first timed run)."""
-    build().write.format("noop").mode("overwrite").save()  # warm
+    for one full execution (metrics from the first timed run).
+
+    The cache is cleared at the START of every iteration (and after the
+    warm run): operators that persist an intermediate (the ordinal/prefix
+    spines, guard-carrying dedup) construct plan-identical frames per
+    build(), and Spark's CacheManager would silently serve the PREVIOUS
+    run's cache — measured: the prefix-sum probe reported 32 shuffle rows
+    (just the partition-count agg) instead of the range exchange until
+    this was fixed.  Each timed run therefore pays the operator's full
+    cold cost, which is what the scaling exponent must reflect."""
+    build().write.format("noop").mode("overwrite").save()  # warm (codegen)
     best, srows, sbytes = float("inf"), 0, 0
     for i in range(runs):
+        spark.catalog.clearCache()
         before = rest_totals(ui, app_id)
         t0 = time.time()
         build().write.format("noop").mode("overwrite").save()
@@ -148,6 +158,7 @@ def run_probe(spark, ui, app_id, build, runs=2):
             srows = after["shuffle_rows"] - before["shuffle_rows"]
             sbytes = after["shuffle_bytes"] - before["shuffle_bytes"]
         best = min(best, dt)
+    spark.catalog.clearCache()
     return best, srows, sbytes
 
 
@@ -234,6 +245,19 @@ def main() -> int:
             d, "doc_id", "text", F.col("doc_id") % 10 == 0, n_buckets=256
         )
 
+    def _cumsum(d):
+        from re_data_pipeline_spark.operators.ids import assign_prefix_sums
+
+        return assign_prefix_sums(
+            d.select("doc_id", "n_chars"), [F.asc("doc_id")], "n_chars",
+            out_col="cum",
+        )
+
+    def _vocab_cov(d):
+        from re_data_pipeline_spark.operators.indexing import vocab_coverage
+
+        return vocab_coverage(d, "text", thresholds=(90, 95, 99))
+
     PROBES = {
         "near_dedup_pipeline (LSH→verify→anti)": lambda n: near_dedup_pipeline(
             docs(n), threshold=0.5
@@ -262,13 +286,20 @@ def main() -> int:
         "simhash_radius_pairs (120-bit, r=3)": lambda n: simhash_radius_pairs(
             docs(n), "doc_id", "text", bits=120, radius=3
         ),
+        # r8 spine infrastructure: the global cumsum must shuffle each row
+        # ONCE (the range exchange) — shuffle exp 1.0, time ~linear
+        "assign_prefix_sums (global cumsum)": lambda n: _cumsum(docs(n)),
+        "vocab_coverage (prefix-sum spine over vocab)": lambda n: _vocab_cov(docs(n)),
         "inverted_index (df-banded, capped postings)": lambda n: _inverted(docs(n)),
         "bpe_train (3 merge rounds)": lambda n: _bpe(docs(n)),
         "dsir_log_weights (hashed unigrams)": lambda n: _dsir(docs(n)),
     }
 
     if only:
-        PROBES = {k: v for k, v in PROBES.items() if only in k.lower()}
+        pats = [p.strip() for p in only.split(",") if p.strip()]
+        PROBES = {
+            k: v for k, v in PROBES.items() if any(p in k.lower() for p in pats)
+        }
         if not PROBES:
             print(f"--only {only!r} matched no probes")
             return 1
