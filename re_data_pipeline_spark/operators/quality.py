@@ -134,3 +134,76 @@ def char_entropy(
         F.when(n > 0, micro).alias("entropy_micro"),
         F.when(n > 0, F.round(micro / 1e6, 6)).alias(out_col),
     )
+
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The Gopher rule-pack (Rae et al. 2021, §A1.1) as one map-only pass —
+    the standard pre-filter battery large curation efforts run before any
+    model-based scoring.  Emits per-document booleans for each rule plus
+    the conjunction:
+
+    - ``ok_word_count``: 50 ≤ words ≤ 100 000
+    - ``ok_mean_word_len``: mean word length in [3, 10]
+    - ``ok_symbol_ratio``: (# + …) symbols ≤ 0.1 per word
+    - ``ok_bullet_lines``: ≤ 90% of lines start with a bullet
+    - ``ok_ellipsis_lines``: ≤ 30% of lines end with …/...
+    - ``ok_alpha_words``: ≥ 80% of words contain a letter
+    - ``ok_stopwords``: ≥ 2 distinct stopwords from the 8-word Gopher set
+    - ``keep`` = all of the above
+
+    Every ratio compares in INTEGER cross-multiplied form
+    (``Σlen ≥ 3·words`` etc.) — float thresholds straddle representation
+    boundaries differently per engine; integers cannot.  Token and line
+    arrays are materialized columns (HOF lambdas have no common-
+    subexpression elimination).  Scale shape: pure column algebra — the
+    whole battery runs inside the scan pass, before any shuffle.
+    """
+    d = (
+        df.withColumn("__w", F.split(F.trim(F.col(text_col)), r"\s+"))
+        .withColumn("__l", F.split(F.col(text_col), r"\n"))
+    )
+    words = F.size("__w")
+    lines = F.size("__l")
+    sum_len = F.aggregate(
+        "__w", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    symbols = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), r"[#…]", ""))
+    )
+    bullet_lines = F.size(
+        F.filter("__l", lambda x: F.trim(x).rlike(r"^[•\-\*▪]"))
+    )
+    ellipsis_lines = F.size(
+        F.filter("__l", lambda x: F.rtrim(x).rlike(r"(…|\.\.\.)$"))
+    )
+    alpha_words = F.size(F.filter("__w", lambda w: w.rlike("[A-Za-z]")))
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(F.transform("__w", F.lower), s),
+        )
+    )
+    flags = {
+        "ok_word_count": (words >= 50) & (words <= 100_000),
+        "ok_mean_word_len": (sum_len >= 3 * words) & (sum_len <= 10 * words),
+        "ok_symbol_ratio": symbols * 10 <= words,
+        "ok_bullet_lines": bullet_lines * 10 <= lines * 9,
+        "ok_ellipsis_lines": ellipsis_lines * 10 <= lines * 3,
+        "ok_alpha_words": alpha_words * 10 >= words * 8,
+        "ok_stopwords": stop_hits >= 2,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else keep & c
+    return d.select(
+        F.col(id_col),
+        words.cast("bigint").alias("n_words"),
+        *[c.alias(n) for n, c in flags.items()],
+        keep.alias("keep"),
+    )

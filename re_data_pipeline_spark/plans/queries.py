@@ -4796,14 +4796,15 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     q186 keep-top-k dedup, q187 streaming incremental dedup, q188
 #     boilerplate leaderboard, q189 source dup rates, q190 length-bucketed
 #     batching, q191 image perceptual-hash dedup, q192 grouped exact
-#     quantiles, q193 ANN recall audit;
-# (d) 18 of the 38 rows whose last green driver row is round 4.  The 20
+#     quantiles, q193 ANN recall audit, q194 Gopher quality rule-pack;
+# (d) 17 of the 38 rows whose last green driver row is round 4.  The 21
 #     deferred (q54_first_available, q55_limit_topn, q64_lag_lead,
-#     q74_percentiles, q76_histogram, q77_levenshtein, q78_deterministic_sample,
-#     q79_pivot, q80_unpivot, q81_stratified_sample, q83_gap_fill,
-#     q84_zscore_outliers, q86_cdc_latest, q88_conditional_agg,
-#     q89_above_average, q90_array_setops, q92_date_trunc_spectrum,
-#     q93_word_count, q94_funnel, q95_incremental_aggregate) are
+#     q65_first_occurrence, q74_percentiles, q76_histogram,
+#     q77_levenshtein, q78_deterministic_sample, q79_pivot, q80_unpivot,
+#     q81_stratified_sample, q83_gap_fill, q84_zscore_outliers,
+#     q86_cdc_latest, q88_conditional_agg, q89_above_average,
+#     q90_array_setops, q92_date_trunc_spectrum, q93_word_count,
+#     q94_funnel, q95_incremental_aggregate) are
 #     stock-expression bodies untouched since r3, parity-verified every
 #     session — never-checked new queries outrank stale-but-green rows
 #     (the r7 policy); they all rotate in round 9, which has ~31 free
@@ -4830,13 +4831,14 @@ DRIVER_WINDOW: list[str] = [
     "q188_boilerplate_ngrams", "q189_source_dup_rates",
     "q190_length_batching", "q191_image_phash_dedup",
     "q192_grouped_quantiles", "q193_ann_recall_report",
+    "q194_gopher_rules",
     # (d) last green row: round 4
     "q44_streaming_tumbling", "q101_streaming_sessions", "q102_zorder_layout",
     "q104_embedding_minmax", "q105_weighted_sample", "q106_scalar_quantization",
     "q108_grouped_regression", "q109_canonical_url", "q110_html_to_text",
     "q111_topn_order_revenue", "q112_regional_supplier_volume",
     "q116_cohort_retention",
-    "q65_first_occurrence", "q66_state_flag_merge", "q67_rolling_hash",
+    "q66_state_flag_merge", "q67_rolling_hash",
     "q68_bpe_token_count", "q70_stateful_stream", "q73_band_join",
 ]
 
@@ -8515,3 +8517,56 @@ def q193_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(4)
     ]
     return ann_recall_report(e, queries, planes, k=_Q193_K)
+
+
+@query(
+    "q194_gopher_rules",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             {_sql_tokens()} AS w,
+             string_split(text, chr(10)) AS l
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(w) AS words, len(l) AS lines,
+             list_aggregate(list_transform(w, x -> len(x)), 'sum') AS sum_len,
+             len(text) - len(regexp_replace(text, '[#…]', '', 'g')) AS symbols,
+             len(list_filter(l, x -> regexp_matches(trim(x), '^[•\\-\\*▪]'))) AS bullets,
+             len(list_filter(l, x -> regexp_matches(rtrim(x), '(…|\\.\\.\\.)$'))) AS ellipses,
+             len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha,
+             len(list_filter(['the','be','to','of','and','that','have','with'],
+                 s -> list_contains(list_transform(w, x -> lower(x)), s))) AS stops
+      FROM d
+    )
+    SELECT doc_id, CAST(words AS BIGINT) AS n_words,
+           words >= 50 AND words <= 100000 AS ok_word_count,
+           sum_len >= 3 * words AND sum_len <= 10 * words AS ok_mean_word_len,
+           symbols * 10 <= words AS ok_symbol_ratio,
+           bullets * 10 <= lines * 9 AS ok_bullet_lines,
+           ellipses * 10 <= lines * 3 AS ok_ellipsis_lines,
+           alpha * 10 >= words * 8 AS ok_alpha_words,
+           stops >= 2 AS ok_stopwords,
+           (words >= 50 AND words <= 100000)
+             AND (sum_len >= 3 * words AND sum_len <= 10 * words)
+             AND symbols * 10 <= words
+             AND bullets * 10 <= lines * 9
+             AND ellipses * 10 <= lines * 3
+             AND alpha * 10 >= words * 8
+             AND stops >= 2 AS keep
+    FROM m
+    """,
+)
+def q194_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality rule-pack (Rae et al. 2021 §A1.1) over the
+    corpus (``operators/quality.gopher_quality_flags``): word-count
+    bounds, mean word length, symbol/bullet/ellipsis ratios, alphabetic-
+    word share, and the 8-stopword presence test — every ratio in integer
+    cross-multiplied form, the whole battery one map-only scan pass.  The
+    standard pre-filter large curation efforts run before any model-based
+    scoring; complements q122's repetition metrics and q30's token
+    quality."""
+    from re_data_pipeline_spark.operators.quality import gopher_quality_flags
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return gopher_quality_flags(d, "text", "doc_id")

@@ -446,3 +446,30 @@ def test_boilerplate_ngrams_finds_shared_template(spark):
     assert all(r.n_docs >= 2 for r in got)
     solo = "no template at all in"
     assert all(r.span != solo for r in got)
+
+
+def test_gopher_rules_hand_crafted(spark):
+    """Each rule fires on a fixture built to violate exactly it; a clean
+    prose-like doc passes all seven."""
+    from re_data_pipeline_spark.operators.quality import gopher_quality_flags
+
+    good = (
+        "the quick brown fox jumps over and over that lazy dog have with "
+        + " ".join(f"word{i} still prose here" for i in range(20))
+    )
+    rows = [
+        (1, good),                                           # keep
+        (2, "too few words the of"),                         # word count
+        (3, good + " " + "#" * 1 + " ".join("#" for _ in range(30))),  # symbols
+        (4, " ".join("12345" for _ in range(60)) + " the of"),  # alpha words
+        (5, " ".join(f"w{i}" for i in range(60))),           # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+    assert got[1].keep and all(
+        got[1][c] for c in got[1].asDict() if c.startswith("ok_")
+    )
+    assert not got[2].ok_word_count and not got[2].keep
+    assert not got[3].ok_symbol_ratio and not got[3].keep
+    assert not got[4].ok_alpha_words and not got[4].keep
+    assert not got[5].ok_stopwords and not got[5].keep
