@@ -1748,3 +1748,70 @@ def source_dup_rates(
             "max_cluster",
         )
     )
+
+
+def line_dedup_rewrite(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_occurrences: int = 2,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """C4-style LINE-level corpus dedup with document REWRITE (Raffel et
+    al. 2020 kept only lines; Lee et al. 2022 measure the duplicated-span
+    mass this removes): any line occurring in more than
+    ``max_occurrences`` documents corpus-wide is boilerplate
+    (navigation, cookie banners, footers) and is dropped from EVERY
+    document; surviving lines are reassembled in original order.  The
+    rewrite complement of ``span_dup_stats`` (which only profiles) and
+    ``boilerplate_ngrams`` (which only names the offenders).
+
+    Returns every input row as ``(id_col, clean_text, n_lines,
+    n_removed)`` — documents whose lines are all boilerplate come back
+    with an empty string, not silently dropped (the caller decides
+    whether empties die at the next filter).
+
+    Scale shape: posexplode to (id, pos, line-hash) → one map-combined
+    distinct-doc count per line hash → equi-join the counts back on the
+    hash (both sides partitioned by the same key from the same exchange)
+    → per-doc ordered reassembly (collect_list over struct(pos, line),
+    array_sort — cluster-local, no global sort).  The heavy shuffle
+    carries (id, 64-bit hash); line TEXT travels only on the reassembly
+    leg, exactly once per surviving line.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("__pos", "__line"),
+    ).withColumn(
+        "__h", F.conv(F.substring(F.md5(F.col("__line")), 1, 15), 16, 10).cast("long")
+    )
+    counts = lines.groupBy("__h").agg(
+        F.count_distinct(F.col(id_col)).alias("__nd")
+    )
+    kept = (
+        lines.join(counts, "__h")
+        .where(F.col("__nd") <= max_occurrences)
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                    lambda s: s["__line"],
+                ),
+                "\n",
+            ).alias(out_col),
+            F.count(F.lit(1)).cast("bigint").alias("__nkept"),
+        )
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+    return (
+        totals.join(kept, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(out_col, F.lit("")).alias(out_col),
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("__nkept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )

@@ -4796,15 +4796,16 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     q186 keep-top-k dedup, q187 streaming incremental dedup, q188
 #     boilerplate leaderboard, q189 source dup rates, q190 length-bucketed
 #     batching, q191 image perceptual-hash dedup, q192 grouped exact
-#     quantiles, q193 ANN recall audit, q194 Gopher quality rule-pack;
-# (d) 17 of the 38 rows whose last green driver row is round 4.  The 21
+#     quantiles, q193 ANN recall audit, q194 Gopher quality rule-pack,
+#     q195 C4-style line dedup rewrite;
+# (d) 16 of the 38 rows whose last green driver row is round 4.  The 22
 #     deferred (q54_first_available, q55_limit_topn, q64_lag_lead,
-#     q65_first_occurrence, q74_percentiles, q76_histogram,
-#     q77_levenshtein, q78_deterministic_sample, q79_pivot, q80_unpivot,
-#     q81_stratified_sample, q83_gap_fill, q84_zscore_outliers,
-#     q86_cdc_latest, q88_conditional_agg, q89_above_average,
-#     q90_array_setops, q92_date_trunc_spectrum, q93_word_count,
-#     q94_funnel, q95_incremental_aggregate) are
+#     q65_first_occurrence, q66_state_flag_merge, q74_percentiles,
+#     q76_histogram, q77_levenshtein, q78_deterministic_sample, q79_pivot,
+#     q80_unpivot, q81_stratified_sample, q83_gap_fill,
+#     q84_zscore_outliers, q86_cdc_latest, q88_conditional_agg,
+#     q89_above_average, q90_array_setops, q92_date_trunc_spectrum,
+#     q93_word_count, q94_funnel, q95_incremental_aggregate) are
 #     stock-expression bodies untouched since r3, parity-verified every
 #     session — never-checked new queries outrank stale-but-green rows
 #     (the r7 policy); they all rotate in round 9, which has ~31 free
@@ -4831,14 +4832,14 @@ DRIVER_WINDOW: list[str] = [
     "q188_boilerplate_ngrams", "q189_source_dup_rates",
     "q190_length_batching", "q191_image_phash_dedup",
     "q192_grouped_quantiles", "q193_ann_recall_report",
-    "q194_gopher_rules",
+    "q194_gopher_rules", "q195_line_dedup",
     # (d) last green row: round 4
     "q44_streaming_tumbling", "q101_streaming_sessions", "q102_zorder_layout",
     "q104_embedding_minmax", "q105_weighted_sample", "q106_scalar_quantization",
     "q108_grouped_regression", "q109_canonical_url", "q110_html_to_text",
     "q111_topn_order_revenue", "q112_regional_supplier_volume",
     "q116_cohort_retention",
-    "q66_state_flag_merge", "q67_rolling_hash",
+    "q67_rolling_hash",
     "q68_bpe_token_count", "q70_stateful_stream", "q73_band_join",
 ]
 
@@ -8570,3 +8571,69 @@ def q194_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return gopher_quality_flags(d, "text", "doc_id")
+
+
+@query(
+    "q195_line_dedup",
+    """
+    WITH base AS (SELECT doc_id, text FROM documents),
+    comp AS (
+      SELECT i.i AS cid,
+             a.text || chr(10) || b.text || chr(10) || c.text AS text
+      FROM range(200) i(i)
+      JOIN base a ON a.doc_id = i.i % 50
+      JOIN base b ON b.doc_id = 100 + (i.i % 150)
+      JOIN base c ON c.doc_id = 200 + i.i
+    ), ls AS (
+      SELECT cid, l FROM (SELECT cid, string_split(text, chr(10)) AS l FROM comp)
+    ), lines AS (
+      SELECT cid, j AS pos, l[j] AS line
+      FROM ls, unnest(range(1, len(l) + 1)) t(j)
+    ), counts AS (
+      SELECT line, COUNT(DISTINCT cid) AS nd FROM lines GROUP BY line
+    ), kept AS (
+      SELECT l.cid, string_agg(l.line, chr(10) ORDER BY l.pos) AS clean_text,
+             COUNT(*) AS nk
+      FROM lines l JOIN counts c ON c.line = l.line
+      WHERE c.nd <= 2 GROUP BY l.cid
+    ), tot AS (
+      SELECT cid, COUNT(*) AS n_lines FROM lines GROUP BY cid
+    )
+    SELECT t.cid AS doc_id, COALESCE(k.clean_text, '') AS clean_text,
+           CAST(t.n_lines AS BIGINT) AS n_lines,
+           CAST(t.n_lines - COALESCE(k.nk, 0) AS BIGINT) AS n_removed
+    FROM tot t LEFT JOIN kept k ON k.cid = t.cid
+    """,
+)
+def q195_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus LINE dedup with document rewrite
+    (``operators/dedup.line_dedup_rewrite``): a composite fixture gives
+    every 3-line document one boilerplate line (shared by ~4 docs →
+    removed at max_occurrences=2), one borderline line (shared by ≤2 →
+    kept), and one unique line — the rewrite must drop exactly the
+    boilerplate and reassemble survivors in original order.  The heavy
+    shuffle carries (id, 64-bit line hash); line text travels once per
+    surviving line."""
+    from re_data_pipeline_spark.operators.dedup import line_dedup_rewrite
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = spark.range(200).select(F.col("id").alias("cid"))
+    comp = (
+        idx.join(
+            base.select((F.col("doc_id")).alias("__ka"), F.col("text").alias("__ta")),
+            F.col("cid") % 50 == F.col("__ka"),
+        )
+        .join(
+            base.select((F.col("doc_id")).alias("__kb"), F.col("text").alias("__tb")),
+            F.col("cid") % 150 + 100 == F.col("__kb"),
+        )
+        .join(
+            base.select((F.col("doc_id")).alias("__kc"), F.col("text").alias("__tc")),
+            F.col("cid") + 200 == F.col("__kc"),
+        )
+        .select(
+            F.col("cid").alias("doc_id"),
+            F.concat_ws("\n", "__ta", "__tb", "__tc").alias("text"),
+        )
+    )
+    return line_dedup_rewrite(comp, "doc_id", "text", max_occurrences=2)

@@ -770,3 +770,25 @@ def test_simhash_radius_pairs_degradation_guard(spark):
 
     with pytest.raises(ValueError, match="on_degradation"):
         simhash_radius_pairs(df, on_degradation="explode")
+
+
+def test_line_dedup_rewrite_semantics(spark):
+    """Lines in >max docs are removed from EVERY doc; order is preserved;
+    an all-boilerplate doc comes back empty, not dropped."""
+    from re_data_pipeline_spark.operators.dedup import line_dedup_rewrite
+
+    bp = "all rights reserved"
+    rows = [
+        (1, f"{bp}\nunique one\nalso unique"),
+        (2, f"intro two\n{bp}\nbody two"),
+        (3, f"{bp}\ntail three"),
+        (4, bp),                      # all boilerplate -> empty
+        (5, "fully unique doc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in line_dedup_rewrite(df, max_occurrences=2).collect()}
+    assert got[1].clean_text == "unique one\nalso unique" and got[1].n_removed == 1
+    assert got[2].clean_text == "intro two\nbody two"
+    assert got[3].clean_text == "tail three"
+    assert got[4].clean_text == "" and got[4].n_removed == 1 and got[4].n_lines == 1
+    assert got[5].clean_text == "fully unique doc" and got[5].n_removed == 0
