@@ -255,6 +255,47 @@ def assign_prefix_sums(
     return out
 
 
+def grouped_prefix_sums(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column | str],
+    value_col: str,
+    out_col: str = "running_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``SUM(v) OVER (PARTITION BY g ORDER BY …)`` without per-group
+    windows: ONE prefix-sum spine over (group, order) — a
+    ``Window.partitionBy(group)`` hash-exchanges the corpus into |groups|
+    reducers with the groups' own skew — then each group's running total
+    is the GLOBAL running total minus the mass before the group's first
+    row.  That base is the FIRST row's ``cum − value`` — selected by
+    ``min_by`` on the spine ordinal, NOT ``min(cum − value)``, which only
+    coincides with the first row's under non-negative values — a
+    |groups|-row agg broadcast back.  Same integer-weights contract as
+    :func:`assign_prefix_sums`; negative values are fine.
+    """
+    ps = assign_prefix_sums(
+        df,
+        [F.col(c).asc() for c in group_cols] + list(order_cols),
+        value_col,
+        out_col="__gps_cum",
+        ordinal_col="__gps_ord",
+        num_partitions=num_partitions,
+    )
+    bases = ps.groupBy(*group_cols).agg(
+        F.min_by(
+            F.col("__gps_cum") - F.coalesce(F.col(value_col), F.lit(0)),
+            F.col("__gps_ord"),
+        ).alias("__gps_base")
+    )
+    out = (
+        ps.join(F.broadcast(bases), group_cols)
+        .withColumn(out_col, (F.col("__gps_cum") - F.col("__gps_base")).cast("bigint"))
+        .drop("__gps_cum", "__gps_base", "__gps_ord")
+    )
+    return _carry_caches(df, out, ps._ordinal_cache)
+
+
 def exact_quantiles(
     df: DataFrame,
     order_cols: list[Column | str],

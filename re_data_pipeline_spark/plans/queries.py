@@ -4797,10 +4797,11 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     boilerplate leaderboard, q189 source dup rates, q190 length-bucketed
 #     batching, q191 image perceptual-hash dedup, q192 grouped exact
 #     quantiles, q193 ANN recall audit, q194 Gopher quality rule-pack,
-#     q195 C4-style line dedup rewrite;
-# (d) 16 of the 38 rows whose last green driver row is round 4.  The 22
+#     q195 C4-style line dedup rewrite, q196 grouped cumulative sums;
+# (d) 15 of the 38 rows whose last green driver row is round 4.  The 23
 #     deferred (q54_first_available, q55_limit_topn, q64_lag_lead,
-#     q65_first_occurrence, q66_state_flag_merge, q74_percentiles,
+#     q65_first_occurrence, q66_state_flag_merge, q67_rolling_hash,
+#     q74_percentiles,
 #     q76_histogram, q77_levenshtein, q78_deterministic_sample, q79_pivot,
 #     q80_unpivot, q81_stratified_sample, q83_gap_fill,
 #     q84_zscore_outliers, q86_cdc_latest, q88_conditional_agg,
@@ -4832,14 +4833,14 @@ DRIVER_WINDOW: list[str] = [
     "q188_boilerplate_ngrams", "q189_source_dup_rates",
     "q190_length_batching", "q191_image_phash_dedup",
     "q192_grouped_quantiles", "q193_ann_recall_report",
-    "q194_gopher_rules", "q195_line_dedup",
+    "q194_gopher_rules", "q195_line_dedup", "q196_grouped_cumsum",
     # (d) last green row: round 4
     "q44_streaming_tumbling", "q101_streaming_sessions", "q102_zorder_layout",
     "q104_embedding_minmax", "q105_weighted_sample", "q106_scalar_quantization",
     "q108_grouped_regression", "q109_canonical_url", "q110_html_to_text",
     "q111_topn_order_revenue", "q112_regional_supplier_volume",
     "q116_cohort_retention",
-    "q67_rolling_hash",
+   
     "q68_bpe_token_count", "q70_stateful_stream", "q73_band_join",
 ]
 
@@ -8637,3 +8638,42 @@ def q195_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return line_dedup_rewrite(comp, "doc_id", "text", max_occurrences=2)
+
+
+@query(
+    "q196_grouped_cumsum",
+    f"""
+    WITH d AS (
+      SELECT lang, doc_id, n_chars,
+             CAST(len({_sql_tokens()}) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT lang, doc_id, n_tokens,
+           CAST(SUM(n_tokens) OVER (PARTITION BY lang
+                ORDER BY n_chars, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS running_tokens
+    FROM d
+    """,
+)
+def q196_grouped_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language cumulative token-mass curve (the budget ledger behind
+    length-capped per-language sampling: "how many tokens do the shortest
+    X documents of each language hold?") —
+    ``operators/ids.grouped_prefix_sums``: ONE prefix-sum spine over
+    (lang, n_chars, doc_id), per-group bases from a min_by agg broadcast
+    back; never a ``Window.partitionBy(lang)``, which funnels the corpus
+    into |languages| reducers.  Oracle: the naive per-group window."""
+    from re_data_pipeline_spark.operators.ids import carry_spines, grouped_prefix_sums
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    out = grouped_prefix_sums(
+        d, ["lang"], [F.asc("n_chars"), F.asc("doc_id")], "n_tokens",
+        out_col="running_tokens",
+    )
+    return carry_spines(out, out.select("lang", "doc_id", "n_tokens", "running_tokens"))

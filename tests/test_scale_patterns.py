@@ -497,6 +497,32 @@ def test_length_bucketed_batches_homogeneous(spark):
     release_spines(out)
 
 
+def test_grouped_prefix_sums_matches_per_group_scan(spark):
+    """Per-group running totals equal the sequential per-group cumsum —
+    including NEGATIVE values (the min_by-ordinal base; a min(cum−v) base
+    would pick a mid-group trough) and a 1-row group."""
+    from re_data_pipeline_spark.operators.ids import (
+        grouped_prefix_sums,
+        release_spines,
+    )
+
+    rows = (
+        [("a", i, (i * 7) % 11 - 5) for i in range(25)]
+        + [("b", 100 + i, -(i % 4)) for i in range(12)]
+        + [("solo", 999, -7)]
+    )
+    df = spark.createDataFrame(rows, "g string, id long, v long")
+    out = grouped_prefix_sums(df, ["g"], [F.asc("id")], "v", out_col="cum",
+                              num_partitions=5)
+    got = {(r.g, r.id): r.cum for r in out.collect()}
+    by_g = {}
+    for g, i, v in sorted(rows, key=lambda x: (x[0], x[1])):
+        by_g.setdefault(g, 0)
+        by_g[g] += v
+        assert got[(g, i)] == by_g[g], (g, i)
+    release_spines(out)
+
+
 def test_grouped_exact_quantiles_vs_python(spark):
     """Per-group nearest-rank quantiles equal sorted[⌈q·n⌉−1] per group,
     including a 1-row group where every quantile hits the same element."""
