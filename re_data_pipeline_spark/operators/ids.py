@@ -186,9 +186,13 @@ def assign_prefix_sums(
     ``value_col`` must be an integral column (bigint) — fixed-point
     decimals/floats first (e.g. ``F.round(x * 100, 0).cast("long")``):
     integer prefix sums are exact and engine-portable, float scans are
-    order-sensitive in the last ulp.  NULLs count as 0.  int64 overflow is
-    the caller's contract, as for any bigint SUM (cumulative corpus token
-    counts ~1e15 sit far from the 9.2e18 edge).
+    order-sensitive in the last ulp.  NULLs count as 0 — with the caveat
+    that a NULL-bearing long column crosses Arrow as float64, so per-VALUE
+    magnitudes must stay below 2^53 on that path (NULL-free columns cross
+    as int64 with no such bound); fixed-point inputs sit far below either
+    edge.  int64 overflow of the running SUM is the caller's contract, as
+    for any bigint SUM (cumulative corpus token counts ~1e15 sit far from
+    the 9.2e18 edge).
 
     ``ordinal_col`` optionally emits the global 0-based ordinal from the
     SAME pass (monotonically_increasing_id arithmetic — free), for

@@ -273,14 +273,22 @@ def streaming_incremental_dedup(
             kept if state["kept"] is None else state["kept"].unionByName(kept)
         )
 
+    import shutil
+
     ckpt = tempfile.mkdtemp(prefix="stream_inc_dedup_ckpt_")
-    q = (
-        stream.writeStream.foreachBatch(step)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            stream.writeStream.foreachBatch(step)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # one-shot drain: the checkpoint has no restart value once the
+        # query terminated, and kept/index are localCheckpoint blocks
+        # (block-manager resident), so the directory can go
+        shutil.rmtree(ckpt, ignore_errors=True)
     if state["kept"] is None:
         return spark.createDataFrame([], _coerce_event_time_schema(schema))
     return state["kept"]
