@@ -1769,7 +1769,11 @@ def line_dedup_rewrite(
     Returns every input row as ``(id_col, clean_text, n_lines,
     n_removed)`` — documents whose lines are all boilerplate come back
     with an empty string, not silently dropped (the caller decides
-    whether empties die at the next filter).
+    whether empties die at the next filter).  NULL text is coalesced to
+    ``''`` up front (``split(NULL)`` would make posexplode emit nothing
+    and the row would vanish from the totals), so a NULL-text doc comes
+    back exactly like an empty-text doc: one empty line, subject to the
+    same corpus-wide count.
 
     Scale shape: posexplode to (id, pos, line-hash) → one map-combined
     distinct-doc count per line hash → equi-join the counts back on the
@@ -1781,7 +1785,9 @@ def line_dedup_rewrite(
     """
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), r"\n")).alias("__pos", "__line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n")
+        ).alias("__pos", "__line"),
     ).withColumn(
         "__h", F.conv(F.substring(F.md5(F.col("__line")), 1, 15), 16, 10).cast("long")
     )

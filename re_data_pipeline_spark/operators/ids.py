@@ -48,6 +48,21 @@ _LOCAL_BITS = 33  # monotonically_increasing_id: id = (pid << 33) | local_index
 _SCOPE_STACK: list[list[DataFrame]] = []
 
 
+def _check_partition_widths(counts: dict[int, int], op: str) -> None:
+    """The map-only ordinal reads the low 33 bits of
+    ``monotonically_increasing_id`` — a range partition holding ≥ 2^33
+    rows would silently wrap the local index.  The per-partition counts
+    are already on the driver, so the check is free; conceivable at the
+    100 TB design point with a small ``num_partitions``."""
+    if counts and max(counts.values()) >= (1 << _LOCAL_BITS):
+        widest = max(counts, key=counts.get)
+        raise ValueError(
+            f"{op}: range partition {widest} holds {counts[widest]} rows, "
+            f">= 2^{_LOCAL_BITS} — the map-only local ordinal would wrap. "
+            "Raise num_partitions so every partition stays below 2^33 rows."
+        )
+
+
 def assign_ordinals(
     df: DataFrame,
     order_cols: list[Column | str],
@@ -75,6 +90,7 @@ def assign_ordinals(
     if _SCOPE_STACK:
         _SCOPE_STACK[-1].append(parts)
     counts = {r["__pid"]: r["n"] for r in parts.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    _check_partition_widths(counts, "assign_ordinals")
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
@@ -220,6 +236,7 @@ def assign_prefix_sums(
     ).collect()
     sums = {r["__pid"]: int(r["s"] or 0) for r in tots}
     cnts = {r["__pid"]: r["n"] for r in tots}
+    _check_partition_widths(cnts, "assign_prefix_sums")
     offsets, ord_offsets, acc, oacc = {}, {}, 0, 0
     for pid in sorted(sums):
         offsets[pid] = acc

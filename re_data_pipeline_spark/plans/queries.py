@@ -3927,6 +3927,12 @@ def q101_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     files (mtime-ordered, maxFilesPerTrigger=1) — the sentinels advance the
     watermark so every open session's event-time timeout fires before the
     drain ends.  Sentinel key (user_id = −1) is filtered from the output.
+
+    Conformance-harness note: the drained memory-sink output is frozen
+    via ``createDataFrame(collect())`` — fine at conformance scale, but a
+    production pipeline must NOT lift this shape; the scalable sink is
+    ``stream_ops.run_foreach_batch_upsert`` (streaming/stream_ops.py),
+    which lands each micro-batch through the idempotent MERGE path.
     """
     import os
     import shutil
@@ -5348,7 +5354,14 @@ def q131_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     run minutes of delay because arrival tracks event time.  Drained with
     Trigger.AvailableNow, the result is deterministic and equals the batch
     join, which is the oracle (same batch/streaming-parity technique as
-    q44/q101)."""
+    q44/q101).
+
+    Conformance-harness note: the drained memory-sink output is frozen
+    via ``createDataFrame(collect())`` — fine at conformance scale, but a
+    production pipeline must NOT lift this shape; the scalable sink is
+    ``stream_ops.run_foreach_batch_upsert`` (streaming/stream_ops.py),
+    which lands each micro-batch through the idempotent MERGE path.
+    """
     import shutil
     import tempfile
 
@@ -6483,7 +6496,14 @@ def q140_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     them, which is the only shape that survives an unbounded 100 TB
     stream.  Only the key columns are emitted (which physical row wins a
     duplicate race is arrival-order-dependent; the key set is not), so the
-    drained result equals batch DISTINCT — the oracle."""
+    drained result equals batch DISTINCT — the oracle.
+
+    Conformance-harness note: the drained memory-sink output is frozen
+    via ``createDataFrame(collect())`` — fine at conformance scale, but a
+    production pipeline must NOT lift this shape; the scalable sink is
+    ``stream_ops.run_foreach_batch_upsert`` (streaming/stream_ops.py),
+    which lands each micro-batch through the idempotent MERGE path.
+    """
     import shutil
     import tempfile
 
@@ -6656,6 +6676,12 @@ def q157_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     are filtered from the batch result on BOTH the view-side user_id and
     the click_id.  Deterministic ⇒ oracled against the batch LEFT JOIN,
     the same parity technique as q131/q44/q101.
+
+    Conformance-harness note: the drained memory-sink output is frozen
+    via ``createDataFrame(collect())`` — fine at conformance scale, but a
+    production pipeline must NOT lift this shape; the scalable sink is
+    ``stream_ops.run_foreach_batch_upsert`` (streaming/stream_ops.py),
+    which lands each micro-batch through the idempotent MERGE path.
     """
     import datetime
     import shutil

@@ -792,3 +792,23 @@ def test_line_dedup_rewrite_semantics(spark):
     assert got[3].clean_text == "tail three"
     assert got[4].clean_text == "" and got[4].n_removed == 1 and got[4].n_lines == 1
     assert got[5].clean_text == "fully unique doc" and got[5].n_removed == 0
+
+
+def test_line_dedup_rewrite_null_text_not_dropped(spark):
+    """r8 advice: split(NULL) made posexplode emit nothing, so NULL-text
+    docs vanished from the totals — they must come back like empty-text
+    docs (one empty line, subject to the corpus-wide count)."""
+    from re_data_pipeline_spark.operators.dedup import line_dedup_rewrite
+
+    rows = [
+        (1, "keep me\nunique line"),
+        (2, None),                     # must NOT vanish
+        (3, ""),                       # empty-string doc, same convention
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in line_dedup_rewrite(df, max_occurrences=2).collect()}
+    assert set(got) == {1, 2, 3}
+    # '' occurs in 2 docs <= max_occurrences -> the empty line SURVIVES
+    assert got[2].n_lines == 1 and got[2].n_removed == 0 and got[2].clean_text == ""
+    assert got[3].n_lines == 1 and got[3].n_removed == 0
+    assert got[1].clean_text == "keep me\nunique line"

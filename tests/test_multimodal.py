@@ -79,6 +79,7 @@ def test_decoder_knob_validates():
     assert callable(_decode_fn(lambda c, k: None))
 
 
+@pytest.mark.gated
 @pytest.mark.skipif(not _lib("PIL"), reason="PIL not installed")
 def test_real_image_decode_roundtrip(spark):
     """With PIL present (CI extra `image`): encode a tiny PNG, decode it
@@ -115,6 +116,7 @@ def test_metadata_scan_prunes_binary(spark, tmp_path):
     assert scan.count() == 6
 
 
+@pytest.mark.gated
 @pytest.mark.skipif(not _lib("soundfile"), reason="soundfile not installed")
 def test_real_audio_decode_roundtrip(spark):
     """With soundfile present (extra `audio`): encode a tiny WAV, decode
@@ -136,6 +138,7 @@ def test_real_audio_decode_roundtrip(spark):
     assert len(row.feature) == 16
 
 
+@pytest.mark.gated
 @pytest.mark.skipif(not _lib("av"), reason="PyAV not installed")
 def test_real_video_decode_roundtrip(spark):
     """With PyAV present (extra `video`): encode 3 tiny frames, decode

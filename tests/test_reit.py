@@ -1,5 +1,6 @@
 """REIT metric extraction pipeline (S10 → O8 → X4) + storeys regex (F3)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from re_data_pipeline_spark.functions.cleaning import storeys_extract
@@ -122,6 +123,7 @@ def test_reit_metrics_from_pdf_dir_end_to_end(spark, tmp_path):
     assert wide[0].net_asset_value == NOT_AVAILABLE  # term never appears
 
 
+@pytest.mark.gated
 def test_pymupdf_real_extraction(spark, tmp_path):
     """Production-path test: runs only when PyMuPDF is installed (CI extra
     `pdf`); skipped in the sandbox."""
@@ -142,6 +144,7 @@ def test_pymupdf_real_extraction(spark, tmp_path):
     assert "net income" in rows[0].page_text.lower()
 
 
+@pytest.mark.gated
 def test_pymupdf_equals_injected_extractor_contract(spark, tmp_path):
     """EQUIVALENCE CONTRACT (runs whenever PyMuPDF is importable — CI
     extra `pdf`): real PDFs whose pages carry known texts must flow

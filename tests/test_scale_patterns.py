@@ -274,6 +274,24 @@ def test_assign_ordinals_dense_and_ordered(spark):
     )
 
 
+def test_partition_width_guard_raises_before_ordinal_wrap():
+    """r8 advice: a range partition holding >= 2^33 rows would silently
+    wrap the low-33-bit local ordinal; the counts are already on the
+    driver, so assign_ordinals/assign_prefix_sums now raise there.  The
+    check itself is unit-testable without 2^33 rows."""
+    import pytest
+
+    from re_data_pipeline_spark.operators.ids import (
+        _LOCAL_BITS,
+        _check_partition_widths,
+    )
+
+    _check_partition_widths({0: 10, 1: (1 << _LOCAL_BITS) - 1}, "op")  # at the edge: ok
+    with pytest.raises(ValueError, match="num_partitions"):
+        _check_partition_widths({0: 10, 1: 1 << _LOCAL_BITS}, "op")
+    _check_partition_widths({}, "op")  # empty frame: no-op
+
+
 def _persisted_nonckpt_ids(spark):
     """Ids of persisted RDDs that are not localCheckpoint marks (same
     technique as tests/test_dedup._leaked_persist_ids)."""

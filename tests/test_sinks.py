@@ -51,6 +51,7 @@ def test_get_merge_sink_backend_selection(spark, sink_path):
     assert isinstance(sink, expected)
 
 
+@pytest.mark.gated
 @pytest.mark.skipif(not delta_available(), reason="delta-spark not installed")
 def test_delta_sink_merge_semantics(sink_path):
     """Real transactional MERGE path (CI extra `delta`): needs a
@@ -114,6 +115,7 @@ def test_delta_sink_refuses_without_package(spark, sink_path):
         DeltaMergeSink(spark, sink_path, SCHEMA)
 
 
+@pytest.mark.gated
 @pytest.mark.skipif(not delta_available(), reason="delta-spark not installed")
 def test_delta_sink_equals_parquet_emulation(tmp_path):
     """EQUIVALENCE CONTRACT (runs whenever delta-spark is importable —
