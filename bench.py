@@ -235,11 +235,28 @@ def main() -> None:
         else:
             nxt = max(ns) + 1
             try:
-                with open(os.path.join(here, f"BENCH_r{max(ns):02d}.json")) as f:
-                    prior_rec = json.load(f)
+                # Same-round re-run detection.  BENCH_rN.json is a DRIVER
+                # record (keys n/rc/cpus/sf/tail/parsed) whose bench payload
+                # only exists as an escaped string inside "tail", so
+                # json.load(...).get("plan_hashes") is always None and the
+                # old equality could never fire (r9 advice).  Reuse
+                # prior_plan_hashes(), which brace-parses the tail; the sf
+                # cross-check uses the COMPLETE local record bench.py itself
+                # wrote for that round (hash-identical plans at a different
+                # sf are possible — Location/Statistics are masked).
+                prior_name, prior_hashes = prior_plan_hashes()
+                same_sf = True
+                local_prev = os.path.join(
+                    here, ".benchmarks", f"bench_r{max(ns):02d}.json"
+                )
+                if os.path.exists(local_prev):
+                    with open(local_prev) as f:
+                        same_sf = json.load(f).get("sf") == payload["sf"]
                 if (
-                    prior_rec.get("plan_hashes") == payload["plan_hashes"]
-                    and prior_rec.get("sf") == payload["sf"]
+                    prior_name == f"BENCH_r{max(ns):02d}.json"
+                    and prior_hashes
+                    and prior_hashes == payload["plan_hashes"]
+                    and same_sf
                 ):
                     nxt = max(ns)
             except Exception:
