@@ -1821,3 +1821,404 @@ def line_dedup_rewrite(
             .alias("n_removed"),
         )
     )
+
+
+def _exact_substring_merged_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int,
+    k: int | None,
+    on_degradation: str,
+    cap_pairs_per_doc: int,
+) -> tuple[DataFrame, "DataFrame | None"]:
+    """Shared core of the ExactSubstr tier: returns ``(merged, anchors_cache)``
+    where ``merged`` is one row per document that LOSES tokens —
+    ``(id_col, __msp array<struct<s:int,e:int>>)``, 1-based inclusive
+    token-position intervals, sorted, disjoint, adjacent-coalesced — and
+    ``anchors_cache`` is the persisted anchor frame to unpersist (or None).
+
+    Semantics (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499 — the ExactSubstr tier): a
+    token is duplicated iff it lies inside a VERBATIM token-span of length
+    ≥ ``min_len`` shared by ≥ 2 distinct documents, at ARBITRARY
+    alignment.  Equivalent declarative form (what the DuckDB oracle
+    computes directly): a token is duplicated iff some ``min_len``-token
+    window covering it occurs in ≥ 2 distinct documents.  Equivalence:
+    (⊆) a shared ``min_len``-gram sits inside the maximal shared span
+    around it, which this operator recovers; (⊇) a maximal shared span of
+    length L ≥ min_len covering position p contains a full min_len-window
+    that also covers p (clamp the window into the span).
+
+    Plan, Spark-first (the reference ExactSubstr builds ONE suffix array on
+    a single node — a shape that cannot shard; this is the distributed
+    re-expression):
+
+    1. map-only: whitespace tokens → k-gram xxhash64 array per doc
+       (only docs with ≥ min_len tokens can host a span — shorter docs
+       skip fingerprinting entirely);
+    2. map-only winnowing (Schleimer–Wilkerson–Aiken, SIGMOD 2003) with
+       window w = min_len − k + 1: the leftmost-min k-gram hash of each
+       w-window is an anchor.  Selection is content-relative, so any
+       shared span of ≥ w + k − 1 = min_len tokens selects at least one
+       IDENTICAL anchor in both documents — zero false negatives, at
+       ~2/(w+1) the shuffle volume of emitting every k-gram;
+    3. ONE bucketed equi-join of the (id, pos, hash64) anchor table with
+       itself (id_a < id_b) — the banding discipline of
+       `hamming_radius_pairs_on_words`, never all-pairs; Σ bucket²
+       degradation guard with the same warn/error contract;
+    4. candidates verify + extend on REAL tokens (slice equality at the
+       anchor, then a consecutive-match fold left and right) — the final
+       output is hash-collision-proof and exactly maximal per (pair,
+       alignment); token arrays travel only on this candidates-sized leg;
+    5. per-doc interval sort + fold-merge (frames bounded by spans per
+       doc, never corpus-scale).
+
+    Degradation contract: corpus-wide boilerplate k-grams make anchor
+    buckets — and TRUE duplicate pairs — quadratic in bucket size; that is
+    inherent to pair-listing exact semantics (witness-capping would
+    under-extend spans and break exactness).  The guard estimates
+    candidate volume from bucket sizes before the join fires; route
+    heavily-boilerplated corpora through `line_dedup_rewrite` /
+    `boilerplate_ngrams` first (they remove exactly that mass linearly),
+    then run this tier on the residue.
+    """
+    if min_len < 2:
+        raise ValueError(f"min_len must be ≥ 2, got {min_len}")
+    if k is None:
+        k = max(1, (min_len + 1) // 2)
+    if not (1 <= k <= min_len):
+        raise ValueError(f"k must be in [1, min_len={min_len}], got {k}")
+    if on_degradation not in ("warn", "error", "off"):
+        raise ValueError(
+            f"on_degradation must be 'warn', 'error', or 'off'; got {on_degradation!r}"
+        )
+    w = min_len - k + 1
+
+    toks_expr = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda t: t != "",
+    )
+    t = df.select(F.col(id_col), toks_expr.alias("__toks")).withColumn(
+        "__n", F.size("__toks")
+    )
+
+    def _bind(expr, fn):
+        """Evaluate ``expr`` ONCE per row and hand it to ``fn`` as a bound
+        lambda variable (transform over a 1-element array) — the only
+        subexpression-elimination mechanism HOF trees have.  Without it,
+        CollapseProject inlines a withColumn's defining expression into
+        EVERY reference site, and an element_at inside a fold inside a
+        transform re-derives the whole array per access — measured 207 s
+        → sub-second on 500 sf0.01 docs for the winnowing stage."""
+        return F.element_at(F.transform(F.array(expr), fn), 1)
+
+    # per-doc anchor structs (p = k-gram position, v = that k-gram's hash),
+    # all derived inside one bound scope so neither the token array nor
+    # the hash array is ever re-derived:
+    # - k-gram hash array: internal ONLY (candidates are verified on real
+    #   tokens, and winnowing selection is content-relative under ANY
+    #   hash), so the fast JVM xxhash64 is safe despite the module's
+    #   md5-for-oracle-replay convention;
+    # - winnowing: leftmost argmin of each w-window via an aggregate fold
+    #   that carries (p, v) — the hash rides along, so the anchor rows
+    #   need no second lookup into the hash array.
+    _EMPTY_ANCH = "cast(array() as array<struct<p:int,v:bigint>>)"
+
+    def _winnow(khv):
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(khv) - F.lit(w - 1)),
+                lambda i: F.aggregate(
+                    F.sequence(i, i + F.lit(w - 1)),
+                    F.struct(
+                        F.lit(0).cast("int").alias("p"),
+                        F.lit((1 << 63) - 1).cast("bigint").alias("v"),
+                    ),
+                    lambda acc, j: F.when(
+                        F.element_at(khv, j) < acc["v"],
+                        F.struct(
+                            j.cast("int").alias("p"),
+                            F.element_at(khv, j).alias("v"),
+                        ),
+                    ).otherwise(acc),
+                ),
+            )
+        )
+
+    anch_structs = _bind(
+        F.col("__toks"),
+        lambda tv: F.when(
+            F.size(tv) >= min_len,
+            _bind(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tv) - F.lit(k - 1)),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(" ", F.slice(tv, i, F.lit(k)))
+                    ),
+                ),
+                _winnow,
+            ),
+        ).otherwise(F.expr(_EMPTY_ANCH)),
+    )
+
+    anch = t.select(F.col(id_col), F.explode(anch_structs).alias("__a")).select(
+        F.col(id_col),
+        F.col("__a.p").alias("__p"),
+        F.col("__a.v").alias("__h"),
+    )
+    anch_cache = None
+    if on_degradation != "off":
+        # persist: the guard's bucket aggregate and BOTH sides of the
+        # candidate self-join consume the anchor table, and its lineage
+        # (tokenize + O(n·k) gram hashing + O(n·w) winnowing) is the
+        # expensive map stage
+        anch_cache = anch.persist()
+        anch = anch_cache
+        stats = (
+            anch.groupBy("__h")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.sum(F.col("c") * (F.col("c") - F.lit(1)) / F.lit(2)).alias("est_pairs"),
+                F.max("c").alias("max_bucket"),
+            )
+            .first()
+        )
+        n_docs = df.count()
+        est = int(stats["est_pairs"] or 0)
+        if est > cap_pairs_per_doc * max(n_docs, 1):
+            msg = (
+                f"exact_substring degradation: ~{est} candidate pairs for "
+                f"{n_docs} docs (cap {cap_pairs_per_doc}/doc; max anchor "
+                f"bucket {stats['max_bucket']}).  Corpus-wide boilerplate "
+                f"spans make TRUE duplicate pairs quadratic in occurrence "
+                f"count — run line_dedup_rewrite/boilerplate_ngrams first "
+                f"to strip that mass linearly, raise min_len, or raise "
+                f"cap_pairs_per_doc if this duplication level is expected."
+            )
+            if on_degradation == "error":
+                raise RuntimeError(msg)
+            warnings.warn(msg)
+
+    a, b = anch.alias("a"), anch.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.__h") == F.col("b.__h"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("__ida"),
+        F.col("a.__p").alias("__pa"),
+        F.col(f"b.{id_col}").alias("__idb"),
+        F.col("b.__p").alias("__pb"),
+    )
+
+    ta = t.select(
+        F.col(id_col).alias("__ida"),
+        F.col("__toks").alias("__ta"),
+        F.col("__n").alias("__na"),
+    )
+    tb = t.select(
+        F.col(id_col).alias("__idb"),
+        F.col("__toks").alias("__tb"),
+        F.col("__n").alias("__nb"),
+    )
+    c = cand.join(ta, "__ida").join(tb, "__idb")
+
+    # consecutive-match folds: acc stays j-1 only while every prior offset
+    # matched, so the fold computes the maximal extension and stops
+    # growing at the first mismatch — exact per (pair, alignment)
+    def _ext(side_a_pos, side_b_pos, bound):
+        return F.when(
+            bound >= 1,
+            F.aggregate(
+                F.sequence(F.lit(1), bound),
+                F.lit(0),
+                lambda acc, j: F.when(
+                    (acc == j - 1)
+                    & (
+                        F.element_at(F.col("__ta"), side_a_pos(j))
+                        == F.element_at(F.col("__tb"), side_b_pos(j))
+                    ),
+                    j.cast("int"),
+                ).otherwise(acc),
+            ),
+        ).otherwise(F.lit(0))
+
+    lmax = F.least(F.col("__pa"), F.col("__pb")) - F.lit(1)
+    rmax = F.least(
+        F.col("__na") - F.col("__pa"), F.col("__nb") - F.col("__pb")
+    ) - F.lit(k - 1)
+    lext = _ext(lambda j: F.col("__pa") - j, lambda j: F.col("__pb") - j, lmax)
+    rext = _ext(
+        lambda j: F.col("__pa") + F.lit(k - 1) + j,
+        lambda j: F.col("__pb") + F.lit(k - 1) + j,
+        rmax,
+    )
+    verify = F.slice(F.col("__ta"), F.col("__pa"), F.lit(k)) == F.slice(
+        F.col("__tb"), F.col("__pb"), F.lit(k)
+    )
+
+    sp = (
+        c.withColumn("__l", lext)
+        .withColumn("__r", rext)
+        .where(verify & (F.col("__l") + F.lit(k) + F.col("__r") >= min_len))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("__ida").alias("id"),
+                        (F.col("__pa") - F.col("__l")).cast("int").alias("s"),
+                        (F.col("__pa") + F.lit(k - 1) + F.col("__r"))
+                        .cast("int")
+                        .alias("e"),
+                    ),
+                    F.struct(
+                        F.col("__idb").alias("id"),
+                        (F.col("__pb") - F.col("__l")).cast("int").alias("s"),
+                        (F.col("__pb") + F.lit(k - 1) + F.col("__r"))
+                        .cast("int")
+                        .alias("e"),
+                    ),
+                )
+            ).alias("__x")
+        )
+        .select(
+            F.col("__x.id").alias(id_col),
+            F.col("__x.s").alias("__s"),
+            F.col("__x.e").alias("__e"),
+        )
+        .distinct()
+    )
+
+    merged = (
+        sp.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__s").alias("s"), F.col("__e").alias("e")))
+            ).alias("__sps")
+        )
+        .select(
+            F.col(id_col),
+            F.aggregate(
+                F.col("__sps"),
+                F.expr("cast(array() as array<struct<s:int,e:int>>)"),
+                lambda acc, x: F.when(
+                    (F.size(acc) == 0)
+                    | (x["s"] > F.element_at(acc, -1)["e"] + 1),
+                    F.concat(acc, F.array(x)),
+                ).otherwise(
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(
+                            F.struct(
+                                F.element_at(acc, -1)["s"].alias("s"),
+                                F.greatest(
+                                    F.element_at(acc, -1)["e"], x["e"]
+                                ).alias("e"),
+                            )
+                        ),
+                    )
+                ),
+            ).alias("__msp"),
+        )
+    )
+    return merged, anch_cache
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 50,
+    k: int | None = None,
+    on_degradation: str = "warn",
+    cap_pairs_per_doc: int = 64,
+) -> DataFrame:
+    """Profiling half of the ExactSubstr tier: one row per duplicated span
+    — ``(id_col, span_start, span_end)``, 1-based inclusive token
+    positions, merged (disjoint, adjacent-coalesced) per document.  See
+    :func:`_exact_substring_merged_spans` for semantics, the declarative
+    oracle form, and the 100 TB plan shape."""
+    merged, cache = _exact_substring_merged_spans(
+        df, id_col, text_col, min_len, k, on_degradation, cap_pairs_per_doc
+    )
+    out = merged.select(F.col(id_col), F.explode("__msp").alias("__x")).select(
+        F.col(id_col),
+        F.col("__x.s").alias("span_start"),
+        F.col("__x.e").alias("span_end"),
+    )
+    if cache is not None:
+        out._anchor_cache = cache
+    return out
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 50,
+    k: int | None = None,
+    on_degradation: str = "warn",
+    cap_pairs_per_doc: int = 64,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Rewrite half of the ExactSubstr tier (Lee et al. 2022): EVERY
+    occurrence of any cross-document verbatim token-span of length ≥
+    ``min_len`` is removed from every document (the paper's convention —
+    all copies go, including the first), and the surviving tokens are
+    reassembled in order, single-space-joined (token-normalized rewrite —
+    original whitespace is not preserved, matching `line_dedup_rewrite`'s
+    convention of normalizing the reassembly separator).
+
+    Returns every input row as ``(id_col, out_col, n_tokens, n_removed)``
+    — documents that were entirely duplicated come back with an empty
+    string, not silently dropped; NULL text behaves as empty text (0
+    tokens).  Complements the other rewrite tiers: `line_dedup_rewrite`
+    (line-aligned), `span_dup_stats` (profiling only), and document-level
+    dedup — this is the only tier that removes verbatim spans at ARBITRARY
+    alignment.  See :func:`_exact_substring_merged_spans` for the
+    winnowing guarantee, degradation guard, and scale shape.
+    """
+    merged, cache = _exact_substring_merged_spans(
+        df, id_col, text_col, min_len, k, on_degradation, cap_pairs_per_doc
+    )
+    toks_expr = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda t: t != "",
+    )
+    t = df.select(F.col(id_col), toks_expr.alias("__toks")).withColumn(
+        "__n", F.size("__toks")
+    )
+    out = (
+        t.join(merged, id_col, "left")
+        .withColumn(
+            "__sp",
+            F.coalesce(
+                F.col("__msp"), F.expr("cast(array() as array<struct<s:int,e:int>>)")
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.filter(
+                    F.col("__toks"),
+                    lambda x, i: ~F.exists(
+                        F.col("__sp"),
+                        lambda p: (p["s"] <= i + 1) & (i + 1 <= p["e"]),
+                    ),
+                ),
+                " ",
+            ).alias(out_col),
+            F.col("__n").cast("bigint").alias("n_tokens"),
+            F.aggregate(
+                F.col("__sp"),
+                F.lit(0),
+                lambda acc, p: acc + (p["e"] - p["s"] + F.lit(1)),
+            )
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )
+    if cache is not None:
+        out._anchor_cache = cache
+    return out

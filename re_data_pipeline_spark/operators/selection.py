@@ -631,3 +631,149 @@ def length_bucketed_batches(
         .drop("__lb_g", "__lb_b0")
     )
     return carry_spines(o, out)
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    label_col: Column | str = "label",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+    iters: int = 3,
+    lr_num: int = 1,
+    lr_den: int = 2,
+    scale: int = 4,
+) -> DataFrame:
+    """IN-ENGINE training of the hashed linear quality classifier that
+    :func:`classifier_score` applies — distributed logistic regression by
+    full-batch gradient descent over hashed unigram features (the
+    fastText-style scorer of Joulin et al. 2016; the model family behind
+    public-pipeline quality filters).  Closes the train→score loop:
+    feed the result to :func:`classifier_score_trained`.
+
+    Model: ``p(d) = sigmoid(scale · Σ_b w_b · c_b(d)/n(d))`` — exactly the
+    mean-token-weight form `classifier_score` evaluates.  Update per
+    iteration: ``w_b ← w_b − (lr_num/lr_den)·scale/N · Σ_d (p_d − y_d)·
+    f_b(d)`` with ``f_b = c_b/n``.
+
+    Engine-exact arithmetic (the q161 integer-replay discipline, so a
+    DuckDB oracle reproduces every iteration bit-for-bit): features are
+    integer fixed-point ``(c·10⁹) div n``; weights are 10⁻⁶ fixed-point
+    integers updated in PYTHON bigint arithmetic (no float drift, no
+    overflow, no engine floor-vs-truncate division ambiguity — magnitude
+    and sign are separated so `//` on non-negatives matches any engine's
+    integer division); per-doc sums are decimal/HUGEINT-exact.  The ONLY
+    float op is the sigmoid itself, whose input ``zr/10¹⁵`` is an
+    integer-valued sum < 2⁵³ (|w|·10⁻⁶ ≤ ~2 and Σ_b f_b ≡ 10⁹ per doc, so
+    zr ≤ ~2·10¹⁵ regardless of corpus size) — converted identically to
+    IEEE double by both engines, then rounded to 10⁻⁶ before it re-enters
+    integer math.
+
+    Scale shape (two aggregates per iteration, the k-means/BPE loop
+    discipline): one corpus pass builds the per-(doc, bucket) fixed-point
+    feature table (localCheckpointed — iterations never replay
+    tokenization); each iteration is (1) a map-combined per-doc aggregate
+    with the weight vector inlined as a LITERAL ARRAY (map-only lookup —
+    no join, no broadcast of anything corpus-sized), and (2) a
+    map-combined per-bucket gradient aggregate; the only driver exchange
+    is the ≤``n_buckets``-row gradient collect per iteration.  Docs with
+    zero tokens (NULL text) carry no gradient and are excluded from N.
+
+    Returns ``(bucket bigint, weight_fixed bigint, weight double)`` —
+    one row per bucket, ``weight = round(weight_fixed/10⁶, 6)``.
+    """
+    if iters < 1 or n_buckets < 1 or lr_num < 1 or lr_den < 1 or scale < 1:
+        raise ValueError("iters, n_buckets, lr_num, lr_den, scale must be ≥ 1")
+    spark = df.sparkSession
+    y = F.col(label_col) if isinstance(label_col, str) else label_col
+
+    tb = df.select(
+        F.col(id_col),
+        y.cast("int").alias("__y"),
+        F.explode(tokens(text_col)).alias("__tok"),
+    ).withColumn("__b", hash_bucket(F.col("__tok"), n_buckets))
+    cb = tb.groupBy(id_col, "__y", "__b").agg(F.count(F.lit(1)).alias("__c"))
+    nd = cb.groupBy(id_col).agg(F.sum("__c").alias("__n"))
+    feat = (
+        cb.join(nd, id_col)
+        .select(
+            F.col(id_col),
+            F.col("__y"),
+            F.col("__b"),
+            F.expr("CAST((__c * 1000000000) DIV __n AS BIGINT)").alias("__f"),
+        )
+        .localCheckpoint()
+    )
+    n_docs = feat.select(id_col).distinct().count()
+    den = lr_den * max(n_docs, 1) * 10**9
+
+    w = [0] * n_buckets  # 1e-6 fixed-point weights, exact Python ints
+    for _ in range(iters):
+        wlit = F.array(*[F.lit(int(v)).cast("bigint") for v in w])
+        z = (
+            feat.withColumn(
+                "__wf", F.element_at(wlit, F.col("__b").cast("int") + 1)
+            )
+            .groupBy(id_col, "__y")
+            .agg(
+                F.sum((F.col("__wf") * F.col("__f")).cast("decimal(38,0)")).alias(
+                    "__zr"
+                )
+            )
+        )
+        p = F.lit(1.0) / (
+            F.lit(1.0)
+            + F.exp(-F.lit(float(scale)) * (F.col("__zr").cast("double") / F.lit(1e15)))
+        )
+        r = z.select(
+            F.col(id_col),
+            F.round((p - F.col("__y")) * 1_000_000, 0).cast("long").alias("__rf"),
+        )
+        g = (
+            feat.join(r, id_col)
+            .groupBy("__b")
+            .agg(
+                F.sum((F.col("__rf") * F.col("__f")).cast("decimal(38,0)")).alias(
+                    "__g"
+                )
+            )
+        )
+        for row in g.collect():  # ≤ n_buckets rows — bounded driver exchange
+            G = int(row["__g"])
+            mag = (lr_num * scale * abs(G)) // den
+            w[int(row["__b"])] -= mag if G > 0 else -mag
+
+    out = spark.createDataFrame(
+        [(b, w[b]) for b in range(n_buckets)], "bucket bigint, weight_fixed bigint"
+    )
+    return out.select(
+        "bucket",
+        "weight_fixed",
+        F.round(F.col("weight_fixed") / 1_000_000.0, 6).alias("weight"),
+    )
+
+
+def classifier_score_trained(
+    text_col: Column | str,
+    weights_fixed: list[int],
+    scale: float = 4.0,
+) -> Column:
+    """Apply a TRAINED hashed linear quality model (the ``weight_fixed``
+    column of :func:`train_quality_classifier`, collected to a list —
+    model-sized, ≤ n_buckets values) as a single map-only column
+    expression: identical plan shape to :func:`classifier_score`, with the
+    pseudo-weight scramble swapped for a literal-array lookup — exactly
+    the swap `classifier_score`'s docstring promises.  Per-token weights
+    are already 10⁻⁶ fixed-point integers, so the array sum is exact
+    BIGINT math; returns NULL for empty/whitespace-only text."""
+    n_buckets = len(weights_fixed)
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokens(c)
+    wlit = F.array(*[F.lit(int(v)).cast("bigint") for v in weights_fixed])
+    w_fixed = F.transform(
+        toks,
+        lambda t: F.element_at(wlit, hash_bucket(t, n_buckets).cast("int") + 1),
+    )
+    total = F.aggregate(w_fixed, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    mean = total / (F.size(toks) * 1_000_000.0)
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-F.lit(scale) * mean))

@@ -8703,3 +8703,94 @@ def q196_grouped_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_col="running_tokens",
     )
     return carry_spines(out, out.select("lang", "doc_id", "n_tokens", "running_tokens"))
+
+
+_BP_A = "terms of service apply to every listing shown on this portal page"
+_BP_B = "all rights reserved please contact the site operator for removal"
+
+_Q197_SQL = f"""
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 AND doc_id % 7 = 0
+                THEN '{_BP_A}' || ' ' || coalesce(text, '') || ' ' || '{_BP_B}'
+              WHEN doc_id % 5 = 0 THEN '{_BP_A}' || ' ' || coalesce(text, '')
+              WHEN doc_id % 7 = 0 THEN coalesce(text, '') || ' ' || '{_BP_B}'
+              ELSE text END AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                     t -> t <> '') AS t
+  FROM planted
+),
+base AS (SELECT doc_id, t, len(t) AS n FROM toks),
+grams AS (
+  SELECT doc_id, p, array_to_string(t[p:p+9], ' ') AS g
+  FROM (SELECT doc_id, t, unnest(range(1, n - 8)) AS p FROM base WHERE n >= 10)
+),
+shared AS (SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT doc_id, p + o AS tp
+  FROM grams JOIN shared USING (g)
+  CROSS JOIN (SELECT unnest(range(0, 10)) AS o) offs
+),
+tokpos AS (
+  SELECT doc_id, unnest(t) AS tok, unnest(range(1, n + 1)) AS tp FROM base
+),
+kept AS (
+  SELECT k.doc_id, k.tp, k.tok
+  FROM tokpos k LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.tp = c.tp
+  WHERE c.tp IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS clean_text,
+         COUNT(*) AS nk
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       CAST(b.n AS BIGINT) AS n_tokens,
+       CAST(b.n - coalesce(a.nk, 0) AS BIGINT) AS n_removed
+FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("q197_exact_substring_dedup", _Q197_SQL)
+def q197_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr cross-document verbatim-span dedup (Lee et al. 2022) —
+    the last public-pipeline dedup tier: every occurrence of any ≥10-token
+    span shared by ≥2 documents is removed at ARBITRARY alignment and the
+    documents are rewritten (`operators/dedup.exact_substring_dedup`).
+    Two boilerplate sentences are planted deterministically (prefix on
+    doc_id%5, suffix on doc_id%7, both on %35) so the corpus has known
+    cross-document spans to find; natural repeats count too.
+
+    Spark plan: map-only k-gram hashing + winnowing anchor selection
+    (window w = min_len−k+1 → zero false negatives for ≥min_len spans at
+    ~2/(w+1) the shuffle of all-grams), ONE anchor-hash equi-join for
+    candidates (Σ bucket² degradation guard), token-verified extension
+    folds (hash-collision-proof), per-doc interval merge, indexed-filter
+    rewrite.  The oracle computes the provably-equivalent declarative
+    form — a token dies iff some 10-token window over it occurs in ≥2
+    docs — so it verifies SEMANTICS, not a hash replay."""
+    from re_data_pipeline_spark.operators.dedup import exact_substring_dedup
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.withColumn(
+        "text",
+        F.when(
+            (F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 7 == 0),
+            F.concat_ws(" ", F.lit(_BP_A), F.coalesce(F.col("text"), F.lit("")), F.lit(_BP_B)),
+        )
+        .when(
+            F.col("doc_id") % 5 == 0,
+            F.concat_ws(" ", F.lit(_BP_A), F.coalesce(F.col("text"), F.lit(""))),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat_ws(" ", F.coalesce(F.col("text"), F.lit("")), F.lit(_BP_B)),
+        )
+        .otherwise(F.col("text")),
+    )
+    return exact_substring_dedup(planted, min_len=10, k=5)

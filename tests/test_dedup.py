@@ -812,3 +812,155 @@ def test_line_dedup_rewrite_null_text_not_dropped(spark):
     assert got[2].n_lines == 1 and got[2].n_removed == 0 and got[2].clean_text == ""
     assert got[3].n_lines == 1 and got[3].n_removed == 0
     assert got[1].clean_text == "keep me\nunique line"
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr tier (exact_substring_spans / exact_substring_dedup)
+
+_BP10 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"  # 10 toks
+
+
+def _brute_exactsubstr(docs: dict, min_len: int) -> dict:
+    """Declarative reference: a token is removed iff some min_len-gram
+    window covering it occurs in ≥ 2 distinct documents (the docstring's
+    oracle form — equivalent to maximal-shared-span coverage)."""
+    from collections import defaultdict
+
+    toks = {i: (t.split() if t else []) for i, t in docs.items()}
+    gram_docs = defaultdict(set)
+    for i, t in toks.items():
+        for p in range(len(t) - min_len + 1):
+            gram_docs[tuple(t[p : p + min_len])].add(i)
+    out = {}
+    for i, t in toks.items():
+        cov = set()
+        for p in range(len(t) - min_len + 1):
+            if len(gram_docs[tuple(t[p : p + min_len])]) >= 2:
+                cov.update(range(p, p + min_len))
+        kept = [w for j, w in enumerate(t) if j not in cov]
+        out[i] = (" ".join(kept), len(t), len(cov))
+    return out
+
+
+def test_exact_substring_dedup_planted_overlaps(spark):
+    """Prefix / suffix / mid-document plantings of a 10-token boilerplate
+    span are removed from EVERY carrier at arbitrary alignment; a 7-token
+    partial planting stays (below min_len); short/NULL/empty docs pass
+    through."""
+    from re_data_pipeline_spark.operators.dedup import exact_substring_dedup
+
+    filler1 = "k1 k2 k3 k4 k5 k6"
+    filler2 = "m1 m2 m3 m4 m5 m6 m7"
+    docs = {
+        1: _BP10 + " " + filler1,                       # prefix
+        2: filler2 + " " + _BP10,                       # suffix
+        3: "z1 z2 " + _BP10 + " z3 z4",                 # mid
+        4: " ".join(_BP10.split()[:7]) + " " + filler1, # partial, < min_len
+        5: "solo doc",                                   # short
+        6: None,                                         # NULL
+        7: "",                                           # empty
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in exact_substring_dedup(df, min_len=10, k=5).collect()
+    }
+    assert got == _brute_exactsubstr(docs, 10)
+    assert got[1] == (filler1, 16, 10)
+    assert got[3] == ("z1 z2 z3 z4", 14, 10)
+    assert got[4][2] == 0  # partial planting below threshold: untouched
+    assert got[6] == ("", 0, 0) and got[7] == ("", 0, 0)
+
+
+def test_exact_substring_dedup_matches_brute_force_randomized(spark):
+    """Property check: randomized small-vocab corpora (so natural shared
+    runs occur) with planted overlaps — Spark output equals the
+    declarative reference exactly, including extension past the planted
+    span when neighbours happen to match."""
+    import random
+    import warnings
+
+    from re_data_pipeline_spark.operators.dedup import exact_substring_dedup
+
+    rng = random.Random(11)
+    vocab = [f"w{j}" for j in range(8)]  # tiny vocab → natural collisions
+    bp = _BP10.split()
+    for _ in range(3):
+        docs = {}
+        for i in range(12):
+            base = [rng.choice(vocab) for _ in range(rng.randint(0, 22))]
+            r = i % 4
+            if r == 1:
+                base = bp + base
+            elif r == 2 and len(base) > 3:
+                base = base[:3] + bp + base[3:]
+            elif r == 3:
+                base = base + bp[:6]  # sub-threshold fragment
+            docs[i] = " ".join(base)
+        docs[50] = docs[0]  # exact full-duplicate pair
+        df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            got = {
+                r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+                for r in exact_substring_dedup(df, min_len=10, k=4).collect()
+            }
+        assert got == _brute_exactsubstr(docs, 10)
+
+
+def test_exact_substring_spans_merge_and_alignment(spark):
+    """Span output is 1-based inclusive, merged per doc; alignment is
+    arbitrary (prefix in one doc matches suffix in the other)."""
+    from re_data_pipeline_spark.operators.dedup import exact_substring_spans
+
+    df = spark.createDataFrame(
+        [(1, _BP10 + " x1 x2"), (2, "q1 q2 " + _BP10)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in exact_substring_spans(df, min_len=10, k=5).collect()
+    }
+    assert got == {(1, 1, 10), (2, 3, 12)}
+
+
+def test_exact_substring_dedup_overlapping_spans_merge(spark):
+    """Two distinct shared spans overlapping in one doc merge into one
+    removal interval (the fold-merge path), and a doc that is entirely
+    boilerplate comes back as an empty string, not dropped."""
+    from re_data_pipeline_spark.operators.dedup import exact_substring_dedup
+
+    s1 = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    s2 = "a6 a7 a8 a9 a10 b1 b2 b3 b4 b5"
+    carrier = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 b1 b2 b3 b4 b5"  # s1 ∪ s2
+    df = spark.createDataFrame(
+        [(1, carrier), (2, s1), (3, s2), (4, "pad " + s1)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in exact_substring_dedup(df, min_len=10, k=5).collect()
+    }
+    assert got[1] == ("", 15, 15)      # overlapping spans merged, all gone
+    assert got[2] == ("", 10, 10)      # entire doc duplicated → empty
+    assert got[4] == ("pad", 11, 10)
+
+
+def test_exact_substring_degradation_guard(spark):
+    """Hot anchor buckets (many docs sharing one boilerplate span) trip the
+    Σ bucket² guard: error mode raises, off mode stays silent and still
+    returns the exact result."""
+    import pytest as _pytest
+
+    from re_data_pipeline_spark.operators.dedup import exact_substring_dedup
+
+    docs = [(i, _BP10 + f" t{i}") for i in range(12)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    with _pytest.raises(RuntimeError, match="degradation"):
+        exact_substring_dedup(
+            df, min_len=10, k=5, on_degradation="error", cap_pairs_per_doc=1
+        ).collect()
+    out = exact_substring_dedup(
+        df, min_len=10, k=5, on_degradation="off", cap_pairs_per_doc=1
+    ).collect()
+    assert all(r["n_removed"] == 10 for r in out)
