@@ -8794,3 +8794,92 @@ def q197_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text")),
     )
     return exact_substring_dedup(planted, min_len=10, k=5)
+
+
+def _logit_round_sql(i: int) -> str:
+    """One DuckDB logistic-GD round: per-doc z from w{i-1} (HUGEINT-exact),
+    sigmoid residual rounded to 1e-6 fixed point, per-bucket gradient,
+    sign-separated integer update — replaying
+    ``operators/selection.train_quality_classifier`` bit-for-bit."""
+    prev, cur = i - 1, i
+    return f"""
+z{cur} AS (
+  SELECT f.doc_id, f.y, CAST(SUM(w.wf * f.f) AS HUGEINT) AS zr
+  FROM feat f JOIN w{prev} w USING (b) GROUP BY f.doc_id, f.y
+),
+r{cur} AS (
+  SELECT doc_id,
+         CAST(round((1.0 / (1.0 + exp(-4.0 * (CAST(zr AS DOUBLE) / 1e15))) - y)
+                    * 1000000, 0) AS BIGINT) AS rf
+  FROM z{cur}
+),
+g{cur} AS (
+  SELECT b, CAST(SUM(rf * f) AS HUGEINT) AS g
+  FROM feat JOIN r{cur} USING (doc_id) GROUP BY b
+),
+w{cur} AS (
+  SELECT w.b,
+         w.wf - (CASE WHEN coalesce(g.g, 0) >= 0 THEN 1 ELSE -1 END)
+              * ((4 * abs(coalesce(g.g, 0))) // (2 * nn.nn * 1000000000)) AS wf
+  FROM w{prev} w LEFT JOIN g{cur} g USING (b) CROSS JOIN ndocs nn
+)"""
+
+
+_Q198_SQL = f"""
+WITH lab AS (
+  SELECT doc_id, CASE WHEN lang <> 'en' THEN 1 ELSE 0 END AS y, text
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, y, unnest({_sql_tokens()}) AS tok FROM lab
+),
+cb AS (
+  SELECT doc_id, y, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 64 AS b,
+         COUNT(*) AS c
+  FROM tok GROUP BY 1, 2, 3
+),
+nd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM cb GROUP BY 1),
+feat AS (
+  SELECT cb.doc_id, y, b, (c * 1000000000) // n AS f
+  FROM cb JOIN nd USING (doc_id)
+),
+ndocs AS (SELECT COUNT(*) AS nn FROM nd),
+w0 AS (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS b, CAST(0 AS BIGINT) AS wf),
+{_logit_round_sql(1)},
+{_logit_round_sql(2)},
+{_logit_round_sql(3)}
+SELECT b AS bucket, CAST(wf AS BIGINT) AS weight_fixed,
+       ROUND(CAST(wf AS BIGINT) / 1000000.0, 6) AS weight
+FROM w3
+"""
+
+
+@query("q198_classifier_train", _Q198_SQL)
+def q198_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-ENGINE quality-classifier TRAINING — the other half of q126:
+    distributed full-batch logistic regression over hashed unigram
+    features (label: non-English document), three iterations, producing
+    the weight table `classifier_score_trained` applies
+    (`operators/selection.train_quality_classifier`).
+
+    Scale shape (the k-means/BPE iterative discipline): ONE corpus pass
+    builds a localCheckpointed per-(doc, bucket) fixed-point feature
+    table; each iteration is two map-combined aggregates — per-doc z with
+    the weight vector inlined as a LITERAL ARRAY (map-only lookup, no
+    join, nothing corpus-sized ever broadcast) and a per-bucket gradient
+    — plus one ≤64-row driver collect.  Weight updates are Python-bigint
+    integer math (sign-separated floor division), so the oracle replays
+    every iteration exactly; the only float op is the sigmoid, on an
+    integer < 2⁵³ both engines convert identically."""
+    from re_data_pipeline_spark.operators.selection import train_quality_classifier
+
+    d = load_table(spark, sf_dir, "documents")
+    return train_quality_classifier(
+        d.withColumn("label", (F.col("lang") != "en").cast("int")),
+        label_col="label",
+        n_buckets=64,
+        iters=3,
+        lr_num=1,
+        lr_den=2,
+        scale=4,
+    )

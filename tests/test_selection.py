@@ -407,3 +407,92 @@ def test_char_bigram_nll_scores_unseen_text(spark):
     )
     scores = {r.doc_id: r.nll for r in char_bigram_nll(train, both).collect()}
     assert scores[2] > scores[1]
+
+
+def test_train_quality_classifier_planted_separation(spark):
+    """Train on a corpus where positives carry marker tokens and negatives
+    carry disjoint ones: after 3 iterations the trained model
+    (classifier_score_trained) separates held-in positives from negatives,
+    closing the train→score loop."""
+    from re_data_pipeline_spark.operators.selection import (
+        classifier_score_trained,
+        train_quality_classifier,
+    )
+
+    pos_v = ["good", "clean", "prose", "quality", "coherent"]
+    neg_v = ["spam", "junk", "noise", "garbage", "boiler"]
+    rows = []
+    for i in range(40):
+        v = pos_v if i % 2 == 0 else neg_v
+        rows.append((i, i % 2 == 0, " ".join(v[(i + j) % 5] for j in range(12))))
+    df = spark.createDataFrame(rows, "doc_id long, label boolean, text string")
+    wdf = train_quality_classifier(
+        df, label_col="label", n_buckets=32, iters=3, lr_num=1, lr_den=2, scale=4
+    )
+    w = [r["weight_fixed"] for r in wdf.orderBy("bucket").collect()]
+    assert len(w) == 32 and any(v != 0 for v in w)
+    scored = df.select(
+        "label", classifier_score_trained("text", w, scale=4.0).alias("p")
+    ).collect()
+    pos = [r["p"] for r in scored if r["label"]]
+    neg = [r["p"] for r in scored if not r["label"]]
+    assert min(pos) > max(neg)  # disjoint vocab → clean separation
+    assert all(p > 0.5 for p in pos) and all(p < 0.5 for p in neg)
+
+
+def test_train_quality_classifier_matches_python_replay(spark):
+    """Bit-exact replay: the distributed 2-aggregate loop equals a plain
+    Python reimplementation of the same fixed-point arithmetic (the q198
+    oracle's semantics) on a small corpus."""
+    import hashlib
+    import math as _math
+
+    from re_data_pipeline_spark.operators.selection import train_quality_classifier
+
+    rows = [
+        (1, 1, "aa bb cc aa"),
+        (2, 0, "dd ee ff"),
+        (3, 1, "aa cc cc gg hh"),
+        (4, 0, "ff ff ii"),
+        (5, 1, None),  # NULL text: excluded from N, no gradient
+    ]
+    B, iters, scale, lr_num, lr_den = 16, 3, 4, 1, 2
+    df = spark.createDataFrame(rows, "doc_id long, label int, text string")
+    got = {
+        r["bucket"]: r["weight_fixed"]
+        for r in train_quality_classifier(
+            df, label_col="label", n_buckets=B, iters=iters,
+            lr_num=lr_num, lr_den=lr_den, scale=scale,
+        ).collect()
+    }
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % B
+
+    feats = {}  # doc -> (y, {b: f_fixed})
+    for doc, y, text in rows:
+        if text is None:
+            continue
+        toks = text.strip().split()
+        cnt = {}
+        for t in toks:
+            cnt[bucket(t)] = cnt.get(bucket(t), 0) + 1
+        n = sum(cnt.values())
+        feats[doc] = (y, {b: (c * 10**9) // n for b, c in cnt.items()})
+    N = len(feats)
+    w = [0] * B
+    for _ in range(iters):
+        grad = [0] * B
+        for doc, (y, f) in feats.items():
+            zr = sum(w[b] * fv for b, fv in f.items())
+            p = 1.0 / (1.0 + _math.exp(-scale * (zr / 1e15)))
+            rf = int(_math.floor((p - y) * 1_000_000 + 0.5)) if (p - y) >= 0 else -int(
+                _math.floor((y - p) * 1_000_000 + 0.5)
+            )
+            for b, fv in f.items():
+                grad[b] += rf * fv
+        den = lr_den * N * 10**9
+        for b in range(B):
+            mag = (lr_num * scale * abs(grad[b])) // den
+            w[b] -= mag if grad[b] > 0 else -mag
+    assert got == {b: w[b] for b in range(B)}
