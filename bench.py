@@ -84,6 +84,10 @@ HEADLINE = [
     "q175_global_cumsum",        # range exchange + map-only Arrow scan
     "q176_vocab_coverage",       # prefix-sum spine over the vocab table
     "q178_minhash_estimate",     # persisted signatures + lane-agreement join
+    # round-10 additions: the ExactSubstr tier (winnowed anchor join +
+    # token-verified extension) and the iterative classifier trainer
+    "q197_exact_substring_dedup",  # winnowing anchors → verify/extend → rewrite
+    "q198_classifier_train",     # 2 aggregates/iteration logistic GD
 ]
 
 

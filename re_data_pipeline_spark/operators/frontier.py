@@ -71,6 +71,9 @@ def pareto_frontier_2d(
     local = parts.withColumn("__lm", F.min(delay_col).over(w_local))
     # (b) min over all earlier partitions: |partitions| rows, prefix-min
     pmins = parts.groupBy("__pid").agg(F.min(delay_col).alias("__m"))
+    # bounded-global-window: pmins has exactly |partitions| rows (one per
+    # range partition), so the single-partition prefix-min frame is
+    # partition-count-sized — never the table
     w_prefix = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     prefix = pmins.withColumn("__gm", F.min("__m").over(w_prefix)).select(
         "__pid", "__gm"

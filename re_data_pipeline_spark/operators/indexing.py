@@ -287,5 +287,6 @@ def boilerplate_ngrams(
     top = g.orderBy(
         F.desc("n_docs"), F.desc("n_occurrences"), F.asc("span")
     ).limit(top_n)
+    # bounded-global-window: ranks the .limit(top_n) result only
     w = Window.orderBy(F.desc("n_docs"), F.desc("n_occurrences"), F.asc("span"))
     return top.withColumn("rnk", F.row_number().over(w).cast("int"))

@@ -149,6 +149,8 @@ def key_skew_report(
         .orderBy(F.desc("n_rows"), *[c.asc() for c in cols])
         .limit(top_n)
     )
+    # bounded-global-window: ranks the .limit(top_n) result only — the
+    # key-count table never sorts globally
     w = Window.orderBy(F.desc("n_rows"), *[c.asc() for c in cols])
     return (
         top.withColumn("rnk", F.row_number().over(w).cast("int"))

@@ -193,6 +193,8 @@ def mixture_allocation(
     leftover = x.agg(
         (F.lit(budget).cast("decimal(38,0)") - F.sum("base")).alias("__left")
     )
+    # bounded-global-window: x is the |domains|-row quota table (one row
+    # per domain after the groupBy), never the corpus
     w = Window.orderBy(F.desc("rem"), F.asc(domain_col))
     return (
         x.crossJoin(F.broadcast(leftover))

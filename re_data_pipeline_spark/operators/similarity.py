@@ -544,6 +544,7 @@ def rrf_fuse(
         F.count(F.lit(1)).cast("int").alias("n_lists"),
     )
     out = fused.orderBy(F.desc("rrf_nano"), F.asc(id_col)).limit(top_n)
+    # bounded-global-window: ranks the .limit(top_n) fused list only
     w = Window.orderBy(F.desc("rrf_nano"), F.asc(id_col))
     return out.withColumn("rnk", F.row_number().over(w).cast("int")).select(
         id_col,

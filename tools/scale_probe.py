@@ -258,6 +258,11 @@ def main() -> int:
 
         return vocab_coverage(d, "text", thresholds=(90, 95, 99))
 
+    def _exactsub(d):
+        from re_data_pipeline_spark.operators.dedup import exact_substring_dedup
+
+        return exact_substring_dedup(d, min_len=50, k=25, on_degradation="off")
+
     PROBES = {
         "near_dedup_pipeline (LSH→verify→anti)": lambda n: near_dedup_pipeline(
             docs(n), threshold=0.5
@@ -293,6 +298,14 @@ def main() -> int:
         "inverted_index (df-banded, capped postings)": lambda n: _inverted(docs(n)),
         "bpe_train (3 merge rounds)": lambda n: _bpe(docs(n)),
         "dsir_log_weights (hashed unigrams)": lambda n: _dsir(docs(n)),
+        # r10 ExactSubstr tier: the synthetic corpus's tail-edit near-dups
+        # share a DOC_LEN−4 = 76-token prefix ≥ min_len=50, so every dup
+        # doc yields one real cross-doc span; pairs grow with DUP_RATE·n
+        # (cluster COUNT, not size) — anchors are winnowed (~2/(w+1)
+        # density), so shuffle exp must stay ≈ 1
+        "exact_substring_dedup (winnowed anchors, min_len=50)": lambda n: _exactsub(
+            docs(n)
+        ),
     }
 
     if only:

@@ -92,11 +92,30 @@ def build_sf1_documents(spark, out_dir: str) -> int:
     return n_base * REPLICAS
 
 
+def _shuffle_records(ui: str, app_id: str) -> int:
+    """Cumulative shuffle-write records across completed stages (the
+    status REST API, as in tools/shuffle_audit.py) — the r8/r9 verdicts'
+    missing column: wall-ratio alone can't distinguish fixed-cost
+    amortization loss from super-linear candidate growth."""
+    import json
+    import urllib.request
+
+    with urllib.request.urlopen(
+        f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
+    ) as r:
+        stages = json.load(r)
+    return sum(s.get("shuffleWriteRecords", 0) for s in stages)
+
+
 def main() -> int:
     from re_data_pipeline_spark.plans.queries import QUERIES
 
-    spark = get_spark(app_name="sf1_anchor")
+    # the session factory disables the UI for benchmarks; the shuffle-row
+    # columns need the status REST API, so re-enable it here only
+    spark = get_spark(app_name="sf1_anchor", extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
+    ui = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
 
     stage = tempfile.mkdtemp(prefix="sf1_anchor_")
     try:
@@ -104,27 +123,33 @@ def main() -> int:
         print(f"sf1 documents: {n_docs:,} docs at {stage}")
 
         def best_of(fn, sf_path, runs=2):
-            best = float("inf")
+            """(best wall of `runs`, shuffle rows of the LAST run — the
+            volume is plan-deterministic, so any single run's delta is
+            the number; the last one excludes codegen-warmup stages)."""
+            best, shuf = float("inf"), 0
             for _ in range(runs):
+                before = _shuffle_records(ui, app_id)
                 t0 = time.time()
                 fn(spark, sf_path).write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t0)
-            return best
+                shuf = _shuffle_records(ui, app_id) - before
+            return best, shuf
 
         rows = []
         for name in HEAVY:
             fn = QUERIES[name]
             # same-session sf0.1 baseline FIRST (also warms codegen so the
             # sf1 number isn't billed for Janino compilation)
-            base_s = best_of(fn, SF01_DIR)
-            sf1_s = best_of(fn, stage)
+            base_s, base_r = best_of(fn, SF01_DIR)
+            sf1_s, sf1_r = best_of(fn, stage)
             try:
                 ph = plan_hash(fn(spark, stage))
             except Exception:
                 ph = "n/a"
-            rows.append((name, base_s, sf1_s, ph))
+            rows.append((name, base_s, sf1_s, base_r, sf1_r, ph))
             print(f"{name}: sf0.1={base_s:.2f}s sf1={sf1_s:.2f}s "
-                  f"x{sf1_s / base_s:.1f} plan={ph}")
+                  f"x{sf1_s / base_s:.1f} rows {base_r:,}->{sf1_r:,} "
+                  f"x{sf1_r / max(base_r, 1):.1f} plan={ph}")
 
         lines = [
             "## sf1 anchor (tools/sf1_anchor.py)\n",
@@ -135,16 +160,23 @@ def main() -> int:
             "sf0.1 column is measured in the SAME session, so the 10× "
             "ratio is host-noise-free; a ratio well under 10 means the "
             "operator amortizes its fixed stage costs and scales "
-            "sublinearly at this step.  q136 is the control row: its "
+            "sublinearly at this step.  The SHUFFLE-ROW columns separate "
+            "the two readings of a wall ratio: rows growing ~10× at 10× "
+            "docs = linear candidate volume (a wall ratio below that is "
+            "fixed-cost amortization, above it is per-row cost); rows "
+            "growing ≫10× = super-linear candidate growth — tighten the "
+            "prefix/bands or route to LSH.  q136 is the control row: its "
             "GRAPH work is subset-bounded (`doc_id < 100`), so only its "
             "scan grows with sf.\n",
-            "| query | sf0.1 wall | sf1 wall | ratio (10× data) | plan hash |",
-            "|---|---|---|---|---|",
+            "| query | sf0.1 wall | sf1 wall | wall ratio (10× data) "
+            "| sf0.1 shuffle rows | sf1 shuffle rows | row ratio | plan hash |",
+            "|---|---|---|---|---|---|---|",
         ]
-        for name, base_s, sf1_s, ph in rows:
+        for name, base_s, sf1_s, base_r, sf1_r, ph in rows:
             lines.append(
                 f"| {name} | {base_s:.2f}s | {sf1_s:.2f}s "
-                f"| {sf1_s / base_s:.1f}× | `{ph}` |"
+                f"| {sf1_s / base_s:.1f}× | {base_r:,} | {sf1_r:,} "
+                f"| {sf1_r / max(base_r, 1):.1f}× | `{ph}` |"
             )
         section = "\n".join(lines) + "\n"
 
