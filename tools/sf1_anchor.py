@@ -170,7 +170,7 @@ def main() -> int:
             "scan grows with sf.\n",
             "| query | sf0.1 wall | sf1 wall | wall ratio (10× data) "
             "| sf0.1 shuffle rows | sf1 shuffle rows | row ratio | plan hash |",
-            "|---|---|---|---|---|---|---|",
+            "|---|---|---|---|---|---|---|---|",
         ]
         for name, base_s, sf1_s, base_r, sf1_r, ph in rows:
             lines.append(
