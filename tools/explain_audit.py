@@ -445,6 +445,28 @@ CHECKS = [
         "either way, so the fallback adds no new asymptotic cost.",
         {"spark.sql.autoBroadcastJoinThreshold": "-1"},
     ),
+    (
+        "q197_exact_substring_dedup",
+        "ExactSubstr: equi-join candidates, no quadratic stage",
+        [
+            (r"SortMergeJoin|ShuffledHashJoin", "anchor/verify joins are key-shuffled equi-joins"),
+            (r"!CartesianProduct", "no all-pairs stage"),
+            (r"!BroadcastNestedLoopJoin", "no nested-loop fallback"),
+            (r"HashAggregate.*partial", "guard/count aggregates combine map-side"),
+        ],
+        "Candidates come from ONE equi-join on winnowed anchor hashes "
+        "(~2/(w+1) of k-gram positions survive winnowing); token arrays "
+        "travel only on the candidates-sized verification legs; the "
+        "interval merge is a per-doc fold over collected spans.  With "
+        "autoBroadcastJoinThreshold=-1 every join must survive as a "
+        "key-shuffled equi-join — at 100 TB the shuffle carries "
+        "(id, pos, hash64) anchor rows plus candidate-scoped token "
+        "arrays, never an all-pairs or corpus-broadcast stage.  (q198's "
+        "training loop returns a driver-built weight table, so its plan "
+        "discipline — literal-array weight lookup, two map-combined "
+        "aggregates per iteration — is asserted by its tests, not here.)",
+        {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    ),
 ]
 
 
