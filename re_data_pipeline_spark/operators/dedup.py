@@ -1823,66 +1823,9 @@ def line_dedup_rewrite(
     )
 
 
-def _exact_substring_merged_spans(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    min_len: int,
-    k: int | None,
-    on_degradation: str,
-    cap_pairs_per_doc: int,
-) -> tuple[DataFrame, "DataFrame | None"]:
-    """Shared core of the ExactSubstr tier: returns ``(merged, anchors_cache)``
-    where ``merged`` is one row per document that LOSES tokens —
-    ``(id_col, __msp array<struct<s:int,e:int>>)``, 1-based inclusive
-    token-position intervals, sorted, disjoint, adjacent-coalesced — and
-    ``anchors_cache`` is the persisted anchor frame to unpersist (or None).
-
-    Semantics (Lee et al. 2022, "Deduplicating Training Data Makes
-    Language Models Better", arXiv:2107.06499 — the ExactSubstr tier): a
-    token is duplicated iff it lies inside a VERBATIM token-span of length
-    ≥ ``min_len`` shared by ≥ 2 distinct documents, at ARBITRARY
-    alignment.  Equivalent declarative form (what the DuckDB oracle
-    computes directly): a token is duplicated iff some ``min_len``-token
-    window covering it occurs in ≥ 2 distinct documents.  Equivalence:
-    (⊆) a shared ``min_len``-gram sits inside the maximal shared span
-    around it, which this operator recovers; (⊇) a maximal shared span of
-    length L ≥ min_len covering position p contains a full min_len-window
-    that also covers p (clamp the window into the span).
-
-    Plan, Spark-first (the reference ExactSubstr builds ONE suffix array on
-    a single node — a shape that cannot shard; this is the distributed
-    re-expression):
-
-    1. map-only: whitespace tokens → k-gram xxhash64 array per doc
-       (only docs with ≥ min_len tokens can host a span — shorter docs
-       skip fingerprinting entirely);
-    2. map-only winnowing (Schleimer–Wilkerson–Aiken, SIGMOD 2003) with
-       window w = min_len − k + 1: the leftmost-min k-gram hash of each
-       w-window is an anchor.  Selection is content-relative, so any
-       shared span of ≥ w + k − 1 = min_len tokens selects at least one
-       IDENTICAL anchor in both documents — zero false negatives, at
-       ~2/(w+1) the shuffle volume of emitting every k-gram;
-    3. ONE bucketed equi-join of the (id, pos, hash64) anchor table with
-       itself (id_a < id_b) — the banding discipline of
-       `hamming_radius_pairs_on_words`, never all-pairs; Σ bucket²
-       degradation guard with the same warn/error contract;
-    4. candidates verify + extend on REAL tokens (slice equality at the
-       anchor, then a consecutive-match fold left and right) — the final
-       output is hash-collision-proof and exactly maximal per (pair,
-       alignment); token arrays travel only on this candidates-sized leg;
-    5. per-doc interval sort + fold-merge (frames bounded by spans per
-       doc, never corpus-scale).
-
-    Degradation contract: corpus-wide boilerplate k-grams make anchor
-    buckets — and TRUE duplicate pairs — quadratic in bucket size; that is
-    inherent to pair-listing exact semantics (witness-capping would
-    under-extend spans and break exactness).  The guard estimates
-    candidate volume from bucket sizes before the join fires; route
-    heavily-boilerplated corpora through `line_dedup_rewrite` /
-    `boilerplate_ngrams` first (they remove exactly that mass linearly),
-    then run this tier on the residue.
-    """
+def _es_validate(min_len: int, k: int | None, on_degradation: str) -> tuple[int, int]:
+    """Validate ExactSubstr parameters; returns ``(k, w)`` with the
+    winnowing window w = min_len − k + 1."""
     if min_len < 2:
         raise ValueError(f"min_len must be ≥ 2, got {min_len}")
     if k is None:
@@ -1893,37 +1836,54 @@ def _exact_substring_merged_spans(
         raise ValueError(
             f"on_degradation must be 'warn', 'error', or 'off'; got {on_degradation!r}"
         )
-    w = min_len - k + 1
+    return k, min_len - k + 1
 
+
+def _es_token_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(id_col, __toks array<string>, __n int)`` — whitespace tokens with
+    empties dropped; NULL text behaves as empty text (0 tokens)."""
     toks_expr = F.filter(
         F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
         lambda t: t != "",
     )
-    t = df.select(F.col(id_col), toks_expr.alias("__toks")).withColumn(
+    return df.select(F.col(id_col), toks_expr.alias("__toks")).withColumn(
         "__n", F.size("__toks")
     )
 
-    def _bind(expr, fn):
-        """Evaluate ``expr`` ONCE per row and hand it to ``fn`` as a bound
-        lambda variable (transform over a 1-element array) — the only
-        subexpression-elimination mechanism HOF trees have.  Without it,
-        CollapseProject inlines a withColumn's defining expression into
-        EVERY reference site, and an element_at inside a fold inside a
-        transform re-derives the whole array per access — measured 207 s
-        → sub-second on 500 sf0.01 docs for the winnowing stage."""
-        return F.element_at(F.transform(F.array(expr), fn), 1)
 
-    # per-doc anchor structs (p = k-gram position, v = that k-gram's hash),
-    # all derived inside one bound scope so neither the token array nor
-    # the hash array is ever re-derived:
-    # - k-gram hash array: internal ONLY (candidates are verified on real
-    #   tokens, and winnowing selection is content-relative under ANY
-    #   hash), so the fast JVM xxhash64 is safe despite the module's
-    #   md5-for-oracle-replay convention;
-    # - winnowing: leftmost argmin of each w-window via an aggregate fold
-    #   that carries (p, v) — the hash rides along, so the anchor rows
-    #   need no second lookup into the hash array.
-    _EMPTY_ANCH = "cast(array() as array<struct<p:int,v:bigint>>)"
+def _es_bind(expr, fn):
+    """Evaluate ``expr`` ONCE per row and hand it to ``fn`` as a bound
+    lambda variable (transform over a 1-element array) — the only
+    subexpression-elimination mechanism HOF trees have.  Without it,
+    CollapseProject inlines a withColumn's defining expression into EVERY
+    reference site, and an element_at inside a fold inside a transform
+    re-derives the whole array per access — measured 207 s → sub-second
+    on 500 sf0.01 docs for the winnowing stage."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
+_ES_EMPTY_ANCH = "cast(array() as array<struct<p:int,v:bigint>>)"
+
+
+def _es_anchor_table(
+    t: DataFrame, id_col: str, min_len: int, k: int, w: int
+) -> DataFrame:
+    """Per-doc winnowing anchors as rows ``(id_col, __p, __h)``.
+
+    All expressions live inside one bound scope so neither the token
+    array nor the k-gram hash array is ever re-derived:
+
+    - k-gram hash array: internal ONLY (candidates are verified on real
+      tokens, and winnowing selection is content-relative under ANY
+      hash), so the fast JVM xxhash64 is safe despite the module's
+      md5-for-oracle-replay convention;
+    - winnowing (Schleimer–Wilkerson–Aiken, SIGMOD 2003): leftmost argmin
+      of each w-window via an aggregate fold that carries ``(p, v)`` —
+      the hash rides along, so anchor rows need no second lookup into the
+      hash array.  Any span of ≥ w + k − 1 = min_len shared tokens
+      selects at least one IDENTICAL anchor in both documents — zero
+      false negatives at ~2/(w+1) the shuffle volume of all k-grams.
+    """
 
     def _winnow(khv):
         return F.array_distinct(
@@ -1946,11 +1906,11 @@ def _exact_substring_merged_spans(
             )
         )
 
-    anch_structs = _bind(
+    anch_structs = _es_bind(
         F.col("__toks"),
         lambda tv: F.when(
             F.size(tv) >= min_len,
-            _bind(
+            _es_bind(
                 F.transform(
                     F.sequence(F.lit(1), F.size(tv) - F.lit(k - 1)),
                     lambda i: F.xxhash64(
@@ -1959,74 +1919,24 @@ def _exact_substring_merged_spans(
                 ),
                 _winnow,
             ),
-        ).otherwise(F.expr(_EMPTY_ANCH)),
+        ).otherwise(F.expr(_ES_EMPTY_ANCH)),
     )
-
-    anch = t.select(F.col(id_col), F.explode(anch_structs).alias("__a")).select(
+    return t.select(F.col(id_col), F.explode(anch_structs).alias("__a")).select(
         F.col(id_col),
         F.col("__a.p").alias("__p"),
         F.col("__a.v").alias("__h"),
     )
-    anch_cache = None
-    if on_degradation != "off":
-        # persist: the guard's bucket aggregate and BOTH sides of the
-        # candidate self-join consume the anchor table, and its lineage
-        # (tokenize + O(n·k) gram hashing + O(n·w) winnowing) is the
-        # expensive map stage
-        anch_cache = anch.persist()
-        anch = anch_cache
-        stats = (
-            anch.groupBy("__h")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .agg(
-                F.sum(F.col("c") * (F.col("c") - F.lit(1)) / F.lit(2)).alias("est_pairs"),
-                F.max("c").alias("max_bucket"),
-            )
-            .first()
-        )
-        n_docs = df.count()
-        est = int(stats["est_pairs"] or 0)
-        if est > cap_pairs_per_doc * max(n_docs, 1):
-            msg = (
-                f"exact_substring degradation: ~{est} candidate pairs for "
-                f"{n_docs} docs (cap {cap_pairs_per_doc}/doc; max anchor "
-                f"bucket {stats['max_bucket']}).  Corpus-wide boilerplate "
-                f"spans make TRUE duplicate pairs quadratic in occurrence "
-                f"count — run line_dedup_rewrite/boilerplate_ngrams first "
-                f"to strip that mass linearly, raise min_len, or raise "
-                f"cap_pairs_per_doc if this duplication level is expected."
-            )
-            if on_degradation == "error":
-                raise RuntimeError(msg)
-            warnings.warn(msg)
 
-    a, b = anch.alias("a"), anch.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.__h") == F.col("b.__h"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{id_col}").alias("__ida"),
-        F.col("a.__p").alias("__pa"),
-        F.col(f"b.{id_col}").alias("__idb"),
-        F.col("b.__p").alias("__pb"),
-    )
 
-    ta = t.select(
-        F.col(id_col).alias("__ida"),
-        F.col("__toks").alias("__ta"),
-        F.col("__n").alias("__na"),
-    )
-    tb = t.select(
-        F.col(id_col).alias("__idb"),
-        F.col("__toks").alias("__tb"),
-        F.col("__n").alias("__nb"),
-    )
-    c = cand.join(ta, "__ida").join(tb, "__idb")
+def _es_extend(c: DataFrame, k: int, min_len: int) -> DataFrame:
+    """Verify + extend candidates on REAL tokens.  ``c`` carries
+    ``(__pa, __pb, __ta, __tb, __na, __nb)``; returns the rows whose
+    maximal extension reaches ``min_len``, with ``__l``/``__r`` extension
+    columns.  The consecutive-match folds keep acc = j−1 only while every
+    prior offset matched, so each fold computes the maximal extension and
+    freezes at the first mismatch — exact per (pair, alignment), and
+    hash-collision-proof (slice equality at the anchor)."""
 
-    # consecutive-match folds: acc stays j-1 only while every prior offset
-    # matched, so the fold computes the maximal extension and stops
-    # growing at the first mismatch — exact per (pair, alignment)
     def _ext(side_a_pos, side_b_pos, bound):
         return F.when(
             bound >= 1,
@@ -2057,40 +1967,19 @@ def _exact_substring_merged_spans(
     verify = F.slice(F.col("__ta"), F.col("__pa"), F.lit(k)) == F.slice(
         F.col("__tb"), F.col("__pb"), F.lit(k)
     )
-
-    sp = (
+    return (
         c.withColumn("__l", lext)
         .withColumn("__r", rext)
         .where(verify & (F.col("__l") + F.lit(k) + F.col("__r") >= min_len))
-        .select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("__ida").alias("id"),
-                        (F.col("__pa") - F.col("__l")).cast("int").alias("s"),
-                        (F.col("__pa") + F.lit(k - 1) + F.col("__r"))
-                        .cast("int")
-                        .alias("e"),
-                    ),
-                    F.struct(
-                        F.col("__idb").alias("id"),
-                        (F.col("__pb") - F.col("__l")).cast("int").alias("s"),
-                        (F.col("__pb") + F.lit(k - 1) + F.col("__r"))
-                        .cast("int")
-                        .alias("e"),
-                    ),
-                )
-            ).alias("__x")
-        )
-        .select(
-            F.col("__x.id").alias(id_col),
-            F.col("__x.s").alias("__s"),
-            F.col("__x.e").alias("__e"),
-        )
-        .distinct()
     )
 
-    merged = (
+
+def _es_merge(sp: DataFrame, id_col: str) -> DataFrame:
+    """Per-doc interval union of ``(id_col, __s, __e)`` span rows:
+    sort + fold-merge (overlapping or adjacent intervals coalesce) —
+    frames bounded by spans per doc, never corpus-scale.  Returns
+    ``(id_col, __msp array<struct<s:int,e:int>>)``."""
+    return (
         sp.groupBy(id_col)
         .agg(
             F.array_sort(
@@ -2122,7 +2011,199 @@ def _exact_substring_merged_spans(
             ).alias("__msp"),
         )
     )
-    return merged, anch_cache
+
+
+def _es_guard(
+    est: int,
+    n_docs: int,
+    max_bucket: int,
+    cap_pairs_per_doc: int,
+    on_degradation: str,
+    what: str,
+) -> None:
+    if est > cap_pairs_per_doc * max(n_docs, 1):
+        msg = (
+            f"exact_substring degradation: ~{est} candidate pairs for "
+            f"{n_docs} docs (cap {cap_pairs_per_doc}/doc; max anchor "
+            f"bucket {max_bucket}; {what}).  Corpus-wide boilerplate "
+            f"spans make TRUE duplicate pairs quadratic in occurrence "
+            f"count — run line_dedup_rewrite/boilerplate_ngrams first "
+            f"to strip that mass linearly, raise min_len, or raise "
+            f"cap_pairs_per_doc if this duplication level is expected."
+        )
+        if on_degradation == "error":
+            raise RuntimeError(msg)
+        warnings.warn(msg)
+
+
+def _es_rewrite(
+    t: DataFrame, merged: DataFrame, id_col: str, out_col: str
+) -> DataFrame:
+    """Indexed-filter rewrite: drop every token covered by a merged span,
+    reassemble in order (single-space-joined).  ``t`` is the token table;
+    every input row comes back — fully-covered docs as empty strings."""
+    return (
+        t.join(merged, id_col, "left")
+        .withColumn(
+            "__sp",
+            F.coalesce(
+                F.col("__msp"), F.expr("cast(array() as array<struct<s:int,e:int>>)")
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.filter(
+                    F.col("__toks"),
+                    lambda x, i: ~F.exists(
+                        F.col("__sp"),
+                        lambda p: (p["s"] <= i + 1) & (i + 1 <= p["e"]),
+                    ),
+                ),
+                " ",
+            ).alias(out_col),
+            F.col("__n").cast("bigint").alias("n_tokens"),
+            F.aggregate(
+                F.col("__sp"),
+                F.lit(0),
+                lambda acc, p: acc + (p["e"] - p["s"] + F.lit(1)),
+            )
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )
+
+
+def _exact_substring_merged_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int,
+    k: int | None,
+    on_degradation: str,
+    cap_pairs_per_doc: int,
+) -> tuple[DataFrame, "DataFrame | None"]:
+    """Within-corpus core of the ExactSubstr tier: ``(merged,
+    anchors_cache)`` where ``merged`` is one row per document that LOSES
+    tokens — ``(id_col, __msp array<struct<s:int,e:int>>)``, 1-based
+    inclusive token-position intervals, sorted, disjoint,
+    adjacent-coalesced — and ``anchors_cache`` is the persisted anchor
+    frame to unpersist (or None).
+
+    Semantics (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499 — the ExactSubstr tier): a
+    token is duplicated iff it lies inside a VERBATIM token-span of length
+    ≥ ``min_len`` shared by ≥ 2 distinct documents, at ARBITRARY
+    alignment.  Equivalent declarative form (what the DuckDB oracle
+    computes directly): a token is duplicated iff some ``min_len``-token
+    window covering it occurs in ≥ 2 distinct documents.  Equivalence:
+    (⊆) a shared ``min_len``-gram sits inside the maximal shared span
+    around it, which this operator recovers; (⊇) a maximal shared span of
+    length L ≥ min_len covering position p contains a full min_len-window
+    that also covers p (clamp the window into the span).
+
+    Plan, Spark-first (the reference ExactSubstr builds ONE suffix array on
+    a single node — a shape that cannot shard; this is the distributed
+    re-expression): map-only tokens → k-gram hashes → winnowing anchors
+    (`_es_anchor_table`); ONE bucketed equi-join of the (id, pos, hash64)
+    anchor table with itself (id_a < id_b) — the banding discipline of
+    `hamming_radius_pairs_on_words`, never all-pairs, with the Σ bucket²
+    degradation guard; candidates verify + extend on REAL tokens
+    (`_es_extend` — token arrays travel only on this candidates-sized
+    leg); per-doc interval merge (`_es_merge`).
+
+    Degradation contract: corpus-wide boilerplate k-grams make anchor
+    buckets — and TRUE duplicate pairs — quadratic in bucket size; that is
+    inherent to pair-listing exact semantics (witness-capping would
+    under-extend spans and break exactness).  The guard estimates
+    candidate volume from bucket sizes before the join fires; route
+    heavily-boilerplated corpora through `line_dedup_rewrite` /
+    `boilerplate_ngrams` first (they remove exactly that mass linearly),
+    then run this tier on the residue.
+    """
+    k, w = _es_validate(min_len, k, on_degradation)
+    t = _es_token_table(df, id_col, text_col)
+    anch = _es_anchor_table(t, id_col, min_len, k, w)
+    anch_cache = None
+    if on_degradation != "off":
+        # persist: the guard's bucket aggregate and BOTH sides of the
+        # candidate self-join consume the anchor table, and its lineage
+        # (tokenize + O(n·k) gram hashing + O(n·w) winnowing) is the
+        # expensive map stage
+        anch_cache = anch.persist()
+        anch = anch_cache
+        stats = (
+            anch.groupBy("__h")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.sum(F.col("c") * (F.col("c") - F.lit(1)) / F.lit(2)).alias("est_pairs"),
+                F.max("c").alias("max_bucket"),
+            )
+            .first()
+        )
+        _es_guard(
+            int(stats["est_pairs"] or 0),
+            df.count(),
+            int(stats["max_bucket"] or 0),
+            cap_pairs_per_doc,
+            on_degradation,
+            "self-join",
+        )
+
+    a, b = anch.alias("a"), anch.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.__h") == F.col("b.__h"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("__ida"),
+        F.col("a.__p").alias("__pa"),
+        F.col(f"b.{id_col}").alias("__idb"),
+        F.col("b.__p").alias("__pb"),
+    )
+
+    ta = t.select(
+        F.col(id_col).alias("__ida"),
+        F.col("__toks").alias("__ta"),
+        F.col("__n").alias("__na"),
+    )
+    tb = t.select(
+        F.col(id_col).alias("__idb"),
+        F.col("__toks").alias("__tb"),
+        F.col("__n").alias("__nb"),
+    )
+    ext = _es_extend(cand.join(ta, "__ida").join(tb, "__idb"), k, min_len)
+
+    # within-corpus: EVERY occurrence goes — emit the span on both sides
+    sp = (
+        ext.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("__ida").alias("id"),
+                        (F.col("__pa") - F.col("__l")).cast("int").alias("s"),
+                        (F.col("__pa") + F.lit(k - 1) + F.col("__r"))
+                        .cast("int")
+                        .alias("e"),
+                    ),
+                    F.struct(
+                        F.col("__idb").alias("id"),
+                        (F.col("__pb") - F.col("__l")).cast("int").alias("s"),
+                        (F.col("__pb") + F.lit(k - 1) + F.col("__r"))
+                        .cast("int")
+                        .alias("e"),
+                    ),
+                )
+            ).alias("__x")
+        )
+        .select(
+            F.col("__x.id").alias(id_col),
+            F.col("__x.s").alias("__s"),
+            F.col("__x.e").alias("__e"),
+        )
+        .distinct()
+    )
+    return _es_merge(sp, id_col), anch_cache
 
 
 def exact_substring_spans(
@@ -2182,43 +2263,109 @@ def exact_substring_dedup(
     merged, cache = _exact_substring_merged_spans(
         df, id_col, text_col, min_len, k, on_degradation, cap_pairs_per_doc
     )
-    toks_expr = F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
-        lambda t: t != "",
-    )
-    t = df.select(F.col(id_col), toks_expr.alias("__toks")).withColumn(
-        "__n", F.size("__toks")
-    )
-    out = (
-        t.join(merged, id_col, "left")
-        .withColumn(
-            "__sp",
-            F.coalesce(
-                F.col("__msp"), F.expr("cast(array() as array<struct<s:int,e:int>>)")
-            ),
-        )
-        .select(
-            F.col(id_col),
-            F.array_join(
-                F.filter(
-                    F.col("__toks"),
-                    lambda x, i: ~F.exists(
-                        F.col("__sp"),
-                        lambda p: (p["s"] <= i + 1) & (i + 1 <= p["e"]),
-                    ),
-                ),
-                " ",
-            ).alias(out_col),
-            F.col("__n").cast("bigint").alias("n_tokens"),
-            F.aggregate(
-                F.col("__sp"),
-                F.lit(0),
-                lambda acc, p: acc + (p["e"] - p["s"] + F.lit(1)),
-            )
-            .cast("bigint")
-            .alias("n_removed"),
-        )
-    )
+    t = _es_token_table(df, id_col, text_col)
+    out = _es_rewrite(t, merged, id_col, out_col)
     if cache is not None:
         out._anchor_cache = cache
+    return out
+
+
+def exact_substring_decontaminate(
+    df: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    min_len: int = 50,
+    k: int | None = None,
+    on_degradation: str = "warn",
+    cap_pairs_per_doc: int = 64,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """CROSS-CORPUS span-level decontamination — the ExactSubstr machinery
+    pointed at a benchmark: every token of ``df`` lying inside a verbatim
+    token-span of length ≥ ``min_len`` that also appears ANYWHERE in
+    ``bench`` is removed, and the documents are rewritten (Lee et al.
+    2022 §decontamination: benchmark text must not survive in training
+    data verbatim, at any alignment).  Span-level complement of the
+    document-level tiers: q100 (8-gram overlap flags) and
+    `cross_corpus_contamination` (MinHash-LSH doc pairs) FLAG documents;
+    this REWRITES them, surgically, keeping the clean remainder.
+
+    Declarative semantics (the DuckDB oracle form): a token of ``df``
+    dies iff some ``min_len``-token window covering it occurs verbatim in
+    some benchmark document — same equivalence argument as
+    :func:`_exact_substring_merged_spans`, with "≥ 2 distinct documents"
+    replaced by "any benchmark document".
+
+    Plan: the A×B-ONLY shape of `cross_corpus_contamination` — anchors
+    are winnowed independently per side with the SAME (k, w), so a shared
+    span of ≥ min_len tokens selects the same anchor in both corpora;
+    the candidate join is anchors_A ⋈ anchors_B on the hash (never a
+    within-corpus pair, never all-pairs); the Σ cA·cB guard estimates the
+    cross-product volume per bucket before the join fires.  At 100 TB ×
+    benchmark-sized B, the B anchor table is small — AQE broadcasts it —
+    and A is touched by one map pass + the candidates-sized verify leg.
+
+    Returns every ``df`` row as ``(id_col, out_col, n_tokens,
+    n_removed)``; benchmark rows are never returned.
+    """
+    k, w = _es_validate(min_len, k, on_degradation)
+    t = _es_token_table(df, id_col, text_col)
+    tb_t = _es_token_table(bench, bench_id_col, bench_text_col)
+    anch_a = _es_anchor_table(t, id_col, min_len, k, w)
+    anch_b = _es_anchor_table(tb_t, bench_id_col, min_len, k, w)
+    caches = []
+    if on_degradation != "off":
+        anch_a = anch_a.persist()
+        anch_b = anch_b.persist()
+        caches = [anch_a, anch_b]
+        ca = anch_a.groupBy("__h").agg(F.count(F.lit(1)).alias("ca"))
+        cb = anch_b.groupBy("__h").agg(F.count(F.lit(1)).alias("cb"))
+        stats = (
+            ca.join(cb, "__h")
+            .agg(
+                F.sum(F.col("ca") * F.col("cb")).alias("est_pairs"),
+                F.max(F.col("ca") * F.col("cb")).alias("max_bucket"),
+            )
+            .first()
+        )
+        _es_guard(
+            int(stats["est_pairs"] or 0),
+            df.count(),
+            int(stats["max_bucket"] or 0),
+            cap_pairs_per_doc,
+            on_degradation,
+            "A×B join",
+        )
+
+    a, b = anch_a.alias("a"), anch_b.alias("b")
+    cand = a.join(b, F.col("a.__h") == F.col("b.__h")).select(
+        F.col(f"a.{id_col}").alias("__ida"),
+        F.col("a.__p").alias("__pa"),
+        F.col(f"b.{bench_id_col}").alias("__idb"),
+        F.col("b.__p").alias("__pb"),
+    )
+    ta = t.select(
+        F.col(id_col).alias("__ida"),
+        F.col("__toks").alias("__ta"),
+        F.col("__n").alias("__na"),
+    )
+    tbn = tb_t.select(
+        F.col(bench_id_col).alias("__idb"),
+        F.col("__toks").alias("__tb"),
+        F.col("__n").alias("__nb"),
+    )
+    ext = _es_extend(cand.join(ta, "__ida").join(tbn, "__idb"), k, min_len)
+
+    # cross-corpus: only the TRAINING side is rewritten
+    sp = ext.select(
+        F.col("__ida").alias(id_col),
+        (F.col("__pa") - F.col("__l")).cast("int").alias("__s"),
+        (F.col("__pa") + F.lit(k - 1) + F.col("__r")).cast("int").alias("__e"),
+    ).distinct()
+    out = _es_rewrite(t, _es_merge(sp, id_col), id_col, out_col)
+    if caches:
+        out._anchor_caches = caches
     return out

@@ -4795,7 +4795,8 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (c) the 25 OLDEST round-5 rows (q01/q04/q07/q14/q20/q35/q38/q41-q48/
 #     q53 named by the r9 verdict, plus the next-oldest r5 rows).
 # Deferred to round 11 (still r5-last, all parity-green this session):
-# q124 q126 q127 q130 q131 q132 q134 q135 q136 q137 q138 q139 q140 q147
+# q123 q124 q126 q127 q130 q131 q132 q134 q135 q136 q137 q138 q139 q140
+# q147
 # — they own the r11 window together with the oldest r6 band.
 # Everything rotated out holds a green r6-r9 driver row with unchanged
 # code, and tools/parity.py still verifies ALL registered queries every
@@ -4827,7 +4828,10 @@ DRIVER_WINDOW: list[str] = [
     "q53_approx_distinct", "q69_ivf_ann", "q75_percentile_approx",
     "q91_brochure_pipeline", "q100_contamination", "q103_ivf_kmeans",
     "q113_quality_report", "q115_pq_adc_topk", "q119_multipolygon_zones",
-    "q122_repetition_metrics", "q123_semantic_dedup",
+    "q122_repetition_metrics",
+    # (b2) added mid-round: the third new query displaces the newest
+    # remaining r5 row (q123_semantic_dedup → round 11)
+    "q199_exact_substring_decontam",
 ]
 
 
@@ -8866,3 +8870,85 @@ def q198_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         lr_den=2,
         scale=4,
     )
+
+
+_Q199_SQL = """
+WITH bench AS (
+  SELECT doc_id AS bench_id, 'bmk pad ' || coalesce(text, '') AS text
+  FROM documents WHERE doc_id % 11 = 0
+),
+btoks AS (
+  SELECT bench_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                     t -> t <> '') AS t
+  FROM bench
+),
+bgrams AS (
+  SELECT DISTINCT array_to_string(t[p:p+9], ' ') AS g
+  FROM (SELECT t, unnest(range(1, len(t) - 8)) AS p FROM btoks WHERE len(t) >= 10)
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                     t -> t <> '') AS t
+  FROM documents
+),
+base AS (SELECT doc_id, t, len(t) AS n FROM toks),
+grams AS (
+  SELECT doc_id, p, array_to_string(t[p:p+9], ' ') AS g
+  FROM (SELECT doc_id, t, unnest(range(1, n - 8)) AS p FROM base WHERE n >= 10)
+),
+cov AS (
+  SELECT DISTINCT doc_id, p + o AS tp
+  FROM grams JOIN bgrams USING (g)
+  CROSS JOIN (SELECT unnest(range(0, 10)) AS o) offs
+),
+tokpos AS (
+  SELECT doc_id, unnest(t) AS tok, unnest(range(1, n + 1)) AS tp FROM base
+),
+kept AS (
+  SELECT k.doc_id, k.tp, k.tok
+  FROM tokpos k LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.tp = c.tp
+  WHERE c.tp IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS clean_text,
+         COUNT(*) AS nk
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       CAST(b.n AS BIGINT) AS n_tokens,
+       CAST(b.n - coalesce(a.nk, 0) AS BIGINT) AS n_removed
+FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("q199_exact_substring_decontam", _Q199_SQL)
+def q199_exact_substring_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level cross-corpus decontamination — the ExactSubstr machinery
+    pointed at a benchmark (`operators/dedup.exact_substring_decontaminate`):
+    every verbatim ≥10-token span of benchmark text is surgically removed
+    from every training document at ARBITRARY alignment (the benchmark
+    here is every doc_id%11 document re-prefixed with two pad tokens, so
+    no alignment is shared with the training copy), and the clean
+    remainder is kept.  Complements the document-level decontamination
+    tiers q100 (8-gram flags) and q185 (A×B LSH) — those FLAG, this
+    REWRITES.
+
+    Plan: anchors winnowed independently per side with the same (k, w) →
+    ONE anchors_A ⋈ anchors_B hash equi-join (A×B-only, never
+    within-corpus; Σ cA·cB guard) → token-verified extension → per-doc
+    interval merge → indexed-filter rewrite.  At 100 TB the benchmark
+    anchor side is benchmark-sized — AQE broadcasts it — and the corpus
+    is touched by one map pass plus the candidates-sized verify leg."""
+    from re_data_pipeline_spark.operators.dedup import exact_substring_decontaminate
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = d.where(F.col("doc_id") % 11 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(
+            " ", F.lit("bmk pad"), F.coalesce(F.col("text"), F.lit(""))
+        ).alias("text"),
+    )
+    return exact_substring_decontaminate(d, bench, min_len=10, k=5)

@@ -964,3 +964,72 @@ def test_exact_substring_degradation_guard(spark):
         df, min_len=10, k=5, on_degradation="off", cap_pairs_per_doc=1
     ).collect()
     assert all(r["n_removed"] == 10 for r in out)
+
+
+def _brute_decontam(docs: dict, bench: dict, min_len: int) -> dict:
+    """Declarative reference for cross-corpus decontamination: a training
+    token dies iff some min_len-gram window covering it occurs verbatim
+    in any benchmark document."""
+    toks = {i: (t.split() if t else []) for i, t in docs.items()}
+    bgrams = set()
+    for t in bench.values():
+        bt = t.split() if t else []
+        for p in range(len(bt) - min_len + 1):
+            bgrams.add(tuple(bt[p : p + min_len]))
+    out = {}
+    for i, t in toks.items():
+        cov = set()
+        for p in range(len(t) - min_len + 1):
+            if tuple(t[p : p + min_len]) in bgrams:
+                cov.update(range(p, p + min_len))
+        kept = [w for j, w in enumerate(t) if j not in cov]
+        out[i] = (" ".join(kept), len(t), len(cov))
+    return out
+
+
+def test_exact_substring_decontaminate_matches_brute_force(spark):
+    """A×B decontamination equals the declarative reference: verbatim
+    benchmark spans ≥ min_len are removed from training docs at arbitrary
+    alignment; within-corpus duplication WITHOUT benchmark overlap is
+    untouched; benchmark rows never come back."""
+    import random
+    import warnings
+
+    from re_data_pipeline_spark.operators.dedup import exact_substring_decontaminate
+
+    rng = random.Random(23)
+    vocab = [f"w{j}" for j in range(8)]
+    bp = _BP10.split()
+    bench = {
+        100: " ".join(bp),                                # exact boilerplate
+        101: "b1 b2 " + " ".join(bp[:6]) + " b3",         # only a 6-token fragment
+        102: None,
+    }
+    docs = {}
+    for i in range(14):
+        base = [rng.choice(vocab) for _ in range(rng.randint(0, 20))]
+        r = i % 4
+        if r == 1:
+            base = bp + base                               # full planted span
+        elif r == 2 and len(base) > 3:
+            base = base[:3] + bp + base[3:]                # mid-insert
+        elif r == 3:
+            base = bp[:6] + base                           # sub-threshold frag
+        docs[i] = " ".join(base)
+    docs[50] = docs[0]  # within-corpus dup, no benchmark text: must survive
+    ddf = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    bdf = spark.createDataFrame(list(bench.items()), "bench_id long, text string")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+            for r in exact_substring_decontaminate(
+                ddf, bdf, min_len=10, k=5
+            ).collect()
+        }
+    exp = _brute_decontam(docs, bench, 10)
+    assert got == exp
+    assert set(got) == set(docs)          # every training row returned
+    assert got[50] == (docs[50], len(docs[50].split()), 0)  # dup-only doc intact
+    carriers = [i for i in docs if i % 4 == 1]
+    assert all(got[i][2] >= 10 for i in carriers)  # planted spans removed
