@@ -87,6 +87,7 @@ HEADLINE = [
     # round-10 additions: the ExactSubstr tier (winnowed anchor join +
     # token-verified extension) and the iterative classifier trainer
     "q197_exact_substring_dedup",  # winnowing anchors → verify/extend → rewrite
+    "q200_exact_substring_grams",  # same semantics, guaranteed-linear all-grams
     "q198_classifier_train",     # 2 aggregates/iteration logistic GD
 ]
 

@@ -2206,6 +2206,68 @@ def _exact_substring_merged_spans(
     return _es_merge(sp, id_col), anch_cache
 
 
+def _exact_substring_merged_spans_grams(
+    df: DataFrame, id_col: str, text_col: str, min_len: int
+) -> DataFrame:
+    """GUARANTEED-LINEAR implementation of the ExactSubstr coverage
+    semantics — the all-grams route the anchor path's degradation guard
+    points to: emit every ``min_len``-gram (128-bit double-xxhash key, so
+    false sharing is ~2⁻¹²⁸ even at 10¹³ grams — there is NO verify stage
+    here), count distinct docs per gram key (map-combined), keep the
+    duplication-sized ≥2-doc key set, and join it back for positions.
+    No pair listing, no extension: overlapping shared grams chain into
+    the maximal span during the interval merge, which is the declarative
+    oracle form computed directly.
+
+    Trade-off vs the winnowed-anchor path: shuffles ALL gram keys (≈ one
+    row per token — ~25× the anchor volume at min_len=50) but its volume
+    is linear in the corpus NO MATTER how duplicated the corpus is; the
+    anchor path shuffles ~2/(w+1) of that but lists candidate pairs,
+    which go quadratic on corpus-wide boilerplate.  Pick grams for
+    heavily-duplicated/boilerplated corpora, anchors for clean corpora
+    where shuffle volume dominates.  Both produce identical output
+    (cross-implementation equality is tested, and q197/q200 hash-match
+    the same DuckDB oracle)."""
+    t = _es_token_table(df, id_col, text_col)
+    gram_structs = _es_bind(
+        F.col("__toks"),
+        lambda tv: F.when(
+            F.size(tv) >= min_len,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tv) - F.lit(min_len - 1)),
+                lambda i: _es_bind(
+                    F.concat_ws(" ", F.slice(tv, i, F.lit(min_len))),
+                    lambda g: F.struct(
+                        i.cast("int").alias("p"),
+                        F.xxhash64(g).alias("h1"),
+                        F.xxhash64(F.concat(g, F.lit("#2"))).alias("h2"),
+                    ),
+                ),
+            ),
+        ).otherwise(
+            F.expr("cast(array() as array<struct<p:int,h1:bigint,h2:bigint>>)")
+        ),
+    )
+    grams = t.select(F.col(id_col), F.explode(gram_structs).alias("__g")).select(
+        F.col(id_col),
+        F.col("__g.p").alias("__p"),
+        F.col("__g.h1").alias("__h1"),
+        F.col("__g.h2").alias("__h2"),
+    )
+    hot = (
+        grams.groupBy("__h1", "__h2")
+        .agg(F.count_distinct(F.col(id_col)).alias("__d"))
+        .where(F.col("__d") >= 2)
+        .select("__h1", "__h2")
+    )
+    sp = grams.join(hot, ["__h1", "__h2"]).select(
+        F.col(id_col),
+        F.col("__p").alias("__s"),
+        (F.col("__p") + F.lit(min_len - 1)).alias("__e"),
+    )
+    return _es_merge(sp, id_col)
+
+
 def exact_substring_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -2214,15 +2276,26 @@ def exact_substring_spans(
     k: int | None = None,
     on_degradation: str = "warn",
     cap_pairs_per_doc: int = 64,
+    impl: str = "anchors",
 ) -> DataFrame:
     """Profiling half of the ExactSubstr tier: one row per duplicated span
     — ``(id_col, span_start, span_end)``, 1-based inclusive token
     positions, merged (disjoint, adjacent-coalesced) per document.  See
     :func:`_exact_substring_merged_spans` for semantics, the declarative
-    oracle form, and the 100 TB plan shape."""
-    merged, cache = _exact_substring_merged_spans(
-        df, id_col, text_col, min_len, k, on_degradation, cap_pairs_per_doc
-    )
+    oracle form, and the 100 TB plan shape; ``impl="grams"`` selects the
+    guaranteed-linear all-grams route
+    (:func:`_exact_substring_merged_spans_grams`)."""
+    if impl == "grams":
+        merged, cache = (
+            _exact_substring_merged_spans_grams(df, id_col, text_col, min_len),
+            None,
+        )
+    elif impl == "anchors":
+        merged, cache = _exact_substring_merged_spans(
+            df, id_col, text_col, min_len, k, on_degradation, cap_pairs_per_doc
+        )
+    else:
+        raise ValueError(f"impl must be 'anchors' or 'grams', got {impl!r}")
     out = merged.select(F.col(id_col), F.explode("__msp").alias("__x")).select(
         F.col(id_col),
         F.col("__x.s").alias("span_start"),
@@ -2242,6 +2315,7 @@ def exact_substring_dedup(
     on_degradation: str = "warn",
     cap_pairs_per_doc: int = 64,
     out_col: str = "clean_text",
+    impl: str = "anchors",
 ) -> DataFrame:
     """Rewrite half of the ExactSubstr tier (Lee et al. 2022): EVERY
     occurrence of any cross-document verbatim token-span of length ≥
@@ -2258,11 +2332,21 @@ def exact_substring_dedup(
     (line-aligned), `span_dup_stats` (profiling only), and document-level
     dedup — this is the only tier that removes verbatim spans at ARBITRARY
     alignment.  See :func:`_exact_substring_merged_spans` for the
-    winnowing guarantee, degradation guard, and scale shape.
+    winnowing guarantee, degradation guard, and scale shape;
+    ``impl="grams"`` selects the guaranteed-linear all-grams route
+    (:func:`_exact_substring_merged_spans_grams`).
     """
-    merged, cache = _exact_substring_merged_spans(
-        df, id_col, text_col, min_len, k, on_degradation, cap_pairs_per_doc
-    )
+    if impl == "grams":
+        merged, cache = (
+            _exact_substring_merged_spans_grams(df, id_col, text_col, min_len),
+            None,
+        )
+    elif impl == "anchors":
+        merged, cache = _exact_substring_merged_spans(
+            df, id_col, text_col, min_len, k, on_degradation, cap_pairs_per_doc
+        )
+    else:
+        raise ValueError(f"impl must be 'anchors' or 'grams', got {impl!r}")
     t = _es_token_table(df, id_col, text_col)
     out = _es_rewrite(t, merged, id_col, out_col)
     if cache is not None:

@@ -4795,8 +4795,8 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (c) the 25 OLDEST round-5 rows (q01/q04/q07/q14/q20/q35/q38/q41-q48/
 #     q53 named by the r9 verdict, plus the next-oldest r5 rows).
 # Deferred to round 11 (still r5-last, all parity-green this session):
-# q123 q124 q126 q127 q130 q131 q132 q134 q135 q136 q137 q138 q139 q140
-# q147
+# q122 q123 q124 q126 q127 q130 q131 q132 q134 q135 q136 q137 q138 q139
+# q140 q147
 # — they own the r11 window together with the oldest r6 band.
 # Everything rotated out holds a green r6-r9 driver row with unchanged
 # code, and tools/parity.py still verifies ALL registered queries every
@@ -4828,10 +4828,9 @@ DRIVER_WINDOW: list[str] = [
     "q53_approx_distinct", "q69_ivf_ann", "q75_percentile_approx",
     "q91_brochure_pipeline", "q100_contamination", "q103_ivf_kmeans",
     "q113_quality_report", "q115_pq_adc_topk", "q119_multipolygon_zones",
-    "q122_repetition_metrics",
-    # (b2) added mid-round: the third new query displaces the newest
-    # remaining r5 row (q123_semantic_dedup → round 11)
-    "q199_exact_substring_decontam",
+    # (b2) added mid-round: the 3rd/4th new queries displace the two newest
+    # remaining r5 rows (q122_repetition_metrics, q123_semantic_dedup → r11)
+    "q199_exact_substring_decontam", "q200_exact_substring_grams",
 ]
 
 
@@ -8692,16 +8691,35 @@ def q196_grouped_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carry_spines(out, out.select("lang", "doc_id", "n_tokens", "running_tokens"))
 
 
-_BP_A = "terms of service apply to every listing shown on this portal page"
-_BP_B = "all rights reserved please contact the site operator for removal"
+# 20 variants of each planted boilerplate sentence (variant token at
+# position 4, so NO cross-variant token run reaches min_len — a trailing
+# variant token left an 11-token corpus-wide shared block and ~1M true
+# pairs at sf0.1) bound every anchor bucket AND every true span cluster:
+# TRUE duplicate pairs are quadratic in CLUSTER size by semantics, so the
+# fixture scales cluster COUNT with the corpus, not cluster size — the same
+# realism rule as tools/sf1_anchor.py's replica construction (a single
+# corpus-wide sentence measured 13.5 s at sf0.1: ~500k genuine pairs, all
+# verified — correct, but a fixture artifact, not an operator property).
+_BP_A1 = "terms of service"          # 3 tokens before the variant token
+_BP_A2 = "apply to every listing shown on portal page"  # 8 after
+_BP_B1 = "all rights reserved"
+_BP_B2 = "please contact the site operator for removal"  # 7 after
 
 _Q197_SQL = f"""
 WITH planted AS (
   SELECT doc_id,
          CASE WHEN doc_id % 5 = 0 AND doc_id % 7 = 0
-                THEN '{_BP_A}' || ' ' || coalesce(text, '') || ' ' || '{_BP_B}'
-              WHEN doc_id % 5 = 0 THEN '{_BP_A}' || ' ' || coalesce(text, '')
-              WHEN doc_id % 7 = 0 THEN coalesce(text, '') || ' ' || '{_BP_B}'
+                THEN '{_BP_A1} a' || CAST((doc_id // 5) % 20 AS VARCHAR)
+                     || ' {_BP_A2} ' || coalesce(text, '') || ' '
+                     || '{_BP_B1} b' || CAST((doc_id // 7) % 20 AS VARCHAR)
+                     || ' {_BP_B2}'
+              WHEN doc_id % 5 = 0
+                THEN '{_BP_A1} a' || CAST((doc_id // 5) % 20 AS VARCHAR)
+                     || ' {_BP_A2} ' || coalesce(text, '')
+              WHEN doc_id % 7 = 0
+                THEN coalesce(text, '') || ' '
+                     || '{_BP_B1} b' || CAST((doc_id // 7) % 20 AS VARCHAR)
+                     || ' {_BP_B2}'
               ELSE text END AS text
   FROM documents
 ),
@@ -8764,19 +8782,29 @@ def q197_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from re_data_pipeline_spark.operators.dedup import exact_substring_dedup
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bpa = F.concat(
+        F.lit(_BP_A1 + " a"),
+        (F.expr("doc_id DIV 5") % 20).cast("string"),
+        F.lit(" " + _BP_A2),
+    )
+    bpb = F.concat(
+        F.lit(_BP_B1 + " b"),
+        (F.expr("doc_id DIV 7") % 20).cast("string"),
+        F.lit(" " + _BP_B2),
+    )
     planted = d.withColumn(
         "text",
         F.when(
             (F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 7 == 0),
-            F.concat_ws(" ", F.lit(_BP_A), F.coalesce(F.col("text"), F.lit("")), F.lit(_BP_B)),
+            F.concat_ws(" ", bpa, F.coalesce(F.col("text"), F.lit("")), bpb),
         )
         .when(
             F.col("doc_id") % 5 == 0,
-            F.concat_ws(" ", F.lit(_BP_A), F.coalesce(F.col("text"), F.lit(""))),
+            F.concat_ws(" ", bpa, F.coalesce(F.col("text"), F.lit(""))),
         )
         .when(
             F.col("doc_id") % 7 == 0,
-            F.concat_ws(" ", F.coalesce(F.col("text"), F.lit("")), F.lit(_BP_B)),
+            F.concat_ws(" ", F.coalesce(F.col("text"), F.lit("")), bpb),
         )
         .otherwise(F.col("text")),
     )
@@ -8952,3 +8980,46 @@ def q199_exact_substring_decontam(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("text"),
     )
     return exact_substring_decontaminate(d, bench, min_len=10, k=5)
+
+
+@query("q200_exact_substring_grams", _Q197_SQL)
+def q200_exact_substring_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME ExactSubstr semantics as q197 through the GUARANTEED-LINEAR
+    implementation (`impl="grams"`): every min_len-gram keyed by a 128-bit
+    double-xxhash, one map-combined distinct-doc count, duplication-sized
+    hot-key join-back, interval merge — no pair listing, no extension
+    stage, so shuffle volume is linear in the corpus no matter how
+    duplicated it is (the route the anchor path's degradation guard
+    points to).  Same planted fixture, same DuckDB oracle as q197: the
+    driver hash-compares BOTH implementations against one declarative
+    truth — a dual-implementation conformance proof at the gate."""
+    from re_data_pipeline_spark.operators.dedup import exact_substring_dedup
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bpa = F.concat(
+        F.lit(_BP_A1 + " a"),
+        (F.expr("doc_id DIV 5") % 20).cast("string"),
+        F.lit(" " + _BP_A2),
+    )
+    bpb = F.concat(
+        F.lit(_BP_B1 + " b"),
+        (F.expr("doc_id DIV 7") % 20).cast("string"),
+        F.lit(" " + _BP_B2),
+    )
+    planted = d.withColumn(
+        "text",
+        F.when(
+            (F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 7 == 0),
+            F.concat_ws(" ", bpa, F.coalesce(F.col("text"), F.lit("")), bpb),
+        )
+        .when(
+            F.col("doc_id") % 5 == 0,
+            F.concat_ws(" ", bpa, F.coalesce(F.col("text"), F.lit(""))),
+        )
+        .when(
+            F.col("doc_id") % 7 == 0,
+            F.concat_ws(" ", F.coalesce(F.col("text"), F.lit("")), bpb),
+        )
+        .otherwise(F.col("text")),
+    )
+    return exact_substring_dedup(planted, min_len=10, impl="grams")

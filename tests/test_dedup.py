@@ -899,13 +899,17 @@ def test_exact_substring_dedup_matches_brute_force_randomized(spark):
             docs[i] = " ".join(base)
         docs[50] = docs[0]  # exact full-duplicate pair
         df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+        exp = _brute_exactsubstr(docs, 10)
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
-            got = {
-                r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
-                for r in exact_substring_dedup(df, min_len=10, k=4).collect()
-            }
-        assert got == _brute_exactsubstr(docs, 10)
+            for impl in ("anchors", "grams"):
+                got = {
+                    r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+                    for r in exact_substring_dedup(
+                        df, min_len=10, k=4, impl=impl
+                    ).collect()
+                }
+                assert got == exp, impl
 
 
 def test_exact_substring_spans_merge_and_alignment(spark):
