@@ -2453,3 +2453,127 @@ def exact_substring_decontaminate(
     if caches:
         out._anchor_caches = caches
     return out
+
+
+def intra_substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 50,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """WITHIN-document repeated-substring rewrite — the third alignment
+    class of the ExactSubstr family (Lee et al. 2022 dedup within as well
+    as across documents; self-repetition is the signature of looping
+    generation and templated spam): every occurrence of a ≥``min_len``-
+    token span that already occurred EARLIER IN THE SAME DOCUMENT is
+    removed (keep-first), and the survivors are reassembled in order.
+    Declarative semantics (the oracle form): a token dies iff some
+    ``min_len``-gram window covering it has an equal gram at a strictly
+    earlier position in the same document.
+
+    Completes the triad: `exact_substring_dedup` (cross-document),
+    `exact_substring_decontaminate` (cross-corpus), this (intra-document).
+    Complements `duplicate_ngram_fraction` (q122), which MEASURES
+    self-repetition; this REWRITES it.
+
+    Scale shape — the best possible: ENTIRELY MAP-ONLY, zero shuffle.
+    Repeat detection is per-row array algebra (double-xxhash 128-bit gram
+    keys → one array_sort by (key, pos) → adjacent-equal scan marks every
+    non-first occurrence → interval fold-merge → indexed-filter rewrite),
+    so 100 TB is one parquet scan pass that pipelines into whatever
+    consumes it.  Every array is bound once per row (`_es_bind`) — no HOF
+    re-derivation.
+    """
+    if min_len < 2:
+        raise ValueError(f"min_len must be ≥ 2, got {min_len}")
+    L = min_len
+    t = _es_token_table(df, id_col, text_col)
+
+    def _spans_of(tv):
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(tv) - F.lit(L - 1)),
+            lambda i: _es_bind(
+                F.concat_ws(" ", F.slice(tv, i, F.lit(L))),
+                lambda g: F.struct(
+                    F.xxhash64(g).alias("h1"),
+                    F.xxhash64(F.concat(g, F.lit("#2"))).alias("h2"),
+                    i.cast("int").alias("p"),
+                ),
+            ),
+        )
+        # sort by (h1, h2, p): within an equal-key run, the first element
+        # is the earliest occurrence — every later element is a repeat
+        return _es_bind(
+            F.array_sort(grams),
+            lambda sg: F.aggregate(
+                F.array_sort(
+                    F.transform(
+                        F.filter(
+                            sg,
+                            lambda x, i: F.when(
+                                i > 0,
+                                (x["h1"] == F.element_at(sg, i)["h1"])
+                                & (x["h2"] == F.element_at(sg, i)["h2"]),
+                            ).otherwise(F.lit(False)),
+                        ),
+                        lambda x: F.struct(
+                            x["p"].alias("s"),
+                            (x["p"] + F.lit(L - 1)).alias("e"),
+                        ),
+                    )
+                ),
+                F.expr("cast(array() as array<struct<s:int,e:int>>)"),
+                lambda acc, x: F.when(
+                    (F.size(acc) == 0)
+                    | (x["s"] > F.element_at(acc, -1)["e"] + 1),
+                    F.concat(acc, F.array(x)),
+                ).otherwise(
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(
+                            F.struct(
+                                F.element_at(acc, -1)["s"].alias("s"),
+                                F.greatest(
+                                    F.element_at(acc, -1)["e"], x["e"]
+                                ).alias("e"),
+                            )
+                        ),
+                    )
+                ),
+            ),
+        )
+
+    result = _es_bind(
+        F.col("__toks"),
+        lambda tv: _es_bind(
+            F.when(F.size(tv) >= L, _spans_of(tv)).otherwise(
+                F.expr("cast(array() as array<struct<s:int,e:int>>)")
+            ),
+            lambda spv: F.struct(
+                F.array_join(
+                    F.filter(
+                        tv,
+                        lambda x, i: ~F.exists(
+                            spv,
+                            lambda p: (p["s"] <= i + 1) & (i + 1 <= p["e"]),
+                        ),
+                    ),
+                    " ",
+                ).alias("clean"),
+                F.aggregate(
+                    spv,
+                    F.lit(0),
+                    lambda acc, p: acc + (p["e"] - p["s"] + F.lit(1)),
+                )
+                .cast("bigint")
+                .alias("removed"),
+            ),
+        ),
+    )
+    return t.select(
+        F.col(id_col),
+        result["clean"].alias(out_col),
+        F.col("__n").cast("bigint").alias("n_tokens"),
+        result["removed"].alias("n_removed"),
+    )

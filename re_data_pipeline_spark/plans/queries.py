@@ -4795,8 +4795,8 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (c) the 25 OLDEST round-5 rows (q01/q04/q07/q14/q20/q35/q38/q41-q48/
 #     q53 named by the r9 verdict, plus the next-oldest r5 rows).
 # Deferred to round 11 (still r5-last, all parity-green this session):
-# q122 q123 q124 q126 q127 q130 q131 q132 q134 q135 q136 q137 q138 q139
-# q140 q147
+# q119 q122 q123 q124 q126 q127 q130 q131 q132 q134 q135 q136 q137 q138
+# q139 q140 q147
 # — they own the r11 window together with the oldest r6 band.
 # Everything rotated out holds a green r6-r9 driver row with unchanged
 # code, and tools/parity.py still verifies ALL registered queries every
@@ -4827,10 +4827,11 @@ DRIVER_WINDOW: list[str] = [
     "q47_rental_grid_pipeline", "q48_transcripts_pipeline",
     "q53_approx_distinct", "q69_ivf_ann", "q75_percentile_approx",
     "q91_brochure_pipeline", "q100_contamination", "q103_ivf_kmeans",
-    "q113_quality_report", "q115_pq_adc_topk", "q119_multipolygon_zones",
-    # (b2) added mid-round: the 3rd/4th new queries displace the two newest
-    # remaining r5 rows (q122_repetition_metrics, q123_semantic_dedup → r11)
+    "q113_quality_report", "q115_pq_adc_topk",
+    # (b2) added mid-round: the 3rd-5th new queries displace the three
+    # newest remaining r5 rows (q119, q122, q123 → round 11)
     "q199_exact_substring_decontam", "q200_exact_substring_grams",
+    "q201_intra_substring_dedup",
 ]
 
 
@@ -9023,3 +9024,96 @@ def q200_exact_substring_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text")),
     )
     return exact_substring_dedup(planted, min_len=10, impl="grams")
+
+
+_Q201_SQL = """
+WITH t0 AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                     t -> t <> '') AS t
+  FROM documents
+),
+planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 6 = 0 AND len(t) >= 12
+              THEN coalesce(text, '') || ' ' || array_to_string(t[1:12], ' ')
+              ELSE text END AS text
+  FROM t0
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                     t -> t <> '') AS t
+  FROM planted
+),
+base AS (SELECT doc_id, t, len(t) AS n FROM toks),
+grams AS (
+  SELECT doc_id, p, array_to_string(t[p:p+9], ' ') AS g
+  FROM (SELECT doc_id, t, unnest(range(1, n - 8)) AS p FROM base WHERE n >= 10)
+),
+rep AS (
+  SELECT doc_id, p FROM (
+    SELECT doc_id, p, min(p) OVER (PARTITION BY doc_id, g) AS p0 FROM grams
+  ) WHERE p > p0
+),
+cov AS (
+  SELECT DISTINCT doc_id, p + o AS tp
+  FROM rep CROSS JOIN (SELECT unnest(range(0, 10)) AS o) offs
+),
+tokpos AS (
+  SELECT doc_id, unnest(t) AS tok, unnest(range(1, n + 1)) AS tp FROM base
+),
+kept AS (
+  SELECT k.doc_id, k.tp, k.tok
+  FROM tokpos k LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.tp = c.tp
+  WHERE c.tp IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS clean_text,
+         COUNT(*) AS nk
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       CAST(b.n AS BIGINT) AS n_tokens,
+       CAST(b.n - coalesce(a.nk, 0) AS BIGINT) AS n_removed
+FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("q201_intra_substring_dedup", _Q201_SQL)
+def q201_intra_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repeated-substring rewrite (keep-first) — the third
+    alignment class of the ExactSubstr family, completing the triad with
+    q197 (cross-document) and q199 (cross-corpus): every ≥10-token span
+    that already occurred earlier in the SAME document is removed
+    (`operators/dedup.intra_substring_dedup`).  Self-repetition is the
+    signature of looping generation and templated spam; q122 measures it,
+    this removes it.  Fixture: every doc_id%6 document gets its own first
+    12 tokens re-appended — the appended copy must die, the original must
+    survive.
+
+    Scale shape — the best possible: ENTIRELY MAP-ONLY, zero shuffle
+    (asserted by test): per-row 128-bit gram keys → one array_sort →
+    adjacent-equal scan → interval fold-merge → indexed-filter rewrite,
+    so 100 TB is one parquet scan pass.  Oracle: the windowed
+    min(p)-per-gram form."""
+    from re_data_pipeline_spark.operators.dedup import intra_substring_dedup
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"),
+        lambda t: t != "",
+    )
+    planted = d.withColumn(
+        "text",
+        F.when(
+            (F.col("doc_id") % 6 == 0) & (F.size(toks) >= 12),
+            F.concat_ws(
+                " ",
+                F.coalesce(F.col("text"), F.lit("")),
+                F.array_join(F.slice(toks, 1, 12), " "),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return intra_substring_dedup(planted, min_len=10)

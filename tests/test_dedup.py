@@ -1037,3 +1037,68 @@ def test_exact_substring_decontaminate_matches_brute_force(spark):
     assert got[50] == (docs[50], len(docs[50].split()), 0)  # dup-only doc intact
     carriers = [i for i in docs if i % 4 == 1]
     assert all(got[i][2] >= 10 for i in carriers)  # planted spans removed
+
+
+def _brute_intra(docs: dict, min_len: int) -> dict:
+    """Declarative reference for intra-document dedup: a token dies iff
+    some min_len-gram window covering it has an equal gram at a strictly
+    earlier position in the same document."""
+    out = {}
+    for i, txt in docs.items():
+        t = txt.split() if txt else []
+        seen = {}
+        cov = set()
+        for p in range(len(t) - min_len + 1):
+            g = tuple(t[p : p + min_len])
+            if g in seen:
+                cov.update(range(p, p + min_len))
+            else:
+                seen[g] = p
+        kept = [w for j, w in enumerate(t) if j not in cov]
+        out[i] = (" ".join(kept), len(t), len(cov))
+    return out
+
+
+def test_intra_substring_dedup_matches_brute_force(spark):
+    """Keep-first within-doc rewrite equals the declarative reference on
+    planted self-repeats (appended copy, periodic text, interleaved
+    repeats) and randomized small-vocab docs; cross-doc duplication alone
+    never triggers removal."""
+    import random
+
+    from re_data_pipeline_spark.operators.dedup import intra_substring_dedup
+
+    rng = random.Random(31)
+    vocab = [f"w{j}" for j in range(6)]
+    docs = {}
+    base = [rng.choice(vocab) for _ in range(15)]
+    docs[0] = " ".join(base + base[:12])        # appended self-copy (>= L)
+    docs[1] = " ".join(["x"] * 25)              # fully periodic
+    docs[2] = " ".join(base)                    # no repeat
+    docs[3] = docs[2]                           # cross-doc dup only: intact
+    docs[4] = None
+    docs[5] = ""
+    docs[6] = " ".join(base + ["q1", "q2"] + base[:9])  # sub-threshold copy
+    for i in range(7, 15):
+        docs[i] = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40)))
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in intra_substring_dedup(df, min_len=10).collect()
+    }
+    exp = _brute_intra(docs, 10)
+    assert got == exp
+    assert got[3] == (docs[3], 15, 0)    # cross-doc dup untouched
+    assert got[2] == (docs[2], 15, 0)
+    assert got[1][2] > 0                 # periodic text loses its tail
+    assert got[6][2] == 0                # 9-token copy below threshold
+
+
+def test_intra_substring_dedup_is_map_only(spark):
+    """The plan must contain NO exchange — intra-doc dedup is one scan
+    pass (the 100 TB design point of this tier)."""
+    from re_data_pipeline_spark.operators.dedup import intra_substring_dedup
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = intra_substring_dedup(df, min_len=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

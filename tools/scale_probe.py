@@ -263,6 +263,25 @@ def main() -> int:
 
         return exact_substring_dedup(d, min_len=50, k=25, on_degradation="off")
 
+    def _exactsub_grams(d):
+        from re_data_pipeline_spark.operators.dedup import exact_substring_dedup
+
+        return exact_substring_dedup(d, min_len=50, impl="grams")
+
+    def _decontam(d):
+        from re_data_pipeline_spark.operators.dedup import (
+            exact_substring_decontaminate,
+        )
+
+        # FIXED-size benchmark (doc ids < 500 exist at every scale): the
+        # A-side must grow linearly while the B side stays constant
+        bench = d.where(F.col("doc_id") < 500).select(
+            F.col("doc_id").alias("bench_id"), "text"
+        )
+        return exact_substring_decontaminate(
+            d, bench, min_len=50, k=25, on_degradation="off"
+        )
+
     PROBES = {
         "near_dedup_pipeline (LSH→verify→anti)": lambda n: near_dedup_pipeline(
             docs(n), threshold=0.5
@@ -304,6 +323,17 @@ def main() -> int:
         # (cluster COUNT, not size) — anchors are winnowed (~2/(w+1)
         # density), so shuffle exp must stay ≈ 1
         "exact_substring_dedup (winnowed anchors, min_len=50)": lambda n: _exactsub(
+            docs(n)
+        ),
+        # same semantics through the guaranteed-linear all-grams route: its
+        # shuffle is ~w/2 × the anchor path's but must ALSO fit exp ≈ 1,
+        # with no dependence on duplication structure
+        "exact_substring_dedup (all-grams route)": lambda n: _exactsub_grams(
+            docs(n)
+        ),
+        # A×B decontamination with a FIXED 500-doc benchmark: corpus side
+        # linear, candidate volume bounded by corpus×bench overlap
+        "exact_substring_decontaminate (fixed bench)": lambda n: _decontam(
             docs(n)
         ),
     }
