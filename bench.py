@@ -89,6 +89,7 @@ HEADLINE = [
     "q197_exact_substring_dedup",  # winnowing anchors → verify/extend → rewrite
     "q200_exact_substring_grams",  # same semantics, guaranteed-linear all-grams
     "q198_classifier_train",     # 2 aggregates/iteration logistic GD
+    "q201_intra_substring_dedup",  # map-only within-doc span rewrite
 ]
 
 

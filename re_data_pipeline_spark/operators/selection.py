@@ -686,6 +686,16 @@ def train_quality_classifier(
     """
     if iters < 1 or n_buckets < 1 or lr_num < 1 or lr_den < 1 or scale < 1:
         raise ValueError("iters, n_buckets, lr_num, lr_den, scale must be ≥ 1")
+    if n_buckets > (1 << 17):
+        # the weight vector inlines as a LITERAL ARRAY in the per-doc
+        # aggregate (map-only lookup, no join) — practical to ~10⁵
+        # buckets; beyond that the expression tree itself becomes the
+        # bottleneck and a broadcast-join weight table is the right shape
+        raise ValueError(
+            f"n_buckets={n_buckets} exceeds the literal-array practical "
+            f"bound (2^17); use a coarser feature hash or a broadcast-join "
+            f"weight lookup for wider models"
+        )
     spark = df.sparkSession
     y = F.col(label_col) if isinstance(label_col, str) else label_col
 

@@ -467,6 +467,22 @@ CHECKS = [
         "aggregates per iteration — is asserted by its tests, not here.)",
         {"spark.sql.autoBroadcastJoinThreshold": "-1"},
     ),
+    (
+        "q201_intra_substring_dedup",
+        "intra-doc substring rewrite: map-only, zero shuffle",
+        [
+            (r"!Exchange", "NO exchange anywhere — one scan pass"),
+            (r"!Join", "no join of any kind"),
+            (r"ReadSchema: [^\n]*text", "reads only the needed columns"),
+        ],
+        "Within-document repeat detection is per-row array algebra "
+        "(128-bit gram keys → one array_sort → adjacent-equal scan → "
+        "interval fold-merge → indexed-filter rewrite): at 100 TB this "
+        "is exactly one parquet scan pass that pipelines into the "
+        "consuming filter — the cheapest tier of the ExactSubstr triad, "
+        "run FIRST in a curation pipeline to strip self-repetition "
+        "before the shuffle-bearing cross-doc tiers.",
+    ),
 ]
 
 
