@@ -1935,13 +1935,22 @@ def _es_extend(c: DataFrame, k: int, min_len: int) -> DataFrame:
     columns.  The consecutive-match folds keep acc = j−1 only while every
     prior offset matched, so each fold computes the maximal extension and
     freezes at the first mismatch — exact per (pair, alignment), and
-    hash-collision-proof (slice equality at the anchor)."""
+    hash-collision-proof (slice equality at the anchor).
+
+    Two-phase fold: an aggregate HOF cannot early-exit, so a frozen fold
+    still iterates its whole bound — and most candidates (anchor k-grams
+    shared across NON-duplicate contexts, k < min_len) mismatch within a
+    few tokens.  Phase 1 folds a capped window; only candidates that
+    match the ENTIRE cap re-fold the full bound.  Identical result
+    (saturated cap → full fold recomputes from scratch), measured 4.0 s
+    → ~1 s on 720k candidates at sf0.1 with 62k survivors."""
+
+    _CAP = 8
 
     def _ext(side_a_pos, side_b_pos, bound):
-        return F.when(
-            bound >= 1,
-            F.aggregate(
-                F.sequence(F.lit(1), bound),
+        def fold(ub):
+            return F.aggregate(
+                F.sequence(F.lit(1), ub),
                 F.lit(0),
                 lambda acc, j: F.when(
                     (acc == j - 1)
@@ -1951,6 +1960,19 @@ def _es_extend(c: DataFrame, k: int, min_len: int) -> DataFrame:
                     ),
                     j.cast("int"),
                 ).otherwise(acc),
+            )
+
+        capped = F.least(bound, F.lit(_CAP))
+        return F.when(
+            bound >= 1,
+            F.element_at(
+                F.transform(
+                    F.array(fold(capped)),
+                    lambda l1: F.when(
+                        (l1 == capped) & (bound > _CAP), fold(bound)
+                    ).otherwise(l1),
+                ),
+                1,
             ),
         ).otherwise(F.lit(0))
 
