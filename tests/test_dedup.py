@@ -1102,3 +1102,24 @@ def test_intra_substring_dedup_is_map_only(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = intra_substring_dedup(df, min_len=2)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_exact_substring_spans_grams_impl_equals_anchors(spark):
+    """The spans surface agrees across both implementations on a corpus
+    with overlapping planted spans (the fold-merge path)."""
+    from re_data_pipeline_spark.operators.dedup import exact_substring_spans
+
+    s1 = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    s2 = "a6 a7 a8 a9 a10 b1 b2 b3 b4 b5"
+    df = spark.createDataFrame(
+        [(1, s1 + " b1 b2 b3 b4 b5"), (2, s1), (3, s2)],
+        "doc_id long, text string",
+    )
+    def spans(impl):
+        return {
+            (r["doc_id"], r["span_start"], r["span_end"])
+            for r in exact_substring_spans(df, min_len=10, k=5, impl=impl).collect()
+        }
+    a, g = spans("anchors"), spans("grams")
+    assert a == g
+    assert (1, 1, 15) in a  # merged overlap of s1 and s2 inside doc 1

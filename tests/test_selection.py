@@ -496,3 +496,17 @@ def test_train_quality_classifier_matches_python_replay(spark):
             mag = (lr_num * scale * abs(grad[b])) // den
             w[b] -= mag if grad[b] > 0 else -mag
     assert got == {b: w[b] for b in range(B)}
+
+
+def test_train_quality_classifier_validation(spark):
+    """Parameter guards: non-positive knobs and the literal-array bucket
+    cap raise before any job runs."""
+    import pytest as _pytest
+
+    from re_data_pipeline_spark.operators.selection import train_quality_classifier
+
+    df = spark.createDataFrame([(1, 1, "a b")], "doc_id long, label int, text string")
+    with _pytest.raises(ValueError, match="≥ 1"):
+        train_quality_classifier(df, label_col="label", iters=0)
+    with _pytest.raises(ValueError, match="literal-array"):
+        train_quality_classifier(df, label_col="label", n_buckets=(1 << 17) + 1)
