@@ -1123,3 +1123,22 @@ def test_exact_substring_spans_grams_impl_equals_anchors(spark):
     a, g = spans("anchors"), spans("grams")
     assert a == g
     assert (1, 1, 15) in a  # merged overlap of s1 and s2 inside doc 1
+
+
+def test_exact_substring_decontaminate_same_id_column_names(spark):
+    """df and bench may both use 'doc_id' — alias-qualified join refs keep
+    the sides distinct."""
+    from re_data_pipeline_spark.operators.dedup import exact_substring_decontaminate
+
+    bp = _BP10
+    ddf = spark.createDataFrame(
+        [(1, bp + " x1 x2"), (2, "y1 y2 y3")], "doc_id long, text string"
+    )
+    bdf = spark.createDataFrame([(9, bp)], "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n_removed"]
+        for r in exact_substring_decontaminate(
+            ddf, bdf, bench_id_col="doc_id", min_len=10, k=5, on_degradation="off"
+        ).collect()
+    }
+    assert got == {1: 10, 2: 0}
