@@ -65,3 +65,35 @@ def canonical_url(col: Column | str) -> Column:
     # dedup key that silently merges unrelated documents.  Pass them through
     # untouched instead; callers decide how to resolve relative links.
     return F.when(scheme == "", F.trim(c)).otherwise(canonical)
+
+
+def url_host(col: Column | str) -> Column:
+    """Lowercased host of a URL, port stripped — the key a crawl-curation
+    domain filter operates on (scheme-less inputs yield '')."""
+    c = _c(col)
+    host = F.lower(
+        F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    )
+    return F.regexp_replace(host, r":\d+$", "")
+
+
+def domain_suffixes(host: Column | str) -> Column:
+    """All dot-suffix domains of a host, most-specific first:
+    ``a.b.example.com`` → [a.b.example.com, b.example.com, example.com,
+    com].  A blocklist rule R matches host H iff H == R or H ends with
+    '.'+R — exactly membership of R in this array, which turns wildcard
+    subdomain blocking (the UT1/FineWeb blocklist semantics) into a plain
+    equi-join.  Array length is the host's label count (bounded ~10 by
+    DNS's 253-byte name limit), so the explode fan-out is a small constant,
+    not a data-scale blow-up."""
+    h = _c(host)
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    return F.when(
+        (h == "") | h.isNull(), F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."),
+        )
+    )

@@ -1,0 +1,272 @@
+"""Word-level n-gram language model with Stupid Backoff — the
+KenLM-shaped perplexity filter of web-corpus curation (CCNet trains a
+5-gram KenLM on Wikipedia and buckets CommonCrawl by perplexity;
+reference analogue: the quality-gating tier around
+``combine_broker_listings.py``'s cleaning passes, generalized to the
+corpus-curation form).
+
+This is the word-level sibling of ``selection.char_bigram_nll``: a
+trigram model with Stupid Backoff (Brants et al. 2007, "Large Language
+Models in Machine Translation") instead of KenLM's modified Kneser-Ney —
+Stupid Backoff is the published large-corpus choice precisely because it
+needs only raw counts (no discount fitting), which makes it exactly
+replayable in SQL:
+
+    S(w3 | w1 w2) = c3(w1 w2 w3) / c2(w1 w2)            if c3 > 0
+                  = 0.4 · c2(w2 w3) / c1(w2)             elif c2 > 0
+                  = 0.16 · (c1(w3) + 1) / (N + V)        otherwise
+
+(α = 0.4 as published; α² is applied as the literal 0.16 so both engines
+parse the identical double).  The unigram floor is Laplace-smoothed so an
+unseen word scores the worst plausible surprise — never a free pass (the
+same inversion-guard argument as ``char_bigram_nll``'s unseen-context
+floor).
+
+Cross-engine exactness: every per-position log term is rounded to integer
+MICRO-nats in the MODEL tables (the DSIR trick), so per-document sums are
+integer-exact under any partitioning; the per-element double math
+(BIGINT/BIGINT division, literal-double multiply, one ln) is
+IEEE-identical between Spark and DuckDB.
+
+Scale shape (100 TB): training is three explode→map-combined-count aggs
+down to |observed grams| rows (corpus-bounded, never broadcast — the
+model tables join back by key and AQE gates the strategy by measured
+size).  Scoring shuffles Σ trigram positions once per backoff tier (three
+equi-joins against progressively smaller model tables) plus one per-doc
+agg; nothing is quadratic and no vocabulary-sized relation crosses the
+driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["ngram_lm_nll", "perplexity_buckets"]
+
+
+def _toks(text_col: str) -> Column:
+    """Whitespace tokens, empties dropped, NULL text → [] (the corpus-wide
+    tokenization contract shared with ``dedup.exact_substring_dedup``)."""
+    return F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda x: x != "",
+    )
+
+
+def _grams(t: Column, n: int, out: Column) -> Column:
+    """Positions 1..len−n+1 mapped through ``out`` (a fn of start index);
+    <n tokens → empty array (``F.sequence`` would count backwards)."""
+    return F.when(
+        F.size(t) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(t) - (n - 1)), out),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_lm_nll(
+    train_df: DataFrame,
+    score_df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document average negative log-likelihood under a trigram
+    Stupid-Backoff model trained on ``train_df`` (see module docstring).
+
+    Returns one row per ``score_df`` document: ``(id_col, n_trigrams,
+    nll_micro, nll)`` where ``nll_micro`` is the exact integer micro-nat
+    total over trigram positions, ``nll`` the 6dp-rounded mean in nats;
+    documents with fewer than 3 tokens return ``n_trigrams = 0`` and NULL
+    ``nll`` (no positions to score — NOT a perfect score).
+
+    ``score_df`` defaults to ``train_df`` (self-scoring, the corpus-health
+    view); CCNet-style filtering trains on a clean reference corpus and
+    scores the crawl.
+    """
+    if score_df is None:
+        score_df = train_df
+
+    t = _toks(text_col)
+    base = train_df.select(t.alias("__t")).where(F.size("__t") > 0)
+
+    uni = base.select(F.explode("__t").alias("__w")).groupBy("__w").agg(
+        F.count(F.lit(1)).alias("__c1")
+    )
+    # 1-row corpus stats: N tokens, V distinct tokens
+    stats = uni.agg(
+        F.sum("__c1").cast("bigint").alias("__n_tok"),
+        F.count(F.lit(1)).cast("bigint").alias("__v"),
+    )
+    # adjacent pairs, keyed by the joined gram AND its first word (the
+    # backoff denominator c1(first) joins on the word, not the gram)
+    bi = (
+        base.select(
+            F.explode(
+                _grams(
+                    F.col("__t"),
+                    2,
+                    lambda i: F.array_join(F.slice(F.col("__t"), i, 2), " "),
+                )
+            ).alias("__g2")
+        )
+        .groupBy("__g2")
+        .agg(F.count(F.lit(1)).alias("__c2"))
+        .withColumn("__w1", F.split(F.col("__g2"), " ")[0])
+    )
+    tri = (
+        base.select(
+            F.explode(
+                _grams(
+                    F.col("__t"),
+                    3,
+                    lambda i: F.array_join(F.slice(F.col("__t"), i, 3), " "),
+                )
+            ).alias("__g3")
+        )
+        .groupBy("__g3")
+        .agg(F.count(F.lit(1)).alias("__c3"))
+        .withColumn(
+            "__p2", F.array_join(F.slice(F.split(F.col("__g3"), " "), 1, 2), " ")
+        )
+    )
+    # model tables: per-key integer micro-nat NLL terms.  BIGINT/BIGINT
+    # division is IEEE double in both engines; α and α² are literals.
+    tri_model = tri.join(
+        bi.select(F.col("__g2").alias("__p2"), F.col("__c2").alias("__d2")), "__p2"
+    ).select(
+        "__g3",
+        F.round((-F.log(F.col("__c3") / F.col("__d2"))) * 1e6, 0)
+        .cast("long")
+        .alias("__f3"),
+    )
+    bi_model = bi.join(
+        uni.select(F.col("__w").alias("__w1"), F.col("__c1").alias("__d1")), "__w1"
+    ).select(
+        F.col("__g2").alias("__b2"),
+        F.round((-F.log(F.lit(0.4) * (F.col("__c2") / F.col("__d1")))) * 1e6, 0)
+        .cast("long")
+        .alias("__f2"),
+    )
+    uni_model = uni.crossJoin(F.broadcast(stats)).select(
+        F.col("__w").alias("__w3"),
+        F.round(
+            (
+                -F.log(
+                    F.lit(0.16)
+                    * ((F.col("__c1") + F.lit(1)) / (F.col("__n_tok") + F.col("__v")))
+                )
+            )
+            * 1e6,
+            0,
+        )
+        .cast("long")
+        .alias("__f1"),
+    )
+
+    sc = score_df.select(F.col(id_col), t.alias("__t"))
+    pos = sc.where(F.size("__t") >= 3).select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("__t") - 2),
+                lambda i: F.struct(
+                    F.array_join(F.slice(F.col("__t"), i, 3), " ").alias("__g3"),
+                    F.array_join(F.slice(F.col("__t"), i + 1, 2), " ").alias("__b2"),
+                    F.element_at(F.col("__t"), (i + 2).cast("int")).alias("__w3"),
+                ),
+            )
+        ).alias("__p"),
+    ).select(id_col, "__p.__g3", "__p.__b2", "__p.__w3")
+
+    scored = (
+        pos.join(tri_model, "__g3", "left")
+        .join(bi_model, "__b2", "left")
+        .join(uni_model, "__w3", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.coalesce(
+                F.col("__f3"),
+                F.col("__f2"),
+                F.col("__f1"),
+                # unseen word: the c1=0 case of the unigram formula, same
+                # textual shape so the double math is engine-identical
+                F.round(
+                    (
+                        -F.log(
+                            F.lit(0.16)
+                            * (F.lit(1) / (F.col("__n_tok") + F.col("__v")))
+                        )
+                    )
+                    * 1e6,
+                    0,
+                ).cast("long"),
+            ).alias("__f"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+        F.sum("__f").cast("bigint").alias("nll_micro"),
+        F.round(F.sum("__f") / (F.count(F.lit(1)) * 1e6), 6).alias("nll"),
+    )
+    # totality: <3-token docs come back with 0 positions and NULL nll
+    return (
+        sc.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_trigrams"), F.lit(0).cast("bigint")).alias(
+                "n_trigrams"
+            ),
+            "nll_micro",
+            "nll",
+        )
+    )
+
+
+def perplexity_buckets(
+    scored_df: DataFrame,
+    group_col: str,
+    nll_col: str = "nll",
+    id_col: str = "doc_id",
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """CCNet-style per-group perplexity bucketing: within each group
+    (language, source, …) rank documents by ascending NLL and cut the
+    ranking into ``len(labels)`` equal-population bands — CCNet keeps the
+    "head" (lowest-perplexity) band and drops or down-samples the tail.
+
+    Band of the 0-based within-group rank r over n group rows is
+    ``(B·r) DIV n`` — pure integer arithmetic, so the cut is exact in both
+    engines (float percentile math can flip a boundary row).  Rows with
+    NULL ``nll_col`` (unscoreable: <3 tokens) are EXCLUDED — a document
+    with no evidence must not land in "head" by default.
+
+    Scale shape: ONE ordinal spine over (group, nll, id) — never a
+    ``Window.partitionBy(group)``, which funnels the corpus into
+    |groups| reducers (languages are few and skewed: maximal skew by
+    construction).  Within-group rank = global ordinal − group-first
+    ordinal, group sizes and first-ordinals from one |groups|-row agg
+    broadcast back (the ``curriculum_interleave`` discipline).
+    """
+    from re_data_pipeline_spark.operators.ids import assign_ordinals, carry_spines
+
+    if len(labels) < 2:
+        raise ValueError(f"need ≥ 2 labels; got {labels!r}")
+    b = len(labels)
+    d = scored_df.where(F.col(nll_col).isNotNull())
+    o = assign_ordinals(
+        d, [F.asc(group_col), F.asc(nll_col), F.asc(id_col)], "__g"
+    )
+    firsts = o.groupBy(group_col).agg(
+        F.min("__g").alias("__g0"), F.count(F.lit(1)).alias("__n")
+    )
+    idx = F.expr(f"CAST(({b} * (__g - __g0)) DIV __n AS INT)")
+    label_arr = F.array(*[F.lit(x) for x in labels])
+    out = (
+        o.join(F.broadcast(firsts), group_col)
+        .withColumn("group_rank", (F.col("__g") - F.col("__g0")).cast("bigint"))
+        .withColumn(bucket_col, F.element_at(label_arr, idx + 1))
+        .drop("__g", "__g0", "__n")
+    )
+    return carry_spines(o, out)

@@ -111,3 +111,51 @@ def bloom_prefilter_anti_join(
         corpus.select(key_col), on=key_col, how="left_anti"
     )
     return definitely_new.unionByName(verified_new)
+
+
+def domain_blocklist_filter(
+    df: DataFrame,
+    host_col: str,
+    blocklist_df: DataFrame,
+    rule_col: str = "rule",
+    out_col: str = "blocked_by",
+) -> DataFrame:
+    """UT1/FineWeb-style domain blocklist filtering: a rule matches a host
+    exactly OR as a parent-domain wildcard (rule ``example.com`` blocks
+    ``ads.example.com``).  Adds ``out_col`` = the matched rule (NULL =
+    kept); callers drop with ``WHERE out_col IS NULL`` or keep the column
+    as provenance for the removal report.
+
+    When several rules match one host (``example.com`` and
+    ``ads.example.com`` both listed), the MOST SPECIFIC (longest) rule
+    wins, ties broken lexicographically-greatest — deterministic, and the
+    provenance a reviewer expects ("blocked by the narrower rule").
+
+    Scale shape: hosts explode into their dot-suffix chains
+    (``functions.urls.domain_suffixes`` — bounded by DNS label count, a
+    small constant fan-out) and equi-join the blocklist on the suffix.
+    NO broadcast hint: curated blocklists range from dozens of rules to
+    UT1's millions, so AQE picks broadcast vs shuffle by measured size.
+    Only matched rows reach the per-host tie-break agg (blocked rows, not
+    the corpus) and the corpus-side re-join is by the host value itself —
+    distinct hosts, not rows, drive its cardinality.
+    """
+    from re_data_pipeline_spark.functions.urls import domain_suffixes
+
+    bl = blocklist_df.select(F.col(rule_col).cast("string").alias("__suf")).distinct()
+    hosts = df.select(F.col(host_col).alias("__h")).distinct()
+    suf = hosts.select(
+        "__h", F.explode(domain_suffixes(F.col("__h"))).alias("__suf")
+    )
+    hits = (
+        suf.join(bl, "__suf")
+        .groupBy("__h")
+        .agg(
+            F.max(F.struct(F.length("__suf").alias("l"), F.col("__suf").alias("s")))
+            .alias("__m")
+        )
+        .select("__h", F.col("__m.s").alias(out_col))
+    )
+    return df.join(
+        hits, df[host_col] == hits["__h"], "left"
+    ).drop("__h")

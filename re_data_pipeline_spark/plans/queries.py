@@ -9117,3 +9117,259 @@ def q201_intra_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return intra_substring_dedup(planted, min_len=10)
+
+
+# ---------------------------------------------------------------------------
+# Round 11: word-level LM quality tier + crawl-curation infrastructure
+# ---------------------------------------------------------------------------
+
+# Shared DuckDB replay of the trigram Stupid-Backoff model
+# (operators/lm.ngram_lm_nll): counts → per-tier micro-nat NLL model
+# tables → 3-tier coalesce per trigram position → per-doc integer sums.
+_LM_SQL_CORE = r"""
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text,''), '\s+'),
+                     t -> t <> '') AS t
+  FROM documents
+),
+base AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+uni AS (SELECT w, count(*) AS c1
+        FROM (SELECT unnest(t) AS w FROM base) GROUP BY 1),
+stats AS (SELECT CAST(SUM(c1) AS BIGINT) AS n_tok,
+                 CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+bi AS (
+  SELECT array_to_string(t[p:p+1], ' ') AS g2, t[p] AS w1, count(*) AS c2
+  FROM (SELECT t, unnest(range(1, n)) AS p FROM base WHERE n >= 2)
+  GROUP BY 1, 2
+),
+tri AS (
+  SELECT array_to_string(t[p:p+2], ' ') AS g3,
+         array_to_string(t[p:p+1], ' ') AS p2, count(*) AS c3
+  FROM (SELECT t, unnest(range(1, n - 1)) AS p FROM base WHERE n >= 3)
+  GROUP BY 1, 2
+),
+tri_model AS (
+  SELECT g3, CAST(round((-ln(c3 / d2)) * 1000000, 0) AS BIGINT) AS f3
+  FROM tri JOIN (SELECT g2 AS p2, c2 AS d2 FROM bi) USING (p2)
+),
+bi_model AS (
+  SELECT g2 AS b2,
+         CAST(round((-ln(CAST(0.4 AS DOUBLE) * (c2 / d1))) * 1000000, 0)
+              AS BIGINT) AS f2
+  FROM bi JOIN (SELECT w AS w1, c1 AS d1 FROM uni) USING (w1)
+),
+uni_model AS (
+  SELECT w AS w3,
+         CAST(round((-ln(CAST(0.16 AS DOUBLE) * ((c1 + 1) / (n_tok + v))))
+                    * 1000000, 0) AS BIGINT) AS f1
+  FROM uni CROSS JOIN stats
+),
+pos AS (
+  SELECT doc_id,
+         array_to_string(t[p:p+2], ' ') AS g3,
+         array_to_string(t[p+1:p+2], ' ') AS b2,
+         t[p+2] AS w3
+  FROM (SELECT doc_id, t, unnest(range(1, n - 1)) AS p FROM base WHERE n >= 3)
+),
+lm_scored AS (
+  SELECT doc_id,
+         coalesce(f3, f2, f1,
+                  CAST(round((-ln(CAST(0.16 AS DOUBLE) * (1 / (n_tok + v))))
+                             * 1000000, 0) AS BIGINT)) AS f
+  FROM pos LEFT JOIN tri_model USING (g3)
+           LEFT JOIN bi_model USING (b2)
+           LEFT JOIN uni_model USING (w3)
+  CROSS JOIN stats
+),
+lm_agg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         CAST(SUM(f) AS BIGINT) AS nll_micro,
+         round(SUM(f) / (count(*) * 1000000.0), 6) AS nll
+  FROM lm_scored GROUP BY doc_id
+)
+"""
+
+_Q202_SQL = f"""
+WITH {_LM_SQL_CORE}
+SELECT d.doc_id, coalesce(a.n_trigrams, 0) AS n_trigrams,
+       a.nll_micro, a.nll
+FROM (SELECT doc_id FROM toks) d LEFT JOIN lm_agg a USING (doc_id)
+"""
+
+
+@query("q202_ngram_lm_nll", _Q202_SQL)
+def q202_ngram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under a self-trained word-trigram
+    Stupid-Backoff LM (`operators/lm.ngram_lm_nll`) — the word-level
+    KenLM-shaped quality filter of CCNet-style curation (q170 is its
+    character-level sibling; reference analogue: the quality-gating tier
+    around `combine_broker_listings.py`'s cleaning passes, generalized).
+
+    Cross-engine exactness: per-position log terms are integer micro-nats
+    in the MODEL tables, so document sums are partitioning-independent;
+    the per-term double math (BIGINT/BIGINT division, literal-double α,
+    one ln) is IEEE-identical.  <3-token docs return n_trigrams=0 and
+    NULL nll — no evidence is not a perfect score.
+
+    Scale shape: three explode→map-combined count aggs (model is
+    |observed grams| rows, corpus-bounded, NEVER broadcast — AQE gates
+    the model joins by measured size); scoring is three equi-joins over
+    Σ trigram positions + one per-doc agg.  Nothing quadratic, no
+    vocabulary-sized driver exchange."""
+    from re_data_pipeline_spark.operators.lm import ngram_lm_nll
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_lm_nll(d)
+
+
+_Q203_SQL = f"""
+WITH {_LM_SQL_CORE},
+scored AS (
+  SELECT a.doc_id, d.lang, a.nll_micro, a.nll
+  FROM lm_agg a JOIN documents d USING (doc_id)
+  WHERE a.nll IS NOT NULL
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY lang ORDER BY nll, doc_id) - 1 AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM scored
+)
+SELECT doc_id, lang, nll_micro, nll, CAST(rk AS BIGINT) AS group_rank,
+       (['head','middle','tail'])[CAST((3 * rk) // n AS INT) + 1] AS bucket
+FROM r
+"""
+
+
+@query("q203_ccnet_buckets", _Q203_SQL)
+def q203_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing: per-language tertile
+    cut of the q202 LM score (`operators/lm.perplexity_buckets`) — CCNet
+    keeps "head" and drops/down-samples "tail".  The cut is pure integer
+    arithmetic ((3·rank) DIV n), so boundary rows can't flip cross-engine.
+
+    Scale shape: ONE ordinal spine over (lang, nll, doc_id) — never a
+    `Window.partitionBy(lang)` (languages are few and skewed: the corpus
+    would funnel into |langs| reducers); per-language first-ordinals and
+    sizes from a |langs|-row broadcast agg."""
+    from re_data_pipeline_spark.operators.lm import ngram_lm_nll, perplexity_buckets
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    scored = ngram_lm_nll(d).where(F.col("nll").isNotNull())
+    scored = scored.join(d.select("doc_id", "lang"), "doc_id")
+    out = perplexity_buckets(scored, "lang")
+    from re_data_pipeline_spark.operators.ids import carry_spines
+
+    return carry_spines(
+        out,
+        out.select("doc_id", "lang", "nll_micro", "nll", "group_rank", "bucket"),
+    )
+
+
+_Q204_SQL = """
+WITH hosts AS (
+  SELECT doc_id,
+         'sub' || CAST(doc_id % 3 AS VARCHAR)
+           || CASE WHEN doc_id % 4 = 0 THEN '.ads' ELSE '.www' END
+           || '.example' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host
+  FROM documents
+),
+bl(rule) AS (
+  VALUES ('example3.com'), ('ads.example5.com'),
+         ('sub1.www.example2.com'), ('example3.com'),
+         ('ads.example3.com')
+),
+rules AS (SELECT DISTINCT rule FROM bl),
+suf AS (
+  SELECT host, array_to_string(labels[i:len(labels)], '.') AS s
+  FROM (SELECT DISTINCT host, string_split(host, '.') AS labels FROM hosts),
+       LATERAL (SELECT unnest(range(1, len(labels) + 1)) AS i)
+),
+hits AS (
+  SELECT host, max(struct_pack(l := len(s), s := s)) AS m
+  FROM suf JOIN rules ON s = rule
+  GROUP BY host
+)
+SELECT h.doc_id, h.host, hits.m.s AS blocked_by
+FROM hosts h LEFT JOIN hits ON h.host = hits.host
+"""
+
+
+@query("q204_domain_blocklist", _Q204_SQL)
+def q204_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1/FineWeb-style domain blocklist filter
+    (`operators/membership.domain_blocklist_filter`): a rule blocks its
+    exact host AND every subdomain, via the dot-suffix-chain explode
+    (`functions/urls.domain_suffixes`) equi-joined against the blocklist
+    — wildcard matching as a plain join, no regex scan.  Most-specific
+    (longest) rule wins for provenance.  Fixture: synthesized hosts over
+    3×2×7 subdomain/label/domain combinations; the blocklist mixes a
+    registrable-domain wildcard, a narrower subdomain wildcard, an exact
+    host, and a duplicate rule.
+
+    Scale shape: suffix fan-out is DNS-label-bounded (constant ≤ ~10);
+    the blocklist join carries NO broadcast hint (UT1 is millions of
+    rules — AQE decides by measured size); tie-break agg sees only
+    matched hosts; corpus re-join is by distinct host."""
+    from re_data_pipeline_spark.operators.membership import domain_blocklist_filter
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    hosts = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("sub"), (F.col("doc_id") % 3).cast("string"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(".ads")).otherwise(F.lit(".www")),
+            F.lit(".example"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com"),
+        ).alias("host"),
+    )
+    bl = hosts.sparkSession.createDataFrame(
+        [("example3.com",), ("ads.example5.com",),
+         ("sub1.www.example2.com",), ("example3.com",),
+         # overlaps 'example3.com' on %4==0 hosts: longest rule must win
+         ("ads.example3.com",)],
+        "rule string",
+    )
+    return domain_blocklist_filter(hosts, "host", bl).select(
+        "doc_id", "host", "blocked_by"
+    )
+
+
+_Q205_SQL = """
+WITH rows_h AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 16 AS INT) AS shard,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31)
+                                  || coalesce(text, '') || chr(31)
+                                  || coalesce(lang, '')), 1, 15)) AS BIGINT)
+           AS rh,
+         CAST(coalesce(strlen(text), 0)
+              + coalesce(strlen(lang), 0) AS BIGINT) AS nb
+  FROM documents
+)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(rh) AS BIGINT) AS content_xor,
+       CAST(SUM(nb) AS BIGINT) AS n_bytes,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM rows_h GROUP BY shard
+"""
+
+
+@query("q205_shard_manifest", _Q205_SQL)
+def q205_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard corpus integrity manifest
+    (`operators/maintenance.shard_manifest`): row count, XOR-folded
+    60-bit md5 row hash (order-independent ⇒ partitioning-independent),
+    byte mass, id range — the receipt verified before a 100 TB handoff,
+    localizing any diff to 1/num_shards of the corpus.  Reference
+    analogue: the row-count sanity checks around
+    `combine_broker_listings.py`'s staged writes, made content-aware.
+
+    Scale shape: ONE map-combined groupBy over num_shards keys; output is
+    num_shards rows."""
+    from re_data_pipeline_spark.operators.maintenance import shard_manifest
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return shard_manifest(d, "doc_id", ["text", "lang"], num_shards=16)

@@ -1,0 +1,151 @@
+"""Unit tests for operators/lm.py (trigram Stupid-Backoff LM + CCNet
+buckets), functions/urls.domain_suffixes, membership.domain_blocklist_filter,
+and maintenance.shard_manifest."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from re_data_pipeline_spark.operators.lm import ngram_lm_nll, perplexity_buckets
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_ngram_lm_backoff_tiers_hand_computed(spark):
+    # corpus: one doc "a b c a b d".  tokens N=6, V=4 (a,b,c,d)
+    # trigrams: "a b c", "b c a", "c a b", "a b d" (each c3=1)
+    # bigrams:  "a b"x2, "b c", "c a", "b d"
+    train = _docs(spark, [(1, "a b c a b d")])
+    out = {r["doc_id"]: r for r in ngram_lm_nll(train).collect()}
+    r = out[1]
+    assert r["n_trigrams"] == 4
+    # every trigram is observed: term = -ln(c3/c2(prefix))
+    # "a b c": c3=1, c2("a b")=2 -> -ln(1/2); "b c a": c2("b c")=1 -> 0
+    # "c a b": c2("c a")=1 -> 0; "a b d": c2("a b")=2 -> -ln(1/2)
+    exp = 2 * round(-math.log(1 / 2) * 1e6) + 0 + 0
+    assert r["nll_micro"] == exp
+    # engines round HALF_UP (Python's round() is banker's — 0.3465735 is
+    # a genuine 6dp tie here, so spell the rule out)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    # str(): Spark/DuckDB round the double's SHORTEST decimal repr
+    # ("0.3465735"), not its full binary expansion (…49999…)
+    exp_nll = float(
+        Decimal(str(exp / (4 * 1e6))).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+    )
+    assert r["nll"] == exp_nll
+
+
+def test_ngram_lm_bigram_and_unigram_backoff(spark):
+    train = _docs(spark, [(1, "a b c a b d")])
+    # score a doc with an UNSEEN trigram whose suffix bigram exists
+    # ("c a b" exists; craft "d a b": trigram unseen, bigram "a b" seen)
+    score = _docs(spark, [(7, "d a b")])
+    r = ngram_lm_nll(train, score).collect()[0]
+    # backoff tier 2: -ln(0.4 * c2("a b")/c1("a")) = -ln(0.4 * 2/2)
+    assert r["n_trigrams"] == 1
+    assert r["nll_micro"] == round(-math.log(0.4 * (2 / 2)) * 1e6)
+
+    # unigram tier: trigram+bigram unseen, word "c" seen (c1=1, N=6, V=4)
+    score2 = _docs(spark, [(8, "d d c")])
+    r2 = ngram_lm_nll(train, score2).collect()[0]
+    assert r2["nll_micro"] == round(-math.log(0.16 * ((1 + 1) / (6 + 4))) * 1e6)
+
+    # unseen word floor: 0.16 * 1/(N+V)
+    score3 = _docs(spark, [(9, "x y z")])
+    r3 = ngram_lm_nll(train, score3).collect()[0]
+    assert r3["nll_micro"] == round(-math.log(0.16 * (1 / (6 + 4))) * 1e6)
+
+
+def test_ngram_lm_short_and_null_docs_total(spark):
+    train = _docs(spark, [(1, "a b c a b d")])
+    score = _docs(spark, [(1, "a b"), (2, None), (3, ""), (4, "a b c")])
+    rows = {r["doc_id"]: r for r in ngram_lm_nll(train, score).collect()}
+    assert len(rows) == 4  # totality: every input doc comes back
+    for i in (1, 2, 3):
+        assert rows[i]["n_trigrams"] == 0 and rows[i]["nll"] is None
+    assert rows[4]["n_trigrams"] == 1
+
+
+def test_perplexity_buckets_integer_cut(spark):
+    # n=7 in one group: (3*rk) DIV 7 -> head rk 0-2, middle rk 3-4, tail 5-6
+    d = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(7)], "doc_id bigint, lang string, nll double"
+    )
+    out = perplexity_buckets(d, "lang")
+    got = {r["doc_id"]: (r["group_rank"], r["bucket"]) for r in out.collect()}
+    assert [got[i][1] for i in range(7)] == [
+        "head", "head", "head", "middle", "middle", "tail", "tail",
+    ]
+    assert [got[i][0] for i in range(7)] == list(range(7))
+
+
+def test_perplexity_buckets_null_nll_excluded(spark):
+    d = spark.createDataFrame(
+        [(0, "g", 1.0), (1, "g", None), (2, "g", 2.0), (3, "g", 3.0)],
+        "doc_id bigint, lang string, nll double",
+    )
+    rows = perplexity_buckets(d, "lang").collect()
+    assert sorted(r["doc_id"] for r in rows) == [0, 2, 3]
+
+
+def test_domain_suffixes_chain(spark):
+    from re_data_pipeline_spark.functions.urls import domain_suffixes
+
+    d = spark.createDataFrame([("a.b.example.com",), ("",), (None,)], "h string")
+    rows = d.select(domain_suffixes("h").alias("s")).collect()
+    assert rows[0]["s"] == ["a.b.example.com", "b.example.com", "example.com", "com"]
+    assert rows[1]["s"] == [] and rows[2]["s"] == []
+
+
+def test_domain_blocklist_filter_semantics(spark):
+    from re_data_pipeline_spark.operators.membership import domain_blocklist_filter
+
+    hosts = spark.createDataFrame(
+        [
+            (1, "ads.example.com"),     # wildcard parent match
+            (2, "example.com"),          # exact match
+            (3, "safe.org"),             # kept
+            (4, "deep.ads.example.com"), # two rules match: longest wins
+            (5, "notexample.com"),       # suffix STRING but not suffix DOMAIN
+        ],
+        "id bigint, host string",
+    )
+    bl = spark.createDataFrame(
+        [("example.com",), ("ads.example.com",)], "rule string"
+    )
+    out = {r["id"]: r["blocked_by"] for r in
+           domain_blocklist_filter(hosts, "host", bl).collect()}
+    assert out[1] == "ads.example.com"
+    assert out[2] == "example.com"
+    assert out[3] is None
+    assert out[4] == "ads.example.com"  # most-specific rule, not example.com
+    assert out[5] is None  # 'notexample.com' must NOT match rule 'example.com'
+
+
+def test_shard_manifest_order_independent_and_localizing(spark):
+    from re_data_pipeline_spark.operators.maintenance import shard_manifest
+
+    d = spark.createDataFrame(
+        [(i, f"text {i}", "en") for i in range(100)],
+        "doc_id bigint, text string, lang string",
+    )
+    m1 = shard_manifest(d, "doc_id", ["text", "lang"], num_shards=8)
+    m2 = shard_manifest(
+        d.repartition(7, "text"), "doc_id", ["text", "lang"], num_shards=8
+    )
+    assert sorted(map(tuple, m1.collect())) == sorted(map(tuple, m2.collect()))
+
+    # mutating one row changes exactly that row's shard line
+    d3 = d.withColumn(
+        "text", F.when(F.col("doc_id") == 42, F.lit("tampered")).otherwise(F.col("text"))
+    )
+    m3 = shard_manifest(d3, "doc_id", ["text", "lang"], num_shards=8)
+    a = {r["shard"]: tuple(r) for r in m1.collect()}
+    b = {r["shard"]: tuple(r) for r in m3.collect()}
+    diff = [s for s in a if a[s] != b[s]]
+    assert len(diff) == 1
