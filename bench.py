@@ -90,6 +90,10 @@ HEADLINE = [
     "q200_exact_substring_grams",  # same semantics, guaranteed-linear all-grams
     "q198_classifier_train",     # 2 aggregates/iteration logistic GD
     "q201_intra_substring_dedup",  # map-only within-doc span rewrite
+    # round-11 additions: the word-trigram LM (3 gram aggs + 3-tier
+    # coalesce join — the heaviest new op) and its per-language cut
+    "q202_ngram_lm_nll",         # Stupid-Backoff model build + score
+    "q203_ccnet_buckets",        # LM + ordinal-spine tertile cut
 ]
 
 

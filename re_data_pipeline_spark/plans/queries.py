@@ -4784,31 +4784,36 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-window registration order
 # ---------------------------------------------------------------------------
 # The correctness driver verifies the FIRST 50 registered queries, in order.
-# Round-10 rotation (the r8/r9 verdicts' top task: rotate the STALE band —
-# oldest green driver row first; DRIVER_WINDOW_ROUND below stamps this):
-# (a) all 23 queries whose last green driver row is ROUND 4 — the
-#     q54-q95 stock-expression band deferred in rounds 8 AND 9
-#     (parity-verified every session, but the driver gate is the hard
-#     signal and these rows were 6 rounds stale);
-# (b) the 2 queries NEW this round: q197 ExactSubstr cross-document
-#     substring dedup, q198 in-engine classifier training;
-# (c) the 25 OLDEST round-5 rows (q01/q04/q07/q14/q20/q35/q38/q41-q48/
-#     q53 named by the r9 verdict, plus the next-oldest r5 rows).
-# Deferred to round 11 (still r5-last, all parity-green this session):
-# q119 q122 q123 q124 q126 q127 q130 q131 q132 q134 q135 q136 q137 q138
-# q139 q140 q147
-# — they own the r11 window together with the oldest r6 band.
-# Everything rotated out holds a green r6-r9 driver row with unchanged
+# Round-11 rotation (tools/window_planner.py proposal, reviewed).  NOTE:
+# no CORRECTNESS_r10.json was filed (the driver skipped the record between
+# rounds 10 and 11), so the round-10 composition — the r4-stale q54-q95
+# band plus q197-q201 — was never actually driver-checked and is KEPT:
+# (a) the 9 never-driver-checked queries: q197-q201 (round 10) and
+#     q202-q205 (NEW this round: trigram Stupid-Backoff LM, CCNet
+#     perplexity buckets, domain blocklist filter, shard manifest);
+# (b) the 23 queries whose last green driver row is ROUND 4 (q54-q95
+#     stock-expression band — carried from the unrecorded r10 window);
+# (c) the oldest round-5 rows, planner order (q01/q04/q07, q100-q135
+#     band; q14/q20/q35/q38/q41-q48/q53/q69/q75/q91 rotate out with a
+#     green r10-intended slot → they lead the r12 window with
+#     q136-q140/q147 if CORRECTNESS_r11 lands).
+# Everything rotated out holds a green r5-r9 driver row with unchanged
 # code, and tools/parity.py still verifies ALL registered queries every
 # session.
 
 # The round this list was last actually RE-COMPOSED (not merely shipped):
 # tools/gen_window_doc.py stamps it into README so the freshness claim
 # can't silently go false again (r9 verdict "what's wrong" #2).
-DRIVER_WINDOW_ROUND = 10
+DRIVER_WINDOW_ROUND = 11
 
 DRIVER_WINDOW: list[str] = [
-    # (a) last green driver row: round 4
+    # (a) never driver-checked (q197-q201: r10's record was never filed)
+    "q197_exact_substring_dedup", "q198_classifier_train",
+    "q199_exact_substring_decontam", "q200_exact_substring_grams",
+    "q201_intra_substring_dedup",
+    "q202_ngram_lm_nll", "q203_ccnet_buckets",
+    "q204_domain_blocklist", "q205_shard_manifest",
+    # (b) last green driver row: round 4
     "q54_first_available", "q55_limit_topn", "q64_lag_lead",
     "q65_first_occurrence", "q66_state_flag_merge", "q67_rolling_hash",
     "q74_percentiles", "q76_histogram", "q77_levenshtein",
@@ -4817,21 +4822,15 @@ DRIVER_WINDOW: list[str] = [
     "q86_cdc_latest", "q88_conditional_agg", "q89_above_average",
     "q90_array_setops", "q92_date_trunc_spectrum", "q93_word_count",
     "q94_funnel", "q95_incremental_aggregate",
-    # (b) new this round — never driver-checked
-    "q197_exact_substring_dedup", "q198_classifier_train",
-    # (c) oldest round-5 rows
+    # (c) oldest round-5 rows (planner order)
     "q01_pricing_summary", "q04_multi_join_revenue", "q07_topk_per_group",
-    "q14_grid_agg", "q20_safe_cast", "q35_cosine_topk", "q38_radius_join",
-    "q41_ann_lsh", "q42_llm_extract", "q43_embed_column",
-    "q45_multimodal_features", "q46_listings_pipeline",
-    "q47_rental_grid_pipeline", "q48_transcripts_pipeline",
-    "q53_approx_distinct", "q69_ivf_ann", "q75_percentile_approx",
-    "q91_brochure_pipeline", "q100_contamination", "q103_ivf_kmeans",
-    "q113_quality_report", "q115_pq_adc_topk",
-    # (b2) added mid-round: the 3rd-5th new queries displace the three
-    # newest remaining r5 rows (q119, q122, q123 → round 11)
-    "q199_exact_substring_decontam", "q200_exact_substring_grams",
-    "q201_intra_substring_dedup",
+    "q100_contamination", "q103_ivf_kmeans", "q113_quality_report",
+    "q115_pq_adc_topk", "q119_multipolygon_zones",
+    "q122_repetition_metrics", "q123_semantic_dedup",
+    "q124_dsir_importance", "q126_quality_classifier",
+    "q127_compaction_plan", "q130_bloom_prefilter",
+    "q131_stream_stream_join", "q132_bpe_pair_counts",
+    "q134_scd2_history", "q135_inverted_index",
 ]
 
 
