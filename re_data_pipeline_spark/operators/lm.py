@@ -82,11 +82,25 @@ def ngram_lm_nll(
     view); CCNet-style filtering trains on a clean reference corpus and
     scores the crawl.
     """
+    same = score_df is None or score_df is train_df
     if score_df is None:
         score_df = train_df
 
     t = _toks(text_col)
-    base = train_df.select(t.alias("__t")).where(F.size("__t") > 0)
+    # tokenize ONCE and persist: the train side feeds three gram aggs and
+    # the score side two consumers — without the persist the regex split
+    # re-runs per consumer (a 6× tokenization pass when self-scoring).
+    # Handles ride the spine-cache protocol (_carry_caches) so callers'
+    # release_spines/carry_spines free them after materialization.
+    from re_data_pipeline_spark.operators.ids import _carry_caches
+
+    sc = score_df.select(F.col(id_col), t.alias("__t")).persist()
+    caches = [sc]
+    if same:
+        base = sc.where(F.size("__t") > 0)
+    else:
+        base = train_df.select(t.alias("__t")).where(F.size("__t") > 0).persist()
+        caches.append(base)
 
     uni = base.select(F.explode("__t").alias("__w")).groupBy("__w").agg(
         F.count(F.lit(1)).alias("__c1")
@@ -162,7 +176,6 @@ def ngram_lm_nll(
         .alias("__f1"),
     )
 
-    sc = score_df.select(F.col(id_col), t.alias("__t"))
     pos = sc.where(F.size("__t") >= 3).select(
         F.col(id_col),
         F.explode(
@@ -209,7 +222,7 @@ def ngram_lm_nll(
         F.round(F.sum("__f") / (F.count(F.lit(1)) * 1e6), 6).alias("nll"),
     )
     # totality: <3-token docs come back with 0 positions and NULL nll
-    return (
+    out = (
         sc.select(id_col)
         .join(agg, id_col, "left")
         .select(
@@ -221,6 +234,11 @@ def ngram_lm_nll(
             "nll",
         )
     )
+    # hand the persisted-token handles to the caller via the spine-cache
+    # protocol (release_spines / carry_spines free them after the action)
+    for c in caches:
+        out = _carry_caches(out, out, c)
+    return out
 
 
 def perplexity_buckets(

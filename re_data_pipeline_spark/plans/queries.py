@@ -9125,12 +9125,14 @@ def q201_intra_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared DuckDB replay of the trigram Stupid-Backoff model
 # (operators/lm.ngram_lm_nll): counts → per-tier micro-nat NLL model
 # tables → 3-tier coalesce per trigram position → per-doc integer sums.
-_LM_SQL_CORE = r"""
+# ``{src}`` is the (doc_id, text) relation the model trains on and scores
+# (q202/q203: ``documents``; q206: the blocklist survivors).
+_LM_SQL_CORE_TMPL = r"""
 toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(coalesce(text,''), '\s+'),
                      t -> t <> '') AS t
-  FROM documents
+  FROM {src}
 ),
 base AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
 uni AS (SELECT w, count(*) AS c1
@@ -9188,6 +9190,8 @@ lm_agg AS (
   FROM lm_scored GROUP BY doc_id
 )
 """
+
+_LM_SQL_CORE = _LM_SQL_CORE_TMPL.format(src="documents")
 
 _Q202_SQL = f"""
 WITH {_LM_SQL_CORE}
@@ -9372,3 +9376,145 @@ def q205_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     return shard_manifest(d, "doc_id", ["text", "lang"], num_shards=16)
+
+
+_Q206_SQL = (
+    """
+WITH hosts AS (
+  SELECT doc_id,
+         'sub' || CAST(doc_id % 3 AS VARCHAR)
+           || CASE WHEN doc_id % 4 = 0 THEN '.ads' ELSE '.www' END
+           || '.example' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host
+  FROM documents
+),
+bl(rule) AS (
+  VALUES ('example3.com'), ('ads.example5.com'),
+         ('sub1.www.example2.com'), ('example3.com'),
+         ('ads.example3.com')
+),
+rules AS (SELECT DISTINCT rule FROM bl),
+suf AS (
+  SELECT host, array_to_string(labels[i:len(labels)], '.') AS s
+  FROM (SELECT DISTINCT host, string_split(host, '.') AS labels FROM hosts),
+       LATERAL (SELECT unnest(range(1, len(labels) + 1)) AS i)
+),
+blocked AS (SELECT DISTINCT host FROM suf JOIN rules ON s = rule),
+survivors AS (
+  SELECT d.doc_id, d.text, d.lang
+  FROM documents d JOIN hosts h USING (doc_id)
+  LEFT JOIN blocked b ON h.host = b.host
+  WHERE b.host IS NULL
+),
+"""
+    + _LM_SQL_CORE_TMPL.format(src="survivors")
+    + """,
+scored AS (
+  SELECT a.doc_id, s.lang, a.nll
+  FROM lm_agg a JOIN survivors s USING (doc_id)
+  WHERE a.nll IS NOT NULL
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY lang ORDER BY nll, doc_id) - 1 AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM scored
+),
+kept_lm AS (SELECT doc_id FROM r WHERE CAST((3 * rk) // n AS INT) < 2),
+fp AS (
+  SELECT s.doc_id, s.text, s.lang, md5(coalesce(s.text, '')) AS fpr
+  FROM survivors s JOIN kept_lm USING (doc_id)
+),
+deduped AS (
+  SELECT doc_id, text, lang FROM (
+    SELECT *, row_number() OVER (PARTITION BY fpr ORDER BY doc_id) AS rn FROM fp
+  ) WHERE rn = 1
+),
+rows_h AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 16 AS INT) AS shard,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31)
+                                  || coalesce(text, '') || chr(31)
+                                  || coalesce(lang, '')), 1, 15)) AS BIGINT)
+           AS rh,
+         CAST(coalesce(strlen(text), 0)
+              + coalesce(strlen(lang), 0) AS BIGINT) AS nb
+  FROM deduped
+)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(rh) AS BIGINT) AS content_xor,
+       CAST(SUM(nb) AS BIGINT) AS n_bytes,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM rows_h GROUP BY shard
+"""
+)
+
+
+@query("q206_curation_v3", _Q206_SQL)
+def q206_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end FineWeb-style curation trace composing the round-11
+    tier: domain blocklist filter (q204) → trigram-LM perplexity scoring
+    + per-language CCNet cut, tail dropped (q202/q203) → exact dedup on
+    the text fingerprint (min-id winner) → per-shard integrity manifest
+    of the survivors (q205) — the curated corpus plus the receipt it
+    ships with.  Fully oracled END TO END: every stage is the same
+    md5/fixed-point/integer-DIV algebra in both engines, so the COMPOSED
+    manifest hash-matches (any cross-stage drift — one doc mis-bucketed,
+    one dup straddling — flips a shard's xor line).
+
+    Scale shape: each stage keeps its own audited discipline (suffix
+    equi-join; gram-keyed model joins; ONE ordinal spine, no per-lang
+    window; fingerprint agg; one map-combined manifest agg); stages chain
+    through (doc_id)-keyed joins, never widening beyond the corpus.
+    Unscoreable docs (<3 tokens, NULL nll) exit with the tail — a doc
+    with no LM evidence is not kept by default."""
+    from pyspark.sql.window import Window as _W
+
+    from re_data_pipeline_spark.operators.ids import release_spines
+    from re_data_pipeline_spark.operators.lm import ngram_lm_nll, perplexity_buckets
+    from re_data_pipeline_spark.operators.maintenance import shard_manifest
+    from re_data_pipeline_spark.operators.membership import domain_blocklist_filter
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    hosts = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("sub"), (F.col("doc_id") % 3).cast("string"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(".ads")).otherwise(F.lit(".www")),
+            F.lit(".example"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com"),
+        ).alias("host"),
+    )
+    bl = spark.createDataFrame(
+        [("example3.com",), ("ads.example5.com",),
+         ("sub1.www.example2.com",), ("example3.com",),
+         ("ads.example3.com",)],
+        "rule string",
+    )
+    kept_hosts = (
+        domain_blocklist_filter(hosts, "host", bl)
+        .where(F.col("blocked_by").isNull())
+        .select("doc_id")
+    )
+    survivors = d.join(kept_hosts, "doc_id")
+
+    scored = ngram_lm_nll(survivors).where(F.col("nll").isNotNull())
+    scored = scored.join(survivors.select("doc_id", "lang"), "doc_id")
+    buck = perplexity_buckets(scored, "lang")
+    kept_lm = buck.where(F.col("bucket") != "tail").select("doc_id")
+
+    fp = survivors.join(kept_lm, "doc_id").withColumn(
+        "__fpr", F.md5(F.coalesce(F.col("text"), F.lit("")))
+    )
+    w = _W.partitionBy("__fpr").orderBy("doc_id")  # dup-cluster-sized frames
+    deduped = (
+        fp.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("doc_id", "text", "lang")
+    )
+    out = shard_manifest(deduped, "doc_id", ["text", "lang"], num_shards=16)
+    # the buckets' ordinal spine is consumed; free it when this plan is
+    # materialized by carrying the handle forward
+    from re_data_pipeline_spark.operators.ids import carry_spines
+
+    return carry_spines(buck, out)

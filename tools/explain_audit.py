@@ -483,6 +483,70 @@ CHECKS = [
         "run FIRST in a curation pipeline to strip self-repetition "
         "before the shuffle-bearing cross-doc tiers.",
     ),
+    (
+        "q202_ngram_lm_nll",
+        "trigram LM: model tables join by key, never broadcast",
+        [
+            (r"SortMergeJoin|ShuffledHashJoin", "model lookups survive as key-shuffled equi-joins"),
+            (r"!CartesianProduct", "no all-pairs stage (the only cross joins are broadcast 1-row stats)"),
+            (r"HashAggregate.*partial", "gram counts combine map-side"),
+        ],
+        "With autoBroadcastJoinThreshold=-1 (the model is |observed "
+        "grams| rows — corpus-bounded, NOT broadcastable at 100 TB) the "
+        "three scoring lookups plan as key-shuffled equi-joins on the "
+        "gram string; the trigram-position stream shuffles on its key "
+        "either way, so losing the broadcast adds no asymptotic cost.  "
+        "Training is three explode→partial-agg passes whose shuffles "
+        "carry (gram, count), never token positions.",
+        {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    ),
+    (
+        "q203_ccnet_buckets",
+        "CCNet buckets: ordinal spine, no per-language window",
+        [
+            (r"rangepartitioning", "ONE range exchange orders (lang, nll, id)"),
+            (r"!Window", "no window operator — per-lang rank is spine arithmetic"),
+            (r"!CartesianProduct", "no all-pairs stage"),
+        ],
+        "The per-language tertile cut never plans a "
+        "Window.partitionBy(lang): languages are few and skewed, so a "
+        "window would funnel the corpus into |langs| reducers.  Instead "
+        "ONE rangepartitioning exchange builds the global (lang, nll, id) "
+        "spine; group sizes and first-ordinals come from a |langs|-row "
+        "partial-combined agg broadcast back; the band is row-local "
+        "integer arithmetic.",
+    ),
+    (
+        "q204_domain_blocklist",
+        "domain blocklist: suffix equi-join, no regex scan, no hint",
+        [
+            (r"SortMergeJoin|ShuffledHashJoin", "suffix⨝rules survives threshold=-1 as a key-shuffled equi-join"),
+            (r"!CartesianProduct", "no all-pairs host×rule stage"),
+            (r"!BroadcastNestedLoopJoin", "no nested-loop LIKE fallback"),
+        ],
+        "Wildcard-subdomain matching is an equi-join on the DNS-label-"
+        "bounded suffix chain (constant ≤~10 fan-out per distinct host), "
+        "so a UT1-sized blocklist (millions of rules) joins by key — with "
+        "the threshold disabled the plan degrades to a shuffle join, not "
+        "a nested-loop regex scan.  Under default confs AQE broadcasts a "
+        "small curated list by MEASURED size; the operator carries no "
+        "hint either way.",
+        {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    ),
+    (
+        "q205_shard_manifest",
+        "shard manifest: one map-combined agg, nothing else moves",
+        [
+            (r"HashAggregate.*partial", "per-shard counters combine map-side"),
+            (r"!Join", "no join of any kind"),
+            (r"ReadSchema: [^\n]*doc_id", "reads only id + content columns"),
+        ],
+        "The integrity manifest is ONE groupBy over num_shards md5-"
+        "derived keys: partial aggregation means each task emits at most "
+        "num_shards rows (count/xor/sum/min/max are all mergeable), so "
+        "the single exchange carries tasks×shards counter rows — at "
+        "100 TB the payload is scanned once and never shuffled.",
+    ),
 ]
 
 

@@ -268,6 +268,11 @@ def main() -> int:
 
         return exact_substring_dedup(d, min_len=50, impl="grams")
 
+    def _lm(d):
+        from re_data_pipeline_spark.operators.lm import ngram_lm_nll
+
+        return ngram_lm_nll(d.select("doc_id", "text"))
+
     def _decontam(d):
         from re_data_pipeline_spark.operators.dedup import (
             exact_substring_decontaminate,
@@ -336,6 +341,11 @@ def main() -> int:
         "exact_substring_decontaminate (fixed bench)": lambda n: _decontam(
             docs(n)
         ),
+        # r11 trigram Stupid-Backoff LM: model tables are |observed grams|
+        # rows (grow with the corpus under the Heaps-law vocab), scoring
+        # shuffles Σ trigram positions once per backoff tier — exp ≈ 1,
+        # shuffle rows ≈ 4× positions (3 lookups + 1 per-doc agg)
+        "ngram_lm_nll (trigram stupid-backoff)": lambda n: _lm(docs(n)),
     }
 
     if only:
