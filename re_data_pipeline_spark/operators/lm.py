@@ -68,6 +68,7 @@ def ngram_lm_nll(
     score_df: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    cache_tokens: bool = False,
 ) -> DataFrame:
     """Per-document average negative log-likelihood under a trigram
     Stupid-Backoff model trained on ``train_df`` (see module docstring).
@@ -87,20 +88,30 @@ def ngram_lm_nll(
         score_df = train_df
 
     t = _toks(text_col)
-    # tokenize ONCE and persist: the train side feeds three gram aggs and
-    # the score side two consumers — without the persist the regex split
-    # re-runs per consumer (a 6× tokenization pass when self-scoring).
+    # cache_tokens=True persists the tokenized frame so the ~6 consumers
+    # (three gram aggs + scoring + totality) don't re-run the upstream
+    # lineage.  Default OFF: over a bare parquet scan, recompute from the
+    # columnar read beats materializing token arrays (measured 0.7 s vs
+    # 1.3 s at sf0.1), and at 100 TB a cached token corpus is memory/spill
+    # pressure, not a win.  Turn it on when the INPUT lineage is expensive
+    # (joins, filters over other operators) — or better, persist that
+    # small upstream frame yourself (q206 persists its survivor set).
     # Handles ride the spine-cache protocol (_carry_caches) so callers'
     # release_spines/carry_spines free them after materialization.
     from re_data_pipeline_spark.operators.ids import _carry_caches
 
-    sc = score_df.select(F.col(id_col), t.alias("__t")).persist()
-    caches = [sc]
+    caches: list[DataFrame] = []
+    sc = score_df.select(F.col(id_col), t.alias("__t"))
+    if cache_tokens:
+        sc = sc.persist()
+        caches.append(sc)
     if same:
         base = sc.where(F.size("__t") > 0)
     else:
-        base = train_df.select(t.alias("__t")).where(F.size("__t") > 0).persist()
-        caches.append(base)
+        base = train_df.select(t.alias("__t")).where(F.size("__t") > 0)
+        if cache_tokens:
+            base = base.persist()
+            caches.append(base)
 
     uni = base.select(F.explode("__t").alias("__w")).groupBy("__w").agg(
         F.count(F.lit(1)).alias("__c1")

@@ -223,3 +223,30 @@ def shard_manifest(
             F.max("__id").alias("max_id"),
         )
     )
+
+
+def merge_shard_manifests(
+    a: DataFrame, b: DataFrame, shard_col: str = "shard"
+) -> DataFrame:
+    """Merge two ``shard_manifest`` outputs into the manifest of the union
+    corpus — the incremental-maintenance path: a daily append re-manifests
+    only its OWN rows and folds into yesterday's receipt, never re-reading
+    the historical corpus.  Sound because every manifest column is a
+    commutative monoid fold (count/byte sums, XOR checksum, min/max id):
+    merge-of-manifests ≡ manifest-of-union for DISJOINT row sets, which is
+    what append-only batches are.  (Re-processed/overlapping rows would
+    double-count and double-XOR — dedup batches before manifesting, the
+    same contract as every incremental aggregate in
+    ``upsert.merge_aggregate_state``.)
+
+    Scale shape: both inputs are num_shards rows; the merge is a
+    num_shards-row agg — free at any corpus size.
+    """
+    u = a.unionByName(b)
+    return u.groupBy(shard_col).agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.expr("bit_xor(content_xor)").cast("bigint").alias("content_xor"),
+        F.sum("n_bytes").cast("bigint").alias("n_bytes"),
+        F.min("min_id").alias("min_id"),
+        F.max("max_id").alias("max_id"),
+    )

@@ -4788,9 +4788,10 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no CORRECTNESS_r10.json was filed (the driver skipped the record between
 # rounds 10 and 11), so the round-10 composition — the r4-stale q54-q95
 # band plus q197-q201 — was never actually driver-checked and is KEPT:
-# (a) the 9 never-driver-checked queries: q197-q201 (round 10) and
-#     q202-q205 (NEW this round: trigram Stupid-Backoff LM, CCNet
-#     perplexity buckets, domain blocklist filter, shard manifest);
+# (a) the 10 never-driver-checked queries: q197-q201 (round 10) and
+#     q202-q206 (NEW this round: trigram Stupid-Backoff LM, CCNet
+#     perplexity buckets, domain blocklist filter, shard manifest, and
+#     the q206 end-to-end curation composition);
 # (b) the 23 queries whose last green driver row is ROUND 4 (q54-q95
 #     stock-expression band — carried from the unrecorded r10 window);
 # (c) the oldest round-5 rows, planner order (q01/q04/q07, q100-q135
@@ -4813,6 +4814,7 @@ DRIVER_WINDOW: list[str] = [
     "q201_intra_substring_dedup",
     "q202_ngram_lm_nll", "q203_ccnet_buckets",
     "q204_domain_blocklist", "q205_shard_manifest",
+    "q206_curation_v3",
     # (b) last green driver row: round 4
     "q54_first_available", "q55_limit_topn", "q64_lag_lead",
     "q65_first_occurrence", "q66_state_flag_merge", "q67_rolling_hash",
@@ -4830,7 +4832,9 @@ DRIVER_WINDOW: list[str] = [
     "q124_dsir_importance", "q126_quality_classifier",
     "q127_compaction_plan", "q130_bloom_prefilter",
     "q131_stream_stream_join", "q132_bpe_pair_counts",
-    "q134_scd2_history", "q135_inverted_index",
+    "q134_scd2_history",
+    # (q135_inverted_index deferred to r12: q206, added mid-round, takes
+    # the never-checked slot — the planner's always-in rule)
 ]
 
 
@@ -9496,7 +9500,11 @@ def q206_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("blocked_by").isNull())
         .select("doc_id")
     )
-    survivors = d.join(kept_hosts, "doc_id")
+    # persist the SMALL upstream (id,text,lang survivors), not the LM's
+    # token arrays: ~6 downstream consumers re-run this join otherwise
+    # (measured 48 s → 12 s at sf0.01 parity), and caching the narrow
+    # frame is the choice that still holds at 100 TB
+    survivors = d.join(kept_hosts, "doc_id").persist()
 
     scored = ngram_lm_nll(survivors).where(F.col("nll").isNotNull())
     scored = scored.join(survivors.select("doc_id", "lang"), "doc_id")
@@ -9513,8 +9521,8 @@ def q206_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text", "lang")
     )
     out = shard_manifest(deduped, "doc_id", ["text", "lang"], num_shards=16)
-    # the buckets' ordinal spine is consumed; free it when this plan is
-    # materialized by carrying the handle forward
-    from re_data_pipeline_spark.operators.ids import carry_spines
+    # carry BOTH release handles (the buckets' ordinal spine and the
+    # survivors persist) so release_spines after materialization frees them
+    from re_data_pipeline_spark.operators.ids import _carry_caches, carry_spines
 
-    return carry_spines(buck, out)
+    return _carry_caches(buck, carry_spines(buck, out), survivors)

@@ -149,3 +149,24 @@ def test_shard_manifest_order_independent_and_localizing(spark):
     b = {r["shard"]: tuple(r) for r in m3.collect()}
     diff = [s for s in a if a[s] != b[s]]
     assert len(diff) == 1
+
+
+def test_merge_shard_manifests_equals_full_manifest(spark):
+    from re_data_pipeline_spark.operators.maintenance import (
+        merge_shard_manifests,
+        shard_manifest,
+    )
+
+    d = spark.createDataFrame(
+        [(i, f"text {i}", "en") for i in range(200)],
+        "doc_id bigint, text string, lang string",
+    )
+    full = shard_manifest(d, "doc_id", ["text", "lang"], num_shards=8)
+    p1 = shard_manifest(
+        d.where("doc_id < 77"), "doc_id", ["text", "lang"], num_shards=8
+    )
+    p2 = shard_manifest(
+        d.where("doc_id >= 77"), "doc_id", ["text", "lang"], num_shards=8
+    )
+    merged = merge_shard_manifests(p1, p2)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
