@@ -4788,10 +4788,10 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no CORRECTNESS_r10.json was filed (the driver skipped the record between
 # rounds 10 and 11), so the round-10 composition — the r4-stale q54-q95
 # band plus q197-q201 — was never actually driver-checked and is KEPT:
-# (a) the 10 never-driver-checked queries: q197-q201 (round 10) and
-#     q202-q206 (NEW this round: trigram Stupid-Backoff LM, CCNet
-#     perplexity buckets, domain blocklist filter, shard manifest, and
-#     the q206 end-to-end curation composition);
+# (a) the 11 never-driver-checked queries: q197-q201 (round 10) and
+#     q202-q207 (NEW this round: trigram Stupid-Backoff LM, CCNet
+#     perplexity buckets, domain blocklist filter, shard manifest, the
+#     q206 end-to-end curation composition, and tokenizer fertility);
 # (b) the 23 queries whose last green driver row is ROUND 4 (q54-q95
 #     stock-expression band — carried from the unrecorded r10 window);
 # (c) the oldest round-5 rows, planner order (q01/q04/q07, q100-q135
@@ -4814,7 +4814,7 @@ DRIVER_WINDOW: list[str] = [
     "q201_intra_substring_dedup",
     "q202_ngram_lm_nll", "q203_ccnet_buckets",
     "q204_domain_blocklist", "q205_shard_manifest",
-    "q206_curation_v3",
+    "q206_curation_v3", "q207_tokenizer_fertility",
     # (b) last green driver row: round 4
     "q54_first_available", "q55_limit_topn", "q64_lag_lead",
     "q65_first_occurrence", "q66_state_flag_merge", "q67_rolling_hash",
@@ -4832,9 +4832,9 @@ DRIVER_WINDOW: list[str] = [
     "q124_dsir_importance", "q126_quality_classifier",
     "q127_compaction_plan", "q130_bloom_prefilter",
     "q131_stream_stream_join", "q132_bpe_pair_counts",
-    "q134_scd2_history",
-    # (q135_inverted_index deferred to r12: q206, added mid-round, takes
-    # the never-checked slot — the planner's always-in rule)
+    # (q134_scd2_history and q135_inverted_index deferred to r12: q206
+    # and q207, added mid-round, take the never-checked slots — the
+    # planner's always-in rule)
 ]
 
 
@@ -9526,3 +9526,64 @@ def q206_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from re_data_pipeline_spark.operators.ids import _carry_caches, carry_spines
 
     return _carry_caches(buck, carry_spines(buck, out), survivors)
+
+
+_Q207_SQL = r"""
+WITH per AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(coalesce(text, ''),
+                                     '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+              AS BIGINT) AS bt,
+         CAST(len(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                              t -> t <> '')) AS BIGINT) AS wt,
+         CAST(strlen(coalesce(text, '')) AS BIGINT) AS nb
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(bt) AS BIGINT) AS bpe_ish_tokens,
+       CAST(SUM(wt) AS BIGINT) AS ws_tokens,
+       CAST(SUM(nb) AS BIGINT) AS n_bytes,
+       round(SUM(bt) / (SUM(wt) * 1.0), 6) AS fertility,
+       round(SUM(nb) / (SUM(bt) * 1.0), 6) AS bytes_per_token
+FROM per GROUP BY lang
+"""
+
+
+@query("q207_tokenizer_fertility", _Q207_SQL)
+def q207_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility dashboard by language: subword-tokens per word
+    (fertility) and bytes per subword token, per language — the
+    tokenizer-equity measurement of multilingual corpus work (languages a
+    tokenizer serves poorly burn sequence length: fertility ≫ 1 and few
+    bytes/token).  Uses the repo's deterministic BPE-ish proxy
+    (`functions/text.bpe_ish_token_count` — letter runs + digits +
+    symbols), so the dashboard is exactly replayable; swap in
+    `bpe.bpe_encode_counts` for learned-merge fertility when a trained
+    tokenizer is at hand (q162's machinery).
+
+    Scale shape: map-only per-doc counters (regexp_count + split, no
+    explode — the token arrays never materialize corpus-wide) into ONE
+    map-combined |langs|-key agg; integer sums, two rounded divisions at
+    the end."""
+    from re_data_pipeline_spark.functions.text import bpe_ish_token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    wt = F.size(F.filter(F.split(txt, r"\s+"), lambda x: x != ""))
+    per = d.select(
+        "lang",
+        bpe_ish_token_count(txt).cast("bigint").alias("__bt"),
+        wt.cast("bigint").alias("__wt"),
+        F.octet_length(txt).cast("bigint").alias("__nb"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__bt").cast("bigint").alias("bpe_ish_tokens"),
+        F.sum("__wt").cast("bigint").alias("ws_tokens"),
+        F.sum("__nb").cast("bigint").alias("n_bytes"),
+        F.round(F.sum("__bt") / (F.sum("__wt") * F.lit(1.0)), 6).alias("fertility"),
+        F.round(F.sum("__nb") / (F.sum("__bt") * F.lit(1.0)), 6).alias(
+            "bytes_per_token"
+        ),
+    )
