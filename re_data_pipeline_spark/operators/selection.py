@@ -789,3 +789,65 @@ def classifier_score_trained(
     total = F.aggregate(w_fixed, F.lit(0).cast("long"), lambda acc, x: acc + x)
     mean = total / (F.size(toks) * 1_000_000.0)
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-F.lit(scale) * mean))
+
+
+def contiguous_pack(
+    df: DataFrame,
+    order_cols: list,
+    size_col: str,
+    ctx_len: int,
+    chunk_col: str = "chunk",
+    start_col: str = "tok_start",
+    end_col: str = "tok_end",
+    count_col: str = "n_chunk_tokens",
+) -> DataFrame:
+    """GPT-style concat-and-chunk packing: documents are conceptually
+    concatenated in ``order_cols`` order into one token stream, and the
+    stream is cut into fixed ``ctx_len`` windows — the standard
+    pretraining dataloader recipe (docs split across window boundaries;
+    zero padding anywhere).  Emits one row per (document × window it
+    touches): the window id and the 1-based inclusive in-document token
+    range ``[start_col, end_col]`` that lands in it — exactly the slice
+    spec a tokenizing writer consumes.  q97's greedy bin packing is the
+    no-split sibling (whole docs, per-shard bins); this is the
+    contiguous-stream form.
+
+    All arithmetic is integer: a doc owning global token interval
+    [cum − size, cum) touches windows ``(cum−size) DIV C`` through
+    ``(cum−1) DIV C``, and each overlap is a greatest/least clamp — no
+    float division anywhere, so the layout is engine-exact and
+    boundary-stable.  Zero-size docs own no tokens and are dropped.
+
+    Scale shape: ONE prefix-sum spine over the ordering
+    (``ids.assign_prefix_sums`` — range exchange + map-only Arrow scan),
+    then row-local window arithmetic with a per-doc fan-out of
+    ``size/C + 1`` rows (the document's own window count — data-mass-
+    proportional, never corpus-quadratic).  No further shuffle: the
+    explode pipelines into the scan's output.
+    """
+    from re_data_pipeline_spark.operators.ids import assign_prefix_sums, carry_spines
+
+    if ctx_len < 1:
+        raise ValueError(f"ctx_len must be ≥ 1; got {ctx_len}")
+    p = assign_prefix_sums(df, order_cols, size_col, out_col="__cum")
+    sz = F.col(size_col).cast("long")
+    start = (F.col("__cum") - sz).alias("__st")
+    p = p.where(sz > 0).withColumn("__st", start)
+    c = F.lit(int(ctx_len)).cast("long")
+    ks = F.sequence(
+        F.expr(f"__st DIV {int(ctx_len)}"),
+        F.expr(f"(__cum - 1) DIV {int(ctx_len)}"),
+    )
+    out = (
+        p.withColumn("__k", F.explode(ks))
+        .withColumn("__ov_s", F.greatest(F.col("__st"), F.col("__k") * c))
+        .withColumn("__ov_e", F.least(F.col("__cum"), (F.col("__k") + 1) * c))
+        .withColumn(chunk_col, F.col("__k").cast("bigint"))
+        .withColumn(
+            start_col, (F.col("__ov_s") - F.col("__st") + 1).cast("bigint")
+        )
+        .withColumn(end_col, (F.col("__ov_e") - F.col("__st")).cast("bigint"))
+        .withColumn(count_col, (F.col("__ov_e") - F.col("__ov_s")).cast("bigint"))
+        .drop("__cum", "__st", "__k", "__ov_s", "__ov_e")
+    )
+    return carry_spines(p, out)

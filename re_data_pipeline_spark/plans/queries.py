@@ -4788,10 +4788,11 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no CORRECTNESS_r10.json was filed (the driver skipped the record between
 # rounds 10 and 11), so the round-10 composition — the r4-stale q54-q95
 # band plus q197-q201 — was never actually driver-checked and is KEPT:
-# (a) the 11 never-driver-checked queries: q197-q201 (round 10) and
-#     q202-q207 (NEW this round: trigram Stupid-Backoff LM, CCNet
+# (a) the 12 never-driver-checked queries: q197-q201 (round 10) and
+#     q202-q208 (NEW this round: trigram Stupid-Backoff LM, CCNet
 #     perplexity buckets, domain blocklist filter, shard manifest, the
-#     q206 end-to-end curation composition, and tokenizer fertility);
+#     q206 end-to-end curation composition, tokenizer fertility, and
+#     GPT-style concat-and-chunk packing);
 # (b) the 23 queries whose last green driver row is ROUND 4 (q54-q95
 #     stock-expression band — carried from the unrecorded r10 window);
 # (c) the oldest round-5 rows, planner order (q01/q04/q07, q100-q135
@@ -4815,6 +4816,7 @@ DRIVER_WINDOW: list[str] = [
     "q202_ngram_lm_nll", "q203_ccnet_buckets",
     "q204_domain_blocklist", "q205_shard_manifest",
     "q206_curation_v3", "q207_tokenizer_fertility",
+    "q208_contiguous_pack",
     # (b) last green driver row: round 4
     "q54_first_available", "q55_limit_topn", "q64_lag_lead",
     "q65_first_occurrence", "q66_state_flag_merge", "q67_rolling_hash",
@@ -4831,10 +4833,10 @@ DRIVER_WINDOW: list[str] = [
     "q122_repetition_metrics", "q123_semantic_dedup",
     "q124_dsir_importance", "q126_quality_classifier",
     "q127_compaction_plan", "q130_bloom_prefilter",
-    "q131_stream_stream_join", "q132_bpe_pair_counts",
-    # (q134_scd2_history and q135_inverted_index deferred to r12: q206
-    # and q207, added mid-round, take the never-checked slots — the
-    # planner's always-in rule)
+    "q131_stream_stream_join",
+    # (q132_bpe_pair_counts, q134_scd2_history, q135_inverted_index
+    # deferred to r12: q206-q208, added mid-round, take the
+    # never-checked slots — the planner's always-in rule)
 ]
 
 
@@ -9586,4 +9588,56 @@ def q207_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("__nb") / (F.sum("__bt") * F.lit(1.0)), 6).alias(
             "bytes_per_token"
         ),
+    )
+
+
+_Q208_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n,
+         SUM(n) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+),
+s AS (SELECT doc_id, n, CAST(cum AS BIGINT) AS cum,
+             CAST(cum - n AS BIGINT) AS st FROM c WHERE n > 0)
+SELECT doc_id, CAST(k AS BIGINT) AS chunk,
+       CAST(greatest(st, k * 256) - st + 1 AS BIGINT) AS tok_start,
+       CAST(least(cum, (k + 1) * 256) - st AS BIGINT) AS tok_end,
+       CAST(least(cum, (k + 1) * 256) - greatest(st, k * 256) AS BIGINT)
+         AS n_chunk_tokens
+FROM s, LATERAL (SELECT unnest(range(st // 256, (cum - 1) // 256 + 1)) AS k)
+"""
+
+
+@query("q208_contiguous_pack", _Q208_SQL)
+def q208_contiguous_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk pretraining layout
+    (`operators/selection.contiguous_pack`): the corpus token stream in
+    doc_id order cut into 256-token windows, docs split across window
+    boundaries — one row per (doc × window) with the 1-based in-document
+    slice that lands there; zero padding.  q97 is the no-split greedy
+    sibling.  Pure integer arithmetic (DIV + greatest/least clamps), so
+    the layout is boundary-stable cross-engine.
+
+    Scale shape: ONE prefix-sum spine (range exchange + map-only Arrow
+    scan) then row-local window math; fan-out per doc = its own window
+    count.  Oracle: the single-partition window cumsum + LATERAL range."""
+    from re_data_pipeline_spark.operators.ids import carry_spines
+    from re_data_pipeline_spark.operators.selection import contiguous_pack
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"), lambda x: x != ""
+    )
+    sized = d.select("doc_id", F.size(toks).cast("bigint").alias("__n"))
+    out = contiguous_pack(sized, [F.asc("doc_id")], "__n", ctx_len=256)
+    return carry_spines(
+        out,
+        out.select("doc_id", "chunk", "tok_start", "tok_end", "n_chunk_tokens"),
     )

@@ -170,3 +170,47 @@ def test_merge_shard_manifests_equals_full_manifest(spark):
     )
     merged = merge_shard_manifests(p1, p2)
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_contiguous_pack_hand_computed(spark):
+    from re_data_pipeline_spark.operators.selection import contiguous_pack
+
+    d = spark.createDataFrame(
+        [(1, 3), (2, 4), (3, 2), (4, 0)], "doc_id bigint, n bigint"
+    )
+    out = contiguous_pack(d, ["doc_id"], "n", ctx_len=5)
+    rows = sorted(
+        (r["doc_id"], r["chunk"], r["tok_start"], r["tok_end"], r["n_chunk_tokens"])
+        for r in out.collect()
+    )
+    # stream: doc1 [0,3) doc2 [3,7) doc3 [7,9); windows of 5; doc4 empty
+    assert rows == [
+        (1, 0, 1, 3, 3),   # doc1 fully in window 0
+        (2, 0, 1, 2, 2),   # doc2 first 2 tokens finish window 0
+        (2, 1, 3, 4, 2),   # doc2 last 2 tokens open window 1
+        (3, 1, 1, 2, 2),   # doc3 fully in window 1
+    ]
+
+
+def test_contiguous_pack_invariants(spark):
+    import pyspark.sql.functions as F2
+
+    from re_data_pipeline_spark.operators.selection import contiguous_pack
+
+    d = spark.createDataFrame(
+        [(i, (i * 7) % 13 + 1) for i in range(200)], "doc_id bigint, n bigint"
+    )
+    out = contiguous_pack(d, ["doc_id"], "n", ctx_len=16).cache()
+    # every doc's slices cover exactly its tokens
+    per_doc = out.groupBy("doc_id").agg(F2.sum("n_chunk_tokens").alias("s")).collect()
+    sizes = {r["doc_id"]: r["n"] for r in d.collect()}
+    assert all(sizes[r["doc_id"]] == r["s"] for r in per_doc)
+    # every window holds exactly ctx_len tokens (except the last)
+    per_chunk = {
+        r["chunk"]: r["s"]
+        for r in out.groupBy("chunk").agg(F2.sum("n_chunk_tokens").alias("s")).collect()
+    }
+    last = max(per_chunk)
+    assert all(v == 16 for k, v in per_chunk.items() if k != last)
+    assert 1 <= per_chunk[last] <= 16
+    out.unpersist()

@@ -310,3 +310,77 @@ def test_char_entropy_matches_python_property(spark, texts):
                 for c in Counter(t).values()
             )
             assert got[i] == truth, (i, t)
+
+
+def _ref_stupid_backoff(train_docs, score_docs):
+    """Pure-Python replica of operators/lm.ngram_lm_nll's fixed-point
+    Stupid-Backoff semantics (float ops in the same shapes)."""
+    import math
+    from collections import Counter
+
+    uni, bi, tri = Counter(), Counter(), Counter()
+    for toks in train_docs:
+        uni.update(toks)
+        bi.update(zip(toks, toks[1:]))
+        tri.update(zip(toks, toks[1:], toks[2:]))
+    n_tok = sum(uni.values())
+    v = len(uni)
+    out = {}
+    for i, toks in enumerate(score_docs):
+        if len(toks) < 3:
+            out[i] = (0, None)
+            continue
+        total = 0
+        for p in range(len(toks) - 2):
+            w1, w2, w3 = toks[p], toks[p + 1], toks[p + 2]
+            if (w1, w2, w3) in tri:
+                f = round(-math.log(tri[(w1, w2, w3)] / bi[(w1, w2)]) * 1e6)
+            elif (w2, w3) in bi:
+                f = round(-math.log(0.4 * (bi[(w2, w3)] / uni[w2])) * 1e6)
+            elif w3 in uni:
+                f = round(-math.log(0.16 * ((uni[w3] + 1) / (n_tok + v))) * 1e6)
+            else:
+                f = round(-math.log(0.16 * (1 / (n_tok + v))) * 1e6)
+            total += f
+        out[i] = (len(toks) - 2, total)
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "z"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=8,
+    ),
+)
+def test_ngram_lm_matches_python_reference(spark, train_lists, score_lists):
+    """All four backoff tiers (trigram / bigram / unigram / unseen floor)
+    must match a direct Python transcription on arbitrary tiny corpora —
+    'z' never trains, so the floor tier is exercised."""
+    from hypothesis import assume
+
+    from re_data_pipeline_spark.operators.lm import ngram_lm_nll
+
+    # an LM trained on zero tokens is documented-degenerate (all-NULL nll)
+    assume(any(train_lists))
+
+    train = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(train_lists)],
+        "doc_id bigint, text string",
+    )
+    score = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(score_lists)],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["nll_micro"])
+        for r in ngram_lm_nll(train, score).collect()
+    }
+    want = _ref_stupid_backoff(train_lists, score_lists)
+    assert got == want
