@@ -534,6 +534,23 @@ CHECKS = [
         {"spark.sql.autoBroadcastJoinThreshold": "-1"},
     ),
     (
+        "q208_contiguous_pack",
+        "concat-and-chunk packing: one range exchange, then map-only",
+        [
+            (r"rangepartitioning", "ONE range exchange builds the token-offset spine"),
+            (r"!Window", "no window operator — the cumsum is the Arrow scan"),
+            (r"!Join", "no join of any kind"),
+            (r"Generate explode", "window fan-out pipelines into the scan output"),
+        ],
+        "The pretraining layout needs every document's global token "
+        "offset — ONE prefix-sum spine (range exchange + map-only Arrow "
+        "scan with a cross-batch carry) — after which window ids and "
+        "slice bounds are row-local integer arithmetic and the per-doc "
+        "explode (its own window count) pipelines without another "
+        "exchange.  At 100 TB: one shuffle of (doc_id, n_tokens) rows, "
+        "never the text.",
+    ),
+    (
         "q205_shard_manifest",
         "shard manifest: one map-combined agg, nothing else moves",
         [
