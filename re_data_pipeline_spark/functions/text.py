@@ -36,6 +36,21 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
+def ws_tokens(col: Column | str) -> Column:
+    """THE corpus-wide tokenization contract: whitespace tokens, empties
+    dropped, NULL text → [] — the form every dedup/LM/packing operator and
+    every DuckDB oracle (``list_filter(string_split_regex(coalesce(text,
+    ''), '\\s+'), t -> t <> '')``) must share.  One definition so a
+    future change (e.g. Java-vs-RE2 ``\\s`` semantics) cannot be applied
+    in one consumer and missed in another, silently diverging token
+    counts.  ``tokens()`` above is the legacy unfiltered form (keeps a
+    single '' for empty text) used by the quality-ratio expressions."""
+    return F.filter(
+        F.split(F.coalesce(_c(col), F.lit("")), r"\s+"),
+        lambda x: x != "",
+    )
+
+
 def char_ngrams(col: Column | str, n: int, distinct: bool = True) -> Column:
     """Character n-gram shingle set via sequence+substring (no UDF)."""
     c = _c(col)

@@ -1842,11 +1842,9 @@ def _es_validate(min_len: int, k: int | None, on_degradation: str) -> tuple[int,
 def _es_token_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """``(id_col, __toks array<string>, __n int)`` — whitespace tokens with
     empties dropped; NULL text behaves as empty text (0 tokens)."""
-    toks_expr = F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
-        lambda t: t != "",
-    )
-    return df.select(F.col(id_col), toks_expr.alias("__toks")).withColumn(
+    from re_data_pipeline_spark.functions.text import ws_tokens
+
+    return df.select(F.col(id_col), ws_tokens(text_col).alias("__toks")).withColumn(
         "__n", F.size("__toks")
     )
 

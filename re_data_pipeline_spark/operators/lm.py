@@ -46,12 +46,11 @@ __all__ = ["ngram_lm_nll", "perplexity_buckets"]
 
 
 def _toks(text_col: str) -> Column:
-    """Whitespace tokens, empties dropped, NULL text → [] (the corpus-wide
-    tokenization contract shared with ``dedup.exact_substring_dedup``)."""
-    return F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
-        lambda x: x != "",
-    )
+    """Whitespace tokens, empties dropped, NULL text → [] — delegates to
+    the single corpus-wide contract (``functions.text.ws_tokens``)."""
+    from re_data_pipeline_spark.functions.text import ws_tokens
+
+    return ws_tokens(text_col)
 
 
 def _grams(t: Column, n: int, out: Column) -> Column:
@@ -82,6 +81,12 @@ def ngram_lm_nll(
     ``score_df`` defaults to ``train_df`` (self-scoring, the corpus-health
     view); CCNet-style filtering trains on a clean reference corpus and
     scores the crawl.
+
+    Degenerate corner: a training corpus with ZERO tokens has no model —
+    every scoreable document returns NULL ``nll`` (the 1-row stats frame
+    is empty, so the floor term is NULL too).  Deliberate: "no evidence"
+    must surface as NULL, and pre-checking emptiness would cost an extra
+    action on every call to defend a meaningless configuration.
     """
     same = score_df is None or score_df is train_df
     if score_df is None:
@@ -287,15 +292,21 @@ def perplexity_buckets(
     o = assign_ordinals(
         d, [F.asc(group_col), F.asc(nll_col), F.asc(id_col)], "__g"
     )
+    # NULL-SAFE group equality: a NULL group (lang-id failures are routine
+    # in crawl data) is a real partition — SQL's PARTITION BY groups NULLs
+    # together, and a plain equi-join would silently drop every such row
     firsts = o.groupBy(group_col).agg(
         F.min("__g").alias("__g0"), F.count(F.lit(1)).alias("__n")
-    )
+    ).withColumnRenamed(group_col, "__grp")
     idx = F.expr(f"CAST(({b} * (__g - __g0)) DIV __n AS INT)")
     label_arr = F.array(*[F.lit(x) for x in labels])
     out = (
-        o.join(F.broadcast(firsts), group_col)
+        o.join(
+            F.broadcast(firsts),
+            F.col(group_col).eqNullSafe(F.col("__grp")),
+        )
         .withColumn("group_rank", (F.col("__g") - F.col("__g0")).cast("bigint"))
         .withColumn(bucket_col, F.element_at(label_arr, idx + 1))
-        .drop("__g", "__g0", "__n")
+        .drop("__g", "__g0", "__n", "__grp")
     )
     return carry_spines(o, out)

@@ -199,8 +199,15 @@ def shard_manifest(
         raise ValueError(f"num_shards must be ≥ 1; got {num_shards}")
     sid = F.col(id_col).cast("string")
     key = F.conv(F.substring(F.md5(sid), 1, 15), 16, 10).cast("long")
-    content = F.concat_ws(
-        "\x1f", sid, *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in content_cols]
+    # INJECTIVE row serialization: hash each field separately and
+    # concatenate the fixed-length digests.  A separator-joined string is
+    # ambiguous across field boundaries (text='a\x1fb', lang='c' vs
+    # text='a', lang='b\x1fc' collide) — which would let a tamper that
+    # shifts bytes across a boundary pass verification, the one failure
+    # an integrity receipt exists to catch.
+    content = F.concat(
+        F.md5(sid),
+        *[F.md5(F.coalesce(F.col(c).cast("string"), F.lit(""))) for c in content_cols],
     )
     row_hash = F.conv(F.substring(F.md5(content), 1, 15), 16, 10).cast("long")
     n_bytes = sum(

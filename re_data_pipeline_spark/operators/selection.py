@@ -829,10 +829,12 @@ def contiguous_pack(
 
     if ctx_len < 1:
         raise ValueError(f"ctx_len must be ≥ 1; got {ctx_len}")
-    p = assign_prefix_sums(df, order_cols, size_col, out_col="__cum")
+    spine = assign_prefix_sums(df, order_cols, size_col, out_col="__cum")
     sz = F.col(size_col).cast("long")
-    start = (F.col("__cum") - sz).alias("__st")
-    p = p.where(sz > 0).withColumn("__st", start)
+    # NOTE: derive from `spine` but keep the variable — where/withColumn
+    # return new frames WITHOUT the _ordinal_cache handle, and carrying
+    # from the stripped frame would pin the persisted spine unreleasably
+    p = spine.where(sz > 0).withColumn("__st", F.col("__cum") - sz)
     c = F.lit(int(ctx_len)).cast("long")
     ks = F.sequence(
         F.expr(f"__st DIV {int(ctx_len)}"),
@@ -850,4 +852,4 @@ def contiguous_pack(
         .withColumn(count_col, (F.col("__ov_e") - F.col("__ov_s")).cast("bigint"))
         .drop("__cum", "__st", "__k", "__ov_s", "__ov_e")
     )
-    return carry_spines(p, out)
+    return carry_spines(spine, out)

@@ -9276,8 +9276,12 @@ def q203_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q204_SQL = """
-WITH hosts AS (
+# Shared DuckDB CTE block for the synthesized-host blocklist fixture
+# (q204 + q206 compose from the SAME text, so editing the fixture or the
+# rules in one place cannot silently diverge the composed oracle — the
+# drift class _LM_SQL_CORE_TMPL exists to prevent for the LM block).
+_HOSTS_BL_SQL = """
+hosts AS (
   SELECT doc_id,
          'sub' || CAST(doc_id % 3 AS VARCHAR)
            || CASE WHEN doc_id % 4 = 0 THEN '.ads' ELSE '.www' END
@@ -9294,7 +9298,36 @@ suf AS (
   SELECT host, array_to_string(labels[i:len(labels)], '.') AS s
   FROM (SELECT DISTINCT host, string_split(host, '.') AS labels FROM hosts),
        LATERAL (SELECT unnest(range(1, len(labels) + 1)) AS i)
-),
+)
+"""
+
+# Shared DuckDB replay of operators/maintenance.shard_manifest over a
+# (doc_id, text, lang) relation ``{src}`` — the injective per-column-md5
+# row hash (q205 + q206 compose from the same text).
+_MANIFEST_SQL_TMPL = """
+rows_h AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 16 AS INT) AS shard,
+         CAST(('0x' || substr(md5(md5(CAST(doc_id AS VARCHAR))
+                                  || md5(coalesce(text, ''))
+                                  || md5(coalesce(lang, ''))), 1, 15))
+              AS BIGINT) AS rh,
+         CAST(coalesce(strlen(text), 0)
+              + coalesce(strlen(lang), 0) AS BIGINT) AS nb
+  FROM {src}
+)
+SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(rh) AS BIGINT) AS content_xor,
+       CAST(SUM(nb) AS BIGINT) AS n_bytes,
+       min(doc_id) AS min_id, max(doc_id) AS max_id
+FROM rows_h GROUP BY shard
+"""
+
+_Q204_SQL = (
+    "WITH "
+    + _HOSTS_BL_SQL
+    + """,
 hits AS (
   SELECT host, max(struct_pack(l := len(s), s := s)) AS m
   FROM suf JOIN rules ON s = rule
@@ -9303,6 +9336,7 @@ hits AS (
 SELECT h.doc_id, h.host, hits.m.s AS blocked_by
 FROM hosts h LEFT JOIN hits ON h.host = hits.host
 """
+)
 
 
 @query("q204_domain_blocklist", _Q204_SQL)
@@ -9345,25 +9379,7 @@ def q204_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q205_SQL = """
-WITH rows_h AS (
-  SELECT doc_id,
-         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                   AS BIGINT) % 16 AS INT) AS shard,
-         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31)
-                                  || coalesce(text, '') || chr(31)
-                                  || coalesce(lang, '')), 1, 15)) AS BIGINT)
-           AS rh,
-         CAST(coalesce(strlen(text), 0)
-              + coalesce(strlen(lang), 0) AS BIGINT) AS nb
-  FROM documents
-)
-SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(bit_xor(rh) AS BIGINT) AS content_xor,
-       CAST(SUM(nb) AS BIGINT) AS n_bytes,
-       min(doc_id) AS min_id, max(doc_id) AS max_id
-FROM rows_h GROUP BY shard
-"""
+_Q205_SQL = "WITH " + _MANIFEST_SQL_TMPL.format(src="documents")
 
 
 @query("q205_shard_manifest", _Q205_SQL)
@@ -9385,25 +9401,9 @@ def q205_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q206_SQL = (
-    """
-WITH hosts AS (
-  SELECT doc_id,
-         'sub' || CAST(doc_id % 3 AS VARCHAR)
-           || CASE WHEN doc_id % 4 = 0 THEN '.ads' ELSE '.www' END
-           || '.example' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host
-  FROM documents
-),
-bl(rule) AS (
-  VALUES ('example3.com'), ('ads.example5.com'),
-         ('sub1.www.example2.com'), ('example3.com'),
-         ('ads.example3.com')
-),
-rules AS (SELECT DISTINCT rule FROM bl),
-suf AS (
-  SELECT host, array_to_string(labels[i:len(labels)], '.') AS s
-  FROM (SELECT DISTINCT host, string_split(host, '.') AS labels FROM hosts),
-       LATERAL (SELECT unnest(range(1, len(labels) + 1)) AS i)
-),
+    "WITH "
+    + _HOSTS_BL_SQL
+    + """,
 blocked AS (SELECT DISTINCT host FROM suf JOIN rules ON s = rule),
 survivors AS (
   SELECT d.doc_id, d.text, d.lang
@@ -9432,27 +9432,11 @@ fp AS (
 ),
 deduped AS (
   SELECT doc_id, text, lang FROM (
-    SELECT *, row_number() OVER (PARTITION BY fpr ORDER BY doc_id) AS rn FROM fp
-  ) WHERE rn = 1
+    SELECT *, min(doc_id) OVER (PARTITION BY fpr) AS keep_id FROM fp
+  ) WHERE doc_id = keep_id
 ),
-rows_h AS (
-  SELECT doc_id,
-         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-                   AS BIGINT) % 16 AS INT) AS shard,
-         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31)
-                                  || coalesce(text, '') || chr(31)
-                                  || coalesce(lang, '')), 1, 15)) AS BIGINT)
-           AS rh,
-         CAST(coalesce(strlen(text), 0)
-              + coalesce(strlen(lang), 0) AS BIGINT) AS nb
-  FROM deduped
-)
-SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(bit_xor(rh) AS BIGINT) AS content_xor,
-       CAST(SUM(nb) AS BIGINT) AS n_bytes,
-       min(doc_id) AS min_id, max(doc_id) AS max_id
-FROM rows_h GROUP BY shard
 """
+    + _MANIFEST_SQL_TMPL.format(src="deduped")
 )
 
 
@@ -9474,9 +9458,7 @@ def q206_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     through (doc_id)-keyed joins, never widening beyond the corpus.
     Unscoreable docs (<3 tokens, NULL nll) exit with the tail — a doc
     with no LM evidence is not kept by default."""
-    from pyspark.sql.window import Window as _W
 
-    from re_data_pipeline_spark.operators.ids import release_spines
     from re_data_pipeline_spark.operators.lm import ngram_lm_nll, perplexity_buckets
     from re_data_pipeline_spark.operators.maintenance import shard_manifest
     from re_data_pipeline_spark.operators.membership import domain_blocklist_filter
@@ -9516,12 +9498,14 @@ def q206_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = survivors.join(kept_lm, "doc_id").withColumn(
         "__fpr", F.md5(F.coalesce(F.col("text"), F.lit("")))
     )
-    w = _W.partitionBy("__fpr").orderBy("doc_id")  # dup-cluster-sized frames
-    deduped = (
-        fp.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select("doc_id", "text", "lang")
-    )
+    # min-id-wins via map-combined groupBy + semi-join, NOT a
+    # partitionBy(fingerprint) window: a mega dup-cluster (millions of
+    # identical boilerplate docs — the normal dedup case) would funnel
+    # through one window task, while groupBy(min) combines map-side
+    winners = fp.groupBy("__fpr").agg(F.min("doc_id").alias("doc_id"))
+    deduped = fp.join(
+        winners.select("doc_id"), "doc_id", "left_semi"
+    ).select("doc_id", "text", "lang")
     out = shard_manifest(deduped, "doc_id", ["text", "lang"], num_shards=16)
     # carry BOTH release handles (the buckets' ordinal spine and the
     # survivors persist) so release_spines after materialization frees them
@@ -9568,11 +9552,11 @@ def q207_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode — the token arrays never materialize corpus-wide) into ONE
     map-combined |langs|-key agg; integer sums, two rounded divisions at
     the end."""
-    from re_data_pipeline_spark.functions.text import bpe_ish_token_count
+    from re_data_pipeline_spark.functions.text import bpe_ish_token_count, ws_tokens
 
     d = load_table(spark, sf_dir, "documents")
     txt = F.coalesce(F.col("text"), F.lit(""))
-    wt = F.size(F.filter(F.split(txt, r"\s+"), lambda x: x != ""))
+    wt = F.size(ws_tokens("text"))
     per = d.select(
         "lang",
         bpe_ish_token_count(txt).cast("bigint").alias("__bt"),
@@ -9628,14 +9612,12 @@ def q208_contiguous_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE prefix-sum spine (range exchange + map-only Arrow
     scan) then row-local window math; fan-out per doc = its own window
     count.  Oracle: the single-partition window cumsum + LATERAL range."""
+    from re_data_pipeline_spark.functions.text import ws_tokens
     from re_data_pipeline_spark.operators.ids import carry_spines
     from re_data_pipeline_spark.operators.selection import contiguous_pack
 
     d = load_table(spark, sf_dir, "documents")
-    toks = F.filter(
-        F.split(F.coalesce(F.col("text"), F.lit("")), r"\s+"), lambda x: x != ""
-    )
-    sized = d.select("doc_id", F.size(toks).cast("bigint").alias("__n"))
+    sized = d.select("doc_id", F.size(ws_tokens("text")).cast("bigint").alias("__n"))
     out = contiguous_pack(sized, [F.asc("doc_id")], "__n", ctx_len=256)
     return carry_spines(
         out,

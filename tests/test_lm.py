@@ -214,3 +214,66 @@ def test_contiguous_pack_invariants(spark):
     assert all(v == 16 for k, v in per_chunk.items() if k != last)
     assert 1 <= per_chunk[last] <= 16
     out.unpersist()
+
+
+def test_url_host_extraction(spark):
+    from re_data_pipeline_spark.functions.urls import url_host
+
+    d = spark.createDataFrame(
+        [
+            ("https://Sub.Example.COM/path?q=1",),
+            ("http://user:pw@Host.Example.COM:8080/x",),
+            ("https://[::1]:8080/y",),
+            ("ftp://example.org",),
+            ("not a url",),
+            (None,),
+        ],
+        "u string",
+    )
+    got = [r[0] for r in d.select(url_host("u")).collect()]
+    assert got == [
+        "sub.example.com",
+        "host.example.com",
+        "[::1]",
+        "example.org",
+        "",
+        None,
+    ]
+
+
+def test_perplexity_buckets_null_group_is_a_real_partition(spark):
+    # lang-id failures are routine: NULL-lang docs must be bucketed as
+    # their own group (SQL PARTITION BY semantics), not silently dropped
+    d = spark.createDataFrame(
+        [(0, "en", 1.0), (1, None, 2.0), (2, "en", 3.0), (3, None, 4.0),
+         (4, None, 5.0)],
+        "doc_id bigint, lang string, nll double",
+    )
+    rows = {r["doc_id"]: (r["lang"], r["group_rank"], r["bucket"])
+            for r in perplexity_buckets(d, "lang").collect()}
+    assert sorted(rows) == [0, 1, 2, 3, 4]  # nothing dropped
+    assert rows[1] == (None, 0, "head")
+    assert rows[3] == (None, 1, "middle")
+    assert rows[4] == (None, 2, "tail")
+
+
+def test_contiguous_pack_releases_its_spine(spark):
+    from re_data_pipeline_spark.operators.ids import release_spines
+    from re_data_pipeline_spark.operators.selection import contiguous_pack
+
+    d = spark.createDataFrame([(i, 3) for i in range(20)], "doc_id bigint, n bigint")
+    out = contiguous_pack(d, ["doc_id"], "n", ctx_len=7)
+    out.collect()
+    # the persisted prefix-sum spine must be releasable through the output
+    assert release_spines(out) >= 1
+
+
+def test_shard_manifest_field_boundary_shift_changes_checksum(spark):
+    from re_data_pipeline_spark.operators.maintenance import shard_manifest
+
+    a = spark.createDataFrame([(1, "a\x1fb", "c")], "doc_id bigint, text string, lang string")
+    b = spark.createDataFrame([(1, "a", "b\x1fc")], "doc_id bigint, text string, lang string")
+    xa = shard_manifest(a, "doc_id", ["text", "lang"], num_shards=1).collect()[0]
+    xb = shard_manifest(b, "doc_id", ["text", "lang"], num_shards=1).collect()[0]
+    # same bytes shifted across the field boundary MUST change the receipt
+    assert xa["content_xor"] != xb["content_xor"]
