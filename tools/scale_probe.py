@@ -273,6 +273,14 @@ def main() -> int:
 
         return ngram_lm_nll(d.select("doc_id", "text"))
 
+    def _pack(d):
+        from re_data_pipeline_spark.operators.selection import contiguous_pack
+
+        return contiguous_pack(
+            d.select("doc_id", "n_chars"), [F.asc("doc_id")], "n_chars",
+            ctx_len=4096,
+        )
+
     def _decontam(d):
         from re_data_pipeline_spark.operators.dedup import (
             exact_substring_decontaminate,
@@ -346,6 +354,10 @@ def main() -> int:
         # shuffles Σ trigram positions once per backoff tier — exp ≈ 1,
         # shuffle rows ≈ 4× positions (3 lookups + 1 per-doc agg)
         "ngram_lm_nll (trigram stupid-backoff)": lambda n: _lm(docs(n)),
+        # r11 concat-and-chunk packing: ONE (doc_id, size) range exchange
+        # then map-only window arithmetic — shuffle exp must be ≈ 1 and
+        # the shuffle must carry ONLY the sized spine rows, never text
+        "contiguous_pack (ctx 4096)": lambda n: _pack(docs(n)),
     }
 
     if only:
