@@ -4788,11 +4788,11 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # no CORRECTNESS_r10.json was filed (the driver skipped the record between
 # rounds 10 and 11), so the round-10 composition — the r4-stale q54-q95
 # band plus q197-q201 — was never actually driver-checked and is KEPT:
-# (a) the 12 never-driver-checked queries: q197-q201 (round 10) and
-#     q202-q208 (NEW this round: trigram Stupid-Backoff LM, CCNet
+# (a) the 13 never-driver-checked queries: q197-q201 (round 10) and
+#     q202-q209 (NEW this round: trigram Stupid-Backoff LM, CCNet
 #     perplexity buckets, domain blocklist filter, shard manifest, the
 #     q206 end-to-end curation composition, tokenizer fertility, and
-#     GPT-style concat-and-chunk packing);
+#     GPT-style concat-and-chunk packing, and the streaming manifest);
 # (b) the 23 queries whose last green driver row is ROUND 4 (q54-q95
 #     stock-expression band — carried from the unrecorded r10 window);
 # (c) the oldest round-5 rows, planner order (q01/q04/q07, q100-q135
@@ -4816,7 +4816,7 @@ DRIVER_WINDOW: list[str] = [
     "q202_ngram_lm_nll", "q203_ccnet_buckets",
     "q204_domain_blocklist", "q205_shard_manifest",
     "q206_curation_v3", "q207_tokenizer_fertility",
-    "q208_contiguous_pack",
+    "q208_contiguous_pack", "q209_streaming_manifest",
     # (b) last green driver row: round 4
     "q54_first_available", "q55_limit_topn", "q64_lag_lead",
     "q65_first_occurrence", "q66_state_flag_merge", "q67_rolling_hash",
@@ -4833,10 +4833,9 @@ DRIVER_WINDOW: list[str] = [
     "q122_repetition_metrics", "q123_semantic_dedup",
     "q124_dsir_importance", "q126_quality_classifier",
     "q127_compaction_plan", "q130_bloom_prefilter",
-    "q131_stream_stream_join",
-    # (q132_bpe_pair_counts, q134_scd2_history, q135_inverted_index
-    # deferred to r12: q206-q208, added mid-round, take the
-    # never-checked slots — the planner's always-in rule)
+    # (q131_stream_stream_join, q132_bpe_pair_counts, q134_scd2_history,
+    # q135_inverted_index deferred to r12: q206-q209, added mid-round,
+    # take the never-checked slots — the planner's always-in rule)
 ]
 
 
@@ -9623,3 +9622,46 @@ def q208_contiguous_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         out.select("doc_id", "chunk", "tok_start", "tok_end", "n_chunk_tokens"),
     )
+
+
+@query("q209_streaming_manifest", _Q205_SQL)
+def q209_streaming_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q205's integrity manifest maintained AS A STREAM
+    (`streaming/stream_ops.streaming_manifest`): four staged id-range
+    files drained AvailableNow, each micro-batch manifesting only its own
+    rows and folding into the running receipt via
+    `merge_shard_manifests`.  Every manifest column is a commutative
+    monoid fold, so the drained receipt equals the one-shot batch
+    manifest REGARDLESS of delivery order — the streaming query earns
+    q205's oracle verbatim with no ordering caveat (q187 needs id-ordered
+    files; this needs nothing).  State is num_shards rows forever."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from re_data_pipeline_spark.streaming.stream_ops import streaming_manifest
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    qs = d.approxQuantile("doc_id", [0.25, 0.5, 0.75], 0.0)
+    stage = tempfile.mkdtemp(prefix="q209_stage_")
+    inbox = os.path.join(stage, "inbox")
+    os.makedirs(inbox)
+    try:
+        bounds = [None, *qs, None]
+        for i in range(4):
+            part = d
+            if bounds[i] is not None:
+                part = part.where(F.col("doc_id") >= bounds[i])
+            if bounds[i + 1] is not None:
+                part = part.where(F.col("doc_id") < bounds[i + 1])
+            tmp = os.path.join(stage, f"w{i}")
+            part.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            shutil.copyfile(src, os.path.join(inbox, f"batch_{i:02d}.parquet"))
+        m = streaming_manifest(spark, inbox, d.schema, num_shards=16)
+        # the receipt is localCheckpoint'ed (materialized) — staged files
+        # can go
+        return m
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

@@ -379,3 +379,35 @@ def test_streaming_incremental_dedup_equals_batch_fold(spark, tmp_path):
         spark, inbox, "doc_id long, text string"
     )
     assert sorted(r.doc_id for r in kept.collect()) == [1, 4]
+
+
+def test_streaming_manifest_order_independent(spark, tmp_path):
+    """The drained streaming receipt must equal the one-shot batch
+    manifest even when files arrive in REVERSE id order — the commutative-
+    monoid property q187's dedup cannot claim (it needs id-ordered
+    delivery)."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from re_data_pipeline_spark.operators.maintenance import shard_manifest
+    from re_data_pipeline_spark.streaming.stream_ops import streaming_manifest
+
+    d = spark.createDataFrame(
+        [(i, f"text {i}", "en") for i in range(120)],
+        "doc_id bigint, text string, lang string",
+    )
+    inbox = tmp_path / "inbox"
+    inbox.mkdir()
+    # stage 3 id-range files with mtimes in REVERSE id order
+    for j, (lo, hi) in enumerate([(80, 120), (40, 80), (0, 40)]):
+        part = d.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        tmp = str(tmp_path / f"w{j}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(p for p in os.listdir(tmp) if p.startswith("part-"))
+        dst = inbox / f"batch_{j:02d}.parquet"
+        (dst).write_bytes(open(os.path.join(tmp, src), "rb").read())
+        os.utime(dst, (1_000_000_000 + j * 10, 1_000_000_000 + j * 10))
+    got = streaming_manifest(spark, str(inbox), d.schema, num_shards=8)
+    want = shard_manifest(d, "doc_id", ["text", "lang"], num_shards=8)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
