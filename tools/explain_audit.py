@@ -534,6 +534,23 @@ CHECKS = [
         {"spark.sql.autoBroadcastJoinThreshold": "-1"},
     ),
     (
+        "q206_curation_v3",
+        "curation composition: every stage keeps its audited shape",
+        [
+            (r"!CartesianProduct", "no all-pairs stage anywhere in the composition"),
+            (r"rangepartitioning", "the CCNet cut rides the ordinal spine"),
+            (r"!Window", "no window operator — dedup is groupBy(min)+semi-join"),
+            (r"HashAggregate.*partial", "manifest/model counters combine map-side"),
+            (r"LeftSemi", "fingerprint winners re-join as a semi-join"),
+        ],
+        "The end-to-end trace (blocklist → LM cut → dedup → manifest) "
+        "composes through (doc_id)-keyed joins: the one plan risk a "
+        "composition adds over its audited stages is an accidental "
+        "cross-product or a stage swap into a per-key window — both "
+        "asserted absent here.  The InMemoryRelation for the persisted "
+        "survivor frame is deliberate (6 downstream consumers).",
+    ),
+    (
         "q208_contiguous_pack",
         "concat-and-chunk packing: one range exchange, then map-only",
         [
