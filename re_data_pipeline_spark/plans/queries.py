@@ -8205,6 +8205,45 @@ def q186_keep_top_k_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_id_range_inbox(
+    d: DataFrame, stage: str, n_files: int, ordered_mtimes: bool
+) -> str:
+    """Stage ``d`` into ``stage/inbox`` as ``n_files`` disjoint doc_id-range
+    parquet files (the file-source fixture both streaming queries drain).
+    ``ordered_mtimes=True`` stamps strictly increasing modification times so
+    the file source delivers in id order (q187's first-seen-wins contract
+    needs it; q209's commutative fold does not).
+
+    Degenerate-input-safe: the loop runs over the quantile bounds actually
+    returned, so an empty table stages one (empty) file instead of
+    indexing past the bounds list — ``approxQuantile`` on 0 rows is [].
+    """
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    qs = d.approxQuantile(
+        "doc_id", [i / n_files for i in range(1, n_files)], 0.0
+    )
+    inbox = _os.path.join(stage, "inbox")
+    _os.makedirs(inbox)
+    bounds = [None, *qs, None]
+    for i in range(len(bounds) - 1):
+        part = d
+        if bounds[i] is not None:
+            part = part.where(F.col("doc_id") >= bounds[i])
+        if bounds[i + 1] is not None:
+            part = part.where(F.col("doc_id") < bounds[i + 1])
+        tmp = _os.path.join(stage, f"w{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = _glob.glob(_os.path.join(tmp, "part-*.parquet"))[0]
+        dst = _os.path.join(inbox, f"batch_{i:02d}.parquet")
+        _shutil.copyfile(src, dst)
+        if ordered_mtimes:
+            _os.utime(dst, (1_000_000_000 + i * 10, 1_000_000_000 + i * 10))
+    return inbox
+
+
 @query("q187_streaming_incremental_dedup", _Q107_SQL)
 def q187_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q107's incremental crawl dedup AS A STREAM: four id-range files
@@ -8215,8 +8254,6 @@ def q187_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFr
     delivers them in id order — under which first-seen-wins equals the
     one-shot greedy closed form, so the STREAMING protocol earns the same
     full-value oracle as the batch fold (q107's SQL verbatim)."""
-    import glob
-    import os
     import shutil
     import tempfile
 
@@ -8225,26 +8262,11 @@ def q187_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
-    qs = d.approxQuantile("doc_id", [0.25, 0.5, 0.75], 0.0)
     stage = tempfile.mkdtemp(prefix="q187_stage_")
-    inbox = os.path.join(stage, "inbox")
-    os.makedirs(inbox)
     try:
-        bounds = [None, *qs, None]
-        for i in range(4):
-            part = d
-            if bounds[i] is not None:
-                part = part.where(F.col("doc_id") >= bounds[i])
-            if bounds[i + 1] is not None:
-                part = part.where(F.col("doc_id") < bounds[i + 1])
-            tmp = os.path.join(stage, f"w{i}")
-            part.coalesce(1).write.mode("overwrite").parquet(tmp)
-            src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-            dst = os.path.join(inbox, f"batch_{i:02d}.parquet")
-            shutil.copyfile(src, dst)
-            # strictly increasing mtimes: the file source orders batches by
-            # modification time, which makes delivery id-ordered
-            os.utime(dst, (1_000_000_000 + i * 10, 1_000_000_000 + i * 10))
+        # ordered mtimes: id-ordered delivery is q187's first-seen-wins
+        # contract (see _stage_id_range_inbox)
+        inbox = _stage_id_range_inbox(d, stage, 4, ordered_mtimes=True)
         kept = streaming_incremental_dedup(spark, inbox, d.schema)
         # kept unions localCheckpoint'ed frames — already materialized, so
         # deleting the staged files afterwards is safe
@@ -9635,33 +9657,19 @@ def q209_streaming_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest REGARDLESS of delivery order — the streaming query earns
     q205's oracle verbatim with no ordering caveat (q187 needs id-ordered
     files; this needs nothing).  State is num_shards rows forever."""
-    import glob
-    import os
     import shutil
     import tempfile
 
     from re_data_pipeline_spark.streaming.stream_ops import streaming_manifest
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    qs = d.approxQuantile("doc_id", [0.25, 0.5, 0.75], 0.0)
     stage = tempfile.mkdtemp(prefix="q209_stage_")
-    inbox = os.path.join(stage, "inbox")
-    os.makedirs(inbox)
     try:
-        bounds = [None, *qs, None]
-        for i in range(4):
-            part = d
-            if bounds[i] is not None:
-                part = part.where(F.col("doc_id") >= bounds[i])
-            if bounds[i + 1] is not None:
-                part = part.where(F.col("doc_id") < bounds[i + 1])
-            tmp = os.path.join(stage, f"w{i}")
-            part.coalesce(1).write.mode("overwrite").parquet(tmp)
-            src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-            shutil.copyfile(src, os.path.join(inbox, f"batch_{i:02d}.parquet"))
+        # unordered: the manifest fold is commutative, delivery order is
+        # irrelevant (the property this query exists to demonstrate)
+        inbox = _stage_id_range_inbox(d, stage, 4, ordered_mtimes=False)
         m = streaming_manifest(spark, inbox, d.schema, num_shards=16)
-        # the receipt is localCheckpoint'ed (materialized) — staged files
-        # can go
+        # the receipt rows live on the driver — staged files can go
         return m
     finally:
         shutil.rmtree(stage, ignore_errors=True)

@@ -318,8 +318,12 @@ def streaming_manifest(
     of immutable staged blobs provides.
 
     100 TB shape: per-batch work is batch-sized; the carried state is
-    num_shards ROWS (localCheckpoint here; a production job upserts the
-    receipt table), so state never grows with the corpus.
+    num_shards ROWS held on the DRIVER (collected each batch — the receipt
+    is driver-safe by construction, that being shard_manifest's whole
+    contract; a production job upserts the receipt table instead).
+    Holding rows rather than chained localCheckpoint frames means no
+    block-manager residue accumulates across batches or repeated drains,
+    and no lineage ever references a closed micro-batch source.
     """
     from re_data_pipeline_spark.operators.maintenance import (
         merge_shard_manifests,
@@ -329,19 +333,18 @@ def streaming_manifest(
     stream = read_stream(
         spark, path, schema, max_files_per_trigger=max_files_per_trigger
     )
-    state: dict = {"m": None}
+    state: dict = {"rows": None, "schema": None}
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        m = shard_manifest(
-            batch_df, id_col, list(content_cols), num_shards
-        ).localCheckpoint(eager=True)
-        state["m"] = (
-            m
-            if state["m"] is None
-            else merge_shard_manifests(state["m"], m).localCheckpoint(eager=True)
-        )
+        m = shard_manifest(batch_df, id_col, list(content_cols), num_shards)
+        if state["rows"] is not None:
+            m = merge_shard_manifests(
+                spark.createDataFrame(state["rows"], state["schema"]), m
+            )
+        state["schema"] = m.schema
+        state["rows"] = m.collect()  # num_shards rows — driver-safe
 
     import shutil
     import tempfile
@@ -357,7 +360,7 @@ def streaming_manifest(
         q.awaitTermination()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
-    if state["m"] is None:
+    if state["rows"] is None:
         empty = spark.createDataFrame([], _coerce_event_time_schema(schema))
         return shard_manifest(empty, id_col, list(content_cols), num_shards)
-    return state["m"]
+    return spark.createDataFrame(state["rows"], state["schema"])

@@ -404,10 +404,24 @@ def test_streaming_manifest_order_independent(spark, tmp_path):
         part = d.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
         tmp = str(tmp_path / f"w{j}")
         part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        import shutil
+
         src = next(p for p in os.listdir(tmp) if p.startswith("part-"))
         dst = inbox / f"batch_{j:02d}.parquet"
-        (dst).write_bytes(open(os.path.join(tmp, src), "rb").read())
+        shutil.copyfile(os.path.join(tmp, src), str(dst))
         os.utime(dst, (1_000_000_000 + j * 10, 1_000_000_000 + j * 10))
     got = streaming_manifest(spark, str(inbox), d.schema, num_shards=8)
     want = shard_manifest(d, "doc_id", ["text", "lang"], num_shards=8)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stage_inbox_and_manifest_handle_empty_corpus(spark, tmp_path):
+    """Regression: the quantile-split staging used to index past the bounds
+    list on an empty table (approxQuantile on 0 rows returns [])."""
+    from re_data_pipeline_spark.plans.queries import _stage_id_range_inbox
+    from re_data_pipeline_spark.streaming.stream_ops import streaming_manifest
+
+    d = spark.createDataFrame([], "doc_id bigint, text string, lang string")
+    inbox = _stage_id_range_inbox(d, str(tmp_path), 4, ordered_mtimes=False)
+    m = streaming_manifest(spark, inbox, d.schema, num_shards=8)
+    assert m.count() == 0
