@@ -165,6 +165,48 @@ def prior_plan_hashes() -> tuple[str, dict[str, str]]:
     return "", {}
 
 
+def initial_round_slot(filed_rounds: list[int]) -> int:
+    """Default local-record slot: one past the newest driver-filed
+    BENCH_rN.json, floored by DRIVER_WINDOW_ROUND.  The driver can skip a
+    round (it filed no r10 records), so max(filed)+1 alone can point at the
+    skipped round's slot and clobber its local record (r11 verdict task 2);
+    the repo's own current-round stamp breaks that tie."""
+    nxt = max(filed_rounds) + 1 if filed_rounds else 1
+    try:
+        from re_data_pipeline_spark.plans.queries import DRIVER_WINDOW_ROUND
+
+        nxt = max(nxt, DRIVER_WINDOW_ROUND)
+    except Exception:
+        pass
+    return nxt
+
+
+def resolve_round_slot(bdir: str, nxt: int, payload_query_keys) -> tuple[int, str]:
+    """First slot >= nxt whose local record is absent, unreadable, or holds
+    the SAME query-key set as the new payload.  A differing key set means
+    the existing file is a DIFFERENT round's bench — never overwrite it
+    (bench_r10.json was lost exactly this way); slide forward instead."""
+    want = set(payload_query_keys)
+    while True:
+        target = os.path.join(bdir, f"bench_r{nxt:02d}.json")
+        if not os.path.exists(target):
+            return nxt, target
+        try:
+            with open(target) as f:
+                existing_keys = set(json.load(f).get("queries", {}))
+        except Exception:
+            # unreadable record: overwriting loses nothing parseable
+            return nxt, target
+        if existing_keys == want:
+            return nxt, target
+        print(
+            f"bench_r{nxt:02d}.json holds a different query set; "
+            "sliding to the next round slot",
+            file=sys.stderr,
+        )
+        nxt += 1
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -224,10 +266,13 @@ def main() -> None:
     # stdout TAIL, which truncated BENCH_r07's first seven headline rows
     # (r7 verdict, What's missing #2) — .benchmarks/bench_r<N>.json keeps
     # the repo's own full per-round record.  N: explicit SPARK_GRAFT_ROUND
-    # env var wins; otherwise max(BENCH_r*)+1, EXCEPT when the newest
-    # BENCH_rN carries the same plan hashes as this run (same code state
-    # → this is a re-run of round N's bench after the driver filed it, so
-    # overwrite bench_rN instead of polluting the N+1 slot — r8 advice).
+    # env var wins; otherwise initial_round_slot() (max(BENCH_r*)+1 floored
+    # by DRIVER_WINDOW_ROUND for driver-skipped rounds), EXCEPT when the
+    # newest BENCH_rN carries the same plan hashes as this run (same code
+    # state → a re-run of round N's bench after the driver filed it, so
+    # overwrite bench_rN instead of polluting the N+1 slot — r8 advice);
+    # resolve_round_slot() then refuses to overwrite any record holding a
+    # different query-key set (the r10 record was lost to that in r11).
     try:
         import glob
 
@@ -240,10 +285,8 @@ def main() -> None:
         env_round = os.environ.get("SPARK_GRAFT_ROUND")
         if env_round:
             nxt = int(env_round)
-        elif not ns:
-            nxt = 1
         else:
-            nxt = max(ns) + 1
+            nxt = initial_round_slot(ns)
             try:
                 # Same-round re-run detection.  BENCH_rN.json is a DRIVER
                 # record (keys n/rc/cpus/sf/tail/parsed) whose bench payload
@@ -273,7 +316,8 @@ def main() -> None:
                 pass
         bdir = os.path.join(here, ".benchmarks")
         os.makedirs(bdir, exist_ok=True)
-        with open(os.path.join(bdir, f"bench_r{nxt:02d}.json"), "w") as f:
+        nxt, target = resolve_round_slot(bdir, nxt, payload["queries"])
+        with open(target, "w") as f:
             json.dump(payload, f, indent=1)
     except Exception as e:  # the record is best-effort; never fail the bench
         print(f"local bench record not written: {e}", file=sys.stderr)

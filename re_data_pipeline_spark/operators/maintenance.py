@@ -197,7 +197,14 @@ def shard_manifest(
     """
     if num_shards < 1:
         raise ValueError(f"num_shards must be ≥ 1; got {num_shards}")
-    sid = F.col(id_col).cast("string")
+    # NULL ids hash as '' (the same convention the content columns use
+    # below): md5(NULL) would NULL the whole concat, land the row in a
+    # NULL shard, and bit_xor would then SKIP it — leaving NULL-id rows'
+    # content entirely outside the receipt (r11 advice).  The deliberate
+    # residual is that a NULL id and a ''-casting id hash identically —
+    # the same NULL≡'' collapse the content fields already accept;
+    # min_id/max_id still ignore NULLs (they are ranges of REAL ids).
+    sid = F.coalesce(F.col(id_col).cast("string"), F.lit(""))
     key = F.conv(F.substring(F.md5(sid), 1, 15), 16, 10).cast("long")
     # INJECTIVE row serialization: hash each field separately and
     # concatenate the fixed-length digests.  A separator-joined string is

@@ -9328,9 +9328,10 @@ suf AS (
 _MANIFEST_SQL_TMPL = """
 rows_h AS (
   SELECT doc_id,
-         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+         CAST(CAST(('0x' || substr(md5(coalesce(CAST(doc_id AS VARCHAR), '')),
+                                   1, 15))
                    AS BIGINT) % 16 AS INT) AS shard,
-         CAST(('0x' || substr(md5(md5(CAST(doc_id AS VARCHAR))
+         CAST(('0x' || substr(md5(md5(coalesce(CAST(doc_id AS VARCHAR), ''))
                                   || md5(coalesce(text, ''))
                                   || md5(coalesce(lang, ''))), 1, 15))
               AS BIGINT) AS rh,

@@ -1,0 +1,81 @@
+"""Regression tests for bench.py's local-record round-slot logic.
+
+Round-11 verdict task 2: the driver filed no BENCH_r10.json, so during
+round 11 ``max(filed)+1`` pointed the r11 payload at bench_r10.json and
+destroyed round 10's local record.  Two guards now prevent that:
+
+* ``initial_round_slot`` floors the slot by ``DRIVER_WINDOW_ROUND`` so a
+  driver-skipped round cannot pull the slot backwards, and
+* ``resolve_round_slot`` refuses to overwrite an existing record whose
+  query-key set differs from the new payload's (a different round's
+  bench), sliding forward instead.
+
+Pure-Python tests — no SparkSession needed.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+from re_data_pipeline_spark.plans.queries import DRIVER_WINDOW_ROUND  # noqa: E402
+
+
+def _write(bdir, n, queries):
+    path = os.path.join(bdir, f"bench_r{n:02d}.json")
+    with open(path, "w") as f:
+        json.dump({"queries": {q: 1.0 for q in queries}, "sf": 0.1}, f)
+    return path
+
+
+def test_initial_slot_floored_by_window_round():
+    # Driver skipped a round: newest filed record is two rounds back.
+    filed = [DRIVER_WINDOW_ROUND - 2]
+    assert bench.initial_round_slot(filed) == DRIVER_WINDOW_ROUND
+
+
+def test_initial_slot_normal_progression():
+    # Newest filed record IS the current round: next slot is current+1,
+    # ahead of the floor.
+    filed = [DRIVER_WINDOW_ROUND]
+    assert bench.initial_round_slot(filed) == DRIVER_WINDOW_ROUND + 1
+    assert bench.initial_round_slot([]) == max(1, DRIVER_WINDOW_ROUND)
+
+
+def test_resolve_slot_free(tmp_path):
+    nxt, target = bench.resolve_round_slot(str(tmp_path), 10, {"qa", "qb"})
+    assert nxt == 10 and target.endswith("bench_r10.json")
+
+
+def test_resolve_slot_same_keyset_overwrites(tmp_path):
+    # Same query-key set = re-run of the same round's bench: keep the slot.
+    _write(str(tmp_path), 10, ["qa", "qb"])
+    nxt, target = bench.resolve_round_slot(str(tmp_path), 10, {"qb", "qa"})
+    assert nxt == 10 and target.endswith("bench_r10.json")
+
+
+def test_resolve_slot_skipped_round_clobber(tmp_path):
+    # THE r11 incident: slot 10 holds round 10's record (different query
+    # set); the new payload must slide to 11, leaving r10 intact.
+    p10 = _write(str(tmp_path), 10, ["qa", "qb"])
+    before = open(p10).read()
+    nxt, target = bench.resolve_round_slot(str(tmp_path), 10, {"qa", "qb", "qc"})
+    assert nxt == 11 and target.endswith("bench_r11.json")
+    assert open(p10).read() == before
+
+
+def test_resolve_slot_slides_past_multiple(tmp_path):
+    _write(str(tmp_path), 10, ["qa"])
+    _write(str(tmp_path), 11, ["qb"])
+    nxt, target = bench.resolve_round_slot(str(tmp_path), 10, {"qc"})
+    assert nxt == 12 and target.endswith("bench_r12.json")
+
+
+def test_resolve_slot_unreadable_record_is_overwritable(tmp_path):
+    path = os.path.join(str(tmp_path), "bench_r10.json")
+    with open(path, "w") as f:
+        f.write("{not json")
+    nxt, target = bench.resolve_round_slot(str(tmp_path), 10, {"qa"})
+    assert nxt == 10 and target == path

@@ -151,6 +151,40 @@ def test_shard_manifest_order_independent_and_localizing(spark):
     assert len(diff) == 1
 
 
+def test_shard_manifest_covers_null_id_rows(spark):
+    """r11 advice: md5(NULL id) used to NULL the whole row hash and
+    bit_xor then SKIPPED it — a tamper in a NULL-id row's content passed
+    verification.  NULL ids now hash as '' so their content is covered."""
+    from re_data_pipeline_spark.operators.maintenance import shard_manifest
+
+    schema = "doc_id string, text string, lang string"
+    d = spark.createDataFrame(
+        [("a", "alpha", "en"), (None, "payload", "en"), ("b", "beta", "en")],
+        schema,
+    )
+    m = shard_manifest(d, "doc_id", ["text", "lang"], num_shards=4)
+    # the NULL-id row lands in a real (non-null) shard and is counted
+    assert m.where(F.col("shard").isNull()).count() == 0
+    assert m.agg(F.sum("n_rows")).first()[0] == 3
+    # tampering the NULL-id row's content MUST change the receipt
+    tampered = spark.createDataFrame(
+        [("a", "alpha", "en"), (None, "PAYLOAD*", "en"), ("b", "beta", "en")],
+        schema,
+    )
+    mt = shard_manifest(tampered, "doc_id", ["text", "lang"], num_shards=4)
+    a = {r["shard"]: r["content_xor"] for r in m.collect()}
+    b = {r["shard"]: r["content_xor"] for r in mt.collect()}
+    assert a != b
+    # documented residual: NULL id hashes like '' id (same convention as
+    # the content columns), and the shard key is id-only — so the NULL-id
+    # row shares the '' shard
+    empty = spark.createDataFrame([("", "payload", "en")], schema)
+    nulls = spark.createDataFrame([(None, "payload", "en")], schema)
+    se = shard_manifest(empty, "doc_id", ["text", "lang"], num_shards=4).first()
+    sn = shard_manifest(nulls, "doc_id", ["text", "lang"], num_shards=4).first()
+    assert se["shard"] == sn["shard"] and se["content_xor"] == sn["content_xor"]
+
+
 def test_merge_shard_manifests_equals_full_manifest(spark):
     from re_data_pipeline_spark.operators.maintenance import (
         merge_shard_manifests,

@@ -317,6 +317,14 @@ def _ref_stupid_backoff(train_docs, score_docs):
     Stupid-Backoff semantics (float ops in the same shapes)."""
     import math
     from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _micro(x):
+        # Spark F.round / DuckDB round are HALF_UP; Python round() is
+        # banker's — a micro-nat landing exactly on .5 would flake
+        # against a correct engine (r11 advice; test_lm.py already does
+        # this for the 6dp nll).
+        return int(Decimal(repr(x)).quantize(Decimal("1"), ROUND_HALF_UP))
 
     uni, bi, tri = Counter(), Counter(), Counter()
     for toks in train_docs:
@@ -334,13 +342,13 @@ def _ref_stupid_backoff(train_docs, score_docs):
         for p in range(len(toks) - 2):
             w1, w2, w3 = toks[p], toks[p + 1], toks[p + 2]
             if (w1, w2, w3) in tri:
-                f = round(-math.log(tri[(w1, w2, w3)] / bi[(w1, w2)]) * 1e6)
+                f = _micro(-math.log(tri[(w1, w2, w3)] / bi[(w1, w2)]) * 1e6)
             elif (w2, w3) in bi:
-                f = round(-math.log(0.4 * (bi[(w2, w3)] / uni[w2])) * 1e6)
+                f = _micro(-math.log(0.4 * (bi[(w2, w3)] / uni[w2])) * 1e6)
             elif w3 in uni:
-                f = round(-math.log(0.16 * ((uni[w3] + 1) / (n_tok + v))) * 1e6)
+                f = _micro(-math.log(0.16 * ((uni[w3] + 1) / (n_tok + v))) * 1e6)
             else:
-                f = round(-math.log(0.16 * (1 / (n_tok + v))) * 1e6)
+                f = _micro(-math.log(0.16 * (1 / (n_tok + v))) * 1e6)
             total += f
         out[i] = (len(toks) - 2, total)
     return out
