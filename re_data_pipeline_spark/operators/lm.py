@@ -68,6 +68,8 @@ def ngram_lm_nll(
     id_col: str = "doc_id",
     text_col: str = "text",
     cache_tokens: bool = False,
+    min_count2: int = 1,
+    min_count3: int = 1,
 ) -> DataFrame:
     """Per-document average negative log-likelihood under a trigram
     Stupid-Backoff model trained on ``train_df`` (see module docstring).
@@ -79,8 +81,21 @@ def ngram_lm_nll(
     ``nll`` (no positions to score — NOT a perfect score).
 
     ``score_df`` defaults to ``train_df`` (self-scoring, the corpus-health
-    view); CCNet-style filtering trains on a clean reference corpus and
-    scores the crawl.
+    view); CCNet-FAITHFUL usage trains on a SMALL CLEAN REFERENCE corpus
+    (CCNet: Wikipedia) and scores the crawl — the model tables are then
+    reference-corpus-bounded, not crawl-bounded, which is what keeps them
+    join-sized at 100 TB of scored text.  Self-scoring a raw crawl grows
+    the trigram table with the corpus (every novel trigram is a row); use
+    it for corpus-health dashboards, not as the production filter.
+
+    ``min_count2`` / ``min_count3`` prune the bigram/trigram MODEL tables
+    to grams seen at least that often (KenLM's standard count pruning;
+    1 = keep all).  A pruned gram simply backs off to the next tier —
+    the denominators stay RAW counts, so surviving entries' scores are
+    unchanged by pruning.  Pruning bounds the model tables by the
+    corpus's HEAD rather than its long tail (singleton trigrams are
+    typically >half the table), which is the published lever for keeping
+    self-trained model size sublinear in corpus size.
 
     Degenerate corner: a training corpus with ZERO tokens has no model —
     every scoreable document returns NULL ``nll`` (the 1-row stats frame
@@ -160,6 +175,15 @@ def ngram_lm_nll(
     )
     # model tables: per-key integer micro-nat NLL terms.  BIGINT/BIGINT
     # division is IEEE double in both engines; α and α² are literals.
+    # Count pruning filters the MODEL side only (denominators stay raw);
+    # the conditionals keep the default (no-pruning) plan byte-identical
+    # so q202/q203/q206's recorded plan hashes don't drift.
+    if min_count3 > 1:
+        tri = tri.where(F.col("__c3") >= min_count3)
+    if min_count2 > 1:
+        bi_pruned = bi.where(F.col("__c2") >= min_count2)
+    else:
+        bi_pruned = bi
     tri_model = tri.join(
         bi.select(F.col("__g2").alias("__p2"), F.col("__c2").alias("__d2")), "__p2"
     ).select(
@@ -168,7 +192,7 @@ def ngram_lm_nll(
         .cast("long")
         .alias("__f3"),
     )
-    bi_model = bi.join(
+    bi_model = bi_pruned.join(
         uni.select(F.col("__w").alias("__w1"), F.col("__c1").alias("__d1")), "__w1"
     ).select(
         F.col("__g2").alias("__b2"),

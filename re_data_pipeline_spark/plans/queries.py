@@ -9152,8 +9152,11 @@ def q201_intra_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shared DuckDB replay of the trigram Stupid-Backoff model
 # (operators/lm.ngram_lm_nll): counts → per-tier micro-nat NLL model
 # tables → 3-tier coalesce per trigram position → per-doc integer sums.
-# ``{src}`` is the (doc_id, text) relation the model trains on and scores
-# (q202/q203: ``documents``; q206: the blocklist survivors).
+# ``{src}`` is the (doc_id, text) relation the model TRAINS on, ``{ssrc}``
+# the one it SCORES (q202/q203: both ``documents``; q206: the blocklist
+# survivors; q210: clean-reference train, full-corpus score).
+# ``{prune2}``/``{prune3}`` are optional ``WHERE c2/c3 >= k`` clauses
+# replaying the operator's KenLM-style min-count model pruning ('' = off).
 _LM_SQL_CORE_TMPL = r"""
 toks AS (
   SELECT doc_id,
@@ -9161,7 +9164,14 @@ toks AS (
                      t -> t <> '') AS t
   FROM {src}
 ),
+stoks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text,''), '\s+'),
+                     t -> t <> '') AS t
+  FROM {ssrc}
+),
 base AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+sbase AS (SELECT doc_id, t, len(t) AS n FROM stoks WHERE len(t) > 0),
 uni AS (SELECT w, count(*) AS c1
         FROM (SELECT unnest(t) AS w FROM base) GROUP BY 1),
 stats AS (SELECT CAST(SUM(c1) AS BIGINT) AS n_tok,
@@ -9179,13 +9189,13 @@ tri AS (
 ),
 tri_model AS (
   SELECT g3, CAST(round((-ln(c3 / d2)) * 1000000, 0) AS BIGINT) AS f3
-  FROM tri JOIN (SELECT g2 AS p2, c2 AS d2 FROM bi) USING (p2)
+  FROM tri JOIN (SELECT g2 AS p2, c2 AS d2 FROM bi) USING (p2) {prune3}
 ),
 bi_model AS (
   SELECT g2 AS b2,
          CAST(round((-ln(CAST(0.4 AS DOUBLE) * (c2 / d1))) * 1000000, 0)
               AS BIGINT) AS f2
-  FROM bi JOIN (SELECT w AS w1, c1 AS d1 FROM uni) USING (w1)
+  FROM bi JOIN (SELECT w AS w1, c1 AS d1 FROM uni) USING (w1) {prune2}
 ),
 uni_model AS (
   SELECT w AS w3,
@@ -9198,7 +9208,7 @@ pos AS (
          array_to_string(t[p:p+2], ' ') AS g3,
          array_to_string(t[p+1:p+2], ' ') AS b2,
          t[p+2] AS w3
-  FROM (SELECT doc_id, t, unnest(range(1, n - 1)) AS p FROM base WHERE n >= 3)
+  FROM (SELECT doc_id, t, unnest(range(1, n - 1)) AS p FROM sbase WHERE n >= 3)
 ),
 lm_scored AS (
   SELECT doc_id,
@@ -9218,13 +9228,15 @@ lm_agg AS (
 )
 """
 
-_LM_SQL_CORE = _LM_SQL_CORE_TMPL.format(src="documents")
+_LM_SQL_CORE = _LM_SQL_CORE_TMPL.format(
+    src="documents", ssrc="documents", prune2="", prune3=""
+)
 
 _Q202_SQL = f"""
 WITH {_LM_SQL_CORE}
 SELECT d.doc_id, coalesce(a.n_trigrams, 0) AS n_trigrams,
        a.nll_micro, a.nll
-FROM (SELECT doc_id FROM toks) d LEFT JOIN lm_agg a USING (doc_id)
+FROM (SELECT doc_id FROM stoks) d LEFT JOIN lm_agg a USING (doc_id)
 """
 
 
@@ -9434,7 +9446,9 @@ survivors AS (
   WHERE b.host IS NULL
 ),
 """
-    + _LM_SQL_CORE_TMPL.format(src="survivors")
+    + _LM_SQL_CORE_TMPL.format(
+        src="survivors", ssrc="survivors", prune2="", prune3=""
+    )
     + """,
 scored AS (
   SELECT a.doc_id, s.lang, a.nll
@@ -9674,3 +9688,45 @@ def q209_streaming_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         return m
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Round 12: CCNet-faithful LM usage (pruned model, clean-reference train)
+# and unigram-LM (SentencePiece-style) tokenizer training
+# ---------------------------------------------------------------------------
+
+_Q210_SQL = (
+    "WITH "
+    + _LM_SQL_CORE_TMPL.format(
+        src="(SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0)",
+        ssrc="documents",
+        prune3="WHERE c3 >= 2",
+        prune2="WHERE c2 >= 2",
+    )
+    + """
+SELECT d.doc_id, coalesce(a.n_trigrams, 0) AS n_trigrams,
+       a.nll_micro, a.nll
+FROM (SELECT doc_id FROM stoks) d LEFT JOIN lm_agg a USING (doc_id)
+"""
+)
+
+
+@query("q210_ngram_lm_pruned", _Q210_SQL)
+def q210_ngram_lm_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-FAITHFUL deployment shape of the q202 LM: train on a SMALL
+    CLEAN REFERENCE corpus (every 5th document — CCNet trains on
+    Wikipedia), score the FULL corpus, with KenLM-standard min-count
+    pruning of the bigram/trigram model tables (min_count = 2: singleton
+    grams — typically more than half the table — back off to the next
+    tier; denominators stay raw, so surviving entries score identically).
+
+    This is the configuration whose model tables stay REFERENCE-bounded
+    and head-bounded as the scored corpus grows — the 100 TB filter
+    shape, vs q202's self-scoring corpus-health view.  Oracle: the shared
+    LM core with split train/score sources and WHERE c>=2 on the model
+    CTEs."""
+    from re_data_pipeline_spark.operators.lm import ngram_lm_nll
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = d.where(F.col("doc_id") % 5 == 0)
+    return ngram_lm_nll(train, d, min_count2=2, min_count3=2)
