@@ -9730,3 +9730,218 @@ def q210_ngram_lm_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     train = d.where(F.col("doc_id") % 5 == 0)
     return ngram_lm_nll(train, d, min_count2=2, min_count3=2)
+
+
+# Shared DuckDB replay of operators/unigram.unigram_lm_train over
+# ``documents`` — seed vocab from substring counts, then per-iteration
+# recursive enumeration of ALL segmentations with min by (cost, seg)
+# (provably what the operator's Viterbi DP computes: the tie-break is
+# suffix-stable, see operators/unigram.py).  Mirrors _bpe_round_sql's
+# chained-CTE round generator.  Queries using it must open with
+# "WITH RECURSIVE".
+def _unigram_seed_sql(max_word_len: int = 12, max_piece_len: int = 4,
+                      seed_multi: int = 64) -> str:
+    return f"""
+uw0 AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split_regex(lower(coalesce(text, '')),
+                                     '[^a-z0-9]+')) AS w
+    FROM documents
+  ) WHERE strlen(w) BETWEEN 1 AND {max_word_len}
+  GROUP BY w
+),
+ucand AS MATERIALIZED (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT substr(w, CAST(i AS INT), CAST(L AS INT)) AS piece, freq
+    FROM uw0,
+         LATERAL (SELECT unnest(range(1, strlen(w) + 1)) AS i),
+         LATERAL (SELECT unnest(range(1,
+                    least({max_piece_len}, strlen(w) - i + 1) + 1)) AS L)
+  ) GROUP BY piece
+),
+unum0 AS MATERIALIZED (
+  SELECT piece, cnt FROM ucand WHERE strlen(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt FROM ucand WHERE strlen(piece) >= 2
+    ORDER BY cnt DESC, piece ASC LIMIT {seed_multi})
+),
+uvocab0 AS MATERIALIZED (
+  SELECT piece, cnt,
+         CAST(round((-ln(cnt / t)) * 1000000, 0) AS BIGINT) AS cost
+  FROM unum0, (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM unum0)
+)"""
+
+
+def _unigram_seg_sql(k: int, vocab: str) -> str:
+    """useg{k} (all segmentation prefixes under {vocab}) + ubest{k}
+    (per-word min by (cost, seg))."""
+    return f"""
+useg{k} AS (
+  SELECT w, 0 AS j, CAST(0 AS BIGINT) AS cst, '' AS s FROM uw0
+  UNION ALL
+  SELECT g.w, CAST(g.j + strlen(v.piece) AS INT), g.cst + v.cost,
+         CASE WHEN g.s = '' THEN v.piece ELSE g.s || ' ' || v.piece END
+  FROM useg{k} g JOIN {vocab} v
+    ON g.j + strlen(v.piece) <= strlen(g.w)
+   AND substr(g.w, CAST(g.j + 1 AS INT),
+              CAST(strlen(v.piece) AS INT)) = v.piece
+),
+ubest{k} AS MATERIALIZED (
+  SELECT w, s FROM (
+    SELECT w, s, row_number() OVER (PARTITION BY w ORDER BY cst, s) AS rn
+    FROM useg{k} WHERE j = strlen(w)) WHERE rn = 1
+)"""
+
+
+def _unigram_round_sql(k: int) -> str:
+    """One EM round: segment under uvocab{k-1}, count, M-step (chars
+    Laplace +1, zero-count multi pieces drop), recost → uvocab{k}."""
+    p = k - 1
+    return f"""{_unigram_seg_sql(k, f"uvocab{p}")},
+ucnt{k} AS MATERIALIZED (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT w, unnest(string_split(s, ' ')) AS piece FROM ubest{k}
+  ) JOIN uw0 USING (w)
+  GROUP BY piece
+),
+unum{k} AS MATERIALIZED (
+  SELECT v.piece, CAST(coalesce(c.cnt, 0) + 1 AS BIGINT) AS cnt
+  FROM (SELECT piece FROM uvocab{p} WHERE strlen(piece) = 1) v
+  LEFT JOIN ucnt{k} c USING (piece)
+  UNION ALL
+  SELECT piece, cnt FROM ucnt{k} WHERE strlen(piece) >= 2
+),
+uvocab{k} AS MATERIALIZED (
+  SELECT piece, cnt,
+         CAST(round((-ln(cnt / t)) * 1000000, 0) AS BIGINT) AS cost
+  FROM unum{k}, (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM unum{k})
+)"""
+
+
+_Q211_SQL = f"""
+WITH RECURSIVE {_unigram_seed_sql()},
+{_unigram_round_sql(1)},
+{_unigram_round_sql(2)}
+SELECT piece, cnt AS "count", cost AS cost_micro FROM uvocab2
+"""
+
+
+@query("q211_unigram_train", _Q211_SQL)
+def q211_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) subword tokenizer TRAINING
+    (`operators/unigram.unigram_lm_train`, Kudo 2018) — the EM sibling of
+    q161's BPE merge loop: seed vocab from substring counts (all chars +
+    top-64 multi-char pieces), two Viterbi hard-EM rounds under integer
+    micro-nat costs with the suffix-stable (cost, seg) tie-break, chars
+    kept with Laplace +1, zero-count pieces pruned.  Returns the final
+    piece table — the training artifact.
+
+    Scale shape: one corpus pass to the (word, freq) table; every EM
+    round is vocabulary-sized (span→piece equi-join, NO broadcast hint,
+    one F.aggregate fold per word); the per-round driver exchange is
+    parameter-bounded (≤ seed_multi + |alphabet| rows).  Oracle: the
+    recursive enumerate-ALL-segmentations min — a strictly stronger spec
+    than replaying the DP."""
+    from re_data_pipeline_spark.operators.unigram import unigram_lm_train
+
+    d = load_table(spark, sf_dir, "documents").select("text")
+    return unigram_lm_train(d, num_iters=2)
+
+
+_Q212_SQL = f"""
+WITH RECURSIVE {_unigram_seed_sql()},
+{_unigram_round_sql(1)},
+{_unigram_round_sql(2)},
+{_unigram_seg_sql(3, "uvocab2")},
+ufert AS MATERIALIZED (
+  SELECT w, CAST(len(string_split(s, ' ')) AS BIGINT) AS np FROM ubest3
+),
+udocw AS MATERIALIZED (
+  SELECT lang, w FROM (
+    SELECT lang, unnest(string_split_regex(lower(coalesce(text, '')),
+                                           '[^a-z0-9]+')) AS w
+    FROM documents)
+  WHERE strlen(w) BETWEEN 1 AND 12
+),
+ulang AS MATERIALIZED (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS trainable_words,
+         CAST(SUM(np) AS BIGINT) AS unigram_pieces,
+         round(SUM(np) / (count(*) * 1.0), 6) AS fertility_unigram
+  FROM udocw JOIN ufert USING (w)
+  GROUP BY lang
+),
+uprox AS MATERIALIZED (
+  SELECT lang,
+         CAST(SUM(len(regexp_extract_all(coalesce(text, ''),
+               '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT) AS bpe_ish_tokens,
+         CAST(SUM(len(list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                                  t -> t <> ''))) AS BIGINT) AS ws_tokens
+  FROM documents GROUP BY lang
+)
+SELECT u.lang, trainable_words, unigram_pieces, fertility_unigram,
+       bpe_ish_tokens, ws_tokens,
+       round(bpe_ish_tokens / (ws_tokens * 1.0), 6) AS fertility_proxy
+FROM ulang u JOIN uprox USING (lang)
+"""
+
+
+@query("q212_unigram_fertility", _Q212_SQL)
+def q212_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fertility of the TRAINED unigram tokenizer (q211's artifact) by
+    language, side-by-side with q207's deterministic BPE-ish proxy — the
+    dashboard that answers "did training the tokenizer change which
+    languages it serves poorly?".  Encoding is vocabulary-sized work
+    (one extra Viterbi pass over the word table under the final costs);
+    the corpus contributes one word-explode joined to the per-word
+    fertility table by word — an equi-join against a vocabulary-sized
+    relation, NO broadcast hint.
+
+    `fertility_unigram` counts learned pieces per trainable [a-z0-9]+
+    word; `fertility_proxy` is q207's bpe_ish tokens per whitespace
+    token — different denominators by design (the proxy has no trained
+    vocab to bound its words)."""
+    from re_data_pipeline_spark.functions.text import bpe_ish_token_count, ws_tokens
+    from re_data_pipeline_spark.operators.unigram import (
+        unigram_lm_train,
+        unigram_word_fertility,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("text", "lang")
+    vocab = unigram_lm_train(d, num_iters=2)
+    wf = unigram_word_fertility(d, vocab).select("w", "n_pieces")
+    docw = (
+        d.select(
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), r"[^a-z0-9]+")).alias("w"),
+        )
+        .where((F.length("w") >= 1) & (F.length("w") <= 12))
+    )
+    uni = (
+        docw.join(wf, "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("trainable_words"),
+            F.sum("n_pieces").cast("bigint").alias("unigram_pieces"),
+            F.round(F.sum("n_pieces") / (F.count(F.lit(1)) * F.lit(1.0)), 6).alias(
+                "fertility_unigram"
+            ),
+        )
+    )
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    prox = d.groupBy("lang").agg(
+        F.sum(bpe_ish_token_count(txt)).cast("bigint").alias("bpe_ish_tokens"),
+        F.sum(F.size(ws_tokens("text"))).cast("bigint").alias("ws_tokens"),
+    )
+    return uni.join(prox, "lang").select(
+        "lang",
+        "trainable_words",
+        "unigram_pieces",
+        "fertility_unigram",
+        "bpe_ish_tokens",
+        "ws_tokens",
+        F.round(
+            F.col("bpe_ish_tokens") / (F.col("ws_tokens") * F.lit(1.0)), 6
+        ).alias("fertility_proxy"),
+    )
