@@ -273,6 +273,11 @@ def main() -> int:
 
         return ngram_lm_nll(d.select("doc_id", "text"))
 
+    def _lm_pruned(d):
+        from re_data_pipeline_spark.operators.lm import ngram_lm_nll
+
+        return ngram_lm_nll(d.select("doc_id", "text"), min_count2=2, min_count3=2)
+
     def _pack(d):
         from re_data_pipeline_spark.operators.selection import contiguous_pack
 
@@ -354,6 +359,11 @@ def main() -> int:
         # shuffles Σ trigram positions once per backoff tier — exp ≈ 1,
         # shuffle rows ≈ 4× positions (3 lookups + 1 per-doc agg)
         "ngram_lm_nll (trigram stupid-backoff)": lambda n: _lm(docs(n)),
+        # r12 pruned variant (KenLM min-count=2): singleton bi/trigrams —
+        # the Heaps-law-growing tail — drop from the MODEL tables, so the
+        # scoring joins probe head-bounded relations; the self-scoring
+        # exponent should sit closer to 1.0 than the unpruned row's
+        "ngram_lm_nll (pruned min_count=2)": lambda n: _lm_pruned(docs(n)),
         # r11 concat-and-chunk packing: ONE (doc_id, size) range exchange
         # then map-only window arithmetic — shuffle exp must be ≈ 1 and
         # the shuffle must carry ONLY the sized spine rows, never text
