@@ -4784,58 +4784,45 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-window registration order
 # ---------------------------------------------------------------------------
 # The correctness driver verifies the FIRST 50 registered queries, in order.
-# Round-11 rotation (tools/window_planner.py proposal, reviewed).  NOTE:
-# no CORRECTNESS_r10.json was filed (the driver skipped the record between
-# rounds 10 and 11), so the round-10 composition — the r4-stale q54-q95
-# band plus q197-q201 — was never actually driver-checked and is KEPT:
-# (a) the 13 never-driver-checked queries: q197-q201 (round 10) and
-#     q202-q209 (NEW this round: trigram Stupid-Backoff LM, CCNet
-#     perplexity buckets, domain blocklist filter, shard manifest, the
-#     q206 end-to-end curation composition, tokenizer fertility, and
-#     GPT-style concat-and-chunk packing, and the streaming manifest);
-# (b) the 23 queries whose last green driver row is ROUND 4 (q54-q95
-#     stock-expression band — carried from the unrecorded r10 window);
-# (c) the oldest round-5 rows, planner order (q01/q04/q07, q100-q135
-#     band; q14/q20/q35/q38/q41-q48/q53/q69/q75/q91 rotate out with a
-#     green r10-intended slot → they lead the r12 window with
-#     q136-q140/q147 if CORRECTNESS_r11 lands).
-# Everything rotated out holds a green r5-r9 driver row with unchanged
-# code, and tools/parity.py still verifies ALL registered queries every
-# session.
+# Round-12 rotation (tools/window_planner.py proposal, reviewed): the
+# standing policy is (a) never-driver-checked registrations always in,
+# (b) queries whose code/oracle changed this round, (c) stalest green
+# rows, oldest round first.  The r5/r6-stale band is 68 queries — larger
+# than the window — so this rotation clears the 25 round-5 rows plus the
+# oldest 18 of the 43 round-6 rows; the remaining 25 round-6 rows lead
+# the round-13 proposal.  Everything rotated out holds a green r5-r11
+# driver row with unchanged code, and tools/parity.py still verifies ALL
+# registered queries every session.
 
 # The round this list was last actually RE-COMPOSED (not merely shipped):
 # tools/gen_window_doc.py stamps it into README so the freshness claim
 # can't silently go false again (r9 verdict "what's wrong" #2).
-DRIVER_WINDOW_ROUND = 11
+DRIVER_WINDOW_ROUND = 12
 
 DRIVER_WINDOW: list[str] = [
-    # (a) never driver-checked (q197-q201: r10's record was never filed)
-    "q197_exact_substring_dedup", "q198_classifier_train",
-    "q199_exact_substring_decontam", "q200_exact_substring_grams",
-    "q201_intra_substring_dedup",
-    "q202_ngram_lm_nll", "q203_ccnet_buckets",
-    "q204_domain_blocklist", "q205_shard_manifest",
-    "q206_curation_v3", "q207_tokenizer_fertility",
-    "q208_contiguous_pack", "q209_streaming_manifest",
-    # (b) last green driver row: round 4
-    "q54_first_available", "q55_limit_topn", "q64_lag_lead",
-    "q65_first_occurrence", "q66_state_flag_merge", "q67_rolling_hash",
-    "q74_percentiles", "q76_histogram", "q77_levenshtein",
-    "q78_deterministic_sample", "q79_pivot", "q80_unpivot",
-    "q81_stratified_sample", "q83_gap_fill", "q84_zscore_outliers",
-    "q86_cdc_latest", "q88_conditional_agg", "q89_above_average",
-    "q90_array_setops", "q92_date_trunc_spectrum", "q93_word_count",
-    "q94_funnel", "q95_incremental_aggregate",
-    # (c) oldest round-5 rows (planner order)
-    "q01_pricing_summary", "q04_multi_join_revenue", "q07_topk_per_group",
-    "q100_contamination", "q103_ivf_kmeans", "q113_quality_report",
-    "q115_pq_adc_topk", "q119_multipolygon_zones",
-    "q122_repetition_metrics", "q123_semantic_dedup",
-    "q124_dsir_importance", "q126_quality_classifier",
-    "q127_compaction_plan", "q130_bloom_prefilter",
-    # (q131_stream_stream_join, q132_bpe_pair_counts, q134_scd2_history,
-    # q135_inverted_index deferred to r12: q206-q209, added mid-round,
-    # take the never-checked slots — the planner's always-in rule)
+    # (a) never driver-checked (new in round 12)
+    "q210_ngram_lm_pruned", "q211_unigram_train", "q212_unigram_fertility",
+    # (b) code/oracle changed in round 12: shard_manifest NULL-id hashing
+    # (q205/q206/q209) and the LM core oracle template split (q202)
+    "q202_ngram_lm_nll", "q205_shard_manifest",
+    "q206_curation_v3", "q209_streaming_manifest",
+    # (c) last green driver row: round 5 (25 queries)
+    "q131_stream_stream_join", "q132_bpe_pair_counts", "q134_scd2_history",
+    "q135_inverted_index", "q136_pagerank", "q137_grouped_split",
+    "q138_spatial_knn", "q139_ohlc_downsample",
+    "q140_stream_dedup_watermark", "q147_hll_sketch", "q14_grid_agg",
+    "q20_safe_cast", "q35_cosine_topk", "q38_radius_join", "q41_ann_lsh",
+    "q42_llm_extract", "q43_embed_column", "q45_multimodal_features",
+    "q46_listings_pipeline", "q47_rental_grid_pipeline",
+    "q48_transcripts_pipeline", "q53_approx_distinct", "q69_ivf_ann",
+    "q75_percentile_approx", "q91_brochure_pipeline",
+    # (c) last green driver row: round 6 (oldest 18 of 43, planner order)
+    "q03_broadcast_join_agg", "q107_incremental_dedup", "q121_cc_bigstar",
+    "q125_span_dedup", "q128_keep_best_dedup", "q129_domain_mixture",
+    "q12_running_total", "q133_salted_join", "q13_rollup",
+    "q141_interval_lookup", "q142_transition_matrix", "q143_snapshot_diff",
+    "q144_scd1_merge", "q145_bm25_topk", "q146_countmin_sketch",
+    "q148_spatial_clusters", "q149_mad_outliers", "q150_sequence_pattern",
 ]
 
 
