@@ -94,6 +94,10 @@ HEADLINE = [
     # coalesce join — the heaviest new op) and its per-language cut
     "q202_ngram_lm_nll",         # Stupid-Backoff model build + score
     "q203_ccnet_buckets",        # LM + ordinal-spine tertile cut
+    # round-12 additions: the pruned clean-reference LM deployment and
+    # the unigram tokenizer trainer (EM loop → multi-job, plan hash n/a)
+    "q210_ngram_lm_pruned",      # head-bounded model tables, split train/score
+    "q211_unigram_train",        # Viterbi hard-EM over the word table
 ]
 
 
