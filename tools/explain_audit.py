@@ -568,6 +568,43 @@ CHECKS = [
         "never the text.",
     ),
     (
+        "q210_ngram_lm_pruned",
+        "pruned LM: model-side count filters, q202's no-broadcast shape",
+        [
+            (r"SortMergeJoin|ShuffledHashJoin", "model lookups survive threshold=-1 as key-shuffled equi-joins"),
+            (r">= 2", "min-count prune filters sit on the model tables"),
+            (r"!CartesianProduct", "no all-pairs stage (cross joins are broadcast 1-row stats)"),
+            (r"HashAggregate.*partial", "gram counts combine map-side"),
+        ],
+        "The CCNet-faithful deployment: the model trains on the clean "
+        "reference slice (pushed-down doc_id filter) and scores the full "
+        "corpus; the `c >= 2` filters apply AFTER the count aggregates "
+        "(pruning must see every gram once) and BEFORE the scoring "
+        "joins, so the probe side joins against head-bounded tables.  "
+        "At 100 TB the model tables are reference-corpus-bounded — they "
+        "do not grow with the scored crawl at all.",
+        {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    ),
+    (
+        "q212_unigram_fertility",
+        "unigram fertility: corpus explode joins vocab-sized tables by key",
+        [
+            (r"SortMergeJoin|ShuffledHashJoin", "word→fertility lookup survives threshold=-1 as a key-shuffled equi-join"),
+            (r"!CartesianProduct", "no all-pairs stage"),
+            (r"HashAggregate.*partial", "per-language counters combine map-side"),
+        ],
+        "The trained tokenizer's fertility dashboard touches the corpus "
+        "exactly twice — the word explode joined BY WORD to the "
+        "vocabulary-sized per-word fertility table (no broadcast hint: "
+        "with the threshold disabled it plans as a key-shuffled join; "
+        "under defaults AQE broadcasts by MEASURED size), and the "
+        "map-only proxy counters — both landing in one |langs|-key "
+        "partial-combined agg.  The trained piece table itself is a "
+        "parameter-bounded LocalTableScan (≤ seed_multi + alphabet "
+        "rows), the k-row-collect class, not a corpus relation.",
+        {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    ),
+    (
         "q205_shard_manifest",
         "shard manifest: one map-combined agg, nothing else moves",
         [
