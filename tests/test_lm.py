@@ -127,6 +127,34 @@ def test_domain_blocklist_filter_semantics(spark):
     assert out[5] is None  # 'notexample.com' must NOT match rule 'example.com'
 
 
+def test_ngram_lm_min_count_pruning_semantics(spark):
+    """min_count prunes MODEL entries only: a singleton trigram backs off
+    to the bigram tier; surviving entries score EXACTLY as unpruned
+    (denominators stay raw counts)."""
+    # "a b c" appears twice (c3=2, survives min_count3=2); "a b d" once
+    # (pruned -> backs off to bigram "b d", c2=1, c1(b)=3)
+    train = _docs(spark, [(1, "a b c x a b c a b d")])
+    score = _docs(spark, [(2, "a b c"), (3, "a b d")])
+    unpruned = {r["doc_id"]: r["nll_micro"]
+                for r in ngram_lm_nll(train, score).collect()}
+    pruned = {r["doc_id"]: r["nll_micro"]
+              for r in ngram_lm_nll(train, score,
+                                    min_count3=2, min_count2=1).collect()}
+    # surviving trigram "a b c": c3=2, c2("a b")=3 — identical either way
+    assert pruned[2] == unpruned[2] == round(-math.log(2 / 3) * 1e6)
+    # pruned trigram "a b d" falls to tier 2: -ln(0.4 * c2("b d")/c1("b"))
+    assert unpruned[3] == round(-math.log(1 / 3) * 1e6)
+    assert pruned[3] == round(-math.log(0.4 * (1 / 3)) * 1e6)
+
+    # bigram pruning: score "z b d" — trigram unseen either way; bigram
+    # "b d" (c2=1) prunes under min_count2=2 -> unigram tier for "d"
+    score2 = _docs(spark, [(4, "z b d")])
+    p2 = ngram_lm_nll(train, score2, min_count2=2).collect()[0]
+    # N=10 tokens, V=4 (a,b,c,x... plus d = 5): recount — tokens:
+    # a,b,c,x,a,b,c,a,b,d -> N=10, V={a,b,c,x,d}=5; c1(d)=1
+    assert p2["nll_micro"] == round(-math.log(0.16 * ((1 + 1) / (10 + 5))) * 1e6)
+
+
 def test_shard_manifest_order_independent_and_localizing(spark):
     from re_data_pipeline_spark.operators.maintenance import shard_manifest
 

@@ -278,6 +278,13 @@ def main() -> int:
 
         return ngram_lm_nll(d.select("doc_id", "text"), min_count2=2, min_count3=2)
 
+    def _unigram(d):
+        from re_data_pipeline_spark.operators.unigram import unigram_lm_train
+
+        # training runs eagerly inside build() (per-round k-sized
+        # collects), so run_probe's bracketing times the EM loop itself
+        return unigram_lm_train(d.select("text"), num_iters=2)
+
     def _pack(d):
         from re_data_pipeline_spark.operators.selection import contiguous_pack
 
@@ -368,6 +375,11 @@ def main() -> int:
         # then map-only window arithmetic — shuffle exp must be ≈ 1 and
         # the shuffle must carry ONLY the sized spine rows, never text
         "contiguous_pack (ctx 4096)": lambda n: _pack(docs(n)),
+        # r12 unigram tokenizer trainer: ONE corpus pass to (word, freq),
+        # then EM rounds over the Heaps-law-growing word table (span
+        # explode → piece equi-join → per-word Viterbi fold) — exp ≈ 1 in
+        # |vocab|; the driver exchange is parameter-bounded per round
+        "unigram_lm_train (2 EM rounds)": lambda n: _unigram(docs(n)),
     }
 
     if only:
@@ -447,23 +459,55 @@ def main() -> int:
         # dated re-measure subsection UNDER the main table: swap only the
         # same-named subsection if it already exists
         sub_marker = "### Re-measure (--only)"
-        sub = "\n".join(
-            [f"{sub_marker}\n",
-             f"`--only {only}` re-run over {', '.join(f'{n:,}' for n in scales)} "
-             "docs after a targeted change; the full table above is the last "
-             "full-probe run.\n"]
-            + lines[2:4 + len(results)]  # table header + result rows only
-        ) + "\n"
+        new_rows = lines[4:4 + len(results)]  # result rows only
         if sub_marker in txt:
+            # MERGE, don't replace: keep prior re-measured rows whose
+            # operator isn't in THIS run, and every hand-written reading
+            # paragraph after the table (the r12 `--only unigram` run
+            # silently dropped the pruned-LM rows and their analysis —
+            # the same clobber class bench.py's slot guard closes)
             head, _, tail = txt.partition(sub_marker)
             cuts = [i for i in (tail.find("\n## "), tail.find("\n### ")) if i >= 0]
-            rest = tail[min(cuts):] if cuts else "\n"
+            old_sub, rest = (tail[: min(cuts)], tail[min(cuts):]) if cuts else (tail, "\n")
+            relabeled = {r.split("|")[1].strip() for r in new_rows}
+            kept_rows, kept_prose, past_table = [], [], False
+            for ln in old_sub.splitlines():
+                is_row = ln.startswith("| ") and not ln.startswith("| operator")
+                if is_row:
+                    if ln.split("|")[1].strip() not in relabeled:
+                        kept_rows.append(ln)
+                elif past_table and not ln.startswith(("|", "`--only", "Round-12 targeted")):
+                    kept_prose.append(ln)  # blank lines keep paragraph breaks
+                if ln.startswith("|---"):
+                    past_table = True
+            while kept_prose and not kept_prose[0].strip():
+                kept_prose.pop(0)
+            while kept_prose and not kept_prose[-1].strip():
+                kept_prose.pop()
+            sub = "\n".join(
+                [f"{sub_marker}\n",
+                 f"`--only {only}` re-run over "
+                 f"{', '.join(f'{n:,}' for n in scales)} docs after a "
+                 "targeted change (rows from earlier re-runs retained); "
+                 "the full table above is the last full-probe run.\n"]
+                + lines[2:4] + kept_rows + new_rows
+                + ([""] + kept_prose if kept_prose else [])
+            ) + "\n"
             txt = head + sub.rstrip() + "\n" + rest
-        elif "\n## sf1 anchor" in txt:
-            i = txt.index("\n## sf1 anchor")
-            txt = txt[:i].rstrip() + "\n\n" + sub + txt[i:]
         else:
-            txt = txt.rstrip() + "\n\n" + sub
+            sub = "\n".join(
+                [f"{sub_marker}\n",
+                 f"`--only {only}` re-run over "
+                 f"{', '.join(f'{n:,}' for n in scales)} docs after a "
+                 "targeted change; the full table above is the last "
+                 "full-probe run.\n"]
+                + lines[2:4] + new_rows
+            ) + "\n"
+            if "\n## sf1 anchor" in txt:
+                i = txt.index("\n## sf1 anchor")
+                txt = txt[:i].rstrip() + "\n\n" + sub + txt[i:]
+            else:
+                txt = txt.rstrip() + "\n\n" + sub
         print("\nwrote SCALING.md §Measured scaling — Re-measure subsection")
     else:
         txt = replace_section(txt, "## Measured scaling", "\n".join(lines))
