@@ -98,17 +98,26 @@ def _viterbi_best(pc, max_piece_len: int):
     piece→cost map ``pc`` — a left fold over end positions j=1..len(w),
     appending the argmin over start positions to the DP array.  Feasible
     whenever every character of ``w`` is in ``pc`` (the char-coverage
-    invariant the M-step maintains)."""
+    invariant the M-step maintains for the TRAINING corpus); a word with
+    a character outside the trained alphabet has no segmentation — its
+    argmin pick is an empty candidate array, and ``try_element_at``
+    surfaces that as a NULL best (propagated, never a crash: ANSI-mode
+    ``element_at`` would abort the job on the first unseen character)."""
+    # the zero's element type must be NULLABLE (containsNull=true): an
+    # unsegmentable position appends a NULL best, and F.aggregate casts
+    # the merge result back to the zero's type each step — with a
+    # non-null element type that hidden Cast NPEs in codegen the moment
+    # the first NULL lands in the DP array
     acc0 = F.array(
         F.struct(F.lit(0).cast("long").alias("c"), F.lit("").alias("s"))
-    )
+    ).cast("array<struct<c:bigint,s:string>>")
     folded = F.aggregate(
         F.sequence(F.lit(1), F.length("w")),
         acc0,
         lambda acc, j: F.concat(
             acc,
             F.array(
-                F.element_at(
+                F.try_element_at(
                     F.array_sort(
                         F.filter(
                             F.transform(
@@ -146,7 +155,7 @@ def _viterbi_best(pc, max_piece_len: int):
                             lambda cand: cand["c"].isNotNull(),
                         )
                     ),
-                    1,
+                    F.lit(1),
                 )
             ),
         ),
@@ -175,7 +184,10 @@ def _segment_words(
     distinct word under ``vocab``'s costs.  The piece-cost lookup is an
     equi-join of the word's distinct spans against the piece table (no
     broadcast hint — vocabulary-relation rule), folded back into a
-    per-word map."""
+    per-word map.  TOTAL over ``words``: a word sharing no piece with
+    the vocab (every char outside the trained alphabet) keeps its row
+    with a NULL ``__b`` — the LEFT join + NULL map → NULL fold result —
+    rather than silently vanishing through an inner join."""
     spans = words.select(
         "w", F.explode(F.array_distinct(_span_pieces(max_piece_len))).alias("piece")
     )
@@ -189,7 +201,7 @@ def _segment_words(
         )
     )
     return (
-        words.join(pc, "w")
+        words.join(pc, "w", "left")
         .select("w", "freq", _viterbi_best(F.col("__pc"), max_piece_len).alias("__b"))
     )
 
@@ -272,7 +284,13 @@ def unigram_word_fertility(
     """(w, freq, n_pieces) — every distinct corpus word with its piece
     count under ``vocab``'s Viterbi encoding: the per-word fertility
     table a dashboard joins back against documents.  Encoding is
-    vocabulary-sized work; the corpus is touched once (the word table)."""
+    vocabulary-sized work; the corpus is touched once (the word table).
+
+    TOTAL over the corpus's words: when ``df`` is NOT the corpus the
+    vocab was trained on, words containing a character outside the
+    trained alphabet are unsegmentable and return NULL ``n_pieces``
+    (they neither crash the fold nor silently drop — the out-of-vocab
+    rate is itself a signal a dashboard wants)."""
     words = _word_table(df, text_col, max_word_len)
     seg = _segment_words(words, vocab, max_piece_len)
     return seg.select(

@@ -129,6 +129,27 @@ def test_unigram_char_coverage_survives_iterations(spark):
     assert {"a", "b", "c", "x", "y", "z", "q"} <= pieces
 
 
+def test_unigram_fertility_total_on_out_of_alphabet_words(spark):
+    """r12 self-review: scoring a DIFFERENT corpus than the vocab was
+    trained on used to crash (ANSI element_at on the empty candidate
+    array) or silently drop words sharing no piece with the vocab
+    (inner join).  Unsegmentable words must surface as NULL n_pieces."""
+    train = spark.createDataFrame([(1, "aa bb ab")], "doc_id long, text string")
+    vocab = unigram_lm_train(train, num_iters=1, seed_multi=4)
+    other = spark.createDataFrame(
+        # 'aa' segmentable; 'cc' fully out-of-alphabet; 'a9' partially
+        # ('9' unseen — no full segmentation exists)
+        [(2, "aa cc a9")], "doc_id long, text string"
+    )
+    got = {r["w"]: r["n_pieces"] for r in unigram_word_fertility(other, vocab).collect()}
+    assert set(got) == {"aa", "cc", "a9"}
+    # this tiny fixture prunes every multi-char piece in the M-step
+    # (all Viterbi-zero), so 'aa' encodes as two single-char pieces
+    assert got["aa"] == 2
+    assert got["cc"] is None
+    assert got["a9"] is None
+
+
 @settings(max_examples=5, deadline=None)
 @given(
     st.lists(
