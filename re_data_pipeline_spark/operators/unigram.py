@@ -213,12 +213,23 @@ def unigram_lm_train(
     max_word_len: int = 12,
     max_piece_len: int = 4,
     seed_multi: int = 64,
+    target_vocab: int | None = None,
 ) -> DataFrame:
     """Train a unigram-LM subword vocabulary (module docstring) and return
     the final piece table ``(piece, count, cost_micro)`` — ``count`` is
     the model numerator (Viterbi piece count, +1 Laplace on single
     characters), ``cost_micro`` the integer micro-nat cost the encoder
     prices that piece at.
+
+    ``target_vocab`` is SentencePiece's defining knob: after each M-step,
+    if the vocabulary exceeds it, only the highest-count multi-character
+    pieces are kept (count DESC, piece ASC — the deterministic stand-in
+    for Kudo's likelihood-loss ranking, which orders by the same count
+    signal under a unigram model) until ``|chars| + kept = target_vocab``;
+    single characters are never pruned (coverage), so a target below
+    ``|alphabet|`` yields the all-chars vocabulary.  Costs are re-derived
+    from the SURVIVORS' counts (the removed mass re-normalizes away,
+    matching SentencePiece's prune-then-renormalize step).
 
     The per-round piece table round-trips through the driver (parameter-
     bounded: ≤ seed_multi + |alphabet| rows) to cut the iterative lineage,
@@ -240,6 +251,9 @@ def unigram_lm_train(
             .limit(seed_multi)  # bounded-global-window: a limit(K)-sized frame
         )
         vocab_rows = _costed(chars0.unionByName(multi0)).collect()
+        # the char set is fixed across iterations (chars always survive
+        # the M-step), so the prune budget for multi pieces is a constant
+        n_chars = sum(1 for r in vocab_rows if len(r["piece"]) == 1)
 
         for _ in range(num_iters):
             vocab = spark.createDataFrame(vocab_rows, _VOCAB_SCHEMA)
@@ -267,6 +281,10 @@ def unigram_lm_train(
             multi = cnt.where(F.length("piece") >= 2).select(
                 "piece", F.col("__cnt").cast("bigint").alias("count")
             )
+            if target_vocab is not None:
+                multi = multi.orderBy(F.desc("count"), F.asc("piece")).limit(
+                    max(target_vocab - n_chars, 0)
+                )  # bounded-global-window: a limit(K)-sized frame
             vocab_rows = _costed(chars.unionByName(multi)).collect()
 
         return spark.createDataFrame(vocab_rows, _VOCAB_SCHEMA)

@@ -58,7 +58,7 @@ def _ref_segment(w: str, costs: dict[str, int], max_piece_len: int):
 
 
 def _ref_unigram_train(texts, num_iters=2, max_word_len=12, max_piece_len=4,
-                       seed_multi=64):
+                       seed_multi=64, target_vocab=None):
     words = _ref_words(texts, max_word_len)
     cand = Counter()
     for w, f in words.items():
@@ -79,7 +79,13 @@ def _ref_unigram_train(texts, num_iters=2, max_word_len=12, max_piece_len=4,
             for p in s.split(" "):
                 cnt[p] += f
         counts = {p: cnt.get(p, 0) + 1 for p in costs if len(p) == 1}
-        counts |= {p: c for p, c in cnt.items() if len(p) >= 2}
+        new_multi = {p: c for p, c in cnt.items() if len(p) >= 2}
+        if target_vocab is not None:
+            budget = max(target_vocab - len(chars), 0)
+            new_multi = dict(sorted(
+                new_multi.items(), key=lambda pc: (-pc[1], pc[0])
+            )[:budget])
+        counts |= new_multi
         costs = _ref_costs(counts)
     return counts, costs
 
@@ -127,6 +133,30 @@ def test_unigram_char_coverage_survives_iterations(spark):
     v = unigram_lm_train(d, num_iters=3, seed_multi=2)
     pieces = {r["piece"] for r in v.collect()}
     assert {"a", "b", "c", "x", "y", "z", "q"} <= pieces
+
+
+def test_unigram_target_vocab_prunes_to_size(spark):
+    """SentencePiece's vocab-size knob: only the highest-count multi-char
+    pieces survive to the target; chars never prune; costs re-normalize
+    over the survivors.  Verified against the extended reference."""
+    d = spark.createDataFrame(list(enumerate(TEXTS)), "doc_id long, text string")
+    n_chars = len({c for t in TEXTS for c in t if c.isalnum()})
+    target = n_chars + 2
+    got = {
+        r["piece"]: (r["count"], r["cost_micro"])
+        for r in unigram_lm_train(
+            d, num_iters=2, seed_multi=8, target_vocab=target
+        ).collect()
+    }
+    assert len(got) <= target
+    assert sum(1 for p in got if len(p) >= 2) <= 2
+    counts, costs = _ref_unigram_train(
+        TEXTS, num_iters=2, seed_multi=8, target_vocab=target
+    )
+    assert got == {p: (counts[p], costs[p]) for p in counts}
+    # a target below the alphabet yields the all-chars vocabulary
+    chars_only = unigram_lm_train(d, num_iters=1, seed_multi=8, target_vocab=1)
+    assert all(len(r["piece"]) == 1 for r in chars_only.collect())
 
 
 def test_unigram_fertility_total_on_out_of_alphabet_words(spark):
