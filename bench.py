@@ -310,7 +310,11 @@ def main() -> None:
                     with open(local_prev) as f:
                         same_sf = json.load(f).get("sf") == payload["sf"]
                 if (
-                    prior_name == f"BENCH_r{max(ns):02d}.json"
+                    # only when the floor didn't advance the slot: a
+                    # driver-skipped round with unchanged code would
+                    # otherwise relabel THIS round's run as the old one
+                    nxt == max(ns) + 1
+                    and prior_name == f"BENCH_r{max(ns):02d}.json"
                     and prior_hashes
                     and prior_hashes == payload["plan_hashes"]
                     and same_sf
