@@ -56,6 +56,13 @@ HEAVY = [
     # the containment prefix join — anchored before r9 judges them
     "q167_simhash_radius",
     "q169_containment_best",
+    # r12: the current heaviest headliners — the winnowed-anchor
+    # ExactSubstr join, the trigram LM (self-scoring: model grows with
+    # the replica-suffixed vocab, the shape q210's pruning targets), and
+    # the unigram EM trainer (vocab grows 10× under replica suffixes)
+    "q197_exact_substring_dedup",
+    "q202_ngram_lm_nll",
+    "q211_unigram_train",
 ]
 
 
@@ -112,7 +119,14 @@ def main() -> int:
 
     # the session factory disables the UI for benchmarks; the shuffle-row
     # columns need the status REST API, so re-enable it here only
-    spark = get_spark(app_name="sf1_anchor", extra_conf={"spark.ui.enabled": "true"})
+    spark = get_spark(app_name="sf1_anchor", extra_conf={
+        "spark.ui.enabled": "true",
+        # the REST stage store evicts past retainedStages (default
+        # 1000), which makes cumulative shuffle diffs NEGATIVE once a
+        # long session rolls over (observed on the r12 q211 anchor) —
+        # the probes sum over completed stages, so keep them all
+        "spark.ui.retainedStages": "100000",
+    })
     spark.sparkContext.setLogLevel("ERROR")
     ui = spark.sparkContext.uiWebUrl
     app_id = spark.sparkContext.applicationId
@@ -190,8 +204,13 @@ def main() -> int:
         if marker in txt:
             head, _, tail = txt.partition(marker)
             nxt = tail.find("\n## ")
-            rest = tail[nxt:] if nxt >= 0 else "\n"
-            txt = head + section + rest.lstrip("\n")
+            old_sec, rest = (tail[:nxt], tail[nxt:]) if nxt >= 0 else (tail, "\n")
+            # preserve hand-written reading subsections (### ...) below the
+            # table — the r12 scale_probe/bench clobber lessons apply here
+            sub = old_sec.find("\n### ")
+            if sub >= 0:
+                section = section.rstrip() + "\n" + old_sec[sub:].rstrip() + "\n"
+            txt = head + section + "\n" + rest.lstrip("\n")
         else:
             txt = txt.rstrip() + "\n\n" + section
         with open(scaling_md, "w") as f:
