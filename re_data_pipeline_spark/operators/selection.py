@@ -853,3 +853,79 @@ def contiguous_pack(
         .drop("__cum", "__st", "__k", "__ov_s", "__ov_e")
     )
     return carry_spines(spine, out)
+
+
+def kcenter_select(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point / max-min) selection over an
+    embedding column — the coreset/diversity-selection primitive of
+    training-data curation (Sener & Savarese 2018 active-learning
+    coresets; the diversification step of D4, Tirumala et al. 2023, which
+    pairs it with SemDeDup — `operators/dedup.semantic_dedup_pipeline` —
+    and prototype clustering — `similarity.ivf_kmeans`).  Gonzalez-1985
+    greedy gives the classic 2-approximation to the k-center objective.
+
+    Deterministic: the seed is the minimum-id row; each round picks the
+    point maximizing the INTEGER micro-distance (squared Euclidean ×1e6,
+    HALF_UP) to its nearest chosen center, ids ascending on ties.  The
+    distance fold is a left-to-right `F.aggregate` over `zip_with`
+    products on DOUBLE — the q35/q174 cross-engine exactness shape — so
+    the selection replays bit-for-bit in the DuckDB oracle's ordered
+    `list_reduce`.
+
+    Returns ``(center_rank, id_col, dist_micro)``: the k selected rows in
+    selection order, ``dist_micro`` the max-min radius AT SELECTION TIME
+    (NULL for the seed) — the coverage-radius curve a data-selection run
+    reports.
+
+    Scale shape (100 TB): k rounds, each ONE map-only pass computing the
+    min distance to the ≤k chosen centers (center vectors are k×dim
+    DRIVER LITERALS — the k-means/q103 pattern; never a join, never a
+    broadcast relation) followed by a 1-row TakeOrdered argmax.  Total
+    work O(k²·n·dim) map-side with zero shuffles beyond the per-round
+    1-row collect; for the k ≲ 10³ of coreset practice this beats
+    maintaining a persisted min-dist column's checkpoint chain.
+    """
+    if k < 1:
+        raise ValueError(f"k must be ≥ 1; got {k}")
+    e = df.select(F.col(id_col), F.col(vec_col))
+    seed = e.orderBy(F.asc(id_col)).limit(1).collect()
+    if not seed:
+        return df.sparkSession.createDataFrame(
+            [], f"center_rank int, {id_col} bigint, dist_micro bigint"
+        )
+
+    def d_micro(center_vec: list) -> Column:
+        lit_arr = F.array(*[F.lit(float(v)) for v in center_vec])
+        terms = F.zip_with(
+            F.col(vec_col),
+            lit_arr,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        )
+        return F.round(
+            F.aggregate(terms, F.lit(0.0), lambda a, b: a + b) * 1e6, 0
+        ).cast("long")
+
+    chosen = [(0, seed[0][id_col], None)]
+    center_vecs = [list(seed[0][vec_col])]
+    for r in range(1, k):
+        md = F.least(*[d_micro(c) for c in center_vecs]) if len(center_vecs) > 1 \
+            else d_micro(center_vecs[0])
+        far = (
+            e.where(~F.col(id_col).isin([c[1] for c in chosen]))
+            .select(id_col, vec_col, md.alias("__md"))
+            .orderBy(F.desc("__md"), F.asc(id_col))
+            .limit(1)
+            .collect()
+        )
+        if not far:  # fewer than k rows: return what exists
+            break
+        chosen.append((r, far[0][id_col], far[0]["__md"]))
+        center_vecs.append(list(far[0][vec_col]))
+    return df.sparkSession.createDataFrame(
+        chosen, f"center_rank int, {id_col} bigint, dist_micro bigint"
+    )

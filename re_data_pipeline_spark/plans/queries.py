@@ -4802,6 +4802,7 @@ DRIVER_WINDOW_ROUND = 12
 DRIVER_WINDOW: list[str] = [
     # (a) never driver-checked (new in round 12)
     "q210_ngram_lm_pruned", "q211_unigram_train", "q212_unigram_fertility",
+    "q213_kcenter_select",
     # (b) code/oracle changed in round 12: shard_manifest NULL-id hashing
     # (q205/q206/q209) and the LM core oracle template split (q202)
     "q202_ngram_lm_nll", "q205_shard_manifest",
@@ -4822,7 +4823,9 @@ DRIVER_WINDOW: list[str] = [
     "q12_running_total", "q133_salted_join", "q13_rollup",
     "q141_interval_lookup", "q142_transition_matrix", "q143_snapshot_diff",
     "q144_scd1_merge", "q145_bm25_topk", "q146_countmin_sketch",
-    "q148_spatial_clusters", "q149_mad_outliers", "q150_sequence_pattern",
+    "q148_spatial_clusters", "q149_mad_outliers",
+    # (q150_sequence_pattern displaced by q213, added mid-round — the
+    # planner's never-checked-always-in rule; it leads the r13 proposal)
 ]
 
 
@@ -9932,3 +9935,82 @@ def q212_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bpe_ish_tokens") / (F.col("ws_tokens") * F.lit(1.0)), 6
         ).alias("fertility_proxy"),
     )
+
+
+# DuckDB replay of operators/selection.kcenter_select over ``embeddings``
+# (dim 64): per-round chained CTEs — kd{r} folds the min micro-distance to
+# the chosen set with the ORDERED list_reduce (≡ Spark's left-to-right
+# F.aggregate: 0.0+t1 == t1), kp{r} is the (md DESC, id ASC) argmax,
+# kc{r} rebinds the picked vector for the next round.
+_KC_DIST = (
+    "CAST(round(1e6 * list_reduce(list_transform(range(1, 65), "
+    "i -> (e.embedding[i]::DOUBLE - c.v[i]) * (e.embedding[i]::DOUBLE - c.v[i])), "
+    "(a, b) -> a + b), 0) AS BIGINT)"
+)
+
+
+def _kcenter_round_sql(r: int) -> str:
+    p = r - 1
+    if r == 1:
+        kd = f"""
+kd1 AS MATERIALIZED (
+  SELECT e.vec_id, {_KC_DIST} AS md
+  FROM embeddings e, kc0 c WHERE e.vec_id <> c.vec_id
+)"""
+    else:
+        kd = f"""
+kd{r} AS MATERIALIZED (
+  SELECT d.vec_id, least(d.md, {_KC_DIST}) AS md
+  FROM kd{p} d JOIN embeddings e USING (vec_id), kc{p} c
+  WHERE d.vec_id NOT IN (SELECT vec_id FROM kp{p})
+)"""
+    return f"""{kd},
+kp{r} AS MATERIALIZED (
+  SELECT vec_id, md FROM kd{r} ORDER BY md DESC, vec_id LIMIT 1
+),
+kc{r} AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v
+  FROM embeddings e JOIN kp{r} USING (vec_id)
+)"""
+
+
+_Q213_K = 5
+_Q213_SQL = (
+    """
+WITH kc0 AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings ORDER BY vec_id LIMIT 1
+),
+"""
+    + ",".join(_kcenter_round_sql(r) for r in range(1, _Q213_K))
+    + """
+SELECT 0 AS center_rank, vec_id, CAST(NULL AS BIGINT) AS dist_micro FROM kc0
+"""
+    + "".join(
+        f"UNION ALL SELECT {r}, vec_id, md FROM kp{r}\n"
+        for r in range(1, _Q213_K)
+    )
+)
+
+
+@query("q213_kcenter_select", _Q213_SQL)
+def q213_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point) diversity selection over the
+    embedding table (`operators/selection.kcenter_select`) — the
+    coreset/diversification primitive of D4-style data curation
+    (SemDeDup = q123, prototype clustering = q103; this is the max-min
+    third leg).  Returns the k=5 selected centers in order with the
+    max-min radius at each selection — the coverage curve.
+
+    Cross-engine exactness: squared-Euclidean micro-distances via the
+    ordered left-to-right double fold (the q35/q174 shape), integer
+    HALF_UP at 1e-6, argmax tie-broken by ascending id.
+
+    Scale shape: k rounds × (ONE map-only distance pass against ≤k
+    driver-literal center vectors + a 1-row TakeOrdered) — no join, no
+    shuffle, no broadcast relation; the k-means/q103 driver-exchange
+    pattern."""
+    from re_data_pipeline_spark.operators.selection import kcenter_select
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return kcenter_select(e, _Q213_K)

@@ -510,3 +510,55 @@ def test_train_quality_classifier_validation(spark):
         train_quality_classifier(df, label_col="label", iters=0)
     with _pytest.raises(ValueError, match="literal-array"):
         train_quality_classifier(df, label_col="label", n_buckets=(1 << 17) + 1)
+
+
+def test_kcenter_select_matches_bruteforce_reference(spark):
+    """Greedy max-min over a hand-set 2-D-ish vector table vs a direct
+    Python transcription (integer micro-distances, id tie-break)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from re_data_pipeline_spark.operators.selection import kcenter_select
+
+    vecs = {
+        1: [0.0, 0.0], 2: [1.0, 0.0], 3: [0.0, 1.0],
+        4: [10.0, 10.0], 5: [10.0, 10.5], 6: [-5.0, 0.0],
+    }
+    d = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id bigint, embedding array<float>",
+    )
+
+    def micro(a, b):
+        s = sum((x - y) * (x - y) for x, y in zip(a, b))
+        return int(Decimal(repr(s * 1e6)).quantize(Decimal("1"), ROUND_HALF_UP))
+
+    chosen = [min(vecs)]
+    expect = [(0, chosen[0], None)]
+    for r in range(1, 4):
+        best = max(
+            ((min(micro(vecs[i], vecs[c]) for c in chosen), -i), i)
+            for i in vecs if i not in chosen
+        )
+        expect.append((r, best[1], best[0][0]))
+        chosen.append(best[1])
+    got = [tuple(r) for r in kcenter_select(d, 4).collect()]
+    assert got == expect
+    # farthest-first: the selection-time radius is non-increasing
+    radii = [t[2] for t in got[1:]]
+    assert radii == sorted(radii, reverse=True)
+
+
+def test_kcenter_select_degenerate_cases(spark):
+    from re_data_pipeline_spark.operators.selection import kcenter_select
+
+    d = spark.createDataFrame(
+        [(7, [1.0, 2.0]), (9, [3.0, 4.0])], "vec_id bigint, embedding array<float>"
+    )
+    # k larger than the table: returns every row, ranked
+    got = kcenter_select(d, 10).collect()
+    assert [r["vec_id"] for r in got] == [7, 9]
+    # k=1: just the seed
+    assert [tuple(r) for r in kcenter_select(d, 1).collect()] == [(0, 7, None)]
+    # empty input
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    assert kcenter_select(empty, 3).count() == 0
