@@ -98,6 +98,7 @@ HEADLINE = [
     # the unigram tokenizer trainer (EM loop → multi-job, plan hash n/a)
     "q210_ngram_lm_pruned",      # head-bounded model tables, split train/score
     "q211_unigram_train",        # Viterbi hard-EM over the word table
+    "q213_kcenter_select",       # farthest-point greedy, k 1-row argmaxes
 ]
 
 
@@ -230,16 +231,21 @@ def main() -> None:
     plans: dict[str, str] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
+        # hash FIRST, on a cold catalog: hashing after the timed runs
+        # raced the query's own spine-cache release (async unpersist) —
+        # a still-registered InMemoryRelation flipped q203's hash once in
+        # r12, firing a spurious plan-change warning
+        try:
+            plans[name] = plan_hash(fn(spark, sf_dir))
+        except Exception:
+            plans[name] = "n/a"  # multi-job pipelines have no single plan
+        spark.catalog.clearCache()
         best = float("inf")
         for _ in range(n_runs):
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
-        try:
-            plans[name] = plan_hash(fn(spark, sf_dir))
-        except Exception:
-            plans[name] = "n/a"  # multi-job pipelines have no single plan
         # guard-carrying operators (q167/q178/...) pin a fingerprint cache
         # per invocation with the release handle on the discarded result —
         # drop everything between queries so the bench session stays flat
