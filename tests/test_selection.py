@@ -562,3 +562,52 @@ def test_kcenter_select_degenerate_cases(spark):
     # empty input
     empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
     assert kcenter_select(empty, 3).count() == 0
+
+
+def test_kcenter_select_property_matches_bruteforce(spark):
+    """Arbitrary small integer-valued vector sets (exactly representable
+    in float32, so the array<float> round-trip is lossless): the greedy
+    selection must match the direct transcription exactly."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hypothesis import given, settings, strategies as st
+
+    from re_data_pipeline_spark.operators.selection import kcenter_select
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.dictionaries(
+            st.integers(0, 40),
+            st.lists(st.integers(-8, 8).map(float), min_size=3, max_size=3),
+            min_size=2,
+            max_size=12,
+        ),
+        st.integers(2, 5),
+    )
+    def check(vecs, k):
+        d = spark.createDataFrame(
+            sorted(vecs.items()), "vec_id bigint, embedding array<float>"
+        )
+
+        def micro(a, b):
+            s = 0.0
+            for x, y in zip(a, b):
+                s = s + (x - y) * (x - y)  # left-to-right, like the fold
+            return int(Decimal(repr(s * 1e6)).quantize(Decimal("1"), ROUND_HALF_UP))
+
+        chosen = [min(vecs)]
+        expect = [(0, chosen[0], None)]
+        for r in range(1, k):
+            rest = [i for i in vecs if i not in chosen]
+            if not rest:
+                break
+            best = max(
+                ((min(micro(vecs[i], vecs[c]) for c in chosen), -i), i)
+                for i in rest
+            )
+            expect.append((r, best[1], best[0][0]))
+            chosen.append(best[1])
+        got = [tuple(r) for r in kcenter_select(d, k).collect()]
+        assert got == expect, (vecs, k)
+
+    check()
