@@ -152,14 +152,19 @@ def main() -> int:
         rows = []
         for name in HEAVY:
             fn = QUERIES[name]
-            # same-session sf0.1 baseline FIRST (also warms codegen so the
-            # sf1 number isn't billed for Janino compilation)
-            base_s, base_r = best_of(fn, SF01_DIR)
-            sf1_s, sf1_r = best_of(fn, stage)
+            # hash FIRST, on a cold catalog — the same vantage bench.py
+            # records (hashing after the runs raced the query's own
+            # spine-cache release and could fold an InMemoryRelation into
+            # the hash; bench re-baselined q82/q152/q178 in r12)
             try:
                 ph = plan_hash(fn(spark, stage))
             except Exception:
                 ph = "n/a"
+            spark.catalog.clearCache()
+            # same-session sf0.1 baseline FIRST (also warms codegen so the
+            # sf1 number isn't billed for Janino compilation)
+            base_s, base_r = best_of(fn, SF01_DIR)
+            sf1_s, sf1_r = best_of(fn, stage)
             rows.append((name, base_s, sf1_s, base_r, sf1_r, ph))
             print(f"{name}: sf0.1={base_s:.2f}s sf1={sf1_s:.2f}s "
                   f"x{sf1_s / base_s:.1f} rows {base_r:,}->{sf1_r:,} "
