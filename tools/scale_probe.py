@@ -278,6 +278,16 @@ def main() -> int:
 
         return ngram_lm_nll(d.select("doc_id", "text"), min_count2=2, min_count3=2)
 
+    def _lm_ccnet(n):
+        from re_data_pipeline_spark.operators.lm import ngram_lm_nll
+
+        return ngram_lm_nll(
+            docs(5000).select("doc_id", "text"),
+            docs(n).select("doc_id", "text"),
+            min_count2=2,
+            min_count3=2,
+        )
+
     def _unigram(d):
         from re_data_pipeline_spark.operators.unigram import unigram_lm_train
 
@@ -371,6 +381,11 @@ def main() -> int:
         # scoring joins probe head-bounded relations; the self-scoring
         # exponent should sit closer to 1.0 than the unpruned row's
         "ngram_lm_nll (pruned min_count=2)": lambda n: _lm_pruned(docs(n)),
+        # r12 CCNet-faithful deployment shape (the What's-wrong-§3
+        # closure): the model trains on a FIXED clean reference corpus
+        # (docs(5000), same at every scale) and scores the growing crawl
+        # — model tables constant, shuffle ∝ scored positions, exp ≈ 1.0
+        "ngram_lm_nll (CCNet deploy: fixed train)": lambda n: _lm_ccnet(n),
         # r11 concat-and-chunk packing: ONE (doc_id, size) range exchange
         # then map-only window arithmetic — shuffle exp must be ≈ 1 and
         # the shuffle must carry ONLY the sized spine rows, never text
