@@ -61,6 +61,12 @@ HEAVY = [
     # the replica-suffixed vocab, the shape q210's pruning targets), and
     # the unigram EM trainer (vocab grows 10× under replica suffixes)
     "q197_exact_substring_dedup",
+    # ...and its guaranteed-linear sibling ON THE SAME planted corpus:
+    # q197's boilerplate-planting fixture breaks the anchor's
+    # cluster-COUNT premise (clusters grow in SIZE across replicas →
+    # pair-listing superlinear, ×17.1); the all-grams route's volume is
+    # duplication-structure independent — the measured escape hatch
+    "q200_exact_substring_grams",
     "q202_ngram_lm_nll",
     "q211_unigram_train",
 ]
