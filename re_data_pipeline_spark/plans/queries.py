@@ -4817,7 +4817,8 @@ DRIVER_WINDOW: list[str] = [
     "q46_listings_pipeline", "q47_rental_grid_pipeline",
     "q48_transcripts_pipeline", "q53_approx_distinct", "q69_ivf_ann",
     "q75_percentile_approx", "q91_brochure_pipeline",
-    # (c) last green driver row: round 6 (oldest 18 of 43, planner order)
+    # (c) last green driver row: round 6 (oldest 18 of 43 minus
+    # q150_sequence_pattern, displaced by q213 = 17 listed; planner order)
     "q03_broadcast_join_agg", "q107_incremental_dedup", "q121_cc_bigstar",
     "q125_span_dedup", "q128_keep_best_dedup", "q129_domain_mixture",
     "q12_running_total", "q133_salted_join", "q13_rollup",

@@ -491,7 +491,7 @@ def main() -> int:
                 if is_row:
                     if ln.split("|")[1].strip() not in relabeled:
                         kept_rows.append(ln)
-                elif past_table and not ln.startswith(("|", "`--only", "Round-12 targeted")):
+                elif past_table and not ln.startswith(("|", "`--only")):
                     kept_prose.append(ln)  # blank lines keep paragraph breaks
                 if ln.startswith("|---"):
                     past_table = True
