@@ -855,11 +855,22 @@ def contiguous_pack(
     return carry_spines(spine, out)
 
 
+# Above this k, kcenter_select(mode="auto") switches from the
+# literal-inlining greedy route to the persisted-min-dist incremental
+# route: the greedy plan at round r carries r·dim vector literals in ONE
+# projection, so codegen/analysis cost grows O(k·dim) per round and the
+# route stops being viable long before the k≈10³ of coreset practice.
+_KCENTER_GREEDY_MAX_K = 64
+
+
 def kcenter_select(
     df: DataFrame,
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    mode: str = "auto",
+    checkpoint_every: int = 32,
+    _plan_probe=None,
 ) -> DataFrame:
     """Greedy k-center (farthest-point / max-min) selection over an
     embedding column — the coreset/diversity-selection primitive of
@@ -875,29 +886,66 @@ def kcenter_select(
     distance fold is a left-to-right `F.aggregate` over `zip_with`
     products on DOUBLE — the q35/q174 cross-engine exactness shape — so
     the selection replays bit-for-bit in the DuckDB oracle's ordered
-    `list_reduce`.
+    `list_reduce`.  Rows with a NULL id or NULL vector are excluded up
+    front (a NULL id would otherwise seed the selection and poison the
+    not-yet-chosen filter; a NULL vector has no distance).
 
     Returns ``(center_rank, id_col, dist_micro)``: the k selected rows in
-    selection order, ``dist_micro`` the max-min radius AT SELECTION TIME
-    (NULL for the seed) — the coverage-radius curve a data-selection run
-    reports.
+    selection order — ``id_col`` keeps the input column's type —
+    ``dist_micro`` the max-min radius AT SELECTION TIME (NULL for the
+    seed): the coverage-radius curve a data-selection run reports.
 
-    Scale shape (100 TB): k rounds, each ONE map-only pass computing the
-    min distance to the ≤k chosen centers (center vectors are k×dim
-    DRIVER LITERALS — the k-means/q103 pattern; never a join, never a
-    broadcast relation) followed by a 1-row TakeOrdered argmax.  Total
-    work O(k²·n·dim) map-side with zero shuffles beyond the per-round
-    1-row collect; for the k ≲ 10³ of coreset practice this beats
-    maintaining a persisted min-dist column's checkpoint chain.
+    Two physical routes, identical results (``mode``):
+
+    - ``"greedy"`` (auto for k ≤ 64): k rounds, each ONE map-only pass
+      computing the min distance to ALL ≤k chosen centers (center vectors
+      are k×dim DRIVER LITERALS — the k-means/q103 pattern; never a join,
+      never a broadcast relation) followed by a 1-row TakeOrdered argmax.
+      Zero persisted state, but round r's projection embeds r·dim
+      literals — O(k²·n·dim) total work AND O(k·dim) plan growth per
+      round, so it is capped at k ≤ 64 unless forced.
+    - ``"incremental"`` (auto for k > 64): maintains a persisted
+      ``__md = min distance to the chosen set`` column, updated each
+      round against ONLY the newest center — O(dim) literals per round,
+      O(k·n·dim) total work.  Each round's frame is materialized (the
+      argmax collect) with the previous round's cache released;
+      ``localCheckpoint`` every ``checkpoint_every`` rounds truncates the
+      lineage so the analyzed plan stays O(checkpoint_every·dim)
+      regardless of k.  Same per-center rounding, same least() fold order
+      → bit-identical to greedy (least of per-center HALF_UP integers is
+      associative), which the conformance tests assert.
+
+    Scale shape (100 TB): both routes shuffle NOTHING — per-round traffic
+    is one 1-row TakeOrdered argmax; the incremental route adds one
+    n-row cache per round (previous round's released) and a checkpoint
+    every ``checkpoint_every`` rounds.
+
+    ``_plan_probe`` (tests only): called with ``(round, frame)`` before
+    each incremental argmax so the O(dim)-per-round plan-growth contract
+    is assertable from outside.
     """
     if k < 1:
         raise ValueError(f"k must be ≥ 1; got {k}")
-    e = df.select(F.col(id_col), F.col(vec_col))
+    if mode not in ("auto", "greedy", "incremental"):
+        raise ValueError(f"mode must be auto|greedy|incremental; got {mode!r}")
+    incremental = (k > _KCENTER_GREEDY_MAX_K) if mode == "auto" \
+        else (mode == "incremental")
+
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("center_rank", IntegerType(), False),
+            StructField(id_col, df.schema[id_col].dataType, False),
+            StructField("dist_micro", LongType(), True),
+        ]
+    )
+    e = df.select(F.col(id_col), F.col(vec_col)).where(
+        F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
+    )
     seed = e.orderBy(F.asc(id_col)).limit(1).collect()
     if not seed:
-        return df.sparkSession.createDataFrame(
-            [], f"center_rank int, {id_col} bigint, dist_micro bigint"
-        )
+        return df.sparkSession.createDataFrame([], out_schema)
 
     def d_micro(center_vec: list) -> Column:
         lit_arr = F.array(*[F.lit(float(v)) for v in center_vec])
@@ -911,21 +959,57 @@ def kcenter_select(
         ).cast("long")
 
     chosen = [(0, seed[0][id_col], None)]
-    center_vecs = [list(seed[0][vec_col])]
-    for r in range(1, k):
-        md = F.least(*[d_micro(c) for c in center_vecs]) if len(center_vecs) > 1 \
-            else d_micro(center_vecs[0])
-        far = (
-            e.where(~F.col(id_col).isin([c[1] for c in chosen]))
-            .select(id_col, vec_col, md.alias("__md"))
-            .orderBy(F.desc("__md"), F.asc(id_col))
-            .limit(1)
-            .collect()
-        )
-        if not far:  # fewer than k rows: return what exists
-            break
-        chosen.append((r, far[0][id_col], far[0]["__md"]))
-        center_vecs.append(list(far[0][vec_col]))
-    return df.sparkSession.createDataFrame(
-        chosen, f"center_rank int, {id_col} bigint, dist_micro bigint"
+
+    if not incremental:
+        center_vecs = [list(seed[0][vec_col])]
+        for r in range(1, k):
+            md = F.least(*[d_micro(c) for c in center_vecs]) \
+                if len(center_vecs) > 1 else d_micro(center_vecs[0])
+            far = (
+                e.where(~F.col(id_col).isin([c[1] for c in chosen]))
+                .select(id_col, vec_col, md.alias("__md"))
+                .orderBy(F.desc("__md"), F.asc(id_col))
+                .limit(1)
+                .collect()
+            )
+            if not far:  # fewer than k rows: return what exists
+                break
+            chosen.append((r, far[0][id_col], far[0]["__md"]))
+            center_vecs.append(list(far[0][vec_col]))
+        return df.sparkSession.createDataFrame(chosen, out_schema)
+
+    # Incremental route: __md carries min-dist-to-chosen-set; each round
+    # folds in ONLY the newest center.  least(a, b) over per-center
+    # HALF_UP integers ≡ greedy's least over all centers at once.
+    frame = (
+        e.where(F.col(id_col) != F.lit(seed[0][id_col]))
+        .withColumn("__md", d_micro(list(seed[0][vec_col])))
+        .persist()
     )
+    prev = None
+    try:
+        for r in range(1, k):
+            if _plan_probe is not None:
+                _plan_probe(r, frame)
+            far = frame.orderBy(F.desc("__md"), F.asc(id_col)).limit(1).collect()
+            if prev is not None:
+                prev.unpersist()  # materialized child no longer needs it
+            prev = frame
+            if not far:
+                break
+            chosen.append((r, far[0][id_col], far[0]["__md"]))
+            frame = frame.where(F.col(id_col) != F.lit(far[0][id_col])).withColumn(
+                "__md", F.least(F.col("__md"), d_micro(list(far[0][vec_col])))
+            )
+            if r % checkpoint_every == 0:
+                frame = frame.localCheckpoint(eager=True)  # truncate lineage
+            else:
+                frame = frame.persist()
+    finally:
+        for f in (prev, frame):
+            if f is not None:
+                try:
+                    f.unpersist()
+                except Exception:
+                    pass
+    return df.sparkSession.createDataFrame(chosen, out_schema)

@@ -611,3 +611,88 @@ def test_kcenter_select_property_matches_bruteforce(spark):
         assert got == expect, (vecs, k)
 
     check()
+
+
+def test_kcenter_incremental_matches_greedy(spark):
+    """The persisted-min-dist route must be bit-identical to the
+    literal-inlining greedy route: least() over per-center HALF_UP
+    integers is associative, so folding one center at a time cannot
+    change any argmax.  Includes duplicate vectors (md=0 ties) so the
+    id-ascending tie-break is exercised on both routes."""
+    from re_data_pipeline_spark.operators.selection import kcenter_select
+
+    rows = [
+        (i, [float((i * 7) % 13 - 6), float((i * 3) % 11 - 5), float(i % 4)])
+        for i in range(24)
+    ] + [(100, [1.0, 6.0, 0.0]), (101, [1.0, 6.0, 0.0])]  # exact duplicates
+    d = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    g = [tuple(r) for r in kcenter_select(d, 12, mode="greedy").collect()]
+    i = [tuple(r) for r in kcenter_select(d, 12, mode="incremental").collect()]
+    assert g == i
+
+
+def test_kcenter_null_rows_and_id_type(spark):
+    """r12 advice: NULL ids must not seed the selection (ascending
+    orderBy puts NULLs first) and NULL vectors have no distance — both
+    are excluded up front; and the returned id column keeps the input's
+    type instead of hardcoded bigint."""
+    from re_data_pipeline_spark.operators.selection import kcenter_select
+
+    d = spark.createDataFrame(
+        [(None, [0.0, 0.0]), ("b", None), ("c", [0.0, 0.0]), ("a", [9.0, 9.0])],
+        "vec_id string, embedding array<float>",
+    )
+    for mode in ("greedy", "incremental"):
+        got = kcenter_select(d, 5, mode=mode)
+        assert got.schema["vec_id"].dataType.simpleString() == "string"
+        assert [r["vec_id"] for r in got.collect()] == ["a", "c"]
+
+
+def test_kcenter_incremental_plan_growth_is_bounded(spark):
+    """The O(dim)-literals-per-round contract (r12 verdict, What's wrong
+    §1): with checkpoint_every=8, the analyzed plan grows only within an
+    8-round window and resets at each localCheckpoint — its size is
+    bounded by the WINDOW, independent of k.  The greedy route's plan at
+    round r would instead carry r·dim literals forever."""
+    from re_data_pipeline_spark.operators.selection import kcenter_select
+
+    rows = [
+        (i, [float((i * 5) % 17 - 8), float((i * 11) % 7 - 3)]) for i in range(30)
+    ]
+    d = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    lens: dict[int, int] = {}
+
+    def probe(r, frame):
+        lens[r] = len(frame._jdf.queryExecution().analyzed().toString())
+
+    got = kcenter_select(
+        d, 70, mode="incremental", checkpoint_every=8, _plan_probe=probe
+    ).collect()
+    assert len(got) == 30  # k > n: every row selected, then clean break
+    # crossed at least three checkpoint boundaries (rounds 8, 16, 24)
+    assert max(lens) >= 25
+    # plan shrinks right after each checkpoint...
+    for cp in (8, 16, 24):
+        assert lens[cp + 1] < lens[cp]
+    # ...and never exceeds the first window's peak by more than slack
+    # (post-checkpoint windows sit on a LogicalRDD base, so they are
+    # SMALLER than window one, which still carries the parquet scan)
+    first_window_peak = max(lens[r] for r in range(1, 9))
+    assert max(lens.values()) <= first_window_peak * 1.5
+
+
+def test_kcenter_auto_switches_to_incremental(spark):
+    """mode='auto' must take the incremental route above k=64 — probed
+    via _plan_probe, which only the incremental route calls."""
+    from re_data_pipeline_spark.operators.selection import kcenter_select
+
+    d = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3)]) for i in range(6)],
+        "vec_id bigint, embedding array<float>",
+    )
+    seen: list[int] = []
+    kcenter_select(d, 65, _plan_probe=lambda r, f: seen.append(r)).collect()
+    assert seen  # incremental path ran
+    seen.clear()
+    kcenter_select(d, 5, _plan_probe=lambda r, f: seen.append(r)).collect()
+    assert not seen  # small k stays on the greedy route
