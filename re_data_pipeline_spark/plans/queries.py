@@ -9950,19 +9950,19 @@ _KC_DIST = (
 )
 
 
-def _kcenter_round_sql(r: int) -> str:
+def _kcenter_round_sql(r: int, table: str = "embeddings") -> str:
     p = r - 1
     if r == 1:
         kd = f"""
 kd1 AS MATERIALIZED (
   SELECT e.vec_id, {_KC_DIST} AS md
-  FROM embeddings e, kc0 c WHERE e.vec_id <> c.vec_id
+  FROM {table} e, kc0 c WHERE e.vec_id <> c.vec_id
 )"""
     else:
         kd = f"""
 kd{r} AS MATERIALIZED (
   SELECT d.vec_id, least(d.md, {_KC_DIST}) AS md
-  FROM kd{p} d JOIN embeddings e USING (vec_id), kc{p} c
+  FROM kd{p} d JOIN {table} e USING (vec_id), kc{p} c
   WHERE d.vec_id NOT IN (SELECT vec_id FROM kp{p})
 )"""
     return f"""{kd},
@@ -9971,27 +9971,35 @@ kp{r} AS MATERIALIZED (
 ),
 kc{r} AS MATERIALIZED (
   SELECT e.vec_id, e.embedding::DOUBLE[] AS v
-  FROM embeddings e JOIN kp{r} USING (vec_id)
+  FROM {table} e JOIN kp{r} USING (vec_id)
 )"""
 
 
-_Q213_K = 5
-_Q213_SQL = (
-    """
+def _kcenter_chain_sql(k: int, table: str = "embeddings") -> str:
+    """Full k-round greedy k-center replay over ``table`` (must expose
+    ``vec_id`` + dim-64 ``embedding``): the kd{r} recurrence IS the
+    incremental min-dist update — ``least(d.md, dist-to-newest-center)``
+    — so this one generator oracles BOTH physical routes of
+    ``operators/selection.kcenter_select``."""
+    return (
+        f"""
 WITH kc0 AS MATERIALIZED (
   SELECT vec_id, embedding::DOUBLE[] AS v
-  FROM embeddings ORDER BY vec_id LIMIT 1
+  FROM {table} ORDER BY vec_id LIMIT 1
 ),
 """
-    + ",".join(_kcenter_round_sql(r) for r in range(1, _Q213_K))
-    + """
+        + ",".join(_kcenter_round_sql(r, table) for r in range(1, k))
+        + """
 SELECT 0 AS center_rank, vec_id, CAST(NULL AS BIGINT) AS dist_micro FROM kc0
 """
-    + "".join(
-        f"UNION ALL SELECT {r}, vec_id, md FROM kp{r}\n"
-        for r in range(1, _Q213_K)
+        + "".join(
+            f"UNION ALL SELECT {r}, vec_id, md FROM kp{r}\n" for r in range(1, k)
+        )
     )
-)
+
+
+_Q213_K = 5
+_Q213_SQL = _kcenter_chain_sql(_Q213_K)
 
 
 @query("q213_kcenter_select", _Q213_SQL)
@@ -10015,3 +10023,33 @@ def q213_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return kcenter_select(e, _Q213_K)
+
+
+_Q214_K = 65
+_Q214_SQL = _kcenter_chain_sql(_Q214_K)
+
+
+@query("q214_kcenter_incremental", _Q214_SQL)
+def q214_kcenter_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center at a REALISTIC coreset size (k=65) — forced onto
+    `operators/selection.kcenter_select`'s incremental persisted-min-dist
+    route by mode="auto" (k > 64): the min distance to the chosen set is
+    a persisted `__md` column updated each round against ONLY the newest
+    center (O(dim) literals per round, O(k·n·dim) total work,
+    localCheckpoint every 32 rounds truncating lineage), where q213's
+    literal-inlining greedy route would carry r·dim literals in round r's
+    single projection — O(k²·n·dim) work and a codegen wall well before
+    k≈10³ (r12 verdict, What's wrong §1).
+
+    Oracled by the SAME generated DuckDB chain as q213 at 65 rounds: the
+    kd{r} recurrence `least(md, dist-to-newest-center)` is literally the
+    incremental update, so the oracle pins route equivalence —
+    least-of-per-center-HALF_UP-integers is associative, making the two
+    physical routes bit-identical by construction and by this check.
+
+    Scale shape: zero shuffles — per-round traffic is a 1-row TakeOrdered
+    argmax plus one n-row cache (previous round's released)."""
+    from re_data_pipeline_spark.operators.selection import kcenter_select
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return kcenter_select(e, _Q214_K)
