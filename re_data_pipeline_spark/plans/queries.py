@@ -2371,8 +2371,10 @@ def q122_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q123_SQL = f"""
-WITH RECURSIVE corpus AS (
+# Shared by q123 (SemDeDup) and q215 (the composed D4 pipeline): salted
+# corpus → SRP buckets → cosine-confirmed pairs → transitive closure →
+# losers (every non-min member of a near-dup component).
+_SEMDEDUP_CTES = f"""corpus AS (
   SELECT vec_id, embedding, label FROM embeddings
   UNION ALL
   SELECT vec_id + 1000 AS vec_id, embedding, label FROM embeddings WHERE vec_id < 50
@@ -2414,10 +2416,16 @@ reach(s, t) AS (
 ),
 losers AS (
   SELECT s FROM reach GROUP BY s HAVING LEAST(s, MIN(t)) < s
-)
+)"""
+
+_Q123_SQL = (
+    "WITH RECURSIVE "
+    + _SEMDEDUP_CTES
+    + """
 SELECT vec_id, label FROM corpus
 WHERE vec_id NOT IN (SELECT s FROM losers)
 """
+)
 
 
 @query("q123_semantic_dedup", _Q123_SQL)
@@ -9943,11 +9951,18 @@ def q212_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the chosen set with the ORDERED list_reduce (≡ Spark's left-to-right
 # F.aggregate: 0.0+t1 == t1), kp{r} is the (md DESC, id ASC) argmax,
 # kc{r} rebinds the picked vector for the next round.
-_KC_DIST = (
-    "CAST(round(1e6 * list_reduce(list_transform(range(1, 65), "
-    "i -> (e.embedding[i]::DOUBLE - c.v[i]) * (e.embedding[i]::DOUBLE - c.v[i])), "
-    "(a, b) -> a + b), 0) AS BIGINT)"
-)
+def _duck_micro_dist(vec: str = "e.embedding", ctr: str = "c.v") -> str:
+    """Squared-Euclidean micro-distance (×1e6, HALF_UP → BIGINT) between a
+    dim-64 vector column and a DOUBLE[] center, as the ORDERED list_reduce
+    fold ≡ Spark's left-to-right ``F.aggregate`` (0.0+t1 == t1)."""
+    return (
+        "CAST(round(1e6 * list_reduce(list_transform(range(1, 65), "
+        f"i -> ({vec}[i]::DOUBLE - {ctr}[i]) * ({vec}[i]::DOUBLE - {ctr}[i])), "
+        "(a, b) -> a + b), 0) AS BIGINT)"
+    )
+
+
+_KC_DIST = _duck_micro_dist()
 
 
 def _kcenter_round_sql(r: int, table: str = "embeddings") -> str:
@@ -9975,6 +9990,26 @@ kc{r} AS MATERIALIZED (
 )"""
 
 
+def _kcenter_cte_block(k: int, table: str = "embeddings") -> str:
+    """The kc0 + k−1 round CTEs (no WITH, no final SELECT) — embeddable
+    in a larger WITH list by composed queries (q215)."""
+    return (
+        f"""kc0 AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM {table} ORDER BY vec_id LIMIT 1
+),
+"""
+        + ",".join(_kcenter_round_sql(r, table) for r in range(1, k))
+    )
+
+
+def _kcenter_centers_sql(k: int) -> str:
+    """(center_rank, vec_id, v) union over the kc{r} CTEs."""
+    return "\nUNION ALL ".join(
+        f"SELECT {r} AS center_rank, vec_id, v FROM kc{r}" for r in range(k)
+    )
+
+
 def _kcenter_chain_sql(k: int, table: str = "embeddings") -> str:
     """Full k-round greedy k-center replay over ``table`` (must expose
     ``vec_id`` + dim-64 ``embedding``): the kd{r} recurrence IS the
@@ -9982,13 +10017,8 @@ def _kcenter_chain_sql(k: int, table: str = "embeddings") -> str:
     — so this one generator oracles BOTH physical routes of
     ``operators/selection.kcenter_select``."""
     return (
-        f"""
-WITH kc0 AS MATERIALIZED (
-  SELECT vec_id, embedding::DOUBLE[] AS v
-  FROM {table} ORDER BY vec_id LIMIT 1
-),
-"""
-        + ",".join(_kcenter_round_sql(r, table) for r in range(1, k))
+        "\nWITH "
+        + _kcenter_cte_block(k, table)
         + """
 SELECT 0 AS center_rank, vec_id, CAST(NULL AS BIGINT) AS dist_micro FROM kc0
 """
@@ -10053,3 +10083,140 @@ def q214_kcenter_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return kcenter_select(e, _Q214_K)
+
+
+_Q215_K = 8  # clusters = centers; the D4 diversity stage's coreset size here
+
+_Q215_SQL = (
+    "WITH RECURSIVE "
+    + _SEMDEDUP_CTES
+    + """,
+kept AS MATERIALIZED (
+  SELECT vec_id, embedding FROM corpus
+  WHERE vec_id NOT IN (SELECT s FROM losers)
+),
+"""
+    + _kcenter_cte_block(_Q215_K, "kept")
+    + f""",
+centers AS MATERIALIZED (
+  {_kcenter_centers_sql(_Q215_K)}
+),
+assign AS (
+  SELECT k.vec_id,
+         min({_duck_micro_dist("k.embedding", "c.v")} * 8 + c.center_rank) AS mk
+  FROM kept k CROSS JOIN centers c
+  GROUP BY k.vec_id
+),
+cl AS (
+  SELECT vec_id, CAST(mk % 8 AS INT) AS cluster_id, mk // 8 AS d_center_micro
+  FROM assign
+),
+rk AS (
+  SELECT vec_id, cluster_id, d_center_micro,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY d_center_micro DESC, vec_id) AS rnk,
+         count(*) OVER (PARTITION BY cluster_id) AS n_c
+  FROM cl
+)
+SELECT vec_id, cluster_id,
+       CAST(d_center_micro AS BIGINT) AS d_center_micro,
+       CAST(rnk AS BIGINT) AS cluster_rank
+FROM rk WHERE rnk * 4 <= 3 * n_c + 3
+"""
+)
+
+
+@query("q215_d4_curation", _Q215_SQL)
+def q215_d4_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The D4 curation pipeline (Tirumala et al. 2023) composed end-to-end
+    as ONE oracled query — the three legs q123/q103/q213 as the published
+    pipeline shape: (1) SemDeDup at cosine ≥ 0.95 over the q123 salted
+    corpus (`operators/dedup.semantic_dedup_pipeline` — SRP-bucket
+    candidates, CC closure, keep component min); (2) cluster the survivors
+    by GREEDY K-CENTER prototypes (k=8, `selection.kcenter_select` — the
+    deterministic, fully-replayable stand-in for D4's k-means, per the
+    q123 SRP-for-k-means precedent) with nearest-center assignment; (3)
+    within each cluster DROP the most prototypical quartile — keep the
+    ⌈3n/4⌉ rows FARTHEST from their center (d DESC, id ASC), D4's
+    diversity-keeping step.
+
+    Cross-engine exactness end-to-end: assignment uses the combined
+    integer key ``d_micro·8 + center_rank`` so the (distance, rank) argmin
+    including ties is ONE integer min in both engines; the cluster-scoped
+    rank rides the ordinal spine (`ids.assign_ordinals` — one range
+    exchange, NEVER partitionBy(cluster): k=8 keys over a corpus is the
+    canonical window-skew trap) with per-cluster bases/counts an 8-row
+    broadcast agg; the keep rule is pure integer math (rnk·4 ≤ 3n+3 ⇔
+    rnk ≤ ⌈3n/4⌉).
+
+    Scale shape (100 TB): SemDeDup as audited in q123 (bucketed, never
+    all-pairs) → k-center as audited in q213/q214 (k 1-row argmaxes) →
+    map-only assignment against 8×64 driver literals (the q103 pattern)
+    → ONE range exchange for the global rank → 8-row broadcast. The
+    survivor frame is persisted across the k-center rounds so the dedup
+    stage runs once, not once per round."""
+    from re_data_pipeline_spark.operators.dedup import semantic_dedup_pipeline
+    from re_data_pipeline_spark.operators.ids import assign_ordinals, carry_spines
+    from re_data_pipeline_spark.operators.selection import kcenter_select
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select("vec_id", "embedding")
+    for shift, cap in ((1000, 50), (2000, 25)):
+        corpus = corpus.unionAll(
+            e.where(F.col("vec_id") < cap).select(
+                (F.col("vec_id") + shift).alias("vec_id"), "embedding"
+            )
+        )
+    dim = 64
+    planes = [
+        [1.0 if ((i * 7 + j * 13) % 5) < 2 else -1.0 for j in range(dim)]
+        for i in range(4)
+    ]
+    kept = semantic_dedup_pipeline(corpus, planes, "vec_id", "embedding", 0.95).persist()
+    centers = kcenter_select(kept, _Q215_K)  # k=8 -> greedy route
+    ranks = {r["vec_id"]: r["center_rank"] for r in centers.collect()}
+    cvecs = sorted(
+        (ranks[r["vec_id"]], list(r["embedding"]))
+        for r in kept.where(F.col("vec_id").isin(list(ranks)))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+
+    def d_micro(cv: list):
+        lit_arr = F.array(*[F.lit(float(v)) for v in cv])
+        terms = F.zip_with(
+            F.col("embedding"),
+            lit_arr,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        )
+        return F.round(
+            F.aggregate(terms, F.lit(0.0), lambda a, b: a + b) * 1e6, 0
+        ).cast("long")
+
+    cl = kept.select(
+        "vec_id",
+        F.least(*[d_micro(cv) * 8 + F.lit(j) for j, cv in cvecs]).alias("__mk"),
+    ).select(
+        "vec_id",
+        (F.col("__mk") % 8).cast("int").alias("cluster_id"),
+        F.expr("__mk DIV 8").alias("d_center_micro"),
+    )
+    ordd = assign_ordinals(
+        cl,
+        [F.asc("cluster_id"), F.desc("d_center_micro"), F.asc("vec_id")],
+        ordinal_col="__ord",
+    )
+    bases = ordd.groupBy("cluster_id").agg(
+        F.min("__ord").alias("__base"), F.count(F.lit(1)).alias("__n")
+    )
+    out = (
+        ordd.join(F.broadcast(bases), "cluster_id")
+        .withColumn("cluster_rank", (F.col("__ord") - F.col("__base") + 1))
+        .where(F.col("cluster_rank") * 4 <= 3 * F.col("__n") + 3)
+        .select("vec_id", "cluster_id", "d_center_micro", "cluster_rank")
+    )
+    out = carry_spines(ordd, out)
+    # register the survivor-frame cache on the standard release path so
+    # release_spines()/spine_scope() cover it like any ordinal spine
+    out._ordinal_caches = [*getattr(out, "_ordinal_caches", []), kept]
+    return out
