@@ -221,6 +221,12 @@ def main() -> None:
     from re_data_pipeline_spark.plans.queries import QUERIES
     from re_data_pipeline_spark.session import get_spark
 
+    # Host load at run start (1/5/15-min): two same-code r12 records
+    # differed 1.47x median on IDENTICAL plan hashes (builder vs loaded
+    # judging host); recording it makes the noise band self-documenting
+    # instead of re-derived every judging round (r12 verdict, next #8).
+    loadavg = list(os.getloadavg())
+
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -270,6 +276,7 @@ def main() -> None:
         "plan_hashes": plans,
         "runs_per_query": n_runs,
         "sf": sf,
+        "loadavg_start": loadavg,
     }
     print(json.dumps(payload))
     # ALSO write the complete record locally: the driver stores only a

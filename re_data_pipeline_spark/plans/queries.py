@@ -4792,49 +4792,45 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-window registration order
 # ---------------------------------------------------------------------------
 # The correctness driver verifies the FIRST 50 registered queries, in order.
-# Round-12 rotation (tools/window_planner.py proposal, reviewed): the
+# Round-13 rotation (tools/window_planner.py proposal, reviewed): the
 # standing policy is (a) never-driver-checked registrations always in,
 # (b) queries whose code/oracle changed this round, (c) stalest green
-# rows, oldest round first.  The r5/r6-stale band is 68 queries — larger
-# than the window — so this rotation clears the 25 round-5 rows plus the
-# oldest 18 of the 43 round-6 rows; the remaining 25 round-6 rows lead
-# the round-13 proposal.  Everything rotated out holds a green r5-r11
-# driver row with unchanged code, and tools/parity.py still verifies ALL
-# registered queries every session.
+# rows, oldest round first.  This rotation clears the ENTIRE round-6
+# band (all 26 rows, including the §2-inventory rows q15/q17/q18/q24/
+# q27-q29 and heavies q63/q71/q82/q97/q161 the r12 verdict names) plus
+# the oldest 22 of the 41 round-7 rows; the remaining 19 round-7 rows
+# lead the round-14 proposal.  Everything rotated out holds a green
+# r6-r12 driver row with unchanged code, and tools/parity.py still
+# verifies ALL registered queries every session.
 
 # The round this list was last actually RE-COMPOSED (not merely shipped):
 # tools/gen_window_doc.py stamps it into README so the freshness claim
 # can't silently go false again (r9 verdict "what's wrong" #2).
-DRIVER_WINDOW_ROUND = 12
+DRIVER_WINDOW_ROUND = 13
 
 DRIVER_WINDOW: list[str] = [
-    # (a) never driver-checked (new in round 12)
-    "q210_ngram_lm_pruned", "q211_unigram_train", "q212_unigram_fertility",
-    "q213_kcenter_select",
-    # (b) code/oracle changed in round 12: shard_manifest NULL-id hashing
-    # (q205/q206/q209) and the LM core oracle template split (q202)
-    "q202_ngram_lm_nll", "q205_shard_manifest",
-    "q206_curation_v3", "q209_streaming_manifest",
-    # (c) last green driver row: round 5 (25 queries)
-    "q131_stream_stream_join", "q132_bpe_pair_counts", "q134_scd2_history",
-    "q135_inverted_index", "q136_pagerank", "q137_grouped_split",
-    "q138_spatial_knn", "q139_ohlc_downsample",
-    "q140_stream_dedup_watermark", "q147_hll_sketch", "q14_grid_agg",
-    "q20_safe_cast", "q35_cosine_topk", "q38_radius_join", "q41_ann_lsh",
-    "q42_llm_extract", "q43_embed_column", "q45_multimodal_features",
-    "q46_listings_pipeline", "q47_rental_grid_pipeline",
-    "q48_transcripts_pipeline", "q53_approx_distinct", "q69_ivf_ann",
-    "q75_percentile_approx", "q91_brochure_pipeline",
-    # (c) last green driver row: round 6 (oldest 18 of 43 minus
-    # q150_sequence_pattern, displaced by q213 = 17 listed; planner order)
-    "q03_broadcast_join_agg", "q107_incremental_dedup", "q121_cc_bigstar",
-    "q125_span_dedup", "q128_keep_best_dedup", "q129_domain_mixture",
-    "q12_running_total", "q133_salted_join", "q13_rollup",
-    "q141_interval_lookup", "q142_transition_matrix", "q143_snapshot_diff",
-    "q144_scd1_merge", "q145_bm25_topk", "q146_countmin_sketch",
-    "q148_spatial_clusters", "q149_mad_outliers",
-    # (q150_sequence_pattern displaced by q213, added mid-round — the
-    # planner's never-checked-always-in rule; it leads the r13 proposal)
+    # (a) never driver-checked (new in round 13)
+    "q214_kcenter_incremental", "q215_d4_curation",
+    # (c) last green driver row: round 6 (all 26; planner order —
+    # q150_sequence_pattern first, displaced from the r12 window by q213)
+    "q150_sequence_pattern", "q154_index_merge", "q155_grouped_kfold",
+    "q156_curation_v2", "q158_stratified_sample", "q159_triangle_count",
+    "q15_date_lookback", "q161_bpe_train", "q164_quota_sample",
+    "q165_bfs_distances", "q17_regexp_extract", "q18_string_cleanup",
+    "q24_collect_sorted", "q27_tumbling_window", "q28_sliding_window",
+    "q29_session_window", "q33_minhash_lsh", "q34_ngram_jaccard",
+    "q36_centroid_similarity", "q57_asof_join", "q63_reit_pipeline",
+    "q71_near_dedup_pipeline", "q72_curation_pipeline",
+    "q82_connected_components", "q85_cluster_dedup", "q97_sequence_packing",
+    # (c) last green driver row: round 7 (oldest 22 of 41; planner order)
+    "q08_distinct", "q09_union_by_name", "q10_except",
+    "q114_grouping_sets", "q11_explode", "q120_http_pushdown_scan",
+    "q151_item_cooccurrence", "q152_skyline", "q157_stream_left_outer",
+    "q162_bpe_encode", "q163_record_linkage", "q166_temperature_mixture",
+    "q16_date_parts", "q170_char_lm_quality", "q171_token_drift",
+    "q172_pmi_collocations", "q19_json_extract", "q21_case_normalize",
+    "q22_completeness_profile", "q23_enrichment_join", "q25_upsert",
+    "q26_archive_delisted",
 ]
 
 
