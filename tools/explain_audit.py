@@ -605,6 +605,44 @@ CHECKS = [
         {"spark.sql.autoBroadcastJoinThreshold": "-1"},
     ),
     (
+        "q214_kcenter_incremental",
+        "incremental k-center: per-round frame is map-only, lineage checkpoint-truncated",
+        [
+            (r"!Exchange", "zero shuffles in the per-round min-dist frame"),
+            (r"!Join", "no join — the newest center is O(dim) driver literals"),
+            (r"Scan ExistingRDD", "localCheckpoint truncated the lineage (round 34 scans the round-32 checkpoint)"),
+        ],
+        "The large-k route's contract: round r's frame is the PREVIOUS "
+        "checkpoint plus ≤checkpoint_every filter+least() layers — the "
+        "plan here is round 34's, two rounds after the r=32 "
+        "localCheckpoint, and contains no exchange, no join, and scans "
+        "the checkpointed RDD instead of replaying 34 rounds of lineage.  "
+        "Per-round cluster traffic is one 1-row TakeOrdered argmax; plan "
+        "size is O(checkpoint_every·dim) regardless of k (the greedy "
+        "route's O(k·dim)-literals-per-round growth is the r12 verdict's "
+        "What's-wrong §1, closed by this route).",
+    ),
+    (
+        "q215_d4_curation",
+        "D4 composition: each stage keeps its audited shape",
+        [
+            (r"!CartesianProduct", "no all-pairs stage anywhere (SemDeDup bucketed, assignment vs 8 literals)"),
+            (r"rangepartitioning", "cluster-scoped rank rides the ordinal spine"),
+            (r"!Window", "no window operator — 8 cluster keys over a corpus is the window-skew trap"),
+            (r"BroadcastHashJoin", "per-cluster bases/counts join back as an 8-row broadcast"),
+            (r"InMemoryTableScan", "SemDeDup survivor frame persisted once across the k-center rounds"),
+        ],
+        "The published D4 shape composed from its three audited legs: "
+        "SemDeDup (q123's bucketed candidates + CC closure) → greedy "
+        "k-center prototypes (q213's k 1-row argmaxes) → map-only "
+        "nearest-center assignment against 8×64 driver literals (the "
+        "q103 pattern) → ONE rangepartitioning exchange for the global "
+        "(cluster, -dist, id) spine → 8-row broadcast agg for bases.  "
+        "The composition risks — an accidental cross-product, a "
+        "partitionBy(cluster_id) window, or re-running the dedup stage "
+        "once per k-center round — are asserted absent here.",
+    ),
+    (
         "q205_shard_manifest",
         "shard manifest: one map-combined agg, nothing else moves",
         [
@@ -649,9 +687,27 @@ def main() -> int:
         spark.catalog.clearCache()
         return QUERIES["q153_prefix_filter_join"](spark, sf_dir)
 
+    def q214_round_frame(spark, sf_dir):
+        # audit the INCREMENTAL route's per-round frame (the returned df is
+        # a k-row LocalTableScan — the interesting plan is the round
+        # update): capture round 34, two rounds past the r=32 checkpoint
+        from re_data_pipeline_spark.catalog import load_table
+        from re_data_pipeline_spark.operators.selection import kcenter_select
+
+        captured = {}
+
+        def probe(r, frame):
+            if r == 34:
+                captured["f"] = frame
+
+        e = load_table(spark, sf_dir, "embeddings")
+        kcenter_select(e, 35, mode="incremental", _plan_probe=probe)
+        return captured["f"]
+
     overrides = {
         "q33_minhash_lsh": q33_lineage,
         "q153_prefix_filter_join__nobcast": q153_nobcast,
+        "q214_kcenter_incremental": q214_round_frame,
     }
 
     failures = []
