@@ -99,6 +99,11 @@ HEADLINE = [
     "q210_ngram_lm_pruned",      # head-bounded model tables, split train/score
     "q211_unigram_train",        # Viterbi hard-EM over the word table
     "q213_kcenter_select",       # farthest-point greedy, k 1-row argmaxes
+    # round-13 additions: coreset-scale k-center (65 argmax rounds on the
+    # persisted-min-dist route — wall is k×job-overhead-bound locally) and
+    # the composed D4 pipeline (SemDeDup → k-center → diversity keep)
+    "q214_kcenter_incremental",  # persisted __md, checkpoint every 32 rounds
+    "q215_d4_curation",          # semdedup → prototypes → keep-farthest-3/4
 ]
 
 

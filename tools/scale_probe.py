@@ -120,6 +120,31 @@ def synth_points(spark: SparkSession, n: int) -> DataFrame:
     )
 
 
+def synth_vectors(spark: SparkSession, n: int, dim: int = 16) -> DataFrame:
+    """Deterministic dim-16 embeddings from md5 arithmetic (components in
+    [-0.5, 0.5)); rows with id ≥ base copy an earlier row's vector exactly
+    (cosine 1.0 — the SemDeDup near-dup structure, DUP_RATE clusters of
+    ~constant size so cluster COUNT grows with n).  Map-only from
+    spark.range — no driver rows, any scale."""
+    base_n = int(n * (1 - DUP_RATE))
+    df = spark.range(n).select(F.col("id").alias("vec_id"))
+    src = F.when(F.col("vec_id") < base_n, F.col("vec_id")).otherwise(
+        F.col("vec_id") % base_n
+    )
+    df = df.withColumn("__src", src)
+
+    def comp(j):
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit("v"), F.col("__src"), F.lit(j))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        return h / F.lit(4294967296.0) - F.lit(0.5)
+
+    emb = F.array(*[comp(j) for j in range(dim)])
+    return df.select("vec_id", emb.alias("embedding"))
+
+
 def rest_totals(ui: str, app_id: str) -> dict[str, int]:
     with urllib.request.urlopen(
         f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
@@ -217,7 +242,9 @@ def main() -> int:
         synth_edges(spark, n * 4).repartition(32).write.parquet(edges_p)
         pts_p = f"{stage_dir}/pts_{n}"
         synth_points(spark, n * 40).repartition(32).write.parquet(pts_p)
-        inputs[n] = (docs_p, edges_p, pts_p)
+        vecs_p = f"{stage_dir}/vecs_{n}"
+        synth_vectors(spark, n).repartition(32).write.parquet(vecs_p)
+        inputs[n] = (docs_p, edges_p, pts_p, vecs_p)
 
     def docs(n):
         return spark.read.parquet(inputs[n][0])
@@ -227,6 +254,9 @@ def main() -> int:
 
     def pts(n):
         return spark.read.parquet(inputs[n][2])
+
+    def vecs(n):
+        return spark.read.parquet(inputs[n][3])
 
     def _inverted(d):
         from re_data_pipeline_spark.operators.indexing import inverted_index
@@ -317,6 +347,33 @@ def main() -> int:
             d, bench, min_len=50, k=25, on_degradation="off"
         )
 
+    def _kcenter(v):
+        from re_data_pipeline_spark.operators.selection import kcenter_select
+
+        return kcenter_select(v, 65, mode="incremental")
+
+    def _semdedup(v, n):
+        from re_data_pipeline_spark.operators.dedup import semantic_dedup_pipeline
+
+        # plane count grows with log2(n) so expected bucket size stays
+        # ~256 and candidate volume ~256·n stays LINEAR — the same
+        # width-vs-n discipline as the simhash probe (fixed planes would
+        # be the documented n²/2^p adversarial case).  Exact-duplicate
+        # vectors share every sign bit, so recall of the planted dups is
+        # plane-count-independent.
+        import hashlib
+
+        p = max(4, math.ceil(math.log2(n / 256)))
+        planes = [
+            [
+                1.0 if hashlib.md5(f"pl:{i}:{j}".encode()).digest()[0] % 2 == 0
+                else -1.0
+                for j in range(16)
+            ]
+            for i in range(p)
+        ]
+        return semantic_dedup_pipeline(v, planes, "vec_id", "embedding", 0.95)
+
     PROBES = {
         "near_dedup_pipeline (LSH→verify→anti)": lambda n: near_dedup_pipeline(
             docs(n), threshold=0.5
@@ -395,6 +452,21 @@ def main() -> int:
         # explode → piece equi-join → per-word Viterbi fold) — exp ≈ 1 in
         # |vocab|; the driver exchange is parameter-bounded per round
         "unigram_lm_train (2 EM rounds)": lambda n: _unigram(docs(n)),
+        # r13 coreset-scale k-center on the incremental persisted-min-dist
+        # route (k=65 > the greedy cap, checkpoint at round 32, 33, 64):
+        # k is FIXED, so wall must be ~linear in n (65 map-only passes +
+        # 65 one-row argmaxes) and shuffle rows ~0 — centers travel as
+        # O(dim) driver literals, never a join or broadcast relation
+        "kcenter_select (incremental, k=65, dim-16)": lambda n: _kcenter(
+            vecs(n)
+        ),
+        # r13 SemDeDup leg at growing n (the D4 stage-1 of q215; the other
+        # two legs are kcenter above + map-only assignment): SRP-bucket
+        # equi-join candidates + CC closure — cluster COUNT grows with n
+        # at ~constant size, so candidate volume and wall must stay ~linear
+        "semantic_dedup_pipeline (SRP→CC→keep-min)": lambda n: _semdedup(
+            vecs(n), n
+        ),
     }
 
     if only:
