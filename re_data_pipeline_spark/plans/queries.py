@@ -4809,8 +4809,11 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRIVER_WINDOW_ROUND = 13
 
 DRIVER_WINDOW: list[str] = [
-    # (a) never driver-checked (new in round 13)
+    # (a) never driver-checked (new in round 13; q216 added mid-round,
+    # displacing q26_archive_delisted — the planner's never-checked-
+    # always-in rule; q26 rejoins the r14 proposal's r7 band)
     "q214_kcenter_incremental", "q215_d4_curation",
+    "q216_cluster_safe_split",
     # (c) last green driver row: round 6 (all 26; planner order —
     # q150_sequence_pattern first, displaced from the r12 window by q213)
     "q150_sequence_pattern", "q154_index_merge", "q155_grouped_kfold",
@@ -4830,7 +4833,6 @@ DRIVER_WINDOW: list[str] = [
     "q16_date_parts", "q170_char_lm_quality", "q171_token_drift",
     "q172_pmi_collocations", "q19_json_extract", "q21_case_normalize",
     "q22_completeness_profile", "q23_enrichment_join", "q25_upsert",
-    "q26_archive_delisted",
 ]
 
 
@@ -10216,3 +10218,77 @@ def q215_d4_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # release_spines()/spine_scope() cover it like any ordinal spine
     out._ordinal_caches = [*getattr(out, "_ordinal_caches", []), kept]
     return out
+
+
+_Q216_SQL = f"""
+WITH RECURSIVE {_Q82_PAIRS_CTES},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+comp AS (
+  SELECT src AS node, LEAST(src, MIN(dst)) AS component
+  FROM reach GROUP BY src
+),
+lab AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN ('0x' || substr(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 1000 < 100
+            THEN 'test' ELSE 'train' END AS split
+FROM lab
+"""
+
+
+@query("q216_cluster_safe_split", _Q216_SQL)
+def q216_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup-cluster leakage-safe train/test split — the strong form of
+    q137 (whose split unit is the exact-text fingerprint): the split unit
+    here is the LSH candidate-pair connected component, so a paraphrase or
+    tail-edited copy of a test document can never sit in train (the
+    test-set leakage mode Lee et al. 2022 §6 measure: models memorize
+    near-duplicates of eval data that exact-dup grouping misses).
+
+    Deliberately splits on CANDIDATE clusters (q82's pair graph, no
+    Jaccard verify): for leakage prevention the conservative direction is
+    to co-locate any possibly-similar pair — a false-positive pair only
+    merges two split units, never leaks.  Cluster label = component min
+    id (q82/q121 machinery, skew-resistant big-star/small-star); singleton
+    docs are their own unit; fold assignment is q137's map-only md5
+    bucketing on the cluster id (`selection.grouped_split`), so any
+    future member of an existing cluster routes to that cluster's side.
+
+    Scale shape (100 TB): signatures map-only; candidates from band
+    equi-joins (never all-pairs); CC in O(log² n) rounds; the label
+    join is (doc_id)-keyed with the component relation pair-graph-sized;
+    the split itself adds ZERO shuffle.  Oracle: q82's recursive-CTE
+    closure + the same md5 arithmetic, end-to-end.
+    """
+    from re_data_pipeline_spark.operators.dedup import (
+        connected_components_bss,
+        lsh_candidate_pairs,
+    )
+    from re_data_pipeline_spark.operators.selection import grouped_split
+
+    d = load_table(spark, sf_dir, "documents")
+    dp = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    pairs = lsh_candidate_pairs(dp, "doc_id", "text", 16, 3, 4)
+    comp = connected_components_bss(pairs)
+    lab = (
+        d.select("doc_id")
+        .join(comp, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id", F.coalesce("component", "doc_id").alias("cluster_id")
+        )
+    )
+    return grouped_split(lab, "cluster_id").select(
+        "doc_id", "cluster_id", "split"
+    )
