@@ -4798,10 +4798,11 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows, oldest round first.  This rotation clears the ENTIRE round-6
 # band (all 26 rows, including the §2-inventory rows q15/q17/q18/q24/
 # q27-q29 and heavies q63/q71/q82/q97/q161 the r12 verdict names) plus
-# the oldest 22 of the 41 round-7 rows; the remaining 19 round-7 rows
-# lead the round-14 proposal.  Everything rotated out holds a green
-# r6-r12 driver row with unchanged code, and tools/parity.py still
-# verifies ALL registered queries every session.
+# the oldest 21 of the 41 round-7 rows (the planner proposed 22; q26
+# was displaced mid-round by q216 — see (a) below); the remaining 20
+# round-7 rows lead the round-14 proposal.  Everything rotated out
+# holds a green r6-r12 driver row with unchanged code, and
+# tools/parity.py still verifies ALL registered queries every session.
 
 # The round this list was last actually RE-COMPOSED (not merely shipped):
 # tools/gen_window_doc.py stamps it into README so the freshness claim
@@ -4825,7 +4826,7 @@ DRIVER_WINDOW: list[str] = [
     "q36_centroid_similarity", "q57_asof_join", "q63_reit_pipeline",
     "q71_near_dedup_pipeline", "q72_curation_pipeline",
     "q82_connected_components", "q85_cluster_dedup", "q97_sequence_packing",
-    # (c) last green driver row: round 7 (oldest 22 of 41; planner order)
+    # (c) last green driver row: round 7 (oldest 21 of 41; planner order)
     "q08_distinct", "q09_union_by_name", "q10_except",
     "q114_grouping_sets", "q11_explode", "q120_http_pushdown_scan",
     "q151_item_cooccurrence", "q152_skyline", "q157_stream_left_outer",
