@@ -45,3 +45,21 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
 def literal_vector(vec: list[float]) -> Column:
     """A broadcast-able literal query vector (array<double>)."""
     return F.array(*[F.lit(float(v)) for v in vec])
+
+
+def micro_sq_dist(vec_col: Column | str, center_vec: list[float]) -> Column:
+    """Squared Euclidean distance to a driver-literal center as an INTEGER
+    micro-distance (×1e6, HALF_UP) — the cross-engine-exact form shared by
+    k-center selection (``operators/selection.kcenter_select``) and the D4
+    nearest-center assignment stage (q215), replaying bit-for-bit in the
+    DuckDB oracle's ordered ``list_reduce`` fold.  The fold order and the
+    rounding live HERE and only here: a second copy that drifts breaks the
+    bit-exactness contract between the selection and assignment stages."""
+    terms = F.zip_with(
+        _c(vec_col),
+        literal_vector(center_vec),
+        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+    )
+    return F.round(
+        F.aggregate(terms, F.lit(0.0), lambda a, b: a + b) * 1e6, 0
+    ).cast("long")

@@ -928,6 +928,11 @@ def kcenter_select(
         raise ValueError(f"k must be ≥ 1; got {k}")
     if mode not in ("auto", "greedy", "incremental"):
         raise ValueError(f"mode must be auto|greedy|incremental; got {mode!r}")
+    if checkpoint_every < 1:
+        # 0 would ZeroDivisionError mid-loop; a negative value would
+        # silently never checkpoint — re-enabling the unbounded plan
+        # growth this route exists to prevent
+        raise ValueError(f"checkpoint_every must be ≥ 1; got {checkpoint_every}")
     incremental = (k > _KCENTER_GREEDY_MAX_K) if mode == "auto" \
         else (mode == "incremental")
 
@@ -947,16 +952,10 @@ def kcenter_select(
     if not seed:
         return df.sparkSession.createDataFrame([], out_schema)
 
+    from re_data_pipeline_spark.functions.vectors import micro_sq_dist
+
     def d_micro(center_vec: list) -> Column:
-        lit_arr = F.array(*[F.lit(float(v)) for v in center_vec])
-        terms = F.zip_with(
-            F.col(vec_col),
-            lit_arr,
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        )
-        return F.round(
-            F.aggregate(terms, F.lit(0.0), lambda a, b: a + b) * 1e6, 0
-        ).cast("long")
+        return micro_sq_dist(F.col(vec_col), center_vec)
 
     chosen = [(0, seed[0][id_col], None)]
 
@@ -981,18 +980,38 @@ def kcenter_select(
     # Incremental route: __md carries min-dist-to-chosen-set; each round
     # folds in ONLY the newest center.  least(a, b) over per-center
     # HALF_UP integers ≡ greedy's least over all centers at once.
+    def _release_ckpt(f) -> None:
+        # localCheckpoint pins an RDD-level storage block that
+        # DataFrame.unpersist()/catalog.clearCache() cannot see (they only
+        # walk the CacheManager); release it through the LogicalRDD's rdd
+        # handle.  ONLY safe once no live frame's lineage reaches past it
+        # — an unpersisted checkpoint RDD cannot recompute (its lineage
+        # was truncated), so callers gate this on the NEXT checkpoint
+        # being materialized (or on the loop being finished).
+        if f is None:
+            return
+        try:
+            plan = f._jdf.queryExecution().analyzed()
+            if plan.getClass().getName().endswith("LogicalRDD"):
+                plan.rdd().unpersist(False)
+        except Exception:
+            pass
+
     frame = (
         e.where(F.col(id_col) != F.lit(seed[0][id_col]))
         .withColumn("__md", d_micro(list(seed[0][vec_col])))
         .persist()
     )
     prev = None
+    last_ckpt = None  # the checkpointed frame still serving as lineage root
     try:
         for r in range(1, k):
             if _plan_probe is not None:
                 _plan_probe(r, frame)
             far = frame.orderBy(F.desc("__md"), F.asc(id_col)).limit(1).collect()
             if prev is not None:
+                # no-op when prev IS a checkpoint (CacheManager doesn't
+                # hold it) — checkpoints release via _release_ckpt below
                 prev.unpersist()  # materialized child no longer needs it
             prev = frame
             if not far:
@@ -1003,6 +1022,12 @@ def kcenter_select(
             )
             if r % checkpoint_every == 0:
                 frame = frame.localCheckpoint(eager=True)  # truncate lineage
+                # the previous checkpoint stops being any live frame's
+                # lineage root the moment the new one is materialized
+                # (even when it is still `prev`: prev's only remaining
+                # use is a no-op unpersist next round)
+                _release_ckpt(last_ckpt)
+                last_ckpt = frame
             else:
                 frame = frame.persist()
     finally:
@@ -1012,4 +1037,9 @@ def kcenter_select(
                     f.unpersist()
                 except Exception:
                     pass
+        # prev may still BE last_ckpt on early exhaustion — the loop is
+        # over either way, so nothing can recompute through it anymore
+        _release_ckpt(last_ckpt)
+        if frame is not last_ckpt:
+            _release_ckpt(frame)
     return df.sparkSession.createDataFrame(chosen, out_schema)

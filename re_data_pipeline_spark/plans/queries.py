@@ -4798,11 +4798,12 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows, oldest round first.  This rotation clears the ENTIRE round-6
 # band (all 26 rows, including the §2-inventory rows q15/q17/q18/q24/
 # q27-q29 and heavies q63/q71/q82/q97/q161 the r12 verdict names) plus
-# the oldest 21 of the 41 round-7 rows (the planner proposed 22; q26
-# was displaced mid-round by q216 — see (a) below); the remaining 20
-# round-7 rows lead the round-14 proposal.  Everything rotated out
-# holds a green r6-r12 driver row with unchanged code, and
-# tools/parity.py still verifies ALL registered queries every session.
+# the oldest 19 of the 41 round-7 rows (the planner proposed 22; q26
+# was displaced mid-round by q216 and q23/q25 by the (b) group — see
+# below); the remaining 22 round-7 rows lead the round-14 proposal.
+# Everything rotated out holds a green r6-r12 driver row with unchanged
+# code, and tools/parity.py still verifies ALL registered queries every
+# session.
 
 # The round this list was last actually RE-COMPOSED (not merely shipped):
 # tools/gen_window_doc.py stamps it into README so the freshness claim
@@ -4815,6 +4816,14 @@ DRIVER_WINDOW: list[str] = [
     # always-in rule; q26 rejoins the r14 proposal's r7 band)
     "q214_kcenter_incremental", "q215_d4_curation",
     "q216_cluster_safe_split",
+    # (b) code/oracle changed in round 13: kcenter_select's shared code
+    # path changed behaviorally (NULL-id/vector exclusion, id column
+    # keeps input type, shared micro_sq_dist) — q213 exercises the
+    # GREEDY route at k=5, which q214 (forced incremental) and q215
+    # (k=8) do not re-verify alone; q123's oracle was refactored into
+    # the shared _SEMDEDUP_CTES block.  Displaces q23/q25 (last two r7
+    # rows) to the r14 proposal.
+    "q213_kcenter_select", "q123_semantic_dedup",
     # (c) last green driver row: round 6 (all 26; planner order —
     # q150_sequence_pattern first, displaced from the r12 window by q213)
     "q150_sequence_pattern", "q154_index_merge", "q155_grouped_kfold",
@@ -4826,14 +4835,14 @@ DRIVER_WINDOW: list[str] = [
     "q36_centroid_similarity", "q57_asof_join", "q63_reit_pipeline",
     "q71_near_dedup_pipeline", "q72_curation_pipeline",
     "q82_connected_components", "q85_cluster_dedup", "q97_sequence_packing",
-    # (c) last green driver row: round 7 (oldest 21 of 41; planner order)
+    # (c) last green driver row: round 7 (oldest 19 of 41; planner order)
     "q08_distinct", "q09_union_by_name", "q10_except",
     "q114_grouping_sets", "q11_explode", "q120_http_pushdown_scan",
     "q151_item_cooccurrence", "q152_skyline", "q157_stream_left_outer",
     "q162_bpe_encode", "q163_record_linkage", "q166_temperature_mixture",
     "q16_date_parts", "q170_char_lm_quality", "q171_token_drift",
     "q172_pmi_collocations", "q19_json_extract", "q21_case_normalize",
-    "q22_completeness_profile", "q23_enrichment_join", "q25_upsert",
+    "q22_completeness_profile",
 ]
 
 
@@ -10181,20 +10190,13 @@ def q215_d4_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
 
-    def d_micro(cv: list):
-        lit_arr = F.array(*[F.lit(float(v)) for v in cv])
-        terms = F.zip_with(
-            F.col("embedding"),
-            lit_arr,
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        )
-        return F.round(
-            F.aggregate(terms, F.lit(0.0), lambda a, b: a + b) * 1e6, 0
-        ).cast("long")
+    from re_data_pipeline_spark.functions.vectors import micro_sq_dist
 
     cl = kept.select(
         "vec_id",
-        F.least(*[d_micro(cv) * 8 + F.lit(j) for j, cv in cvecs]).alias("__mk"),
+        F.least(
+            *[micro_sq_dist("embedding", cv) * 8 + F.lit(j) for j, cv in cvecs]
+        ).alias("__mk"),
     ).select(
         "vec_id",
         (F.col("__mk") % 8).cast("int").alias("cluster_id"),

@@ -733,3 +733,40 @@ def test_cluster_safe_split_colocates_near_dups(spark):
         assert by_doc[pa] == by_doc[pb], (pa, pb)
     # both sides are non-degenerate under a 100-permille cut only by luck
     # at this size; the invariant above is the contract, not the balance
+
+
+def test_kcenter_incremental_releases_checkpoint_storage(spark):
+    """localCheckpoint pins RDD-level storage blocks that neither
+    DataFrame.unpersist() nor catalog.clearCache() can see — the operator
+    must release them itself (via the LogicalRDD rdd handle) or every
+    checkpointed round's full frame stays pinned until driver GC."""
+    from re_data_pipeline_spark.operators.selection import kcenter_select
+
+    sc = spark.sparkContext
+    spark.catalog.clearCache()
+
+    def n_persistent():
+        return sc._jsc.sc().getPersistentRDDs().size()
+
+    before = n_persistent()
+    rows = [
+        (i, [float((i * 5) % 17 - 8), float((i * 11) % 7 - 3)]) for i in range(40)
+    ]
+    d = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    # 3 checkpoint boundaries (rounds 4, 8, ..., 36) — incl. the k>n
+    # early-exhaustion path, where the last checkpoint is also `prev`
+    got = kcenter_select(d, 70, mode="incremental", checkpoint_every=4).collect()
+    assert len(got) == 40
+    assert n_persistent() == before, "checkpointed frames leaked RDD storage"
+
+
+def test_kcenter_checkpoint_every_validated(spark):
+    from re_data_pipeline_spark.operators.selection import kcenter_select
+
+    d = spark.createDataFrame(
+        [(i, [float(i)]) for i in range(3)], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        kcenter_select(d, 3, mode="incremental", checkpoint_every=0)
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        kcenter_select(d, 3, mode="incremental", checkpoint_every=-1)

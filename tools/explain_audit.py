@@ -630,7 +630,12 @@ CHECKS = [
             (r"rangepartitioning", "cluster-scoped rank rides the ordinal spine"),
             (r"!Window", "no window operator — 8 cluster keys over a corpus is the window-skew trap"),
             (r"BroadcastHashJoin", "per-cluster bases/counts join back as an 8-row broadcast"),
-            (r"InMemoryTableScan", "SemDeDup survivor frame persisted once across the k-center rounds"),
+            # the embedding column only survives in the dedup survivor
+            # frame (the ordinal spine cache drops it), so this pattern is
+            # NOT satisfied by assign_ordinals' own InMemoryTableScan —
+            # remove kept.persist() and the semdedup subtree inlines
+            # instead, failing this check
+            (r"InMemoryTableScan \[[^\]]*embedding", "SemDeDup survivor frame persisted once across the k-center rounds (cache scan carries the embedding column)"),
         ],
         "The published D4 shape composed from its three audited legs: "
         "SemDeDup (q123's bucketed candidates + CC closure) → greedy "
@@ -702,6 +707,14 @@ def main() -> int:
 
         e = load_table(spark, sf_dir, "embeddings")
         kcenter_select(e, 35, mode="incremental", _plan_probe=probe)
+        if "f" not in captured:
+            # fewer than 35 usable rows: the loop exhausted before round
+            # 34 — fail THIS check cleanly instead of KeyError-aborting
+            # the whole audit run
+            raise RuntimeError(
+                "q214 audit fixture too small: k-center exhausted before "
+                "round 34, no per-round frame to audit"
+            )
         return captured["f"]
 
     overrides = {
@@ -709,6 +722,11 @@ def main() -> int:
         "q153_prefix_filter_join__nobcast": q153_nobcast,
         "q214_kcenter_incremental": q214_round_frame,
     }
+    # plan-inspection-only checks: q214's captured round frame must NOT be
+    # re-executed after kcenter_select returns — its lineage roots at a
+    # checkpoint RDD the operator has already RELEASED (the storage-
+    # retention fix); the plan text is all the check needs
+    PLAN_ONLY = {"q214_kcenter_incremental"}
 
     failures = []
     for entry in CHECKS:
@@ -724,10 +742,18 @@ def main() -> int:
         try:
             build = overrides[name] if name in overrides else QUERIES[name]
             df = build(spark, sf_dir)
-            # trigger AQE finalization for cache/exchange visibility
-            df.write.format("noop").mode("overwrite").save()
+            if name not in PLAN_ONLY:
+                # trigger AQE finalization for cache/exchange visibility
+                df.write.format("noop").mode("overwrite").save()
             plan = plan_of(df)
             fmt = formatted(df)
+        except Exception as exc:  # a broken build fails THIS check, not the run
+            lines.append(f"## {name} — {title}\n")
+            lines.append(f"- ❌ check could not run: `{type(exc).__name__}: {exc}`")
+            lines.append(f"\n**Scale note.** {scale_note}\n")
+            failures.append((name, "build/execute"))
+            print(f"FAIL {name} (build/execute: {exc})")
+            continue
         finally:
             for k, v in saved.items():
                 spark.conf.set(k, v)
