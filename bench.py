@@ -107,17 +107,10 @@ HEADLINE = [
 ]
 
 
-def plan_hash(df) -> str:
-    """md5 of the formatted physical plan, normalized: plan/exec ids,
-    codegen-stage numbers, file paths/sizes and statistics vary run-to-run
-    and host-to-host without the plan SHAPE changing, so they're masked."""
-    import hashlib
-
-    txt = df._jdf.queryExecution().explainString(
-        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
-        )
-    )
+def normalize_plan_text(txt: str) -> str:
+    """Strip everything that varies run-to-run / host-to-host without the
+    plan SHAPE changing: plan/exec ids, codegen-stage numbers, file
+    paths/sizes, statistics, RDD ids and their creation call sites."""
     txt = re.sub(r"#\d+", "#N", txt)                       # expression ids
     txt = re.sub(r"\[codegen id : \d+\]", "[codegen]", txt)
     txt = re.sub(r"\[plan_id=\d+\]", "[plan]", txt)
@@ -128,7 +121,14 @@ def plan_hash(df) -> str:
     # localCheckpoint / createDataFrame scans embed the JVM RDD id
     # (`MapPartitionsRDD[67] at localCheckpoint …`), which counts every RDD
     # ever created in the session — it varies with execution HISTORY, not
-    # plan shape (the r4→r5 false hash drift on q82/q107/q119)
+    # plan shape (the r4→r5 false hash drift on q82/q107/q119).  The
+    # CREATION CALL SITE after it is history-dependent too: py4j reflective
+    # calls inflate to `GeneratedMethodAccessorNN` after ~15 invocations,
+    # so a LocalRelation hashed early in a session reads
+    # `at applySchemaToPythonRDD at NativeMethodAccessorImpl.java:0` and
+    # the same plan hashed late reads `…GeneratedMethodAccessorNN…` —
+    # mask the whole callsite (r13: q213/q214 ad-hoc vs bench-sequence).
+    txt = re.sub(r"RDD\[\d+\] at \S+ at \S+", "RDD[N] at X", txt)
     txt = re.sub(r"RDD\[\d+\]", "RDD[N]", txt)
     # higher-order-function lambda args are numbered by a session-global
     # counter (`lambda x_1` … `lambda x_19`) — same history dependence
@@ -136,7 +136,19 @@ def plan_hash(df) -> str:
     txt = re.sub(r"file:/\S+", "file:/X", txt)             # any other path refs
     txt = re.sub(r"/tmp/\S+", "/tmp/X", txt)               # staged temp dirs
     txt = re.sub(r"Statistics\(.*?\)", "Statistics(X)", txt)
-    return hashlib.md5(txt.encode("utf-8")).hexdigest()[:16]
+    return txt
+
+
+def plan_hash(df) -> str:
+    """md5 of the formatted physical plan after normalize_plan_text."""
+    import hashlib
+
+    txt = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    return hashlib.md5(normalize_plan_text(txt).encode("utf-8")).hexdigest()[:16]
 
 
 def prior_plan_hashes() -> tuple[str, dict[str, str]]:

@@ -79,3 +79,21 @@ def test_resolve_slot_unreadable_record_is_overwritable(tmp_path):
         f.write("{not json")
     nxt, target = bench.resolve_round_slot(str(tmp_path), 10, {"qa"})
     assert nxt == 10 and target == path
+
+
+def test_normalize_plan_text_masks_rdd_callsite():
+    """An RDD creation callsite must not leak session history into the
+    hash: py4j reflection inflates NativeMethodAccessorImpl into
+    GeneratedMethodAccessorNN after ~15 reflective calls, so the same
+    LocalRelation plan reads differently early vs late in a session."""
+    from bench import normalize_plan_text
+
+    early = (
+        "Arguments: [a#12L], MapPartitionsRDD[35] at applySchemaToPythonRDD "
+        "at NativeMethodAccessorImpl.java:0, ExistingRDD, UnknownPartitioning(0)"
+    )
+    late = (
+        "Arguments: [a#9912L], MapPartitionsRDD[4711] at applySchemaToPythonRDD "
+        "at GeneratedMethodAccessor42.invoke:-1, ExistingRDD, UnknownPartitioning(0)"
+    )
+    assert normalize_plan_text(early) == normalize_plan_text(late)
