@@ -109,6 +109,8 @@ def bpe_train(
     distributed.  The word table is localCheckpointed per round so round
     r+1's plan doesn't replay rounds 1..r.
     """
+    from re_data_pipeline_spark.operators.ids import release_local_checkpoint
+
     spark = df.sparkSession
     words = build_word_table(df, text_col, max_word_len).localCheckpoint()
     rules = []
@@ -123,9 +125,15 @@ def bpe_train(
             break
         b = best[0]
         rules.append((rank, b["left"], b["right"], b["pair_count"]))
+        prev = words
         words = words.withColumn(
             "toks", _apply_merge(F.col("toks"), b["left"], b["right"])
         ).localCheckpoint()
+        # eager checkpoint: round r's word table is materialized, so round
+        # r-1's blocks are dead (unpersist/clearCache can't see them)
+        release_local_checkpoint(prev)
+    # the learned rules are driver rows — the final word table is dead too
+    release_local_checkpoint(words)
     return spark.createDataFrame(
         rules, "merge_rank int, left string, right string, pair_count bigint"
     )

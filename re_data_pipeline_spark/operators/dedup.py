@@ -382,11 +382,14 @@ def connected_components(
         # lineage may be an expensive candidate-generation pipeline
         .localCheckpoint()
     )
+    from re_data_pipeline_spark.operators.ids import release_local_checkpoint
+
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
     )
+    prev_ckpt = None  # round r-1's label checkpoint — dead once round r's is full
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -409,6 +412,11 @@ def connected_components(
             )
         ).localCheckpoint(eager=False)
         changed = new_labels.where(F.col("__changed")).count()
+        # the count fully materialized new_labels, so the previous round's
+        # checkpoint is no longer anyone's lineage root — release its blocks
+        # (unpersist/clearCache can't see checkpoint storage)
+        release_local_checkpoint(prev_ckpt)
+        prev_ckpt = new_labels
         labels = new_labels.drop("__changed")
         if changed == 0:
             break
@@ -420,6 +428,9 @@ def connected_components(
             f"connected_components did not converge in {max_iterations} "
             "iterations (graph diameter too large) — raise max_iterations"
         )
+    # the returned frame derives only from the FINAL label checkpoint (kept);
+    # the edge list — usually the big relation — is dead at this point
+    release_local_checkpoint(edges)
     return labels.select(F.col("node"), F.col("comp").alias("component"))
 
 
@@ -480,6 +491,8 @@ def connected_components_bss(
         rewired = d.join(mins, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
         return _dedup_edges(rewired.union(mins.select(F.col("u"), F.col("m").alias("v"))))
 
+    from re_data_pipeline_spark.operators.ids import release_local_checkpoint
+
     edges = _dedup_edges(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     ).localCheckpoint()
@@ -490,6 +503,9 @@ def connected_components_bss(
             new_edges.exceptAll(edges).limit(1).count()
             + edges.exceptAll(new_edges).limit(1).count()
         )
+        # new_edges is eagerly materialized and the probe was the last
+        # reader of the old round — release its checkpoint blocks
+        release_local_checkpoint(edges)
         edges = new_edges
         if changed == 0:
             break

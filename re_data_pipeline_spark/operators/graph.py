@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from re_data_pipeline_spark.operators.ids import release_local_checkpoint
+
 
 def pagerank_fixed(
     edges: DataFrame,
@@ -137,14 +139,27 @@ def bfs_distances(
         )
         nxt = nxt.localCheckpoint()
         if nxt.isEmpty():
+            release_local_checkpoint(nxt)  # empty frontier: nothing reads it
             break
+        prev_visited, prev_frontier = visited, frontier
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt
+        # the new visited checkpoint is materialized and round r's nxt was
+        # the last reader of the old frontier — release both superseded
+        # checkpoints (level-1 frontier IS level-1 visited on entry, so
+        # guard against double-releasing the same handle)
+        release_local_checkpoint(prev_visited)
+        if prev_frontier is not prev_visited:
+            release_local_checkpoint(prev_frontier)
     else:
         raise RuntimeError(
             f"bfs_distances did not exhaust the frontier in {max_iterations} "
             "rounds — raise max_iterations (graph eccentricity too large)"
         )
+    # the last non-empty frontier is dead once the empty probe broke the
+    # loop; only the final visited checkpoint backs the returned frame
+    if frontier is not visited:
+        release_local_checkpoint(frontier)
     return visited
 
 
@@ -186,13 +201,20 @@ def sssp_distances(
             .groupBy("__n")
             .agg(F.min("__cand").alias("__cand"))
         )
+        # alias both sides: on round 1 the frontier IS the dist frame, so
+        # cand derives from dist and an attribute-reference join
+        # (dist["dist"]) trips Spark's ambiguous-self-join check
         improved = (
-            cand.join(dist, cand["__n"] == dist[node], "left")
-            .where(dist["dist"].isNull() | (F.col("__cand") < dist["dist"]))
+            cand.alias("__c")
+            .join(dist.alias("__d"), F.col("__n") == F.col(f"__d.{node}"), "left")
+            .where(
+                F.col("__d.dist").isNull() | (F.col("__cand") < F.col("__d.dist"))
+            )
             .select(F.col("__n").alias(node), F.col("__cand").alias("dist"))
             .localCheckpoint()
         )
         if improved.isEmpty():
+            release_local_checkpoint(improved)  # empty: nothing reads it
             break
         new_dist = (
             dist.withColumnRenamed("dist", "__old")
@@ -206,6 +228,12 @@ def sssp_distances(
             )
             .localCheckpoint()
         )
+        # new_dist is materialized; the old dist and the old frontier
+        # (improved_{r-1}, last read by this round's cand) are superseded
+        # — on round 1 both are the seed checkpoint, guard the double free
+        release_local_checkpoint(dist)
+        if frontier is not dist:
+            release_local_checkpoint(frontier)
         dist = new_dist
         frontier = improved
     else:
@@ -213,4 +241,8 @@ def sssp_distances(
             f"sssp_distances did not settle in {max_iterations} rounds — "
             "raise max_iterations (longest min-weight path has more hops)"
         )
+    # the final frontier is dead once the loop broke; only the final dist
+    # checkpoint backs the returned frame
+    if frontier is not dist:
+        release_local_checkpoint(frontier)
     return dist

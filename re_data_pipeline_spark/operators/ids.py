@@ -137,18 +137,50 @@ def carry_spines(src_df: DataFrame, out: DataFrame) -> DataFrame:
     return _carry_caches(src_df, out, getattr(src_df, "_ordinal_cache", None))
 
 
+def release_local_checkpoint(df: DataFrame | None, blocking: bool = False) -> bool:
+    """Release the RDD-level storage block pinned by ``df.localCheckpoint()``.
+
+    ``DataFrame.unpersist()`` and ``spark.catalog.clearCache()`` only walk
+    the CacheManager, which does NOT hold checkpoint blocks — without this
+    every checkpointed round of an iterative operator (CC, BFS, BPE,
+    k-center, …) stays pinned in executor storage until nondeterministic
+    driver GC.  Goes through the LogicalRDD's rdd handle; a no-op (returns
+    False) on frames that are not checkpoint scans.
+
+    ONLY safe once nothing live can recompute through the checkpoint: an
+    unpersisted checkpoint RDD cannot be rebuilt (its lineage was
+    truncated), so loops release round r's checkpoint only after round
+    r+1's is materialized, and final checkpoints only when the returned
+    result no longer derives from them (e.g. driver-row results)."""
+    if df is None:
+        return False
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith("LogicalRDD"):
+            plan.rdd().unpersist(blocking)
+            return True
+    except Exception:
+        pass
+    return False
+
+
 def release_spines(df: DataFrame, blocking: bool = False) -> int:
     """Unpersist every spine cache handle attached to ``df`` (both the
     ``_ordinal_caches`` accumulation and the legacy single
     ``_ordinal_cache``); call AFTER materializing.  Returns the number of
     frames released.  Safe to call twice (unpersist is idempotent) and on
-    frames that carry no handles (returns 0)."""
+    frames that carry no handles (returns 0).  Handles that are
+    localCheckpoint scans (not CacheManager entries) release through
+    ``release_local_checkpoint`` — but note the recompute caveat there:
+    only attach a checkpoint handle when the carrying frame is meant to be
+    materialized exactly once."""
     handles: list[DataFrame] = list(getattr(df, "_ordinal_caches", []))
     single = getattr(df, "_ordinal_cache", None)
     if single is not None and not any(single is h for h in handles):
         handles.append(single)
     for h in handles:
         h.unpersist(blocking)
+        release_local_checkpoint(h, blocking)
     return len(handles)
 
 

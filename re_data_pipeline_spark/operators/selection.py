@@ -755,6 +755,11 @@ def train_quality_classifier(
             mag = (lr_num * scale * abs(G)) // den
             w[int(row["__b"])] -= mag if G > 0 else -mag
 
+    # the weights are driver rows — nothing downstream derives from the
+    # feature checkpoint, so its storage blocks release here
+    from re_data_pipeline_spark.operators.ids import release_local_checkpoint
+
+    release_local_checkpoint(feat)
     out = spark.createDataFrame(
         [(b, w[b]) for b in range(n_buckets)], "bucket bigint, weight_fixed bigint"
     )
@@ -980,22 +985,12 @@ def kcenter_select(
     # Incremental route: __md carries min-dist-to-chosen-set; each round
     # folds in ONLY the newest center.  least(a, b) over per-center
     # HALF_UP integers ≡ greedy's least over all centers at once.
-    def _release_ckpt(f) -> None:
-        # localCheckpoint pins an RDD-level storage block that
-        # DataFrame.unpersist()/catalog.clearCache() cannot see (they only
-        # walk the CacheManager); release it through the LogicalRDD's rdd
-        # handle.  ONLY safe once no live frame's lineage reaches past it
-        # — an unpersisted checkpoint RDD cannot recompute (its lineage
-        # was truncated), so callers gate this on the NEXT checkpoint
-        # being materialized (or on the loop being finished).
-        if f is None:
-            return
-        try:
-            plan = f._jdf.queryExecution().analyzed()
-            if plan.getClass().getName().endswith("LogicalRDD"):
-                plan.rdd().unpersist(False)
-        except Exception:
-            pass
+    # checkpoint blocks are invisible to unpersist()/clearCache(); release
+    # via the shared helper, gated on the NEXT checkpoint being
+    # materialized (see release_local_checkpoint's recompute caveat)
+    from re_data_pipeline_spark.operators.ids import (
+        release_local_checkpoint as _release_ckpt,
+    )
 
     frame = (
         e.where(F.col(id_col) != F.lit(seed[0][id_col]))

@@ -1,0 +1,140 @@
+"""localCheckpoint storage-release contracts.
+
+``DataFrame.unpersist()`` and ``spark.catalog.clearCache()`` only walk the
+CacheManager, which does NOT hold localCheckpoint blocks — so every
+checkpointed round of an iterative operator would stay pinned in executor
+storage until nondeterministic driver GC.  Each operator must release
+superseded round checkpoints itself (``ids.release_local_checkpoint``);
+these tests pin the persistent-RDD count back to baseline (+ the final
+checkpoint where the returned frame derives from it).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def persistent_ids(spark) -> set:
+    """IDs, not counts: prior tests' leaked finals get garbage-collected
+    asynchronously by Spark's ContextCleaner mid-test, so absolute counts
+    are flaky — only NEW ids pinned by the operator under test matter."""
+    return {
+        int(k)
+        for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }
+
+
+def test_release_local_checkpoint_helper(spark):
+    from re_data_pipeline_spark.operators.ids import release_local_checkpoint
+
+    spark.catalog.clearCache()
+    before = n_persistent(spark)
+    ck = spark.range(100).localCheckpoint(eager=True)
+    assert n_persistent(spark) == before + 1
+    ck.unpersist()
+    spark.catalog.clearCache()
+    # the block is invisible to both CacheManager paths...
+    assert n_persistent(spark) == before + 1
+    assert release_local_checkpoint(ck) is True
+    assert n_persistent(spark) == before
+    # no-op on non-checkpoint frames and on None
+    assert release_local_checkpoint(spark.range(3)) is False
+    assert release_local_checkpoint(None) is False
+
+
+def test_connected_components_releases_rounds(spark):
+    """A chain graph forces ~diameter rounds of min-label propagation; only
+    the FINAL label checkpoint (backing the returned frame) may remain —
+    intermediate rounds and the edge list must be released."""
+    from re_data_pipeline_spark.operators.dedup import connected_components
+
+    spark.catalog.clearCache()
+    before = persistent_ids(spark)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a bigint, id_b bigint"
+    )
+    comps = connected_components(pairs)
+    assert comps.where(F.col("component") != 0).count() == 0
+    assert comps.count() == 11
+    assert len(persistent_ids(spark) - before) <= 1  # final labels only
+
+
+def test_connected_components_bss_releases_rounds(spark):
+    from re_data_pipeline_spark.operators.dedup import connected_components_bss
+
+    spark.catalog.clearCache()
+    before = persistent_ids(spark)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a bigint, id_b bigint"
+    )
+    comps = connected_components_bss(pairs)
+    assert comps.count() == 13
+    assert len(persistent_ids(spark) - before) <= 1  # final star-forest edges only
+
+
+def test_bfs_releases_rounds_and_final_is_releasable(spark):
+    from re_data_pipeline_spark.operators.graph import bfs_distances
+    from re_data_pipeline_spark.operators.ids import release_local_checkpoint
+
+    spark.catalog.clearCache()
+    before = persistent_ids(spark)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src bigint, dst bigint"
+    )
+    sources = spark.createDataFrame([(0,)], "node bigint")
+    out = bfs_distances(edges, sources)
+    assert out.count() == 9
+    assert len(persistent_ids(spark) - before) <= 1  # final visited only
+    # the returned frame IS the final checkpoint — the caller can release it
+    release_local_checkpoint(out)
+    assert not (persistent_ids(spark) - before)
+
+
+def test_sssp_releases_rounds(spark):
+    from re_data_pipeline_spark.operators.graph import sssp_distances
+
+    spark.catalog.clearCache()
+    before = persistent_ids(spark)
+    edges = spark.createDataFrame(
+        [(i, i + 1, 2) for i in range(8)], "src bigint, dst bigint, w bigint"
+    )
+    sources = spark.createDataFrame([(0,)], "node bigint")
+    out = sssp_distances(edges, sources)
+    assert {r["node"]: r["dist"] for r in out.collect()}[8] == 16
+    assert len(persistent_ids(spark) - before) <= 1  # final dist only
+
+
+def test_bpe_train_releases_all(spark):
+    """bpe_train returns driver rows — NO checkpoint may survive it."""
+    from re_data_pipeline_spark.operators.bpe import bpe_train
+
+    spark.catalog.clearCache()
+    before = persistent_ids(spark)
+    d = spark.createDataFrame(
+        [(i, "the quick brown fox " * 3) for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    rules = bpe_train(d, "text", num_merges=3)
+    assert rules.count() == 3
+    assert not (persistent_ids(spark) - before)
+
+
+def test_classifier_train_releases_features(spark):
+    """train_quality_classifier returns driver rows — the localCheckpointed
+    feature table must be released before return."""
+    from re_data_pipeline_spark.operators.selection import train_quality_classifier
+
+    spark.catalog.clearCache()
+    before = persistent_ids(spark)
+    d = spark.createDataFrame(
+        [(i, "good clean prose here" if i % 2 else "zzz spam spam", i % 2)
+         for i in range(30)],
+        "doc_id bigint, text string, label int",
+    )
+    w = train_quality_classifier(d, "doc_id", "text", "label", n_buckets=16, iters=2)
+    assert w.count() == 16
+    assert not (persistent_ids(spark) - before)
