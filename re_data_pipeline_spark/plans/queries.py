@@ -4798,9 +4798,9 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows, oldest round first.  This rotation clears the ENTIRE round-6
 # band (all 26 rows, including the §2-inventory rows q15/q17/q18/q24/
 # q27-q29 and heavies q63/q71/q82/q97/q161 the r12 verdict names) plus
-# the oldest 19 of the 41 round-7 rows (the planner proposed 22; q26
-# was displaced mid-round by q216 and q23/q25 by the (b) group — see
-# below); the remaining 22 round-7 rows lead the round-14 proposal.
+# the oldest 18 of the 41 round-7 rows (the planner proposed 22; q26/q22
+# were displaced mid-round by q216/q217 and q23/q25 by the (b) group —
+# see below); the remaining 23 round-7 rows lead the round-14 proposal.
 # Everything rotated out holds a green r6-r12 driver row with unchanged
 # code, and tools/parity.py still verifies ALL registered queries every
 # session.
@@ -4815,7 +4815,7 @@ DRIVER_WINDOW: list[str] = [
     # displacing q26_archive_delisted — the planner's never-checked-
     # always-in rule; q26 rejoins the r14 proposal's r7 band)
     "q214_kcenter_incremental", "q215_d4_curation",
-    "q216_cluster_safe_split",
+    "q216_cluster_safe_split", "q217_sssp_weighted",
     # (b) code/oracle changed in round 13: kcenter_select's shared code
     # path changed behaviorally (NULL-id/vector exclusion, id column
     # keeps input type, shared micro_sq_dist) — q213 exercises the
@@ -4835,14 +4835,13 @@ DRIVER_WINDOW: list[str] = [
     "q36_centroid_similarity", "q57_asof_join", "q63_reit_pipeline",
     "q71_near_dedup_pipeline", "q72_curation_pipeline",
     "q82_connected_components", "q85_cluster_dedup", "q97_sequence_packing",
-    # (c) last green driver row: round 7 (oldest 19 of 41; planner order)
+    # (c) last green driver row: round 7 (oldest 18 of 41; planner order)
     "q08_distinct", "q09_union_by_name", "q10_except",
     "q114_grouping_sets", "q11_explode", "q120_http_pushdown_scan",
     "q151_item_cooccurrence", "q152_skyline", "q157_stream_left_outer",
     "q162_bpe_encode", "q163_record_linkage", "q166_temperature_mixture",
     "q16_date_parts", "q170_char_lm_quality", "q171_token_drift",
     "q172_pmi_collocations", "q19_json_extract", "q21_case_normalize",
-    "q22_completeness_profile",
 ]
 
 
@@ -10295,3 +10294,70 @@ def q216_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_split(lab, "cluster_id").select(
         "doc_id", "cluster_id", "split"
     )
+
+
+_Q217_SQL = """
+WITH RECURSIVE nodes AS (
+  SELECT c_custkey AS n FROM customer WHERE c_custkey < 100
+), edges AS (
+  SELECT n AS s, (n * 7 + 3) % 100 AS d, CAST((n % 5) + 1 AS BIGINT) AS w
+  FROM nodes WHERE (n * 7 + 3) % 100 <> n
+  UNION ALL
+  SELECT n, (n * 13 + 1) % 100, CAST((n % 3) + 1 AS BIGINT)
+  FROM nodes WHERE (n * 13 + 1) % 100 <> n
+), srcs AS (
+  SELECT n FROM nodes WHERE n % 37 = 0
+), walk(node, dist) AS (
+  SELECT n, CAST(0 AS BIGINT) FROM srcs
+  UNION
+  SELECT e.d, w.dist + e.w FROM walk w JOIN edges e ON e.s = w.node
+  WHERE w.dist + e.w <= 60
+)
+SELECT node, MIN(dist) AS dist FROM walk GROUP BY node
+"""
+
+
+@query("q217_sssp_weighted", _Q217_SQL)
+def q217_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source shortest WEIGHTED paths (`graph.sssp_distances`,
+    frontier-limited Bellman-Ford) over a cyclic modular graph (node i →
+    (7i+3)%100 at cost (i%5)+1 and → (13i+1)%100 at cost (i%3)+1,
+    sources 0/37/74) — weights make hop count and weighted distance
+    genuinely disagree (BFS hops would pick the wrong route), and the
+    expander-ish shape converges in 8 frontier rounds (min-weight paths
+    have ≤7 hops; true max distance 15), keeping the gate cost at ~25
+    tiny jobs — a 63-round grid variant measured 13 CPU-minutes, all
+    per-round scheduling overhead.  Completes the iterative-graph
+    family's registration: CC (connectivity), PageRank (numeric
+    fixpoint), BFS (frontier/hops), SSSP (frontier/monotone weights) —
+    the operator existed since round 6 but carried no query, no oracle,
+    and no test, which let a round-1 ambiguous-self-join bug (the
+    frontier IS the seed dist frame) sit latent until round 13's
+    checkpoint-release tests exposed it.
+
+    Scale shape: per round ONE node-keyed join (frontier × out-edges) +
+    min-combine + improvement anti-filter — settled regions stop
+    generating traffic; lineage checkpoint-truncated with superseded
+    checkpoints released (SCALING.md §Iterative-loop discipline).
+    Integer weights ⇒ integer distances, bit-stable cross-engine.
+    Oracle: recursive UNION walk over (node, dist) STATES with a
+    dist ≤ 60 cap (4× the true max of 15) — the cap bounds the state
+    space on the graph's positive cycles without touching any true
+    minimum."""
+    from re_data_pipeline_spark.operators.graph import sssp_distances
+
+    n = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") < 100).select(
+        F.col("c_custkey").alias("n")
+    )
+    e1 = n.where((F.col("n") * 7 + 3) % 100 != F.col("n")).select(
+        F.col("n").alias("src"),
+        ((F.col("n") * 7 + 3) % 100).alias("dst"),
+        ((F.col("n") % 5) + 1).cast("long").alias("w"),
+    )
+    e2 = n.where((F.col("n") * 13 + 1) % 100 != F.col("n")).select(
+        F.col("n").alias("src"),
+        ((F.col("n") * 13 + 1) % 100).alias("dst"),
+        ((F.col("n") % 3) + 1).cast("long").alias("w"),
+    )
+    sources = n.where(F.col("n") % 37 == 0).select(F.col("n").alias("node"))
+    return sssp_distances(e1.unionAll(e2), sources, max_iterations=32)
