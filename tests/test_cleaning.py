@@ -151,3 +151,19 @@ def test_canonical_url_schemeless_passthrough(spark):
     got = [r[0] for r in df.select(canonical_url("url")).collect()]
     assert got == ["example.com/a", "other-site.org/b", "spaced.net/c"]
     assert len(set(got)) == 3
+
+
+def test_try_numeric_coerces_like_pandas(spark):
+    """P17's documented API (`pd.to_numeric(errors='coerce')` analogue,
+    aggregate_rental_rates.py:57-59,127): numeric strings parse, garbage
+    and NULL coerce to NULL — previously an untested zero-reference
+    surface (the class that hid the round-6 sssp bug)."""
+    import pyspark.sql.functions as F
+
+    from re_data_pipeline_spark.functions.cleaning import try_numeric
+
+    df = spark.createDataFrame(
+        [("12.5",), ("-3",), ("1e2",), ("abc",), ("",), (None,)], "v string"
+    )
+    got = [r[0] for r in df.select(try_numeric("v")).collect()]
+    assert got == [12.5, -3.0, 100.0, None, None, None]

@@ -329,3 +329,49 @@ def test_knn_join_tiebreak_deterministic(spark):
         left_xy=("x", "y"), right_xy=("px", "py")).collect())
     # all three are at distance 5; ties order by px asc: (0,5) then (3,4)
     assert got == [21, 22]
+
+
+def test_point_in_rect_and_single_ring_udf_compat(spark):
+    """The two small geo API-compat surfaces: point_in_rect's half-open
+    edge semantics, and the single-ring pandas-UDF form agreeing with the
+    expression ray cast on a homogeneous fixture."""
+    import pyspark.sql.functions as F
+
+    from re_data_pipeline_spark.functions.geo import (
+        point_in_polygon_udf,
+        point_in_rect,
+    )
+
+    pts = spark.createDataFrame(
+        [(0.5, 0.5), (1.0, 0.5), (0.0, 0.0), (2.0, 2.0), (0.99, 0.99)],
+        "x double, y double",
+    )
+    rect = pts.select(
+        "x", "y",
+        point_in_rect("x", "y", F.lit(0.0), F.lit(0.0), F.lit(1.0), F.lit(1.0)).alias("in_"),
+    ).collect()
+    # half-open: min edges inclusive, max edges exclusive
+    assert [r["in_"] for r in rect] == [True, False, True, False, True]
+
+    ring = [
+        {"x": 0.0, "y": 0.0}, {"x": 4.0, "y": 0.0},
+        {"x": 4.0, "y": 4.0}, {"x": 0.0, "y": 4.0},
+    ]
+    pip = point_in_polygon_udf()
+    wring = pts.withColumn(
+        "ring",
+        F.array(*[
+            F.struct(F.lit(p["x"]).alias("x"), F.lit(p["y"]).alias("y"))
+            for p in ring
+        ]),
+    )
+    got = [r[0] for r in wring.select(pip("x", "y", "ring")).collect()]
+    assert got == [True, True, True, True, True]
+    far = spark.createDataFrame([(9.0, 9.0)], "x double, y double").withColumn(
+        "ring",
+        F.array(*[
+            F.struct(F.lit(p["x"]).alias("x"), F.lit(p["y"]).alias("y"))
+            for p in ring
+        ]),
+    )
+    assert [r[0] for r in far.select(pip("x", "y", "ring")).collect()] == [False]

@@ -425,3 +425,25 @@ def test_stage_inbox_and_manifest_handle_empty_corpus(spark, tmp_path):
     inbox = _stage_id_range_inbox(d, str(tmp_path), 4, ordered_mtimes=False)
     m = streaming_manifest(spark, inbox, d.schema, num_shards=8)
     assert m.count() == 0
+
+
+def test_run_available_now_parquet_drain(spark):
+    """The file-sink drain variant (I5's staging shape): everything
+    available flows to the parquet sink exactly once under the
+    checkpoint, then the query stops."""
+    from re_data_pipeline_spark.streaming.stream_ops import run_available_now
+
+    base = tempfile.mkdtemp(prefix="ran_")
+    src, out, ckpt = f"{base}/src", f"{base}/out", f"{base}/ckpt"
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(25)], "id bigint, v string"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("id bigint, v string").parquet(src)
+    run_available_now(stream, ckpt, out)
+    assert spark.read.parquet(out).count() == 25
+    # idempotent drain: no new data -> no new rows
+    run_available_now(
+        spark.readStream.schema("id bigint, v string").parquet(src), ckpt, out
+    )
+    assert spark.read.parquet(out).count() == 25
+    shutil.rmtree(base, ignore_errors=True)
