@@ -14,10 +14,6 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 
-def n_persistent(spark) -> int:
-    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
-
-
 def persistent_ids(spark) -> set:
     """IDs, not counts: prior tests' leaked finals get garbage-collected
     asynchronously by Spark's ContextCleaner mid-test, so absolute counts
@@ -32,15 +28,15 @@ def test_release_local_checkpoint_helper(spark):
     from re_data_pipeline_spark.operators.ids import release_local_checkpoint
 
     spark.catalog.clearCache()
-    before = n_persistent(spark)
+    before = persistent_ids(spark)
     ck = spark.range(100).localCheckpoint(eager=True)
-    assert n_persistent(spark) == before + 1
+    assert len(persistent_ids(spark) - before) == 1
     ck.unpersist()
     spark.catalog.clearCache()
     # the block is invisible to both CacheManager paths...
-    assert n_persistent(spark) == before + 1
+    assert len(persistent_ids(spark) - before) == 1
     assert release_local_checkpoint(ck) is True
-    assert n_persistent(spark) == before
+    assert not (persistent_ids(spark) - before)
     # no-op on non-checkpoint frames and on None
     assert release_local_checkpoint(spark.range(3)) is False
     assert release_local_checkpoint(None) is False

@@ -745,10 +745,17 @@ def test_kcenter_incremental_releases_checkpoint_storage(spark):
     sc = spark.sparkContext
     spark.catalog.clearCache()
 
-    def n_persistent():
-        return sc._jsc.sc().getPersistentRDDs().size()
+    def persistent_ids():
+        # id SET, not size: the ContextCleaner may asynchronously drop an
+        # unreferenced RDD some EARLIER test pinned, mid-run — a count
+        # comparison flakes on that; only ids NEW since `before` are ours
+        it = sc._jsc.sc().getPersistentRDDs().keysIterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
 
-    before = n_persistent()
+    before = persistent_ids()
     rows = [
         (i, [float((i * 5) % 17 - 8), float((i * 11) % 7 - 3)]) for i in range(40)
     ]
@@ -757,7 +764,8 @@ def test_kcenter_incremental_releases_checkpoint_storage(spark):
     # early-exhaustion path, where the last checkpoint is also `prev`
     got = kcenter_select(d, 70, mode="incremental", checkpoint_every=4).collect()
     assert len(got) == 40
-    assert n_persistent() == before, "checkpointed frames leaked RDD storage"
+    leaked = persistent_ids() - before
+    assert not leaked, f"checkpointed frames leaked RDD storage: {leaked}"
 
 
 def test_kcenter_checkpoint_every_validated(spark):
