@@ -171,6 +171,7 @@ def sssp_distances(
     weight: str = "w",
     node: str = "node",
     max_iterations: int = 256,
+    _plan_probe=None,
 ) -> DataFrame:
     """Single/multi-source shortest WEIGHTED path distances (non-negative
     integer weights) → ``(node, dist)``; unreachable nodes absent.
@@ -184,6 +185,11 @@ def sssp_distances(
     Weights must be ≥ 0 (negative edges need true Bellman-Ford with a
     final negative-cycle probe — out of scope for distance-to-content
     use cases).
+
+    ``_plan_probe`` (plan audits only — the kcenter_select precedent):
+    called with ``(round, improved_frame)`` on the round's PRE-checkpoint
+    relaxation frame, so the join + min-combine + improvement-filter plan
+    shape is assertable from outside before localCheckpoint truncates it.
     """
     dist = (
         sources.select(F.col(node), F.lit(0).cast("long").alias("dist"))
@@ -191,7 +197,7 @@ def sssp_distances(
         .localCheckpoint()
     )
     frontier = dist
-    for _ in range(max_iterations):
+    for _r in range(max_iterations):
         cand = (
             frontier.join(edges, frontier[node] == edges[src])
             .select(
@@ -211,8 +217,10 @@ def sssp_distances(
                 F.col("__d.dist").isNull() | (F.col("__cand") < F.col("__d.dist"))
             )
             .select(F.col("__n").alias(node), F.col("__cand").alias("dist"))
-            .localCheckpoint()
         )
+        if _plan_probe is not None:
+            _plan_probe(_r + 1, improved)
+        improved = improved.localCheckpoint()
         if improved.isEmpty():
             release_local_checkpoint(improved)  # empty: nothing reads it
             break

@@ -104,6 +104,36 @@ def test_sssp_releases_rounds(spark):
     assert len(persistent_ids(spark) - before) <= 1  # final dist only
 
 
+def test_sssp_plan_probe_round_invariant(spark):
+    """_plan_probe (plan audits — the kcenter_select precedent) must see
+    each round's PRE-checkpoint relaxation frame: the join + min-combine
+    shape is in the analyzed plan, both inputs root at checkpoints, and —
+    because every round's inputs are (re-)checkpointed — the plan size is
+    round-INDEPENDENT, the O(1)-per-round contract q217's audit asserts."""
+    from re_data_pipeline_spark.operators.graph import sssp_distances
+
+    edges = spark.createDataFrame(
+        [(i, i + 1, 3) for i in range(9)], "src bigint, dst bigint, w bigint"
+    )
+    sources = spark.createDataFrame([(0,)], "node bigint")
+    lens: dict[int, int] = {}
+    shapes: dict[int, str] = {}
+
+    def probe(r, frame):
+        analyzed = frame._jdf.queryExecution().analyzed().toString()
+        lens[r] = len(analyzed)
+        shapes[r] = analyzed
+
+    out = sssp_distances(edges, sources, _plan_probe=probe)
+    assert {r["node"]: r["dist"] for r in out.collect()}[9] == 27
+    assert max(lens) >= 9  # one probe per relaxation round
+    for r, text in shapes.items():
+        assert "Join" in text and "Aggregate" in text, f"round {r}"
+    # round-independent plan size: rounds ≥2 all root at checkpoints
+    later = [lens[r] for r in lens if r >= 2]
+    assert max(later) <= min(later) * 1.2
+
+
 def test_bpe_train_releases_all(spark):
     """bpe_train returns driver rows — NO checkpoint may survive it."""
     from re_data_pipeline_spark.operators.bpe import bpe_train

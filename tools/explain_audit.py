@@ -648,6 +648,48 @@ CHECKS = [
         "once per k-center round — are asserted absent here.",
     ),
     (
+        "q216_cluster_safe_split",
+        "cluster-safe split: the split itself is a row-local Project",
+        [
+            (r"SortMergeJoin \[doc_id", "doc-keyed label join survives threshold=-1 as a key-shuffled equi-join"),
+            (r"CASE WHEN.*md5", "fold assignment is row-local md5 bucket arithmetic (no added exchange)"),
+            (r"!CartesianProduct", "no all-pairs stage (LSH candidates come from band equi-joins)"),
+            (r"!Window", "no window operator anywhere in the composition"),
+            (r"Scan ExistingRDD", "CC closure lineage checkpoint-truncated"),
+            (r"ReadSchema: struct<doc_id:bigint>", "the label side prunes documents to the id column"),
+        ],
+        "The leakage-safe split composes three audited legs — LSH "
+        "candidates (band equi-joins, never all-pairs), big-star/small-"
+        "star CC (checkpoint-truncated, the Scan ExistingRDD), and the "
+        "q137 md5 bucket split — and the composition adds exactly ONE "
+        "relation op of its own: the (doc_id)-keyed left join of the "
+        "pair-graph-sized component labels, after which train/test "
+        "assignment is a CASE over md5(cluster_id), pure Project.  At "
+        "100 TB: future members of an existing cluster route to that "
+        "cluster's side with zero recomputation of the split state.",
+        {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    ),
+    (
+        "q217_sssp_weighted",
+        "SSSP round frame: one node-keyed join + map-combined min",
+        [
+            (r"SortMergeJoin|ShuffledHashJoin", "frontier × out-edges relaxation survives threshold=-1 as a key-shuffled equi-join"),
+            (r"HashAggregate.*partial_min", "per-destination min-combine is map-side partial"),
+            (r"!CartesianProduct", "no all-pairs stage"),
+            (r"Scan ExistingRDD", "frontier and dist are checkpoint scans (lineage truncated each round)"),
+        ],
+        "Frontier-limited Bellman-Ford's per-round plan (round 2, "
+        "captured pre-checkpoint via the operator's _plan_probe — the "
+        "kcenter_select precedent): candidates come from ONE node-keyed "
+        "join of the improved-last-round frontier against out-edges, "
+        "min-combined map-side so the shuffle carries |touched "
+        "destinations| rows, then a left join against the current dist "
+        "frame keeps only improvements — settled regions generate ZERO "
+        "traffic.  Both inputs scan round-1 checkpoints, so round r's "
+        "plan is O(1) regardless of r.",
+        {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    ),
+    (
         "q205_shard_manifest",
         "shard manifest: one map-combined agg, nothing else moves",
         [
@@ -717,16 +759,64 @@ def main() -> int:
             )
         return captured["f"]
 
+    def q216_coldcache(spark, sf_dir):
+        # same defense as q153: a semantically-equal cached subtree from
+        # an earlier check would serve a plan compiled under default
+        # confs (with broadcasts) and defeat the threshold override
+        spark.catalog.clearCache()
+        return QUERIES["q216_cluster_safe_split"](spark, sf_dir)
+
+    def q217_round_frame(spark, sf_dir):
+        # audit the PER-ROUND relaxation frame (the returned df is a
+        # checkpoint scan — the interesting plan is the round update):
+        # capture round 2, where frontier and dist are round-1 checkpoints
+        import pyspark.sql.functions as F
+
+        from re_data_pipeline_spark.catalog import load_table
+        from re_data_pipeline_spark.operators.graph import sssp_distances
+
+        captured = {}
+
+        def probe(r, frame):
+            if r == 2:
+                captured["f"] = frame
+
+        n = load_table(spark, sf_dir, "customer").where(
+            F.col("c_custkey") < 100
+        ).select(F.col("c_custkey").alias("n"))
+        e1 = n.where((F.col("n") * 7 + 3) % 100 != F.col("n")).select(
+            F.col("n").alias("src"),
+            ((F.col("n") * 7 + 3) % 100).alias("dst"),
+            ((F.col("n") % 5) + 1).cast("long").alias("w"),
+        )
+        e2 = n.where((F.col("n") * 13 + 1) % 100 != F.col("n")).select(
+            F.col("n").alias("src"),
+            ((F.col("n") * 13 + 1) % 100).alias("dst"),
+            ((F.col("n") % 3) + 1).cast("long").alias("w"),
+        )
+        srcs = n.where(F.col("n") % 37 == 0).select(F.col("n").alias("node"))
+        sssp_distances(e1.unionByName(e2), srcs, _plan_probe=probe)
+        if "f" not in captured:
+            raise RuntimeError(
+                "q217 audit fixture settled in one round — no round-2 "
+                "relaxation frame to audit"
+            )
+        return captured["f"]
+
     overrides = {
         "q33_minhash_lsh": q33_lineage,
         "q153_prefix_filter_join__nobcast": q153_nobcast,
         "q214_kcenter_incremental": q214_round_frame,
+        "q216_cluster_safe_split": q216_coldcache,
+        "q217_sssp_weighted": q217_round_frame,
     }
     # plan-inspection-only checks: q214's captured round frame must NOT be
     # re-executed after kcenter_select returns — its lineage roots at a
     # checkpoint RDD the operator has already RELEASED (the storage-
     # retention fix); the plan text is all the check needs
-    PLAN_ONLY = {"q214_kcenter_incremental"}
+    # (q217's captured frame additionally roots at checkpoints the
+    # operator has already RELEASED — same storage-retention fix)
+    PLAN_ONLY = {"q214_kcenter_incremental", "q217_sssp_weighted"}
 
     failures = []
     for entry in CHECKS:
