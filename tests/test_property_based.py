@@ -392,3 +392,53 @@ def test_ngram_lm_matches_python_reference(spark, train_lists, score_lists):
     }
     want = _ref_stupid_backoff(train_lists, score_lists)
     assert got == want
+
+
+def _ref_multi_source_dijkstra(edges, sources):
+    """Driver-side multi-source Dijkstra (non-negative integer weights):
+    the independent truth for sssp_distances' frontier-limited
+    Bellman-Ford — different algorithm, same answer."""
+    import heapq
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for s, d, w in edges:
+        adj[s].append((d, w))
+    dist = {}
+    heap = [(0, n) for n in set(sources)]
+    heapq.heapify(heap)
+    while heap:
+        du, u = heapq.heappop(heap)
+        if u in dist:
+            continue
+        dist[u] = du
+        for v, w in adj[u]:
+            if v not in dist:
+                heapq.heappush(heap, (du + w, v))
+    return dist
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=4),
+        ),
+        min_size=0,
+        max_size=16,
+    ),
+    st.sets(st.integers(min_value=0, max_value=7), min_size=1, max_size=3),
+)
+def test_sssp_matches_dijkstra_property(spark, edges, sources):
+    """sssp_distances (frontier-limited Bellman-Ford) equals a driver-side
+    multi-source Dijkstra on arbitrary small digraphs — duplicate edges,
+    self-loops, zero-weight edges/cycles, unreachable nodes, and sources
+    with no out-edges all included by generation."""
+    from re_data_pipeline_spark.operators.graph import sssp_distances
+
+    e = spark.createDataFrame(edges, "src bigint, dst bigint, w bigint")
+    s = spark.createDataFrame([(n,) for n in sources], "node bigint")
+    got = {r["node"]: r["dist"] for r in sssp_distances(e, s).collect()}
+    assert got == _ref_multi_source_dijkstra(edges, sources)
