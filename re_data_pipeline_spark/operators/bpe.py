@@ -114,26 +114,31 @@ def bpe_train(
     spark = df.sparkSession
     words = build_word_table(df, text_col, max_word_len).localCheckpoint()
     rules = []
-    for rank in range(num_merges):
-        best = (
-            _pair_counts(words)
-            .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
-            .limit(1)
-            .collect()
-        )
-        if not best:
-            break
-        b = best[0]
-        rules.append((rank, b["left"], b["right"], b["pair_count"]))
-        prev = words
-        words = words.withColumn(
-            "toks", _apply_merge(F.col("toks"), b["left"], b["right"])
-        ).localCheckpoint()
-        # eager checkpoint: round r's word table is materialized, so round
-        # r-1's blocks are dead (unpersist/clearCache can't see them)
-        release_local_checkpoint(prev)
-    # the learned rules are driver rows — the final word table is dead too
-    release_local_checkpoint(words)
+    try:
+        for rank in range(num_merges):
+            best = (
+                _pair_counts(words)
+                .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            b = best[0]
+            rules.append((rank, b["left"], b["right"], b["pair_count"]))
+            prev = words
+            words = words.withColumn(
+                "toks", _apply_merge(F.col("toks"), b["left"], b["right"])
+            ).localCheckpoint()
+            # eager checkpoint: round r's word table is materialized, so round
+            # r-1's blocks are dead (unpersist/clearCache can't see them)
+            release_local_checkpoint(prev)
+    finally:
+        # the learned rules are driver rows — the live word table is dead on
+        # EVERY exit, including a mid-loop failure (only `words` can be live
+        # at any point: prev is released as soon as its successor is full,
+        # and a failed checkpoint leaves `words` unreassigned)
+        release_local_checkpoint(words)
     return spark.createDataFrame(
         rules, "merge_rank int, left string, right string, pair_count bigint"
     )

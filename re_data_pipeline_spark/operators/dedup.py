@@ -390,44 +390,54 @@ def connected_components(
         .withColumn("comp", F.col("node"))
     )
     prev_ckpt = None  # round r-1's label checkpoint — dead once round r's is full
-    for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("comp").alias("nmin"))
-        )
-        # the change flag is computed in the SAME select (old and new label
-        # are both in the row) — no extra join-with-previous-labels probe.
-        # One job per round: the checkpoint is LAZY and the convergence count
-        # is the materializing action, so the count job computes every
-        # partition (a full count, never limit(1) — a short-circuiting action
-        # would truncate lineage with partitions missing from the cache),
-        # caches the blocks, and returns the probe in the same pass.
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
-                (F.coalesce(F.col("nmin"), F.col("comp")) < F.col("comp")).alias("__changed"),
+    new_labels = None
+    try:
+        for _ in range(max_iterations):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.node)
+                .groupBy("src")
+                .agg(F.min("comp").alias("nmin"))
             )
-        ).localCheckpoint(eager=False)
-        changed = new_labels.where(F.col("__changed")).count()
-        # the count fully materialized new_labels, so the previous round's
-        # checkpoint is no longer anyone's lineage root — release its blocks
-        # (unpersist/clearCache can't see checkpoint storage)
+            # the change flag is computed in the SAME select (old and new label
+            # are both in the row) — no extra join-with-previous-labels probe.
+            # One job per round: the checkpoint is LAZY and the convergence count
+            # is the materializing action, so the count job computes every
+            # partition (a full count, never limit(1) — a short-circuiting action
+            # would truncate lineage with partitions missing from the cache),
+            # caches the blocks, and returns the probe in the same pass.
+            new_labels = (
+                labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+                .select(
+                    "node",
+                    F.least(F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))).alias("comp"),
+                    (F.coalesce(F.col("nmin"), F.col("comp")) < F.col("comp")).alias("__changed"),
+                )
+            ).localCheckpoint(eager=False)
+            changed = new_labels.where(F.col("__changed")).count()
+            # the count fully materialized new_labels, so the previous round's
+            # checkpoint is no longer anyone's lineage root — release its blocks
+            # (unpersist/clearCache can't see checkpoint storage)
+            release_local_checkpoint(prev_ckpt)
+            prev_ckpt = new_labels
+            labels = new_labels.drop("__changed")
+            if changed == 0:
+                break
+        else:
+            # loop exhausted without converging: labels are WRONG for any chain
+            # longer than max_iterations — wrong dedup silently keeps duplicates,
+            # so fail loudly instead
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iterations} "
+                "iterations (graph diameter too large) — raise max_iterations"
+            )
+    except BaseException:
+        # no frame reaches the caller — release the label checkpoints AND
+        # the edge checkpoint (usually the big relation) before
+        # propagating; release is idempotent on aliased handles
+        release_local_checkpoint(new_labels)
         release_local_checkpoint(prev_ckpt)
-        prev_ckpt = new_labels
-        labels = new_labels.drop("__changed")
-        if changed == 0:
-            break
-    else:
-        # loop exhausted without converging: labels are WRONG for any chain
-        # longer than max_iterations — wrong dedup silently keeps duplicates,
-        # so fail loudly instead
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} "
-            "iterations (graph diameter too large) — raise max_iterations"
-        )
+        release_local_checkpoint(edges)
+        raise
     # the returned frame derives only from the FINAL label checkpoint (kept);
     # the edge list — usually the big relation — is dead at this point
     release_local_checkpoint(edges)
@@ -496,25 +506,33 @@ def connected_components_bss(
     edges = _dedup_edges(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
     ).localCheckpoint()
-    for _ in range(max_iterations):
-        new_edges = _small_star(_large_star(edges)).localCheckpoint()
-        # exact fixpoint probe: both directions of the set difference
-        changed = (
-            new_edges.exceptAll(edges).limit(1).count()
-            + edges.exceptAll(new_edges).limit(1).count()
-        )
-        # new_edges is eagerly materialized and the probe was the last
-        # reader of the old round — release its checkpoint blocks
+    new_edges = None
+    try:
+        for _ in range(max_iterations):
+            new_edges = _small_star(_large_star(edges)).localCheckpoint()
+            # exact fixpoint probe: both directions of the set difference
+            changed = (
+                new_edges.exceptAll(edges).limit(1).count()
+                + edges.exceptAll(new_edges).limit(1).count()
+            )
+            # new_edges is eagerly materialized and the probe was the last
+            # reader of the old round — release its checkpoint blocks
+            release_local_checkpoint(edges)
+            edges = new_edges
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components_bss did not converge in {max_iterations} "
+                "rounds — pathological input (each round is O(log) contraction; "
+                "30 rounds covers any graph smaller than 2^30 nodes)"
+            )
+    except BaseException:
+        # no frame reaches the caller — release the live round checkpoints
+        # before propagating (idempotent on aliased handles)
+        release_local_checkpoint(new_edges)
         release_local_checkpoint(edges)
-        edges = new_edges
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"connected_components_bss did not converge in {max_iterations} "
-            "rounds — pathological input (each round is O(log) contraction; "
-            "30 rounds covers any graph smaller than 2^30 nodes)"
-        )
+        raise
     # fixpoint edge set is a star forest oriented (leaf → root)
     roots = edges.select(F.col("v").alias("node")).distinct().withColumn("component", F.col("node"))
     leaves = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))

@@ -129,33 +129,43 @@ def bfs_distances(
     """
     visited = sources.select(F.col(node), F.lit(0).alias("dist")).distinct().localCheckpoint()
     frontier = visited
-    for level in range(1, max_iterations + 1):
-        nxt = (
-            frontier.join(edges, frontier[node] == edges[src])
-            .select(F.col(dst).alias(node))
-            .distinct()
-            .join(visited, node, "left_anti")
-            .withColumn("dist", F.lit(level))
-        )
-        nxt = nxt.localCheckpoint()
-        if nxt.isEmpty():
-            release_local_checkpoint(nxt)  # empty frontier: nothing reads it
-            break
-        prev_visited, prev_frontier = visited, frontier
-        visited = visited.unionByName(nxt).localCheckpoint()
-        frontier = nxt
-        # the new visited checkpoint is materialized and round r's nxt was
-        # the last reader of the old frontier — release both superseded
-        # checkpoints (level-1 frontier IS level-1 visited on entry, so
-        # guard against double-releasing the same handle)
-        release_local_checkpoint(prev_visited)
-        if prev_frontier is not prev_visited:
-            release_local_checkpoint(prev_frontier)
-    else:
-        raise RuntimeError(
-            f"bfs_distances did not exhaust the frontier in {max_iterations} "
-            "rounds — raise max_iterations (graph eccentricity too large)"
-        )
+    nxt = None
+    try:
+        for level in range(1, max_iterations + 1):
+            nxt = (
+                frontier.join(edges, frontier[node] == edges[src])
+                .select(F.col(dst).alias(node))
+                .distinct()
+                .join(visited, node, "left_anti")
+                .withColumn("dist", F.lit(level))
+            )
+            nxt = nxt.localCheckpoint()
+            if nxt.isEmpty():
+                release_local_checkpoint(nxt)  # empty frontier: nothing reads it
+                break
+            prev_visited, prev_frontier = visited, frontier
+            visited = visited.unionByName(nxt).localCheckpoint()
+            frontier = nxt
+            # the new visited checkpoint is materialized and round r's nxt was
+            # the last reader of the old frontier — release both superseded
+            # checkpoints (level-1 frontier IS level-1 visited on entry, so
+            # guard against double-releasing the same handle)
+            release_local_checkpoint(prev_visited)
+            if prev_frontier is not prev_visited:
+                release_local_checkpoint(prev_frontier)
+        else:
+            raise RuntimeError(
+                f"bfs_distances did not exhaust the frontier in {max_iterations} "
+                "rounds — raise max_iterations (graph eccentricity too large)"
+            )
+    except BaseException:
+        # the caller gets no frame back — release EVERY live checkpoint
+        # before propagating (the non-convergence raise and any mid-loop
+        # failure otherwise leak pinned storage; release is idempotent,
+        # so aliased handles are fine)
+        for f in (nxt, frontier, visited):
+            release_local_checkpoint(f)
+        raise
     # the last non-empty frontier is dead once the empty probe broke the
     # loop; only the final visited checkpoint backs the returned frame
     if frontier is not visited:
@@ -197,58 +207,69 @@ def sssp_distances(
         .localCheckpoint()
     )
     frontier = dist
-    for _r in range(max_iterations):
-        cand = (
-            frontier.join(edges, frontier[node] == edges[src])
-            .select(
-                edges[dst].alias("__n"),
-                (frontier["dist"] + edges[weight]).alias("__cand"),
+    improved = new_dist = None
+    try:
+        for _r in range(max_iterations):
+            cand = (
+                frontier.join(edges, frontier[node] == edges[src])
+                .select(
+                    edges[dst].alias("__n"),
+                    (frontier["dist"] + edges[weight]).alias("__cand"),
+                )
+                .groupBy("__n")
+                .agg(F.min("__cand").alias("__cand"))
             )
-            .groupBy("__n")
-            .agg(F.min("__cand").alias("__cand"))
-        )
-        # alias both sides: on round 1 the frontier IS the dist frame, so
-        # cand derives from dist and an attribute-reference join
-        # (dist["dist"]) trips Spark's ambiguous-self-join check
-        improved = (
-            cand.alias("__c")
-            .join(dist.alias("__d"), F.col("__n") == F.col(f"__d.{node}"), "left")
-            .where(
-                F.col("__d.dist").isNull() | (F.col("__cand") < F.col("__d.dist"))
+            # alias both sides: on round 1 the frontier IS the dist frame,
+            # so cand derives from dist and an attribute-reference join
+            # (dist["dist"]) trips Spark's ambiguous-self-join check
+            improved = (
+                cand.alias("__c")
+                .join(dist.alias("__d"), F.col("__n") == F.col(f"__d.{node}"), "left")
+                .where(
+                    F.col("__d.dist").isNull() | (F.col("__cand") < F.col("__d.dist"))
+                )
+                .select(F.col("__n").alias(node), F.col("__cand").alias("dist"))
             )
-            .select(F.col("__n").alias(node), F.col("__cand").alias("dist"))
-        )
-        if _plan_probe is not None:
-            _plan_probe(_r + 1, improved)
-        improved = improved.localCheckpoint()
-        if improved.isEmpty():
-            release_local_checkpoint(improved)  # empty: nothing reads it
-            break
-        new_dist = (
-            dist.withColumnRenamed("dist", "__old")
-            .join(improved.withColumnRenamed("dist", "__new"), node, "full")
-            .select(
-                node,
-                F.least(
-                    F.coalesce(F.col("__old"), F.col("__new")),
-                    F.coalesce(F.col("__new"), F.col("__old")),
-                ).alias("dist"),
+            if _plan_probe is not None:
+                _plan_probe(_r + 1, improved)
+            improved = improved.localCheckpoint()
+            if improved.isEmpty():
+                release_local_checkpoint(improved)  # empty: nothing reads it
+                break
+            new_dist = (
+                dist.withColumnRenamed("dist", "__old")
+                .join(improved.withColumnRenamed("dist", "__new"), node, "full")
+                .select(
+                    node,
+                    F.least(
+                        F.coalesce(F.col("__old"), F.col("__new")),
+                        F.coalesce(F.col("__new"), F.col("__old")),
+                    ).alias("dist"),
+                )
+                .localCheckpoint()
             )
-            .localCheckpoint()
-        )
-        # new_dist is materialized; the old dist and the old frontier
-        # (improved_{r-1}, last read by this round's cand) are superseded
-        # — on round 1 both are the seed checkpoint, guard the double free
-        release_local_checkpoint(dist)
-        if frontier is not dist:
-            release_local_checkpoint(frontier)
-        dist = new_dist
-        frontier = improved
-    else:
-        raise RuntimeError(
-            f"sssp_distances did not settle in {max_iterations} rounds — "
-            "raise max_iterations (longest min-weight path has more hops)"
-        )
+            # new_dist is materialized; the old dist and the old frontier
+            # (improved_{r-1}, last read by this round's cand) are
+            # superseded — on round 1 both are the seed checkpoint, guard
+            # the double free
+            release_local_checkpoint(dist)
+            if frontier is not dist:
+                release_local_checkpoint(frontier)
+            dist = new_dist
+            frontier = improved
+        else:
+            raise RuntimeError(
+                f"sssp_distances did not settle in {max_iterations} rounds — "
+                "raise max_iterations (longest min-weight path has more hops)"
+            )
+    except BaseException:
+        # the caller gets no frame back — release EVERY live checkpoint
+        # before propagating (the non-convergence raise and any mid-loop
+        # failure otherwise leak pinned storage; release is idempotent,
+        # so aliased handles are fine)
+        for f in (improved, new_dist, frontier, dist):
+            release_local_checkpoint(f)
+        raise
     # the final frontier is dead once the loop broke; only the final dist
     # checkpoint backs the returned frame
     if frontier is not dist:

@@ -720,46 +720,48 @@ def train_quality_classifier(
     den = lr_den * max(n_docs, 1) * 10**9
 
     w = [0] * n_buckets  # 1e-6 fixed-point weights, exact Python ints
-    for _ in range(iters):
-        wlit = F.array(*[F.lit(int(v)).cast("bigint") for v in w])
-        z = (
-            feat.withColumn(
-                "__wf", F.element_at(wlit, F.col("__b").cast("int") + 1)
-            )
-            .groupBy(id_col, "__y")
-            .agg(
-                F.sum((F.col("__wf") * F.col("__f")).cast("decimal(38,0)")).alias(
-                    "__zr"
+    try:
+        for _ in range(iters):
+            wlit = F.array(*[F.lit(int(v)).cast("bigint") for v in w])
+            z = (
+                feat.withColumn(
+                    "__wf", F.element_at(wlit, F.col("__b").cast("int") + 1)
+                )
+                .groupBy(id_col, "__y")
+                .agg(
+                    F.sum((F.col("__wf") * F.col("__f")).cast("decimal(38,0)")).alias(
+                        "__zr"
+                    )
                 )
             )
-        )
-        p = F.lit(1.0) / (
-            F.lit(1.0)
-            + F.exp(-F.lit(float(scale)) * (F.col("__zr").cast("double") / F.lit(1e15)))
-        )
-        r = z.select(
-            F.col(id_col),
-            F.round((p - F.col("__y")) * 1_000_000, 0).cast("long").alias("__rf"),
-        )
-        g = (
-            feat.join(r, id_col)
-            .groupBy("__b")
-            .agg(
-                F.sum((F.col("__rf") * F.col("__f")).cast("decimal(38,0)")).alias(
-                    "__g"
+            p = F.lit(1.0) / (
+                F.lit(1.0)
+                + F.exp(-F.lit(float(scale)) * (F.col("__zr").cast("double") / F.lit(1e15)))
+            )
+            r = z.select(
+                F.col(id_col),
+                F.round((p - F.col("__y")) * 1_000_000, 0).cast("long").alias("__rf"),
+            )
+            g = (
+                feat.join(r, id_col)
+                .groupBy("__b")
+                .agg(
+                    F.sum((F.col("__rf") * F.col("__f")).cast("decimal(38,0)")).alias(
+                        "__g"
+                    )
                 )
             )
-        )
-        for row in g.collect():  # ≤ n_buckets rows — bounded driver exchange
-            G = int(row["__g"])
-            mag = (lr_num * scale * abs(G)) // den
-            w[int(row["__b"])] -= mag if G > 0 else -mag
+            for row in g.collect():  # ≤ n_buckets rows — bounded driver exchange
+                G = int(row["__g"])
+                mag = (lr_num * scale * abs(G)) // den
+                w[int(row["__b"])] -= mag if G > 0 else -mag
+    finally:
+        # the weights are driver rows — nothing downstream derives from the
+        # feature checkpoint, so its storage blocks release on EVERY exit
+        # (a mid-iteration failure otherwise leaks them)
+        from re_data_pipeline_spark.operators.ids import release_local_checkpoint
 
-    # the weights are driver rows — nothing downstream derives from the
-    # feature checkpoint, so its storage blocks release here
-    from re_data_pipeline_spark.operators.ids import release_local_checkpoint
-
-    release_local_checkpoint(feat)
+        release_local_checkpoint(feat)
     out = spark.createDataFrame(
         [(b, w[b]) for b in range(n_buckets)], "bucket bigint, weight_fixed bigint"
     )
@@ -1012,6 +1014,12 @@ def kcenter_select(
             if not far:
                 break
             chosen.append((r, far[0][id_col], far[0]["__md"]))
+            if r == k - 1:
+                # the frame update below would never be read — building it
+                # anyway cost one full eager-checkpoint pass whenever the
+                # last round landed ON a checkpoint boundary (q214's exact
+                # configuration: k=65, checkpoint_every=32, r=64)
+                break
             frame = frame.where(F.col(id_col) != F.lit(far[0][id_col])).withColumn(
                 "__md", F.least(F.col("__md"), d_micro(list(far[0][vec_col])))
             )

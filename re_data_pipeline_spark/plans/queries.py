@@ -10110,12 +10110,12 @@ centers AS MATERIALIZED (
 ),
 assign AS (
   SELECT k.vec_id,
-         min({_duck_micro_dist("k.embedding", "c.v")} * 8 + c.center_rank) AS mk
+         min({_duck_micro_dist("k.embedding", "c.v")} * {_Q215_K} + c.center_rank) AS mk
   FROM kept k CROSS JOIN centers c
   GROUP BY k.vec_id
 ),
 cl AS (
-  SELECT vec_id, CAST(mk % 8 AS INT) AS cluster_id, mk // 8 AS d_center_micro
+  SELECT vec_id, CAST(mk % {_Q215_K} AS INT) AS cluster_id, mk // {_Q215_K} AS d_center_micro
   FROM assign
 ),
 rk AS (
@@ -10148,7 +10148,7 @@ def q215_d4_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     diversity-keeping step.
 
     Cross-engine exactness end-to-end: assignment uses the combined
-    integer key ``d_micro·8 + center_rank`` so the (distance, rank) argmin
+    integer key ``d_micro·k + center_rank`` so the (distance, rank) argmin
     including ties is ONE integer min in both engines; the cluster-scoped
     rank rides the ordinal spine (`ids.assign_ordinals` — one range
     exchange, NEVER partitionBy(cluster): k=8 keys over a corpus is the
@@ -10191,15 +10191,19 @@ def q215_d4_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from re_data_pipeline_spark.functions.vectors import micro_sq_dist
 
+    # radix = _Q215_K keeps the combined key injective for ANY k: ranks
+    # run 0..k-1, so rank < radix always (hardcoding 8 here was a latent
+    # trap BOTH engines shared — parity could never catch outgrowing it)
+    assert all(j < _Q215_K for j, _ in cvecs)
     cl = kept.select(
         "vec_id",
         F.least(
-            *[micro_sq_dist("embedding", cv) * 8 + F.lit(j) for j, cv in cvecs]
+            *[micro_sq_dist("embedding", cv) * _Q215_K + F.lit(j) for j, cv in cvecs]
         ).alias("__mk"),
     ).select(
         "vec_id",
-        (F.col("__mk") % 8).cast("int").alias("cluster_id"),
-        F.expr("__mk DIV 8").alias("d_center_micro"),
+        (F.col("__mk") % _Q215_K).cast("int").alias("cluster_id"),
+        F.expr(f"__mk DIV {_Q215_K}").alias("d_center_micro"),
     )
     ordd = assign_ordinals(
         cl,
@@ -10321,13 +10325,15 @@ SELECT node, MIN(dist) AS dist FROM walk GROUP BY node
 def q217_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source shortest WEIGHTED paths (`graph.sssp_distances`,
     frontier-limited Bellman-Ford) over a cyclic modular graph (node i →
-    (7i+3)%100 at cost (i%5)+1 and → (13i+1)%100 at cost (i%3)+1,
-    sources 0/37/74) — weights make hop count and weighted distance
-    genuinely disagree (BFS hops would pick the wrong route), and the
-    expander-ish shape converges in 8 frontier rounds (min-weight paths
-    have ≤7 hops; true max distance 15), keeping the gate cost at ~25
-    tiny jobs — a 63-round grid variant measured 13 CPU-minutes, all
-    per-round scheduling overhead.  Completes the iterative-graph
+    (7i+3)%100 at cost (i%5)+1 and → (13i+1)%100 at cost (i%3)+1;
+    c_custkey is 1-based so i ∈ 1..99 and the n%37==0 sources are
+    {37, 74}) — weights make hop count and weighted distance genuinely
+    disagree (BFS hops would pick the wrong route), and the expander-ish
+    shape settles in 10 frontier rounds (min-weight paths have ≤9 hops;
+    true max distance 19; all three recomputed driver-side by
+    tests' Dijkstra), keeping the gate cost at ~30 tiny jobs — a 63-round
+    grid variant measured 13 CPU-minutes, all per-round scheduling
+    overhead.  Completes the iterative-graph
     family's registration: CC (connectivity), PageRank (numeric
     fixpoint), BFS (frontier/hops), SSSP (frontier/monotone weights) —
     the operator existed since round 6 but carried no query, no oracle,
@@ -10341,7 +10347,7 @@ def q217_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoints released (SCALING.md §Iterative-loop discipline).
     Integer weights ⇒ integer distances, bit-stable cross-engine.
     Oracle: recursive UNION walk over (node, dist) STATES with a
-    dist ≤ 60 cap (4× the true max of 15) — the cap bounds the state
+    dist ≤ 60 cap (~3.2× the true max of 19) — the cap bounds the state
     space on the graph's positive cycles without touching any true
     minimum."""
     from re_data_pipeline_spark.operators.graph import sssp_distances

@@ -22,3 +22,15 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+def persistent_ids(spark) -> set:
+    """Persistent-RDD id SET for checkpoint-storage probes — ids, not
+    counts: prior tests' leaked finals get garbage-collected asynchronously
+    by Spark's ContextCleaner mid-test, so absolute counts are flaky; only
+    ids NEW since a `before` snapshot belong to the operator under test.
+    Shared here so the two storage-release suites can't drift apart."""
+    return {
+        int(k)
+        for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    }

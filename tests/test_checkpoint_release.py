@@ -14,14 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 
-def persistent_ids(spark) -> set:
-    """IDs, not counts: prior tests' leaked finals get garbage-collected
-    asynchronously by Spark's ContextCleaner mid-test, so absolute counts
-    are flaky — only NEW ids pinned by the operator under test matter."""
-    return {
-        int(k)
-        for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
-    }
+from tests.conftest import persistent_ids
 
 
 def test_release_local_checkpoint_helper(spark):
@@ -164,3 +157,39 @@ def test_classifier_train_releases_features(spark):
     w = train_quality_classifier(d, "doc_id", "text", "label", n_buckets=16, iters=2)
     assert w.count() == 16
     assert not (persistent_ids(spark) - before)
+
+
+def test_nonconvergence_raise_releases_everything(spark):
+    """The non-convergence RuntimeError hands the caller NO frame, so the
+    error path must release every live checkpoint — including the edge
+    checkpoint (usually the big relation).  Before round 13's fix only the
+    happy path released; a catch-and-retry caller accumulated pinned
+    copies per attempt."""
+    import pytest
+
+    from re_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_bss,
+    )
+    from re_data_pipeline_spark.operators.graph import bfs_distances, sssp_distances
+
+    spark.catalog.clearCache()
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a bigint, id_b bigint"
+    )
+    edges = spark.createDataFrame(
+        [(i, i + 1, 2) for i in range(10)], "src bigint, dst bigint, w bigint"
+    )
+    sources = spark.createDataFrame([(0,)], "node bigint")
+
+    for fn, kwargs in (
+        (connected_components, dict(pairs=chain, max_iterations=2)),
+        (connected_components_bss, dict(pairs=chain, max_iterations=1)),
+        (bfs_distances, dict(edges=edges, sources=sources, max_iterations=2)),
+        (sssp_distances, dict(edges=edges, sources=sources, max_iterations=2)),
+    ):
+        before = persistent_ids(spark)
+        with pytest.raises(RuntimeError, match="did not"):
+            fn(**kwargs)
+        leaked = persistent_ids(spark) - before
+        assert not leaked, f"{fn.__name__} leaked checkpoints: {leaked}"

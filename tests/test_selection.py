@@ -745,17 +745,9 @@ def test_kcenter_incremental_releases_checkpoint_storage(spark):
     sc = spark.sparkContext
     spark.catalog.clearCache()
 
-    def persistent_ids():
-        # id SET, not size: the ContextCleaner may asynchronously drop an
-        # unreferenced RDD some EARLIER test pinned, mid-run — a count
-        # comparison flakes on that; only ids NEW since `before` are ours
-        it = sc._jsc.sc().getPersistentRDDs().keysIterator()
-        ids = set()
-        while it.hasNext():
-            ids.add(it.next())
-        return ids
+    from tests.conftest import persistent_ids
 
-    before = persistent_ids()
+    before = persistent_ids(spark)
     rows = [
         (i, [float((i * 5) % 17 - 8), float((i * 11) % 7 - 3)]) for i in range(40)
     ]
@@ -764,7 +756,7 @@ def test_kcenter_incremental_releases_checkpoint_storage(spark):
     # early-exhaustion path, where the last checkpoint is also `prev`
     got = kcenter_select(d, 70, mode="incremental", checkpoint_every=4).collect()
     assert len(got) == 40
-    leaked = persistent_ids() - before
+    leaked = persistent_ids(spark) - before
     assert not leaked, f"checkpointed frames leaked RDD storage: {leaked}"
 
 
