@@ -97,3 +97,30 @@ def test_normalize_plan_text_masks_rdd_callsite():
         "at GeneratedMethodAccessor42.invoke:-1, ExistingRDD, UnknownPartitioning(0)"
     )
     assert normalize_plan_text(early) == normalize_plan_text(late)
+
+
+def test_normalize_plan_text_masks_spine_offset_maps():
+    """The ordinal spine embeds per-partition base offsets as a literal
+    map; the offsets depend on the persisted frame's physical LAYOUT
+    (cache/session state), not the plan — two builds of the same query in
+    one session hashed differently until r13 masked them."""
+    from bench import normalize_plan_text
+
+    a = "Output: [(cast(element_at(map(keys: [0,1,2,3], values: [0,242,487,729]), __pid#4, None, true) as bigint) + __mid#5L) AS __ord#6L]"
+    b = "Output: [(cast(element_at(map(keys: [0,1,2,3], values: [0,242,484,729]), __pid#4, None, true) as bigint) + __mid#5L) AS __ord#6L]"
+    assert normalize_plan_text(a) == normalize_plan_text(b)
+    assert "242" not in normalize_plan_text(a)
+
+
+def test_normalize_plan_text_masks_query_stage_ids():
+    """AQE assigns QueryStage ids in MATERIALIZATION order — parallel
+    broadcast stages race, so identical plans number them differently run
+    to run.  Only the Arguments line under a QueryStage header is masked;
+    a bare-integer argument elsewhere (CollectLimit) must stay visible."""
+    from bench import normalize_plan_text
+
+    a = "(37) BroadcastQueryStage\nOutput [2]: [a#1, b#2]\nArguments: 19\n"
+    b = "(37) BroadcastQueryStage\nOutput [2]: [a#1, b#2]\nArguments: 22\n"
+    assert normalize_plan_text(a) == normalize_plan_text(b)
+    lim = "(5) CollectLimit\nInput [1]: [a#1]\nArguments: 19\n"
+    assert "Arguments: 19" in normalize_plan_text(lim)

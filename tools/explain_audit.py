@@ -830,6 +830,13 @@ def main() -> int:
             saved[k] = spark.conf.get(k)
             spark.conf.set(k, v)
         try:
+            # cold cache for EVERY check (r13 fix): a semantically-equal
+            # subtree cached by an earlier check would be served with the
+            # plan it was COMPILED under — with broadcasts, defeating a
+            # threshold=-1 override, or as an InMemoryTableScan satisfying
+            # a cache assertion the query didn't earn.  Previously only
+            # q153/q216 defended (their fixtures still do, redundantly).
+            spark.catalog.clearCache()
             build = overrides[name] if name in overrides else QUERIES[name]
             df = build(spark, sf_dir)
             if name not in PLAN_ONLY:

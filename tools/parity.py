@@ -91,6 +91,13 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
+    # a typo'd filter name previously matched NOTHING and printed "all OK"
+    # exit 0 — validate up front so re-verifying a fix can't false-pass
+    unknown = only - set(qs)
+    if unknown:
+        print(f"unknown query name(s): {sorted(unknown)}", file=sys.stderr)
+        return 2
+
     spark = get_spark(master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
@@ -115,14 +122,16 @@ def main() -> int:
             srows = [
                 tuple(row) for row in spdf.itertuples(index=False, name=None)
             ]
-            # guard-carrying operators pin fingerprint caches whose release
-            # handles ride the (now-discarded) result — keep the 191-query
-            # session flat
-            spark.catalog.clearCache()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             continue
+        finally:
+            # guard-carrying operators pin fingerprint caches whose release
+            # handles ride the (now-discarded) result — keep the 200+-query
+            # session flat on the FAILURE path too (a leaked cache skews
+            # every later query's comparison)
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"rows-only {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
             continue

@@ -146,16 +146,15 @@ def synth_vectors(spark: SparkSession, n: int, dim: int = 16) -> DataFrame:
 
 
 def rest_totals(ui: str, app_id: str) -> dict[str, int]:
-    with urllib.request.urlopen(
-        f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
-    ) as r:
-        stages = json.load(r)
-    out = {"shuffle_rows": 0, "shuffle_bytes": 0, "input_rows": 0}
-    for s in stages:
-        out["shuffle_rows"] += s.get("shuffleWriteRecords", 0)
-        out["shuffle_bytes"] += s.get("shuffleWriteBytes", 0)
-        out["input_rows"] += s.get("inputRecords", 0)
-    return out
+    """Probe-shaped adapter over the shared REST helper (tools/rest_metrics)."""
+    from tools.rest_metrics import stage_totals
+
+    t = stage_totals(ui, app_id)
+    return {
+        "shuffle_rows": t["shuffle_write_records"],
+        "shuffle_bytes": t["shuffle_write_bytes"],
+        "input_rows": t["input_records"],
+    }
 
 
 def run_probe(spark, ui, app_id, build, runs=2):
@@ -234,6 +233,11 @@ def main() -> int:
     import tempfile
 
     stage_dir = tempfile.mkdtemp(prefix="scale_probe_")
+    # cleanup on EVERY exit (r13 fix): a probe raising mid-run previously
+    # orphaned the full synthetic parquet tree in /tmp
+    import atexit
+
+    atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
     inputs = {}
     for n in scales:
         docs_p = f"{stage_dir}/docs_{n}"

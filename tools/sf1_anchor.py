@@ -106,18 +106,13 @@ def build_sf1_documents(spark, out_dir: str) -> int:
 
 
 def _shuffle_records(ui: str, app_id: str) -> int:
-    """Cumulative shuffle-write records across completed stages (the
-    status REST API, as in tools/shuffle_audit.py) — the r8/r9 verdicts'
-    missing column: wall-ratio alone can't distinguish fixed-cost
-    amortization loss from super-linear candidate growth."""
-    import json
-    import urllib.request
+    """Cumulative shuffle-write records across completed stages — the
+    r8/r9 verdicts' missing column: wall-ratio alone can't distinguish
+    fixed-cost amortization loss from super-linear candidate growth.
+    Thin adapter over the shared REST helper (tools/rest_metrics)."""
+    from tools.rest_metrics import stage_totals
 
-    with urllib.request.urlopen(
-        f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
-    ) as r:
-        stages = json.load(r)
-    return sum(s.get("shuffleWriteRecords", 0) for s in stages)
+    return stage_totals(ui, app_id)["shuffle_write_records"]
 
 
 def main() -> int:
@@ -148,6 +143,11 @@ def main() -> int:
             the number; the last one excludes codegen-warmup stages)."""
             best, shuf = float("inf"), 0
             for _ in range(runs):
+                # cold cache per run (r13 fix): a plan-identical rebuild is
+                # otherwise served run 1's pinned cache, so run 2's wall
+                # and shuffle delta measured the warm path — exactly the
+                # failure scale_probe.run_probe documents and defends
+                spark.catalog.clearCache()
                 before = _shuffle_records(ui, app_id)
                 t0 = time.time()
                 fn(spark, sf_path).write.format("noop").mode("overwrite").save()

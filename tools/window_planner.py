@@ -79,21 +79,33 @@ def main() -> int:
     if never:
         print(f"never driver-checked ({len(never)}): {', '.join(sorted(never))}")
 
-    window: list[str] = []
-    window += sorted(never)
-    window += [q for q in changed if q not in window]
+    # overflow policy (r13 fix): policy #1 is "new registrations — always
+    # in", so the changed list is truncated BEFORE any never-checked name
+    # is dropped (the old single [:slots] cut silently dropped
+    # never-checked names while warning about the changed list)
+    window: list[str] = sorted(never)
+    extra_changed = [q for q in changed if q not in window]
+    if len(window) > args.slots:
+        print(
+            f"WARNING: {len(window)} never-driver-checked queries alone "
+            f"exceed {args.slots} slots — dropping "
+            f"{window[args.slots:]} from the window (they ship UNCHECKED; "
+            "raise --slots or split across rounds)",
+            file=sys.stderr,
+        )
+        window = window[: args.slots]
+    room_c = args.slots - len(window)
+    if len(extra_changed) > room_c:
+        print(
+            f"WARNING: truncating the changed list — deferred to next "
+            f"round: {extra_changed[room_c:]}",
+            file=sys.stderr,
+        )
+    window += extra_changed[:room_c]
     stale = sorted(
         (q for q in green if q not in window), key=lambda q: (green[q], q)
     )
     room = args.slots - len(window)
-    if room < 0:
-        print(
-            f"WARNING: {len(window)} never-checked/changed queries exceed "
-            f"{args.slots} slots — truncating the changed list",
-            file=sys.stderr,
-        )
-        window = window[: args.slots]
-        room = 0
     window += stale[:room]
 
     cut = green[stale[room - 1]] if room and room <= len(stale) else None
