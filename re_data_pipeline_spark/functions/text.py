@@ -52,7 +52,9 @@ def ws_tokens(col: Column | str) -> Column:
 
 
 def char_ngrams(col: Column | str, n: int, distinct: bool = True) -> Column:
-    """Character n-gram shingle set via sequence+substring (no UDF)."""
+    """Character n-gram shingle set via sequence+substring (no UDF).
+    Floored at one gram like ``word_shingles_of`` (sub-n text yields one
+    short gram; empty text yields [""]) — totality over every doc."""
     c = _c(col)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.length(c) - F.lit(n - 1), F.lit(1))),
@@ -63,6 +65,13 @@ def char_ngrams(col: Column | str, n: int, distinct: bool = True) -> Column:
 
 def word_shingles_of(toks: Column, n: int, distinct: bool = True) -> Column:
     """Word n-gram shingles from an ALREADY-TOKENIZED array column.
+
+    The shingle count is FLOORED at one (``greatest(size-n+1, 1)``): a
+    sub-n doc yields its whole token list space-joined as a single
+    (shorter) shingle and an empty doc yields [""] — deliberate totality
+    so MinHash/LSH signatures exist for every doc (the oracles replicate
+    the same floor).  Consumers that need "no n-grams" as a distinct
+    state must test ``size(toks) < n`` themselves.
 
     Hot paths must pass a *materialized* token column (withColumn), not an
     inline ``tokens(text)`` expression: higher-order functions are
@@ -119,7 +128,11 @@ def duplicate_ngram_fraction(col: Column | str, n: int) -> Column:
     (Rae et al. 2021 §A1.1 use n=2..4; docs above ~0.2 at n=2 are
     boilerplate/spam).  Pure expressions, map-only at 100 TB.
 
-    NULL for docs with no n-grams (empty text) via try_divide.
+    Empty/NULL/sub-n docs score 0.0, NOT NULL: ``word_shingles_of`` floors the
+    shingle count at one (so MinHash stays total on short docs — an empty
+    text yields the single shingle ""), which makes the try_divide
+    denominator ≥ 1 always.  Gopher deployments must gate empty docs with
+    the min-length rule (they do — q31/q194), not through this score.
     Convenience one-shot form; hot paths use ``_of`` on a materialized
     shingle column."""
     return duplicate_ngram_fraction_of(word_shingles(col, n, distinct=False))
@@ -234,8 +247,13 @@ def rolling_hash(col: Column | str, prefix_len: int = 64, base: int = 31) -> Col
     return F.aggregate(
         F.sequence(F.lit(1), F.greatest(bound, F.lit(1))),
         F.lit(0).cast("decimal(38,0)"),
+        # c.substr(i, 1) directly: i ≤ bound ≤ prefix_len already, and the
+        # lambda is interpreted with no subexpression elimination, so a
+        # substring(c, 1, prefix_len) prefix here re-materialized a
+        # prefix_len-char slice once PER FOLD STEP — O(prefix_len²) char
+        # copies per row on a map-only hot path, for zero semantic effect
         lambda acc, i: F.pmod(
-            acc * F.lit(base) + F.ascii(F.substring(c, 1, prefix_len).substr(i, F.lit(1))).cast("decimal(38,0)"),
+            acc * F.lit(base) + F.ascii(c.substr(i, F.lit(1))).cast("decimal(38,0)"),
             F.lit(ROLLING_HASH_MOD).cast("decimal(38,0)"),
         ),
     ).cast("long")

@@ -44,13 +44,17 @@ def canonical_url(col: Column | str) -> Column:
     c = _c(col)
     no_frag = F.regexp_replace(c, r"#.*$", "")
     scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    host = F.lower(F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    # authority may be EMPTY (file:///a.txt): [^/?#]* not +, else host and
+    # path both fail to match and every such URL collapses to 'scheme:///'
+    # — a shared dedup key silently merging unrelated documents (the same
+    # hazard the scheme-less guard below exists for)
+    host = F.lower(F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
     # only the scheme's OWN default port is droppable: https://h:80 is a
     # real non-default port serving different content than https://h
     host = F.when(scheme == "http", F.regexp_replace(host, r":80$", "")).otherwise(
         F.when(scheme == "https", F.regexp_replace(host, r":443$", "")).otherwise(host)
     )
-    path = F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    path = F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
     query = F.regexp_extract(no_frag, r"\?([^#]*)", 1)
     sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")

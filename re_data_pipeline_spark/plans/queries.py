@@ -4332,11 +4332,11 @@ def q108_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
              CASE lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
-               WHEN 'http' THEN regexp_replace(lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':80$', '')
-               WHEN 'https' THEN regexp_replace(lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)), ':443$', '')
-               ELSE lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))
+               WHEN 'http' THEN regexp_replace(lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':80$', '')
+               WHEN 'https' THEN regexp_replace(lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), ':443$', '')
+               ELSE lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))
              END AS host,
-             regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+             regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
              regexp_extract(nf, '\\?([^#]*)', 1) AS q
       FROM parts
     )
@@ -4824,6 +4824,11 @@ DRIVER_WINDOW: list[str] = [
     # the shared _SEMDEDUP_CTES block.  Displaces q23/q25 (last two r7
     # rows) to the r14 proposal.
     "q213_kcenter_select", "q123_semantic_dedup",
+    # (b) late-round r13 change: canonical_url's host/path regexes now
+    # accept an EMPTY authority (file:///a.txt no longer collapses to
+    # 'file:///'), and q109's oracle carries the same regex fix —
+    # displaces q21_case_normalize (the least-stale r7 row) to r14.
+    "q109_canonical_url",
     # (c) last green driver row: round 6 (all 26; planner order —
     # q150_sequence_pattern first, displaced from the r12 window by q213)
     "q150_sequence_pattern", "q154_index_merge", "q155_grouped_kfold",
@@ -4841,7 +4846,7 @@ DRIVER_WINDOW: list[str] = [
     "q151_item_cooccurrence", "q152_skyline", "q157_stream_left_outer",
     "q162_bpe_encode", "q163_record_linkage", "q166_temperature_mixture",
     "q16_date_parts", "q170_char_lm_quality", "q171_token_drift",
-    "q172_pmi_collocations", "q19_json_extract", "q21_case_normalize",
+    "q172_pmi_collocations", "q19_json_extract",
 ]
 
 

@@ -217,10 +217,14 @@ class HttpPredicateSource:
                 rows.extend(page)
                 if len(page) < page_size:
                     break
-                cursor += page_size if self.page_style == "offset" else 1
                 if limit is not None and len(rows) >= limit:
-                    rows = rows[:limit]
                     break
+                cursor += page_size if self.page_style == "offset" else 1
+            # truncate OUTSIDE the loop: the short-final-page break used to
+            # skip it, returning more rows than `limit` whenever the last
+            # page was short (80 server rows, page_size=100, limit=50 → 80)
+            if limit is not None:
+                rows = rows[:limit]
         data = [tuple(r.get(n) for n in names) for r in rows]
         return self.spark.createDataFrame(data, self.schema)
 

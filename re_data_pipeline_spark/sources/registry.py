@@ -126,5 +126,10 @@ def read_json_quarantine(
     bad = df.where(F.col("_corrupt_record").isNotNull()).select(
         F.col("_corrupt_record").alias("raw")
     )
-    good._quarantine_cache = df  # release path for long-lived sessions
+    # release path: the standard spine-cache convention (ids.release_spines
+    # walks _ordinal_caches), NOT a bespoke attribute nobody is told about —
+    # call release_spines(good) (or bad; double-unpersist is a no-op) once
+    # both frames are materialized, exactly like any ordinal-spine result
+    good._ordinal_caches = [df]
+    bad._ordinal_caches = [df]
     return good, bad

@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -93,12 +94,16 @@ SESSIONS_OUTPUT = StructType(
 )
 
 # state is kept in epoch MICROS (LongType) — integer state is
-# timezone-proof and cheap to serialize through the state store
+# timezone-proof and cheap to serialize through the state store.  It holds
+# EVERY session not yet finalized by the watermark (parallel arrays), not
+# just the open one: a session "closed" by a later event inside a batch can
+# still be EXTENDED by a late in-watermark event in a later batch, so
+# emitting it at close time would split what F.session_window merges.
 SESSIONS_STATE = StructType(
     [
-        StructField("start_us", LongType()),
-        StructField("end_us", LongType()),
-        StructField("n", LongType()),
+        StructField("starts_us", ArrayType(LongType())),
+        StructField("ends_us", ArrayType(LongType())),
+        StructField("ns", ArrayType(LongType())),
     ]
 )
 
@@ -110,14 +115,20 @@ def sessionize_per_user(events: DataFrame, gap_seconds: int) -> DataFrame:
     even where the built-in operator wouldn't fit (per-session custom logic,
     e.g. per-session token budgets or early-emit policies).
 
-    Protocol per key: merge the batch's rows (sorted by event time) into the
-    open session; a row further than ``gap_seconds`` past the session end
-    *closes* it (emitted immediately) and opens a new one.  The still-open
-    session arms an event-time timeout at ``end + gap``; when the watermark
-    passes it, the timeout invocation emits the session and clears state.
-    State is partitioned by the group key and checkpoint-persisted — on a
-    1000-executor cluster each executor holds only its keys' open sessions
-    (bounded by active users, not corpus size).
+    Protocol per key: interval-merge the batch's rows into ALL pending
+    sessions (each event is ``[t, t]``; sort by start, merge neighbors
+    within ``gap_seconds`` — exactly F.session_window's fold), then emit
+    ONLY the sessions the watermark has finalized (``end + gap < wm``: no
+    admissible event — ``ts ≥ wm`` — can merge into them, forwards or
+    backwards).  Sessions merely closed by a LATER event stay in state
+    until then: a late in-watermark event may still extend one, and
+    emitting at close time split what F.session_window merges (r13 review
+    fix; regression-tested).  An event-time timeout at the earliest
+    pending expiry drives emission when no new events arrive.  State is
+    partitioned by the group key and checkpoint-persisted — on a
+    1000-executor cluster each executor holds only its keys' unfinalized
+    sessions (bounded by active users × in-watermark sessions, not corpus
+    size).
 
     Requires a watermark on the stream's event-time column and
     ``outputMode("append")``.
@@ -138,39 +149,44 @@ def sessionize_per_user(events: DataFrame, gap_seconds: int) -> DataFrame:
                 }
             )
 
-        if state.hasTimedOut:
-            start_us, end_us, n = state.get
-            state.remove()
-            yield emit(start_us, end_us, n)
-            return
-
-        ts_us: list[int] = []
-        for pdf in pdfs:
-            ts_us.extend((pdf["ts"].astype("int64") // 1000).tolist())
-
-        # interval-merge fold (exactly F.session_window's semantics): treat
-        # the open session as an interval and each event as [t, t]; sort ALL
-        # intervals by start and merge neighbors within the gap.  This
-        # handles late in-watermark events BEFORE the open session's start
-        # (they extend it backwards or form their own earlier session)
-        # where a naive append-only fold would regress or over-merge.
-        intervals = [[t, t, 1] for t in ts_us]
+        # one unified path: a timed-out invocation has an empty row
+        # iterator, so the merge below degenerates to re-checking pending
+        # sessions against the advanced watermark
+        intervals: list[list[int]] = []
         if state.exists:
-            intervals.append(list(state.get))
+            starts, ends, ns = state.get
+            intervals.extend([s, e, n] for s, e, n in zip(starts, ends, ns))
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                intervals.extend(
+                    [t, t, 1] for t in (pdf["ts"].astype("int64") // 1000)
+                )
         intervals.sort(key=lambda iv: (iv[0], iv[1]))
-        cur = None
+        merged: list[list[int]] = []
         for iv in intervals:
-            if cur is None:
-                cur = iv
-            elif iv[0] - cur[1] > gap_us:
-                yield emit(*cur)
-                cur = iv
+            if merged and iv[0] - merged[-1][1] <= gap_us:
+                merged[-1][1] = max(merged[-1][1], iv[1])
+                merged[-1][2] += iv[2]
             else:
-                cur[1] = max(cur[1], iv[1])
-                cur[2] += iv[2]
-        if cur is not None:
-            state.update(tuple(cur))
-            state.setTimeoutTimestamp(cur[1] // 1000 + gap_ms)
+                merged.append(iv)
+
+        wm_ms = state.getCurrentWatermarkMs()
+        live: list[list[int]] = []
+        for iv in merged:
+            if iv[1] // 1000 + gap_ms < wm_ms:
+                yield emit(*iv)  # finalized: nothing admissible can merge
+            else:
+                live.append(iv)
+        if live:
+            state.update(
+                ([iv[0] for iv in live], [iv[1] for iv in live],
+                 [iv[2] for iv in live])
+            )
+            # timeouts must be strictly later than the current watermark
+            expiry = min(iv[1] // 1000 + gap_ms for iv in live)
+            state.setTimeoutTimestamp(max(expiry, wm_ms + 1))
+        else:
+            state.remove()
 
     return events.groupBy("user_id").applyInPandasWithState(
         update,

@@ -72,7 +72,12 @@ def dedup_stream(df: DataFrame, keys: list[str], ts_col: str, watermark: str) ->
     Plain ``dropDuplicates(keys)`` would keep every key seen forever (the
     watermark only evicts state when the event-time column is part of the
     subset), so this delegates to ``dropDuplicatesWithinWatermark``: state
-    for a key is released once the watermark passes its event time + delay.
+    for a key is released once the watermark passes its event time + delay
+    — memory proportional to the watermark window, not history: exactly
+    the crawl-frontier guarantee (duplicate URLs arrive in bursts, never
+    months apart) at a fraction of the state.  (A byte-identical twin
+    named dedup_within_watermark existed until r13 — one operator, one
+    name, so a semantics fix cannot land in one and miss the other.)
     """
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
@@ -199,17 +204,6 @@ def join_streams_within(
             f"AND r.{right_ts} <= l.{left_ts} + INTERVAL {max_delay}"
         ),
     )
-
-
-def dedup_within_watermark(df: DataFrame, keys: list[str], ts_col: str, watermark: str) -> DataFrame:
-    """Key dedup with BOUNDED state (`dropDuplicatesWithinWatermark`):
-    unlike plain ``dropDuplicates`` — whose key set grows with the corpus —
-    state for a key is dropped once the watermark passes its event time +
-    delay, so memory is proportional to the watermark window, not history.
-    Exactly the crawl-frontier guarantee (duplicate URLs arrive in bursts,
-    never months apart) at a fraction of the state.
-    """
-    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
 def streaming_incremental_dedup(

@@ -120,6 +120,12 @@ def test_canonical_url_edge_cases(spark):
         ("http://a.com:443/x", "http://a.com:443/x"),               # 443 is NOT http's default
         ("http://A.com/Path/Case", "http://a.com/Path/Case"),       # path case preserved
         ("https://a.com/?z=1&y=2&z=0", "https://a.com/?y=2&z=0&z=1"),
+        # EMPTY authority must keep its path distinct: before r13 both of
+        # these collapsed to 'file:///' (host/path regexes required a
+        # non-empty authority), silently merging unrelated docs under one
+        # dedup key
+        ("file:///a.txt", "file:///a.txt"),
+        ("file:///b/c.txt#frag", "file:///b/c.txt"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r[0] for r in df.select(canonical_url("url")).collect()]
@@ -167,3 +173,21 @@ def test_try_numeric_coerces_like_pandas(spark):
     )
     got = [r[0] for r in df.select(try_numeric("v")).collect()]
     assert got == [12.5, -3.0, 100.0, None, None, None]
+
+
+def test_duplicate_ngram_fraction_short_doc_totality(spark):
+    """Empty and sub-n docs score 0.0 (the shingle floor keeps MinHash
+    total); the function never returns NULL — the documented contract
+    after the r13 doc fix.  A Gopher deployment gates empty docs via the
+    min-length rule, not this score."""
+    from re_data_pipeline_spark.functions.text import duplicate_ngram_fraction
+
+    df = spark.createDataFrame(
+        [("",), ("one",), ("a b a b",), (None,)], "text string"
+    )
+    got = [r[0] for r in df.select(duplicate_ngram_fraction("text", 2)).collect()]
+    assert got[0] == 0.0      # empty: one "" shingle
+    assert got[1] == 0.0      # sub-n: one short shingle
+    assert abs(got[2] - 1 / 3) < 1e-12   # "a b","b a","a b" -> 1 repeat of 3
+    assert got[3] == 0.0      # NULL text too: greatest() ignores NULLs in
+    #                           the floor, so even NULL yields one "" shingle

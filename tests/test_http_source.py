@@ -68,6 +68,23 @@ def test_paged_fetch_pushdown_and_projection(spark):
     )
 
 
+def test_paged_fetch_limit_with_short_last_page(spark):
+    """`limit` must hold even when the final page is SHORT: the
+    short-page break used to fire before truncation, returning every
+    fetched row (125 here) instead of the cap (r13 fix)."""
+    src = HttpPredicateSource(spark, duckdb_table_fetcher(TABLE), SCHEMA)
+    out = src.load(
+        where=F.col("status") == "Issued", order="permit_id",
+        page_size=100, limit=110,
+    )
+    assert out.count() == 110  # 125 match; page 2 is short (25 rows)
+    small = src.load(
+        where=F.col("status") == "Issued", order="permit_id",
+        page_size=200, limit=50,
+    )
+    assert small.count() == 50  # single short page of 125, still capped
+
+
 def test_missing_and_extra_keys(spark):
     """Rows missing a schema key get NULL; unknown server keys are dropped."""
     fetcher = lambda params: [

@@ -213,6 +213,13 @@ def test_json_quarantine_is_total_and_lossless(spark, tmp_path):
     raws = [r["raw"] for r in bad.collect()]
     assert len(raws) == 2 and any("broken" in r for r in raws)
     assert good.count() + bad.count() == 4
+    # the shared scan cache releases via the STANDARD spine convention
+    # (r13: it was a bespoke attribute no caller was told about, so every
+    # quarantine read leaked its cache for the session's lifetime)
+    from re_data_pipeline_spark.operators.ids import release_spines
+
+    assert release_spines(good) == 1
+    assert release_spines(bad) == 1  # no-op unpersist of the same cache
 
 
 def test_quality_gate_enforce_and_split(spark):

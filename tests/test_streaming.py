@@ -201,14 +201,14 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
 def test_dedup_within_watermark_bounds_state(spark, tmp_path):
     """dropDuplicatesWithinWatermark removes in-window duplicates and keeps
     the first occurrence (bounded-state crawl-frontier dedup)."""
-    from re_data_pipeline_spark.streaming.stream_ops import dedup_within_watermark, read_stream
+    from re_data_pipeline_spark.streaming.stream_ops import dedup_stream, read_stream
 
     e = load_table(spark, "/root/testdata/sf0.001", "events").select("user_id", "ts", "event_id")
     dup = e.unionByName(e)  # every row twice in the same window
     d = str(tmp_path / "dup")
     dup.coalesce(1).write.parquet(d)
     stream = read_stream(spark, d, e.schema)
-    out = dedup_within_watermark(stream, ["event_id"], "ts", "10 minutes")
+    out = dedup_stream(stream, ["event_id"], "ts", "10 minutes")
     q = (
         out.writeStream.format("memory")
         .queryName("ddw_out")
@@ -340,6 +340,54 @@ def test_sessionize_merges_late_in_watermark_events(spark, tmp_path):
     assert got == {
         (base - dt.timedelta(hours=2), base - dt.timedelta(hours=2), 1),
         (base - dt.timedelta(minutes=2), base + dt.timedelta(minutes=5), 3),
+    }
+
+
+def test_sessionize_late_event_extends_batch_closed_session(spark, tmp_path):
+    """A session 'closed' by a later event INSIDE a batch is not final: a
+    late in-watermark event in a later batch may still merge into it, so
+    it must stay in state until the watermark passes end + gap.  Before
+    the r13 fix it was emitted at close time, and the late event produced
+    a SPLIT second session where F.session_window outputs one."""
+    import datetime as dt
+    import time as _t
+
+    from re_data_pipeline_spark.streaming.stateful import sessionize_per_user
+    from re_data_pipeline_spark.streaming.stream_ops import read_stream
+
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+    schema = "user_id long, ts timestamp"
+    d = str(tmp_path / "closed_sess")
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(d)
+        _t.sleep(0.2)
+
+    # batch 1: 10:00 and 11:00 — with gap 30min the 10:00 session is
+    # closed WITHIN the batch by the 11:00 event
+    write([(1, base), (1, base + dt.timedelta(hours=1))])
+    # batch 2: late in-watermark 10:10 — belongs to the closed session
+    write([(1, base + dt.timedelta(minutes=10))])
+    write([(-1, base + dt.timedelta(days=1))])   # sentinels advance watermark
+    write([(-1, base + dt.timedelta(days=2))])
+
+    stream = read_stream(spark, d, schema, max_files_per_trigger=1)
+    sess = sessionize_per_user(stream.withWatermark("ts", "3 hours"), 30 * 60)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("closed_sess_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["session_start"], r["last_event"], r["n_events"])
+        for r in spark.table("closed_sess_out").where(F.col("user_id") == 1).collect()
+    }
+    assert got == {
+        (base, base + dt.timedelta(minutes=10), 2),          # ONE merged session
+        (base + dt.timedelta(hours=1), base + dt.timedelta(hours=1), 1),
     }
 
 
