@@ -4824,11 +4824,13 @@ DRIVER_WINDOW: list[str] = [
     # the shared _SEMDEDUP_CTES block.  Displaces q23/q25 (last two r7
     # rows) to the r14 proposal.
     "q213_kcenter_select", "q123_semantic_dedup",
-    # (b) late-round r13 change: canonical_url's host/path regexes now
+    # (b) late-round r13 changes: canonical_url's host/path regexes now
     # accept an EMPTY authority (file:///a.txt no longer collapses to
-    # 'file:///'), and q109's oracle carries the same regex fix —
-    # displaces q21_case_normalize (the least-stale r7 row) to r14.
-    "q109_canonical_url",
+    # 'file:///') with q109's oracle carrying the same regex fix, and
+    # sessionize_per_user (q101's operator) now holds batch-closed
+    # sessions until the watermark finalizes them — displacing the two
+    # least-stale r7 rows (q21_case_normalize, q19_json_extract) to r14.
+    "q109_canonical_url", "q101_streaming_sessions",
     # (c) last green driver row: round 6 (all 26; planner order —
     # q150_sequence_pattern first, displaced from the r12 window by q213)
     "q150_sequence_pattern", "q154_index_merge", "q155_grouped_kfold",
@@ -4846,7 +4848,7 @@ DRIVER_WINDOW: list[str] = [
     "q151_item_cooccurrence", "q152_skyline", "q157_stream_left_outer",
     "q162_bpe_encode", "q163_record_linkage", "q166_temperature_mixture",
     "q16_date_parts", "q170_char_lm_quality", "q171_token_drift",
-    "q172_pmi_collocations", "q19_json_extract",
+    "q172_pmi_collocations",
 ]
 
 
