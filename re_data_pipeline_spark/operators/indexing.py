@@ -12,11 +12,12 @@ Plan shape at 100 TB:
 - document frequency is one map-combined agg on the term;
 - the stop-band filter (df > max_df_fraction·N) broadcasts the 1-row corpus
   count — the classic reason NOT to index "the";
-- posting lists are CAPPED BEFORE collection with a rank window partitioned
-  by term (row_number ≤ max_postings), so no executor ever materializes an
-  unbounded list for a hot term — the cap is the index's page size, and
-  full postings for capped terms live in overflow segments in a real
-  deployment.
+- posting lists are CAPPED BEFORE collection with a two-phase exact min-k
+  (per-input-partition pre-cap, then a capped merge — see
+  ``inverted_index``'s docstring), so no executor ever materializes OR
+  sorts an unbounded list for a hot term — the cap is the index's page
+  size, and full postings for capped terms live in overflow segments in a
+  real deployment.
 """
 
 from __future__ import annotations
@@ -25,7 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from re_data_pipeline_spark.functions.text import tokens
+from re_data_pipeline_spark.functions.text import tokens, ws_tokens
 
 
 def inverted_index(
@@ -38,9 +39,22 @@ def inverted_index(
 ) -> DataFrame:
     """Build (term, df, postings) rows; postings sorted ascending by doc id
     and truncated to ``max_postings`` (df still counts ALL matching docs).
+
+    The cap is a two-phase exact min-k, NOT a ``Window.partitionBy(term)``
+    rank: a stop-band-surviving hot term (df just under
+    ``max_df_fraction``·N) would funnel all its postings through ONE
+    window task, a single-reducer sort of up to N/2 rows (r13 fix).
+    Phase 1 keeps each term's ``max_postings`` smallest ids per INPUT
+    partition (pure map-side: a (term, partition) group lives in one
+    task), so the term shuffle carries ≤ k·tasks rows per term; phase 2
+    merges and re-caps.  Exact because min-k distributes over
+    partition-wise min-k.
     """
     toks = df.select(
-        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("term")
+        # ws_tokens, NOT tokens: the unfiltered form keeps a single ''
+        # for empty/whitespace docs, which would index a bogus hot term
+        # whose df grows with every empty doc in the crawl (r13 fix)
+        F.col(id_col), F.explode(F.array_distinct(ws_tokens(text_col))).alias("term")
     )
     total = df.agg(F.count_distinct(F.col(id_col)).alias("__n"))
     stats = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -52,14 +66,20 @@ def inverted_index(
         )
         .select("term", "df")
     )
-    w = Window.partitionBy("term").orderBy(F.col(id_col))
-    capped = (
+    part = (
         toks.join(kept, "term")
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= max_postings)
+        .withColumn("__p", F.spark_partition_id())
+        .groupBy("term", "df", "__p")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.col(id_col))), 1, max_postings
+            ).alias("__ids")
+        )
     )
-    return capped.groupBy("term", "df").agg(
-        F.sort_array(F.collect_list(F.col(id_col))).alias("postings")
+    return part.groupBy("term", "df").agg(
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("__ids"))), 1, max_postings
+        ).alias("postings")
     )
 
 
@@ -210,7 +230,9 @@ def vocab_coverage(
     from re_data_pipeline_spark.operators.ids import assign_prefix_sums, carry_spines
 
     counts = (
-        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        # ws_tokens: '' from empty docs is not a vocabulary type and its
+        # occurrences are not token mass (r13 fix)
+        df.select(F.explode(ws_tokens(F.col(text_col))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -269,7 +291,13 @@ def boilerplate_ngrams(
     from re_data_pipeline_spark.functions.text import tokens, word_shingles_of
 
     spans = df.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__t")
+        F.col(id_col), ws_tokens(F.col(text_col)).alias("__t")
+    ).where(
+        # a doc with fewer than span_words tokens has NO spans; without
+        # this filter word_shingles_of's floor-at-one injects a phantom
+        # truncated span per short doc ('' per empty doc), letting
+        # empty-doc duplicates top the leaderboard (r13 fix)
+        F.size(F.col("__t")) >= span_words
     ).select(
         F.col(id_col),
         F.explode(word_shingles_of(F.col("__t"), span_words, distinct=False)).alias(

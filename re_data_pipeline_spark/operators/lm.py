@@ -307,7 +307,7 @@ def perplexity_buckets(
     ordinal, group sizes and first-ordinals from one |groups|-row agg
     broadcast back (the ``curriculum_interleave`` discipline).
     """
-    from re_data_pipeline_spark.operators.ids import assign_ordinals, carry_spines
+    from re_data_pipeline_spark.operators.ids import _carry_caches, assign_ordinals
 
     if len(labels) < 2:
         raise ValueError(f"need ≥ 2 labels; got {labels!r}")
@@ -333,4 +333,8 @@ def perplexity_buckets(
         .withColumn(bucket_col, F.element_at(label_arr, idx + 1))
         .drop("__g", "__g0", "__n", "__grp")
     )
-    return carry_spines(o, out)
+    # carry the INPUT's cache handles too (ngram_lm_nll's persisted token
+    # frames ride scored_df._ordinal_caches) — carrying only the spine
+    # would strip the caller's release handle for them (r13 fix, the
+    # standard ids._carry_caches protocol)
+    return _carry_caches(scored_df, out, getattr(o, "_ordinal_cache", None))

@@ -9,7 +9,11 @@ semantics (fail the job, quarantine rows, or just report).
 
 Scale shape: the report is ``len(rules)`` columns of conditional counts in a
 single partial-aggregating pass over the table — at 100 TB the report costs
-one scan; the row split is a filter on the same cached pass.
+one scan.  ``split_valid`` returns two LAZY filters over the input — each
+half's materialization is its own scan, so a caller writing both halves
+should persist the input (or write once and split downstream) if two full
+corpus scans are unacceptable; the operator does not cache on the caller's
+behalf (a silent 100 TB persist would thrash executor storage).
 """
 
 from __future__ import annotations
@@ -166,6 +170,10 @@ def gopher_quality_flags(
     d = (
         df.withColumn("__w", F.split(F.trim(F.col(text_col)), r"\s+"))
         .withColumn("__l", F.split(F.col(text_col), r"\n"))
+        # lowered tokens materialized ONCE: the stopword filter lambda
+        # referenced transform(__w, lower) inline, re-lowering the whole
+        # token array once per stopword — 8x per row (r13 fix)
+        .withColumn("__wl", F.transform("__w", F.lower))
     )
     words = F.size("__w")
     lines = F.size("__l")
@@ -186,7 +194,7 @@ def gopher_quality_flags(
     stop_hits = F.size(
         F.filter(
             F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]),
-            lambda s: F.array_contains(F.transform("__w", F.lower), s),
+            lambda s: F.array_contains(F.col("__wl"), s),
         )
     )
     flags = {

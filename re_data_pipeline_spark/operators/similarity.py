@@ -35,14 +35,17 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k by cosine similarity to one query vector.
 
-    Deterministic tiebreak: (score desc, first id-ish column asc) so results
-    are stable across partitionings.
+    Deterministic tiebreak: (score desc, then EVERY non-vector column asc)
+    so results are stable across partitionings whenever rows are unique —
+    the old first-column-only heuristic silently lost the guarantee when
+    the first non-vector column was non-unique (or absent), and
+    ivf_topk/ann_lsh_topk inherited the instability (r13 fix).
     """
     q = literal_vector(query_vec)
     scored = df.withColumn(score_col, cosine_similarity(F.col(vec_col), q))
     if where is not None:
         scored = scored.where(where)
-    tiebreak = [c for c in df.columns if c != vec_col][:1]
+    tiebreak = [c for c in df.columns if c != vec_col]
     return scored.orderBy(F.desc(score_col), *tiebreak).limit(k)
 
 
@@ -158,8 +161,11 @@ def ivf_topk(
         return d / (na * nb) if na and nb else -1.0
 
     # Row attribute access rejects __-prefixed names; use indexing
+    # list-id tiebreak: cent_rows comes from collect() (nondeterministic
+    # order), so equal-cosine centroids at the n_probe boundary would
+    # otherwise make successive runs probe DIFFERENT lists (r13 fix)
     probes = sorted(
-        cent_rows, key=lambda r: -cos(list(r["centroid"]), query_vec)
+        cent_rows, key=lambda r: (-cos(list(r["centroid"]), query_vec), r["__l"])
     )[:n_probe]
     probe_ids = [r["__l"] for r in probes]
 
@@ -347,12 +353,24 @@ def pq_train(
 
     Returns ``codebooks[sub][code] -> centroid`` (python lists).
     """
-    dim = len(corpus.select(vec_col).first()[0])
+    first = corpus.select(vec_col).first()
+    if first is None:
+        raise ValueError("pq_train needs a non-empty corpus")
+    dim = len(first[0])
     if dim % m:
         raise ValueError(f"embedding dim {dim} is not divisible by m={m} — "
                          "the trailing dims would be silently dropped")
     d_sub = dim // m
     init = corpus.orderBy(id_col).limit(k).select(vec_col).collect()
+    if len(init) < k:
+        # argmin_code indexes books[s][c] for every c in range(k); fewer
+        # init rows than codes would IndexError at plan-build time with no
+        # hint at the cause (r13 fix) — and a codebook with duplicate or
+        # missing codes is statistically useless anyway
+        raise ValueError(
+            f"pq_train needs at least k={k} vectors to seed the codebooks; "
+            f"corpus has {len(init)}"
+        )
     books = [
         [[float(v) for v in r[0][s * d_sub : (s + 1) * d_sub]] for r in init]
         for s in range(m)

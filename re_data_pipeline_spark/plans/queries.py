@@ -844,6 +844,15 @@ def _sql_tokens(col: str = "text") -> str:
     return f"string_split_regex(trim({col}), '\\s+')"
 
 
+def _sql_ws_tokens(col: str = "text") -> str:
+    """DuckDB transcription of functions.text.ws_tokens (empties dropped,
+    NULL -> []) — the corpus-wide tokenization contract."""
+    return (
+        f"list_filter(string_split_regex(coalesce({col}, '')"
+        ", '\\s+'), t -> t <> '')"
+    )
+
+
 @query(
     "q30_token_quality",
     f"""
@@ -5525,7 +5534,7 @@ def q134_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q135_inverted_index",
     f"""
     WITH t AS (
-      SELECT DISTINCT doc_id, unnest({_sql_tokens()}) AS term
+      SELECT DISTINCT doc_id, unnest({_sql_ws_tokens()}) AS term
       FROM documents
     ), tot AS (
       SELECT COUNT(DISTINCT doc_id) AS n FROM documents
@@ -5549,8 +5558,9 @@ def q135_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms explode map-side; df is one combined agg; the stop-band filter
     (df > 95% of corpus here — the synthetic vocabulary is tiny and
     common) broadcasts the 1-row doc count; postings are
-    capped (≤50) with a rank window BEFORE collection so hot terms never
-    materialize unbounded lists."""
+    capped (≤50) via a two-phase exact min-k BEFORE collection (per-input-
+    partition pre-cap, then a capped merge) so hot terms never materialize
+    OR single-reducer-sort unbounded lists."""
     from re_data_pipeline_spark.operators.indexing import inverted_index
 
     d = load_table(spark, sf_dir, "documents")
@@ -5563,7 +5573,7 @@ def q135_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q154_index_merge",
     f"""
     WITH t AS (
-      SELECT DISTINCT doc_id, unnest({_sql_tokens()}) AS term
+      SELECT DISTINCT doc_id, unnest({_sql_ws_tokens()}) AS term
       FROM documents
     ), tot AS (
       SELECT COUNT(DISTINCT doc_id) AS n FROM documents
@@ -7731,7 +7741,7 @@ def q175_global_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q176_vocab_coverage",
     f"""
     WITH tok AS (
-      SELECT unnest({_sql_tokens()}) AS t FROM documents
+      SELECT unnest({_sql_ws_tokens()}) AS t FROM documents
     ), c AS (
       SELECT t, COUNT(*) AS c FROM tok GROUP BY t
     ), r AS (
@@ -8292,13 +8302,13 @@ def q187_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFr
     "q188_boilerplate_ngrams",
     f"""
     WITH toks AS (
-      SELECT doc_id, {_sql_tokens()} AS t FROM documents
+      SELECT doc_id, {_sql_ws_tokens()} AS t FROM documents
     ), spans AS (
       SELECT doc_id,
              unnest(list_transform(
-               range(1, greatest(len(t) - 4, 1) + 1),
+               range(1, len(t) - 4 + 1),
                j -> array_to_string(t[j:j+4], ' '))) AS span
-      FROM toks
+      FROM toks WHERE len(t) >= 5
     ), g AS (
       SELECT span, COUNT(*) AS n_occurrences,
              COUNT(DISTINCT doc_id) AS n_docs
