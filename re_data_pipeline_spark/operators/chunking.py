@@ -53,8 +53,13 @@ def chunk_snippets(
     main_starts = F.when(
         sz >= F.lit(n), F.sequence(F.lit(0), sz - F.lit(n), F.lit(stride))
     ).otherwise(F.array().cast("array<int>"))
-    has_tail = (F.pmod(sz, F.lit(stride)) != 0) & (
-        F.pmod(sz - F.lit(n), F.lit(stride)) != 0
+    # sz >= 0 gate: size(NULL) = -1 in non-ANSI mode, and pmod(-1, 29) = 28
+    # passes BOTH tail tests — a NULL snippets array would emit one phantom
+    # all-NULL tail chunk that then flows into embedding/retrieval (r13 fix)
+    has_tail = (
+        (sz >= 0)
+        & (F.pmod(sz, F.lit(stride)) != 0)
+        & (F.pmod(sz - F.lit(n), F.lit(stride)) != 0)
     )
     tail_start = F.greatest(sz - F.lit(n), F.lit(0))
     starts = F.when(

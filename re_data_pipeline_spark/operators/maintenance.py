@@ -157,14 +157,23 @@ def key_skew_report(
         .select(
             *[c for c in top.columns if c not in ("__total", "__nkeys", "rnk")],
             F.round(F.col("n_rows") / F.col("__total"), 6).alias("share"),
-            (F.round(F.col("n_rows") * F.col("__nkeys") / F.col("__total"), 6)).alias(
-                "skew_factor"
-            ),
-            # integer ceil via DIV, not floor(float division): at corpus
-            # scale n_rows·n_keys exceeds 2^53 and a double round-trip
-            # could be off by one
-            F.expr("CAST((n_rows * __nkeys + __total - 1) DIV __total AS INT)")
-            .alias("suggested_salt"),
+            # double FIRST: a bigint·bigint product wraps at 2^63 before
+            # the (double) division ever sees it; the display ratio only
+            # needs double precision (r13 fix)
+            (
+                F.round(
+                    F.col("n_rows").cast("double") * F.col("__nkeys") / F.col("__total"), 6
+                )
+            ).alias("skew_factor"),
+            # integer ceil via DIV over decimal(38,0), not bigint and not
+            # floor(float division): at corpus scale n_rows·n_keys exceeds
+            # 2^53 (double off-by-one) AND can exceed 2^63 (bigint wraps
+            # NEGATIVE in non-ANSI mode, exactly for the hottest keys this
+            # report exists to flag — r13 fix)
+            F.expr(
+                "CAST((CAST(n_rows AS DECIMAL(38,0)) * __nkeys + __total - 1)"
+                " DIV __total AS INT)"
+            ).alias("suggested_salt"),
             "rnk",
         )
     )

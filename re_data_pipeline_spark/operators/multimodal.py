@@ -274,11 +274,6 @@ def media_ahash_words(
     (``hamming_radius_pairs_on_words``).  Arrow-batched mapInPandas; only
     the id and fingerprint leave the Python boundary.
     """
-    from collections.abc import Iterator
-
-    import pandas as pd
-    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
-
     decode = _decode_fn(decoder)
     id_fields = [f for f in df.schema.fields if f.name in ("media_id",)]
     schema = StructType(id_fields + [StructField(out_col, ArrayType(LongType()))])
@@ -288,7 +283,9 @@ def media_ahash_words(
         for pdf in batches:
             words = []
             for content, kind in zip(pdf["content"], pdf["kind"]):
-                v = _ahash64(decode(bytes(content), kind))
+                # None guard like every sibling kernel: MEDIA_SCHEMA.content
+                # is nullable and bytes(None) would kill the whole task
+                v = _ahash64(decode(bytes(content) if content is not None else b"", kind))
                 words.append([v & mask, v >> _AHASH_WORD_BITS])
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], out_col: words}

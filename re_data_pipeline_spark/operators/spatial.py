@@ -266,9 +266,27 @@ def point_in_polygon_join(
     ).drop(*drop_cols)
     if how == "inner":
         return candidates
-    # left join: re-attach points with no containing polygon
-    matched_keys = candidates.select(points.columns).distinct()
-    unmatched = points.join(matched_keys, points.columns, "left_anti")
+    if exact == "expr":
+        # left join in ONE pass, containment in the join condition.  The
+        # old two-pass form (anti-join the matched keys, union the rest)
+        # was null-UNSAFE — a matched point carrying a NULL in any
+        # pass-through column never matched the anti-join's equality, so
+        # it was emitted TWICE (matched + unmatched-with-NULL-polygon) —
+        # and it recomputed the containment subtree twice (r13 fix).
+        return points.join(F.broadcast(polys), bbox & contained, "left").drop(
+            *drop_cols
+        )
+    # the UDF kernel cannot sit in a LEFT JOIN ON clause
+    # (UNSUPPORTED_FEATURE.PYTHON_UDF_IN_ON_CLAUSE) — two-pass, but with a
+    # NULL-SAFE anti-join on the point columns (same r13 fix)
+    matched = candidates.select(points.columns).distinct().select(
+        [F.col(c).alias(f"__m_{c}") for c in points.columns]
+    )
+    cond = None
+    for c in points.columns:
+        e = points[c].eqNullSafe(F.col(f"__m_{c}"))
+        cond = e if cond is None else cond & e
+    unmatched = points.join(matched, cond, "left_anti")
     for c in candidates.columns:
         if c not in points.columns:
             unmatched = unmatched.withColumn(c, F.lit(None))

@@ -21,9 +21,27 @@ from pyspark.sql import functions as F
 
 def anti_join_new_rows(batch: DataFrame, existing: DataFrame, keys: list[str]) -> DataFrame:
     """Rows of ``batch`` whose natural key is absent from ``existing``
-    (= ON CONFLICT DO NOTHING insert set).  Batch-internal duplicates are
-    collapsed first, mirroring the DB unique constraint."""
-    return batch.dropDuplicates(keys).join(existing.select(keys), on=keys, how="left_anti")
+    (= ON CONFLICT DO NOTHING insert set).  Batch-internal duplicates
+    collapse DETERMINISTICALLY first (min by the remaining columns'
+    struct — dropDuplicates keeps a partition-order-dependent winner, so
+    two sources listing one key with different values produced
+    run-dependent output until r13; merge_upsert already used this form),
+    mirroring the DB unique constraint."""
+    from pyspark.sql.window import Window
+
+    val_cols = [c for c in batch.columns if c not in keys]
+    if val_cols:
+        w = Window.partitionBy(*keys).orderBy(
+            F.struct(*[F.col(c) for c in val_cols]).asc()
+        )
+        dedup = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        dedup = batch.dropDuplicates(keys)  # key-only rows: nothing to pick
+    return dedup.join(existing.select(keys), on=keys, how="left_anti")
 
 
 def upsert_append(existing: DataFrame, batch: DataFrame, keys: list[str]) -> DataFrame:

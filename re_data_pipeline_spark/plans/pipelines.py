@@ -42,8 +42,21 @@ LISTING_KEY = ["latitude", "longitude", "address"]
 
 def _uuid_col(*cols) -> F.Column:
     """Deterministic surrogate key (P6): md5 of the natural identity —
-    testable stand-in for the reference's uuid4 (``get_AV_listings.py:107``)."""
-    return F.md5(F.concat_ws("|", *cols))
+    testable stand-in for the reference's uuid4 (``get_AV_listings.py:107``).
+
+    Each field is coalesced to a sentinel BEFORE the join: concat_ws
+    silently SKIPS NULL fields, so (NULL, '1.0', 2.0) and ('1.0', 2.0,
+    NULL) would otherwise serialize identically and collide on one uuid —
+    the separator-ambiguity class ``maintenance.shard_manifest`` documents
+    (r13 fix; oracle carries the same coalesce)."""
+    parts = [
+        F.coalesce(
+            (F.col(c) if isinstance(c, str) else c).cast("string"),
+            F.lit("\\N"),
+        )
+        for c in cols
+    ]
+    return F.md5(F.concat_ws("|", *parts))
 
 
 def normalize_av(raw: DataFrame) -> DataFrame:
@@ -182,8 +195,6 @@ def property_listings_pipeline(
     )
     # planar coords for the spatial joins (fixtures are planar already;
     # with lat/lon inputs this is utm_project())
-    from re_data_pipeline_spark.plans.fixtures import GRID_ORIGIN_X, GRID_ORIGIN_Y
-
     xy = combined.select(
         "property_uuid",
         (((F.col("latitude") - 53.4) * 100000.0) + GRID_ORIGIN_Y).alias("y"),
@@ -462,15 +473,23 @@ def transcripts_pipeline(
         F.get_json_object("llm_output", "$.summary").alias("summary"),
     )
 
+    # the reference flips BOTH flags (transcripts_to_vector_db sets
+    # vectorized, transcript_summaries sets summarized) — without this an
+    # incremental re-run keyed on summarized==0 re-summarizes everything.
+    # The summarized flip is restricted to the PENDING set (vectorized==0
+    # at input — computed BEFORE the vectorized flip below): this run only
+    # summarizes transcripts it chunked, so a row that arrived
+    # (vectorized=1, summarized=0) — prior run vectorized it, summary step
+    # failed — must stay summarized=0 or its summary is permanently lost
+    # to the next incremental run (r13 fix).
     flagged = transcripts.withColumn(
+        "summarized",
+        F.when(
+            (F.col("summarized") == 0) & (F.col("vectorized") == 0), F.lit(1)
+        ).otherwise(F.col("summarized")),
+    ).withColumn(
         "vectorized",
         F.when(F.col("vectorized") == 0, F.lit(1)).otherwise(F.col("vectorized")),
-    ).withColumn(
-        # the reference flips BOTH flags (transcripts_to_vector_db sets
-        # vectorized, transcript_summaries sets summarized) — without this an
-        # incremental re-run keyed on summarized==0 re-summarizes everything
-        "summarized",
-        F.when(F.col("summarized") == 0, F.lit(1)).otherwise(F.col("summarized")),
     )
     return {
         "chunks": embedded,

@@ -3297,7 +3297,7 @@ def q45_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM range(20) t(i)
     ), combined AS (
       SELECT source,
-             md5(address || '|' || latitude::VARCHAR || '|' || longitude::VARCHAR)
+             md5(coalesce(address, '\\N') || '|' || coalesce(latitude::VARCHAR, '\\N') || '|' || coalesce(longitude::VARCHAR, '\\N'))
                AS property_uuid,
              CASE WHEN lower(sol_raw) LIKE '%sale%' AND lower(sol_raw) LIKE '%lease%'
                     THEN 'sale_or_lease'

@@ -101,3 +101,17 @@ def test_chunking_exhaustive_counts(spark):
             (i, ts, tx, tail) for i, (ts, tx, tail) in enumerate(expected[count])
         ]
         assert sorted(got.get(count, [])) == want, f"count={count}"
+
+
+def test_chunk_snippets_null_array_yields_no_chunks(spark):
+    """size(NULL) = -1 in non-ANSI mode and pmod(-1, stride) != 0, so a NULL
+    snippets array used to emit ONE phantom all-NULL tail chunk (which then
+    flowed into embedding/retrieval); it must produce zero chunk rows."""
+    from re_data_pipeline_spark.operators.chunking import chunk_snippets
+
+    df = spark.createDataFrame(
+        [(1, None), (2, [{"ts": "0", "text": "a"}] * 40)],
+        "tid int, snippets array<struct<ts:string,text:string>>",
+    )
+    got = chunk_snippets(df, "snippets").select("tid").collect()
+    assert {r.tid for r in got} == {2}

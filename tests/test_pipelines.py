@@ -115,6 +115,16 @@ def test_transcripts_pipeline(spark):
     assert summ == ids
     # state flags flipped (I2)
     assert out["transcripts_updated"].where(F.col("vectorized") == 0).count() == 0
+    # ...but summarized flips ONLY for transcripts summarized THIS run:
+    # transcript 0 arrived (vectorized=1, summarized=0) — a prior run
+    # vectorized it and the summary step failed — and this run's pending
+    # set excludes it, so flipping its flag would permanently lose the
+    # summary to the next incremental run (r13 fix)
+    still_pending = {
+        r.council_transcript_id
+        for r in out["transcripts_updated"].where(F.col("summarized") == 0).collect()
+    }
+    assert still_pending == {0}
 
 
 def test_transcripts_pipeline_ann_routing_and_recall(spark):

@@ -375,3 +375,31 @@ def test_point_in_rect_and_single_ring_udf_compat(spark):
         ]),
     )
     assert [r[0] for r in far.select(pip("x", "y", "ring")).collect()] == [False]
+
+
+def test_pip_left_null_passthrough_no_duplicates(spark):
+    """A MATCHED point carrying a NULL pass-through column must appear
+    exactly once in left mode: the old anti-join on points.columns was
+    null-unsafe, so such a row was emitted twice (matched AND unmatched
+    with NULL zone) — on BOTH kernels (r13 fix)."""
+    from re_data_pipeline_spark.operators.spatial import point_in_polygon_join
+
+    def ring(*xy):
+        return [{"x": float(a), "y": float(b)} for a, b in xy]
+
+    zones = spark.createDataFrame(
+        [("z", ring((0, 0), (10, 0), (10, 10), (0, 10)))],
+        "zone string, ring array<struct<x:double,y:double>>",
+    )
+    pts = spark.createDataFrame(
+        [(None, 1.0, 1.0),   # matched, NULL id
+         (2, 50.0, 50.0)],   # unmatched
+        "pid long, x double, y double",
+    )
+    for forced in ({"exact": "expr"}, {"exact": "udf"}):
+        rows = point_in_polygon_join(
+            pts, zones, ("x", "y"), "ring", how="left", **forced
+        ).collect()
+        assert len(rows) == 2, (forced, rows)
+        got = {(r.pid, r.zone) for r in rows}
+        assert got == {(None, "z"), (2, None)}, forced
