@@ -44,11 +44,17 @@ def inverted_index(
     rank: a stop-band-surviving hot term (df just under
     ``max_df_fraction``·N) would funnel all its postings through ONE
     window task, a single-reducer sort of up to N/2 rows (r13 fix).
-    Phase 1 keeps each term's ``max_postings`` smallest ids per INPUT
-    partition (pure map-side: a (term, partition) group lives in one
-    task), so the term shuffle carries ≤ k·tasks rows per term; phase 2
-    merges and re-caps.  Exact because min-k distributes over
-    partition-wise min-k.
+    Phase 1 groups by (term, input-partition-id): because a group lives
+    entirely in one input partition, its full posting buffer is built by
+    the map-side partial ``collect_list`` — so the (term, df, __p)
+    shuffle still carries each group's UNCAPPED id buffer (sort_array/
+    slice run in the final aggregate, after that exchange); what the
+    phase buys is that a hot term's buffers hash-spread across reducers
+    as ~tasks independent groups instead of one, and each reducer sorts
+    at most one input partition's worth.  The ≤ k·tasks-rows-per-term
+    bound holds for the PHASE-2 shuffle (its inputs are the capped
+    ``__ids`` arrays), which is where the rank-window funnel used to
+    be.  Exact because min-k distributes over partition-wise min-k.
     """
     toks = df.select(
         # ws_tokens, NOT tokens: the unfiltered form keeps a single ''

@@ -25,6 +25,39 @@ from pyspark.sql.window import Window
 from re_data_pipeline_spark.functions.vectors import cosine_similarity, literal_vector
 
 
+def _orderable(dt) -> bool:
+    """True iff Spark can sort on a column of this type.
+
+    MapType is unorderable (AnalysisException in ORDER BY); arrays and
+    structs are orderable iff every element/field is.  Everything atomic
+    (including binary) sorts fine.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
+def _tiebreak_cols(df: DataFrame, exclude: tuple[str, ...]) -> list[str]:
+    """Deterministic-tiebreak column list: every column not in ``exclude``
+    whose type is orderable.  Used by every top-k in this module so rank
+    windows / TakeOrdered are stable across partitionings whenever the
+    remaining columns jointly identify a row (the r13 first-column-only
+    heuristic silently lost that guarantee on non-unique first columns;
+    the r14 fix extends the full-column rule to the per-query and PQ
+    paths and skips map-typed metadata, which Spark cannot sort on)."""
+    return [
+        f.name
+        for f in df.schema.fields
+        if f.name not in exclude and _orderable(f.dataType)
+    ]
+
+
 def cosine_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -35,17 +68,19 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k by cosine similarity to one query vector.
 
-    Deterministic tiebreak: (score desc, then EVERY non-vector column asc)
-    so results are stable across partitionings whenever rows are unique —
-    the old first-column-only heuristic silently lost the guarantee when
-    the first non-vector column was non-unique (or absent), and
-    ivf_topk/ann_lsh_topk inherited the instability (r13 fix).
+    Deterministic tiebreak: (score desc, then every ORDERABLE non-vector
+    column asc) so results are stable across partitionings whenever rows
+    are unique — the old first-column-only heuristic silently lost the
+    guarantee when the first non-vector column was non-unique (or
+    absent), and ivf_topk/ann_lsh_topk inherited the instability (r13
+    fix); map-typed metadata is skipped because Spark cannot sort on it
+    (r14 fix).
     """
     q = literal_vector(query_vec)
     scored = df.withColumn(score_col, cosine_similarity(F.col(vec_col), q))
     if where is not None:
         scored = scored.where(where)
-    tiebreak = [c for c in df.columns if c != vec_col]
+    tiebreak = _tiebreak_cols(df, (vec_col,))
     return scored.orderBy(F.desc(score_col), *tiebreak).limit(k)
 
 
@@ -83,7 +118,7 @@ def cosine_topk_per_query(
     if prefilter is not None:
         joined = joined.where(prefilter)
     scored = joined.withColumn(score_col, cosine_similarity(F.col(corpus_vec), F.col("__qv"))).drop("__qv")
-    tiebreak = [c for c in corpus.columns if c != corpus_vec][:1]
+    tiebreak = _tiebreak_cols(corpus, (corpus_vec,))
     w = Window.partitionBy(query_id).orderBy(F.desc(score_col), *tiebreak)
     return scored.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k).drop("__rn")
 
@@ -262,7 +297,7 @@ def ann_topk_per_query(
     scored = joined.withColumn(
         score_col, cosine_similarity(F.col(corpus_vec), F.col("__qv"))
     ).drop("__qv", "__bucket")
-    tiebreak = [c for c in corpus.columns if c != corpus_vec][:1]
+    tiebreak = _tiebreak_cols(corpus, (corpus_vec,))
     w = Window.partitionBy(query_id).orderBy(F.desc(score_col), *tiebreak)
     return scored.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= k).drop("__rn")
 
@@ -487,7 +522,7 @@ def pq_adc_topk(
     for s in range(m):
         term = F.element_at(F.element_at("__lut", s + 1), F.element_at(code_col, s + 1) + 1)
         dist = term if dist is None else dist + term
-    tiebreak = [c for c in encoded.columns if c not in (code_col, "__lut")][:1]
+    tiebreak = _tiebreak_cols(encoded, (code_col, "__lut"))
     return (
         encoded.withColumn(score_col, dist)
         .drop("__lut")

@@ -10210,8 +10210,13 @@ def q215_d4_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # radix = _Q215_K keeps the combined key injective for ANY k: ranks
     # run 0..k-1, so rank < radix always (hardcoding 8 here was a latent
-    # trap BOTH engines shared — parity could never catch outgrowing it)
-    assert all(j < _Q215_K for j, _ in cvecs)
+    # trap BOTH engines shared — parity could never catch outgrowing it).
+    # A hard raise, not assert: python -O compiles asserts out, silently
+    # reviving the key-collision trap this invariant closes (r14 fix).
+    if not all(j < _Q215_K for j, _ in cvecs):
+        raise RuntimeError(
+            f"q215 radix invariant violated: center rank >= {_Q215_K}"
+        )
     cl = kept.select(
         "vec_id",
         F.least(

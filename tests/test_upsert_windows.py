@@ -137,3 +137,48 @@ def test_merge_upsert_updates_and_inserts(spark):
     )
     out = {r.k: r.v for r in merge_upsert(existing, batch, ["k"]).collect()}
     assert out == {1: 10.0, 2: 99.0, 3: 25.0}  # 3: min-struct dedup wins
+
+
+def test_topk_tiebreak_deterministic_and_map_safe(spark):
+    """r14: (a) per-query/PQ top-k tiebreaks on EVERY orderable column, so
+    score ties with a non-unique first column resolve identically under any
+    partitioning; (b) a map-typed metadata column no longer enters the sort
+    (Spark cannot ORDER BY a map — would raise AnalysisException)."""
+    from re_data_pipeline_spark.operators.similarity import (
+        ann_topk_per_query,
+        pq_adc_topk,
+    )
+
+    # duplicate first non-vector column ("grp"), unique trailing id,
+    # identical vectors -> pure tie; plus an unorderable map column
+    corpus = spark.createDataFrame(
+        [("a", {"m": 1}, 2, [1.0, 0.0]), ("a", {"m": 2}, 1, [1.0, 0.0])],
+        "grp string, meta map<string,int>, id int, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "query_id int, embedding array<float>"
+    )
+    for n_parts in (1, 4):
+        got = (
+            cosine_topk_per_query(corpus.repartition(n_parts), queries, 1)
+            .select("id")
+            .collect()
+        )
+        assert [r.id for r in got] == [1]  # lowest id wins the tie, always
+
+    planes = [[1.0, 0.0], [0.0, 1.0]]
+    got = ann_topk_per_query(corpus, queries, 1, planes=planes).select("id").collect()
+    assert [r.id for r in got] == [1]
+
+    # brute top-k with the map column present must not raise either
+    got = cosine_topk(corpus, [1.0, 0.0], 1).select("id").collect()
+    assert [r.id for r in got] == [1]
+
+    # PQ/ADC: identical codes -> tie; full-column tiebreak picks lowest id
+    enc = spark.createDataFrame(
+        [("a", 2, [0, 0]), ("a", 1, [0, 0])],
+        "grp string, vid int, pq_codes array<int>",
+    )
+    books = [[[0.0, 0.0], [1.0, 1.0]], [[0.0, 0.0], [1.0, 1.0]]]
+    got = pq_adc_topk(enc, books, [0.0, 0.0, 0.0, 0.0], 1, code_col="pq_codes")
+    assert [r.vid for r in got.collect()] == [1]
