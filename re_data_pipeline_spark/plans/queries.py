@@ -4801,63 +4801,51 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-window registration order
 # ---------------------------------------------------------------------------
 # The correctness driver verifies the FIRST 50 registered queries, in order.
-# Round-13 rotation (tools/window_planner.py proposal, reviewed): the
-# standing policy is (a) never-driver-checked registrations always in,
-# (b) queries whose code/oracle changed this round, (c) stalest green
-# rows, oldest round first.  This rotation clears the ENTIRE round-6
-# band (all 26 rows, including the §2-inventory rows q15/q17/q18/q24/
-# q27-q29 and heavies q63/q71/q82/q97/q161 the r12 verdict names) plus
-# the oldest 18 of the 41 round-7 rows (the planner proposed 22; q26/q22
-# were displaced mid-round by q216/q217 and q23/q25 by the (b) group —
-# see below); the remaining 23 round-7 rows lead the round-14 proposal.
-# Everything rotated out holds a green r6-r12 driver row with unchanged
-# code, and tools/parity.py still verifies ALL registered queries every
-# session.
+# Round-14 rotation (tools/window_planner.py proposal, taken verbatim —
+# the r13 verdict's task 1): the standing policy is (a) never-driver-
+# checked registrations always in (none this round — no net-new queries),
+# (b) queries whose code changed this round, (c) stalest green rows,
+# oldest round first.  This rotation clears the ENTIRE round-7 band
+# (all 25 rows, including the §2-inventory contract rows upsert K2 q25,
+# chunking W3 q37, archival K4 q26, geocode X2 q56) plus the oldest 17
+# of the 48 round-9 rows; after the driver run no green row predates
+# round 9 (the r13 verdict's done-condition).  Everything rotated out
+# holds a green r9-r13 driver row with unchanged code, and
+# tools/parity.py still verifies ALL registered queries every session.
 
 # The round this list was last actually RE-COMPOSED (not merely shipped):
 # tools/gen_window_doc.py stamps it into README so the freshness claim
 # can't silently go false again (r9 verdict "what's wrong" #2).
-DRIVER_WINDOW_ROUND = 13
+DRIVER_WINDOW_ROUND = 14
 
 DRIVER_WINDOW: list[str] = [
-    # (a) never driver-checked (new in round 13; q216 added mid-round,
-    # displacing q26_archive_delisted — the planner's never-checked-
-    # always-in rule; q26 rejoins the r14 proposal's r7 band)
-    "q214_kcenter_incremental", "q215_d4_curation",
-    "q216_cluster_safe_split", "q217_sssp_weighted",
-    # (b) code/oracle changed in round 13: kcenter_select's shared code
-    # path changed behaviorally (NULL-id/vector exclusion, id column
-    # keeps input type, shared micro_sq_dist) — q213 exercises the
-    # GREEDY route at k=5, which q214 (forced incremental) and q215
-    # (k=8) do not re-verify alone; q123's oracle was refactored into
-    # the shared _SEMDEDUP_CTES block.  Displaces q23/q25 (last two r7
-    # rows) to the r14 proposal.
-    "q213_kcenter_select", "q123_semantic_dedup",
-    # (b) late-round r13 changes: canonical_url's host/path regexes now
-    # accept an EMPTY authority (file:///a.txt no longer collapses to
-    # 'file:///') with q109's oracle carrying the same regex fix, and
-    # sessionize_per_user (q101's operator) now holds batch-closed
-    # sessions until the watermark finalizes them — displacing the two
-    # least-stale r7 rows (q21_case_normalize, q19_json_extract) to r14.
-    "q109_canonical_url", "q101_streaming_sessions",
-    # (c) last green driver row: round 6 (all 26; planner order —
-    # q150_sequence_pattern first, displaced from the r12 window by q213)
-    "q150_sequence_pattern", "q154_index_merge", "q155_grouped_kfold",
-    "q156_curation_v2", "q158_stratified_sample", "q159_triangle_count",
-    "q15_date_lookback", "q161_bpe_train", "q164_quota_sample",
-    "q165_bfs_distances", "q17_regexp_extract", "q18_string_cleanup",
-    "q24_collect_sorted", "q27_tumbling_window", "q28_sliding_window",
-    "q29_session_window", "q33_minhash_lsh", "q34_ngram_jaccard",
-    "q36_centroid_similarity", "q57_asof_join", "q63_reit_pipeline",
-    "q71_near_dedup_pipeline", "q72_curation_pipeline",
-    "q82_connected_components", "q85_cluster_dedup", "q97_sequence_packing",
-    # (c) last green driver row: round 7 (oldest 18 of 41; planner order)
-    "q08_distinct", "q09_union_by_name", "q10_except",
-    "q114_grouping_sets", "q11_explode", "q120_http_pushdown_scan",
-    "q151_item_cooccurrence", "q152_skyline", "q157_stream_left_outer",
-    "q162_bpe_encode", "q163_record_linkage", "q166_temperature_mixture",
-    "q16_date_parts", "q170_char_lm_quality", "q171_token_drift",
-    "q172_pmi_collocations",
+    # (b) code changed in round 14: every top-k in operators/similarity.py
+    # now tiebreaks on the full ORDERABLE column set (cosine_topk_per_query,
+    # ann_topk_per_query, pq_adc_topk previously kept the first-column-only
+    # heuristic; map-typed columns excluded) — q35/q41/q69/q103/q115/q193
+    # exercise the brute/LSH/IVF/PQ/recall paths and q48 the per-query
+    # retrieval inside the transcripts pipeline; q215's radix invariant
+    # became a hard raise (no result change, re-checked anyway as touched).
+    "q35_cosine_topk", "q41_ann_lsh", "q48_transcripts_pipeline",
+    "q115_pq_adc_topk", "q193_ann_recall_report", "q69_ivf_ann",
+    "q103_ivf_kmeans", "q215_d4_curation",
+    # (c) last green driver row: round 7 (all 25 remaining; planner order)
+    "q19_json_extract", "q21_case_normalize", "q22_completeness_profile",
+    "q23_enrichment_join", "q25_upsert", "q26_archive_delisted",
+    "q30_token_quality", "q31_lang_id", "q32_fingerprint_dedup",
+    "q37_chunking", "q39_grid_cell_assign", "q40_simhash",
+    "q49_time_format", "q50_url_parse", "q51_cube", "q52_count_distinct",
+    "q56_geocode_fallback", "q58_utm_project", "q59_json_glob_scan",
+    "q60_embedding_neardup", "q61_salted_agg", "q62_storeys_regex",
+    "q96_tfidf_top_terms", "q98_pii_redaction", "q99_interval_concurrency",
+    # (c) last green driver row: round 9 (oldest 17 of 48; planner order)
+    "q02_filter_project", "q05_anti_join", "q06_semi_join",
+    "q102_zorder_layout", "q104_embedding_minmax", "q105_weighted_sample",
+    "q106_scalar_quantization", "q108_grouped_regression",
+    "q110_html_to_text", "q111_topn_order_revenue",
+    "q112_regional_supplier_volume", "q116_cohort_retention",
+    "q117_rfm_segments", "q118_global_ordinals", "q153_prefix_filter_join",
+    "q160_epoch_shuffle", "q167_simhash_radius",
 ]
 
 
