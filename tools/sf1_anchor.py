@@ -69,6 +69,13 @@ HEAVY = [
     "q200_exact_substring_grams",
     "q202_ngram_lm_nll",
     "q211_unigram_train",
+    # r14: the two D4 heavies (r13 verdict, next #4) — the incremental
+    # k-center whose zero-shuffle claim must hold at 10× rows, and the
+    # composed D4 pipeline (SemDeDup → k-center → farthest-quartile keep).
+    # Both read `embeddings`, so the anchor also builds an sf1 embeddings
+    # table (see build_sf1_embeddings).
+    "q214_kcenter_incremental",
+    "q215_d4_curation",
 ]
 
 
@@ -105,6 +112,44 @@ def build_sf1_documents(spark, out_dir: str) -> int:
     return n_base * REPLICAS
 
 
+def build_sf1_embeddings(spark, out_dir: str) -> int:
+    """sf1 ``embeddings`` under the same cluster-COUNT-scales premise as
+    the documents builder: replica r ∈ 0..9 of the sf0.1 table with
+    ``vec_id + stride·r`` and the embedding CYCLICALLY ROTATED by r
+    dimensions.  Rotation is an orthogonal transform, so every pairwise
+    cosine WITHIN a replica is exactly sf0.1's (near-dup clusters and
+    k-center geometry reproduce per replica); ACROSS replicas a rotated
+    64-dim vector decorrelates (E[cos] ≈ 0 ± 1/√64 ≪ the 0.95 SemDeDup
+    threshold), so clusters multiply in COUNT — naive 10× duplication
+    would instead grow every cluster 10× in SIZE and quadratically
+    inflate the candidate stage, measuring a corpus shaped like nothing
+    real.  Replica 0 keeps the originals, so sf0.1 is a strict subset.
+    q215's planted-dup salt (vec_id<50 copies) applies AFTER load and
+    stays constant-size, which is exactly what a fixture should do while
+    the corpus underneath grows 10×."""
+    base = spark.read.parquet(os.path.join(SF01_DIR, "embeddings.parquet"))
+    n_base = base.count()
+    dim = len(base.select("embedding").first()[0])
+    id_stride = (base.agg(F.max("vec_id")).first()[0] or 0) + 1
+    reps = []
+    for r in range(REPLICAS):
+        d = base
+        if r > 0:
+            rotated = F.concat(
+                F.slice(F.col("embedding"), r + 1, dim - r),
+                F.slice(F.col("embedding"), 1, r),
+            )
+            d = d.withColumn("embedding", rotated)
+        reps.append(d.withColumn("vec_id", F.col("vec_id") + F.lit(r * id_stride)))
+    out = reps[0]
+    for d in reps[1:]:
+        out = out.unionByName(d)
+    out.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+    return n_base * REPLICAS
+
+
 def _shuffle_records(ui: str, app_id: str) -> int:
     """Cumulative shuffle-write records across completed stages — the
     r8/r9 verdicts' missing column: wall-ratio alone can't distinguish
@@ -135,7 +180,8 @@ def main() -> int:
     stage = tempfile.mkdtemp(prefix="sf1_anchor_")
     try:
         n_docs = build_sf1_documents(spark, stage)
-        print(f"sf1 documents: {n_docs:,} docs at {stage}")
+        n_vecs = build_sf1_embeddings(spark, stage)
+        print(f"sf1 documents: {n_docs:,} docs, embeddings: {n_vecs:,} at {stage}")
 
         def best_of(fn, sf_path, runs=2):
             """(best wall of `runs`, shuffle rows of the LAST run — the
@@ -181,7 +227,11 @@ def main() -> int:
             f"The heaviest BENCH queries against an sf1-equivalent "
             f"`documents` table ({n_docs:,} docs = 10 replica-suffixed "
             "copies of sf0.1 — cluster COUNT scales, cluster size does "
-            "not; see the tool docstring), min of 2 noop-sink runs.  The "
+            f"not; see the tool docstring) and, for q214/q215, an sf1 "
+            f"`embeddings` table ({n_vecs:,} vectors = 10 cyclically "
+            "dimension-rotated replicas — rotation is orthogonal, so "
+            "within-replica cosine geometry is exactly sf0.1's and "
+            "clusters multiply in count), min of 2 noop-sink runs.  The "
             "sf0.1 column is measured in the SAME session, so the 10× "
             "ratio is host-noise-free; a ratio well under 10 means the "
             "operator amortizes its fixed stage costs and scales "
