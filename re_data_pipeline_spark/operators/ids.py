@@ -422,24 +422,30 @@ def grouped_exact_quantiles(
     stats = o.groupBy(*group_cols).agg(
         F.min("__gq_g").alias("__gq_0"), F.count(F.lit(1)).alias("__gq_n")
     )
-    # per-(group, quantile) target ordinal: first + ⌈q·n⌉ − 1, integer math
-    specs = []
-    for num, den in quantiles:
-        specs.append(
-            stats.select(
-                *group_cols,
-                F.lit(num).alias("q_num"),
-                F.lit(den).alias("q_den"),
-                (
-                    F.col("__gq_0")
-                    + F.expr(f"CAST(({num} * __gq_n + {den} - 1) DIV {den} AS BIGINT)")
-                    - F.lit(1)
-                ).alias("__gq_g"),
-            )
+    # per-(group, quantile) target ordinal: first + ⌈q·n⌉ − 1, integer
+    # math.  The spec fans stats out by EXPLODING a literal quantile array
+    # — one evaluation of the stats agg; the previous union-of-k-selects
+    # planned the agg (an aggregate pass over the cached spine) once per
+    # quantile (r14 fix, the weighted_quantiles pattern).
+    qarr = F.array(
+        *[
+            F.struct(F.lit(num).alias("q_num"), F.lit(den).alias("q_den"))
+            for num, den in quantiles
+        ]
+    )
+    spec = (
+        stats.select(*group_cols, "__gq_0", "__gq_n", F.explode(qarr).alias("__q"))
+        .select(
+            *group_cols,
+            F.col("__q.q_num").alias("q_num"),
+            F.col("__q.q_den").alias("q_den"),
+            (
+                F.col("__gq_0")
+                + F.expr("CAST((__q.q_num * __gq_n + __q.q_den - 1) DIV __q.q_den AS BIGINT)")
+                - F.lit(1)
+            ).alias("__gq_g"),
         )
-    spec = specs[0]
-    for p in specs[1:]:
-        spec = spec.unionByName(p)
+    )
     out = (
         F.broadcast(spec)
         .join(o.select(F.col("__gq_g"), F.col(value_col)), "__gq_g")
@@ -475,6 +481,16 @@ def weighted_quantiles(
     for num, den in quantiles:
         if not (0 < num <= den):
             raise ValueError(f"quantile {num}/{den} outside (0, 1]")
+    # ONE aggregate pass computes every quantile's target ordinal, then the
+    # 1-row result is collected and the k-row spec built driver-side.  The
+    # previous form unioned k `row.select(...)` pieces, and Catalyst plans
+    # each union branch (and the join's probe side) as its OWN evaluation
+    # of the agg over the mapInPandas scan — no exchange reuse fires across
+    # the Python boundary, so a 3-quantile call planned 20 MapInPandas
+    # nodes: k extra full-corpus Arrow passes per call (measured r14; the
+    # sorted frame cache made them cheap locally and invisible to the
+    # oracle, but at 100 TB each pass is a full corpus crossing of the
+    # Python boundary).
     row = ps.agg(
         *[
             F.min(
@@ -485,18 +501,14 @@ def weighted_quantiles(
             ).alias(f"__o{i}")
             for i, (num, den) in enumerate(quantiles)
         ]
+    ).first()
+    spec = df.sparkSession.createDataFrame(
+        [
+            (num, den, None if row[f"__o{i}"] is None else int(row[f"__o{i}"]))
+            for i, (num, den) in enumerate(quantiles)
+        ],
+        "q_num int, q_den int, __wq_ord bigint",
     )
-    pieces = [
-        row.select(
-            F.lit(num).alias("q_num"),
-            F.lit(den).alias("q_den"),
-            F.col(f"__o{i}").alias("__wq_ord"),
-        )
-        for i, (num, den) in enumerate(quantiles)
-    ]
-    spec = pieces[0]
-    for p in pieces[1:]:
-        spec = spec.unionByName(p)
     out = (
         F.broadcast(spec)
         .join(ps, "__wq_ord")
