@@ -255,18 +255,28 @@ def vocab_coverage(
         cond = F.col("__cum") * 100 >= F.lit(int(pct)) * F.lit(total)
         aggs.append(F.min(F.when(cond, F.col("__rank") + 1)).alias(f"__k{i}"))
         aggs.append(F.min(F.when(cond, F.col("__cum"))).alias(f"__c{i}"))
-    row = ps.agg(*aggs)
-    pieces = [
-        row.select(
-            F.lit(int(pct)).alias("threshold_pct"),
-            F.col(f"__k{i}").cast("bigint").alias("vocab_size"),
-            F.round(F.col(f"__c{i}") / F.lit(float(total or 1)), 6).alias("coverage"),
-        )
-        for i, pct in enumerate(thresholds)
-    ]
-    out = pieces[0]
-    for p in pieces[1:]:
-        out = out.unionByName(p)
+    # Collect the 1-row aggregate ONCE and unpivot driver-side: the
+    # previous union-of-per-threshold-selects planned the agg — a full
+    # mapInPandas prefix-sum pass over the |vocab| table — once per
+    # threshold (r14 fix, the weighted_quantiles pattern).  The coverage
+    # division/rounding stays in Spark so HALF_UP matches the oracle.
+    row = ps.agg(*aggs).first()
+    spec = df.sparkSession.createDataFrame(
+        [
+            (
+                int(pct),
+                None if row[f"__k{i}"] is None else int(row[f"__k{i}"]),
+                None if row[f"__c{i}"] is None else int(row[f"__c{i}"]),
+            )
+            for i, pct in enumerate(thresholds)
+        ],
+        "threshold_pct int, vocab_size bigint, __cum bigint",
+    )
+    out = spec.select(
+        "threshold_pct",
+        "vocab_size",
+        F.round(F.col("__cum") / F.lit(float(total or 1)), 6).alias("coverage"),
+    )
     return carry_spines(ps, out)
 
 

@@ -36,24 +36,26 @@ def check(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
         ).alias(f"__v_{name}")
         for name, cond in rules.items()
     ]
-    row = df.agg(*aggs)
-    reports = []
-    for name in rules:
-        reports.append(
-            row.select(
-                F.lit(name).alias("rule"),
-                F.col("n_rows"),
-                F.col(f"__v_{name}").cast("bigint").alias("n_violations"),
-                F.when(
-                    F.col("n_rows") > 0,
-                    F.round(F.col(f"__v_{name}") / F.col("n_rows"), 6),
-                ).otherwise(F.lit(0.0)).alias("violation_rate"),
-            )
-        )
-    out = reports[0]
-    for r in reports[1:]:
-        out = out.unionByName(r)
-    return out
+    # Collect the 1-row aggregate ONCE and unpivot driver-side: the
+    # previous union-of-per-rule-selects planned the corpus agg once per
+    # rule (Catalyst doesn't reuse it across union branches), breaking the
+    # module's one-scan contract len(rules)-fold (r14 fix, the
+    # weighted_quantiles pattern).  The rate division/rounding stays in
+    # Spark so HALF_UP matches the SQL oracle bit-for-bit.
+    row = df.agg(*aggs).first()
+    spec = df.sparkSession.createDataFrame(
+        [(name, int(row["n_rows"]), int(row[f"__v_{name}"])) for name in rules],
+        "rule string, n_rows bigint, n_violations bigint",
+    )
+    return spec.select(
+        "rule",
+        "n_rows",
+        "n_violations",
+        F.when(
+            F.col("n_rows") > 0,
+            F.round(F.col("n_violations") / F.col("n_rows"), 6),
+        ).otherwise(F.lit(0.0)).alias("violation_rate"),
+    )
 
 
 def enforce(
