@@ -54,7 +54,13 @@ def running_totals_per_user(events: DataFrame) -> DataFrame:
 
     Each micro-batch: merge the key's new rows into (n, total, last_type)
     state and emit the updated snapshot row.  Deterministic within a batch:
-    rows are sorted by (ts, event_id) before the fold.
+    "last" means the max-(ts, event_id) row of the WHOLE batch.  The
+    iterator hands the group's rows as multiple Arrow chunks in partition
+    order, so the max is tracked ACROSS chunks — taking the last row of
+    each chunk after a per-chunk sort (the pre-r14 form) made
+    ``last_event_type`` depend on where the chunk boundary fell once a
+    group's batch exceeded one Arrow batch (~10k rows): invisible in
+    small-batch tests, partition-order-dependent at scale.
     """
 
     def update(
@@ -64,12 +70,17 @@ def running_totals_per_user(events: DataFrame) -> DataFrame:
             n, total, last_type = state.get
         else:
             n, total, last_type = 0, 0.0, None
+        best_key = None  # (ts, event_id) of the batch's max row so far
         for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+            if not len(pdf):
+                continue
             n += len(pdf)
             total += float(pdf["value"].sum())
-            if len(pdf):
-                last_type = str(pdf["event_type"].iloc[-1])
+            cand = pdf.sort_values(["ts", "event_id"]).iloc[-1]
+            k = (cand["ts"], cand["event_id"])
+            if best_key is None or k > best_key:
+                best_key = k
+                last_type = str(cand["event_type"])
         state.update((n, total, last_type))
         yield pd.DataFrame(
             [{"user_id": key[0], "n_events": n, "total_value": total, "last_event_type": last_type}]

@@ -495,3 +495,50 @@ def test_run_available_now_parquet_drain(spark):
     )
     assert spark.read.parquet(out).count() == 25
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_running_totals_last_type_across_arrow_chunks(spark, tmp_path):
+    """r14: 'last_event_type' must be the max-(ts, event_id) row of the
+    WHOLE batch even when the group's rows span multiple Arrow chunks —
+    the pre-fix fold took the last row of each chunk after a per-chunk
+    sort, so the answer depended on where the chunk boundary fell."""
+    import datetime as dt
+
+    from re_data_pipeline_spark.streaming.stateful import running_totals_per_user
+    from re_data_pipeline_spark.streaming.stream_ops import read_stream
+
+    base = dt.datetime(2024, 3, 1, 10, 0, 0)
+    schema = "user_id long, event_id long, ts timestamp, event_type string, value double"
+    # one user, 12 rows in DESCENDING ts file order: the true latest event
+    # (type 'WINNER') is the FIRST row, so any fold that privileges a later
+    # chunk returns a wrong type once chunks split
+    rows = [
+        (1, 100 - i, base - dt.timedelta(minutes=i),
+         "WINNER" if i == 0 else f"t{i}", 1.0)
+        for i in range(12)
+    ]
+    d = str(tmp_path / "chunked_events")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "5")
+    try:
+        stream = read_stream(spark, d, schema)
+        out = running_totals_per_user(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("chunked_totals")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows_out = spark.table("chunked_totals").collect()
+        assert len(rows_out) == 1
+        r = rows_out[0]
+        assert (r.n_events, r.total_value, r.last_event_type) == (12, 12.0, "WINNER")
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
