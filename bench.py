@@ -284,8 +284,14 @@ def main() -> None:
         # raced the query's own spine-cache release (async unpersist) —
         # a still-registered InMemoryRelation flipped q203's hash once in
         # r12, firing a spurious plan-change warning
+        from re_data_pipeline_spark.operators.ids import release_spines
+
         try:
-            plans[name] = plan_hash(fn(spark, sf_dir))
+            probe = fn(spark, sf_dir)
+            plans[name] = plan_hash(probe)
+            # checkpoint-backed handles (pagerank's final round) survive
+            # clearCache — release them explicitly on the discarded probe
+            release_spines(probe)
         except Exception:
             plans[name] = "n/a"  # multi-job pipelines have no single plan
         best = float("inf")
@@ -301,8 +307,13 @@ def main() -> None:
             # session flat between queries.
             spark.catalog.clearCache()
             t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
+            # untimed: checkpoint-backed handles survive clearCache, so a
+            # checkpointing query would otherwise grow executor storage by
+            # one pinned RDD per run for the session's lifetime (r14)
+            release_spines(df)
         timings[name] = round(best, 3)
         spark.catalog.clearCache()
 

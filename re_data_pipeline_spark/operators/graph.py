@@ -38,7 +38,20 @@ def pagerank_fixed(
     scale: int = 1_000_000,
 ) -> DataFrame:
     """(node, rank_fixed) after ``iterations`` damped rounds (d=0.85),
-    all-integer arithmetic at ``scale`` resolution."""
+    all-integer arithmetic at ``scale`` resolution.
+
+    Checkpoint discipline (r14 — this loop was the one iterative operator
+    the r13 release pass missed): rounds checkpoint EAGERLY so round r−1's
+    blocks can be released as soon as round r is materialized (the
+    BFS/SSSP protocol; the pre-r14 lazy chain left nodes + edges + every
+    round's checkpoint pinned with NO release handle — 7 RDDs per
+    invocation surviving ``clearCache`` for the session's lifetime).  The
+    final round's checkpoint backs the returned frame and its handle rides
+    ``_ordinal_caches`` so ``ids.release_spines`` frees it after
+    materialization — it is a checkpoint scan, so release only after the
+    result is consumed (the standard carry contract)."""
+    from re_data_pipeline_spark.operators.ids import _carry_caches
+
     nodes = (
         edges.select(F.col(src).alias("n"))
         .union(edges.select(F.col(dst).alias("n")))
@@ -48,27 +61,45 @@ def pagerank_fixed(
     e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")).localCheckpoint()
     deg = e.groupBy("e_src").agg(F.count(F.lit(1)).alias("out_deg"))
     ranks = nodes.withColumn("rank_f", F.lit(scale).cast("long"))
+    prev = None  # round r-1's checkpoint — dead once round r materializes
     teleport = (15 * scale) // 100
-    for _ in range(iterations):
-        contrib = (
-            ranks.join(deg, ranks.n == deg.e_src)
-            .select(F.col("n"), F.expr("rank_f DIV out_deg").alias("c"))
-            .join(e, F.col("n") == F.col("e_src"))
-            .select(F.col("e_dst").alias("n2"), "c")
-        )
-        incoming = contrib.groupBy("n2").agg(F.sum("c").alias("inc"))
-        ranks = (
-            nodes.join(incoming, nodes.n == incoming.n2, "left")
-            .select(
-                "n",
-                (
-                    F.lit(teleport).cast("long")
-                    + F.expr("85 * coalesce(inc, 0L) DIV 100")
-                ).alias("rank_f"),
+    try:
+        for _ in range(iterations):
+            contrib = (
+                ranks.join(deg, ranks.n == deg.e_src)
+                .select(F.col("n"), F.expr("rank_f DIV out_deg").alias("c"))
+                .join(e, F.col("n") == F.col("e_src"))
+                .select(F.col("e_dst").alias("n2"), "c")
             )
-            .localCheckpoint(eager=False)
-        )
-    return ranks.select(F.col("n").alias("node"), F.col("rank_f").alias("rank_fixed"))
+            incoming = contrib.groupBy("n2").agg(F.sum("c").alias("inc"))
+            new_ranks = (
+                nodes.join(incoming, nodes.n == incoming.n2, "left")
+                .select(
+                    "n",
+                    (
+                        F.lit(teleport).cast("long")
+                        + F.expr("85 * coalesce(inc, 0L) DIV 100")
+                    ).alias("rank_f"),
+                )
+                .localCheckpoint()  # eager: materializes, so prev is dead
+            )
+            release_local_checkpoint(prev)
+            prev = ranks = new_ranks
+    except BaseException:
+        # the caller gets no frame back — release everything before
+        # propagating (release is idempotent on aliased handles)
+        for f in (prev, nodes, e):
+            release_local_checkpoint(f)
+        raise
+    if iterations >= 1:
+        # every round is materialized and the result derives only from the
+        # final round's checkpoint — the seed/edge checkpoints are dead.
+        # (iterations=0 returns the uniform seed, which still recomputes
+        # THROUGH nodes: releasing it there would break the returned frame.)
+        release_local_checkpoint(nodes)
+        release_local_checkpoint(e)
+    out = ranks.select(F.col("n").alias("node"), F.col("rank_f").alias("rank_fixed"))
+    return _carry_caches(out, out, ranks)
 
 
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:

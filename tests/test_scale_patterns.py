@@ -742,3 +742,31 @@ def test_exact_ntile_matches_sql_semantics(spark):
     df5 = spark.range(5).select(F.col("id").alias("v"))
     got5 = {r.v: r.pr for r in exact_percent_rank(df5, [F.col("v").asc()], "pr").collect()}
     assert got5 == {0: 0.0, 1: 0.25, 2: 0.5, 3: 0.75, 4: 1.0}
+
+
+def test_pagerank_releases_checkpoints(spark):
+    """r14: pagerank_fixed was the one iterative loop without the release
+    discipline — nodes/edges seeds and every round's checkpoint stayed
+    pinned (clearCache cannot see checkpoint storage).  Now superseded
+    rounds are released in-loop, the seeds after the loop, and the final
+    round's handle rides the result for release_spines."""
+    import time as _t
+
+    from re_data_pipeline_spark.operators.graph import pagerank_fixed
+    from re_data_pipeline_spark.operators.ids import release_spines
+
+    def pinned():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return set(dict(jmap).keys())
+
+    before = pinned()
+    edges = spark.range(200).select(
+        (F.col("id") % 40).alias("src"), ((F.col("id") * 7) % 40).alias("dst")
+    )
+    out = pagerank_fixed(edges, iterations=4)
+    assert out.count() > 0
+    grew = pinned() - before
+    assert len(grew) <= 1, f"pagerank left {len(grew)} pinned RDDs (want <=1: the carried final round)"
+    release_spines(out)
+    _t.sleep(0.5)
+    assert pinned() - before == set(), "release_spines must free the final checkpoint"

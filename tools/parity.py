@@ -110,6 +110,7 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
+        sdf = None
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
@@ -130,7 +131,16 @@ def main() -> int:
             # guard-carrying operators pin fingerprint caches whose release
             # handles ride the (now-discarded) result — keep the 200+-query
             # session flat on the FAILURE path too (a leaked cache skews
-            # every later query's comparison)
+            # every later query's comparison).  release_spines first:
+            # checkpoint-backed handles (pagerank's final round) are NOT
+            # CacheManager entries, so clearCache alone leaks them (r14)
+            try:
+                from re_data_pipeline_spark.operators.ids import release_spines
+
+                if sdf is not None:
+                    release_spines(sdf)
+            except Exception:
+                pass
             spark.catalog.clearCache()
         if name not in oracles:
             print(f"rows-only {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
