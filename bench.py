@@ -284,14 +284,19 @@ def main() -> None:
         # raced the query's own spine-cache release (async unpersist) —
         # a still-registered InMemoryRelation flipped q203's hash once in
         # r12, firing a spurious plan-change warning
-        from re_data_pipeline_spark.operators.ids import release_spines
+        from re_data_pipeline_spark.operators.ids import (
+            release_local_checkpoint,
+            release_spines,
+        )
 
         try:
             probe = fn(spark, sf_dir)
             plans[name] = plan_hash(probe)
             # checkpoint-backed handles (pagerank's final round) survive
-            # clearCache — release them explicitly on the discarded probe
+            # clearCache — release them explicitly on the discarded probe,
+            # and the probe itself if it is a checkpoint scan (q59)
             release_spines(probe)
+            release_local_checkpoint(probe)
         except Exception:
             plans[name] = "n/a"  # multi-job pipelines have no single plan
         best = float("inf")
@@ -312,8 +317,10 @@ def main() -> None:
             best = min(best, time.time() - t0)
             # untimed: checkpoint-backed handles survive clearCache, so a
             # checkpointing query would otherwise grow executor storage by
-            # one pinned RDD per run for the session's lifetime (r14)
+            # one pinned RDD per run for the session's lifetime (r14); the
+            # discarded result frame itself may be a checkpoint scan too
             release_spines(df)
+            release_local_checkpoint(df)
         timings[name] = round(best, 3)
         spark.catalog.clearCache()
 

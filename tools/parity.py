@@ -135,10 +135,18 @@ def main() -> int:
             # checkpoint-backed handles (pagerank's final round) are NOT
             # CacheManager entries, so clearCache alone leaks them (r14)
             try:
-                from re_data_pipeline_spark.operators.ids import release_spines
+                from re_data_pipeline_spark.operators.ids import (
+                    release_local_checkpoint,
+                    release_spines,
+                )
 
                 if sdf is not None:
                     release_spines(sdf)
+                    # the RESULT itself may be a localCheckpoint scan
+                    # (q59, lsh pair lists) — it is discarded right here,
+                    # never re-materialized, so releasing its blocks is
+                    # safe and keeps the 200+-query session flat
+                    release_local_checkpoint(sdf)
             except Exception:
                 pass
             spark.catalog.clearCache()
