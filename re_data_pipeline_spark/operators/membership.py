@@ -74,8 +74,19 @@ def bloom_prefilter_anti_join(
     (map-only — the batch never shuffles for them).  Rows with any missing
     bit are definitely new and bypass the join entirely; only probe-positive
     rows (true dupes + false positives) reach the exact anti-join.
+
+    The bitmap is PERSISTED before the probe loop: each probe join and
+    each branch of the output union references it, and Catalyst plans
+    every reference as its own evaluation of the corpus aggregation —
+    measured 24 bit_or aggregates / 9 broadcasts with ZERO reuse at k=4
+    pre-fix, i.e. ~8 full corpus scans for what must be one (r14).  The
+    pinned frame is at most m/64 rows (16k rows for a 1 Mbit filter) —
+    KB-scale at any corpus size; its release handle rides the result
+    (``ids.release_spines`` / ``engine.release``).
     """
-    bitmap = bloom_bitmap(corpus, key_col, m_bits, k)
+    from re_data_pipeline_spark.operators.ids import _carry_caches
+
+    bitmap = bloom_bitmap(corpus, key_col, m_bits, k).persist()
     key = F.col(key_col)
     probed = batch
     for i in range(k):
@@ -110,7 +121,8 @@ def bloom_prefilter_anti_join(
     verified_new = candidates.join(
         corpus.select(key_col), on=key_col, how="left_anti"
     )
-    return definitely_new.unionByName(verified_new)
+    out = definitely_new.unionByName(verified_new)
+    return _carry_caches(out, out, bitmap)
 
 
 def domain_blocklist_filter(
