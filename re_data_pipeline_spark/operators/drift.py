@@ -61,11 +61,25 @@ def token_js_divergence(
         )
 
     ca, cb = counts(df_a, "a"), counts(df_b, "b")
-    joined = ca.join(cb, ["__s", "__tok"], "full_outer").select(
-        "__s",
-        "__tok",
-        F.coalesce("__ca", F.lit(0)).alias("__ca"),
-        F.coalesce("__cb", F.lit(0)).alias("__cb"),
+    # PERSIST the joined count table: both the per-stratum totals agg and
+    # the term projection read it, and Catalyst plans each reference as
+    # its own evaluation — without the pin each corpus is tokenized and
+    # aggregated TWICE (measured: 7 exchanges, zero ReusedExchange, r14).
+    # The pinned frame is |union vocabulary|-sized (two longs + token per
+    # row), the same storage class as an ordinal spine — bounded by
+    # Heaps-law vocab growth, never the corpus.  The handle rides the
+    # result for ids.release_spines / engine.release.
+    from re_data_pipeline_spark.operators.ids import _carry_caches
+
+    joined = (
+        ca.join(cb, ["__s", "__tok"], "full_outer")
+        .select(
+            "__s",
+            "__tok",
+            F.coalesce("__ca", F.lit(0)).alias("__ca"),
+            F.coalesce("__cb", F.lit(0)).alias("__cb"),
+        )
+        .persist()
     )
     tot = joined.groupBy("__s").agg(
         F.sum("__ca").alias("__ta"), F.sum("__cb").alias("__tb")
@@ -85,7 +99,7 @@ def token_js_divergence(
         + F.when(F.col("__cb") > 0, q * F.log(q / m)).otherwise(F.lit(0.0)) / 2
     )
     fixed = F.round(term * _FIXED, 0).cast("long")
-    return (
+    out = (
         x.withColumn("__f", fixed)
         .groupBy("__s")
         .agg(
@@ -101,6 +115,7 @@ def token_js_divergence(
             F.round(F.col("js_micro") / float(_FIXED), 6).alias("js"),
         )
     )
+    return _carry_caches(out, out, joined)
 
 
 def embedding_centroid_drift(

@@ -171,7 +171,15 @@ def pmi_collocations(
             F.split(F.col("__sh"), " ")[1].alias("w2"),
         )
     )
-    cb = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_12"))
+    # PERSIST the pair-count table: the two marginals, the grand total,
+    # and the scored base all read it, and Catalyst plans each reference
+    # as its own evaluation — without the pin the corpus bigram explode +
+    # agg ran FOUR times (measured: 4 Generate nodes, zero ReusedExchange,
+    # r14).  The pinned frame is pair-vocabulary-sized (Heaps-bounded),
+    # never the corpus; the handle rides the result for release_spines.
+    from re_data_pipeline_spark.operators.ids import _carry_caches
+
+    cb = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_12")).persist()
     left = cb.groupBy("w1").agg(F.sum("n_12").alias("__c1"))
     right = cb.groupBy("w2").agg(F.sum("n_12").alias("__c2"))
     n = cb.agg(F.sum("n_12").alias("__n"))
@@ -197,7 +205,7 @@ def pmi_collocations(
         )
     )
     w = Window.partitionBy("w1").orderBy(F.desc("pmi_micro"), F.asc("w2"))
-    return (
+    out = (
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .where(F.col("rnk") <= top_k)
         .select(
@@ -206,6 +214,7 @@ def pmi_collocations(
             "rnk",
         )
     )
+    return _carry_caches(out, out, cb)
 
 
 def vocab_coverage(
