@@ -4807,9 +4807,11 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (b) queries whose code changed this round, (c) stalest green rows,
 # oldest round first.  This rotation clears the ENTIRE round-7 band
 # (all 25 rows, including the §2-inventory contract rows upsert K2 q25,
-# chunking W3 q37, archival K4 q26, geocode X2 q56) plus the oldest 17
+# chunking W3 q37, archival K4 q26, geocode X2 q56) plus the oldest 8
 # of the 48 round-9 rows; after the driver run no green row predates
-# round 9 (the r13 verdict's done-condition).  Everything rotated out
+# round 9 (the r13 verdict's done-condition).  The (b) group grew
+# mid-round as the review pass touched more operators (17 total), which
+# displaced 9 r9 rows to the r15 proposal.  Everything rotated out
 # holds a green r9-r13 driver row with unchanged code, and
 # tools/parity.py still verifies ALL registered queries every session.
 
@@ -4819,16 +4821,25 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRIVER_WINDOW_ROUND = 14
 
 DRIVER_WINDOW: list[str] = [
-    # (b) code changed in round 14: every top-k in operators/similarity.py
-    # now tiebreaks on the full ORDERABLE column set (cosine_topk_per_query,
-    # ann_topk_per_query, pq_adc_topk previously kept the first-column-only
-    # heuristic; map-typed columns excluded) — q35/q41/q69/q103/q115/q193
-    # exercise the brute/LSH/IVF/PQ/recall paths and q48 the per-query
-    # retrieval inside the transcripts pipeline; q215's radix invariant
-    # became a hard raise (no result change, re-checked anyway as touched).
+    # (b) code changed in round 14 — two batches.  Batch 1: every top-k in
+    # operators/similarity.py now tiebreaks on the full ORDERABLE column
+    # set (cosine_topk_per_query, ann_topk_per_query, pq_adc_topk
+    # previously kept the first-column-only heuristic; map-typed columns
+    # excluded) — q35/q41/q69/q103/q115/q193 exercise the brute/LSH/IVF/
+    # PQ/recall paths and q48 the per-query retrieval inside the
+    # transcripts pipeline; q215's radix invariant became a hard raise.
     "q35_cosine_topk", "q41_ann_lsh", "q48_transcripts_pipeline",
     "q115_pq_adc_topk", "q193_ann_recall_report", "q69_ivf_ann",
     "q103_ivf_kmeans", "q215_d4_curation",
+    # Batch 2 (same-round review pass): the union-over-shared-aggregate
+    # fixes (quality.check q113, vocab_coverage q176, weighted/grouped
+    # quantiles q184/q192), the multiply-referenced-frame pins (bloom
+    # bitmap q130, drift q171, PMI q172), the pagerank checkpoint
+    # discipline (q136), and the Arrow-chunk stateful fold (q70).
+    "q113_quality_report", "q130_bloom_prefilter", "q136_pagerank",
+    "q171_token_drift", "q172_pmi_collocations", "q176_vocab_coverage",
+    "q184_weighted_quantiles", "q192_grouped_quantiles",
+    "q70_stateful_stream",
     # (c) last green driver row: round 7 (all 25 remaining; planner order)
     "q19_json_extract", "q21_case_normalize", "q22_completeness_profile",
     "q23_enrichment_join", "q25_upsert", "q26_archive_delisted",
@@ -4838,14 +4849,10 @@ DRIVER_WINDOW: list[str] = [
     "q56_geocode_fallback", "q58_utm_project", "q59_json_glob_scan",
     "q60_embedding_neardup", "q61_salted_agg", "q62_storeys_regex",
     "q96_tfidf_top_terms", "q98_pii_redaction", "q99_interval_concurrency",
-    # (c) last green driver row: round 9 (oldest 17 of 48; planner order)
+    # (c) last green driver row: round 9 (oldest 8 of 48; planner order)
     "q02_filter_project", "q05_anti_join", "q06_semi_join",
     "q102_zorder_layout", "q104_embedding_minmax", "q105_weighted_sample",
     "q106_scalar_quantization", "q108_grouped_regression",
-    "q110_html_to_text", "q111_topn_order_revenue",
-    "q112_regional_supplier_volume", "q116_cohort_retention",
-    "q117_rfm_segments", "q118_global_ordinals", "q153_prefix_filter_join",
-    "q160_epoch_shuffle", "q167_simhash_radius",
 ]
 
 
