@@ -13,9 +13,15 @@ sides with a side marker, then one window pass per key ordered by
     last(payload, ignoreNulls) OVER (PARTITION BY key ORDER BY ts, side
                                      ROWS UNBOUNDED PRECEDING .. CURRENT)
 
-One shuffle on the key, linear in |L|+|R|; skewed keys split by AQE.  At
-equal timestamps the right row sorts first (side 0 < 1), giving the
-inclusive match.
+One shuffle on the key, linear in |L|+|R|.  Skew caveat (honest form —
+AQE splits skewed JOINS, not window partitions): each key's carry-forward
+scan runs in ONE task, so the wall is bounded by the hottest key's
+|L|+|R| rows.  That is the right trade for the as-of join's natural
+key shape (instrument/entity ids: many keys, bounded per-key history);
+a corpus with FEW heavy keys should not be as-of joined on those keys
+directly — pre-bucket the timestamp range per key (compute each bucket's
+carry-in with one per-(key, bucket) agg, the prefix-sum-spine trick)
+before reaching for this operator.
 """
 
 from __future__ import annotations
