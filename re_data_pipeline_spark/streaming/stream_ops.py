@@ -250,11 +250,14 @@ def streaming_incremental_dedup(
             [], f"{id_col} bigint, band int, band_key string"
         ),
         "kept": None,
+        "kept_ckpts": [],
     }
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        from re_data_pipeline_spark.operators.ids import release_local_checkpoint
+
         r = incremental_lsh_dedup(
             batch_df, state["index"], id_col, text_col,
             num_hashes, shingle_words, bands,
@@ -262,10 +265,16 @@ def streaming_incremental_dedup(
         kept = r["kept"].localCheckpoint(eager=True)
         index = r["updated_index"].localCheckpoint(eager=True)
         r["new_buckets"].unpersist()
+        # the new index is materialized (eager), so the PREVIOUS batch's
+        # index checkpoint is no longer anyone's lineage root — release it
+        # (one leaked block-manager RDD per micro-batch otherwise; batch
+        # 1's seed is a LocalRelation, where release is a no-op) (r14)
+        release_local_checkpoint(state["index"])
         state["index"] = index
         state["kept"] = (
             kept if state["kept"] is None else state["kept"].unionByName(kept)
         )
+        state["kept_ckpts"].append(kept)
 
     import shutil
 
@@ -283,9 +292,22 @@ def streaming_incremental_dedup(
         # query terminated, and kept/index are localCheckpoint blocks
         # (block-manager resident), so the directory can go
         shutil.rmtree(ckpt, ignore_errors=True)
+    from re_data_pipeline_spark.operators.ids import (
+        _carry_caches,
+        release_local_checkpoint,
+    )
+
+    # the returned union derives only from the per-batch KEPT checkpoints;
+    # the final index is dead once the drain finished (r14)
+    release_local_checkpoint(state["index"])
     if state["kept"] is None:
         return spark.createDataFrame([], _coerce_event_time_schema(schema))
-    return state["kept"]
+    # the kept checkpoints back the result — carry their handles so
+    # release_spines frees them once the caller has materialized
+    out = state["kept"]
+    for k in state["kept_ckpts"]:
+        out = _carry_caches(out, out, k)
+    return out
 
 
 def streaming_manifest(
