@@ -4839,7 +4839,7 @@ DRIVER_WINDOW: list[str] = [
     "q113_quality_report", "q130_bloom_prefilter", "q136_pagerank",
     "q171_token_drift", "q172_pmi_collocations", "q176_vocab_coverage",
     "q184_weighted_quantiles", "q192_grouped_quantiles",
-    "q70_stateful_stream",
+    "q70_stateful_stream", "q187_streaming_incremental_dedup",
     # (c) last green driver row: round 7 (all 25 remaining; planner order)
     "q19_json_extract", "q21_case_normalize", "q22_completeness_profile",
     "q23_enrichment_join", "q25_upsert", "q26_archive_delisted",
@@ -4849,10 +4849,11 @@ DRIVER_WINDOW: list[str] = [
     "q56_geocode_fallback", "q58_utm_project", "q59_json_glob_scan",
     "q60_embedding_neardup", "q61_salted_agg", "q62_storeys_regex",
     "q96_tfidf_top_terms", "q98_pii_redaction", "q99_interval_concurrency",
-    # (c) last green driver row: round 9 (oldest 8 of 48; planner order)
+    # (c) last green driver row: round 9 (oldest 7 of 48; planner order —
+    # q108 displaced when q187 joined the (b) group late in the round)
     "q02_filter_project", "q05_anti_join", "q06_semi_join",
     "q102_zorder_layout", "q104_embedding_minmax", "q105_weighted_sample",
-    "q106_scalar_quantization", "q108_grouped_regression",
+    "q106_scalar_quantization",
 ]
 
 
