@@ -442,3 +442,73 @@ def test_sssp_matches_dijkstra_property(spark, edges, sources):
     s = spark.createDataFrame([(n,) for n in sources], "node bigint")
     got = {r["node"]: r["dist"] for r in sssp_distances(e, s).collect()}
     assert got == _ref_multi_source_dijkstra(edges, sources)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 9)),  # (value, weight)
+        min_size=1,
+        max_size=50,
+    ),
+    st.sampled_from([(1, 2), (3, 4), (9, 10), (1, 1)]),
+)
+def test_weighted_quantiles_reach_property(spark, rows, q):
+    """weighted_quantiles must return the FIRST row (in sort order) whose
+    cumulative weight reaches q·W, for arbitrary weights including zeros —
+    checked against the sequential scan (r14: the spec is now built from
+    one collected aggregate; this pins the semantics through that path)."""
+    from re_data_pipeline_spark.operators.ids import release_spines, weighted_quantiles
+
+    data = [(v, w, i) for i, (v, w) in enumerate(rows)]
+    df = spark.createDataFrame(data, "v long, w long, id long")
+    out = weighted_quantiles(df, ["v", "id"], "w", "v", quantiles=[q])
+    got = out.collect()
+    W = sum(w for _, w, _ in data)
+    run, want = 0, None
+    for v, w, _ in sorted(data, key=lambda t: (t[0], t[2])):
+        run += w
+        if run * q[1] >= q[0] * W:
+            want = v
+            break
+    if W == 0:
+        # all-zero weights: the first row already "reaches" 0 = q*W
+        want = sorted(data, key=lambda t: (t[0], t[2]))[0][0]
+    assert [r.value for r in got] == [want]
+    release_spines(out)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 100)),  # (group, value)
+        min_size=1,
+        max_size=60,
+    ),
+    st.sampled_from([(1, 2), (9, 10), (1, 4)]),
+)
+def test_grouped_exact_quantiles_property(spark, rows, q):
+    """grouped_exact_quantiles must equal the per-group nearest-rank pick
+    for arbitrary group/value multisets (r14: the spec is now one exploded
+    literal array; this pins the semantics through that path)."""
+    import math
+    from collections import defaultdict
+
+    from re_data_pipeline_spark.operators.ids import (
+        grouped_exact_quantiles,
+        release_spines,
+    )
+
+    data = [(g, v, i) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g int, v long, id long")
+    out = grouped_exact_quantiles(df, ["g"], ["v", "id"], "v", quantiles=[q])
+    got = {(r.g, r.q_num, r.q_den): r.value for r in out.collect()}
+    by_g = defaultdict(list)
+    for g, v, _ in data:
+        by_g[g].append(v)
+    want = {
+        (g, q[0], q[1]): sorted(vs)[math.ceil(q[0] * len(vs) / q[1]) - 1]
+        for g, vs in by_g.items()
+    }
+    assert got == want
+    release_spines(out)
