@@ -133,9 +133,21 @@ def ngram_lm_nll(
             base = base.persist()
             caches.append(base)
 
+    # PERSIST the unigram and bigram count tables: uni feeds the corpus
+    # stats, the bigram backoff denominators, AND the unigram floor; bi
+    # feeds the trigram denominators AND the bigram model — and Catalyst
+    # plans every reference as its own evaluation, so the pre-r14 plan ran
+    # NINE corpus scans / eight explodes per scoring call (measured, zero
+    # ReusedExchange) where the module contract says three gram aggs +
+    # scoring + totality.  Both tables are the MODEL tables the design
+    # already bounds (|observed grams|, corpus-head-sized under pruning —
+    # never the corpus); with the pins the plan is back to five corpus
+    # passes (uni/bi/tri builds + positions + totality).  Handles ride the
+    # spine-cache protocol like the cache_tokens frames.
     uni = base.select(F.explode("__t").alias("__w")).groupBy("__w").agg(
         F.count(F.lit(1)).alias("__c1")
-    )
+    ).persist()
+    caches.append(uni)
     # 1-row corpus stats: N tokens, V distinct tokens
     stats = uni.agg(
         F.sum("__c1").cast("bigint").alias("__n_tok"),
@@ -156,7 +168,9 @@ def ngram_lm_nll(
         .groupBy("__g2")
         .agg(F.count(F.lit(1)).alias("__c2"))
         .withColumn("__w1", F.split(F.col("__g2"), " ")[0])
+        .persist()
     )
+    caches.append(bi)
     tri = (
         base.select(
             F.explode(

@@ -478,7 +478,13 @@ def char_bigram_nll(
     grams = train_df.select(
         F.explode(char_ngrams(F.col(text_col), 2, distinct=False)).alias("__g")
     ).where(F.length("__g") == 2)
-    big = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__c2"))
+    # PERSIST the bigram count table: ctx, V, the model join, and the
+    # floor table all derive from it, and Catalyst plans each reference as
+    # its own evaluation — without the pin the training corpus was
+    # exploded ~5× per scoring call (the ngram_lm_nll pattern, r14).  The
+    # table is |observed bigrams| rows — alphabet-bounded for alphabetic
+    # scripts — and its release handle rides the result.
+    big = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__c2")).persist()
     ctx = big.groupBy(F.substring("__g", 1, 1).alias("__c1")).agg(
         F.sum("__c2").alias("__cc")
     )
@@ -527,10 +533,13 @@ def char_bigram_nll(
             ),
         )
     )
-    return scored.groupBy(id_col).agg(
+    from re_data_pipeline_spark.operators.ids import _carry_caches
+
+    out = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
         F.round(F.sum("__t") / (F.count(F.lit(1)) * 1e6), 6).alias("nll"),
     )
+    return _carry_caches(out, out, big)
 
 
 def curriculum_interleave(

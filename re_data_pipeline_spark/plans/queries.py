@@ -4807,13 +4807,13 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (b) queries whose code changed this round, (c) stalest green rows,
 # oldest round first.  This rotation clears the ENTIRE round-7 band
 # (all 25 rows, including the §2-inventory contract rows upsert K2 q25,
-# chunking W3 q37, archival K4 q26, geocode X2 q56) plus the oldest 8
-# of the 48 round-9 rows; after the driver run no green row predates
-# round 9 (the r13 verdict's done-condition).  The (b) group grew
-# mid-round as the review pass touched more operators (17 total), which
-# displaced 9 r9 rows to the r15 proposal.  Everything rotated out
-# holds a green r9-r13 driver row with unchanged code, and
-# tools/parity.py still verifies ALL registered queries every session.
+# chunking W3 q37, archival K4 q26, geocode X2 q56) plus the oldest
+# round-9 row; after the driver run no green row predates round 9 (the
+# r13 verdict's done-condition).  The (b) group grew across the round as
+# the review pass touched more operators (24 total), displacing all but
+# one r9 row to the r15 proposal.  Everything rotated out holds a green
+# r9-r13 driver row with unchanged code, and tools/parity.py still
+# verifies ALL registered queries every session.
 
 # The round this list was last actually RE-COMPOSED (not merely shipped):
 # tools/gen_window_doc.py stamps it into README so the freshness claim
@@ -4840,6 +4840,11 @@ DRIVER_WINDOW: list[str] = [
     "q171_token_drift", "q172_pmi_collocations", "q176_vocab_coverage",
     "q184_weighted_quantiles", "q192_grouped_quantiles",
     "q70_stateful_stream", "q187_streaming_incremental_dedup",
+    # Batch 3 (multi-reference pins continued): the LM model-table pins
+    # (ngram_lm_nll — q202/q203/q210/q206; char_bigram_nll — q170) and
+    # the key-skew count pin (q179).
+    "q170_char_lm_quality", "q179_key_skew_report", "q202_ngram_lm_nll",
+    "q203_ccnet_buckets", "q206_curation_v3", "q210_ngram_lm_pruned",
     # (c) last green driver row: round 7 (all 25 remaining; planner order)
     "q19_json_extract", "q21_case_normalize", "q22_completeness_profile",
     "q23_enrichment_join", "q25_upsert", "q26_archive_delisted",
@@ -4849,11 +4854,9 @@ DRIVER_WINDOW: list[str] = [
     "q56_geocode_fallback", "q58_utm_project", "q59_json_glob_scan",
     "q60_embedding_neardup", "q61_salted_agg", "q62_storeys_regex",
     "q96_tfidf_top_terms", "q98_pii_redaction", "q99_interval_concurrency",
-    # (c) last green driver row: round 9 (oldest 7 of 48; planner order —
-    # q108 displaced when q187 joined the (b) group late in the round)
-    "q02_filter_project", "q05_anti_join", "q06_semi_join",
-    "q102_zorder_layout", "q104_embedding_minmax", "q105_weighted_sample",
-    "q106_scalar_quantization",
+    # (c) last green driver row: round 9 (the one remaining slot — the
+    # review pass grew the (b) group to 24; the other r9 rows lead r15)
+    "q02_filter_project",
 ]
 
 
