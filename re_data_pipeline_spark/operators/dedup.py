@@ -250,10 +250,20 @@ def ngram_jaccard_pairs(
     shuffle-heavy: the verification stage after LSH candidate generation, or
     a direct operator on corpora small enough to afford it.
     """
+    from re_data_pipeline_spark.operators.ids import _carry_caches
+
+    # PERSIST the distinct shingle table: both self-join sides and the
+    # size agg read it, and Catalyst plans each as its own evaluation —
+    # without the pin the corpus shingle explode+distinct ran FOUR times
+    # (measured, zero ReusedExchange, r14).  The pin stores what the
+    # distinct's shuffle already materialized once, and this operator's
+    # documented domain is corpora small enough for the exact all-
+    # intersecting-pairs join, where that storage is the cheap part.
     sh = (
         df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
         .select(F.col(id_col), F.explode(word_shingles_of(F.col("__toks"), shingle_words)).alias("s"))
         .distinct()
+        .persist()
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     inter = (
@@ -262,13 +272,14 @@ def ngram_jaccard_pairs(
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .agg(F.count("*").alias("inter"))
     )
-    return (
+    out = (
         inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
         .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .where(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")
     )
+    return _carry_caches(out, out, sh)
 
 
 def jaccard_on_pairs(
@@ -292,11 +303,16 @@ def jaccard_on_pairs(
         .union(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
+    # PERSIST the candidate-docs shingle table: the size agg and both
+    # join sides read it (3 evaluations of the semi-join + explode +
+    # distinct otherwise — the ngram_jaccard_pairs pattern, r14); the
+    # frame is candidate-bounded by the semi-join, never the corpus.
     sh = (
         df.join(cand_ids, id_col, "left_semi")
         .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
         .select(F.col(id_col), F.explode(word_shingles_of(F.col("__toks"), shingle_words)).alias("s"))
         .distinct()
+        .persist()
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a"))
@@ -310,7 +326,9 @@ def jaccard_on_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
-    return (
+    from re_data_pipeline_spark.operators.ids import _carry_caches
+
+    out = (
         pairs.join(inter, ["id_a", "id_b"], "left")
         .na.fill({"inter": 0})
         .join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
@@ -318,6 +336,7 @@ def jaccard_on_pairs(
         .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .select("id_a", "id_b", "jaccard")
     )
+    return _carry_caches(out, out, sh)
 
 
 def near_dedup_pipeline(
@@ -343,6 +362,8 @@ def near_dedup_pipeline(
     # four times (scoping union ×2, intersection join, final left join) and
     # each reference would otherwise replay the bucket self-join+distinct.
     # Measured on sf0.1 documents: 7.6 s → 1.1 s for the whole pipeline.
+    from re_data_pipeline_spark.operators.ids import _carry_caches
+
     cands = lsh_candidate_pairs(df, id_col, text_col, num_hashes, shingle_words, bands)
     verified = jaccard_on_pairs(cands, df, id_col, text_col, shingle_words)
     losers = (
@@ -350,7 +371,11 @@ def near_dedup_pipeline(
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )
-    return df.join(losers, id_col, "left_anti")
+    out = df.join(losers, id_col, "left_anti")
+    # carry the verifier's shingle pin AND the pair-list checkpoint: both
+    # back the returned lineage, so they are only releasable by the caller
+    # after materialization (release_spines handles both kinds) (r14)
+    return _carry_caches(verified, out, cands)
 
 
 def connected_components(

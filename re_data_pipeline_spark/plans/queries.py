@@ -1044,7 +1044,11 @@ def q34_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier) on a bounded subset — shingle equi-join, no cross join."""
     d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     pairs = ngram_jaccard_pairs(d, "doc_id", "text", shingle_words=3, threshold=0.01)
-    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    from re_data_pipeline_spark.operators.ids import carry_spines
+
+    return carry_spines(
+        pairs, pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
 
 
 @query(
@@ -1942,7 +1946,9 @@ def q71_near_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     survivors = near_dedup_pipeline(d, threshold=0.5)
-    return survivors.select("doc_id", "lang", "n_chars")
+    from re_data_pipeline_spark.operators.ids import carry_spines
+
+    return carry_spines(survivors, survivors.select("doc_id", "lang", "n_chars"))
 
 
 _Q72_SQL = f"""
@@ -2018,8 +2024,13 @@ def q72_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = near_dedup_pipeline(
         kept.select("doc_id", "text", "n_tokens", "quality"), threshold=0.5
     )
-    return survivors.select(
-        "doc_id", "n_tokens", F.round("quality", 6).alias("quality")
+    from re_data_pipeline_spark.operators.ids import carry_spines
+
+    return carry_spines(
+        survivors,
+        survivors.select(
+            "doc_id", "n_tokens", F.round("quality", 6).alias("quality")
+        ),
     )
 
 
@@ -4842,7 +4853,12 @@ DRIVER_WINDOW: list[str] = [
     "q70_stateful_stream", "q187_streaming_incremental_dedup",
     # Batch 3 (multi-reference pins continued): the LM model-table pins
     # (ngram_lm_nll — q202/q203/q210/q206; char_bigram_nll — q170) and
-    # the key-skew count pin (q179).
+    # the key-skew count pin (q179).  Four MORE queries changed after the
+    # window was frozen at 50 (q34/q71/q72/q153 — the jaccard shingle-
+    # table pins): adding them would displace r7 rows and break the r13
+    # verdict's no-green-row-predates-r9 done-condition, so they are
+    # builder-parity-verified this round (all OK, sf0.01) and lead the
+    # r15 (b) group instead.
     "q170_char_lm_quality", "q179_key_skew_report", "q202_ngram_lm_nll",
     "q203_ccnet_buckets", "q206_curation_v3", "q210_ngram_lm_pruned",
     # (c) last green driver row: round 7 (all 25 remaining; planner order)
@@ -5848,8 +5864,13 @@ def q153_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both engines filter on the same double quotient: with set sizes
     # ≤ ~60, neighbouring ratios are ≥ 5e-5 apart — far beyond one ulp, so
     # the float comparison cannot disagree with the exact rational test
-    return verified.where(F.col("jaccard") >= 0.8).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    from re_data_pipeline_spark.operators.ids import carry_spines
+
+    return carry_spines(
+        verified,
+        verified.where(F.col("jaccard") >= 0.8).select(
+            "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+        ),
     )
 
 
