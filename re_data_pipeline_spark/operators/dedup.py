@@ -585,10 +585,22 @@ def cluster_dedup_pipeline(
     # pair list arrives materialized (see near_dedup_pipeline) so
     # verification's four references don't each replay the bucket self-join
     cands = lsh_candidate_pairs(df, id_col, text_col, num_hashes, shingle_words, bands)
-    confirmed = jaccard_on_pairs(cands, df, id_col, text_col, shingle_words).where(
-        F.col("jaccard") >= F.lit(threshold)
-    )
+    verified = jaccard_on_pairs(cands, df, id_col, text_col, shingle_words)
+    confirmed = verified.where(F.col("jaccard") >= F.lit(threshold))
     comps = connected_components(confirmed.select("id_a", "id_b"))
+    # connected_components MATERIALIZED the confirmed pairs (its edge
+    # checkpoint + per-round counts), so the verifier's shingle pin and
+    # the pair-list checkpoint are not in the returned lineage — release
+    # them here instead of carrying (r14; near_dedup_pipeline stays lazy
+    # and must carry instead).  Release via the ORIGINAL jaccard frame:
+    # .where() returns a fresh object without the Python-side handles.
+    from re_data_pipeline_spark.operators.ids import (
+        release_local_checkpoint,
+        release_spines,
+    )
+
+    release_spines(verified)
+    release_local_checkpoint(cands)
     losers = comps.where(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )

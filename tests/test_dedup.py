@@ -85,9 +85,17 @@ def test_lsh_candidate_pairs_releases_bucket_cache(spark):
         near_dedup_pipeline,
     )
 
+    from re_data_pipeline_spark.operators.ids import release_spines
+
     before = _leaked_persist_ids(spark)
     lsh_candidate_pairs(docs_df(spark), "doc_id", "text").count()
-    near_dedup_pipeline(docs_df(spark), threshold=0.5).count()
+    # near_dedup stays LAZY, so its shingle pin rides the result by
+    # contract (r14) — materialize, then release like any spine consumer
+    nd = near_dedup_pipeline(docs_df(spark), threshold=0.5)
+    nd.count()
+    release_spines(nd)
+    # cluster_dedup materializes internally (connected components), so it
+    # self-releases — no handle needed
     cluster_dedup_pipeline(docs_df(spark), threshold=0.5).count()
     assert _leaked_persist_ids(spark) <= before
 
