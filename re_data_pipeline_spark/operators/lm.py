@@ -70,9 +70,18 @@ def ngram_lm_nll(
     cache_tokens: bool = False,
     min_count2: int = 1,
     min_count3: int = 1,
+    broadcast_model: bool = False,
 ) -> DataFrame:
     """Per-document average negative log-likelihood under a trigram
     Stupid-Backoff model trained on ``train_df`` (see module docstring).
+
+    ``broadcast_model=True`` broadcast-hints the three model tables in the
+    scoring joins — map-only scoring, zero position shuffle.  ONLY for the
+    CCNet-faithful configuration where the model is trained on a small
+    clean reference corpus (the caller's knowledge, not a guess): a
+    self-scored crawl's model tables grow with the corpus and a forced
+    broadcast would OOM the executors exactly at scale.  Default off =
+    equi-join scoring, the always-safe mode.
 
     Returns one row per ``score_df`` document: ``(id_col, n_trigrams,
     nll_micro, nll)`` where ``nll_micro`` is the exact integer micro-nat
@@ -144,6 +153,16 @@ def ngram_lm_nll(
     # never the corpus); with the pins the plan is back to five corpus
     # passes (uni/bi/tri builds + positions + totality).  Handles ride the
     # spine-cache protocol like the cache_tokens frames.
+    # Known trade (measured r14): an unmaterialized InMemoryRelation
+    # reports its child's (wildly high) size estimate, so the pin demotes
+    # the scoring joins from AQE-broadcast to sort-merge at small scale
+    # (q202 shuffle rows 39k → 337k) — while cutting the corpus passes
+    # 9 → 5 and the cold wall 2.59 → 1.91 s.  Sort-merge is the
+    # documented, always-safe 100 TB mode (self-scoring models outgrow
+    # the broadcast threshold anyway — SCALING.md measured exp 1.13
+    # same-mode); deployments that KNOW the model is reference-corpus-
+    # bounded (CCNet-faithful) opt back into map-only scoring with
+    # ``broadcast_model=True`` instead of relying on AQE to guess.
     uni = base.select(F.explode("__t").alias("__w")).groupBy("__w").agg(
         F.count(F.lit(1)).alias("__c1")
     ).persist()
@@ -244,6 +263,10 @@ def ngram_lm_nll(
         ).alias("__p"),
     ).select(id_col, "__p.__g3", "__p.__b2", "__p.__w3")
 
+    if broadcast_model:
+        tri_model = F.broadcast(tri_model)
+        bi_model = F.broadcast(bi_model)
+        uni_model = F.broadcast(uni_model)
     scored = (
         pos.join(tri_model, "__g3", "left")
         .join(bi_model, "__b2", "left")

@@ -339,3 +339,31 @@ def test_shard_manifest_field_boundary_shift_changes_checksum(spark):
     xb = shard_manifest(b, "doc_id", ["text", "lang"], num_shards=1).collect()[0]
     # same bytes shifted across the field boundary MUST change the receipt
     assert xa["content_xor"] != xb["content_xor"]
+
+
+def test_broadcast_model_scoring_equals_default(spark):
+    """r14: broadcast_model=True (CCNet-faithful map-only scoring) must
+    return exactly the default equi-join mode's scores — it is a physical
+    hint, never a semantics change — and must plan broadcast joins."""
+    from pyspark.sql import functions as F
+
+    from re_data_pipeline_spark.operators.ids import release_spines
+    from re_data_pipeline_spark.operators.lm import ngram_lm_nll
+
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps " * 3) for i in range(5)],
+        "doc_id long, text string",
+    )
+    crawl = spark.createDataFrame(
+        [(10, "the quick brown fox"), (11, "totally unseen words here")],
+        "doc_id long, text string",
+    )
+    a = ngram_lm_nll(ref, crawl)
+    b = ngram_lm_nll(ref, crawl, broadcast_model=True)
+    got_a = {(r.doc_id, r.n_trigrams, r.nll_micro) for r in a.collect()}
+    got_b = {(r.doc_id, r.n_trigrams, r.nll_micro) for r in b.collect()}
+    assert got_a == got_b
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3  # the three scoring tiers
+    release_spines(a)
+    release_spines(b)
