@@ -1580,6 +1580,10 @@ def lsh_recall_report(
     while LSH runs on the corpus; both sides reduce to pair sets and a
     3-count aggregate.  Nothing here is all-pairs.
     """
+    # persist: the size agg and both self-join sides read the shingle
+    # table (the ngram_jaccard_pairs pattern, r14); this is the audit
+    # operator whose documented domain is corpora small enough for the
+    # exact truth join, where the pin is the cheap part
     sh = (
         df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
         .select(
@@ -1587,6 +1591,7 @@ def lsh_recall_report(
             F.explode(word_shingles_of(F.col("__toks"), shingle_words)).alias("s"),
         )
         .distinct()
+        .persist()
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     inter = (
@@ -1634,7 +1639,9 @@ def lsh_recall_report(
             ).alias("precision"),
         )
     )
-    return report
+    from re_data_pipeline_spark.operators.ids import _carry_caches
+
+    return _carry_caches(report, report, sh)
 
 
 def dup_cluster_profile(
@@ -1737,16 +1744,20 @@ def cross_corpus_contamination(
             .distinct()
         )
 
+    # both shingle sets feed their size agg AND the intersection join —
+    # persist (candidate-bounded by the semi-join, never corpus-sized) so
+    # each side's explode+distinct runs once (r14 rule); handles ride the
+    # result for release_spines
     sa = shingle_set(
         train.join(cands.select("train_id").distinct(),
                    train[id_col] == F.col("train_id"), "left_semi"),
         "train_id",
-    )
+    ).persist()
     sb = shingle_set(
         bench.join(cands.select("bench_id").distinct(),
                    bench[id_col] == F.col("bench_id"), "left_semi"),
         "bench_id",
-    )
+    ).persist()
     za = sa.groupBy("train_id").agg(F.count(F.lit(1)).alias("__na"))
     zb = sb.groupBy("bench_id").agg(F.count(F.lit(1)).alias("__nb"))
     inter = (
@@ -1755,7 +1766,9 @@ def cross_corpus_contamination(
         .groupBy("train_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("__i"))
     )
-    return (
+    from re_data_pipeline_spark.operators.ids import _carry_caches
+
+    out = (
         inter.join(za, "train_id")
         .join(zb, "bench_id")
         .where(
@@ -1770,6 +1783,11 @@ def cross_corpus_contamination(
             ).alias("jaccard"),
         )
     )
+    out = _carry_caches(out, out, sa)
+    out = _carry_caches(out, out, sb)
+    # the pair-list checkpoint also backs the returned lineage (the
+    # intersection base) — carry it so release_spines frees its blocks
+    return _carry_caches(out, out, cands)
 
 
 def source_dup_rates(

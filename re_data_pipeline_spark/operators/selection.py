@@ -81,10 +81,15 @@ def dsir_log_weights(
         F.explode(tokens(F.col(text_col))).alias("__tok"),
     ).withColumn("__b", hash_bucket(F.col("__tok"), n_buckets))
 
+    # PERSIST the B-row bucket table: the totals agg and the model
+    # projection both read it, and Catalyst plans each as its own
+    # evaluation — without the pin the corpus token explode+agg ran twice
+    # (the r14 multiply-referenced-frame rule; B ≤ 4096 rows, trivially
+    # pinnable).  Handle rides the result for release_spines.
     bucket_counts = tok.groupBy("__b").agg(
         F.count(F.lit(1)).alias("raw_c"),
         F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("tgt_c"),
-    )
+    ).persist()
     totals = bucket_counts.agg(
         F.sum("raw_c").alias("raw_t"), F.sum("tgt_c").alias("tgt_t")
     )
@@ -104,7 +109,9 @@ def dsir_log_weights(
             .alias("lw_fixed"),
         )
     )
-    return (
+    from re_data_pipeline_spark.operators.ids import _carry_caches
+
+    out = (
         tok.join(F.broadcast(model), "__b")
         .groupBy(id_col)
         .agg(
@@ -112,6 +119,7 @@ def dsir_log_weights(
             F.round(F.sum("lw_fixed") / float(_FIXED), 6).alias("dsir_logweight"),
         )
     )
+    return _carry_caches(out, out, bucket_counts)
 
 
 def classifier_weight(bucket: Column, n_buckets: int) -> Column:
@@ -177,7 +185,12 @@ def mixture_allocation(
     from pyspark.sql.window import Window
 
     s = F.col(size_col) if isinstance(size_col, str) else size_col
-    counts = df.groupBy(domain_col).agg(F.sum(s).cast("decimal(38,0)").alias("n"))
+    # PERSIST the |domains|-row quota base: the grand-total agg and the
+    # quota projection both read it — without the pin the corpus size agg
+    # ran twice (r14 multiply-referenced-frame rule; domains are few).
+    counts = (
+        df.groupBy(domain_col).agg(F.sum(s).cast("decimal(38,0)").alias("n")).persist()
+    )
     total = counts.agg(F.sum("n").cast("decimal(38,0)").alias("__t"))
     x = counts.crossJoin(F.broadcast(total))
     prod = F.col("n") * F.lit(budget).cast("decimal(38,0)")
@@ -196,7 +209,9 @@ def mixture_allocation(
     # bounded-global-window: x is the |domains|-row quota table (one row
     # per domain after the groupBy), never the corpus
     w = Window.orderBy(F.desc("rem"), F.asc(domain_col))
-    return (
+    from re_data_pipeline_spark.operators.ids import _carry_caches
+
+    out = (
         x.crossJoin(F.broadcast(leftover))
         .withColumn("__rk", F.row_number().over(w))
         .select(
@@ -210,6 +225,7 @@ def mixture_allocation(
             .alias("quota"),
         )
     )
+    return _carry_caches(out, out, counts)
 
 
 def grouped_split(
@@ -713,7 +729,12 @@ def train_quality_classifier(
         y.cast("int").alias("__y"),
         F.explode(tokens(text_col)).alias("__tok"),
     ).withColumn("__b", hash_bucket(F.col("__tok"), n_buckets))
-    cb = tb.groupBy(id_col, "__y", "__b").agg(F.count(F.lit(1)).alias("__c"))
+    # pin the per-(doc, bucket) count table for the duration of the ONE
+    # eager feature checkpoint: the doc-total agg and the feature join
+    # both read it, so the corpus tokenize+agg otherwise ran twice inside
+    # that single materialization (r14 rule); released immediately after —
+    # the checkpoint severs the lineage, so nothing recomputes through it
+    cb = tb.groupBy(id_col, "__y", "__b").agg(F.count(F.lit(1)).alias("__c")).persist()
     nd = cb.groupBy(id_col).agg(F.sum("__c").alias("__n"))
     feat = (
         cb.join(nd, id_col)
@@ -725,6 +746,7 @@ def train_quality_classifier(
         )
         .localCheckpoint()
     )
+    cb.unpersist()
     n_docs = feat.select(id_col).distinct().count()
     den = lr_den * max(n_docs, 1) * 10**9
 

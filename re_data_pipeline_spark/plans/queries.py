@@ -4853,12 +4853,14 @@ DRIVER_WINDOW: list[str] = [
     "q70_stateful_stream", "q187_streaming_incremental_dedup",
     # Batch 3 (multi-reference pins continued): the LM model-table pins
     # (ngram_lm_nll — q202/q203/q210/q206; char_bigram_nll — q170) and
-    # the key-skew count pin (q179).  Four MORE queries changed after the
-    # window was frozen at 50 (q34/q71/q72/q153 — the jaccard shingle-
-    # table pins): adding them would displace r7 rows and break the r13
-    # verdict's no-green-row-predates-r9 done-condition, so they are
-    # builder-parity-verified this round (all OK, sf0.01) and lead the
-    # r15 (b) group instead.
+    # the key-skew count pin (q179).  THIRTEEN more queries changed after
+    # the window froze at 50 (the jaccard shingle pins q34/q71/q72/q153;
+    # the dsir/mixture pins q124/q129/q164/q166; the cross-corpus/recall
+    # pins q100/q181/q185; the classifier pin q126/q198): adding them
+    # would displace r7 rows and break the r13 verdict's
+    # no-green-row-predates-r9 done-condition, so they are builder-
+    # parity-verified this round (all OK, sf0.01) and lead the r15 (b)
+    # group instead.
     "q170_char_lm_quality", "q179_key_skew_report", "q202_ngram_lm_nll",
     "q203_ccnet_buckets", "q206_curation_v3", "q210_ngram_lm_pruned",
     # (c) last green driver row: round 7 (all 25 remaining; planner order)
