@@ -250,20 +250,16 @@ def ngram_jaccard_pairs(
     shuffle-heavy: the verification stage after LSH candidate generation, or
     a direct operator on corpora small enough to afford it.
     """
-    from re_data_pipeline_spark.operators.ids import _carry_caches
-
-    # PERSIST the distinct shingle table: both self-join sides and the
-    # size agg read it, and Catalyst plans each as its own evaluation —
-    # without the pin the corpus shingle explode+distinct ran FOUR times
-    # (measured, zero ReusedExchange, r14).  The pin stores what the
-    # distinct's shuffle already materialized once, and this operator's
-    # documented domain is corpora small enough for the exact all-
-    # intersecting-pairs join, where that storage is the cheap part.
+    # the shingle table is deliberately NOT pinned (measured r14): its
+    # four references DO re-plan the explode+distinct, but the re-
+    # evaluations pipeline through shared scan work where a persist adds
+    # a corpus-shingle-sized cache store and blocks the exchange sharing
+    # — a tried pin DOUBLED q34's cold wall (1.11 → 2.35 s at sf0.1), the
+    # same measurement that rejected the prefix_filter_pairs persist.
     sh = (
         df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
         .select(F.col(id_col), F.explode(word_shingles_of(F.col("__toks"), shingle_words)).alias("s"))
         .distinct()
-        .persist()
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     inter = (
@@ -272,14 +268,13 @@ def ngram_jaccard_pairs(
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .agg(F.count("*").alias("inter"))
     )
-    out = (
+    return (
         inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
         .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .where(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")
     )
-    return _carry_caches(out, out, sh)
 
 
 def jaccard_on_pairs(
@@ -303,16 +298,16 @@ def jaccard_on_pairs(
         .union(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    # PERSIST the candidate-docs shingle table: the size agg and both
-    # join sides read it (3 evaluations of the semi-join + explode +
-    # distinct otherwise — the ngram_jaccard_pairs pattern, r14); the
-    # frame is candidate-bounded by the semi-join, never the corpus.
+    # NOT pinned (measured r14): the three references re-plan the
+    # candidate-bounded explode+distinct, but pinning it measured SLOWER
+    # across every consumer (q71 via near_dedup, q153, q100's sibling —
+    # cache-store cost beats the pipelined re-evaluation; the same
+    # measurement that rejected the prefix_filter_pairs persist).
     sh = (
         df.join(cand_ids, id_col, "left_semi")
         .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
         .select(F.col(id_col), F.explode(word_shingles_of(F.col("__toks"), shingle_words)).alias("s"))
         .distinct()
-        .persist()
     )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a"))
@@ -326,9 +321,7 @@ def jaccard_on_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
-    from re_data_pipeline_spark.operators.ids import _carry_caches
-
-    out = (
+    return (
         pairs.join(inter, ["id_a", "id_b"], "left")
         .na.fill({"inter": 0})
         .join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
@@ -336,7 +329,6 @@ def jaccard_on_pairs(
         .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .select("id_a", "id_b", "jaccard")
     )
-    return _carry_caches(out, out, sh)
 
 
 def near_dedup_pipeline(
@@ -1580,10 +1572,10 @@ def lsh_recall_report(
     while LSH runs on the corpus; both sides reduce to pair sets and a
     3-count aggregate.  Nothing here is all-pairs.
     """
-    # persist: the size agg and both self-join sides read the shingle
-    # table (the ngram_jaccard_pairs pattern, r14); this is the audit
-    # operator whose documented domain is corpora small enough for the
-    # exact truth join, where the pin is the cheap part
+    # NOT pinned (measured r14): pinning the shingle table here read 20%
+    # SLOWER (3.16 → 3.81 s cold at sf0.1) — the ngram_jaccard_pairs
+    # measurement; the re-evaluations pipeline where the pin pays a
+    # corpus-shingle-sized cache store.
     sh = (
         df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
         .select(
@@ -1591,7 +1583,6 @@ def lsh_recall_report(
             F.explode(word_shingles_of(F.col("__toks"), shingle_words)).alias("s"),
         )
         .distinct()
-        .persist()
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     inter = (
@@ -1639,9 +1630,7 @@ def lsh_recall_report(
             ).alias("precision"),
         )
     )
-    from re_data_pipeline_spark.operators.ids import _carry_caches
-
-    return _carry_caches(report, report, sh)
+    return report
 
 
 def dup_cluster_profile(
@@ -1744,20 +1733,20 @@ def cross_corpus_contamination(
             .distinct()
         )
 
-    # both shingle sets feed their size agg AND the intersection join —
-    # persist (candidate-bounded by the semi-join, never corpus-sized) so
-    # each side's explode+distinct runs once (r14 rule); handles ride the
-    # result for release_spines
+    # NOT pinned (measured r14): the candidate-bounded shingle sets each
+    # feed two consumers, but pinning them read 14% slower (q100
+    # 0.77 → 0.88 s cold) — the jaccard-family measurement; re-evaluation
+    # pipelines where the pin pays a cache store.
     sa = shingle_set(
         train.join(cands.select("train_id").distinct(),
                    train[id_col] == F.col("train_id"), "left_semi"),
         "train_id",
-    ).persist()
+    )
     sb = shingle_set(
         bench.join(cands.select("bench_id").distinct(),
                    bench[id_col] == F.col("bench_id"), "left_semi"),
         "bench_id",
-    ).persist()
+    )
     za = sa.groupBy("train_id").agg(F.count(F.lit(1)).alias("__na"))
     zb = sb.groupBy("bench_id").agg(F.count(F.lit(1)).alias("__nb"))
     inter = (
@@ -1783,9 +1772,7 @@ def cross_corpus_contamination(
             ).alias("jaccard"),
         )
     )
-    out = _carry_caches(out, out, sa)
-    out = _carry_caches(out, out, sb)
-    # the pair-list checkpoint also backs the returned lineage (the
+    # the pair-list checkpoint backs the returned lineage (the
     # intersection base) — carry it so release_spines frees its blocks
     return _carry_caches(out, out, cands)
 

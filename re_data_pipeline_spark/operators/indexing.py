@@ -177,6 +177,11 @@ def pmi_collocations(
     # agg ran FOUR times (measured: 4 Generate nodes, zero ReusedExchange,
     # r14).  The pinned frame is pair-vocabulary-sized (Heaps-bounded),
     # never the corpus; the handle rides the result for release_spines.
+    # Measured CROSSOVER (keep this pin): at sf0.1 the pin reads 27%
+    # slower (1.42 → 1.81 s — cache-store cost), but at the 10× sf1
+    # anchor corpus it is 32% FASTER (5.35 → 3.65 s) because the four
+    # saved corpus explodes grow linearly while the vocab store grows
+    # sublinearly — the scale-correct side of the trade.
     from re_data_pipeline_spark.operators.ids import _carry_caches
 
     cb = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_12")).persist()

@@ -139,15 +139,14 @@ def key_skew_report(
     stats agg broadcast back, and a ``top_n`` TakeOrdered — the corpus is
     touched once and nothing key-cardinality-sized ever sorts globally.
     """
-    from re_data_pipeline_spark.operators.ids import _carry_caches
-
     cols = [F.col(c) if isinstance(c, str) else c for c in key_cols]
-    # PERSIST the key-count table: both the 1-row stats agg and the top-N
-    # read it, and Catalyst plans each reference as its own evaluation of
-    # the corpus groupBy (measured: 2 source scans, zero ReusedExchange,
-    # r14 — the same pattern as the bloom bitmap / PMI pins).  |keys|
-    # rows, never the corpus; the handle rides the result.
-    counts = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("n_rows")).persist()
+    # deliberately NOT pinned (measured r14): the stats agg and the top-N
+    # do re-plan the corpus groupBy, but a tried persist read 43% SLOWER
+    # (0.35 → 0.50 s cold at sf0.1 — cache-store cost beats the pipelined
+    # re-aggregation), and the key-count table is |keys|-sized, which for
+    # a high-cardinality key approaches the corpus — the pin the
+    # multiply-referenced-frame rule's corollary 1 forbids.
+    counts = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("n_rows"))
     stats = counts.agg(
         F.sum("n_rows").alias("__total"), F.count(F.lit(1)).alias("__nkeys")
     )
@@ -184,7 +183,7 @@ def key_skew_report(
             "rnk",
         )
     )
-    return _carry_caches(out, out, counts)
+    return out
 
 
 def shard_manifest(

@@ -729,12 +729,13 @@ def train_quality_classifier(
         y.cast("int").alias("__y"),
         F.explode(tokens(text_col)).alias("__tok"),
     ).withColumn("__b", hash_bucket(F.col("__tok"), n_buckets))
-    # pin the per-(doc, bucket) count table for the duration of the ONE
-    # eager feature checkpoint: the doc-total agg and the feature join
-    # both read it, so the corpus tokenize+agg otherwise ran twice inside
-    # that single materialization (r14 rule); released immediately after —
-    # the checkpoint severs the lineage, so nothing recomputes through it
-    cb = tb.groupBy(id_col, "__y", "__b").agg(F.count(F.lit(1)).alias("__c")).persist()
+    # cb is deliberately NOT pinned (measured r14): it is doc×bucket-sized
+    # — the corpus-scale side the multiply-referenced-frame rule's
+    # corollary 1 forbids pinning — and a tried persist DOUBLED the
+    # training wall (3.0 → 6.1 s cold at sf0.1: cache-store cost plus the
+    # lost pipelining of the nd re-aggregation over the same exchange
+    # outweigh the saved tokenize pass inside the one checkpoint job).
+    cb = tb.groupBy(id_col, "__y", "__b").agg(F.count(F.lit(1)).alias("__c"))
     nd = cb.groupBy(id_col).agg(F.sum("__c").alias("__n"))
     feat = (
         cb.join(nd, id_col)
@@ -746,7 +747,6 @@ def train_quality_classifier(
         )
         .localCheckpoint()
     )
-    cb.unpersist()
     n_docs = feat.select(id_col).distinct().count()
     den = lr_den * max(n_docs, 1) * 10**9
 

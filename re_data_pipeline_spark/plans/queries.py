@@ -4853,11 +4853,12 @@ DRIVER_WINDOW: list[str] = [
     "q70_stateful_stream", "q187_streaming_incremental_dedup",
     # Batch 3 (multi-reference pins continued): the LM model-table pins
     # (ngram_lm_nll — q202/q203/q210/q206; char_bigram_nll — q170) and
-    # the key-skew count pin (q179).  THIRTEEN more queries changed after
-    # the window froze at 50 (the jaccard shingle pins q34/q71/q72/q153;
-    # the dsir/mixture pins q124/q129/q164/q166; the cross-corpus/recall
-    # pins q100/q181/q185; the classifier pin q126/q198): adding them
-    # would displace r7 rows and break the r13 verdict's
+    # q179 (whose tried pin was A/B-REJECTED — its final change is the
+    # measured-and-rejected note, re-verified anyway as touched).  More
+    # queries changed after the window froze at 50 (the leak-fix carries
+    # q34/q71/q72/q153/q100/q185; the dsir/mixture pins q124/q129/q164/
+    # q166; q181/q126/q198 ended the round with tried-and-reverted pins):
+    # adding them would displace r7 rows and break the r13 verdict's
     # no-green-row-predates-r9 done-condition, so they are builder-
     # parity-verified this round (all OK, sf0.01) and lead the r15 (b)
     # group instead.
