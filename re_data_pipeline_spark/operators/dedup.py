@@ -458,7 +458,13 @@ def connected_components(
     # the returned frame derives only from the FINAL label checkpoint (kept);
     # the edge list — usually the big relation — is dead at this point
     release_local_checkpoint(edges)
-    return labels.select(F.col("node"), F.col("comp").alias("component"))
+    out = labels.select(F.col("node"), F.col("comp").alias("component"))
+    # carry the final label checkpoint's handle so callers/harnesses can
+    # release it after materialization (r15 — without this the block
+    # survived clearCache for the session; same contract as pagerank_fixed)
+    from re_data_pipeline_spark.operators.ids import _carry_caches
+
+    return _carry_caches(out, out, prev_ckpt)
 
 
 def connected_components_bss(
@@ -553,7 +559,12 @@ def connected_components_bss(
     # fixpoint edge set is a star forest oriented (leaf → root)
     roots = edges.select(F.col("v").alias("node")).distinct().withColumn("component", F.col("node"))
     leaves = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
-    return leaves.unionByName(roots).distinct()
+    out = leaves.unionByName(roots).distinct()
+    # carry the final star-forest checkpoint's handle (the returned frame
+    # recomputes through it) — release_spines frees it after materialization
+    from re_data_pipeline_spark.operators.ids import _carry_caches
+
+    return _carry_caches(out, out, edges)
 
 
 def cluster_dedup_pipeline(
@@ -581,22 +592,22 @@ def cluster_dedup_pipeline(
     confirmed = verified.where(F.col("jaccard") >= F.lit(threshold))
     comps = connected_components(confirmed.select("id_a", "id_b"))
     # connected_components MATERIALIZED the confirmed pairs (its edge
-    # checkpoint + per-round counts), so the verifier's shingle pin and
-    # the pair-list checkpoint are not in the returned lineage — release
-    # them here instead of carrying (r14; near_dedup_pipeline stays lazy
-    # and must carry instead).  Release via the ORIGINAL jaccard frame:
-    # .where() returns a fresh object without the Python-side handles.
+    # checkpoint + per-round counts), so the pair-list checkpoint is not in
+    # the returned lineage — release it now; the FINAL label checkpoint IS
+    # (comps recomputes through it), so its handle is carried onto the
+    # returned frame for release-after-materialization (r15; the old
+    # release_spines(verified) call was a no-op — jaccard_on_pairs
+    # deliberately attaches no handles since the r14 A/B rejection).
     from re_data_pipeline_spark.operators.ids import (
+        carry_spines,
         release_local_checkpoint,
-        release_spines,
     )
 
-    release_spines(verified)
     release_local_checkpoint(cands)
     losers = comps.where(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
-    return df.join(losers, id_col, "left_anti")
+    return carry_spines(comps, df.join(losers, id_col, "left_anti"))
 
 
 def cluster_dedup_keep_best(
@@ -646,6 +657,16 @@ def cluster_dedup_keep_best(
         F.col("jaccard") >= F.lit(threshold)
     )
     comps = connected_components(confirmed.select("id_a", "id_b"))
+    # CC materialized the confirmed pairs, so the pair-list checkpoint is
+    # dead; its final label checkpoint backs comps and its carried handle
+    # rides onto the returned frame (same discipline as
+    # cluster_dedup_pipeline, r15)
+    from re_data_pipeline_spark.operators.ids import (
+        carry_spines,
+        release_local_checkpoint,
+    )
+
+    release_local_checkpoint(cands)
     clustered = df.join(
         comps.withColumnRenamed("node", id_col), id_col
     ).select(F.col(id_col), F.col("component"), q.alias("__q"))
@@ -657,7 +678,7 @@ def cluster_dedup_keep_best(
         .where(F.col("__rn") > keep_k)
         .select(id_col)
     )
-    return df.join(losers, id_col, "left_anti")
+    return carry_spines(comps, df.join(losers, id_col, "left_anti"))
 
 
 def semantic_dedup_pipeline(
@@ -710,7 +731,10 @@ def semantic_dedup_pipeline(
     losers = comps.where(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
-    return df.join(losers, id_col, "left_anti")
+    # thread the star-forest checkpoint handle through to the caller (r15)
+    from re_data_pipeline_spark.operators.ids import carry_spines
+
+    return carry_spines(comps, df.join(losers, id_col, "left_anti"))
 
 
 _SIMHASH_WORD_BITS = 60  # bits per fingerprint word (15 md5 hex chars < 2^60)

@@ -91,15 +91,19 @@ def pagerank_fixed(
         for f in (prev, nodes, e):
             release_local_checkpoint(f)
         raise
+    out = ranks.select(F.col("n").alias("node"), F.col("rank_f").alias("rank_fixed"))
     if iterations >= 1:
         # every round is materialized and the result derives only from the
         # final round's checkpoint — the seed/edge checkpoints are dead.
-        # (iterations=0 returns the uniform seed, which still recomputes
-        # THROUGH nodes: releasing it there would break the returned frame.)
         release_local_checkpoint(nodes)
         release_local_checkpoint(e)
-    out = ranks.select(F.col("n").alias("node"), F.col("rank_f").alias("rank_fixed"))
-    return _carry_caches(out, out, ranks)
+        return _carry_caches(out, out, ranks)
+    # iterations=0 returns the uniform seed, which still recomputes THROUGH
+    # the nodes checkpoint — carry ITS handle so release_spines frees it
+    # after the caller materializes; the edge checkpoint is provably dead
+    # (nothing in the returned lineage reads it), release it now (r15).
+    release_local_checkpoint(e)
+    return _carry_caches(out, out, nodes)
 
 
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:

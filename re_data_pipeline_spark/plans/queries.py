@@ -2474,7 +2474,9 @@ def q123_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(4)
     ]
     kept = semantic_dedup_pipeline(corpus, planes, "vec_id", "embedding", 0.95)
-    return kept.select("vec_id", "label")
+    from re_data_pipeline_spark.operators.ids import carry_spines
+
+    return carry_spines(kept, kept.select("vec_id", "label"))
 
 
 @query(
@@ -2607,7 +2609,10 @@ def q85_cluster_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    return cluster_dedup_pipeline(d, threshold=0.5).select("doc_id", "lang")
+    from re_data_pipeline_spark.operators.ids import carry_spines
+
+    kept = cluster_dedup_pipeline(d, threshold=0.5)
+    return carry_spines(kept, kept.select("doc_id", "lang"))
 
 
 @query(
@@ -5275,9 +5280,10 @@ def q128_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     d = d.withColumn("quality", F.length("text").cast("bigint"))
-    return cluster_dedup_keep_best(d, "quality", threshold=0.5).select(
-        "doc_id", "quality"
-    )
+    from re_data_pipeline_spark.operators.ids import carry_spines
+
+    kept = cluster_dedup_keep_best(d, "quality", threshold=0.5)
+    return carry_spines(kept, kept.select("doc_id", "quality"))
 
 
 _MIX_BUDGET = 10_000
@@ -5694,7 +5700,10 @@ def q136_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("doc_id") * 13 + 1) % 100).alias("dst"),
         )
     )
-    return pagerank_fixed(edges, iterations=5).select("node", "rank_fixed")
+    # pagerank_fixed already returns exactly (node, rank_fixed) with the
+    # final-round checkpoint handle attached — a trailing .select would
+    # strip the handle and leak the block (r15 advice fix)
+    return pagerank_fixed(edges, iterations=5)
 
 
 @query(
@@ -6066,9 +6075,12 @@ def q148_spatial_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         near.select(F.col("pid").alias("id_a"), F.col("qid").alias("id_b")),
         max_iterations=60,
     )
-    return (
+    from re_data_pipeline_spark.operators.ids import carry_spines
+
+    return carry_spines(
+        comps,
         pts.join(comps, pts.pid == comps.node, "left")
-        .select("pid", F.coalesce("component", "pid").alias("cluster"))
+        .select("pid", F.coalesce("component", "pid").alias("cluster")),
     )
 
 
@@ -8246,9 +8258,10 @@ def q186_keep_top_k_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     d = d.withColumn("quality", F.length("text").cast("bigint"))
-    return cluster_dedup_keep_best(d, "quality", threshold=0.5, keep_k=2).select(
-        "doc_id", "quality"
-    )
+    from re_data_pipeline_spark.operators.ids import carry_spines
+
+    kept = cluster_dedup_keep_best(d, "quality", threshold=0.5, keep_k=2)
+    return carry_spines(kept, kept.select("doc_id", "quality"))
 
 
 def _stage_id_range_inbox(
@@ -8315,8 +8328,12 @@ def q187_streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFr
         inbox = _stage_id_range_inbox(d, stage, 4, ordered_mtimes=True)
         kept = streaming_incremental_dedup(spark, inbox, d.schema)
         # kept unions localCheckpoint'ed frames — already materialized, so
-        # deleting the staged files afterwards is safe
-        return kept.select("doc_id", "n_chars")
+        # deleting the staged files afterwards is safe; carry the per-batch
+        # checkpoint handles through the projection (r15 advice fix — the
+        # bare .select stripped them and leaked one block per micro-batch)
+        from re_data_pipeline_spark.operators.ids import carry_spines
+
+        return carry_spines(kept, kept.select("doc_id", "n_chars"))
     finally:
         shutil.rmtree(stage, ignore_errors=True)
 
@@ -9341,14 +9358,18 @@ def q203_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     `Window.partitionBy(lang)` (languages are few and skewed: the corpus
     would funnel into |langs| reducers); per-language first-ordinals and
     sizes from a |langs|-row broadcast agg."""
+    from re_data_pipeline_spark.operators.ids import carry_spines
     from re_data_pipeline_spark.operators.lm import ngram_lm_nll, perplexity_buckets
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    scored = ngram_lm_nll(d).where(F.col("nll").isNotNull())
-    scored = scored.join(d.select("doc_id", "lang"), "doc_id")
+    # thread the LM's persisted uni/bi model-table handles through the
+    # .where/.join projections (each returns a fresh frame without
+    # _ordinal_caches); perplexity_buckets then carries them onto its
+    # output alongside the ordinal spine (r15 advice fix)
+    lm_out = ngram_lm_nll(d)
+    scored = carry_spines(lm_out, lm_out.where(F.col("nll").isNotNull()))
+    scored = carry_spines(scored, scored.join(d.select("doc_id", "lang"), "doc_id"))
     out = perplexity_buckets(scored, "lang")
-    from re_data_pipeline_spark.operators.ids import carry_spines
-
     return carry_spines(
         out,
         out.select("doc_id", "lang", "nll_micro", "nll", "group_rank", "bucket"),
@@ -9572,8 +9593,13 @@ def q206_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame is the choice that still holds at 100 TB
     survivors = d.join(kept_hosts, "doc_id").persist()
 
-    scored = ngram_lm_nll(survivors).where(F.col("nll").isNotNull())
-    scored = scored.join(survivors.select("doc_id", "lang"), "doc_id")
+    # thread the LM's model-table persist handles through .where/.join so
+    # they reach the final frame's _ordinal_caches (r15 advice fix)
+    from re_data_pipeline_spark.operators.ids import carry_spines as _cs
+
+    lm_out = ngram_lm_nll(survivors)
+    scored = _cs(lm_out, lm_out.where(F.col("nll").isNotNull()))
+    scored = _cs(scored, scored.join(survivors.select("doc_id", "lang"), "doc_id"))
     buck = perplexity_buckets(scored, "lang")
     kept_lm = buck.where(F.col("bucket") != "tail").select("doc_id")
 
@@ -10265,9 +10291,14 @@ def q215_d4_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cluster_id", "d_center_micro", "cluster_rank")
     )
     out = carry_spines(ordd, out)
-    # register the survivor-frame cache on the standard release path so
-    # release_spines()/spine_scope() cover it like any ordinal spine
-    out._ordinal_caches = [*getattr(out, "_ordinal_caches", []), kept]
+    # register the survivor-frame cache AND the handles it carries (the
+    # semantic-dedup star-forest checkpoint, r15) on the standard release
+    # path so release_spines()/spine_scope() cover them like any spine
+    out._ordinal_caches = [
+        *getattr(out, "_ordinal_caches", []),
+        *getattr(kept, "_ordinal_caches", []),
+        kept,
+    ]
     return out
 
 
@@ -10333,15 +10364,24 @@ def q216_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     dp = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     pairs = lsh_candidate_pairs(dp, "doc_id", "text", 16, 3, 4)
     comp = connected_components_bss(pairs)
-    lab = (
+    # bss materialized the pair list into its own edge checkpoint — the
+    # pair-list checkpoint is dead; the star-forest handle rides comp (r15)
+    from re_data_pipeline_spark.operators.ids import (
+        carry_spines,
+        release_local_checkpoint,
+    )
+
+    release_local_checkpoint(pairs)
+    lab = carry_spines(
+        comp,
         d.select("doc_id")
         .join(comp, F.col("doc_id") == F.col("node"), "left")
         .select(
             "doc_id", F.coalesce("component", "doc_id").alias("cluster_id")
-        )
+        ),
     )
-    return grouped_split(lab, "cluster_id").select(
-        "doc_id", "cluster_id", "split"
+    return carry_spines(
+        lab, grouped_split(lab, "cluster_id").select("doc_id", "cluster_id", "split")
     )
 
 

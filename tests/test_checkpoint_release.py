@@ -193,3 +193,79 @@ def test_nonconvergence_raise_releases_everything(spark):
             fn(**kwargs)
         leaked = persistent_ids(spark) - before
         assert not leaked, f"{fn.__name__} leaked checkpoints: {leaked}"
+
+
+def test_connected_components_carries_releasable_final_handle(spark):
+    """r15: both CC variants attach the final checkpoint's handle to the
+    returned frame, so release_spines after materialization drops storage
+    back to baseline — before, the final block survived clearCache for the
+    session (the q136/cluster_dedup leak class the r14 advice named)."""
+    from re_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        connected_components_bss,
+    )
+    from re_data_pipeline_spark.operators.ids import release_spines
+
+    spark.catalog.clearCache()
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a bigint, id_b bigint"
+    )
+    for fn in (connected_components, connected_components_bss):
+        before = persistent_ids(spark)
+        comps = fn(pairs, max_iterations=64)
+        assert comps.count() == 11
+        assert getattr(comps, "_ordinal_caches", []), f"{fn.__name__} carries no handle"
+        release_spines(comps)
+        leaked = persistent_ids(spark) - before
+        assert not leaked, f"{fn.__name__} final checkpoint not releasable: {leaked}"
+
+
+def test_pagerank_iterations0_releases_edges_and_carries_seed(spark):
+    """r15: at iterations=0 the edge checkpoint is provably dead (released
+    in-call) and the seed checkpoint — which the returned uniform ranks
+    recompute through — rides the carry protocol instead of leaking."""
+    from re_data_pipeline_spark.operators.graph import pagerank_fixed
+    from re_data_pipeline_spark.operators.ids import release_spines
+
+    spark.catalog.clearCache()
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)], "src bigint, dst bigint"
+    )
+    before = persistent_ids(spark)
+    out = pagerank_fixed(edges, iterations=0)
+    rows = out.collect()
+    assert len(rows) == 5 and all(r.rank_fixed == 1_000_000 for r in rows)
+    assert len(persistent_ids(spark) - before) <= 1  # seed only, edges released
+    release_spines(out)
+    assert not (persistent_ids(spark) - before)
+
+
+def test_cluster_dedup_pipelines_release_to_baseline(spark):
+    """r15: cluster_dedup_pipeline / keep_best release the dead pair-list
+    checkpoint in-call and carry the CC label checkpoint, so one
+    materialize + release_spines returns storage to baseline."""
+    from re_data_pipeline_spark.operators.dedup import (
+        cluster_dedup_keep_best,
+        cluster_dedup_pipeline,
+    )
+    from re_data_pipeline_spark.operators.ids import release_spines
+
+    spark.catalog.clearCache()
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "completely different text about spark shuffle plans"),
+        ],
+        "doc_id bigint, text string",
+    ).withColumn("quality", F.length("text").cast("bigint"))
+    for fn in (
+        lambda d: cluster_dedup_pipeline(d, threshold=0.5),
+        lambda d: cluster_dedup_keep_best(d, "quality", threshold=0.5),
+    ):
+        before = persistent_ids(spark)
+        kept = fn(df)
+        assert kept.count() >= 1
+        release_spines(kept)
+        leaked = persistent_ids(spark) - before
+        assert not leaked, f"cluster dedup leaked storage: {leaked}"
