@@ -32,3 +32,43 @@ def test_full_parity_gate():
     tail = "\n".join(proc.stdout.splitlines()[-30:])
     assert proc.returncode == 0, f"parity gate failed:\n{tail}\n{proc.stderr[-2000:]}"
     assert "all OK" in proc.stdout
+
+
+def test_driver_window_keeps_staleness_bounded():
+    """r15 (r14 verdict task 7): the shipped DRIVER_WINDOW must keep every
+    registered query's driver-check staleness <= 5 rounds, checked at test
+    time instead of waiting for a judge.  Simulates the next driver run:
+    window rows go green at DRIVER_WINDOW_ROUND; every other query keeps
+    its last green round from the committed CORRECTNESS_r*.json records.
+    Also pins the standing policy that never-driver-checked registrations
+    are always in the window."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "window_planner", os.path.join(REPO, "tools", "window_planner.py")
+    )
+    wp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(wp)
+
+    from re_data_pipeline_spark.plans.queries import (
+        DRIVER_WINDOW,
+        DRIVER_WINDOW_ROUND,
+        QUERIES,
+    )
+
+    green = wp.last_green()
+    window = set(DRIVER_WINDOW)
+    never = [q for q in QUERIES if q not in green and q not in window]
+    assert not never, (
+        f"registered but never driver-checked and NOT in DRIVER_WINDOW: {never}"
+    )
+    stale = {
+        q: DRIVER_WINDOW_ROUND - green[q]
+        for q in QUERIES
+        if q not in window and DRIVER_WINDOW_ROUND - green[q] > 5
+    }
+    assert not stale, (
+        "DRIVER_WINDOW rotation mistake — these queries' driver checks will "
+        f"be >5 rounds stale after the round-{DRIVER_WINDOW_ROUND} run "
+        f"(rotate them in, see tools/window_planner.py): {stale}"
+    )
