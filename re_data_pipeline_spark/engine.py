@@ -92,11 +92,14 @@ class Engine:
         from re_data_pipeline_spark.operators.ids import release_spines
 
         n = release_spines(df, blocking)
-        for attr in ("_frontier_cache", "new_buckets", "_fp_cache"):
+        for attr in ("_frontier_cache", "new_buckets", "_fp_cache", "_anchor_cache"):
             h = getattr(df, attr, None)
             if h is not None:
                 h.unpersist(blocking)
                 n += 1
+        for h in getattr(df, "_anchor_caches", []) or []:
+            h.unpersist(blocking)
+            n += 1
         return n
 
     # -- convenience operators ---------------------------------------------

@@ -7439,47 +7439,53 @@ def q170_char_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_bigram_nll(d)
 
 
-@query(
-    "q171_token_drift",
-    """
-    WITH ca AS (
-      SELECT lang AS s, t AS tok, count(*) AS ca
-      FROM (SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS t
-            FROM documents WHERE doc_id % 2 = 0)
-      GROUP BY 1, 2
-    ), cb AS (
-      SELECT lang AS s, t AS tok, count(*) AS cb
-      FROM (SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS t
-            FROM documents WHERE doc_id % 2 = 1)
-      GROUP BY 1, 2
-    ), j AS (
-      SELECT COALESCE(ca.s, cb.s) AS s, COALESCE(ca.tok, cb.tok) AS tok,
-             COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
-      FROM ca FULL OUTER JOIN cb ON ca.s = cb.s AND ca.tok = cb.tok
-    ), tot AS (
-      SELECT s, SUM(ca) AS ta, SUM(cb) AS tb FROM j GROUP BY s
-    ), terms AS (
-      SELECT j.s, j.ca, j.cb, tot.ta, tot.tb,
-             CAST(round((
-               CASE WHEN j.ca > 0 THEN (j.ca * 1.0 / GREATEST(tot.ta, 1))
-                 * ln((j.ca * 1.0 / GREATEST(tot.ta, 1)) /
-                      (((j.ca * 1.0 / GREATEST(tot.ta, 1)) + (j.cb * 1.0 / GREATEST(tot.tb, 1))) / 2))
-                 ELSE 0 END / 2
-               +
-               CASE WHEN j.cb > 0 THEN (j.cb * 1.0 / GREATEST(tot.tb, 1))
-                 * ln((j.cb * 1.0 / GREATEST(tot.tb, 1)) /
-                      (((j.ca * 1.0 / GREATEST(tot.ta, 1)) + (j.cb * 1.0 / GREATEST(tot.tb, 1))) / 2))
-                 ELSE 0 END / 2
-             ) * 1000000, 0) AS BIGINT) AS f
-      FROM j JOIN tot ON j.s = tot.s
-    )
-    SELECT s AS lang, CAST(MAX(ta) AS BIGINT) AS n_tokens_a,
-           CAST(MAX(tb) AS BIGINT) AS n_tokens_b,
-           CAST(SUM(f) AS BIGINT) AS js_micro,
-           ROUND(SUM(f) / 1000000.0, 6) AS js
-    FROM terms GROUP BY s
-    """,
-)
+# Shared DuckDB replay of operators/drift.token_js_divergence over the
+# even/odd doc_id snapshot split (q171 + q218 compose from the same term
+# math — the drift class the other *_SQL_TMPL blocks exist to prevent).
+_JS_SQL_TMPL = """
+ca AS (
+  SELECT lang AS s, t AS tok, count(*) AS ca
+  FROM (SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents WHERE doc_id % 2 = 0)
+  GROUP BY 1, 2
+), cb AS (
+  SELECT lang AS s, t AS tok, count(*) AS cb
+  FROM (SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents WHERE doc_id % 2 = 1)
+  GROUP BY 1, 2
+), j AS (
+  SELECT COALESCE(ca.s, cb.s) AS s, COALESCE(ca.tok, cb.tok) AS tok,
+         COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+  FROM ca FULL OUTER JOIN cb ON ca.s = cb.s AND ca.tok = cb.tok
+), tot AS (
+  SELECT s, SUM(ca) AS ta, SUM(cb) AS tb FROM j GROUP BY s
+), terms AS (
+  SELECT j.s, j.ca, j.cb, tot.ta, tot.tb,
+         CAST(round((
+           CASE WHEN j.ca > 0 THEN (j.ca * 1.0 / GREATEST(tot.ta, 1))
+             * ln((j.ca * 1.0 / GREATEST(tot.ta, 1)) /
+                  (((j.ca * 1.0 / GREATEST(tot.ta, 1)) + (j.cb * 1.0 / GREATEST(tot.tb, 1))) / 2))
+             ELSE 0 END / 2
+           +
+           CASE WHEN j.cb > 0 THEN (j.cb * 1.0 / GREATEST(tot.tb, 1))
+             * ln((j.cb * 1.0 / GREATEST(tot.tb, 1)) /
+                  (((j.ca * 1.0 / GREATEST(tot.ta, 1)) + (j.cb * 1.0 / GREATEST(tot.tb, 1))) / 2))
+             ELSE 0 END / 2
+         ) * 1000000, 0) AS BIGINT) AS f
+  FROM j JOIN tot ON j.s = tot.s
+)"""
+
+_Q171_SQL = f"""
+WITH {_JS_SQL_TMPL}
+SELECT s AS lang, CAST(MAX(ta) AS BIGINT) AS n_tokens_a,
+       CAST(MAX(tb) AS BIGINT) AS n_tokens_b,
+       CAST(SUM(f) AS BIGINT) AS js_micro,
+       ROUND(SUM(f) / 1000000.0, 6) AS js
+FROM terms GROUP BY s
+"""
+
+
+@query("q171_token_drift", _Q171_SQL)
 def q171_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot distribution-drift monitoring: per-language Jensen–Shannon
     divergence between the token distributions of two corpus snapshots
@@ -9812,13 +9818,13 @@ def q210_ngram_lm_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 # chained-CTE round generator.  Queries using it must open with
 # "WITH RECURSIVE".
 def _unigram_seed_sql(max_word_len: int = 12, max_piece_len: int = 4,
-                      seed_multi: int = 64) -> str:
+                      seed_multi: int = 64, where: str = "") -> str:
     return f"""
 uw0 AS MATERIALIZED (
   SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
     SELECT unnest(string_split_regex(lower(coalesce(text, '')),
                                      '[^a-z0-9]+')) AS w
-    FROM documents
+    FROM documents{where}
   ) WHERE strlen(w) BETWEEN 1 AND {max_word_len}
   GROUP BY w
 ),
@@ -9845,12 +9851,12 @@ uvocab0 AS MATERIALIZED (
 )"""
 
 
-def _unigram_seg_sql(k: int, vocab: str) -> str:
+def _unigram_seg_sql(k: int, vocab: str, words: str = "uw0") -> str:
     """useg{k} (all segmentation prefixes under {vocab}) + ubest{k}
     (per-word min by (cost, seg))."""
     return f"""
 useg{k} AS (
-  SELECT w, 0 AS j, CAST(0 AS BIGINT) AS cst, '' AS s FROM uw0
+  SELECT w, 0 AS j, CAST(0 AS BIGINT) AS cst, '' AS s FROM {words}
   UNION ALL
   SELECT g.w, CAST(g.j + strlen(v.piece) AS INT), g.cst + v.cost,
          CASE WHEN g.s = '' THEN v.piece ELSE g.s || ' ' || v.piece END
@@ -10452,3 +10458,311 @@ def q217_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sources = n.where(F.col("n") % 37 == 0).select(F.col("n").alias("node"))
     return sssp_distances(e1.unionAll(e2), sources, max_iterations=32)
+
+
+_Q218_SQL = f"""
+WITH RECURSIVE {_unigram_seed_sql(where=" WHERE doc_id % 2 = 0")},
+{_unigram_round_sql(1)},
+{_unigram_round_sql(2)},
+uwall AS MATERIALIZED (
+  SELECT w FROM (
+    SELECT unnest(string_split_regex(lower(coalesce(text, '')),
+                                     '[^a-z0-9]+')) AS w
+    FROM documents
+  ) WHERE strlen(w) BETWEEN 1 AND 12
+  GROUP BY w
+),
+{_unigram_seg_sql(3, "uvocab2", words="uwall")},
+ufert AS MATERIALIZED (
+  SELECT w, CAST(len(string_split(s, ' ')) AS BIGINT) AS np FROM ubest3
+),
+docw AS (
+  SELECT lang, CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS side, w
+  FROM (SELECT doc_id, lang,
+               unnest(string_split_regex(lower(coalesce(text, '')),
+                                         '[^a-z0-9]+')) AS w
+        FROM documents)
+  WHERE strlen(w) BETWEEN 1 AND 12
+),
+jf AS (SELECT d.lang, d.side, f.np FROM docw d LEFT JOIN ufert f USING (w)),
+fert AS (
+  SELECT lang,
+         CAST(round(1000000.0 * SUM(CASE WHEN side = 'a' THEN np END)
+              / GREATEST(COUNT(CASE WHEN side = 'a' THEN np END), 1), 0)
+              AS BIGINT) AS fertility_a_micro,
+         CAST(round(1000000.0 * SUM(CASE WHEN side = 'b' THEN np END)
+              / GREATEST(COUNT(CASE WHEN side = 'b' THEN np END), 1), 0)
+              AS BIGINT) AS fertility_b_micro,
+         CAST(COUNT(CASE WHEN side = 'b' AND np IS NULL THEN 1 END)
+              AS BIGINT) AS oov_words_b
+  FROM jf GROUP BY lang
+),
+{_JS_SQL_TMPL},
+js AS (SELECT s AS lang, CAST(SUM(f) AS BIGINT) AS js_micro FROM terms GROUP BY s)
+SELECT f.lang, fertility_a_micro, fertility_b_micro,
+       fertility_b_micro - fertility_a_micro AS fertility_delta_micro,
+       oov_words_b, js_micro
+FROM fert f JOIN js USING (lang)
+"""
+
+
+@query("q218_tokenizer_rot", _Q218_SQL)
+def q218_tokenizer_rot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-rot regression gate (r14 verdict task 5a): train q211's
+    unigram-LM tokenizer on snapshot A ONLY (doc_id %% 2 = 0 — q171's
+    even/odd stand-in for consecutive crawls), then measure how that
+    FROZEN vocabulary serves snapshot B vs A, per language — the "did my
+    tokenizer rot between crawls" dashboard every training team checks
+    before reusing a tokenizer on a new snapshot.  Per language:
+    fixed-point micro fertilities on each snapshot, their delta (positive
+    = the new crawl segments worse), the count of snapshot-B word
+    occurrences the frozen vocabulary CANNOT segment (characters outside
+    snapshot A's alphabet — `unigram_word_fertility`'s NULL contract),
+    and q171's token-JS drift as the distribution-shift covariate
+    (fertility rot without drift = tokenizer problem; with drift = the
+    corpus moved).
+
+    Scale shape: training is q211's (one corpus pass to the word table,
+    vocabulary-sized EM rounds); encoding touches the corpus once more
+    (word explode joined to the vocabulary-sized fertility table); drift
+    is q171's pinned |vocab|-sized join.  No new shuffle class.  Oracle:
+    the recursive enumerate-ALL-segmentations min over the UNION word
+    table under the A-trained vocabulary + the shared `_JS_SQL_TMPL`
+    term math."""
+    from re_data_pipeline_spark.operators.drift import token_js_divergence
+    from re_data_pipeline_spark.operators.ids import carry_spines
+    from re_data_pipeline_spark.operators.unigram import (
+        unigram_lm_train,
+        unigram_word_fertility,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    a = d.where(F.col("doc_id") % 2 == 0)
+    b = d.where(F.col("doc_id") % 2 == 1)
+    vocab = unigram_lm_train(a, num_iters=2)
+    wf = unigram_word_fertility(d, vocab).select("w", "n_pieces")
+    docw = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), r"[^a-z0-9]+")).alias("w"),
+        )
+        .where((F.length("w") >= 1) & (F.length("w") <= 12))
+        .withColumn(
+            "side", F.when(F.col("doc_id") % 2 == 0, F.lit("a")).otherwise(F.lit("b"))
+        )
+    )
+    jf = docw.join(wf, "w", "left")
+    np_a = F.when(F.col("side") == "a", F.col("n_pieces"))
+    np_b = F.when(F.col("side") == "b", F.col("n_pieces"))
+    fert = jf.groupBy("lang").agg(
+        F.round(F.lit(1000000.0) * F.sum(np_a) / F.greatest(F.count(np_a), F.lit(1)), 0)
+        .cast("bigint")
+        .alias("fertility_a_micro"),
+        F.round(F.lit(1000000.0) * F.sum(np_b) / F.greatest(F.count(np_b), F.lit(1)), 0)
+        .cast("bigint")
+        .alias("fertility_b_micro"),
+        F.count(
+            F.when((F.col("side") == "b") & F.col("n_pieces").isNull(), F.lit(1))
+        )
+        .cast("bigint")
+        .alias("oov_words_b"),
+    )
+    js = token_js_divergence(a, b, "lang").select("lang", "js_micro")
+    out = fert.join(js, "lang").select(
+        "lang",
+        "fertility_a_micro",
+        "fertility_b_micro",
+        (F.col("fertility_b_micro") - F.col("fertility_a_micro")).alias(
+            "fertility_delta_micro"
+        ),
+        "oov_words_b",
+        "js_micro",
+    )
+    # the drift operator pins its |union vocabulary|-sized count table —
+    # thread the handle through the join/select onto the returned frame
+    return carry_spines(js, out)
+
+
+_Q219_SQL = (
+    "WITH "
+    + _HOSTS_BL_SQL
+    + """,
+blocked AS (SELECT DISTINCT host FROM suf JOIN rules ON s = rule),
+s0 AS (
+  SELECT d.doc_id, d.text, d.lang
+  FROM documents d JOIN hosts h USING (doc_id)
+  LEFT JOIN blocked b ON h.host = b.host
+  WHERE b.host IS NULL
+),
+gd AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\\s+') AS w,
+         string_split(text, chr(10)) AS l,
+         text
+  FROM s0
+),
+gm AS (
+  SELECT doc_id,
+         len(w) AS words, len(l) AS lines,
+         list_aggregate(list_transform(w, x -> len(x)), 'sum') AS sum_len,
+         len(text) - len(regexp_replace(text, '[#…]', '', 'g')) AS symbols,
+         len(list_filter(l, x -> regexp_matches(trim(x), '^[•\\-\\*▪]'))) AS bullets,
+         len(list_filter(l, x -> regexp_matches(rtrim(x), '(…|\\.\\.\\.)$'))) AS ellipses,
+         len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha
+  FROM gd
+),
+s1 AS (
+  SELECT s0.doc_id, s0.text, s0.lang
+  FROM s0 JOIN gm USING (doc_id)
+  WHERE words >= 50 AND words <= 100000
+    AND sum_len >= 3 * words AND sum_len <= 10 * words
+    AND symbols * 10 <= words
+    AND bullets * 10 <= lines * 9
+    AND ellipses * 10 <= lines * 3
+    AND alpha * 10 >= words * 8
+),
+"""
+    + _LM_SQL_CORE_TMPL.format(src="s1", ssrc="s1", prune2="", prune3="")
+    + """,
+scored AS (
+  SELECT a.doc_id, s.lang, a.nll
+  FROM lm_agg a JOIN s1 s USING (doc_id)
+  WHERE a.nll IS NOT NULL
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY lang ORDER BY nll, doc_id) - 1 AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM scored
+),
+kept_lm AS (SELECT doc_id FROM r WHERE CAST((3 * rk) // n AS INT) < 2),
+s2 AS (SELECT s1.doc_id, s1.text, s1.lang FROM s1 JOIN kept_lm USING (doc_id)),
+etoks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
+                     t -> t <> '') AS t
+  FROM s2
+),
+ebase AS (SELECT doc_id, t, len(t) AS n FROM etoks),
+egrams AS (
+  SELECT doc_id, p, array_to_string(t[p:p+9], ' ') AS g
+  FROM (SELECT doc_id, t, unnest(range(1, n - 8)) AS p FROM ebase WHERE n >= 10)
+),
+eshared AS (SELECT g FROM egrams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2),
+ecov AS (
+  SELECT DISTINCT doc_id, p + o AS tp
+  FROM egrams JOIN eshared USING (g)
+  CROSS JOIN (SELECT unnest(range(0, 10)) AS o) offs
+),
+etokpos AS (
+  SELECT doc_id, unnest(t) AS tok, unnest(range(1, n + 1)) AS tp FROM ebase
+),
+ekept AS (
+  SELECT k.doc_id, k.tp, k.tok
+  FROM etokpos k LEFT JOIN ecov c ON k.doc_id = c.doc_id AND k.tp = c.tp
+  WHERE c.tp IS NULL
+),
+eagg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS clean_text
+  FROM ekept GROUP BY doc_id
+),
+final AS (
+  SELECT s2.doc_id, coalesce(a.clean_text, '') AS text, s2.lang
+  FROM s2 LEFT JOIN eagg a USING (doc_id)
+),
+"""
+    + _MANIFEST_SQL_TMPL.format(src="final")
+)
+
+
+@query("q219_fineweb_trace", _Q219_SQL)
+def q219_fineweb_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full public FineWeb-style recipe as ONE oracled trace (r14
+    verdict task 5b — q206 strengthened with the Gopher and ExactSubstr
+    tiers): domain blocklist (q204) → Gopher structural rule-pack (q194)
+    → trigram-LM perplexity scoring + per-language CCNet cut, tail
+    dropped (q202/q203) → ExactSubstr cross-document span dedup with
+    document REWRITE (q197, min_len=10/k=5, natural repeats only — no
+    planted fixture) → per-shard integrity manifest of the curated,
+    REWRITTEN corpus (q205).  Every stage is the same md5/fixed-point/
+    integer-DIV algebra in both engines, so the composed manifest
+    hash-matches end to end — one doc mis-gated at ANY tier, or one
+    span mis-extended, flips a shard's xor line.
+
+    The Gopher gate uses the SIX structural rules (word count, mean word
+    length, symbol/bullet/ellipsis ratios, alphabetic share): the
+    synthetic corpus's vocabulary contains exactly one of the eight
+    Gopher stopwords, so the ≥2-distinct-stopwords test — exercised in
+    isolation by q194 — would zero the funnel here by fixture artifact,
+    not by pipeline semantics.
+
+    Scale shape: each stage keeps its audited discipline (suffix
+    equi-join; map-only rule battery inside the scan pass; gram-keyed
+    model joins; ONE ordinal spine for the cut, no per-lang window;
+    winnowed-anchor equi-join with the Σ bucket² guard for the span
+    tier; one map-combined manifest agg); stages chain through
+    (doc_id)-keyed joins, never widening beyond the corpus."""
+    from re_data_pipeline_spark.operators.dedup import exact_substring_dedup
+    from re_data_pipeline_spark.operators.ids import _carry_caches, carry_spines
+    from re_data_pipeline_spark.operators.lm import ngram_lm_nll, perplexity_buckets
+    from re_data_pipeline_spark.operators.maintenance import shard_manifest
+    from re_data_pipeline_spark.operators.membership import domain_blocklist_filter
+    from re_data_pipeline_spark.operators.quality import gopher_quality_flags
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    hosts = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("sub"), (F.col("doc_id") % 3).cast("string"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(".ads")).otherwise(F.lit(".www")),
+            F.lit(".example"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com"),
+        ).alias("host"),
+    )
+    bl = spark.createDataFrame(
+        [("example3.com",), ("ads.example5.com",),
+         ("sub1.www.example2.com",), ("example3.com",),
+         ("ads.example3.com",)],
+        "rule string",
+    )
+    kept_hosts = (
+        domain_blocklist_filter(hosts, "host", bl)
+        .where(F.col("blocked_by").isNull())
+        .select("doc_id")
+    )
+    s0 = d.join(kept_hosts, "doc_id")
+    gq = gopher_quality_flags(s0.select("doc_id", "text"), "text", "doc_id")
+    structural = gq.where(
+        F.col("ok_word_count")
+        & F.col("ok_mean_word_len")
+        & F.col("ok_symbol_ratio")
+        & F.col("ok_bullet_lines")
+        & F.col("ok_ellipsis_lines")
+        & F.col("ok_alpha_words")
+    ).select("doc_id")
+    # persist the narrow survivor frame: the LM (3 count aggs + scoring),
+    # the lang rejoin, and the next gate all read it — q206's measured
+    # pin, and the choice that still holds at 100 TB
+    s1 = s0.join(structural, "doc_id").persist()
+
+    lm_out = ngram_lm_nll(s1)
+    scored = carry_spines(lm_out, lm_out.where(F.col("nll").isNotNull()))
+    scored = carry_spines(scored, scored.join(s1.select("doc_id", "lang"), "doc_id"))
+    buck = perplexity_buckets(scored, "lang")
+    kept_lm = buck.where(F.col("bucket") != "tail").select("doc_id")
+    # s2 feeds the span tier's multi-pass anchor/verify legs AND the lang
+    # rejoin — same multiply-referenced-frame discipline as s1
+    s2 = s1.join(kept_lm, "doc_id").persist()
+
+    es = exact_substring_dedup(s2.select("doc_id", "text"), min_len=10, k=5)
+    final = es.select("doc_id", F.col("clean_text").alias("text")).join(
+        s2.select("doc_id", "lang"), "doc_id"
+    )
+    out = shard_manifest(final, "doc_id", ["text", "lang"], num_shards=16)
+    # carry every release handle: the buckets' ordinal spine + LM model
+    # tables (ride buck), both survivor persists, and the span tier's
+    # anchor cache — release_spines after materialization frees them all
+    out = _carry_caches(buck, carry_spines(buck, out), s1)
+    out = _carry_caches(out, out, s2)
+    return _carry_caches(out, out, getattr(es, "_anchor_cache", None))
