@@ -4817,70 +4817,57 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-window registration order
 # ---------------------------------------------------------------------------
 # The correctness driver verifies the FIRST 50 registered queries, in order.
-# Round-14 rotation (tools/window_planner.py proposal, taken verbatim —
-# the r13 verdict's task 1): the standing policy is (a) never-driver-
-# checked registrations always in (none this round — no net-new queries),
-# (b) queries whose code changed this round, (c) stalest green rows,
-# oldest round first.  This rotation clears the ENTIRE round-7 band
-# (all 25 rows, including the §2-inventory contract rows upsert K2 q25,
-# chunking W3 q37, archival K4 q26, geocode X2 q56) plus the oldest
-# round-9 row; after the driver run no green row predates round 9 (the
-# r13 verdict's done-condition).  The (b) group grew across the round as
-# the review pass touched more operators (24 total), displacing all but
-# one r9 row to the r15 proposal.  Everything rotated out holds a green
-# r9-r13 driver row with unchanged code, and tools/parity.py still
-# verifies ALL registered queries every session.
+# Round-15 rotation (tools/window_planner.py proposal, adjusted for the
+# staleness contract): the standing policy is (a) never-driver-checked
+# registrations always in (q218/q219, this round's net-new), (b) queries
+# whose code changed this round, (c) stalest green rows, oldest first.
+# The r14 verdict's done-condition — after the r15 run NO green row
+# predates round 11 — requires the ENTIRE 40-row round-9 band in; with
+# the 2 new registrations that leaves 8 slots for the 16-query changed
+# group (the r15 spine-carry leak fixes).  Taken: the r12/r13-green
+# changed rows (q121/q128/q148/q82/q85/q123/q216) and q136 (the ADVICE
+# fix whose plan changed most — the redundant .select dropped).
+# Displaced to lead the r16 (b) group: q171, q187, q203, q206, q215 —
+# all r14-green, all value-identical handle-carry changes, all
+# builder-parity-verified this round (tools/parity.py sf0.01, all OK).
+# q186 is both changed and r9-stale (counted once, in the r9 band).
 
 # The round this list was last actually RE-COMPOSED (not merely shipped):
 # tools/gen_window_doc.py stamps it into README so the freshness claim
 # can't silently go false again (r9 verdict "what's wrong" #2).
-DRIVER_WINDOW_ROUND = 14
+DRIVER_WINDOW_ROUND = 15
 
 DRIVER_WINDOW: list[str] = [
-    # (b) code changed in round 14 — two batches.  Batch 1: every top-k in
-    # operators/similarity.py now tiebreaks on the full ORDERABLE column
-    # set (cosine_topk_per_query, ann_topk_per_query, pq_adc_topk
-    # previously kept the first-column-only heuristic; map-typed columns
-    # excluded) — q35/q41/q69/q103/q115/q193 exercise the brute/LSH/IVF/
-    # PQ/recall paths and q48 the per-query retrieval inside the
-    # transcripts pipeline; q215's radix invariant became a hard raise.
-    "q35_cosine_topk", "q41_ann_lsh", "q48_transcripts_pipeline",
-    "q115_pq_adc_topk", "q193_ann_recall_report", "q69_ivf_ann",
-    "q103_ivf_kmeans", "q215_d4_curation",
-    # Batch 2 (same-round review pass): the union-over-shared-aggregate
-    # fixes (quality.check q113, vocab_coverage q176, weighted/grouped
-    # quantiles q184/q192), the multiply-referenced-frame pins (bloom
-    # bitmap q130, drift q171, PMI q172), the pagerank checkpoint
-    # discipline (q136), and the Arrow-chunk stateful fold (q70).
-    "q113_quality_report", "q130_bloom_prefilter", "q136_pagerank",
-    "q171_token_drift", "q172_pmi_collocations", "q176_vocab_coverage",
-    "q184_weighted_quantiles", "q192_grouped_quantiles",
-    "q70_stateful_stream", "q187_streaming_incremental_dedup",
-    # Batch 3 (multi-reference pins continued): the LM model-table pins
-    # (ngram_lm_nll — q202/q203/q210/q206; char_bigram_nll — q170) and
-    # q179 (whose tried pin was A/B-REJECTED — its final change is the
-    # measured-and-rejected note, re-verified anyway as touched).  More
-    # queries changed after the window froze at 50 (the leak-fix carries
-    # q34/q71/q72/q153/q100/q185; the dsir/mixture pins q124/q129/q164/
-    # q166; q181/q126/q198 ended the round with tried-and-reverted pins):
-    # adding them would displace r7 rows and break the r13 verdict's
-    # no-green-row-predates-r9 done-condition, so they are builder-
-    # parity-verified this round (all OK, sf0.01) and lead the r15 (b)
-    # group instead.
-    "q170_char_lm_quality", "q179_key_skew_report", "q202_ngram_lm_nll",
-    "q203_ccnet_buckets", "q206_curation_v3", "q210_ngram_lm_pruned",
-    # (c) last green driver row: round 7 (all 25 remaining; planner order)
-    "q19_json_extract", "q21_case_normalize", "q22_completeness_profile",
-    "q23_enrichment_join", "q25_upsert", "q26_archive_delisted",
-    "q30_token_quality", "q31_lang_id", "q32_fingerprint_dedup",
-    "q37_chunking", "q39_grid_cell_assign", "q40_simhash",
-    "q49_time_format", "q50_url_parse", "q51_cube", "q52_count_distinct",
-    "q56_geocode_fallback", "q58_utm_project", "q59_json_glob_scan",
-    "q60_embedding_neardup", "q61_salted_agg", "q62_storeys_regex",
-    "q96_tfidf_top_terms", "q98_pii_redaction", "q99_interval_concurrency",
-    # (c) last green driver row: round 9 (the one remaining slot — the
-    # review pass grew the (b) group to 24; the other r9 rows lead r15)
-    "q02_filter_project",
+    # (a) never driver-checked: this round's net-new queries
+    "q218_tokenizer_rot", "q219_fineweb_trace",
+    # (b) code changed in round 15 — the spine-carry fixes: both CC
+    # variants now attach the final checkpoint handle (q82/q121 return CC
+    # directly; q85/q128/q186/q123 thread it through the cluster/semantic
+    # dedup pipelines; q148/q216 through the spatial/split compositions)
+    # and q136's redundant handle-stripping .select is gone.
+    "q82_connected_components", "q85_cluster_dedup", "q121_cc_bigstar",
+    "q123_semantic_dedup", "q128_keep_best_dedup", "q136_pagerank",
+    "q148_spatial_clusters", "q216_cluster_safe_split",
+    # (c) last green driver row: round 9 (the ENTIRE 40-row band,
+    # planner order; q186 doubles as a (b) row — keep_best keep_k=2)
+    "q05_anti_join", "q06_semi_join", "q102_zorder_layout",
+    "q104_embedding_minmax", "q105_weighted_sample",
+    "q106_scalar_quantization", "q108_grouped_regression",
+    "q110_html_to_text", "q111_topn_order_revenue",
+    "q112_regional_supplier_volume", "q116_cohort_retention",
+    "q117_rfm_segments", "q118_global_ordinals",
+    "q153_prefix_filter_join", "q160_epoch_shuffle",
+    "q167_simhash_radius", "q168_snake_shards", "q169_containment_best",
+    "q173_hybrid_rrf", "q174_embedding_drift", "q175_global_cumsum",
+    "q177_exact_quantiles", "q178_minhash_estimate",
+    "q180_curriculum_interleave", "q181_lsh_recall_report",
+    "q182_char_entropy", "q183_dup_cluster_profile",
+    "q185_cross_corpus_decontam", "q186_keep_top_k_dedup",
+    "q188_boilerplate_ngrams", "q189_source_dup_rates",
+    "q190_length_batching", "q191_image_phash_dedup",
+    "q194_gopher_rules", "q195_line_dedup", "q196_grouped_cumsum",
+    "q44_streaming_tumbling", "q68_bpe_token_count", "q73_band_join",
+    "q87_rank_distribution",
 ]
 
 
