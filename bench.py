@@ -104,6 +104,12 @@ HEADLINE = [
     # the composed D4 pipeline (SemDeDup → k-center → diversity keep)
     "q214_kcenter_incremental",  # persisted __md, checkpoint every 32 rounds
     "q215_d4_curation",          # semdedup → prototypes → keep-farthest-3/4
+    # round-15 additions: the frozen-tokenizer regression gate (unigram
+    # EM train on snapshot A + fertility/drift on B) and the composed
+    # FineWeb-style trace (blocklist → Gopher → LM cut → ExactSubstr →
+    # manifest, stage-boundary checkpoint between curation and spans)
+    "q218_tokenizer_rot",        # A-trained vocab scored on both snapshots
+    "q219_fineweb_trace",        # 5-tier curation composition, one action
 ]
 
 

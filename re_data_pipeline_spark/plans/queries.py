@@ -10738,18 +10738,29 @@ def q219_fineweb_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = carry_spines(scored, scored.join(s1.select("doc_id", "lang"), "doc_id"))
     buck = perplexity_buckets(scored, "lang")
     kept_lm = buck.where(F.col("bucket") != "tail").select("doc_id")
-    # s2 feeds the span tier's multi-pass anchor/verify legs AND the lang
-    # rejoin — same multiply-referenced-frame discipline as s1
-    s2 = s1.join(kept_lm, "doc_id").persist()
+    # s2 is the STAGE BOUNDARY between curation and the span tier — an
+    # eager localCheckpoint, not a persist: the span tier runs ~14
+    # internal jobs (guard count, anchor stats, verify legs), and each
+    # one re-plans its full logical lineage even when execution hits a
+    # cache — over the blocklist→Gopher→LM→spine tree that Catalyst tax
+    # measured 15.5 s vs 3.7 s for the identical span work on a shallow
+    # plan (sf0.1, r15).  The checkpoint truncates the plan to a
+    # LogicalRDD scan; a production FineWeb run has exactly this
+    # boundary as an inter-stage parquet write.
+    s2 = s1.join(kept_lm, "doc_id").localCheckpoint()
+    # the checkpoint materialized the whole curation tier, so every
+    # upstream pin is dead — release NOW, not at result release time
+    from re_data_pipeline_spark.operators.ids import release_spines
+
+    release_spines(buck)
+    s1.unpersist()
 
     es = exact_substring_dedup(s2.select("doc_id", "text"), min_len=10, k=5)
     final = es.select("doc_id", F.col("clean_text").alias("text")).join(
         s2.select("doc_id", "lang"), "doc_id"
     )
     out = shard_manifest(final, "doc_id", ["text", "lang"], num_shards=16)
-    # carry every release handle: the buckets' ordinal spine + LM model
-    # tables (ride buck), both survivor persists, and the span tier's
-    # anchor cache — release_spines after materialization frees them all
-    out = _carry_caches(buck, carry_spines(buck, out), s1)
+    # carry the live handles: the s2 checkpoint (the returned frame
+    # recomputes through it) and the span tier's anchor cache
     out = _carry_caches(out, out, s2)
     return _carry_caches(out, out, getattr(es, "_anchor_cache", None))
