@@ -590,12 +590,14 @@ def cluster_dedup_pipeline(
     cands = lsh_candidate_pairs(df, id_col, text_col, num_hashes, shingle_words, bands)
     verified = jaccard_on_pairs(cands, df, id_col, text_col, shingle_words)
     confirmed = verified.where(F.col("jaccard") >= F.lit(threshold))
-    comps = connected_components(confirmed.select("id_a", "id_b"))
-    # connected_components MATERIALIZED the confirmed pairs (its edge
+    # connected_components MATERIALIZES the confirmed pairs (its edge
     # checkpoint + per-round counts), so the pair-list checkpoint is not in
-    # the returned lineage — release it now; the FINAL label checkpoint IS
-    # (comps recomputes through it), so its handle is carried onto the
-    # returned frame for release-after-materialization (r15; the old
+    # the returned lineage — release it on EVERY path (a CC convergence
+    # raise hands the caller no frame, so cands is equally dead there; the
+    # old success-only release pinned a corpus-scale block per failed call).
+    # The FINAL label checkpoint IS in the returned lineage (comps
+    # recomputes through it), so its handle is carried onto the returned
+    # frame for release-after-materialization (r15; the old
     # release_spines(verified) call was a no-op — jaccard_on_pairs
     # deliberately attaches no handles since the r14 A/B rejection).
     from re_data_pipeline_spark.operators.ids import (
@@ -603,7 +605,10 @@ def cluster_dedup_pipeline(
         release_local_checkpoint,
     )
 
-    release_local_checkpoint(cands)
+    try:
+        comps = connected_components(confirmed.select("id_a", "id_b"))
+    finally:
+        release_local_checkpoint(cands)
     losers = comps.where(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
@@ -656,17 +661,20 @@ def cluster_dedup_keep_best(
     confirmed = jaccard_on_pairs(cands, df, id_col, text_col, shingle_words).where(
         F.col("jaccard") >= F.lit(threshold)
     )
-    comps = connected_components(confirmed.select("id_a", "id_b"))
-    # CC materialized the confirmed pairs, so the pair-list checkpoint is
-    # dead; its final label checkpoint backs comps and its carried handle
-    # rides onto the returned frame (same discipline as
+    # CC materializes the confirmed pairs, so the pair-list checkpoint is
+    # dead on every exit path (on a convergence raise the caller gets no
+    # frame); CC's final label checkpoint backs comps and its carried
+    # handle rides onto the returned frame (same discipline as
     # cluster_dedup_pipeline, r15)
     from re_data_pipeline_spark.operators.ids import (
         carry_spines,
         release_local_checkpoint,
     )
 
-    release_local_checkpoint(cands)
+    try:
+        comps = connected_components(confirmed.select("id_a", "id_b"))
+    finally:
+        release_local_checkpoint(cands)
     clustered = df.join(
         comps.withColumnRenamed("node", id_col), id_col
     ).select(F.col(id_col), F.col("component"), q.alias("__q"))
@@ -1358,6 +1366,76 @@ def hamming_radius_pairs_on_words(
     return out
 
 
+def _containment_candidates(
+    toks: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    threshold_num: int,
+    threshold_den: int,
+    on_degradation: str,
+    cap_pairs_per_doc: int,
+) -> DataFrame:
+    """Candidate cut of :func:`containment_best` — ``(id_a, __na, id_b)``
+    from the prefix-vs-postings equi-join over a ``(id_col, tok)``
+    distinct-token table.  Factored out so measurement tooling
+    (tools/verify_attr_probe.py) exercises the SAME expressions the
+    operator runs instead of a hand-copied replica that could silently
+    diverge (r15 review finding)."""
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ordered = toks.join(dfreq, "tok").select(
+        id_col, F.struct(F.col("df"), F.col("tok")).alias("key")
+    )
+    per_doc = ordered.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("key")).alias("keys")
+    )
+    sz = F.size("keys")
+    ceil_t = F.floor(
+        (F.lit(threshold_num) * sz + F.lit(threshold_den - 1)) / F.lit(threshold_den)
+    )
+    prefix_len = (sz - ceil_t + F.lit(1)).cast("int")
+    pre = per_doc.select(
+        F.col(id_col).alias("id_a"),
+        sz.alias("__na"),
+        F.explode(F.slice("keys", 1, prefix_len)).alias("k"),
+    ).select("id_a", "__na", F.col("k.tok").alias("tok"))
+    full_b = toks.select(F.col(id_col).alias("id_b"), "tok")
+    if on_degradation != "off":
+        # EXACT pre-filter candidate volume of the prefix-vs-full equi-join:
+        # Σ_tok pre(tok)·df(tok) — every (prefix row, posting row) token
+        # match becomes one candidate row before the id_a≠id_b filter and
+        # distinct.  Cost: one pass over the prefix lineage + the
+        # (vocab-sized) token-df agg; n_docs is a cheap input count.
+        stats = (
+            pre.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("pc"))
+            .join(dfreq, "tok")
+            .agg(
+                F.sum(F.col("pc") * F.col("df")).alias("est_pairs"),
+                F.max("df").alias("max_df"),
+            )
+            .first()
+        )
+        n_docs = df.count()
+        est = int(stats["est_pairs"] or 0)
+        if est > cap_pairs_per_doc * max(n_docs, 1):
+            msg = (
+                f"containment_best degradation: ~{est} candidate rows for "
+                f"{n_docs} docs (cap {cap_pairs_per_doc}/doc; max token df "
+                f"{stats['max_df']}) — low-diversity vocabulary; every prefix "
+                "token is common, so the prefix-vs-postings join is degrading "
+                "toward all-pairs."
+            )
+            if on_degradation == "error":
+                raise RuntimeError(msg)
+            warnings.warn(msg)
+    return (
+        pre.join(full_b, "tok")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "__na", "id_b")
+        .distinct()
+    )
+
+
 def containment_best(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1416,58 +1494,9 @@ def containment_best(
     toks = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
     ).persist()
-    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    ordered = toks.join(dfreq, "tok").select(
-        id_col, F.struct(F.col("df"), F.col("tok")).alias("key")
-    )
-    per_doc = ordered.groupBy(id_col).agg(
-        F.array_sort(F.collect_list("key")).alias("keys")
-    )
-    sz = F.size("keys")
-    ceil_t = F.floor(
-        (F.lit(threshold_num) * sz + F.lit(threshold_den - 1)) / F.lit(threshold_den)
-    )
-    prefix_len = (sz - ceil_t + F.lit(1)).cast("int")
-    pre = per_doc.select(
-        F.col(id_col).alias("id_a"),
-        sz.alias("__na"),
-        F.explode(F.slice("keys", 1, prefix_len)).alias("k"),
-    ).select("id_a", "__na", F.col("k.tok").alias("tok"))
-    full_b = toks.select(F.col(id_col).alias("id_b"), "tok")
-    if on_degradation != "off":
-        # EXACT pre-filter candidate volume of the prefix-vs-full equi-join:
-        # Σ_tok pre(tok)·df(tok) — every (prefix row, posting row) token
-        # match becomes one candidate row before the id_a≠id_b filter and
-        # distinct.  Cost: one pass over the prefix lineage + the
-        # (vocab-sized) token-df agg; n_docs is a cheap input count.
-        stats = (
-            pre.groupBy("tok")
-            .agg(F.count(F.lit(1)).alias("pc"))
-            .join(dfreq, "tok")
-            .agg(
-                F.sum(F.col("pc") * F.col("df")).alias("est_pairs"),
-                F.max("df").alias("max_df"),
-            )
-            .first()
-        )
-        n_docs = df.count()
-        est = int(stats["est_pairs"] or 0)
-        if est > cap_pairs_per_doc * max(n_docs, 1):
-            msg = (
-                f"containment_best degradation: ~{est} candidate rows for "
-                f"{n_docs} docs (cap {cap_pairs_per_doc}/doc; max token df "
-                f"{stats['max_df']}) — low-diversity vocabulary; every prefix "
-                "token is common, so the prefix-vs-postings join is degrading "
-                "toward all-pairs."
-            )
-            if on_degradation == "error":
-                raise RuntimeError(msg)
-            warnings.warn(msg)
-    cands = (
-        pre.join(full_b, "tok")
-        .where(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "__na", "id_b")
-        .distinct()
+    cands = _containment_candidates(
+        toks, df, id_col, threshold_num, threshold_den,
+        on_degradation, cap_pairs_per_doc,
     )
     # exact |T(a) ∩ T(b)| per candidate: a's tokens matched against b's
     ta = toks.select(F.col(id_col).alias("id_a"), "tok")

@@ -10555,7 +10555,8 @@ def q218_tokenizer_rot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("oov_words_b"),
     )
-    js = token_js_divergence(a, b, "lang").select("lang", "js_micro")
+    js_full = token_js_divergence(a, b, "lang")
+    js = carry_spines(js_full, js_full.select("lang", "js_micro"))
     out = fert.join(js, "lang").select(
         "lang",
         "fertility_a_micro",

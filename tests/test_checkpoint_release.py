@@ -269,3 +269,36 @@ def test_cluster_dedup_pipelines_release_to_baseline(spark):
         release_spines(kept)
         leaked = persistent_ids(spark) - before
         assert not leaked, f"cluster dedup leaked storage: {leaked}"
+
+
+def test_cluster_dedup_releases_pair_list_on_cc_raise(spark, monkeypatch):
+    """r15 review finding: the pair-list checkpoint release sat on the
+    success path only — a connected-components convergence raise left the
+    corpus-scale block pinned with no handle.  Both pipelines now release
+    in a finally."""
+    import pytest
+
+    import re_data_pipeline_spark.operators.dedup as dd
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+        ],
+        "doc_id bigint, text string",
+    ).withColumn("quality", F.length("text").cast("bigint"))
+
+    def boom(*a, **k):
+        raise RuntimeError("did not converge (forced)")
+
+    monkeypatch.setattr(dd, "connected_components", boom)
+    for fn in (
+        lambda: dd.cluster_dedup_pipeline(df, threshold=0.5),
+        lambda: dd.cluster_dedup_keep_best(df, "quality", threshold=0.5),
+    ):
+        spark.catalog.clearCache()
+        before = persistent_ids(spark)
+        with pytest.raises(RuntimeError, match="forced"):
+            fn()
+        leaked = persistent_ids(spark) - before
+        assert not leaked, f"pair-list checkpoint leaked on CC raise: {leaked}"

@@ -60,10 +60,11 @@ def _q153_cands(spark, sf_dir):
 
 
 def _q169_cands(spark, sf_dir):
-    # candidate lineage of operators/dedup.containment_best (same exprs:
-    # rarest-first order, integer prefix length, prefix-vs-postings join)
+    # the operator's OWN candidate cut (dedup._containment_candidates) —
+    # shared code, so the probe cannot silently diverge from q169's exprs
     from re_data_pipeline_spark.catalog import load_table
     from re_data_pipeline_spark.functions.text import tokens
+    from re_data_pipeline_spark.operators.dedup import _containment_candidates
 
     d = (
         load_table(spark, sf_dir, "documents")
@@ -73,27 +74,8 @@ def _q169_cands(spark, sf_dir):
     toks = d.select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
     )
-    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    ordered = toks.join(dfreq, "tok").select(
-        "doc_id", F.struct(F.col("df"), F.col("tok")).alias("key")
-    )
-    per_doc = ordered.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list("key")).alias("keys")
-    )
-    sz = F.size("keys")
-    ceil_t = F.floor((F.lit(9) * sz + F.lit(9)) / F.lit(10))
-    prefix_len = (sz - ceil_t + F.lit(1)).cast("int")
-    pre = per_doc.select(
-        F.col("doc_id").alias("id_a"),
-        sz.alias("__na"),
-        F.explode(F.slice("keys", 1, prefix_len)).alias("k"),
-    ).select("id_a", "__na", F.col("k.tok").alias("tok"))
-    full_b = toks.select(F.col("doc_id").alias("id_b"), "tok")
-    return (
-        pre.join(full_b, "tok")
-        .where(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "__na", "id_b")
-        .distinct()
+    return _containment_candidates(
+        toks, d, "doc_id", 9, 10, on_degradation="off", cap_pairs_per_doc=64
     )
 
 
@@ -163,7 +145,10 @@ def main() -> int:
         print(f"sf1 corpus: {n:,} docs at {stage_dir}")
 
         def timed(df_fn, action="noop", runs=2):
-            best, cpu, count = float("inf"), 0, None
+            # wall and CPU are kept as a PAIR from the best-wall run — an
+            # unconditional overwrite would report run N's CPU against a
+            # different run's wall (r15 review finding)
+            best, best_cpu, count = float("inf"), 0.0, None
             for _ in range(runs):
                 spark.catalog.clearCache()
                 c0 = _cpu_ms(ui, app_id)
@@ -173,9 +158,11 @@ def main() -> int:
                     count = frame.count()
                 else:
                     frame.write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
-                cpu = _cpu_ms(ui, app_id) - c0
-            return best, cpu / 1000.0, count
+                wall = time.time() - t0
+                cpu = (_cpu_ms(ui, app_id) - c0) / 1000.0
+                if wall < best:
+                    best, best_cpu = wall, cpu
+            return best, best_cpu, count
 
         probes = {
             "q153_prefix_filter_join": (_q153_cands, _verify_mass_q153),
