@@ -703,6 +703,49 @@ CHECKS = [
         "the single exchange carries tasks×shards counter rows — at "
         "100 TB the payload is scanned once and never shuffled.",
     ),
+    (
+        "q218_tokenizer_rot",
+        "tokenizer-rot gate: vocab-sized joins, map-combined per-lang aggs",
+        [
+            (r"SortMergeJoin|ShuffledHashJoin", "word→fertility lookup survives threshold=-1 as a key-shuffled equi-join"),
+            (r"!CartesianProduct", "no all-pairs stage"),
+            (r"HashAggregate.*partial", "per-language fertility/OOV counters combine map-side"),
+            (r"InMemoryTableScan", "the drift tier's |union-vocabulary| count table is pinned once (token_js_divergence's r14 pin), not re-tokenized per consumer"),
+        ],
+        "The frozen-vocabulary regression gate touches the corpus three "
+        "times — q211's word-table training pass (parameter-bounded "
+        "LocalTableScan vocab, the k-row-collect class), the word "
+        "explode joined BY WORD to the vocabulary-sized per-word "
+        "fertility table, and q171's tokenization into the pinned "
+        "joined count table — and every aggregate (fertility, OOV, JS "
+        "terms) is map-combined into |languages|-key exchanges.  No "
+        "broadcast hints: under the disabled threshold both lookups "
+        "plan as key-shuffled equi-joins; under defaults AQE broadcasts "
+        "by MEASURED size.",
+        {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    ),
+    (
+        "q219_fineweb_trace",
+        "FineWeb trace: stage-boundary checkpoint, span tier on a shallow plan",
+        [
+            (r"Scan ExistingRDD", "the curation→span stage boundary is a localCheckpoint (span jobs re-plan a LogicalRDD scan, not the blocklist→Gopher→LM tree)"),
+            (r"SortMergeJoin|ShuffledHashJoin", "anchor/verify joins survive threshold=-1 as key-shuffled equi-joins"),
+            (r"!CartesianProduct", "no all-pairs stage in any tier"),
+            (r"!BroadcastNestedLoopJoin", "no nested-loop fallback"),
+            (r"HashAggregate.*partial", "manifest/guard aggregates combine map-side"),
+        ],
+        "The composed five-tier recipe's returned plan starts at the s2 "
+        "stage-boundary checkpoint (the inter-stage parquet write a "
+        "production run has): the span tier's ~14 internal jobs re-plan "
+        "a LogicalRDD scan instead of the full curation tree (measured "
+        "15.5 s → 3.7 s for identical span work at sf0.1, r15).  "
+        "Downstream keeps q197's discipline — winnowed-anchor equi-join "
+        "candidates, candidate-scoped token legs, per-doc interval "
+        "merge — and ends in q205's single map-combined manifest agg.  "
+        "The curation tiers upstream of the checkpoint are asserted by "
+        "their own sections (q204/q194/q202/q203).",
+        {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    ),
 ]
 
 
