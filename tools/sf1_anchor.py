@@ -76,6 +76,11 @@ HEAVY = [
     # table (see build_sf1_embeddings).
     "q214_kcenter_incremental",
     "q215_d4_curation",
+    # r15: the round's two net-new heavies — the frozen-tokenizer gate
+    # (EM train on snapshot A + fertility/drift over the union) and the
+    # composed FineWeb trace (5 tiers, stage-boundary checkpoint)
+    "q218_tokenizer_rot",
+    "q219_fineweb_trace",
 ]
 
 
