@@ -38,3 +38,23 @@ def test_profile_and_dedup(engine, spark):
     assert prof.text == pytest.approx(200 / 3)
     survivors = engine.dedup(df.where("text IS NOT NULL"))
     assert sorted(r.doc_id for r in survivors.collect()) == [1]
+
+
+def test_release_frees_anchor_caches(engine, spark):
+    """r15: exact_substring_* attach the persisted anchor table as
+    `_anchor_cache` (or a list under `_anchor_caches`) — Engine.release
+    must free those alongside the spine handles, or long-lived sessions
+    pin one anchor frame per span-dedup call."""
+    from tests.conftest import persistent_ids
+
+    spark.catalog.clearCache()
+    before = persistent_ids(spark)
+    out = spark.range(3)
+    single = spark.range(10).persist()
+    listed = spark.range(20).persist()
+    single.count(); listed.count()
+    out._anchor_cache = single
+    out._anchor_caches = [listed]
+    assert len(persistent_ids(spark) - before) == 2
+    assert engine.release(out) == 2
+    assert not (persistent_ids(spark) - before)
