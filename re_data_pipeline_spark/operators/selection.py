@@ -341,20 +341,27 @@ def quota_sample(
     """
     from pyspark.sql.window import Window
 
-    quotas = mixture_allocation(
+    from re_data_pipeline_spark.operators.ids import carry_spines
+
+    q_full = mixture_allocation(
         df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n")),
         domain_col,
         "__n",
         budget,
-    ).select(domain_col, "quota")
+    )
+    quotas = q_full.select(domain_col, "quota")
     pri = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
     w = Window.partitionBy(domain_col).orderBy(pri.asc(), F.col(id_col).asc())
-    return (
+    out = (
         df.join(F.broadcast(quotas), domain_col)
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= F.col("quota"))
         .drop("__rn", "quota")
     )
+    # thread mixture_allocation's carried count pin through the local
+    # .select + join (each returns a fresh frame without the handle — the
+    # r15 leak audit caught q164 pinning one table per call)
+    return carry_spines(q_full, out)
 
 
 def temperature_quotas(
@@ -386,6 +393,8 @@ def temperature_quotas(
     after operates on domain-cardinality data (same 100 TB story as
     ``mixture_allocation``).
     """
+    from re_data_pipeline_spark.operators.ids import carry_spines
+
     s = F.col(size_col) if isinstance(size_col, str) else size_col
     counts = df.groupBy(domain_col).agg(
         F.sum(s).cast("decimal(38,0)").alias("__n")
@@ -394,18 +403,22 @@ def temperature_quotas(
         "decimal(38,0)"
     )
     weighted = counts.withColumn("__w", w)
-    quotas = mixture_allocation(weighted, domain_col, "__w", budget).select(
+    q_full = mixture_allocation(weighted, domain_col, "__w", budget)
+    quotas = q_full.select(
         domain_col,
         F.col("domain_size").alias("weight"),
         "quota",
     )
-    return (
+    out = (
         weighted.select(
             domain_col, F.col("__n").cast("bigint").alias("domain_size")
         )
         .join(quotas, domain_col)
         .select(domain_col, "domain_size", "weight", "quota")
     )
+    # thread mixture_allocation's carried count pin through to the result
+    # (the r15 leak audit caught q166 pinning one table per call)
+    return carry_spines(q_full, out)
 
 
 def snake_shards(

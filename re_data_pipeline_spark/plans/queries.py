@@ -2310,7 +2310,14 @@ def q82_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     pairs = lsh_candidate_pairs(d, "doc_id", "text", 16, 3, 4)
-    return connected_components(pairs)
+    # CC materializes the pair list into its own edge checkpoint on every
+    # path, so the pair-list checkpoint is dead afterwards (r15 leak audit)
+    from re_data_pipeline_spark.operators.ids import release_local_checkpoint
+
+    try:
+        return connected_components(pairs)
+    finally:
+        release_local_checkpoint(pairs)
 
 
 @query("q121_cc_bigstar", _Q82_SQL)
@@ -2330,7 +2337,14 @@ def q121_cc_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     pairs = lsh_candidate_pairs(d, "doc_id", "text", 16, 3, 4)
-    return connected_components_bss(pairs)
+    # bss materializes the pair list into its edge checkpoint on every
+    # path — the pair-list checkpoint is dead afterwards (r15 leak audit)
+    from re_data_pipeline_spark.operators.ids import release_local_checkpoint
+
+    try:
+        return connected_components_bss(pairs)
+    finally:
+        release_local_checkpoint(pairs)
 
 
 _Q122_SQL = f"""
@@ -4282,9 +4296,16 @@ def q107_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty_index = spark.createDataFrame([], "doc_id bigint, band int, band_key string")
     r1 = incremental_lsh_dedup(batch1, empty_index)
     r2 = incremental_lsh_dedup(batch2, r1["updated_index"])
-    return (
+    out = (
         r1["kept"].select("doc_id", "n_chars").unionByName(r2["kept"].select("doc_id", "n_chars"))
     )
+    # both kept frames recompute through their batch's persisted bucket
+    # table — carry the pins so release_spines frees them after the one
+    # materialization (r15 leak audit: 2 tables pinned per call before)
+    from re_data_pipeline_spark.operators.ids import _carry_caches
+
+    out = _carry_caches(out, out, r1["new_buckets"])
+    return _carry_caches(out, out, r2["new_buckets"])
 
 
 @query(
@@ -5993,9 +6014,14 @@ def q152_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("delay"),
     )
-    return pareto_frontier_2d(pts, "cost", "delay", "o_orderkey").select(
-        "o_orderkey", "cost", "delay"
-    )
+    fr = pareto_frontier_2d(pts, "cost", "delay", "o_orderkey")
+    out = fr.select("o_orderkey", "cost", "delay")
+    # the .select strips the Python-side `_frontier_cache` attr — register
+    # the range-partitioned pin on the spine protocol so release_spines
+    # frees it after materialization (r15 leak audit)
+    from re_data_pipeline_spark.operators.ids import _carry_caches
+
+    return _carry_caches(fr, out, getattr(fr, "_frontier_cache", None))
 
 
 _Q148_SQL = """
@@ -7131,8 +7157,11 @@ def q164_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer Hamilton + the identical ROW_NUMBER in DuckDB."""
     from re_data_pipeline_spark.operators.selection import quota_sample
 
+    from re_data_pipeline_spark.operators.ids import carry_spines
+
     d = load_table(spark, sf_dir, "documents")
-    return quota_sample(d, "lang", _Q164_BUDGET, "doc_id").select("doc_id", "lang")
+    kept = quota_sample(d, "lang", _Q164_BUDGET, "doc_id")
+    return carry_spines(kept, kept.select("doc_id", "lang"))
 
 
 _Q165_SQL = """
@@ -7184,7 +7213,14 @@ def q165_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
     sources = n.where(F.col("n") % 97 == 0).select(F.col("n").alias("node"))
     out = bfs_distances(edges, sources, max_iterations=80)
-    return out.select("node", F.col("dist").cast("int").alias("dist"))
+    # bfs returns its final visited CHECKPOINT frame directly; the cast
+    # projection hides it from release_local_checkpoint(result), so carry
+    # the checkpoint frame itself as the release handle (r15 leak audit)
+    from re_data_pipeline_spark.operators.ids import _carry_caches
+
+    return _carry_caches(
+        out, out.select("node", F.col("dist").cast("int").alias("dist")), out
+    )
 
 
 _Q166_BUDGET = 10_000

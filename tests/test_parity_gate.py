@@ -72,3 +72,24 @@ def test_driver_window_keeps_staleness_bounded():
         f"be >5 rounds stale after the round-{DRIVER_WINDOW_ROUND} run "
         f"(rotate them in, see tools/window_planner.py): {stale}"
     )
+
+
+@pytest.mark.leakaudit
+def test_full_leak_audit_gate():
+    """Opt-in storage-release gate (`pytest -m leakaudit`): every registered
+    query, materialized once and released through the client release path,
+    must return executor storage to baseline — no clearCache, so persisted
+    AND checkpoint leaks both fail.  The command to run before any commit
+    that touches operator pin/checkpoint handling; found 7 violations when
+    first run (r15)."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "leak_audit.py"),
+         "/root/testdata/sf0.001"],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+        timeout=1800,
+    )
+    tail = "\n".join(proc.stdout.splitlines()[-15:])
+    assert proc.returncode == 0, f"leak audit failed:\n{tail}\n{proc.stderr[-2000:]}"
+    assert "all queries release to baseline" in proc.stdout
