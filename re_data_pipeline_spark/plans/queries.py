@@ -4852,6 +4852,11 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # all r14-green, all value-identical handle-carry changes, all
 # builder-parity-verified this round (tools/parity.py sf0.01, all OK).
 # q186 is both changed and r9-stale (counted once, in the r9 band).
+# The post-freeze leak-audit fixes then touched five more queries NOT in
+# this window (q107, q152, q164, q165, q166 — Python-side handle
+# threading only, bench plan hashes unchanged); each was builder-parity-
+# verified after the change (sf0.01, all OK) and joins the r16 (b) group
+# alongside the five above.
 
 # The round this list was last actually RE-COMPOSED (not merely shipped):
 # tools/gen_window_doc.py stamps it into README so the freshness claim
