@@ -88,19 +88,14 @@ class Engine:
         table — after the caller has materialized the result.  Long-lived
         sessions that chain spine-backed queries (q117 pins three spines
         per call) MUST release, or persisted frames accumulate for the
-        session's lifetime.  Returns the number of frames released."""
-        from re_data_pipeline_spark.operators.ids import release_spines
+        session's lifetime.  Returns the number of frames released.
 
-        n = release_spines(df, blocking)
-        for attr in ("_frontier_cache", "new_buckets", "_fp_cache", "_anchor_cache"):
-            h = getattr(df, attr, None)
-            if h is not None:
-                h.unpersist(blocking)
-                n += 1
-        for h in getattr(df, "_anchor_caches", []) or []:
-            h.unpersist(blocking)
-            n += 1
-        return n
+        The handle-attribute set lives in ``operators/ids.HANDLE_ATTRS`` /
+        ``release_handles`` — shared with ``tools/leak_audit.py`` so the
+        engine and its auditor cannot drift (r16)."""
+        from re_data_pipeline_spark.operators.ids import release_handles
+
+        return release_handles(df, blocking)
 
     # -- convenience operators ---------------------------------------------
     def profile(self, df: DataFrame, cols: list[str] | None = None) -> DataFrame:

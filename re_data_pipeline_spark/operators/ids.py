@@ -184,6 +184,38 @@ def release_spines(df: DataFrame, blocking: bool = False) -> int:
     return len(handles)
 
 
+# Every non-spine cache-handle attribute an operator may attach to its
+# result frame (skyline's range-partitioned frontier, incremental-LSH's new
+# bucket table, fingerprint and anchor caches).  ONE list, shared by
+# Engine.release and tools/leak_audit.release_all, so a new carried-handle
+# attribute cannot silently diverge between the engine and its auditor (r16).
+HANDLE_ATTRS: tuple[str, ...] = (
+    "_frontier_cache",
+    "new_buckets",
+    "_fp_cache",
+    "_anchor_cache",
+)
+
+
+def release_handles(df: DataFrame, blocking: bool = False) -> int:
+    """The full operator-pinned release path for a result frame: spine
+    handles (``release_spines``) plus every ``HANDLE_ATTRS`` attribute and
+    the ``_anchor_caches`` list.  Does NOT release the frame's own
+    localCheckpoint blocks — callers that discard the frame itself add
+    ``release_local_checkpoint(df)`` (see tools/leak_audit.py).  Returns
+    the number of frames released."""
+    n = release_spines(df, blocking)
+    for attr in HANDLE_ATTRS:
+        h = getattr(df, attr, None)
+        if h is not None:
+            h.unpersist(blocking)
+            n += 1
+    for h in getattr(df, "_anchor_caches", []) or []:
+        h.unpersist(blocking)
+        n += 1
+    return n
+
+
 @contextmanager
 def spine_scope(blocking: bool = False):
     """Context manager that releases EVERY spine persisted by

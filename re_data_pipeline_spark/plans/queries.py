@@ -4838,62 +4838,56 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-window registration order
 # ---------------------------------------------------------------------------
 # The correctness driver verifies the FIRST 50 registered queries, in order.
-# Round-15 rotation (tools/window_planner.py proposal, adjusted for the
-# staleness contract): the standing policy is (a) never-driver-checked
-# registrations always in (q218/q219, this round's net-new), (b) queries
-# whose code changed this round, (c) stalest green rows, oldest first.
-# The r14 verdict's done-condition — after the r15 run NO green row
-# predates round 11 — requires the ENTIRE 40-row round-9 band in; with
-# the 2 new registrations that leaves 8 slots for the 16-query changed
-# group (the r15 spine-carry leak fixes).  Taken: the r12/r13-green
-# changed rows (q121/q128/q148/q82/q85/q123/q216) and q136 (the ADVICE
-# fix whose plan changed most — the redundant .select dropped).
-# Displaced to lead the r16 (b) group: q171, q187, q203, q206, q215 —
-# all r14-green, all value-identical handle-carry changes, all
-# builder-parity-verified this round (tools/parity.py sf0.01, all OK).
-# q186 is both changed and r9-stale (counted once, in the r9 band).
-# The post-freeze leak-audit fixes then touched five more queries NOT in
-# this window (q107, q152, q164, q165, q166 — Python-side handle
-# threading only, bench plan hashes unchanged); each was builder-parity-
-# verified after the change (sf0.01, all OK) and joins the r16 (b) group
-# alongside the five above.
+# Round-16 rotation (tools/window_planner.py proposal = the r15 verdict's
+# task-1 spec): (a) never-driver-checked registrations always in (q220,
+# this round's net-new incremental crawl-update trace); (b) queries whose
+# code changed after their last driver check — the five r15 post-freeze
+# leak-audit fixes (q107 r12-green, q152/q164/q165/q166 r13-green) and
+# the five r15-displaced r14-green handle-carry fixes (q171, q187, q203,
+# q206; q215 see below); (c) the ENTIRE 40-row round-11 band, so after
+# the r16 run no green row predates round 12 (the r15 verdict's
+# done-condition; the import-time staleness gate in
+# tests/test_parity_gate.py enforces the outer <=5-round bound).
+# Budget: 1 + 9 + 40 = 50, which displaces two changed-but-verified rows
+# to lead the r17 (b) group:
+#   - q215_d4_curation (r14-green; independently judge-parity-verified
+#     against DuckDB in the r15 verdict session);
+#   - q216_cluster_safe_split (r15-green; its r16 change wraps the CC
+#     call in try/finally — exception-path-only, value-identical;
+#     builder-parity-verified this round, tools/parity.py sf0.01 OK).
 
 # The round this list was last actually RE-COMPOSED (not merely shipped):
 # tools/gen_window_doc.py stamps it into README so the freshness claim
 # can't silently go false again (r9 verdict "what's wrong" #2).
-DRIVER_WINDOW_ROUND = 15
+DRIVER_WINDOW_ROUND = 16
 
 DRIVER_WINDOW: list[str] = [
-    # (a) never driver-checked: this round's net-new queries
-    "q218_tokenizer_rot", "q219_fineweb_trace",
-    # (b) code changed in round 15 — the spine-carry fixes: both CC
-    # variants now attach the final checkpoint handle (q82/q121 return CC
-    # directly; q85/q128/q186/q123 thread it through the cluster/semantic
-    # dedup pipelines; q148/q216 through the spatial/split compositions)
-    # and q136's redundant handle-stripping .select is gone.
-    "q82_connected_components", "q85_cluster_dedup", "q121_cc_bigstar",
-    "q123_semantic_dedup", "q128_keep_best_dedup", "q136_pagerank",
-    "q148_spatial_clusters", "q216_cluster_safe_split",
-    # (c) last green driver row: round 9 (the ENTIRE 40-row band,
-    # planner order; q186 doubles as a (b) row — keep_best keep_k=2)
-    "q05_anti_join", "q06_semi_join", "q102_zorder_layout",
-    "q104_embedding_minmax", "q105_weighted_sample",
-    "q106_scalar_quantization", "q108_grouped_regression",
-    "q110_html_to_text", "q111_topn_order_revenue",
-    "q112_regional_supplier_volume", "q116_cohort_retention",
-    "q117_rfm_segments", "q118_global_ordinals",
-    "q153_prefix_filter_join", "q160_epoch_shuffle",
-    "q167_simhash_radius", "q168_snake_shards", "q169_containment_best",
-    "q173_hybrid_rrf", "q174_embedding_drift", "q175_global_cumsum",
-    "q177_exact_quantiles", "q178_minhash_estimate",
-    "q180_curriculum_interleave", "q181_lsh_recall_report",
-    "q182_char_entropy", "q183_dup_cluster_profile",
-    "q185_cross_corpus_decontam", "q186_keep_top_k_dedup",
-    "q188_boilerplate_ngrams", "q189_source_dup_rates",
-    "q190_length_batching", "q191_image_phash_dedup",
-    "q194_gopher_rules", "q195_line_dedup", "q196_grouped_cumsum",
-    "q44_streaming_tumbling", "q68_bpe_token_count", "q73_band_join",
-    "q87_rank_distribution",
+    # (a) never driver-checked: this round's net-new query
+    "q220_incremental_crawl_update",
+    # (b) code changed after last driver check: r15 leak-audit fixes
+    "q107_incremental_dedup", "q152_skyline", "q164_quota_sample",
+    "q165_bfs_distances", "q166_temperature_mixture",
+    # (b) displaced-from-r15 carries (r14-green handle-carry fixes)
+    "q171_token_drift", "q187_streaming_incremental_dedup",
+    "q203_ccnet_buckets", "q206_curation_v3",
+    # (c) last green driver row: round 11 (the ENTIRE 40-row band,
+    # planner order)
+    "q01_pricing_summary", "q04_multi_join_revenue", "q07_topk_per_group",
+    "q100_contamination", "q119_multipolygon_zones",
+    "q122_repetition_metrics", "q124_dsir_importance",
+    "q126_quality_classifier", "q127_compaction_plan",
+    "q197_exact_substring_dedup", "q198_classifier_train",
+    "q199_exact_substring_decontam", "q200_exact_substring_grams",
+    "q201_intra_substring_dedup", "q204_domain_blocklist",
+    "q207_tokenizer_fertility", "q208_contiguous_pack",
+    "q54_first_available", "q55_limit_topn", "q64_lag_lead",
+    "q65_first_occurrence", "q66_state_flag_merge", "q67_rolling_hash",
+    "q74_percentiles", "q76_histogram", "q77_levenshtein",
+    "q78_deterministic_sample", "q79_pivot", "q80_unpivot",
+    "q81_stratified_sample", "q83_gap_fill", "q84_zscore_outliers",
+    "q86_cdc_latest", "q88_conditional_agg", "q89_above_average",
+    "q90_array_setops", "q92_date_trunc_spectrum", "q93_word_count",
+    "q94_funnel", "q95_incremental_aggregate",
 ]
 
 
@@ -10397,15 +10391,18 @@ def q216_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     dp = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     pairs = lsh_candidate_pairs(dp, "doc_id", "text", 16, 3, 4)
-    comp = connected_components_bss(pairs)
-    # bss materialized the pair list into its own edge checkpoint — the
-    # pair-list checkpoint is dead; the star-forest handle rides comp (r15)
+    # bss materializes the pair list into its own edge checkpoint on every
+    # path — the pair-list checkpoint is dead afterwards, including when
+    # the loop raises on non-convergence (r16: release in finally, as q82/q121)
     from re_data_pipeline_spark.operators.ids import (
         carry_spines,
         release_local_checkpoint,
     )
 
-    release_local_checkpoint(pairs)
+    try:
+        comp = connected_components_bss(pairs)
+    finally:
+        release_local_checkpoint(pairs)
     lab = carry_spines(
         comp,
         d.select("doc_id")
@@ -10806,3 +10803,322 @@ def q219_fineweb_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recomputes through it) and the span tier's anchor cache
     out = _carry_caches(out, out, s2)
     return _carry_caches(out, out, getattr(es, "_anchor_cache", None))
+
+
+_Q220_SQL = (
+    "WITH "
+    + _HOSTS_BL_SQL
+    + """,
+blocked AS (SELECT DISTINCT host FROM suf JOIN rules ON s = rule),
+s0 AS (
+  SELECT d.doc_id, d.text, d.lang
+  FROM documents d JOIN hosts h USING (doc_id)
+  LEFT JOIN blocked b ON h.host = b.host
+  WHERE b.host IS NULL
+),
+gd AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\\s+') AS w,
+         string_split(text, chr(10)) AS l,
+         text
+  FROM s0
+),
+gm AS (
+  SELECT doc_id,
+         len(w) AS words, len(l) AS lines,
+         list_aggregate(list_transform(w, x -> len(x)), 'sum') AS sum_len,
+         len(text) - len(regexp_replace(text, '[#…]', '', 'g')) AS symbols,
+         len(list_filter(l, x -> regexp_matches(trim(x), '^[•\\-\\*▪]'))) AS bullets,
+         len(list_filter(l, x -> regexp_matches(rtrim(x), '(…|\\.\\.\\.)$'))) AS ellipses,
+         len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha
+  FROM gd
+),
+s1 AS (
+  SELECT s0.doc_id, s0.text, s0.lang
+  FROM s0 JOIN gm USING (doc_id)
+  WHERE words >= 50 AND words <= 100000
+    AND sum_len >= 3 * words AND sum_len <= 10 * words
+    AND symbols * 10 <= words
+    AND bullets * 10 <= lines * 9
+    AND ellipses * 10 <= lines * 3
+    AND alpha * 10 >= words * 8
+),
+a1 AS (SELECT doc_id, text, lang FROM s1 WHERE doc_id % 2 = 0),
+"""
+    + _LM_SQL_CORE_TMPL.format(src="a1", ssrc="s1", prune2="", prune3="")
+    + f""",
+scored AS (
+  SELECT a.doc_id, s.lang, a.nll
+  FROM lm_agg a JOIN s1 s USING (doc_id)
+  WHERE a.nll IS NOT NULL
+),
+ra AS (
+  SELECT doc_id, lang, nll,
+         row_number() OVER (PARTITION BY lang ORDER BY nll, doc_id) - 1 AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM scored WHERE doc_id % 2 = 0
+),
+a_kept AS (SELECT doc_id, lang, nll FROM ra WHERE CAST((3 * rk) // n AS INT) < 2),
+thr AS (SELECT lang, MAX(nll) AS thr_nll FROM a_kept GROUP BY lang),
+a_fin AS (
+  SELECT s1.doc_id, s1.text, s1.lang
+  FROM s1 JOIN a_kept k ON s1.doc_id = k.doc_id
+),
+b_lm AS (
+  SELECT s1.doc_id, s1.text, s1.lang
+  FROM s1
+  JOIN scored sc ON s1.doc_id = sc.doc_id
+  JOIN thr t ON sc.lang = t.lang
+  WHERE s1.doc_id % 2 = 1 AND sc.nll <= t.thr_nll
+),
+mtoka AS (SELECT doc_id, {_sql_tokens()} AS t FROM a_fin),
+msha AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 1) + 1),
+           j -> array_to_string(t[j:j+2], ' '))) AS sh
+  FROM mtoka
+),
+msiga AS (SELECT doc_id, [{_minhash_sql(16, 3)}] AS sig FROM msha),
+mbucka AS (
+  SELECT doc_id, b.i AS band,
+         md5(array_to_string(sig[b.i*4+1:b.i*4+4], '|')) AS band_key
+  FROM msiga, generate_series(0, 3) b(i)
+),
+mtokb AS (SELECT doc_id, {_sql_tokens()} AS t FROM b_lm),
+mshb AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 1) + 1),
+           j -> array_to_string(t[j:j+2], ' '))) AS sh
+  FROM mtokb
+),
+msigb AS (SELECT doc_id, [{_minhash_sql(16, 3)}] AS sig FROM mshb),
+mbuckb AS (
+  SELECT doc_id, b.i AS band,
+         md5(array_to_string(sig[b.i*4+1:b.i*4+4], '|')) AS band_key
+  FROM msigb, generate_series(0, 3) b(i)
+),
+mdrop AS (
+  SELECT DISTINCT nw.doc_id
+  FROM mbuckb nw JOIN mbucka oa
+    ON nw.band = oa.band AND nw.band_key = oa.band_key
+  UNION
+  SELECT DISTINCT y.doc_id
+  FROM mbuckb x JOIN mbuckb y
+    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+),
+b_ded AS (
+  SELECT doc_id, text, lang FROM b_lm
+  WHERE doc_id NOT IN (SELECT doc_id FROM mdrop)
+),
+xagr AS (
+  SELECT DISTINCT array_to_string(t[p:p+9], ' ') AS g
+  FROM (SELECT t, unnest(range(1, len(t) - 8)) AS p
+        FROM (SELECT {_sql_ws_tokens()} AS t FROM a_fin)
+        WHERE len(t) >= 10)
+),
+xtoks AS (SELECT doc_id, {_sql_ws_tokens()} AS t FROM b_ded),
+xbase AS (SELECT doc_id, t, len(t) AS n FROM xtoks),
+xgrams AS (
+  SELECT doc_id, p, array_to_string(t[p:p+9], ' ') AS g
+  FROM (SELECT doc_id, t, unnest(range(1, n - 8)) AS p FROM xbase WHERE n >= 10)
+),
+xcov AS (
+  SELECT DISTINCT doc_id, p + o AS tp
+  FROM xgrams JOIN xagr USING (g)
+  CROSS JOIN (SELECT unnest(range(0, 10)) AS o) offs
+),
+xtokpos AS (SELECT doc_id, unnest(t) AS tok, unnest(range(1, n + 1)) AS tp FROM xbase),
+xkept AS (
+  SELECT k.doc_id, k.tp, k.tok
+  FROM xtokpos k LEFT JOIN xcov c ON k.doc_id = c.doc_id AND k.tp = c.tp
+  WHERE c.tp IS NULL
+),
+xagg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS clean_text
+  FROM xkept GROUP BY doc_id
+),
+bfin AS (
+  SELECT b.doc_id, coalesce(a.clean_text, '') AS text, b.lang
+  FROM b_ded b LEFT JOIN xagg a USING (doc_id)
+),
+final AS (
+  SELECT doc_id, text, lang FROM a_fin
+  UNION ALL
+  SELECT doc_id, text, lang FROM bfin
+),
+"""
+    + _MANIFEST_SQL_TMPL.format(src="final")
+)
+
+
+@query("q220_incremental_crawl_update", _Q220_SQL)
+def q220_incremental_crawl_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl-update trace (r15 verdict task 4): ingest crawl
+    snapshot B against the FROZEN prior corpus A WITHOUT reprocessing A —
+    the production form of q219's from-scratch recipe, composed from the
+    engine's incremental-maintenance operators and proven equivalent to
+    the from-scratch union run by ONE hash-matched manifest.
+
+    Snapshot split: A = doc_id %% 2 = 0 (the prior, already-curated crawl
+    — q218/q171's stand-in for consecutive snapshots), B = odd.  A's
+    frozen state (curated rows, LSH bucket index, trigram LM + per-lang
+    CCNet thresholds, shard manifest) is recomputed here for fixture
+    self-containment; in production every piece is loaded from storage,
+    and the plan shapes are identical because each is (doc)-keyed
+    map-only work plus bounded aggregates.
+
+    The new batch B flows: domain blocklist (q204) → Gopher structural
+    six-rule gate (q194) → FROZEN-LM CCNet cut — scored under the trigram
+    Stupid-Backoff model trained on A's curated set only (CCNet's actual
+    protocol: the reference model does not move between snapshots); keep
+    iff nll ≤ the frozen per-language threshold = MAX kept-A nll under
+    q219's exact (3·rk) DIV n rank cut; unknown languages and <3-token
+    docs fail CLOSED → LSH dedup against A's frozen bucket index plus
+    within-batch first-seen-wins (`operators/dedup.incremental_lsh_dedup`,
+    q107/q187's maintenance path — A-side docs are prior to every B doc
+    regardless of id) → ExactSubstr span rewrite checked new-vs-old ONLY
+    (`exact_substring_decontaminate`, q199's A×B anchor shape: spans of B
+    appearing verbatim anywhere in frozen A are surgically removed; A's
+    shipped shards are immutable, so old docs are never rewritten) → B's
+    shard manifest folded into A's frozen receipt via
+    `maintenance.merge_shard_manifests` (q205's commutative-monoid merge).
+
+    THE equivalence proof: this query returns the MERGED manifest
+    (merge-of-manifests), while the DuckDB oracle computes the manifest
+    of the union corpus from scratch in one pass (manifest-of-union) —
+    a full-value hash match certifies merge-of-manifests ≡
+    manifest-of-union AND that every incremental tier (frozen model,
+    frozen thresholds, frozen index, A×B-only span pass) produced
+    byte-identical curated rows.  One doc mis-gated, one collision
+    missed, or one span mis-extended flips a shard's xor line.
+
+    Scale shape (100 TB corpus + daily batch): A is touched by exactly
+    the passes production would pay (index scan, bench anchor pass,
+    nothing rewritten); B-side work is batch-sized; candidate generation
+    is band/anchor equi-joins (never all-pairs, Σ guard on the A×B
+    anchor join); the manifest fold is 16+16 rows.  Stage boundaries
+    (curation→dedup, dedup→span) are eager localCheckpoints — the
+    multi-action operators downstream (guard counts, anchor stats)
+    re-analyze their logical plan per job, and the checkpoint truncates
+    the deep curation tree to a shallow scan (SCALING.md r15 discipline,
+    measured 15.5 s → 3.7 s).  Reference analogue: the seen-URL
+    incremental-scan discipline of
+    `code/airflow_gcp/dags/tasks/property_listings/get_AV_listings.py:117-124`
+    generalized to corpus curation."""
+    from re_data_pipeline_spark.operators.dedup import (
+        exact_substring_decontaminate,
+        incremental_lsh_dedup,
+        lsh_bands,
+        minhash_signature,
+    )
+    from re_data_pipeline_spark.operators.ids import (
+        _carry_caches,
+        carry_spines,
+        release_local_checkpoint,
+        release_spines,
+    )
+    from re_data_pipeline_spark.operators.lm import ngram_lm_nll, perplexity_buckets
+    from re_data_pipeline_spark.operators.maintenance import (
+        merge_shard_manifests,
+        shard_manifest,
+    )
+    from re_data_pipeline_spark.operators.membership import domain_blocklist_filter
+    from re_data_pipeline_spark.operators.quality import gopher_quality_flags
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    hosts = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("sub"), (F.col("doc_id") % 3).cast("string"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(".ads")).otherwise(F.lit(".www")),
+            F.lit(".example"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com"),
+        ).alias("host"),
+    )
+    bl = spark.createDataFrame(
+        [("example3.com",), ("ads.example5.com",),
+         ("sub1.www.example2.com",), ("example3.com",),
+         ("ads.example3.com",)],
+        "rule string",
+    )
+    kept_hosts = (
+        domain_blocklist_filter(hosts, "host", bl)
+        .where(F.col("blocked_by").isNull())
+        .select("doc_id")
+    )
+    s0 = d.join(kept_hosts, "doc_id")
+    gq = gopher_quality_flags(s0.select("doc_id", "text"), "text", "doc_id")
+    structural = gq.where(
+        F.col("ok_word_count")
+        & F.col("ok_mean_word_len")
+        & F.col("ok_symbol_ratio")
+        & F.col("ok_bullet_lines")
+        & F.col("ok_ellipsis_lines")
+        & F.col("ok_alpha_words")
+    ).select("doc_id")
+    # the survivor frame feeds the LM (train side + score side), the lang
+    # rejoins, and both snapshot cuts — q219's measured pin
+    s1 = s0.join(structural, "doc_id").persist()
+    a1 = s1.where(F.col("doc_id") % 2 == 0)
+
+    # FROZEN reference model: trained on snapshot A's curated set only,
+    # scoring BOTH sides in one pass (A's scores derive the frozen
+    # thresholds; B's scores are gated by them)
+    lm_out = ngram_lm_nll(a1, s1)
+    scored = carry_spines(lm_out, lm_out.where(F.col("nll").isNotNull()))
+    scored = carry_spines(scored, scored.join(s1.select("doc_id", "lang"), "doc_id"))
+    buck = perplexity_buckets(
+        carry_spines(scored, scored.where(F.col("doc_id") % 2 == 0)), "lang"
+    )
+    a_kept = buck.where(F.col("bucket") != "tail")
+    # frozen per-language threshold: MAX kept-A nll — |langs| rows
+    thr = a_kept.groupBy("lang").agg(F.max("nll").alias("thr_nll"))
+    b_keep_ids = (
+        scored.where(F.col("doc_id") % 2 == 1)
+        .join(F.broadcast(thr), "lang")
+        .where(F.col("nll") <= F.col("thr_nll"))
+        .select("doc_id")
+    )
+    # STAGE BOUNDARIES (curation → dedup): both snapshot cuts are eager
+    # localCheckpoints — a_fin is read by the index build, the bench
+    # anchor pass, and the manifest; b_cur by the dedup tier's multiple
+    # internal consumers — each action would otherwise re-analyze the
+    # blocklist→Gopher→LM tree (r15 stage-boundary discipline)
+    a_fin = s1.join(a_kept.select("doc_id"), "doc_id").localCheckpoint()
+    b_cur = s1.join(b_keep_ids, "doc_id").localCheckpoint()
+    # the checkpoints materialized the curation tier — every upstream pin
+    # (LM model tables, the rank spine, the survivor frame) is dead NOW
+    release_spines(buck)
+    s1.unpersist()
+
+    # FROZEN prior index: A's curated docs' LSH buckets (loaded from the
+    # prior run's sink in production; q107's append-only contract)
+    index_a = lsh_bands(minhash_signature(a_fin, "text", 16, 3), "doc_id", "minhash", 4, 4)
+    r = incremental_lsh_dedup(b_cur, index_a)
+    # STAGE BOUNDARY (dedup → span tier): the A×B span pass runs guard
+    # and anchor actions over b_ded several times — checkpoint, then
+    # release the dedup tier's own pins (batch bucket table) and the
+    # now-dead b_cur checkpoint
+    b_ded = r["kept"].localCheckpoint()
+    r["new_buckets"].unpersist()
+    release_local_checkpoint(b_cur)
+
+    bench = a_fin.select(F.col("doc_id").alias("bench_id"), "text")
+    es = exact_substring_decontaminate(
+        b_ded.select("doc_id", "text"), bench, min_len=10, k=5
+    )
+    b_final = es.select("doc_id", F.col("clean_text").alias("text")).join(
+        b_ded.select("doc_id", "lang"), "doc_id"
+    )
+    m_a = shard_manifest(a_fin, "doc_id", ["text", "lang"], num_shards=16)
+    m_b = shard_manifest(b_final, "doc_id", ["text", "lang"], num_shards=16)
+    out = merge_shard_manifests(m_a, m_b)
+    # live handles on the returned frame: both stage checkpoints (the
+    # result recomputes through them) and the span tier's anchor pins
+    out = _carry_caches(out, out, a_fin)
+    out = _carry_caches(out, out, b_ded)
+    for c in getattr(es, "_anchor_caches", []) or []:
+        out = _carry_caches(out, out, c)
+    return out

@@ -1,6 +1,7 @@
 """Opt-in full parity gate: `pytest -m parity` runs every registered query
 against its DuckDB oracle at sf0.01 — the same check the driver applies to
-its 50-query window, extended to all 157 registered queries.
+its 50-query window, extended to the full registry (every entry in
+`plans.queries.QUERIES` — 220 as of r16; the count is computed, not pinned).
 
 Excluded from the default run (pytest.ini deselects the `parity` marker)
 because it takes ~3-5 min; it is the command to run before any commit that

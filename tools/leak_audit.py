@@ -34,22 +34,17 @@ def persistent_ids(spark) -> set[int]:
 
 
 def release_all(df, spark) -> int:
-    """The full client-side release path: spine handles, the Engine
-    attribute set, and the result's own checkpoint blocks."""
+    """The full client-side release path: ``ids.release_handles`` (spine
+    handles + the shared ``HANDLE_ATTRS`` set — the SAME function
+    ``Engine.release`` delegates to, so this audit asserts exactly the
+    engine's release contract) plus the discarded result's own checkpoint
+    blocks."""
     from re_data_pipeline_spark.operators.ids import (
+        release_handles,
         release_local_checkpoint,
-        release_spines,
     )
 
-    n = release_spines(df)
-    for attr in ("_frontier_cache", "new_buckets", "_fp_cache", "_anchor_cache"):
-        h = getattr(df, attr, None)
-        if h is not None:
-            h.unpersist()
-            n += 1
-    for h in getattr(df, "_anchor_caches", []) or []:
-        h.unpersist()
-        n += 1
+    n = release_handles(df)
     release_local_checkpoint(df)
     return n
 
