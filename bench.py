@@ -110,6 +110,10 @@ HEADLINE = [
     # manifest, stage-boundary checkpoint between curation and spans)
     "q218_tokenizer_rot",        # A-trained vocab scored on both snapshots
     "q219_fineweb_trace",        # 5-tier curation composition, one action
+    # round-16 addition: the incremental crawl-update trace (q219's tiers
+    # applied to the new batch only, frozen-A LM/threshold/index, A×B-only
+    # span pass, manifest merge — the maintenance path of the recipe)
+    "q220_incremental_crawl_update",  # frozen-corpus batch ingest + manifest fold
 ]
 
 

@@ -746,6 +746,27 @@ CHECKS = [
         "their own sections (q204/q194/q202/q203).",
         {"spark.sql.autoBroadcastJoinThreshold": "-1"},
     ),
+    (
+        "q220_incremental_crawl_update",
+        "incremental crawl update: frozen-A state, batch-sided tiers, manifest fold",
+        [
+            (r"Scan ExistingRDD", "both stage boundaries (curation→dedup, dedup→span) are localCheckpoints — the dedup and span tiers re-plan shallow LogicalRDD scans, not the blocklist→Gopher→LM tree"),
+            (r"SortMergeJoin|ShuffledHashJoin", "the index-collision and A×B anchor joins survive threshold=-1 as key-shuffled equi-joins"),
+            (r"!CartesianProduct", "no all-pairs stage in any tier"),
+            (r"!BroadcastNestedLoopJoin", "no nested-loop fallback"),
+            (r"HashAggregate.*partial", "the 16+16-row manifest fold and guard aggregates combine map-side"),
+        ],
+        "The maintenance form of q219: the frozen corpus A is touched "
+        "only by the passes production pays (bucket-index scan, bench "
+        "anchor pass, its own 16-row manifest), the new batch B carries "
+        "all rewrite work, and candidates come from (band, band_key) / "
+        "anchor-hash equi-joins — batch×index collision, never "
+        "corpus×corpus.  The returned plan starts at the two "
+        "stage-boundary checkpoints, and the final merge_shard_manifests "
+        "agg is a 32-row map-combined fold — at 100 TB the incremental "
+        "run's cost is batch-sized plus one A index/anchor scan.",
+        {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    ),
 ]
 
 

@@ -81,6 +81,11 @@ HEAVY = [
     # composed FineWeb trace (5 tiers, stage-boundary checkpoint)
     "q218_tokenizer_rot",
     "q219_fineweb_trace",
+    # r16: the incremental crawl-update trace — q219's tiers on the new
+    # batch only against frozen-A state; the anchor must show batch-sided
+    # work scaling with the batch and the A×B candidate joins staying
+    # equi-join-shaped at 10× docs
+    "q220_incremental_crawl_update",
 ]
 
 
