@@ -183,16 +183,29 @@ def plan_hash(df) -> str:
 
 
 def prior_plan_hashes() -> tuple[str, dict[str, str]]:
-    """plan_hashes from the highest-numbered BENCH_r*.json next to this
-    file.  The driver stores the bench stdout tail as a string field, so
-    the dict is parsed out of the raw text rather than assuming the file
-    is itself the bench JSON line.  Returns ("", {}) when no prior round
-    (or no parseable hashes) exists."""
+    """plan_hashes from the newest recorded round — the highest-numbered
+    BENCH_r*.json (driver record) OR .benchmarks/bench_r*.json (the
+    complete local record this tool writes), whichever round is newer.
+    The driver stores the bench stdout as a TAIL string field, and from
+    r13 on that tail truncates BEFORE plan_hashes — scanning only the
+    driver records silently fell back to r12's hashes and emitted 21
+    stale plan-change warnings per run (found r16).  The local records
+    are full JSON, so the newest round always yields real hashes.
+    Returns ("", {}) when no prior round (or no parseable hashes)
+    exists."""
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    for path in reversed(files):
+    cands: list[tuple[int, int, str]] = []
+    for pat, pref in (
+        (os.path.join(here, "BENCH_r*.json"), 1),
+        (os.path.join(here, ".benchmarks", "bench_r*.json"), 0),
+    ):
+        for f in glob.glob(pat):
+            if m := re.search(r"r(\d+)\.json$", f):
+                # driver record preferred on round ties (old behavior)
+                cands.append((int(m.group(1)), pref, f))
+    for _, _, path in sorted(cands, reverse=True):
         try:
             raw = open(path).read()
             i = raw.find("plan_hashes")
@@ -408,7 +421,10 @@ def main() -> None:
                     # driver-skipped round with unchanged code would
                     # otherwise relabel THIS round's run as the old one
                     nxt == max(ns) + 1
-                    and prior_name == f"BENCH_r{max(ns):02d}.json"
+                    # round-number match, not exact filename: the newest
+                    # parseable hashes may come from the LOCAL record
+                    # (bench_rN.json) when the driver tail truncates (r16)
+                    and prior_name.lower().endswith(f"r{max(ns):02d}.json")
                     and prior_hashes
                     and prior_hashes == payload["plan_hashes"]
                     and same_sf
