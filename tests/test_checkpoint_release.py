@@ -302,3 +302,25 @@ def test_cluster_dedup_releases_pair_list_on_cc_raise(spark, monkeypatch):
             fn()
         leaked = persistent_ids(spark) - before
         assert not leaked, f"pair-list checkpoint leaked on CC raise: {leaked}"
+
+
+def test_q216_releases_pair_list_on_cc_raise(spark, sf_dir, monkeypatch):
+    """r16 ADVICE: q216_cluster_safe_split released its pair-list
+    checkpoint on the success path only — a connected_components_bss
+    non-convergence raise leaked the corpus-scale block with no handle.
+    The CC call now sits in try/finally, matching q82/q121."""
+    import pytest
+
+    import re_data_pipeline_spark.operators.dedup as dd
+    from re_data_pipeline_spark.plans.queries import QUERIES
+
+    def boom(*a, **k):
+        raise RuntimeError("did not converge (forced)")
+
+    monkeypatch.setattr(dd, "connected_components_bss", boom)
+    spark.catalog.clearCache()
+    before = persistent_ids(spark)
+    with pytest.raises(RuntimeError, match="forced"):
+        QUERIES["q216_cluster_safe_split"](spark, sf_dir)
+    leaked = persistent_ids(spark) - before
+    assert not leaked, f"pair-list checkpoint leaked on CC raise: {leaked}"

@@ -58,3 +58,61 @@ def test_release_frees_anchor_caches(engine, spark):
     assert len(persistent_ids(spark) - before) == 2
     assert engine.release(out) == 2
     assert not (persistent_ids(spark) - before)
+
+
+def test_release_handles_covers_every_handle_attr(spark):
+    """r16: the handle-attribute set is ONE shared constant
+    (`ids.HANDLE_ATTRS` + `release_handles`) — every listed attribute,
+    the `_anchor_caches` list, and the spine handle must all release."""
+    from tests.conftest import persistent_ids
+
+    from re_data_pipeline_spark.operators.ids import HANDLE_ATTRS, release_handles
+
+    spark.catalog.clearCache()
+    before = persistent_ids(spark)
+    out = spark.range(3)
+    n_expected = 0
+    for i, attr in enumerate(HANDLE_ATTRS):
+        h = spark.range(5 + i).persist()
+        h.count()
+        setattr(out, attr, h)
+        n_expected += 1
+    listed = spark.range(20).persist()
+    listed.count()
+    out._anchor_caches = [listed]
+    spine = spark.range(30).persist()
+    spine.count()
+    out._ordinal_cache = spine
+    n_expected += 2
+    assert len(persistent_ids(spark) - before) == n_expected
+    assert release_handles(out) == n_expected
+    assert not (persistent_ids(spark) - before)
+
+
+def test_engine_release_and_leak_audit_share_one_path(engine, spark, monkeypatch):
+    """r16 ADVICE: tools/leak_audit.release_all used to hand-copy
+    Engine.release's attribute list, so the auditor could silently
+    diverge from the release contract it asserts.  Both must now route
+    through the SAME `ids.release_handles` function."""
+    import importlib.util
+    import os
+
+    import re_data_pipeline_spark.operators.ids as ids
+
+    calls = []
+    real = ids.release_handles
+
+    def spy(df, blocking=False):
+        calls.append(1)
+        return real(df, blocking)
+
+    monkeypatch.setattr(ids, "release_handles", spy)
+    engine.release(spark.range(1))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "leak_audit_under_test", os.path.join(repo, "tools", "leak_audit.py")
+    )
+    la = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(la)
+    la.release_all(spark.range(1), spark)
+    assert len(calls) == 2, "Engine.release and leak_audit.release_all must both delegate to ids.release_handles"
