@@ -915,6 +915,14 @@ def incremental_lsh_dedup(
     )
     dropped = hit_index.unionByName(hit_batch).distinct()
     kept = new_docs.join(dropped, id_col, "left_anti")
+    # ALSO ride the pin on the kept frame as the ``new_buckets`` handle
+    # attribute, so ``Engine.release(result["kept"])`` /
+    # ``ids.release_handles`` free it without the manual dict access —
+    # the attribute was listed in the shared HANDLE_ATTRS contract but
+    # never attached by any operator until r16 (review finding; the
+    # explicit ``result["new_buckets"].unpersist()`` stays valid,
+    # unpersist is idempotent)
+    kept.new_buckets = nb
     return {
         "kept": kept,
         "dropped": dropped,

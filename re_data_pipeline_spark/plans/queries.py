@@ -10534,7 +10534,7 @@ FROM fert f JOIN js USING (lang)
 @query("q218_tokenizer_rot", _Q218_SQL)
 def q218_tokenizer_rot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-rot regression gate (r14 verdict task 5a): train q211's
-    unigram-LM tokenizer on snapshot A ONLY (doc_id %% 2 = 0 — q171's
+    unigram-LM tokenizer on snapshot A ONLY (doc_id % 2 = 0 — q171's
     even/odd stand-in for consecutive crawls), then measure how that
     FROZEN vocabulary serves snapshot B vs A, per language — the "did my
     tokenizer rot between crawls" dashboard every training team checks
@@ -10610,10 +10610,60 @@ def q218_tokenizer_rot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carry_spines(js, out)
 
 
-_Q219_SQL = (
-    "WITH "
-    + _HOSTS_BL_SQL
-    + """,
+def _curation_s1(spark: SparkSession, d: DataFrame) -> DataFrame:
+    """Spark side of ``_CURATION_S1_SQL`` — the shared curation head of the
+    FineWeb-style recipe (q219 from-scratch, q220 incremental): the
+    deterministic host fixture + domain blocklist (q204) and the six-rule
+    Gopher structural gate (q194) over ``(doc_id, text, lang)`` rows.
+    Returns the PERSISTED survivor frame: the LM tier reads it several
+    times (train + score + lang rejoins + both snapshot cuts) — q206's
+    measured pin, and the choice that still holds at 100 TB.  The CALLER
+    owns the unpersist, after its stage-boundary localCheckpoints
+    materialize.  ONE copy so a threshold tweak cannot diverge the two
+    recipes (r16 review finding)."""
+    from re_data_pipeline_spark.operators.membership import domain_blocklist_filter
+    from re_data_pipeline_spark.operators.quality import gopher_quality_flags
+
+    hosts = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("sub"), (F.col("doc_id") % 3).cast("string"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit(".ads")).otherwise(F.lit(".www")),
+            F.lit(".example"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com"),
+        ).alias("host"),
+    )
+    bl = spark.createDataFrame(
+        [("example3.com",), ("ads.example5.com",),
+         ("sub1.www.example2.com",), ("example3.com",),
+         ("ads.example3.com",)],
+        "rule string",
+    )
+    kept_hosts = (
+        domain_blocklist_filter(hosts, "host", bl)
+        .where(F.col("blocked_by").isNull())
+        .select("doc_id")
+    )
+    s0 = d.join(kept_hosts, "doc_id")
+    gq = gopher_quality_flags(s0.select("doc_id", "text"), "text", "doc_id")
+    structural = gq.where(
+        F.col("ok_word_count")
+        & F.col("ok_mean_word_len")
+        & F.col("ok_symbol_ratio")
+        & F.col("ok_bullet_lines")
+        & F.col("ok_ellipsis_lines")
+        & F.col("ok_alpha_words")
+    ).select("doc_id")
+    return s0.join(structural, "doc_id").persist()
+
+
+# Shared curation head of the FineWeb-style recipe (q219 from-scratch,
+# q220 incremental): DuckDB CTE chain from the hosts/rules relations to
+# the structural survivor set ``s1`` — domain blocklist (q204) + the six
+# Gopher structural rules (q194).  ONE copy so a threshold tweak cannot
+# diverge the two recipes, or one engine's copy from the other's
+# (r16 review finding).
+_CURATION_S1_SQL = """,
 blocked AS (SELECT DISTINCT host FROM suf JOIN rules ON s = rule),
 s0 AS (
   SELECT d.doc_id, d.text, d.lang
@@ -10649,6 +10699,12 @@ s1 AS (
     AND alpha * 10 >= words * 8
 ),
 """
+
+
+_Q219_SQL = (
+    "WITH "
+    + _HOSTS_BL_SQL
+    + _CURATION_S1_SQL
     + _LM_SQL_CORE_TMPL.format(src="s1", ssrc="s1", prune2="", prune3="")
     + """,
 scored AS (
@@ -10733,44 +10789,9 @@ def q219_fineweb_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     from re_data_pipeline_spark.operators.ids import _carry_caches, carry_spines
     from re_data_pipeline_spark.operators.lm import ngram_lm_nll, perplexity_buckets
     from re_data_pipeline_spark.operators.maintenance import shard_manifest
-    from re_data_pipeline_spark.operators.membership import domain_blocklist_filter
-    from re_data_pipeline_spark.operators.quality import gopher_quality_flags
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    hosts = d.select(
-        "doc_id",
-        F.concat(
-            F.lit("sub"), (F.col("doc_id") % 3).cast("string"),
-            F.when(F.col("doc_id") % 4 == 0, F.lit(".ads")).otherwise(F.lit(".www")),
-            F.lit(".example"), (F.col("doc_id") % 7).cast("string"),
-            F.lit(".com"),
-        ).alias("host"),
-    )
-    bl = spark.createDataFrame(
-        [("example3.com",), ("ads.example5.com",),
-         ("sub1.www.example2.com",), ("example3.com",),
-         ("ads.example3.com",)],
-        "rule string",
-    )
-    kept_hosts = (
-        domain_blocklist_filter(hosts, "host", bl)
-        .where(F.col("blocked_by").isNull())
-        .select("doc_id")
-    )
-    s0 = d.join(kept_hosts, "doc_id")
-    gq = gopher_quality_flags(s0.select("doc_id", "text"), "text", "doc_id")
-    structural = gq.where(
-        F.col("ok_word_count")
-        & F.col("ok_mean_word_len")
-        & F.col("ok_symbol_ratio")
-        & F.col("ok_bullet_lines")
-        & F.col("ok_ellipsis_lines")
-        & F.col("ok_alpha_words")
-    ).select("doc_id")
-    # persist the narrow survivor frame: the LM (3 count aggs + scoring),
-    # the lang rejoin, and the next gate all read it — q206's measured
-    # pin, and the choice that still holds at 100 TB
-    s1 = s0.join(structural, "doc_id").persist()
+    s1 = _curation_s1(spark, d)
 
     lm_out = ngram_lm_nll(s1)
     scored = carry_spines(lm_out, lm_out.where(F.col("nll").isNotNull()))
@@ -10808,43 +10829,8 @@ def q219_fineweb_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q220_SQL = (
     "WITH "
     + _HOSTS_BL_SQL
-    + """,
-blocked AS (SELECT DISTINCT host FROM suf JOIN rules ON s = rule),
-s0 AS (
-  SELECT d.doc_id, d.text, d.lang
-  FROM documents d JOIN hosts h USING (doc_id)
-  LEFT JOIN blocked b ON h.host = b.host
-  WHERE b.host IS NULL
-),
-gd AS (
-  SELECT doc_id,
-         string_split_regex(trim(text), '\\s+') AS w,
-         string_split(text, chr(10)) AS l,
-         text
-  FROM s0
-),
-gm AS (
-  SELECT doc_id,
-         len(w) AS words, len(l) AS lines,
-         list_aggregate(list_transform(w, x -> len(x)), 'sum') AS sum_len,
-         len(text) - len(regexp_replace(text, '[#…]', '', 'g')) AS symbols,
-         len(list_filter(l, x -> regexp_matches(trim(x), '^[•\\-\\*▪]'))) AS bullets,
-         len(list_filter(l, x -> regexp_matches(rtrim(x), '(…|\\.\\.\\.)$'))) AS ellipses,
-         len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS alpha
-  FROM gd
-),
-s1 AS (
-  SELECT s0.doc_id, s0.text, s0.lang
-  FROM s0 JOIN gm USING (doc_id)
-  WHERE words >= 50 AND words <= 100000
-    AND sum_len >= 3 * words AND sum_len <= 10 * words
-    AND symbols * 10 <= words
-    AND bullets * 10 <= lines * 9
-    AND ellipses * 10 <= lines * 3
-    AND alpha * 10 >= words * 8
-),
-a1 AS (SELECT doc_id, text, lang FROM s1 WHERE doc_id % 2 = 0),
-"""
+    + _CURATION_S1_SQL
+    + "a1 AS (SELECT doc_id, text, lang FROM s1 WHERE doc_id % 2 = 0),\n"
     + _LM_SQL_CORE_TMPL.format(src="a1", ssrc="s1", prune2="", prune3="")
     + f""",
 scored AS (
@@ -10961,7 +10947,7 @@ def q220_incremental_crawl_update(spark: SparkSession, sf_dir: str) -> DataFrame
     engine's incremental-maintenance operators and proven equivalent to
     the from-scratch union run by ONE hash-matched manifest.
 
-    Snapshot split: A = doc_id %% 2 = 0 (the prior, already-curated crawl
+    Snapshot split: A = doc_id % 2 = 0 (the prior, already-curated crawl
     — q218/q171's stand-in for consecutive snapshots), B = odd.  A's
     frozen state (curated rows, LSH bucket index, trigram LM + per-lang
     CCNet thresholds, shard manifest) is recomputed here for fixture
@@ -11024,43 +11010,9 @@ def q220_incremental_crawl_update(spark: SparkSession, sf_dir: str) -> DataFrame
         merge_shard_manifests,
         shard_manifest,
     )
-    from re_data_pipeline_spark.operators.membership import domain_blocklist_filter
-    from re_data_pipeline_spark.operators.quality import gopher_quality_flags
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    hosts = d.select(
-        "doc_id",
-        F.concat(
-            F.lit("sub"), (F.col("doc_id") % 3).cast("string"),
-            F.when(F.col("doc_id") % 4 == 0, F.lit(".ads")).otherwise(F.lit(".www")),
-            F.lit(".example"), (F.col("doc_id") % 7).cast("string"),
-            F.lit(".com"),
-        ).alias("host"),
-    )
-    bl = spark.createDataFrame(
-        [("example3.com",), ("ads.example5.com",),
-         ("sub1.www.example2.com",), ("example3.com",),
-         ("ads.example3.com",)],
-        "rule string",
-    )
-    kept_hosts = (
-        domain_blocklist_filter(hosts, "host", bl)
-        .where(F.col("blocked_by").isNull())
-        .select("doc_id")
-    )
-    s0 = d.join(kept_hosts, "doc_id")
-    gq = gopher_quality_flags(s0.select("doc_id", "text"), "text", "doc_id")
-    structural = gq.where(
-        F.col("ok_word_count")
-        & F.col("ok_mean_word_len")
-        & F.col("ok_symbol_ratio")
-        & F.col("ok_bullet_lines")
-        & F.col("ok_ellipsis_lines")
-        & F.col("ok_alpha_words")
-    ).select("doc_id")
-    # the survivor frame feeds the LM (train side + score side), the lang
-    # rejoins, and both snapshot cuts — q219's measured pin
-    s1 = s0.join(structural, "doc_id").persist()
+    s1 = _curation_s1(spark, d)
     a1 = s1.where(F.col("doc_id") % 2 == 0)
 
     # FROZEN reference model: trained on snapshot A's curated set only,

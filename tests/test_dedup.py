@@ -1150,3 +1150,31 @@ def test_exact_substring_decontaminate_same_id_column_names(spark):
         ).collect()
     }
     assert got == {1: 10, 2: 0}
+
+
+def test_incremental_lsh_kept_rides_new_buckets_handle(spark):
+    """r16 review finding: `new_buckets` was listed in the shared
+    HANDLE_ATTRS release contract but never attached by any operator —
+    the kept frame now carries the persisted batch bucket table, so
+    `Engine.release(result["kept"])` / `ids.release_handles` free it
+    without the manual dict access."""
+    from tests.conftest import persistent_ids
+
+    from re_data_pipeline_spark.operators.dedup import incremental_lsh_dedup
+    from re_data_pipeline_spark.operators.ids import release_handles
+
+    spark.catalog.clearCache()
+    before = persistent_ids(spark)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "one two three four five six seven")],
+        "doc_id bigint, text string",
+    )
+    empty_index = spark.createDataFrame([], "doc_id bigint, band int, band_key string")
+    r = incremental_lsh_dedup(docs, empty_index)
+    assert r["kept"].new_buckets is r["new_buckets"]
+    r["kept"].count()
+    assert persistent_ids(spark) - before, "bucket table should be pinned after materialization"
+    assert release_handles(r["kept"]) >= 1
+    assert not (persistent_ids(spark) - before)
