@@ -124,3 +124,23 @@ def test_normalize_plan_text_masks_query_stage_ids():
     assert normalize_plan_text(a) == normalize_plan_text(b)
     lim = "(5) CollectLimit\nInput [1]: [a#1]\nArguments: 19\n"
     assert "Arguments: 19" in normalize_plan_text(lim)
+
+
+def test_prior_plan_hashes_resolves_newest_parseable_record():
+    """r16: the driver's BENCH_r*.json stdout tails truncate BEFORE
+    plan_hashes from r13 on, and the old scanner (repo-root driver
+    records only) silently fell back to r12's hashes — 21 stale
+    plan-change warnings per bench run.  The scanner now also reads the
+    complete local .benchmarks/bench_r*.json records and must resolve to
+    the newest round that actually carries hashes."""
+    import re
+
+    name, hashes = bench.prior_plan_hashes()
+    assert hashes and "q01_pricing_summary" in hashes
+    m = re.search(r"r(\d+)\.json$", name.lower())
+    assert m, name
+    # the newest parseable record must be no older than the current
+    # window round minus one (the r12 fallback was 4 rounds stale)
+    assert int(m.group(1)) >= DRIVER_WINDOW_ROUND - 1, (
+        f"prior_plan_hashes resolved a stale record: {name}"
+    )
