@@ -280,3 +280,113 @@ def merge_shard_manifests(
         F.min("min_id").alias("min_id"),
         F.max("max_id").alias("max_id"),
     )
+
+
+def incremental_corpus_update(
+    corpus_a: DataFrame,
+    batch_b: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    content_cols: list[str] | None = None,
+    num_hashes: int = 16,
+    shingle_words: int = 3,
+    bands: int = 4,
+    min_len: int = 50,
+    k: int | None = None,
+    num_shards: int = 16,
+    index_a: DataFrame | None = None,
+    manifest_a: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """The frozen-corpus maintenance core of an incremental crawl ingest
+    (q220's dedup→span→manifest tiers as a reusable API): fold a NEW,
+    already-gated batch into a FROZEN curated corpus without touching any
+    old row.
+
+    - LSH dedup of the batch against the prior corpus's bucket index plus
+      within-batch first-seen-wins (:func:`~re_data_pipeline_spark.operators.dedup.incremental_lsh_dedup`);
+    - ExactSubstr span rewrite checked new-vs-old ONLY
+      (:func:`~re_data_pipeline_spark.operators.dedup.exact_substring_decontaminate`
+      — the frozen corpus's shipped shards are immutable, so spans of the
+      batch that appear verbatim anywhere in the corpus are removed from
+      the BATCH);
+    - the batch's shard manifest folded into the corpus's frozen receipt
+      (:func:`merge_shard_manifests` — merge-of-manifests ≡
+      manifest-of-union for disjoint row sets, which append-only batches
+      are; q220's DuckDB oracle certifies the identity end-to-end).
+
+    ``corpus_a`` / ``batch_b`` carry ``(id_col, text_col, *content_cols)``;
+    quality gating (blocklist / Gopher / frozen-LM thresholds) is corpus
+    POLICY and stays with the caller (q220 shows the full composition).
+    ``index_a`` / ``manifest_a`` are the frozen state a production run
+    loads from storage — when omitted (fixtures, tests) they are
+    recomputed from ``corpus_a`` with identical plan shapes.
+
+    Returns ``{"kept", "dropped", "manifest", "manifest_batch"}`` where
+    ``kept`` is the processed batch ``(id_col, text_col, *content_cols)``
+    (rewritten text; dedup-dropped rows absent) and ``manifest`` is the
+    updated ``num_shards``-row receipt.  ``kept`` is an EAGER
+    localCheckpoint (the span tier's guard/anchor actions would otherwise
+    re-analyze the batch lineage per job — the stage-boundary discipline),
+    and it carries the span tier's anchor pins plus its own checkpoint
+    handle for ``ids.release_handles`` / ``Engine.release``; the batch
+    bucket table is released here (it is dead once ``kept``
+    materializes).  The returned ``manifest`` recomputes through ``kept``
+    and ``corpus_a`` — release after materializing, as usual.
+
+    Scale shape (100 TB corpus + daily batch): the corpus is touched only
+    by the passes production pays (index scan or none, bench anchor pass,
+    its own manifest or none); all rewrite work is batch-sided; candidate
+    generation is (band, band_key) / anchor-hash equi-joins — batch×index,
+    never corpus×corpus; the fold is 2×num_shards rows.
+    """
+    from re_data_pipeline_spark.operators.dedup import (
+        exact_substring_decontaminate,
+        incremental_lsh_dedup,
+        lsh_bands,
+        minhash_signature,
+    )
+    from re_data_pipeline_spark.operators.ids import _carry_caches
+
+    if content_cols is None:
+        content_cols = [text_col, "lang"]
+    if index_a is None:
+        index_a = lsh_bands(
+            minhash_signature(corpus_a, text_col, num_hashes, shingle_words),
+            id_col, "minhash", bands, num_hashes // bands,
+        )
+    r = incremental_lsh_dedup(
+        batch_b, index_a, id_col, text_col, num_hashes, shingle_words, bands
+    )
+    # STAGE BOUNDARY (dedup → span tier): the A×B span pass runs guard and
+    # anchor actions over the deduped batch several times — checkpoint,
+    # then release the dedup tier's own pin (dead once materialized)
+    b_ded = r["kept"].localCheckpoint()
+    r["new_buckets"].unpersist()
+
+    es = exact_substring_decontaminate(
+        b_ded.select(id_col, text_col),
+        corpus_a.select(F.col(id_col).alias("bench_id"), F.col(text_col).alias("text")),
+        id_col=id_col,
+        min_len=min_len,
+        k=k,
+    )
+    carried = b_ded.select(id_col, *[c for c in content_cols if c != text_col])
+    kept = es.select(id_col, F.col("clean_text").alias(text_col)).join(carried, id_col)
+    m_a = (
+        manifest_a
+        if manifest_a is not None
+        else shard_manifest(corpus_a, id_col, content_cols, num_shards=num_shards)
+    )
+    m_b = shard_manifest(kept, id_col, content_cols, num_shards=num_shards)
+    manifest = merge_shard_manifests(m_a, m_b)
+    # live handles ride the kept frame: its own checkpoint + the span
+    # tier's anchor pins (manifest recomputes through kept)
+    kept = _carry_caches(kept, kept, b_ded)
+    for c in getattr(es, "_anchor_caches", []) or []:
+        kept = _carry_caches(kept, kept, c)
+    return {
+        "kept": kept,
+        "dropped": r["dropped"],
+        "manifest": manifest,
+        "manifest_batch": m_b,
+    }

@@ -10993,12 +10993,6 @@ def q220_incremental_crawl_update(spark: SparkSession, sf_dir: str) -> DataFrame
     incremental-scan discipline of
     `code/airflow_gcp/dags/tasks/property_listings/get_AV_listings.py:117-124`
     generalized to corpus curation."""
-    from re_data_pipeline_spark.operators.dedup import (
-        exact_substring_decontaminate,
-        incremental_lsh_dedup,
-        lsh_bands,
-        minhash_signature,
-    )
     from re_data_pipeline_spark.operators.ids import (
         _carry_caches,
         carry_spines,
@@ -11006,10 +11000,7 @@ def q220_incremental_crawl_update(spark: SparkSession, sf_dir: str) -> DataFrame
         release_spines,
     )
     from re_data_pipeline_spark.operators.lm import ngram_lm_nll, perplexity_buckets
-    from re_data_pipeline_spark.operators.maintenance import (
-        merge_shard_manifests,
-        shard_manifest,
-    )
+    from re_data_pipeline_spark.operators.maintenance import incremental_corpus_update
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     s1 = _curation_s1(spark, d)
@@ -11045,32 +11036,18 @@ def q220_incremental_crawl_update(spark: SparkSession, sf_dir: str) -> DataFrame
     release_spines(buck)
     s1.unpersist()
 
-    # FROZEN prior index: A's curated docs' LSH buckets (loaded from the
-    # prior run's sink in production; q107's append-only contract)
-    index_a = lsh_bands(minhash_signature(a_fin, "text", 16, 3), "doc_id", "minhash", 4, 4)
-    r = incremental_lsh_dedup(b_cur, index_a)
-    # STAGE BOUNDARY (dedup → span tier): the A×B span pass runs guard
-    # and anchor actions over b_ded several times — checkpoint, then
-    # release the dedup tier's own pins (batch bucket table) and the
-    # now-dead b_cur checkpoint
-    b_ded = r["kept"].localCheckpoint()
-    r["new_buckets"].unpersist()
+    # FROZEN-state maintenance core — dedup vs A's bucket index (q107's
+    # append-only contract; the index/manifest are recomputed from a_fin
+    # for fixture self-containment, loaded from storage in production),
+    # A×B-only ExactSubstr rewrite, manifest fold — as the reusable
+    # operator; q220 contributes the policy tiers above + the snapshot
+    # split (`operators/maintenance.incremental_corpus_update`)
+    upd = incremental_corpus_update(a_fin, b_cur, min_len=10, k=5, num_shards=16)
+    # b_cur is dead once the operator's internal stage-boundary
+    # checkpoint materialized
     release_local_checkpoint(b_cur)
-
-    bench = a_fin.select(F.col("doc_id").alias("bench_id"), "text")
-    es = exact_substring_decontaminate(
-        b_ded.select("doc_id", "text"), bench, min_len=10, k=5
-    )
-    b_final = es.select("doc_id", F.col("clean_text").alias("text")).join(
-        b_ded.select("doc_id", "lang"), "doc_id"
-    )
-    m_a = shard_manifest(a_fin, "doc_id", ["text", "lang"], num_shards=16)
-    m_b = shard_manifest(b_final, "doc_id", ["text", "lang"], num_shards=16)
-    out = merge_shard_manifests(m_a, m_b)
-    # live handles on the returned frame: both stage checkpoints (the
-    # result recomputes through them) and the span tier's anchor pins
-    out = _carry_caches(out, out, a_fin)
-    out = _carry_caches(out, out, b_ded)
-    for c in getattr(es, "_anchor_caches", []) or []:
-        out = _carry_caches(out, out, c)
-    return out
+    # live handles on the returned frame: the kept batch's checkpoint +
+    # anchor pins (carried on upd["kept"]) and the a_fin checkpoint (the
+    # manifest recomputes through both)
+    out = carry_spines(upd["kept"], upd["manifest"])
+    return _carry_caches(out, out, a_fin)

@@ -367,3 +367,60 @@ def test_broadcast_model_scoring_equals_default(spark):
     assert plan.count("BroadcastHashJoin") >= 3  # the three scoring tiers
     release_spines(a)
     release_spines(b)
+
+
+def test_incremental_corpus_update_semantics_and_release(spark):
+    """r16: the frozen-corpus maintenance core as a reusable operator —
+    a batch duplicate of a frozen-corpus doc is DROPPED, a batch doc
+    carrying a verbatim >=min_len-token span of corpus text is REWRITTEN
+    (corpus rows never touched), the updated manifest equals the
+    from-scratch manifest of corpus ∪ processed batch, and the kept
+    frame's carried handles release executor storage to baseline."""
+    from tests.conftest import persistent_ids
+
+    from re_data_pipeline_spark.operators.ids import release_handles
+    from re_data_pipeline_spark.operators.maintenance import (
+        incremental_corpus_update,
+        shard_manifest,
+    )
+
+    span = "one two three four five six seven eight nine ten"
+    corpus = spark.createDataFrame(
+        [(2, f"frozen corpus document with the shared span {span} inside", "en"),
+         (4, "another frozen corpus document entirely unrelated words", "en")],
+        "doc_id bigint, text string, lang string",
+    )
+    batch = spark.createDataFrame(
+        [(1, f"frozen corpus document with the shared span {span} inside", "en"),
+         (3, f"fresh batch document quoting {span} and continuing onward", "en"),
+         (5, "a wholly new batch document with no overlap at all", "en")],
+        "doc_id bigint, text string, lang string",
+    )
+    spark.catalog.clearCache()
+    before = persistent_ids(spark)
+    upd = incremental_corpus_update(corpus, batch, min_len=10, k=5)
+    kept = {r["doc_id"]: r["text"] for r in upd["kept"].collect()}
+    # doc 1 is a verbatim duplicate of corpus doc 2 -> LSH-dropped
+    assert 1 not in kept
+    assert sorted(r.doc_id for r in upd["dropped"].collect()) == [1]
+    # doc 3 quoted a 10-token corpus span -> the span is excised, the
+    # remainder survives in order
+    assert span not in kept[3]
+    assert kept[3].startswith("fresh batch document quoting")
+    assert kept[3].endswith("and continuing onward")
+    # doc 5 untouched
+    assert kept[5] == "a wholly new batch document with no overlap at all"
+    # merge-of-manifests == manifest-of-union (frozen corpus + processed batch)
+    union = corpus.unionByName(upd["kept"].select("doc_id", "text", "lang"))
+    expect = {
+        r["shard"]: r
+        for r in shard_manifest(union, "doc_id", ["text", "lang"], num_shards=16).collect()
+    }
+    got = {r["shard"]: r for r in upd["manifest"].collect()}
+    assert got.keys() == expect.keys()
+    for s in got:
+        assert got[s] == expect[s]
+    # the kept frame carries every live handle — releasing it returns
+    # executor storage to baseline
+    release_handles(upd["kept"])
+    assert not (persistent_ids(spark) - before)
