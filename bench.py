@@ -182,7 +182,7 @@ def plan_hash(df) -> str:
     return hashlib.md5(normalize_plan_text(txt).encode("utf-8")).hexdigest()[:16]
 
 
-def prior_plan_hashes() -> tuple[str, dict[str, str]]:
+def prior_plan_hashes(root: str | None = None) -> tuple[str, dict[str, str]]:
     """plan_hashes from the newest recorded round — the highest-numbered
     BENCH_r*.json (driver record) OR .benchmarks/bench_r*.json (the
     complete local record this tool writes), whichever round is newer.
@@ -192,10 +192,11 @@ def prior_plan_hashes() -> tuple[str, dict[str, str]]:
     stale plan-change warnings per run (found r16).  The local records
     are full JSON, so the newest round always yields real hashes.
     Returns ("", {}) when no prior round (or no parseable hashes)
-    exists."""
+    exists.  ``root`` overrides the scan directory (unit tests build a
+    synthetic record tree; the default is the repo root)."""
     import glob
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    here = root or os.path.dirname(os.path.abspath(__file__))
     cands: list[tuple[int, int, str]] = []
     for pat, pref in (
         (os.path.join(here, "BENCH_r*.json"), 1),

@@ -882,7 +882,13 @@ def incremental_lsh_dedup(
     The new batch's bucket table is persisted (it feeds both collision
     checks and the updated index); it is exposed as ``result["new_buckets"]``
     — per-batch drivers should ``unpersist()`` it after writing the updated
-    index, or cached copies accumulate across batches.
+    index, or cached copies accumulate across batches.  The same pin also
+    rides ``result["kept"]`` as its ``new_buckets`` handle attribute, so
+    ``Engine.release(result["kept"])`` / ``ids.release_handles`` ALSO
+    unpin it — write ``result["updated_index"]`` (which reads the pinned
+    table) BEFORE releasing the kept frame, or the index write silently
+    recomputes the batch signatures/banding instead of reading the cache
+    (slow, not wrong).
 
     When batches arrive in id order this reproduces the batch pipeline's
     greedy pair-removal exactly (tested); out of order it is the

@@ -282,6 +282,133 @@ def merge_shard_manifests(
     )
 
 
+def retract_shard_manifest(
+    manifest: DataFrame, retracted: DataFrame, shard_col: str = "shard"
+) -> DataFrame:
+    """Un-fold a retracted subset's manifest OUT of a frozen corpus
+    receipt — :func:`merge_shard_manifests`' monoid run backwards, for
+    deletions (right-to-be-forgotten, license retraction, the 100 TB form
+    of the reference's archival delete-by-key,
+    ``tasks/property_listings/archive_delisted_properties.py:141-147``):
+    the corpus itself is never re-scanned; only the retracted rows'
+    OWN manifest is needed.
+
+    Sound because every surviving column is a commutative GROUP fold, not
+    just a monoid: counts and byte sums subtract, and the XOR checksum is
+    its own inverse (``x ⊕ x = 0``), so
+    unfold-of-manifest ≡ manifest-of-difference for ``retracted ⊆
+    corpus`` (q221's DuckDB oracle certifies the identity end-to-end).
+    ``min_id`` / ``max_id`` do NOT survive: min/max form a monoid with no
+    inverse (deleting a shard's extreme id cannot reveal the next one
+    without a scan), so the output schema is
+    ``(shard, n_rows, content_xor, n_bytes)`` — re-derive id ranges from
+    storage metadata if a consumer needs them.
+
+    Preconditions: the retracted manifest must be computed over EXACTLY
+    the rows being deleted, with the same ``num_shards`` / content
+    columns (:func:`corpus_retraction` guarantees this by fetching the
+    rows from the corpus itself).  Violations stay LOUD: a shard is
+    dropped from the output only when it zeroes out completely (rows,
+    checksum, AND bytes — a legitimately emptied shard, matching the
+    from-scratch manifest's absent row); retracting rows the corpus never
+    had leaves a negative count or a nonzero residual checksum in place,
+    which any receipt comparison then catches.
+
+    Scale shape: both inputs are num_shards rows; the unfold is a
+    num_shards-row agg — free at any corpus size.
+    """
+    neg = retracted.select(
+        F.col(shard_col),
+        (-F.col("n_rows")).cast("bigint").alias("n_rows"),
+        F.col("content_xor"),
+        (-F.col("n_bytes")).cast("bigint").alias("n_bytes"),
+    )
+    u = manifest.select(
+        shard_col, "n_rows", "content_xor", "n_bytes"
+    ).unionByName(neg)
+    out = u.groupBy(shard_col).agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.expr("bit_xor(content_xor)").cast("bigint").alias("content_xor"),
+        F.sum("n_bytes").cast("bigint").alias("n_bytes"),
+    )
+    return out.where(
+        ~(
+            (F.col("n_rows") == 0)
+            & (F.col("content_xor") == 0)
+            & (F.col("n_bytes") == 0)
+        )
+    )
+
+
+def lsh_index_summary(
+    index_buckets: DataFrame,
+    id_col: str = "doc_id",
+    num_shards: int = 16,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Per-shard integrity receipt for a persisted LSH bucket index
+    (``(id, band, band_key)`` rows — the
+    :func:`~re_data_pipeline_spark.operators.dedup.incremental_lsh_dedup`
+    index contract): row count and order-independent XOR checksum of a
+    60-bit md5-prefix hash over the injectively-serialized bucket row
+    (fixed-length per-field digests, the same boundary-shift-proof
+    construction as :func:`shard_manifest`).  Rows land in the SAME
+    ``pmod(md5_60(id), num_shards)`` shard as the corpus manifest, so the
+    two receipts align shard-for-shard — q221 joins them into one frame
+    whose oracle match certifies prune-of-index ≡ index-of-difference
+    alongside the manifest identity.
+
+    Scale shape: ONE map-combined groupBy over num_shards keys; output is
+    num_shards rows.
+    """
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be ≥ 1; got {num_shards}")
+    sid = F.coalesce(F.col(id_col).cast("string"), F.lit(""))
+    key = F.conv(F.substring(F.md5(sid), 1, 15), 16, 10).cast("long")
+    content = F.concat(
+        F.md5(sid),
+        F.md5(F.col("band").cast("string")),
+        F.md5(F.coalesce(F.col("band_key").cast("string"), F.lit(""))),
+    )
+    row_hash = F.conv(F.substring(F.md5(content), 1, 15), 16, 10).cast("long")
+    return (
+        index_buckets.select(
+            F.pmod(key, F.lit(num_shards)).cast("int").alias(shard_col),
+            row_hash.alias("__rh"),
+        )
+        .groupBy(shard_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("idx_rows"),
+            F.expr("bit_xor(__rh)").cast("bigint").alias("idx_xor"),
+        )
+    )
+
+
+def retract_from_lsh_index(
+    index_buckets: DataFrame,
+    retract_ids: DataFrame,
+    id_col: str = "doc_id",
+    broadcast_ids: bool = True,
+) -> DataFrame:
+    """Prune a retracted doc set's rows out of a persisted LSH bucket
+    index: a left-anti join on the id.  Retraction REVERSES the
+    index-retention rule dedup uses (a doc removed as a *duplicate* keeps
+    blocking future copies of itself; a doc removed by *retraction* must
+    stop blocking — its content is being erased, and future recrawls of
+    it must be judged on their own).
+
+    ``broadcast_ids=True`` (default) broadcast-hints the id set —
+    retraction requests are batch-sized, so the prune is a map-only
+    filter over the index with ZERO index-side shuffle, which is the
+    whole point at 100 TB (the index is corpus×bands rows).  Pass False
+    for a pathologically large retraction and let AQE pick the join.
+    """
+    ids = retract_ids.select(id_col).distinct()
+    if broadcast_ids:
+        ids = F.broadcast(ids)
+    return index_buckets.join(ids, id_col, "left_anti")
+
+
 def incremental_corpus_update(
     corpus_a: DataFrame,
     batch_b: DataFrame,
@@ -324,14 +451,21 @@ def incremental_corpus_update(
     Returns ``{"kept", "dropped", "manifest", "manifest_batch"}`` where
     ``kept`` is the processed batch ``(id_col, text_col, *content_cols)``
     (rewritten text; dedup-dropped rows absent) and ``manifest`` is the
-    updated ``num_shards``-row receipt.  ``kept`` is an EAGER
-    localCheckpoint (the span tier's guard/anchor actions would otherwise
-    re-analyze the batch lineage per job — the stage-boundary discipline),
-    and it carries the span tier's anchor pins plus its own checkpoint
-    handle for ``ids.release_handles`` / ``Engine.release``; the batch
-    bucket table is released here (it is dead once ``kept``
-    materializes).  The returned ``manifest`` recomputes through ``kept``
-    and ``corpus_a`` — release after materializing, as usual.
+    updated ``num_shards``-row receipt.  ``kept`` DERIVES from the
+    operator's internal eager localCheckpoint at the dedup→span stage
+    boundary (the span tier's guard/anchor actions would otherwise
+    re-analyze the batch lineage per job — the stage-boundary
+    discipline) — ``kept`` itself is a lazy span-join over that
+    checkpoint — and it carries that checkpoint handle plus the span
+    tier's anchor pins for ``ids.release_handles`` / ``Engine.release``;
+    the batch bucket table is released here (it is dead once the
+    boundary checkpoint materializes).  The returned ``manifest``
+    recomputes through ``kept`` and ``corpus_a``; ``dropped`` recomputes
+    through ``batch_b``'s ORIGINAL lineage (it is the dedup tier's
+    collision set, upstream of the boundary checkpoint) — callers that
+    eagerly release ``batch_b``'s own checkpoint after this call (q220's
+    pattern) must materialize ``dropped`` FIRST or not at all.  Release
+    after materializing, as usual.
 
     Scale shape (100 TB corpus + daily batch): the corpus is touched only
     by the passes production pays (index scan or none, bench anchor pass,
@@ -389,4 +523,85 @@ def incremental_corpus_update(
         "dropped": r["dropped"],
         "manifest": manifest,
         "manifest_batch": m_b,
+    }
+
+
+def corpus_retraction(
+    corpus_a: DataFrame,
+    retract_ids: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    content_cols: list[str] | None = None,
+    num_hashes: int = 16,
+    shingle_words: int = 3,
+    bands: int = 4,
+    num_shards: int = 16,
+    index_a: DataFrame | None = None,
+    manifest_a: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """The inverse of :func:`incremental_corpus_update`: DELETE a doc set
+    D from a FROZEN curated corpus A without reprocessing A — the 100 TB
+    form of the reference's archival delete-by-key
+    (``tasks/property_listings/archive_delisted_properties.py:141-147``,
+    K4), generalized to a corpus with an integrity receipt and a dedup
+    index (right-to-be-forgotten / license-retraction maintenance):
+
+    - fetch D's rows from A by id (a broadcast equi-join — id-pruned
+      point reads, batch-sized, the only pass that touches A's payload);
+    - manifest exactly those rows and UN-fold them out of A's frozen
+      receipt (:func:`retract_shard_manifest` — XOR is self-inverse,
+      counts/bytes subtract; q221's DuckDB oracle certifies
+      unfold-of-manifest ≡ manifest-of-difference);
+    - prune D's rows from the frozen LSH bucket index
+      (:func:`retract_from_lsh_index` — broadcast anti-join, map-only
+      over the index; retracted docs must STOP blocking future recrawls,
+      the reverse of the duplicate-retention rule);
+    - A∖D itself is the lazy anti-join ``kept`` (in production a
+      partition-pruned lakehouse DELETE; returned here so callers can
+      materialize or MERGE it).
+
+    ``index_a`` / ``manifest_a`` are the frozen state a production run
+    loads from storage — when omitted (fixtures, tests) they are
+    recomputed from ``corpus_a`` with identical plan shapes.  Fetching
+    D's content from the corpus itself (rather than trusting a
+    caller-supplied copy) guarantees the unfold subtracts what A actually
+    holds, so the receipt cannot silently drift; ids in ``retract_ids``
+    absent from A are no-ops, and duplicate request rows are collapsed.
+
+    Returns ``{"kept", "retracted", "manifest", "manifest_retracted",
+    "index"}`` — all lazy, no pins to release.
+
+    Scale shape (100 TB corpus + batch-sized retraction): A's payload is
+    touched once (the broadcast id fetch; the fixture's manifest/index
+    recompute disappears in production); the unfold is 2×num_shards rows;
+    the index prune shuffles ZERO index rows (broadcast anti-join); D's
+    own manifest is one map-combined agg over batch-sized rows.
+    """
+    from re_data_pipeline_spark.operators.dedup import lsh_bands, minhash_signature
+
+    if content_cols is None:
+        content_cols = [text_col, "lang"]
+    ids = retract_ids.select(id_col).distinct()
+    # D's content, fetched from the corpus itself: id-pruned point reads
+    d_rows = corpus_a.join(F.broadcast(ids), id_col)
+    m_d = shard_manifest(d_rows, id_col, content_cols, num_shards=num_shards)
+    m_a = (
+        manifest_a
+        if manifest_a is not None
+        else shard_manifest(corpus_a, id_col, content_cols, num_shards=num_shards)
+    )
+    manifest = retract_shard_manifest(m_a, m_d)
+    if index_a is None:
+        index_a = lsh_bands(
+            minhash_signature(corpus_a, text_col, num_hashes, shingle_words),
+            id_col, "minhash", bands, num_hashes // bands,
+        )
+    index = retract_from_lsh_index(index_a, ids, id_col)
+    kept = corpus_a.join(F.broadcast(ids), id_col, "left_anti")
+    return {
+        "kept": kept,
+        "retracted": d_rows,
+        "manifest": manifest,
+        "manifest_retracted": m_d,
+        "index": index,
     }

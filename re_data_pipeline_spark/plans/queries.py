@@ -4838,56 +4838,64 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-window registration order
 # ---------------------------------------------------------------------------
 # The correctness driver verifies the FIRST 50 registered queries, in order.
-# Round-16 rotation (tools/window_planner.py proposal = the r15 verdict's
-# task-1 spec): (a) never-driver-checked registrations always in (q220,
-# this round's net-new incremental crawl-update trace); (b) queries whose
-# code changed after their last driver check — the five r15 post-freeze
-# leak-audit fixes (q107 r12-green, q152/q164/q165/q166 r13-green) and
-# the five r15-displaced r14-green handle-carry fixes (q171, q187, q203,
-# q206; q215 see below); (c) the ENTIRE 40-row round-11 band, so after
-# the r16 run no green row predates round 12 (the r15 verdict's
-# done-condition; the import-time staleness gate in
-# tests/test_parity_gate.py enforces the outer <=5-round bound).
-# Budget: 1 + 9 + 40 = 50, which displaces two changed-but-verified rows
-# to lead the r17 (b) group:
-#   - q215_d4_curation (r14-green; independently judge-parity-verified
-#     against DuckDB in the r15 verdict session);
-#   - q216_cluster_safe_split (r15-green; its r16 change wraps the CC
-#     call in try/finally — exception-path-only, value-identical;
-#     builder-parity-verified this round, tools/parity.py sf0.01 OK).
+# Round-17 rotation (the r16 verdict's task-1 spec): (a) never-
+# driver-checked registrations always in (q221, this round's net-new
+# corpus-retraction trace); (b) queries whose code changed after their
+# last driver check or that the r16 rotation displaced —
+# q215_d4_curation (r14-green, displaced two rounds running; the r16
+# window comment promised it leads r17), q216_cluster_safe_split
+# (r15-green, r16 exception-path change, builder+judge-parity-verified),
+# and q219_fineweb_trace (r15-green; its r16 head refactor
+# (_curation_s1) was builder- and judge-parity-verified but never
+# driver-checked) plus q220 (r16-green; this round's body refactor
+# extracts _q220_snapshot_cuts for tools/q220_production_probe.py —
+# plan hash pinned IDENTICAL to the r16 record, builder-parity-
+# verified; in by the same rule that put q219 here); (c) the ENTIRE
+# 37-row round-12 band, so after the r17 run no green row predates
+# round 13 (the r16 verdict's done-condition; the import-time
+# staleness gate in tests/test_parity_gate.py enforces the outer
+# <=5-round bound); (d) the 8 oldest round-13 rows in planner order.
+# Budget: 1 + 4 + 37 + 8 = 50, which displaces the remaining five
+# oldest-r13 planner rows (q150_sequence_pattern,
+# q151_item_cooccurrence, q154_index_merge, q155_grouped_kfold,
+# q156_curation_v2 — all r13-green, code UNCHANGED since) into the
+# r18 oldest band, where the staleness done-condition will claim them
+# first.
 
 # The round this list was last actually RE-COMPOSED (not merely shipped):
 # tools/gen_window_doc.py stamps it into README so the freshness claim
 # can't silently go false again (r9 verdict "what's wrong" #2).
-DRIVER_WINDOW_ROUND = 16
+DRIVER_WINDOW_ROUND = 17
 
 DRIVER_WINDOW: list[str] = [
     # (a) never driver-checked: this round's net-new query
+    "q221_corpus_retraction",
+    # (b) displaced-changed carries promised the r17 lead, the r16 head
+    # refactor never driver-checked, and q220 (r16-green, r17 body
+    # refactor: _q220_snapshot_cuts extracted for the production probe —
+    # plan hash pinned identical, builder-parity-verified)
+    "q215_d4_curation", "q216_cluster_safe_split", "q219_fineweb_trace",
     "q220_incremental_crawl_update",
-    # (b) code changed after last driver check: r15 leak-audit fixes
-    "q107_incremental_dedup", "q152_skyline", "q164_quota_sample",
-    "q165_bfs_distances", "q166_temperature_mixture",
-    # (b) displaced-from-r15 carries (r14-green handle-carry fixes)
-    "q171_token_drift", "q187_streaming_incremental_dedup",
-    "q203_ccnet_buckets", "q206_curation_v3",
-    # (c) last green driver row: round 11 (the ENTIRE 40-row band,
+    # (c) last green driver row: round 12 (the ENTIRE 37-row band,
     # planner order)
-    "q01_pricing_summary", "q04_multi_join_revenue", "q07_topk_per_group",
-    "q100_contamination", "q119_multipolygon_zones",
-    "q122_repetition_metrics", "q124_dsir_importance",
-    "q126_quality_classifier", "q127_compaction_plan",
-    "q197_exact_substring_dedup", "q198_classifier_train",
-    "q199_exact_substring_decontam", "q200_exact_substring_grams",
-    "q201_intra_substring_dedup", "q204_domain_blocklist",
-    "q207_tokenizer_fertility", "q208_contiguous_pack",
-    "q54_first_available", "q55_limit_topn", "q64_lag_lead",
-    "q65_first_occurrence", "q66_state_flag_merge", "q67_rolling_hash",
-    "q74_percentiles", "q76_histogram", "q77_levenshtein",
-    "q78_deterministic_sample", "q79_pivot", "q80_unpivot",
-    "q81_stratified_sample", "q83_gap_fill", "q84_zscore_outliers",
-    "q86_cdc_latest", "q88_conditional_agg", "q89_above_average",
-    "q90_array_setops", "q92_date_trunc_spectrum", "q93_word_count",
-    "q94_funnel", "q95_incremental_aggregate",
+    "q03_broadcast_join_agg", "q125_span_dedup", "q129_domain_mixture",
+    "q12_running_total", "q131_stream_stream_join",
+    "q132_bpe_pair_counts", "q133_salted_join", "q134_scd2_history",
+    "q135_inverted_index", "q137_grouped_split", "q138_spatial_knn",
+    "q139_ohlc_downsample", "q13_rollup", "q140_stream_dedup_watermark",
+    "q141_interval_lookup", "q142_transition_matrix",
+    "q143_snapshot_diff", "q144_scd1_merge", "q145_bm25_topk",
+    "q146_countmin_sketch", "q147_hll_sketch", "q149_mad_outliers",
+    "q14_grid_agg", "q205_shard_manifest", "q209_streaming_manifest",
+    "q20_safe_cast", "q211_unigram_train", "q212_unigram_fertility",
+    "q38_radius_join", "q42_llm_extract", "q43_embed_column",
+    "q45_multimodal_features", "q46_listings_pipeline",
+    "q47_rental_grid_pipeline", "q53_approx_distinct",
+    "q75_percentile_approx", "q91_brochure_pipeline",
+    # (d) the 8 oldest round-13 rows, planner order
+    "q08_distinct", "q09_union_by_name", "q101_streaming_sessions",
+    "q109_canonical_url", "q10_except", "q114_grouping_sets",
+    "q11_explode", "q120_http_pushdown_scan",
 ]
 
 
@@ -10826,6 +10834,56 @@ def q219_fineweb_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _carry_caches(out, out, getattr(es, "_anchor_cache", None))
 
 
+def _q220_snapshot_cuts(spark: SparkSession, d: DataFrame):
+    """q220's policy tiers: the snapshot split plus the frozen-LM CCNet
+    cut, returning the two stage-boundary checkpoints ``(a_fin, b_cur)``
+    — the frozen curated corpus A and the gated new batch B that feed
+    `operators/maintenance.incremental_corpus_update`.  Shared VERBATIM
+    (the r16 `_curation_s1` precedent: one code path, one plan) by q220
+    and `tools/q220_production_probe.py`, which stages these frames to
+    parquet and times the maintenance core's production (injected
+    frozen-state) path against the fixture recompute path.  Upstream
+    pins (LM model tables, rank spine, survivor frame) are released
+    HERE, once the checkpoints materialize; the caller owns the two
+    checkpoint handles."""
+    from re_data_pipeline_spark.operators.ids import carry_spines, release_spines
+    from re_data_pipeline_spark.operators.lm import ngram_lm_nll, perplexity_buckets
+
+    s1 = _curation_s1(spark, d)
+    a1 = s1.where(F.col("doc_id") % 2 == 0)
+
+    # FROZEN reference model: trained on snapshot A's curated set only,
+    # scoring BOTH sides in one pass (A's scores derive the frozen
+    # thresholds; B's scores are gated by them)
+    lm_out = ngram_lm_nll(a1, s1)
+    scored = carry_spines(lm_out, lm_out.where(F.col("nll").isNotNull()))
+    scored = carry_spines(scored, scored.join(s1.select("doc_id", "lang"), "doc_id"))
+    buck = perplexity_buckets(
+        carry_spines(scored, scored.where(F.col("doc_id") % 2 == 0)), "lang"
+    )
+    a_kept = buck.where(F.col("bucket") != "tail")
+    # frozen per-language threshold: MAX kept-A nll — |langs| rows
+    thr = a_kept.groupBy("lang").agg(F.max("nll").alias("thr_nll"))
+    b_keep_ids = (
+        scored.where(F.col("doc_id") % 2 == 1)
+        .join(F.broadcast(thr), "lang")
+        .where(F.col("nll") <= F.col("thr_nll"))
+        .select("doc_id")
+    )
+    # STAGE BOUNDARIES (curation → dedup): both snapshot cuts are eager
+    # localCheckpoints — a_fin is read by the index build, the bench
+    # anchor pass, and the manifest; b_cur by the dedup tier's multiple
+    # internal consumers — each action would otherwise re-analyze the
+    # blocklist→Gopher→LM tree (r15 stage-boundary discipline)
+    a_fin = s1.join(a_kept.select("doc_id"), "doc_id").localCheckpoint()
+    b_cur = s1.join(b_keep_ids, "doc_id").localCheckpoint()
+    # the checkpoints materialized the curation tier — every upstream pin
+    # (LM model tables, the rank spine, the survivor frame) is dead NOW
+    release_spines(buck)
+    s1.unpersist()
+    return a_fin, b_cur
+
+
 _Q220_SQL = (
     "WITH "
     + _HOSTS_BL_SQL
@@ -10997,44 +11055,11 @@ def q220_incremental_crawl_update(spark: SparkSession, sf_dir: str) -> DataFrame
         _carry_caches,
         carry_spines,
         release_local_checkpoint,
-        release_spines,
     )
-    from re_data_pipeline_spark.operators.lm import ngram_lm_nll, perplexity_buckets
     from re_data_pipeline_spark.operators.maintenance import incremental_corpus_update
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    s1 = _curation_s1(spark, d)
-    a1 = s1.where(F.col("doc_id") % 2 == 0)
-
-    # FROZEN reference model: trained on snapshot A's curated set only,
-    # scoring BOTH sides in one pass (A's scores derive the frozen
-    # thresholds; B's scores are gated by them)
-    lm_out = ngram_lm_nll(a1, s1)
-    scored = carry_spines(lm_out, lm_out.where(F.col("nll").isNotNull()))
-    scored = carry_spines(scored, scored.join(s1.select("doc_id", "lang"), "doc_id"))
-    buck = perplexity_buckets(
-        carry_spines(scored, scored.where(F.col("doc_id") % 2 == 0)), "lang"
-    )
-    a_kept = buck.where(F.col("bucket") != "tail")
-    # frozen per-language threshold: MAX kept-A nll — |langs| rows
-    thr = a_kept.groupBy("lang").agg(F.max("nll").alias("thr_nll"))
-    b_keep_ids = (
-        scored.where(F.col("doc_id") % 2 == 1)
-        .join(F.broadcast(thr), "lang")
-        .where(F.col("nll") <= F.col("thr_nll"))
-        .select("doc_id")
-    )
-    # STAGE BOUNDARIES (curation → dedup): both snapshot cuts are eager
-    # localCheckpoints — a_fin is read by the index build, the bench
-    # anchor pass, and the manifest; b_cur by the dedup tier's multiple
-    # internal consumers — each action would otherwise re-analyze the
-    # blocklist→Gopher→LM tree (r15 stage-boundary discipline)
-    a_fin = s1.join(a_kept.select("doc_id"), "doc_id").localCheckpoint()
-    b_cur = s1.join(b_keep_ids, "doc_id").localCheckpoint()
-    # the checkpoints materialized the curation tier — every upstream pin
-    # (LM model tables, the rank spine, the survivor frame) is dead NOW
-    release_spines(buck)
-    s1.unpersist()
+    a_fin, b_cur = _q220_snapshot_cuts(spark, d)
 
     # FROZEN-state maintenance core — dedup vs A's bucket index (q107's
     # append-only contract; the index/manifest are recomputed from a_fin
@@ -11044,10 +11069,112 @@ def q220_incremental_crawl_update(spark: SparkSession, sf_dir: str) -> DataFrame
     # split (`operators/maintenance.incremental_corpus_update`)
     upd = incremental_corpus_update(a_fin, b_cur, min_len=10, k=5, num_shards=16)
     # b_cur is dead once the operator's internal stage-boundary
-    # checkpoint materialized
+    # checkpoint materialized — safe ONLY because upd["dropped"] (which
+    # recomputes through b_cur's original lineage) is unused here;
+    # callers that consume it must materialize it first (operator
+    # docstring)
     release_local_checkpoint(b_cur)
     # live handles on the returned frame: the kept batch's checkpoint +
     # anchor pins (carried on upd["kept"]) and the a_fin checkpoint (the
     # manifest recomputes through both)
     out = carry_spines(upd["kept"], upd["manifest"])
     return _carry_caches(out, out, a_fin)
+
+
+_Q221_SQL = f"""
+WITH src AS (
+  SELECT doc_id, text, lang FROM documents WHERE doc_id % 13 <> 5
+),
+man AS (
+  SELECT shard, n_rows, content_xor, n_bytes FROM (
+    WITH {_MANIFEST_SQL_TMPL.format(src="src")}
+  )
+),
+rtoks AS (SELECT doc_id, {_sql_tokens()} AS t FROM src),
+rshng AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(t) - 2, 1) + 1),
+           j -> array_to_string(t[j:j+2], ' '))) AS sh
+  FROM rtoks
+),
+rsig AS (SELECT doc_id, [{_minhash_sql(16, 3)}] AS sig FROM rshng),
+rbuck AS (
+  SELECT doc_id, b.i AS band,
+         md5(array_to_string(sig[b.i*4+1:b.i*4+4], '|')) AS band_key
+  FROM rsig, generate_series(0, 3) b(i)
+),
+ridx AS (
+  SELECT CAST(CAST(('0x' || substr(md5(coalesce(CAST(doc_id AS VARCHAR), '')),
+                                   1, 15)) AS BIGINT) % 16 AS INT) AS shard,
+         CAST(('0x' || substr(md5(md5(coalesce(CAST(doc_id AS VARCHAR), ''))
+                                  || md5(CAST(band AS VARCHAR))
+                                  || md5(coalesce(band_key, ''))), 1, 15))
+              AS BIGINT) AS rh
+  FROM rbuck
+),
+ridxs AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS idx_rows,
+         CAST(bit_xor(rh) AS BIGINT) AS idx_xor
+  FROM ridx GROUP BY shard
+)
+SELECT m.shard, m.n_rows, m.content_xor, m.n_bytes,
+       coalesce(i.idx_rows, 0) AS idx_rows,
+       coalesce(i.idx_xor, 0) AS idx_xor
+FROM man m LEFT JOIN ridxs i USING (shard)
+"""
+
+
+@query("q221_corpus_retraction", _Q221_SQL)
+def q221_corpus_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus retraction trace (r16 verdict task 4 — the inverse of
+    q220): DELETE a doc set D from the FROZEN corpus A without
+    reprocessing A, the 100 TB form of the reference's archival
+    delete-by-key
+    (`code/airflow_gcp/dags/tasks/property_listings/archive_delisted_properties.py:141-147`,
+    K4), composed from `operators/maintenance.corpus_retraction`:
+    broadcast-fetch D's rows from A by id → manifest exactly those rows
+    and UN-fold them out of A's frozen receipt
+    (`retract_shard_manifest` — counts/bytes subtract, the XOR checksum
+    is its own inverse; min/max id do NOT survive because min/max is a
+    monoid with no inverse) → prune D's rows from A's frozen LSH bucket
+    index (`retract_from_lsh_index` — broadcast anti-join; a RETRACTED
+    doc must stop blocking future recrawls, the reverse of dedup's
+    duplicate-retention rule).
+
+    Fixture: D = ids with doc_id % 13 = 5 (~7.7% of the corpus — a
+    batch-sized right-to-be-forgotten request); A's frozen state
+    (manifest, LSH index) is recomputed for self-containment, loaded
+    from storage in production (`index_a` / `manifest_a` params, same
+    plan shapes — exercised by tests/test_lm.py).
+
+    THE equivalence proof: this query returns the UN-folded receipt
+    joined with the pruned index's per-shard summary
+    (`lsh_index_summary` — same pmod(md5_60(id)) shard key, so the two
+    receipts align shard-for-shard), while the DuckDB oracle computes
+    BOTH from scratch on A∖D — manifest-of-difference and
+    index-of-difference in one pass.  A full-value hash match certifies
+    unfold-of-manifest ≡ manifest-of-difference AND prune-of-index ≡
+    index-of-difference; one mis-subtracted shard line, one surviving
+    retracted bucket row, or one over-pruned survivor flips a shard's
+    xor.
+
+    Scale shape (100 TB corpus + batch-sized D): A's payload is touched
+    once (broadcast id fetch of D's rows; the fixture's manifest/index
+    recompute disappears in production); the unfold and the receipt join
+    are num_shards-row aggs; the index prune is a broadcast anti-join —
+    ZERO index-side shuffle; nothing anywhere is corpus×corpus."""
+    from re_data_pipeline_spark.operators.maintenance import (
+        corpus_retraction,
+        lsh_index_summary,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    ids = d.where(F.col("doc_id") % 13 == 5).select("doc_id")
+    ret = corpus_retraction(d, ids, num_shards=16)
+    idx = lsh_index_summary(ret["index"], "doc_id", num_shards=16)
+    return ret["manifest"].join(idx, "shard", "left").select(
+        "shard", "n_rows", "content_xor", "n_bytes",
+        F.coalesce(F.col("idx_rows"), F.lit(0)).cast("bigint").alias("idx_rows"),
+        F.coalesce(F.col("idx_xor"), F.lit(0)).cast("bigint").alias("idx_xor"),
+    )

@@ -126,21 +126,53 @@ def test_normalize_plan_text_masks_query_stage_ids():
     assert "Arguments: 19" in normalize_plan_text(lim)
 
 
-def test_prior_plan_hashes_resolves_newest_parseable_record():
+def test_prior_plan_hashes_resolves_newest_parseable_record(tmp_path):
     """r16: the driver's BENCH_r*.json stdout tails truncate BEFORE
     plan_hashes from r13 on, and the old scanner (repo-root driver
     records only) silently fell back to r12's hashes — 21 stale
-    plan-change warnings per bench run.  The scanner now also reads the
-    complete local .benchmarks/bench_r*.json records and must resolve to
-    the newest round that actually carries hashes."""
+    plan-change warnings per bench run.  Synthetic record tree (r17
+    advice: unit-level, decoupled from the live repo's release-process
+    state): a truncated driver record at the newest round must be skipped
+    in favor of the same round's complete local record; an older full
+    driver record must not win; escaped driver-tail hashes still parse."""
+    bdir = tmp_path / ".benchmarks"
+    bdir.mkdir()
+    # r12 driver record: full, with tail-escaped plan_hashes (old format)
+    (tmp_path / "BENCH_r12.json").write_text(
+        '{"tail": "... \\"plan_hashes\\": {\\"q01\\": \\"aaaa\\"} ..."}'
+    )
+    # r13 driver record: tail TRUNCATED mid-hashes (the incident shape)
+    (tmp_path / "BENCH_r13.json").write_text(
+        '{"tail": "... \\"plan_hashes\\": {\\"q01\\": \\"bb'
+    )
+    # r13 local record: complete JSON with hashes — must win
+    (bdir / "bench_r13.json").write_text(
+        json.dumps({"plan_hashes": {"q01": "cccc", "q02": "dddd"}})
+    )
+    name, hashes = bench.prior_plan_hashes(root=str(tmp_path))
+    assert name == "bench_r13.json" and hashes == {"q01": "cccc", "q02": "dddd"}
+    # without the local r13 record the scanner falls back PAST the
+    # truncated r13 driver tail to r12's escaped-but-parseable hashes
+    (bdir / "bench_r13.json").unlink()
+    name, hashes = bench.prior_plan_hashes(root=str(tmp_path))
+    assert name == "BENCH_r12.json" and hashes == {"q01": "aaaa"}
+    # empty tree: graceful empty result
+    assert bench.prior_plan_hashes(root=str(tmp_path / "nowhere")) == ("", {})
+
+
+def test_repo_bench_records_fresh_gate():
+    """REPO-STATE GATE (not a unit test): the committed bench records must
+    carry parseable plan hashes no older than the round before the current
+    DRIVER_WINDOW_ROUND — the r16 incident left the comparator silently
+    reading r12.  Expected to fail transiently on a checkout where
+    DRIVER_WINDOW_ROUND was bumped before the round's bench run has
+    landed; run bench.py (or commit its .benchmarks record) to restore."""
     import re
 
     name, hashes = bench.prior_plan_hashes()
     assert hashes and "q01_pricing_summary" in hashes
     m = re.search(r"r(\d+)\.json$", name.lower())
     assert m, name
-    # the newest parseable record must be no older than the current
-    # window round minus one (the r12 fallback was 4 rounds stale)
     assert int(m.group(1)) >= DRIVER_WINDOW_ROUND - 1, (
         f"prior_plan_hashes resolved a stale record: {name}"
     )

@@ -424,3 +424,162 @@ def test_incremental_corpus_update_semantics_and_release(spark):
     # executor storage to baseline
     release_handles(upd["kept"])
     assert not (persistent_ids(spark) - before)
+
+
+def test_retract_shard_manifest_unfold_equals_difference(spark):
+    """r17: unfold-of-manifest ≡ manifest-of-difference — the receipt of
+    A∖D from A's receipt and D's own manifest, never re-scanning A; an
+    emptied shard drops out exactly like the from-scratch manifest's
+    absent row; retracting rows the corpus never had stays LOUD."""
+    from re_data_pipeline_spark.operators.maintenance import (
+        retract_shard_manifest,
+        shard_manifest,
+    )
+
+    rows = [(i, f"document number {i} body text {'x' * i}", "en") for i in range(12)]
+    a = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    d = a.where(F.col("doc_id") % 3 == 1)
+    remain = a.where(F.col("doc_id") % 3 != 1)
+
+    m_a = shard_manifest(a, "doc_id", ["text", "lang"], num_shards=4)
+    m_d = shard_manifest(d, "doc_id", ["text", "lang"], num_shards=4)
+    got = {
+        r["shard"]: (r["n_rows"], r["content_xor"], r["n_bytes"])
+        for r in retract_shard_manifest(m_a, m_d).collect()
+    }
+    exp = {
+        r["shard"]: (r["n_rows"], r["content_xor"], r["n_bytes"])
+        for r in shard_manifest(remain, "doc_id", ["text", "lang"], num_shards=4).collect()
+    }
+    assert got == exp
+    # retract EVERYTHING: every shard zeroes out and drops — empty receipt
+    assert retract_shard_manifest(m_a, m_a).count() == 0
+    # violation stays loud: retract rows the corpus never had — the
+    # phantom shard line SURVIVES the emptied-shard filter (negative
+    # count / residual checksum), so any receipt comparison catches it
+    # instead of silently absorbing it
+    alien = spark.createDataFrame(
+        [(999, "never in the corpus", "en")], "doc_id bigint, text string, lang string"
+    )
+    m_alien = shard_manifest(alien, "doc_id", ["text", "lang"], num_shards=4)
+    loud = retract_shard_manifest(
+        retract_shard_manifest(m_a, m_a), m_alien
+    ).collect()
+    assert len(loud) == 1 and loud[0]["n_rows"] == -1
+
+
+def test_corpus_retraction_semantics_and_injected_state(spark, tmp_path):
+    """r17: the composed retraction — kept = A∖D, the un-folded receipt
+    equals the from-scratch manifest of A∖D, the pruned index equals the
+    from-scratch index of A∖D (prune-of-index ≡ index-of-difference),
+    duplicate/absent request ids are no-ops, and the production path
+    (frozen index/manifest loaded from parquet) returns byte-identical
+    results to the fixture recompute path."""
+    from re_data_pipeline_spark.operators.dedup import lsh_bands, minhash_signature
+    from re_data_pipeline_spark.operators.maintenance import (
+        corpus_retraction,
+        shard_manifest,
+    )
+
+    rows = [
+        (i, f"retraction corpus doc {i} with body words w{i} w{i + 1} w{i + 2}", "en")
+        for i in range(1, 9)
+    ]
+    a = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    # duplicate request row + an id the corpus never had: both no-ops
+    ids = spark.createDataFrame([(2,), (5,), (2,), (99,)], "doc_id bigint")
+    remain = a.where(~F.col("doc_id").isin(2, 5))
+
+    ret = corpus_retraction(a, ids, num_shards=8)
+    assert sorted(r.doc_id for r in ret["kept"].collect()) == [1, 3, 4, 6, 7, 8]
+    assert sorted(r.doc_id for r in ret["retracted"].collect()) == [2, 5]
+    man_cols = ("shard", "n_rows", "content_xor", "n_bytes")
+    got_m = {tuple(r[c] for c in man_cols) for r in ret["manifest"].collect()}
+    exp_m = {
+        tuple(r[c] for c in man_cols)
+        for r in shard_manifest(remain, "doc_id", ["text", "lang"], num_shards=8).collect()
+    }
+    assert got_m == exp_m
+    # prune-of-index ≡ index-of-difference, row for row
+    got_i = {tuple(r) for r in ret["index"].select("doc_id", "band", "band_key").collect()}
+    exp_i = {
+        tuple(r)
+        for r in lsh_bands(
+            minhash_signature(remain, "text", 16, 3), "doc_id", "minhash", 4, 4
+        ).select("doc_id", "band", "band_key").collect()
+    }
+    assert got_i == exp_i
+    # the prune must be a broadcast anti-join: zero index-side shuffle
+    plan = ret["index"]._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # production path: frozen state loaded from storage, identical results
+    idx_dir, man_dir = str(tmp_path / "index_a"), str(tmp_path / "manifest_a")
+    lsh_bands(
+        minhash_signature(a, "text", 16, 3), "doc_id", "minhash", 4, 4
+    ).write.parquet(idx_dir)
+    shard_manifest(a, "doc_id", ["text", "lang"], num_shards=8).write.parquet(man_dir)
+    ret2 = corpus_retraction(
+        a, ids, num_shards=8,
+        index_a=spark.read.parquet(idx_dir),
+        manifest_a=spark.read.parquet(man_dir),
+    )
+    assert {tuple(r[c] for c in man_cols) for r in ret2["manifest"].collect()} == exp_m
+    assert {
+        tuple(r) for r in ret2["index"].select("doc_id", "band", "band_key").collect()
+    } == exp_i
+
+
+def test_incremental_corpus_update_injected_frozen_state(spark, tmp_path):
+    """r17 (r16 verdict task 3): the PRODUCTION path of
+    incremental_corpus_update — the frozen bucket index and manifest
+    persisted to parquet, reloaded, and passed as index_a/manifest_a —
+    returns exactly the recompute-from-corpus fixture path's results
+    (kept rows, dropped ids, merged manifest), with handles still
+    releasing executor storage to baseline."""
+    from tests.conftest import persistent_ids
+
+    from re_data_pipeline_spark.operators.dedup import lsh_bands, minhash_signature
+    from re_data_pipeline_spark.operators.ids import release_handles
+    from re_data_pipeline_spark.operators.maintenance import (
+        incremental_corpus_update,
+        shard_manifest,
+    )
+
+    span = "one two three four five six seven eight nine ten"
+    corpus = spark.createDataFrame(
+        [(2, f"frozen corpus document with the shared span {span} inside", "en"),
+         (4, "another frozen corpus document entirely unrelated words", "en")],
+        "doc_id bigint, text string, lang string",
+    )
+    batch = spark.createDataFrame(
+        [(1, f"frozen corpus document with the shared span {span} inside", "en"),
+         (3, f"fresh batch document quoting {span} and continuing onward", "en"),
+         (5, "a wholly new batch document with no overlap at all", "en")],
+        "doc_id bigint, text string, lang string",
+    )
+    # freeze A's state to storage with the operator's own parameters
+    idx_dir, man_dir = str(tmp_path / "index_a"), str(tmp_path / "manifest_a")
+    lsh_bands(
+        minhash_signature(corpus, "text", 16, 3), "doc_id", "minhash", 4, 4
+    ).write.parquet(idx_dir)
+    shard_manifest(corpus, "doc_id", ["text", "lang"], num_shards=16).write.parquet(
+        man_dir
+    )
+
+    def run(**frozen):
+        spark.catalog.clearCache()
+        before = persistent_ids(spark)
+        upd = incremental_corpus_update(corpus, batch, min_len=10, k=5, **frozen)
+        kept = {(r["doc_id"], r["text"], r["lang"]) for r in upd["kept"].collect()}
+        dropped = sorted(r.doc_id for r in upd["dropped"].collect())
+        man = {tuple(r) for r in upd["manifest"].collect()}
+        release_handles(upd["kept"])
+        assert not (persistent_ids(spark) - before)
+        return kept, dropped, man
+
+    fixture = run()
+    production = run(
+        index_a=spark.read.parquet(idx_dir),
+        manifest_a=spark.read.parquet(man_dir),
+    )
+    assert production == fixture

@@ -767,6 +767,29 @@ CHECKS = [
         "run's cost is batch-sized plus one A index/anchor scan.",
         {"spark.sql.autoBroadcastJoinThreshold": "-1"},
     ),
+    (
+        "q221_corpus_retraction",
+        "corpus retraction: manifest un-fold, broadcast index prune",
+        [
+            (r"BroadcastHashJoin [^\n]*LeftAnti", "the index prune is a HINT-driven broadcast anti-join — zero index-side shuffle even with the threshold disabled"),
+            (r"BroadcastHashJoin [^\n]*Inner", "D's content fetch broadcasts the id set over the corpus scan"),
+            (r"DataFilters: \[[^\]]*% 13\)", "the retraction predicate reaches the parquet scans (id-pruned point reads in production)"),
+            (r"!CartesianProduct", "no all-pairs stage"),
+            (r"!BroadcastNestedLoopJoin", "no nested-loop fallback"),
+            (r"HashAggregate.*partial", "manifest/un-fold/index-summary aggregates combine map-side"),
+        ],
+        "The inverse of q220: A's payload is touched once (the broadcast "
+        "id fetch of D's rows — both corpus scans carry the pushed "
+        "retraction predicate); the un-fold is a 2×16-row group fold "
+        "(XOR self-inverse, counts subtract); the index prune is a "
+        "broadcast anti-join the explicit hint keeps broadcast under "
+        "threshold=-1, so the corpus×bands index never shuffles; the "
+        "receipt join at the end is 16 rows a side.  At 100 TB the "
+        "fixture's manifest/index recompute disappears (production "
+        "loads frozen state — index_a/manifest_a), leaving "
+        "batch-sized work plus one id-pruned fetch.",
+        {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    ),
 ]
 
 

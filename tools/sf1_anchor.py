@@ -86,6 +86,12 @@ HEAVY = [
     # work scaling with the batch and the A×B candidate joins staying
     # equi-join-shaped at 10× docs
     "q220_incremental_crawl_update",
+    # r17: q220's inverse — corpus retraction (manifest un-fold +
+    # broadcast index prune); the anchor must show the index prune
+    # staying a broadcast anti-join (zero index-side shuffle) and the
+    # receipt math staying num_shards-row at 10× docs — the fixture's
+    # index/manifest recompute is the only corpus-proportional wall
+    "q221_corpus_retraction",
 ]
 
 
