@@ -114,6 +114,10 @@ HEADLINE = [
     # applied to the new batch only, frozen-A LM/threshold/index, A×B-only
     # span pass, manifest merge — the maintenance path of the recipe)
     "q220_incremental_crawl_update",  # frozen-corpus batch ingest + manifest fold
+    # round-17 addition: q220's inverse — corpus retraction (broadcast id
+    # fetch, manifest un-fold, broadcast index prune; the fixture's
+    # index/manifest recompute is the only corpus-proportional wall)
+    "q221_corpus_retraction",        # frozen-corpus delete + receipt un-fold
 ]
 
 
