@@ -186,6 +186,28 @@ def key_skew_report(
     return out
 
 
+def _nullsafe_str(col: Column) -> Column:
+    """The receipt family's NULL convention: a field hashes as its string
+    cast, NULL as '' — md5(NULL) would NULL the whole serialized row,
+    land it in a NULL shard, and bit_xor would then SKIP it, leaving the
+    row's content entirely outside the receipt (r11 advice).  The
+    deliberate residual is that NULL and a ''-casting value hash
+    identically.  ONE definition shared by every receipt field in
+    :func:`shard_manifest` AND :func:`lsh_index_summary` so the
+    convention cannot drift per-field (r17 review: the index summary
+    originally coalesced id/band_key but not band)."""
+    return F.coalesce(col.cast("string"), F.lit(""))
+
+
+def _md5_60(col: Column) -> Column:
+    """60-bit md5-prefix hash as BIGINT — the receipt family's row-hash
+    and shard-key primitive.  ONE definition shared by
+    :func:`shard_manifest` and :func:`lsh_index_summary`: q221 joins the
+    two receipts on the shard column, so their ``pmod(md5_60(id),
+    num_shards)`` keys MUST stay bit-identical (r17 review)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def shard_manifest(
     df: DataFrame,
     id_col: str,
@@ -213,15 +235,10 @@ def shard_manifest(
     """
     if num_shards < 1:
         raise ValueError(f"num_shards must be ≥ 1; got {num_shards}")
-    # NULL ids hash as '' (the same convention the content columns use
-    # below): md5(NULL) would NULL the whole concat, land the row in a
-    # NULL shard, and bit_xor would then SKIP it — leaving NULL-id rows'
-    # content entirely outside the receipt (r11 advice).  The deliberate
-    # residual is that a NULL id and a ''-casting id hash identically —
-    # the same NULL≡'' collapse the content fields already accept;
+    # NULL fields hash as '' (_nullsafe_str — the r11 convention);
     # min_id/max_id still ignore NULLs (they are ranges of REAL ids).
-    sid = F.coalesce(F.col(id_col).cast("string"), F.lit(""))
-    key = F.conv(F.substring(F.md5(sid), 1, 15), 16, 10).cast("long")
+    sid = _nullsafe_str(F.col(id_col))
+    key = _md5_60(sid)
     # INJECTIVE row serialization: hash each field separately and
     # concatenate the fixed-length digests.  A separator-joined string is
     # ambiguous across field boundaries (text='a\x1fb', lang='c' vs
@@ -230,9 +247,9 @@ def shard_manifest(
     # an integrity receipt exists to catch.
     content = F.concat(
         F.md5(sid),
-        *[F.md5(F.coalesce(F.col(c).cast("string"), F.lit(""))) for c in content_cols],
+        *[F.md5(_nullsafe_str(F.col(c))) for c in content_cols],
     )
-    row_hash = F.conv(F.substring(F.md5(content), 1, 15), 16, 10).cast("long")
+    row_hash = _md5_60(content)
     n_bytes = sum(
         (F.coalesce(F.octet_length(F.col(c).cast("string")), F.lit(0)) for c in content_cols),
         F.lit(0),
@@ -363,18 +380,19 @@ def lsh_index_summary(
     """
     if num_shards < 1:
         raise ValueError(f"num_shards must be ≥ 1; got {num_shards}")
-    sid = F.coalesce(F.col(id_col).cast("string"), F.lit(""))
-    key = F.conv(F.substring(F.md5(sid), 1, 15), 16, 10).cast("long")
+    # every field through _nullsafe_str — a NULL band (index corruption)
+    # must enter the checksum like NULL ids/band_keys do, not be counted
+    # in idx_rows while bit_xor silently skips its NULL hash (r17 review)
+    sid = _nullsafe_str(F.col(id_col))
     content = F.concat(
         F.md5(sid),
-        F.md5(F.col("band").cast("string")),
-        F.md5(F.coalesce(F.col("band_key").cast("string"), F.lit(""))),
+        F.md5(_nullsafe_str(F.col("band"))),
+        F.md5(_nullsafe_str(F.col("band_key"))),
     )
-    row_hash = F.conv(F.substring(F.md5(content), 1, 15), 16, 10).cast("long")
     return (
         index_buckets.select(
-            F.pmod(key, F.lit(num_shards)).cast("int").alias(shard_col),
-            row_hash.alias("__rh"),
+            F.pmod(_md5_60(sid), F.lit(num_shards)).cast("int").alias(shard_col),
+            _md5_60(content).alias("__rh"),
         )
         .groupBy(shard_col)
         .agg(
@@ -581,6 +599,9 @@ def corpus_retraction(
 
     if content_cols is None:
         content_cols = [text_col, "lang"]
+    # distinct matters for the INNER fetch below (duplicate request rows
+    # would double-count D's manifest); the two anti-joins are
+    # existence-semantics and indifferent to duplicates
     ids = retract_ids.select(id_col).distinct()
     # D's content, fetched from the corpus itself: id-pruned point reads
     d_rows = corpus_a.join(F.broadcast(ids), id_col)
@@ -596,7 +617,9 @@ def corpus_retraction(
             minhash_signature(corpus_a, text_col, num_hashes, shingle_words),
             id_col, "minhash", bands, num_hashes // bands,
         )
-    index = retract_from_lsh_index(index_a, ids, id_col)
+    # raw frame through: the prune owns its single distinct (no nested
+    # distinct-of-distinct for Catalyst to collapse — r17 review)
+    index = retract_from_lsh_index(index_a, retract_ids, id_col)
     kept = corpus_a.join(F.broadcast(ids), id_col, "left_anti")
     return {
         "kept": kept,

@@ -11108,7 +11108,7 @@ ridx AS (
   SELECT CAST(CAST(('0x' || substr(md5(coalesce(CAST(doc_id AS VARCHAR), '')),
                                    1, 15)) AS BIGINT) % 16 AS INT) AS shard,
          CAST(('0x' || substr(md5(md5(coalesce(CAST(doc_id AS VARCHAR), ''))
-                                  || md5(CAST(band AS VARCHAR))
+                                  || md5(coalesce(CAST(band AS VARCHAR), ''))
                                   || md5(coalesce(band_key, ''))), 1, 15))
               AS BIGINT) AS rh
   FROM rbuck

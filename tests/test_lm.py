@@ -583,3 +583,36 @@ def test_incremental_corpus_update_injected_frozen_state(spark, tmp_path):
         manifest_a=spark.read.parquet(man_dir),
     )
     assert production == fixture
+
+
+def test_lsh_index_summary_null_band_enters_checksum(spark):
+    """r17 review: a NULL band (index corruption) must enter idx_xor via
+    the shared NULL-as-'' convention — not be counted in idx_rows while
+    bit_xor silently skips its NULL hash, which would let two indexes
+    differing only in that row's band_key certify as equal."""
+    from re_data_pipeline_spark.operators.maintenance import lsh_index_summary
+
+    good = spark.createDataFrame(
+        [(1, 0, "k0"), (1, None, "k1")],
+        "doc_id bigint, band int, band_key string",
+    )
+    tampered = spark.createDataFrame(
+        [(1, 0, "k0"), (1, None, "DIFFERENT")],
+        "doc_id bigint, band int, band_key string",
+    )
+    g = lsh_index_summary(good, "doc_id", num_shards=4).collect()
+    t = lsh_index_summary(tampered, "doc_id", num_shards=4).collect()
+    assert g[0]["idx_rows"] == t[0]["idx_rows"] == 2
+    # the NULL-band rows differ in band_key -> the checksums MUST differ
+    assert g[0]["idx_xor"] != t[0]["idx_xor"]
+    # and the NULL-band row hashes exactly like a ''-band row (the
+    # documented NULL=='' residual, same as shard_manifest's id rule)
+    empty_band = spark.createDataFrame(
+        [(1, "", "k1")], "doc_id bigint, band string, band_key string"
+    )
+    null_band = spark.createDataFrame(
+        [(1, None, "k1")], "doc_id bigint, band string, band_key string"
+    )
+    e = lsh_index_summary(empty_band, "doc_id", num_shards=4).first()
+    n = lsh_index_summary(null_band, "doc_id", num_shards=4).first()
+    assert e["idx_xor"] == n["idx_xor"]
