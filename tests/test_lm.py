@@ -616,3 +616,44 @@ def test_lsh_index_summary_null_band_enters_checksum(spark):
     e = lsh_index_summary(empty_band, "doc_id", num_shards=4).first()
     n = lsh_index_summary(null_band, "doc_id", num_shards=4).first()
     assert e["idx_xor"] == n["idx_xor"]
+
+
+def test_manifest_fold_unfold_roundtrip(spark):
+    """r17: the group law tying q220 to q221 — folding a disjoint batch
+    into a receipt (merge_shard_manifests) and then un-folding the same
+    batch back out (retract_shard_manifest) recovers the original
+    receipt EXACTLY on the invertible columns, including shards the
+    batch alone occupied (they empty out and drop, matching the
+    original's absent rows)."""
+    from re_data_pipeline_spark.operators.maintenance import (
+        merge_shard_manifests,
+        retract_shard_manifest,
+        shard_manifest,
+    )
+
+    # ids chosen by their md5_60 shard at num_shards=8: A = {0,2,3} lands
+    # in shards {6,7} only; B = {4,5,6,7,9,10} lands in {1,2,3,4,5,7} —
+    # one shared shard (7, the subtract path) and five B-only shards
+    # (the empty-out-and-drop path)
+    a = spark.createDataFrame(
+        [(i, f"corpus doc {i} {'y' * (i % 5)}", "en") for i in (0, 2, 3)],
+        "doc_id bigint, text string, lang string",
+    )
+    b = spark.createDataFrame(
+        [(i, f"batch doc {i} appended later", "de") for i in (4, 5, 6, 7, 9, 10)],
+        "doc_id bigint, text string, lang string",
+    )
+    m_a = shard_manifest(a, "doc_id", ["text", "lang"], num_shards=8)
+    m_b = shard_manifest(b, "doc_id", ["text", "lang"], num_shards=8)
+    merged = merge_shard_manifests(m_a, m_b)
+    back = retract_shard_manifest(merged, m_b)
+    cols = ("shard", "n_rows", "content_xor", "n_bytes")
+    got = {tuple(r[c] for c in cols) for r in back.collect()}
+    exp = {tuple(r[c] for c in cols) for r in m_a.collect()}
+    assert got == exp
+    # sanity: both inverse paths really ran — B occupied shards A did not
+    # (empty-out-and-drop) AND shared one with A (in-place subtract)
+    a_shards = {r["shard"] for r in m_a.collect()}
+    b_shards = {r["shard"] for r in m_b.collect()}
+    assert b_shards - a_shards, "fixture regression: no B-only shard"
+    assert b_shards & a_shards, "fixture regression: no shared shard"
