@@ -657,3 +657,26 @@ def test_manifest_fold_unfold_roundtrip(spark):
     b_shards = {r["shard"] for r in m_b.collect()}
     assert b_shards - a_shards, "fixture regression: no B-only shard"
     assert b_shards & a_shards, "fixture regression: no shared shard"
+
+
+def test_retract_from_lsh_index_no_broadcast_branch(spark):
+    """r17: broadcast_ids=False (the pathologically-large-retraction
+    escape) must return identical rows through a non-broadcast plan —
+    the hint is physical-only, never a semantics change."""
+    from re_data_pipeline_spark.operators.maintenance import retract_from_lsh_index
+
+    idx = spark.createDataFrame(
+        [(i, b, f"k{i}-{b}") for i in range(6) for b in range(2)],
+        "doc_id bigint, band int, band_key string",
+    )
+    ids = spark.createDataFrame([(1,), (4,), (4,)], "doc_id bigint")
+    want = {
+        tuple(r)
+        for r in retract_from_lsh_index(idx, ids).select(
+            "doc_id", "band", "band_key"
+        ).collect()
+    }
+    got_df = retract_from_lsh_index(idx, ids, broadcast_ids=False)
+    got = {tuple(r) for r in got_df.select("doc_id", "band", "band_key").collect()}
+    assert got == want
+    assert all(t[0] not in (1, 4) for t in got) and len(got) == 8
