@@ -512,3 +512,59 @@ def test_grouped_exact_quantiles_property(spark, rows, q):
     }
     assert got == want
     release_spines(out)
+
+
+# --- receipt algebra laws (r17): fold/unfold over arbitrary corpora ------
+
+_doc_strategy = st.tuples(
+    st.integers(min_value=-(2**40), max_value=2**40),
+    st.one_of(st.none(), st.text(max_size=20)),
+    st.one_of(st.none(), st.sampled_from(["en", "de", ""])),
+)
+
+
+@st.composite
+def _corpus_with_subset(draw):
+    docs = draw(
+        st.lists(_doc_strategy, min_size=1, max_size=20, unique_by=lambda d: d[0])
+    )
+    mask = draw(st.lists(st.booleans(), min_size=len(docs), max_size=len(docs)))
+    return docs, mask
+
+
+@settings(max_examples=6, deadline=None)
+@given(_corpus_with_subset())
+def test_manifest_retract_law_on_arbitrary_corpora(spark, case):
+    """Group law on arbitrary data (NULL text/lang, empty strings,
+    negative and huge ids): un-folding ANY subset D's manifest out of
+    A's receipt equals the from-scratch receipt of A∖D on the invertible
+    columns — the q221 identity, free of fixture shape."""
+    from re_data_pipeline_spark.operators.maintenance import (
+        retract_shard_manifest,
+        shard_manifest,
+    )
+
+    docs, mask = case
+    a = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    d_rows = [doc for doc, m in zip(docs, mask) if m]
+    keep_rows = [doc for doc, m in zip(docs, mask) if not m]
+    cols = ("shard", "n_rows", "content_xor", "n_bytes")
+    m_a = shard_manifest(a, "doc_id", ["text", "lang"], num_shards=4)
+    if d_rows:
+        d = spark.createDataFrame(d_rows, "doc_id long, text string, lang string")
+        m_d = shard_manifest(d, "doc_id", ["text", "lang"], num_shards=4)
+        got_df = retract_shard_manifest(m_a, m_d)
+    else:
+        got_df = m_a
+    got = {tuple(r[c] for c in cols) for r in got_df.collect()}
+    if keep_rows:
+        keep = spark.createDataFrame(
+            keep_rows, "doc_id long, text string, lang string"
+        )
+        exp = {
+            tuple(r[c] for c in cols)
+            for r in shard_manifest(keep, "doc_id", ["text", "lang"], num_shards=4).collect()
+        }
+    else:
+        exp = set()
+    assert got == exp
