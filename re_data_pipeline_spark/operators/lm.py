@@ -42,7 +42,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["ngram_lm_nll", "perplexity_buckets"]
+__all__ = ["ngram_lm_nll", "ngram_lm_train", "perplexity_buckets"]
 
 
 def _toks(text_col: str) -> Column:
@@ -62,86 +62,21 @@ def _grams(t: Column, n: int, out: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def ngram_lm_nll(
-    train_df: DataFrame,
-    score_df: DataFrame | None = None,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    cache_tokens: bool = False,
-    min_count2: int = 1,
-    min_count3: int = 1,
-    broadcast_model: bool = False,
-) -> DataFrame:
-    """Per-document average negative log-likelihood under a trigram
-    Stupid-Backoff model trained on ``train_df`` (see module docstring).
+def _train_tables(
+    base: DataFrame, min_count2: int, min_count3: int
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, list[DataFrame]]:
+    """Build the three model tables and the 1-row corpus stats frame from
+    the tokenized training corpus ``base`` (one ``__t`` token-array
+    column).  Shared verbatim by :func:`ngram_lm_nll`'s train-in-place
+    path and :func:`ngram_lm_train` — ONE expression construction, so the
+    default scoring plan cannot drift from the frozen-model tables
+    (r18; the q220/`_q220_snapshot_cuts` extraction precedent).
 
-    ``broadcast_model=True`` broadcast-hints the three model tables in the
-    scoring joins — map-only scoring, zero position shuffle.  ONLY for the
-    CCNet-faithful configuration where the model is trained on a small
-    clean reference corpus (the caller's knowledge, not a guess): a
-    self-scored crawl's model tables grow with the corpus and a forced
-    broadcast would OOM the executors exactly at scale.  Default off =
-    equi-join scoring, the always-safe mode.
-
-    Returns one row per ``score_df`` document: ``(id_col, n_trigrams,
-    nll_micro, nll)`` where ``nll_micro`` is the exact integer micro-nat
-    total over trigram positions, ``nll`` the 6dp-rounded mean in nats;
-    documents with fewer than 3 tokens return ``n_trigrams = 0`` and NULL
-    ``nll`` (no positions to score — NOT a perfect score).
-
-    ``score_df`` defaults to ``train_df`` (self-scoring, the corpus-health
-    view); CCNet-FAITHFUL usage trains on a SMALL CLEAN REFERENCE corpus
-    (CCNet: Wikipedia) and scores the crawl — the model tables are then
-    reference-corpus-bounded, not crawl-bounded, which is what keeps them
-    join-sized at 100 TB of scored text.  Self-scoring a raw crawl grows
-    the trigram table with the corpus (every novel trigram is a row); use
-    it for corpus-health dashboards, not as the production filter.
-
-    ``min_count2`` / ``min_count3`` prune the bigram/trigram MODEL tables
-    to grams seen at least that often (KenLM's standard count pruning;
-    1 = keep all).  A pruned gram simply backs off to the next tier —
-    the denominators stay RAW counts, so surviving entries' scores are
-    unchanged by pruning.  Pruning bounds the model tables by the
-    corpus's HEAD rather than its long tail (singleton trigrams are
-    typically >half the table), which is the published lever for keeping
-    self-trained model size sublinear in corpus size.
-
-    Degenerate corner: a training corpus with ZERO tokens has no model —
-    every scoreable document returns NULL ``nll`` (the 1-row stats frame
-    is empty, so the floor term is NULL too).  Deliberate: "no evidence"
-    must surface as NULL, and pre-checking emptiness would cost an extra
-    action on every call to defend a meaningless configuration.
+    Returns ``(tri_model, bi_model, uni_model, stats, caches)`` with the
+    scoring-join column names (``__g3/__f3``, ``__b2/__f2``,
+    ``__w3/__f1``, ``__n_tok/__v``); ``caches`` are the persisted count
+    tables (see the pin rationale below) for the spine-cache protocol.
     """
-    same = score_df is None or score_df is train_df
-    if score_df is None:
-        score_df = train_df
-
-    t = _toks(text_col)
-    # cache_tokens=True persists the tokenized frame so the ~6 consumers
-    # (three gram aggs + scoring + totality) don't re-run the upstream
-    # lineage.  Default OFF: over a bare parquet scan, recompute from the
-    # columnar read beats materializing token arrays (measured 0.7 s vs
-    # 1.3 s at sf0.1), and at 100 TB a cached token corpus is memory/spill
-    # pressure, not a win.  Turn it on when the INPUT lineage is expensive
-    # (joins, filters over other operators) — or better, persist that
-    # small upstream frame yourself (q206 persists its survivor set).
-    # Handles ride the spine-cache protocol (_carry_caches) so callers'
-    # release_spines/carry_spines free them after materialization.
-    from re_data_pipeline_spark.operators.ids import _carry_caches
-
-    caches: list[DataFrame] = []
-    sc = score_df.select(F.col(id_col), t.alias("__t"))
-    if cache_tokens:
-        sc = sc.persist()
-        caches.append(sc)
-    if same:
-        base = sc.where(F.size("__t") > 0)
-    else:
-        base = train_df.select(t.alias("__t")).where(F.size("__t") > 0)
-        if cache_tokens:
-            base = base.persist()
-            caches.append(base)
-
     # PERSIST the unigram and bigram count tables: uni feeds the corpus
     # stats, the bigram backoff denominators, AND the unigram floor; bi
     # feeds the trigram denominators AND the bigram model — and Catalyst
@@ -163,6 +98,7 @@ def ngram_lm_nll(
     # same-mode); deployments that KNOW the model is reference-corpus-
     # bounded (CCNet-faithful) opt back into map-only scoring with
     # ``broadcast_model=True`` instead of relying on AQE to guess.
+    caches: list[DataFrame] = []
     uni = base.select(F.explode("__t").alias("__w")).groupBy("__w").agg(
         F.count(F.lit(1)).alias("__c1")
     ).persist()
@@ -248,6 +184,189 @@ def ngram_lm_nll(
         .cast("long")
         .alias("__f1"),
     )
+    return tri_model, bi_model, uni_model, stats, caches
+
+
+def ngram_lm_train(
+    train_df: DataFrame,
+    text_col: str = "text",
+    min_count2: int = 1,
+    min_count3: int = 1,
+) -> dict[str, DataFrame]:
+    """Train the trigram Stupid-Backoff model ALONE and return the four
+    frames a production deployment freezes to storage — the
+    injected-model counterpart of ``maintenance.incremental_corpus_update``'s
+    ``index_a``/``manifest_a`` (r17 verdict task 3): CCNet's reference
+    model is trained ONCE on the clean reference corpus, persisted, and
+    every subsequent crawl snapshot is scored under the LOADED model —
+    the training corpus is never re-read.
+
+    Returns ``{"tri": (gram, nll_micro), "bi": (gram, nll_micro),
+    "uni": (word, nll_micro), "stats": (n_tokens, vocab)}`` — per-key
+    integer micro-nat NLL terms (parquet round-trips them exactly, so
+    injected scoring is score-identical to train-in-place, asserted by
+    ``tests/test_lm.py``).  Write each to parquet, reload, and pass the
+    dict as :func:`ngram_lm_nll`'s ``model=``.
+
+    The frames carry the training-time count-table pins via the
+    spine-cache protocol — release with ``ids.release_handles`` on any
+    ONE of them after the last has been materialized (double-unpersist
+    is a no-op, so releasing each is also fine).
+
+    Scale shape: identical to train-in-place (three explode→map-combined
+    aggs, |observed grams| rows); the whole point is that this cost is
+    paid once per reference-corpus refresh instead of once per scoring
+    run.
+    """
+    from re_data_pipeline_spark.operators.ids import _carry_caches
+
+    t = _toks(text_col)
+    base = train_df.select(t.alias("__t")).where(F.size("__t") > 0)
+    tri_model, bi_model, uni_model, stats, caches = _train_tables(
+        base, min_count2, min_count3
+    )
+    out = {
+        "tri": tri_model.select(
+            F.col("__g3").alias("gram"), F.col("__f3").alias("nll_micro")
+        ),
+        "bi": bi_model.select(
+            F.col("__b2").alias("gram"), F.col("__f2").alias("nll_micro")
+        ),
+        "uni": uni_model.select(
+            F.col("__w3").alias("word"), F.col("__f1").alias("nll_micro")
+        ),
+        "stats": stats.select(
+            F.col("__n_tok").alias("n_tokens"), F.col("__v").alias("vocab")
+        ),
+    }
+    for k, df in out.items():
+        for c in caches:
+            df = _carry_caches(df, df, c)
+        out[k] = df
+    return out
+
+
+def ngram_lm_nll(
+    train_df: DataFrame | None,
+    score_df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cache_tokens: bool = False,
+    min_count2: int = 1,
+    min_count3: int = 1,
+    broadcast_model: bool = False,
+    model: dict[str, DataFrame] | None = None,
+) -> DataFrame:
+    """Per-document average negative log-likelihood under a trigram
+    Stupid-Backoff model trained on ``train_df`` (see module docstring).
+
+    ``model`` is the frozen pre-trained model a production run loads from
+    storage (:func:`ngram_lm_train`'s ``{"tri", "bi", "uni", "stats"}``
+    dict, persisted to parquet and reloaded) — exactly as
+    ``maintenance.incremental_corpus_update`` accepts
+    ``index_a``/``manifest_a``: when given, ``train_df`` is ignored (may
+    be ``None``) and NO training pass runs — the scoring plan is the
+    same three equi-joins, fed by parquet scans instead of the in-plan
+    count aggs.  Scores are IDENTICAL to train-in-place (integer
+    micro-nats round-trip parquet exactly; asserted by
+    ``tests/test_lm.py``).  ``min_count2``/``min_count3`` are trainer
+    knobs and must be passed to :func:`ngram_lm_train` instead; a
+    non-default value here with ``model`` set raises (silently ignoring
+    them would misreport the loaded model's pruning).
+
+    ``broadcast_model=True`` broadcast-hints the three model tables in the
+    scoring joins — map-only scoring, zero position shuffle.  ONLY for the
+    CCNet-faithful configuration where the model is trained on a small
+    clean reference corpus (the caller's knowledge, not a guess): a
+    self-scored crawl's model tables grow with the corpus and a forced
+    broadcast would OOM the executors exactly at scale.  Default off =
+    equi-join scoring, the always-safe mode.
+
+    Returns one row per ``score_df`` document: ``(id_col, n_trigrams,
+    nll_micro, nll)`` where ``nll_micro`` is the exact integer micro-nat
+    total over trigram positions, ``nll`` the 6dp-rounded mean in nats;
+    documents with fewer than 3 tokens return ``n_trigrams = 0`` and NULL
+    ``nll`` (no positions to score — NOT a perfect score).
+
+    ``score_df`` defaults to ``train_df`` (self-scoring, the corpus-health
+    view); CCNet-FAITHFUL usage trains on a SMALL CLEAN REFERENCE corpus
+    (CCNet: Wikipedia) and scores the crawl — the model tables are then
+    reference-corpus-bounded, not crawl-bounded, which is what keeps them
+    join-sized at 100 TB of scored text.  Self-scoring a raw crawl grows
+    the trigram table with the corpus (every novel trigram is a row); use
+    it for corpus-health dashboards, not as the production filter.
+
+    ``min_count2`` / ``min_count3`` prune the bigram/trigram MODEL tables
+    to grams seen at least that often (KenLM's standard count pruning;
+    1 = keep all).  A pruned gram simply backs off to the next tier —
+    the denominators stay RAW counts, so surviving entries' scores are
+    unchanged by pruning.  Pruning bounds the model tables by the
+    corpus's HEAD rather than its long tail (singleton trigrams are
+    typically >half the table), which is the published lever for keeping
+    self-trained model size sublinear in corpus size.
+
+    Degenerate corner: a training corpus with ZERO tokens has no model —
+    every scoreable document returns NULL ``nll`` (the 1-row stats frame
+    is empty, so the floor term is NULL too).  Deliberate: "no evidence"
+    must surface as NULL, and pre-checking emptiness would cost an extra
+    action on every call to defend a meaningless configuration.
+    """
+    if model is not None and (min_count2 != 1 or min_count3 != 1):
+        raise ValueError(
+            "min_count2/min_count3 are trainer knobs — pass them to "
+            "ngram_lm_train; the loaded model's pruning is already baked in"
+        )
+    if train_df is None and score_df is None:
+        raise ValueError("score_df is required when train_df is None")
+    same = score_df is None or score_df is train_df
+    if score_df is None:
+        score_df = train_df
+
+    t = _toks(text_col)
+    # cache_tokens=True persists the tokenized frame so the ~6 consumers
+    # (three gram aggs + scoring + totality) don't re-run the upstream
+    # lineage.  Default OFF: over a bare parquet scan, recompute from the
+    # columnar read beats materializing token arrays (measured 0.7 s vs
+    # 1.3 s at sf0.1), and at 100 TB a cached token corpus is memory/spill
+    # pressure, not a win.  Turn it on when the INPUT lineage is expensive
+    # (joins, filters over other operators) — or better, persist that
+    # small upstream frame yourself (q206 persists its survivor set).
+    # Handles ride the spine-cache protocol (_carry_caches) so callers'
+    # release_spines/carry_spines free them after materialization.
+    from re_data_pipeline_spark.operators.ids import _carry_caches
+
+    caches: list[DataFrame] = []
+    sc = score_df.select(F.col(id_col), t.alias("__t"))
+    if cache_tokens:
+        sc = sc.persist()
+        caches.append(sc)
+    if model is not None:
+        # frozen model loaded from storage: rename the public columns back
+        # to the scoring-join names — no training pass, no count-table pins
+        tri_model = model["tri"].select(
+            F.col("gram").alias("__g3"), F.col("nll_micro").alias("__f3")
+        )
+        bi_model = model["bi"].select(
+            F.col("gram").alias("__b2"), F.col("nll_micro").alias("__f2")
+        )
+        uni_model = model["uni"].select(
+            F.col("word").alias("__w3"), F.col("nll_micro").alias("__f1")
+        )
+        stats = model["stats"].select(
+            F.col("n_tokens").alias("__n_tok"), F.col("vocab").alias("__v")
+        )
+    else:
+        if same:
+            base = sc.where(F.size("__t") > 0)
+        else:
+            base = train_df.select(t.alias("__t")).where(F.size("__t") > 0)
+            if cache_tokens:
+                base = base.persist()
+                caches.append(base)
+        tri_model, bi_model, uni_model, stats, train_caches = _train_tables(
+            base, min_count2, min_count3
+        )
+        caches.extend(train_caches)
 
     pos = sc.where(F.size("__t") >= 3).select(
         F.col(id_col),

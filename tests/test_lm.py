@@ -680,3 +680,96 @@ def test_retract_from_lsh_index_no_broadcast_branch(spark):
     got = {tuple(r) for r in got_df.select("doc_id", "band", "band_key").collect()}
     assert got == want
     assert all(t[0] not in (1, 4) for t in got) and len(got) == 8
+
+
+def test_ngram_lm_injected_model_scores_identical(spark, tmp_path):
+    """r18 (r17 verdict task 3): the PRODUCTION path of the CCNet gating
+    tier — the frozen trigram model trained once with ngram_lm_train,
+    persisted to parquet, reloaded, and passed as ngram_lm_nll's
+    ``model=`` — returns score-IDENTICAL results (exact integer
+    micro-nats, every backoff tier exercised, <3-token totality rows
+    included) to the train-in-place path, with training pins releasing
+    executor storage to baseline after staging."""
+    from tests.conftest import persistent_ids
+
+    from re_data_pipeline_spark.operators.ids import release_handles
+    from re_data_pipeline_spark.operators.lm import ngram_lm_train
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat sat quietly today"),
+         (3, "a dog ran past the cat")],
+        "doc_id bigint, text string",
+    )
+    # hits all four scoring tiers: seen trigram, bigram backoff, unigram
+    # floor, unseen word — plus a <3-token doc (NULL nll totality row)
+    score = spark.createDataFrame(
+        [(10, "the cat sat on a dog"), (11, "mat dog quietly zebra"),
+         (12, "too short")],
+        "doc_id bigint, text string",
+    )
+
+    inplace = {
+        tuple(r) for r in ngram_lm_nll(train, score).collect()
+    }
+
+    before = persistent_ids(spark)
+    m = ngram_lm_train(train)
+    for name, df in m.items():
+        df.write.parquet(str(tmp_path / name))
+    # staging materialized every table: the count-table pins are dead
+    for df in m.values():
+        release_handles(df)
+    assert not (persistent_ids(spark) - before)
+
+    loaded = {
+        name: spark.read.parquet(str(tmp_path / name))
+        for name in ("tri", "bi", "uni", "stats")
+    }
+    injected = {
+        tuple(r)
+        for r in ngram_lm_nll(None, score, model=loaded).collect()
+    }
+    assert injected == inplace
+    # every tier is actually represented in the fixture
+    nlls = {r[0]: r for r in injected}
+    assert nlls[12][1] == 0 and nlls[12][3] is None
+    assert nlls[10][1] == 4 and nlls[11][1] == 2
+
+    # trainer knobs on the scoring call with a loaded model must raise
+    import pytest
+
+    with pytest.raises(ValueError):
+        ngram_lm_nll(None, score, model=loaded, min_count3=2)
+    with pytest.raises(ValueError):
+        ngram_lm_nll(None, None)
+
+
+def test_ngram_lm_injected_model_respects_trainer_pruning(spark, tmp_path):
+    """Count pruning travels WITH the frozen model: a model trained with
+    min_count3=2 and reloaded scores exactly like train-in-place pruning
+    — the pruned trigram backs off to the bigram tier in both paths."""
+    from re_data_pipeline_spark.operators.ids import release_handles
+    from re_data_pipeline_spark.operators.lm import ngram_lm_train
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the cat sat quietly today")],
+        "doc_id bigint, text string",
+    )
+    score = spark.createDataFrame(
+        [(10, "the cat sat on the mat")], "doc_id bigint, text string"
+    )
+    inplace = {
+        tuple(r) for r in ngram_lm_nll(train, score, min_count3=2).collect()
+    }
+    m = ngram_lm_train(train, min_count3=2)
+    for name, df in m.items():
+        df.write.parquet(str(tmp_path / name))
+        release_handles(df)
+    loaded = {
+        name: spark.read.parquet(str(tmp_path / name))
+        for name in ("tri", "bi", "uni", "stats")
+    }
+    injected = {
+        tuple(r) for r in ngram_lm_nll(None, score, model=loaded).collect()
+    }
+    assert injected == inplace
