@@ -208,6 +208,23 @@ def _md5_60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def _row_digest(id_col: str, content_cols: list[str]) -> tuple[Column, Column]:
+    """The receipt family's (shard-key hash, injective row hash) pair —
+    ONE construction shared by :func:`shard_manifest` and
+    :func:`corpus_receipt_diff` (r18): the diff fetches rows by the SAME
+    ``pmod(md5_60(id))`` shard key the manifest localizes to, and
+    compares them by the SAME boundary-shift-proof row hash, so the two
+    operators cannot drift apart.  Per-field fixed-length md5 digests
+    concatenated (injective across field boundaries); NULL fields hash
+    as '' (:func:`_nullsafe_str`)."""
+    sid = _nullsafe_str(F.col(id_col))
+    content = F.concat(
+        F.md5(sid),
+        *[F.md5(_nullsafe_str(F.col(c))) for c in content_cols],
+    )
+    return _md5_60(sid), _md5_60(content)
+
+
 def shard_manifest(
     df: DataFrame,
     id_col: str,
@@ -237,19 +254,13 @@ def shard_manifest(
         raise ValueError(f"num_shards must be ≥ 1; got {num_shards}")
     # NULL fields hash as '' (_nullsafe_str — the r11 convention);
     # min_id/max_id still ignore NULLs (they are ranges of REAL ids).
-    sid = _nullsafe_str(F.col(id_col))
-    key = _md5_60(sid)
-    # INJECTIVE row serialization: hash each field separately and
-    # concatenate the fixed-length digests.  A separator-joined string is
-    # ambiguous across field boundaries (text='a\x1fb', lang='c' vs
-    # text='a', lang='b\x1fc' collide) — which would let a tamper that
-    # shifts bytes across a boundary pass verification, the one failure
-    # an integrity receipt exists to catch.
-    content = F.concat(
-        F.md5(sid),
-        *[F.md5(_nullsafe_str(F.col(c))) for c in content_cols],
-    )
-    row_hash = _md5_60(content)
+    # INJECTIVE row serialization (_row_digest): hash each field
+    # separately and concatenate the fixed-length digests.  A
+    # separator-joined string is ambiguous across field boundaries
+    # (text='a\x1fb', lang='c' vs text='a', lang='b\x1fc' collide) —
+    # which would let a tamper that shifts bytes across a boundary pass
+    # verification, the one failure an integrity receipt exists to catch.
+    key, row_hash = _row_digest(id_col, content_cols)
     n_bytes = sum(
         (F.coalesce(F.octet_length(F.col(c).cast("string")), F.lit(0)) for c in content_cols),
         F.lit(0),
@@ -407,6 +418,7 @@ def retract_from_lsh_index(
     retract_ids: DataFrame,
     id_col: str = "doc_id",
     broadcast_ids: bool = True,
+    ids_distinct: bool = False,
 ) -> DataFrame:
     """Prune a retracted doc set's rows out of a persisted LSH bucket
     index: a left-anti join on the id.  Retraction REVERSES the
@@ -420,8 +432,17 @@ def retract_from_lsh_index(
     filter over the index with ZERO index-side shuffle, which is the
     whole point at 100 TB (the index is corpus×bands rows).  Pass False
     for a pathologically large retraction and let AQE pick the join.
+
+    ``ids_distinct=True`` declares ``retract_ids`` already deduplicated —
+    the anti-join is existence-semantics (duplicates cannot change the
+    result), so a caller that distinct-ed the request once
+    (:func:`corpus_retraction` must, for its manifest fetch) skips the
+    second dedup pass here instead of nesting distinct-of-distinct
+    (r17 advice).
     """
-    ids = retract_ids.select(id_col).distinct()
+    ids = retract_ids.select(id_col)
+    if not ids_distinct:
+        ids = ids.distinct()
     if broadcast_ids:
         ids = F.broadcast(ids)
     return index_buckets.join(ids, id_col, "left_anti")
@@ -617,9 +638,10 @@ def corpus_retraction(
             minhash_signature(corpus_a, text_col, num_hashes, shingle_words),
             id_col, "minhash", bands, num_hashes // bands,
         )
-    # raw frame through: the prune owns its single distinct (no nested
-    # distinct-of-distinct for Catalyst to collapse — r17 review)
-    index = retract_from_lsh_index(index_a, retract_ids, id_col)
+    # the already-distinct id frame through (ids_distinct=True): the
+    # request is deduplicated exactly once per retraction (r17 advice —
+    # previously the prune re-ran its own distinct over the raw frame)
+    index = retract_from_lsh_index(index_a, ids, id_col, ids_distinct=True)
     kept = corpus_a.join(F.broadcast(ids), id_col, "left_anti")
     return {
         "kept": kept,
@@ -628,3 +650,141 @@ def corpus_retraction(
         "manifest_retracted": m_d,
         "index": index,
     }
+
+
+def manifest_diff(
+    manifest_a: DataFrame, manifest_b: DataFrame, shard_col: str = "shard"
+) -> DataFrame:
+    """Compare two :func:`shard_manifest` receipts and return one row per
+    DIVERGENT shard — the review surface of a corpus audit (yesterday's
+    frozen manifest vs a re-manifest after an incident), and the pruning
+    input of :func:`corpus_receipt_diff`.  A shard diverges when any of
+    (``n_rows``, ``content_xor``, ``n_bytes``) differ, null-safely: a
+    shard present in only ONE receipt (a wholly lost or wholly new
+    shard) is divergent, with the absent side's columns NULL.
+
+    Output: ``(shard, a_rows, a_xor, a_bytes, b_rows, b_xor, b_bytes)``.
+
+    Scale shape: both inputs are num_shards rows; the full-outer compare
+    is a num_shards-row join — free at any corpus size.  The deliberate
+    residual is the XOR checksum's blindness to paired changes that
+    cancel (measure-zero under md5) and the shared NULL-as-'' field
+    convention (:func:`_nullsafe_str`).
+    """
+    a = manifest_a.select(
+        shard_col,
+        F.col("n_rows").alias("a_rows"),
+        F.col("content_xor").alias("a_xor"),
+        F.col("n_bytes").alias("a_bytes"),
+    )
+    b = manifest_b.select(
+        shard_col,
+        F.col("n_rows").alias("b_rows"),
+        F.col("content_xor").alias("b_xor"),
+        F.col("n_bytes").alias("b_bytes"),
+    )
+    j = a.join(b, shard_col, "full_outer")
+    same = (
+        F.col("a_rows").eqNullSafe(F.col("b_rows"))
+        & F.col("a_xor").eqNullSafe(F.col("b_xor"))
+        & F.col("a_bytes").eqNullSafe(F.col("b_bytes"))
+    )
+    return j.where(~same)
+
+
+def corpus_receipt_diff(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    id_col: str = "doc_id",
+    content_cols: list[str] | None = None,
+    num_shards: int = 16,
+    shard_col: str = "shard",
+    manifest_a: DataFrame | None = None,
+    manifest_b: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """Shard-localized row-level audit of two corpus versions — the third
+    leg of the maintenance triptych (append :func:`incremental_corpus_update`
+    / retract :func:`corpus_retraction` / AUDIT), and the 100 TB form of
+    the reference's scrape-vs-DB delisting comparison
+    (``tasks/property_listings/archive_delisted_properties.py:104-147``:
+    current-listings vs stored-table diff): given two receipts, localize
+    the divergence to shards (:func:`manifest_diff` — the exact promise
+    :func:`shard_manifest` makes: any diff lands in 1/num_shards of the
+    corpus), then fetch ONLY the differing shards' rows via the same
+    ``pmod(md5_60(id))`` key and report per-shard row-level deltas.
+
+    Returns ``{"shards", "deltas"}``: ``shards`` is the divergent-shard
+    receipt join (≤ num_shards rows); ``deltas`` is one row per differing
+    document — ``(shard, id_col, delta)`` with ``delta`` ∈ ``'added'``
+    (in B only), ``'removed'`` (in A only), ``'mutated'`` (both, content
+    hash differs) — A reads as the frozen/prior version, B as the
+    current one.
+
+    ``manifest_a`` / ``manifest_b`` are the frozen receipts a production
+    audit loads from storage — when omitted (fixtures, tests) they are
+    recomputed from the corpora with identical plan shapes.  The
+    divergent-shard set is materialized here (ONE bounded collect,
+    ≤ num_shards rows — receipt-sized, never corpus-sized) so the shard
+    predicate is a LITERAL ``IN`` filter sitting directly on both corpus
+    scans: under a production layout partitioned/bucketed by the shard
+    key it becomes partition pruning, and the row-level pass reads
+    |divergent shards| / num_shards of each corpus, not the corpus.
+
+    Equivalence contract (q222's DuckDB oracle): diff-via-receipt ≡
+    diff-from-scratch — the oracle full-outer-joins BOTH corpora wholesale
+    and compares fields directly; the hash match certifies both the shard
+    pruning (no delta escapes its divergent shard) and the row-hash
+    mutation test (hash-compare ≡ field-compare, md5-collision
+    measure-zero).  Known residuals, shared with the whole receipt
+    family: NULL fields hash as '' (:func:`_nullsafe_str`), and NULL ids
+    never join-match, so an identical NULL-id row on both sides reports
+    as removed+added IF its shard diverges for other reasons (identical
+    receipts otherwise keep that shard out of the diff entirely).
+
+    Scale shape (100 TB corpus, incident-sized divergence): the receipts
+    are num_shards rows (loaded, or one map-combined agg each when
+    recomputed); the row-level pass scans only divergent shards and
+    shuffles their rows once for the full-outer id join — wall scales
+    with |differing shards|, not |corpus|.  Nothing is corpus×corpus.
+    """
+    if content_cols is None:
+        content_cols = ["text", "lang"]
+    m_a = (
+        manifest_a
+        if manifest_a is not None
+        else shard_manifest(corpus_a, id_col, content_cols, num_shards=num_shards)
+    )
+    m_b = (
+        manifest_b
+        if manifest_b is not None
+        else shard_manifest(corpus_b, id_col, content_cols, num_shards=num_shards)
+    )
+    shards = manifest_diff(m_a, m_b, shard_col=shard_col)
+    # BOUNDED collect (≤ num_shards rows): the divergent-shard ids become
+    # a literal IN predicate ON the scans — broadcast-joining them instead
+    # would keep the filter out of partition pruning's reach
+    div = sorted(r[0] for r in shards.select(shard_col).collect())
+
+    def pruned(df: DataFrame, sh: str, rh: str) -> DataFrame:
+        key, row_hash = _row_digest(id_col, content_cols)
+        out = df.select(
+            F.pmod(key, F.lit(num_shards)).cast("int").alias(sh),
+            F.col(id_col),
+            row_hash.alias(rh),
+        )
+        return out.where(F.col(sh).isin(div)) if div else out.where(F.lit(False))
+
+    pa = pruned(corpus_a, "__sha", "__rha")
+    pb = pruned(corpus_b, "__shb", "__rhb")
+    j = pa.join(pb, id_col, "full_outer")
+    delta = (
+        F.when(F.col("__rha").isNull(), F.lit("added"))
+        .when(F.col("__rhb").isNull(), F.lit("removed"))
+        .when(F.col("__rha") != F.col("__rhb"), F.lit("mutated"))
+    )
+    deltas = j.select(
+        F.coalesce(F.col("__sha"), F.col("__shb")).alias(shard_col),
+        F.col(id_col),
+        delta.alias("delta"),
+    ).where(F.col("delta").isNotNull())
+    return {"shards": shards, "deltas": deltas}

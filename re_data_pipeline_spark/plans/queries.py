@@ -10834,7 +10834,9 @@ def q219_fineweb_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _carry_caches(out, out, getattr(es, "_anchor_cache", None))
 
 
-def _q220_snapshot_cuts(spark: SparkSession, d: DataFrame):
+def _q220_snapshot_cuts(
+    spark: SparkSession, d: DataFrame, frozen_out: dict | None = None
+):
     """q220's policy tiers: the snapshot split plus the frozen-LM CCNet
     cut, returning the two stage-boundary checkpoints ``(a_fin, b_cur)``
     — the frozen curated corpus A and the gated new batch B that feed
@@ -10845,7 +10847,21 @@ def _q220_snapshot_cuts(spark: SparkSession, d: DataFrame):
     frozen-state) path against the fixture recompute path.  Upstream
     pins (LM model tables, rank spine, survivor frame) are released
     HERE, once the checkpoints materialize; the caller owns the two
-    checkpoint handles."""
+    checkpoint handles.
+
+    ``frozen_out`` (r18, probe-only): when a dict is passed, the gating
+    tier's remaining frozen pieces are stashed into it — ``a1`` (the
+    A-half survivor set the reference LM trains on), ``thr`` (the frozen
+    per-language CCNet thresholds, eagerly checkpointed — its lineage
+    crosses the rank spine released below, and spine recomputes are not
+    evaluation-stable; the caller releases the |langs|-row handle), and
+    ``b_pre`` (B's pre-LM blocklist/Gopher survivors, the frame a
+    production daily ingest actually starts scoring from).  References
+    to frames the body already builds (plus one extra filter over
+    ``s1`` and the tiny thr checkpoint) — the returned ``(a_fin,
+    b_cur)`` plan is unchanged.  ``a1``/``b_pre`` recompute through the
+    deterministic pre-LM curation lineage (the ``s1`` pin is released
+    here as always), so stage them to parquet before heavy reuse."""
     from re_data_pipeline_spark.operators.ids import carry_spines, release_spines
     from re_data_pipeline_spark.operators.lm import ngram_lm_nll, perplexity_buckets
 
@@ -10877,6 +10893,15 @@ def _q220_snapshot_cuts(spark: SparkSession, d: DataFrame):
     # blocklist→Gopher→LM tree (r15 stage-boundary discipline)
     a_fin = s1.join(a_kept.select("doc_id"), "doc_id").localCheckpoint()
     b_cur = s1.join(b_keep_ids, "doc_id").localCheckpoint()
+    if frozen_out is not None:
+        frozen_out["a1"] = a1
+        # thr flows through the rank spine released below, and a spine
+        # recompute is NOT stable across evaluations (two references to
+        # the unpinned ordinals can disagree → bucket index out of
+        # range): materialize it NOW, before the release — |langs| rows;
+        # the caller owns (and releases) the checkpoint handle
+        frozen_out["thr"] = thr.localCheckpoint()
+        frozen_out["b_pre"] = s1.where(F.col("doc_id") % 2 == 1)
     # the checkpoints materialized the curation tier — every upstream pin
     # (LM model tables, the rank spine, the survivor frame) is dead NOW
     release_spines(buck)
@@ -11178,3 +11203,125 @@ def q221_corpus_retraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("idx_rows"), F.lit(0)).cast("bigint").alias("idx_rows"),
         F.coalesce(F.col("idx_xor"), F.lit(0)).cast("bigint").alias("idx_xor"),
     )
+
+
+# Shard key shared with the receipt family (maintenance._md5_60 /
+# _nullsafe_str): q222's incident fixture is CONSTRUCTED per-shard — a
+# wiped shard, a bad rewrite inside one shard, a stray append landing in
+# one shard — so the receipt diff genuinely localizes before pruning.
+_SHARD16_SQL = (
+    "CAST(CAST(('0x' || substr(md5(coalesce(CAST({id} AS VARCHAR), '')),"
+    " 1, 15)) AS BIGINT) % 16 AS INT)"
+)
+
+_Q222_SQL = f"""
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN {_SHARD16_SQL.format(id='doc_id')} = 7 AND doc_id % 5 = 0
+              THEN text || ' [rewritten]' ELSE text END AS text,
+         lang
+  FROM documents
+  WHERE {_SHARD16_SQL.format(id='doc_id')} <> 3
+  UNION ALL
+  SELECT doc_id + 50000000 AS doc_id,
+         'stray append of ' || text AS text,
+         lang
+  FROM documents
+  WHERE doc_id % 13 = 6
+    AND {_SHARD16_SQL.format(id='doc_id + 50000000')} = 11
+),
+j AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         CASE WHEN a.doc_id IS NULL THEN 'added'
+              WHEN b.doc_id IS NULL THEN 'removed'
+              WHEN a.text IS DISTINCT FROM b.text
+                   OR a.lang IS DISTINCT FROM b.lang THEN 'mutated'
+         END AS delta
+  FROM documents a FULL JOIN b ON a.doc_id = b.doc_id
+)
+SELECT {_SHARD16_SQL.format(id='doc_id')} AS shard, doc_id, delta
+FROM j WHERE delta IS NOT NULL
+"""
+
+
+@query("q222_corpus_receipt_diff", _Q222_SQL)
+def q222_corpus_receipt_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus receipt audit (r17 verdict task 4 — the third leg of the
+    maintenance triptych: append q220 / retract q221 / AUDIT): given two
+    corpus receipts — yesterday's frozen manifest and a re-manifest
+    after an incident — localize the divergence to shards (the exact
+    promise `operators/maintenance.shard_manifest` makes: any diff lands
+    in 1/num_shards of the corpus), fetch ONLY the differing shards'
+    rows via the same pmod(md5_60(id)) key, and report per-shard
+    row-level deltas (`operators/maintenance.corpus_receipt_diff`) —
+    the 100 TB form of the reference's scrape-vs-DB delisting comparison
+    (`code/airflow_gcp/dags/tasks/property_listings/archive_delisted_properties.py:104-147`:
+    current-listings vs stored-table diff, generalized from "which
+    listings vanished" to added/removed/mutated with shard-pruned
+    point reads).
+
+    Fixture: three shard-concentrated incidents on the documents corpus
+    — shard 3 wiped entirely (a lost shard file), every 5th doc of
+    shard 7 rewritten (a bad rewrite job), and a stray append of foreign
+    rows (ids offset by 5·10⁷, filtered to land in shard 11).  13 of 16
+    shards are untouched and must be PRUNED; the receipts are recomputed
+    here for self-containment, loaded from storage in production
+    (`manifest_a`/`manifest_b` params, same plan shapes — exercised by
+    tests/test_lm.py).
+
+    THE equivalence proof: Spark computes the diff VIA the receipts
+    (manifest compare → bounded collect of ≤16 divergent shard ids → a
+    literal IN predicate on both corpus scans → full-outer id join of
+    only those shards' rows, compared by the injective row hash), while
+    the DuckDB oracle full-outer-joins BOTH corpora wholesale and
+    compares text/lang FIELDS directly.  A full-value hash match
+    certifies diff-via-receipt ≡ diff-from-scratch: no delta escapes its
+    divergent shard, pruning loses nothing, and hash-compare ≡
+    field-compare.  One mis-localized shard, one over-pruned row, or one
+    hash-blind mutation flips a row of the result.
+
+    Scale shape (100 TB corpus, incident-sized divergence): receipts are
+    16 rows each (loaded in production — the fixture's manifest
+    recompute is its only corpus-proportional cost); the row-level pass
+    scans 3/16 of each corpus (partition pruning under a
+    shard-partitioned layout) and shuffles only those rows for the id
+    join — wall scales with |differing shards|, not |corpus|.  Nothing
+    is corpus×corpus, nothing quadratic, no driver-side row data beyond
+    the ≤16-row shard list."""
+    from re_data_pipeline_spark.operators.maintenance import (
+        _md5_60,
+        _nullsafe_str,
+        corpus_receipt_diff,
+    )
+
+    def shard16(col: Column) -> Column:
+        return F.pmod(_md5_60(_nullsafe_str(col)), F.lit(16)).cast("int")
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    s = shard16(F.col("doc_id"))
+    # corpus B: the post-incident state — shard 3 lost, shard 7 partially
+    # rewritten, stray rows appended into shard 11
+    b = (
+        d.where(s != 3)
+        .select(
+            "doc_id",
+            F.when(
+                (s == 7) & (F.col("doc_id") % 5 == 0),
+                F.concat(F.col("text"), F.lit(" [rewritten]")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+            "lang",
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 13 == 6)
+            .select(
+                (F.col("doc_id") + F.lit(50000000)).alias("doc_id"),
+                F.concat(F.lit("stray append of "), F.col("text")).alias("text"),
+                "lang",
+            )
+            .where(shard16(F.col("doc_id")) == 11)
+        )
+    )
+    r = corpus_receipt_diff(d, b, num_shards=16)
+    return r["deltas"].select("shard", "doc_id", "delta")

@@ -17,6 +17,8 @@ import json
 import os
 import sys
 
+import pytest
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench  # noqa: E402
@@ -160,13 +162,17 @@ def test_prior_plan_hashes_resolves_newest_parseable_record(tmp_path):
     assert bench.prior_plan_hashes(root=str(tmp_path / "nowhere")) == ("", {})
 
 
+@pytest.mark.repo_gate
 def test_repo_bench_records_fresh_gate():
     """REPO-STATE GATE (not a unit test): the committed bench records must
     carry parseable plan hashes no older than the round before the current
     DRIVER_WINDOW_ROUND — the r16 incident left the comparator silently
-    reading r12.  Expected to fail transiently on a checkout where
-    DRIVER_WINDOW_ROUND was bumped before the round's bench run has
-    landed; run bench.py (or commit its .benchmarks record) to restore."""
+    reading r12.  Fails transiently on a checkout where DRIVER_WINDOW_ROUND
+    was bumped before the round's bench run has landed, so it is OUT of the
+    default unit run (r17 advice): deselected via pytest.ini's repo_gate
+    marker, run explicitly at round close (`pytest -m repo_gate`) alongside
+    the parity/leakaudit gates; run bench.py (or commit its .benchmarks
+    record) to restore."""
     import re
 
     name, hashes = bench.prior_plan_hashes()

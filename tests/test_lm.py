@@ -773,3 +773,85 @@ def test_ngram_lm_injected_model_respects_trainer_pruning(spark, tmp_path):
         tuple(r) for r in ngram_lm_nll(None, score, model=loaded).collect()
     }
     assert injected == inplace
+
+
+def test_manifest_diff_detects_each_divergence_class(spark):
+    """r18: manifest_diff is null-safe over the three receipt columns —
+    a count change, a checksum flip, a byte change, and a shard present
+    on only one side each surface as a divergent row; identical receipts
+    produce an empty diff."""
+    from re_data_pipeline_spark.operators.maintenance import manifest_diff
+
+    schema = "shard int, n_rows bigint, content_xor bigint, n_bytes bigint"
+    a = spark.createDataFrame(
+        [(0, 5, 111, 500), (1, 3, 222, 300), (2, 4, 333, 400), (3, 2, 444, 200)],
+        schema,
+    )
+    assert manifest_diff(a, a).count() == 0
+    b = spark.createDataFrame(
+        [(0, 6, 111, 500),   # count changed
+         (1, 3, 999, 300),   # checksum flipped
+         (2, 4, 333, 401),   # bytes changed
+         # shard 3 absent (lost), shard 4 new
+         (4, 1, 555, 100)],
+        schema,
+    )
+    got = {r["shard"]: r for r in manifest_diff(a, b).collect()}
+    assert set(got) == {0, 1, 2, 3, 4}
+    assert got[3]["b_rows"] is None and got[3]["a_rows"] == 2
+    assert got[4]["a_rows"] is None and got[4]["b_rows"] == 1
+
+
+def test_corpus_receipt_diff_localizes_and_classifies(spark):
+    """r18: the composed audit — deltas are exactly the from-scratch
+    full-outer field diff (added/removed/mutated), every delta lands in
+    a shard manifest_diff flagged, untouched shards are pruned, and the
+    injected-receipt production path returns byte-identical results to
+    the recompute path."""
+    from re_data_pipeline_spark.operators.maintenance import (
+        corpus_receipt_diff,
+        shard_manifest,
+    )
+
+    rows = [(i, f"audit corpus doc {i} body", "en") for i in range(1, 21)]
+    a = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    # B: drop 3 and 17, mutate 5 (text) and 9 (lang), add 100 and 101
+    changed = {3: None, 17: None,
+               5: (5, "audit corpus doc 5 body TAMPERED", "en"),
+               9: (9, "audit corpus doc 9 body", "fr")}
+    b_rows = [changed.get(i, r) for i, r in zip(range(1, 21), rows) if changed.get(i, r)]
+    b_rows += [(100, "brand new doc", "en"), (101, "another new doc", "de")]
+    b = spark.createDataFrame(b_rows, "doc_id bigint, text string, lang string")
+
+    r = corpus_receipt_diff(a, b, num_shards=8)
+    deltas = {row["doc_id"]: (row["shard"], row["delta"]) for row in r["deltas"].collect()}
+    assert {k: v[1] for k, v in deltas.items()} == {
+        3: "removed", 17: "removed", 5: "mutated", 9: "mutated",
+        100: "added", 101: "added",
+    }
+    # localization: every delta's shard is one manifest_diff flagged
+    flagged = {row["shard"] for row in r["shards"].collect()}
+    assert {v[0] for v in deltas.values()} <= flagged
+    # pruning: shards flagged are exactly the shards of changed rows
+    # (an untouched shard must never be flagged — XOR/count unchanged)
+    m_a = {row["shard"]: row for row in
+           shard_manifest(a, "doc_id", ["text", "lang"], num_shards=8).collect()}
+    m_b = {row["shard"]: row for row in
+           shard_manifest(b, "doc_id", ["text", "lang"], num_shards=8).collect()}
+    untouched = {s for s in m_a if s in m_b and tuple(m_a[s]) == tuple(m_b[s])}
+    assert not (flagged & untouched)
+
+    # production path: receipts loaded from storage → identical output
+    r2 = corpus_receipt_diff(
+        a, b, num_shards=8,
+        manifest_a=shard_manifest(a, "doc_id", ["text", "lang"], num_shards=8),
+        manifest_b=shard_manifest(b, "doc_id", ["text", "lang"], num_shards=8),
+    )
+    assert {tuple(x) for x in r2["deltas"].collect()} == {
+        tuple(x) for x in r["deltas"].collect()
+    }
+
+    # identical corpora: zero divergent shards, zero deltas (the empty
+    # IN-list branch must not degenerate into a full-corpus diff)
+    r3 = corpus_receipt_diff(a, a, num_shards=8)
+    assert r3["shards"].count() == 0 and r3["deltas"].count() == 0
