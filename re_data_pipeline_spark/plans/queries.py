@@ -4838,64 +4838,64 @@ def q118_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Driver-window registration order
 # ---------------------------------------------------------------------------
 # The correctness driver verifies the FIRST 50 registered queries, in order.
-# Round-17 rotation (the r16 verdict's task-1 spec): (a) never-
-# driver-checked registrations always in (q221, this round's net-new
-# corpus-retraction trace); (b) queries whose code changed after their
-# last driver check or that the r16 rotation displaced —
-# q215_d4_curation (r14-green, displaced two rounds running; the r16
-# window comment promised it leads r17), q216_cluster_safe_split
-# (r15-green, r16 exception-path change, builder+judge-parity-verified),
-# and q219_fineweb_trace (r15-green; its r16 head refactor
-# (_curation_s1) was builder- and judge-parity-verified but never
-# driver-checked) plus q220 (r16-green; this round's body refactor
-# extracts _q220_snapshot_cuts for tools/q220_production_probe.py —
-# plan hash pinned IDENTICAL to the r16 record, builder-parity-
-# verified; in by the same rule that put q219 here); (c) the ENTIRE
-# 37-row round-12 band, so after the r17 run no green row predates
-# round 13 (the r16 verdict's done-condition; the import-time
+# Round-18 rotation (the r17 verdict's task-1 spec): (a) never-
+# driver-checked registrations always in (q222, this round's net-new
+# corpus-receipt-diff audit); (b) queries whose code changed this round
+# after their last driver check — the LM scorer grew an injected-model
+# path (`operators/lm.py`: `_train_tables` extracted, `ngram_lm_train`
+# + `model=` added; every touched query's plan hash pinned IDENTICAL to
+# the r17 record, builder-parity-verified), which touches q202/q210
+# (r14-green, ALSO the two oldest-band rows the fill would claim
+# anyway), q203/q206 (compose ngram_lm_nll), q219/q220 (LM inside the
+# curation tiers; q220 additionally: `_q220_snapshot_cuts` grew the
+# probe-only `frozen_out` stash — default path byte-identical); plus
+# q221 (r17-green; `corpus_retraction` now passes its pre-distinct id
+# frame to the index prune — PHYSICAL plan hash unchanged, Catalyst was
+# already collapsing the nested distinct; in by the r17 q220
+# precedent); (c) the ENTIRE 30-row round-13 band in planner order,
+# LED by the five rows the r17 budget displaced and promised first
+# claims (q150/q151/q154/q155/q156), so after the r18 run no green row
+# predates round 14 (the r17 verdict's done-condition; the import-time
 # staleness gate in tests/test_parity_gate.py enforces the outer
-# <=5-round bound); (d) the 8 oldest round-13 rows in planner order.
-# Budget: 1 + 4 + 37 + 8 = 50, which displaces the remaining five
-# oldest-r13 planner rows (q150_sequence_pattern,
-# q151_item_cooccurrence, q154_index_merge, q155_grouped_kfold,
-# q156_curation_v2 — all r13-green, code UNCHANGED since) into the
-# r18 oldest band, where the staleness done-condition will claim them
-# first.
+# <=5-round bound); (d) the 12 oldest round-14 rows in planner order.
+# Budget: 1 + 7 + 30 + 12 = 50.  The remaining 30 r14 rows (planner
+# order from q19_json_extract) stay r14-green for the r19 oldest band,
+# where the staleness done-condition will claim them first — exactly
+# one window's worth alongside r19's new/changed rows.
 
 # The round this list was last actually RE-COMPOSED (not merely shipped):
 # tools/gen_window_doc.py stamps it into README so the freshness claim
 # can't silently go false again (r9 verdict "what's wrong" #2).
-DRIVER_WINDOW_ROUND = 17
+DRIVER_WINDOW_ROUND = 18
 
 DRIVER_WINDOW: list[str] = [
     # (a) never driver-checked: this round's net-new query
-    "q221_corpus_retraction",
-    # (b) displaced-changed carries promised the r17 lead, the r16 head
-    # refactor never driver-checked, and q220 (r16-green, r17 body
-    # refactor: _q220_snapshot_cuts extracted for the production probe —
-    # plan hash pinned identical, builder-parity-verified)
-    "q215_d4_curation", "q216_cluster_safe_split", "q219_fineweb_trace",
-    "q220_incremental_crawl_update",
-    # (c) last green driver row: round 12 (the ENTIRE 37-row band,
-    # planner order)
-    "q03_broadcast_join_agg", "q125_span_dedup", "q129_domain_mixture",
-    "q12_running_total", "q131_stream_stream_join",
-    "q132_bpe_pair_counts", "q133_salted_join", "q134_scd2_history",
-    "q135_inverted_index", "q137_grouped_split", "q138_spatial_knn",
-    "q139_ohlc_downsample", "q13_rollup", "q140_stream_dedup_watermark",
-    "q141_interval_lookup", "q142_transition_matrix",
-    "q143_snapshot_diff", "q144_scd1_merge", "q145_bm25_topk",
-    "q146_countmin_sketch", "q147_hll_sketch", "q149_mad_outliers",
-    "q14_grid_agg", "q205_shard_manifest", "q209_streaming_manifest",
-    "q20_safe_cast", "q211_unigram_train", "q212_unigram_fertility",
-    "q38_radius_join", "q42_llm_extract", "q43_embed_column",
-    "q45_multimodal_features", "q46_listings_pipeline",
-    "q47_rental_grid_pipeline", "q53_approx_distinct",
-    "q75_percentile_approx", "q91_brochure_pipeline",
-    # (d) the 8 oldest round-13 rows, planner order
-    "q08_distinct", "q09_union_by_name", "q101_streaming_sessions",
-    "q109_canonical_url", "q10_except", "q114_grouping_sets",
-    "q11_explode", "q120_http_pushdown_scan",
+    "q222_corpus_receipt_diff",
+    # (b) changed this round after their last driver check (LM
+    # injected-model refactor; q220 frozen_out stash; q221 distinct
+    # hand-off — all plan hashes pinned identical to the r17 records)
+    "q202_ngram_lm_nll", "q210_ngram_lm_pruned", "q203_ccnet_buckets",
+    "q206_curation_v3", "q219_fineweb_trace",
+    "q220_incremental_crawl_update", "q221_corpus_retraction",
+    # (c) last green driver row: round 13 (the ENTIRE 30-row band —
+    # the five displaced r17 first-claims lead, then planner order)
+    "q150_sequence_pattern", "q151_item_cooccurrence", "q154_index_merge",
+    "q155_grouped_kfold", "q156_curation_v2", "q157_stream_left_outer",
+    "q158_stratified_sample", "q159_triangle_count", "q15_date_lookback",
+    "q161_bpe_train", "q162_bpe_encode", "q163_record_linkage",
+    "q16_date_parts", "q17_regexp_extract", "q18_string_cleanup",
+    "q213_kcenter_select", "q214_kcenter_incremental", "q217_sssp_weighted",
+    "q24_collect_sorted", "q27_tumbling_window", "q28_sliding_window",
+    "q29_session_window", "q33_minhash_lsh", "q34_ngram_jaccard",
+    "q36_centroid_similarity", "q57_asof_join", "q63_reit_pipeline",
+    "q71_near_dedup_pipeline", "q72_curation_pipeline",
+    "q97_sequence_packing",
+    # (d) the 12 oldest round-14 rows, planner order
+    "q02_filter_project", "q103_ivf_kmeans", "q113_quality_report",
+    "q115_pq_adc_topk", "q130_bloom_prefilter", "q170_char_lm_quality",
+    "q172_pmi_collocations", "q176_vocab_coverage", "q179_key_skew_report",
+    "q184_weighted_quantiles", "q192_grouped_quantiles",
+    "q193_ann_recall_report",
 ]
 
 
