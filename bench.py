@@ -118,6 +118,11 @@ HEADLINE = [
     # fetch, manifest un-fold, broadcast index prune; the fixture's
     # index/manifest recompute is the only corpus-proportional wall)
     "q221_corpus_retraction",        # frozen-corpus delete + receipt un-fold
+    # round-18 addition: the receipt audit completing the maintenance
+    # triptych (append/retract/AUDIT) — manifest compare → literal-IN
+    # shard prune on both scans → full-outer row-level delta over only
+    # the divergent shards' rows
+    "q222_corpus_receipt_diff",      # shard-localized corpus version diff
 ]
 
 

@@ -701,6 +701,7 @@ def corpus_receipt_diff(
     shard_col: str = "shard",
     manifest_a: DataFrame | None = None,
     manifest_b: DataFrame | None = None,
+    stored_shard_col: str | None = None,
 ) -> dict[str, DataFrame]:
     """Shard-localized row-level audit of two corpus versions — the third
     leg of the maintenance triptych (append :func:`incremental_corpus_update`
@@ -741,11 +742,26 @@ def corpus_receipt_diff(
     as removed+added IF its shard diverges for other reasons (identical
     receipts otherwise keep that shard out of the diff entirely).
 
+    ``stored_shard_col`` names a MATERIALIZED shard column both corpora
+    carry (the production handoff layout: written
+    ``partitionBy(shard)``, since the shard key IS the manifest's
+    localization unit).  Without it, the shard is recomputed from the id
+    — correct, but an md5 expression is opaque to the file index, so a
+    flat fixture reads every row and filters in the scan.  With it, the
+    literal IN predicate lands on the partition column itself and
+    becomes REAL partition pruning: only the divergent shards' files
+    are opened (measured by ``tools/q222_pruning_probe.py``).  Layout
+    contract: the stored column must equal ``pmod(md5_60(id),
+    num_shards)`` — what :func:`shard_manifest` shards by; a corpus
+    written by this engine's receipt family satisfies it by
+    construction.
+
     Scale shape (100 TB corpus, incident-sized divergence): the receipts
     are num_shards rows (loaded, or one map-combined agg each when
-    recomputed); the row-level pass scans only divergent shards and
-    shuffles their rows once for the full-outer id join — wall scales
-    with |differing shards|, not |corpus|.  Nothing is corpus×corpus.
+    recomputed); the row-level pass scans only divergent shards (file
+    skipping under ``stored_shard_col``) and shuffles their rows once
+    for the full-outer id join — wall scales with |differing shards|,
+    not |corpus|.  Nothing is corpus×corpus.
     """
     if content_cols is None:
         content_cols = ["text", "lang"]
@@ -767,11 +783,12 @@ def corpus_receipt_diff(
 
     def pruned(df: DataFrame, sh: str, rh: str) -> DataFrame:
         key, row_hash = _row_digest(id_col, content_cols)
-        out = df.select(
-            F.pmod(key, F.lit(num_shards)).cast("int").alias(sh),
-            F.col(id_col),
-            row_hash.alias(rh),
+        shard = (
+            F.col(stored_shard_col).cast("int")
+            if stored_shard_col is not None
+            else F.pmod(key, F.lit(num_shards)).cast("int")
         )
+        out = df.select(shard.alias(sh), F.col(id_col), row_hash.alias(rh))
         return out.where(F.col(sh).isin(div)) if div else out.where(F.lit(False))
 
     pa = pruned(corpus_a, "__sha", "__rha")

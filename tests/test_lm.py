@@ -855,3 +855,50 @@ def test_corpus_receipt_diff_localizes_and_classifies(spark):
     # IN-list branch must not degenerate into a full-corpus diff)
     r3 = corpus_receipt_diff(a, a, num_shards=8)
     assert r3["shards"].count() == 0 and r3["deltas"].count() == 0
+
+
+def test_corpus_receipt_diff_stored_shard_col_prunes(spark, tmp_path):
+    """r18 (probe finding): recomputing the shard from the id is opaque
+    to the file index — on shard-partitioned storage the operator must
+    filter the MATERIALIZED partition column (stored_shard_col) so the
+    divergent-shard IN predicate becomes real partition pruning.  The
+    stored-column path must return exactly the computed-path deltas, and
+    the pruned scan must carry a PartitionFilter."""
+    from re_data_pipeline_spark.operators.maintenance import (
+        _md5_60,
+        _nullsafe_str,
+        corpus_receipt_diff,
+    )
+
+    shard = F.pmod(_md5_60(_nullsafe_str(F.col("doc_id"))), F.lit(8)).cast("int")
+    rows = [(i, f"stored shard corpus doc {i}", "en") for i in range(1, 31)]
+    a = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    b = a.where(F.col("doc_id") != 7).select(
+        "doc_id",
+        F.when(F.col("doc_id") == 12, F.lit("mutated body")).otherwise(
+            F.col("text")
+        ).alias("text"),
+        "lang",
+    )
+    pa, pb = str(tmp_path / "a"), str(tmp_path / "b")
+    a.withColumn("shard", shard).write.partitionBy("shard").parquet(pa)
+    b.withColumn("shard", shard).write.partitionBy("shard").parquet(pb)
+    la, lb = spark.read.parquet(pa), spark.read.parquet(pb)
+
+    computed = corpus_receipt_diff(
+        la.drop("shard"), lb.drop("shard"), num_shards=8
+    )["deltas"]
+    stored = corpus_receipt_diff(
+        la, lb, num_shards=8, stored_shard_col="shard"
+    )["deltas"]
+    got_c = {tuple(r) for r in computed.collect()}
+    got_s = {tuple(r) for r in stored.collect()}
+    assert got_s == got_c
+    assert {r[2] for r in got_s} == {"removed", "mutated"}
+    # the stored path's scans must prune at the file index
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    import re as _re
+
+    pf = _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("shard" in f and " IN " in f for f in pf), pf

@@ -790,6 +790,30 @@ CHECKS = [
         "batch-sized work plus one id-pruned fetch.",
         {"spark.sql.autoBroadcastJoinThreshold": "-1"},
     ),
+    (
+        "q222_corpus_receipt_diff",
+        "receipt audit: divergent-shard localization, literal-IN prune, row-level delta",
+        [
+            (r"Filter [^\n]*IN \(3,7,11\)", "the receipt-derived divergent-shard set is a LITERAL IN predicate (bounded ≤num_shards-row collect) sitting ON both corpus scans — partition pruning under a shard-partitioned production layout"),
+            (r"DataFilters: \[[^\n]*pmod", "the shard-key expression reaches the scans' DataFilters on both sides"),
+            (r"SortMergeJoin [^\n]*FullOuter", "the row-level compare is ONE full-outer id join over only the pruned shards' rows — the only row-mass exchange, bounded by divergent-shard size"),
+            (r"!CartesianProduct", "no all-pairs stage"),
+            (r"!BroadcastNestedLoopJoin", "no nested-loop fallback"),
+            (r"!HashAggregate", "the returned row-level plan carries NO aggregate — the 16-row receipts (map-combined aggs in their own right, see q205) are consumed at LOCALIZATION time by the bounded ≤num_shards-row collect, so the delta plan is pure scan→prune→join"),
+        ],
+        "The audit leg of the maintenance triptych: the manifests are "
+        "16-row receipts (loaded from storage in production — the "
+        "fixture's recompute is its only corpus-proportional cost); "
+        "their compare is a 16-row full-outer join whose divergent "
+        "shards become a literal IN filter pushed onto BOTH corpus "
+        "scans, so the row-level pass reads 3/16 of each corpus here "
+        "and |divergent shards|/num_shards in general.  The full-outer "
+        "id join shuffles only those rows once.  At 100 TB: wall "
+        "scales with the divergence, not the corpus; nothing is "
+        "corpus×corpus; the only driver-side data is the ≤16-row "
+        "shard list.",
+        {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    ),
 ]
 
 

@@ -92,6 +92,12 @@ HEAVY = [
     # receipt math staying num_shards-row at 10× docs — the fixture's
     # index/manifest recompute is the only corpus-proportional wall
     "q221_corpus_retraction",
+    # r18: the receipt audit — the anchor must show the row-level pass
+    # bounded by the DIVERGENT shards' mass (the literal IN predicate on
+    # both scans), with the fixture's manifest recompute as the only
+    # corpus-proportional wall (injected receipts remove it in
+    # production)
+    "q222_corpus_receipt_diff",
 ]
 
 
