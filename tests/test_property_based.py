@@ -568,3 +568,76 @@ def test_manifest_retract_law_on_arbitrary_corpora(spark, case):
     else:
         exp = set()
     assert got == exp
+
+
+@st.composite
+def _two_corpus_versions(draw):
+    docs = draw(
+        st.lists(_doc_strategy, min_size=1, max_size=15, unique_by=lambda d: d[0])
+    )
+    actions = draw(
+        st.lists(
+            st.sampled_from(["keep", "drop", "mut_text", "mut_lang"]),
+            min_size=len(docs),
+            max_size=len(docs),
+        )
+    )
+    base_ids = {d[0] for d in docs}
+    added = [
+        d
+        for d in draw(
+            st.lists(_doc_strategy, max_size=5, unique_by=lambda d: d[0])
+        )
+        if d[0] not in base_ids
+    ]
+    return docs, actions, added
+
+
+@settings(max_examples=6, deadline=None)
+@given(_two_corpus_versions())
+def test_receipt_diff_law_on_arbitrary_corpora(spark, case):
+    """Diff law on arbitrary data (NULL text/lang, empty strings,
+    negative and huge ids): corpus_receipt_diff's receipt-localized,
+    shard-pruned deltas equal the brute-force row classification — the
+    q222 identity, free of fixture shape.  Mutations are constructed to
+    change the CANONICAL (NULL-as-'') form, matching the receipt
+    family's documented convention."""
+    from re_data_pipeline_spark.operators.maintenance import corpus_receipt_diff
+
+    docs, actions, added = case
+    b_rows, want = [], {}
+
+    def shard(doc_id):
+        import hashlib
+
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % 4
+
+    for (doc_id, text, lang), act in zip(docs, actions):
+        if act == "drop":
+            want[doc_id] = (shard(doc_id), "removed")
+        elif act == "mut_text":
+            b_rows.append((doc_id, (text or "") + "X", lang))
+            want[doc_id] = (shard(doc_id), "mutated")
+        elif act == "mut_lang":
+            b_rows.append((doc_id, text, "zz"))
+            want[doc_id] = (shard(doc_id), "mutated")
+        else:
+            b_rows.append((doc_id, text, lang))
+    for doc_id, text, lang in added:
+        b_rows.append((doc_id, text, lang))
+        want[doc_id] = (shard(doc_id), "added")
+
+    schema = "doc_id long, text string, lang string"
+    a = spark.createDataFrame(docs, schema)
+    b = (
+        spark.createDataFrame(b_rows, schema)
+        if b_rows
+        else spark.createDataFrame([], schema)
+    )
+    r = corpus_receipt_diff(a, b, num_shards=4)
+    got = {row["doc_id"]: (row["shard"], row["delta"]) for row in r["deltas"].collect()}
+    assert got == want
+    # localization invariant: every divergent shard manifest_diff flags
+    # is a shard some delta lives in, and vice versa
+    flagged = {row["shard"] for row in r["shards"].collect()}
+    assert flagged == {s for s, _ in want.values()}
