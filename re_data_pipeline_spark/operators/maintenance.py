@@ -780,6 +780,21 @@ def corpus_receipt_diff(
     # a literal IN predicate ON the scans — broadcast-joining them instead
     # would keep the filter out of partition pruning's reach
     div = sorted(r[0] for r in shards.select(shard_col).collect())
+    # LOUD guard on the one silent-miss mismatch this operator can
+    # detect: receipts built with a LARGER num_shards than this call
+    # surface divergent ids ≥ num_shards, which the computed shard key
+    # could never match — the prune would quietly drop those rows.  (A
+    # SMALLER receipt modulus is indistinguishable from sparse
+    # divergence and stays a documented caller contract, like
+    # stored_shard_col's layout contract.)
+    bad = [s for s in div if s is None or s < 0 or s >= num_shards]
+    if bad:
+        raise ValueError(
+            f"divergent shard ids {bad} outside [0, {num_shards}): the "
+            "injected receipts were built with a different num_shards "
+            "than this call; the shard-pruned fetch would silently miss "
+            "their rows"
+        )
 
     def pruned(df: DataFrame, sh: str, rh: str) -> DataFrame:
         key, row_hash = _row_digest(id_col, content_cols)

@@ -902,3 +902,26 @@ def test_corpus_receipt_diff_stored_shard_col_prunes(spark, tmp_path):
 
     pf = _re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert any("shard" in f and " IN " in f for f in pf), pf
+
+
+def test_corpus_receipt_diff_rejects_mismatched_receipt_modulus(spark):
+    """r18 review: receipts injected from a build with a LARGER
+    num_shards than the call surface divergent shard ids the computed
+    key could never match — the prune would silently drop those rows.
+    The operator must fail loud instead."""
+    import pytest
+
+    from re_data_pipeline_spark.operators.maintenance import (
+        corpus_receipt_diff,
+        shard_manifest,
+    )
+
+    rows = [(i, f"modulus guard doc {i}", "en") for i in range(1, 60)]
+    a = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    b = a.where(F.col("doc_id") % 2 == 0)
+    with pytest.raises(ValueError, match="num_shards"):
+        corpus_receipt_diff(
+            a, b, num_shards=4,
+            manifest_a=shard_manifest(a, "doc_id", ["text", "lang"], num_shards=32),
+            manifest_b=shard_manifest(b, "doc_id", ["text", "lang"], num_shards=32),
+        )
