@@ -925,3 +925,89 @@ def test_corpus_receipt_diff_rejects_mismatched_receipt_modulus(spark):
             manifest_a=shard_manifest(a, "doc_id", ["text", "lang"], num_shards=32),
             manifest_b=shard_manifest(b, "doc_id", ["text", "lang"], num_shards=32),
         )
+
+
+def test_ngram_lm_injected_model_broadcast_mode(spark, tmp_path):
+    """The CCNet-faithful PRODUCTION pairing: frozen reference model
+    loaded from parquet AND broadcast-hinted scoring (map-only position
+    joins).  Scores must equal equi-join mode and the plan must carry
+    broadcast joins."""
+    from re_data_pipeline_spark.operators.ids import release_handles
+    from re_data_pipeline_spark.operators.lm import ngram_lm_train
+
+    train = spark.createDataFrame(
+        [(1, "small clean reference corpus text"),
+         (2, "reference corpus text continues here")],
+        "doc_id bigint, text string",
+    )
+    score = spark.createDataFrame(
+        [(10, "reference corpus text appears again"), (11, "wholly novel words")],
+        "doc_id bigint, text string",
+    )
+    m = ngram_lm_train(train)
+    for name, df in m.items():
+        df.write.parquet(str(tmp_path / name))
+        release_handles(df)
+    loaded = {
+        n: spark.read.parquet(str(tmp_path / n))
+        for n in ("tri", "bi", "uni", "stats")
+    }
+    plain = {tuple(r) for r in ngram_lm_nll(None, score, model=loaded).collect()}
+    bcast_df = ngram_lm_nll(None, score, model=loaded, broadcast_model=True)
+    bcast = {tuple(r) for r in bcast_df.collect()}
+    assert bcast == plain
+    plan = bcast_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ngram_lm_injected_model_degenerate_empty_corpus(spark, tmp_path):
+    """The zero-token degenerate survives the parquet round-trip: a model
+    trained on an empty-token corpus scores every document NULL (no
+    evidence is not a perfect score) in the injected path exactly as
+    in-place."""
+    from re_data_pipeline_spark.operators.ids import release_handles
+    from re_data_pipeline_spark.operators.lm import ngram_lm_train
+
+    train = spark.createDataFrame([(1, "   "), (2, None)], "doc_id bigint, text string")
+    score = spark.createDataFrame(
+        [(10, "some words to score here")], "doc_id bigint, text string"
+    )
+    inplace = {tuple(r) for r in ngram_lm_nll(train, score).collect()}
+    m = ngram_lm_train(train)
+    for name, df in m.items():
+        df.write.parquet(str(tmp_path / name))
+        release_handles(df)
+    loaded = {
+        n: spark.read.parquet(str(tmp_path / n))
+        for n in ("tri", "bi", "uni", "stats")
+    }
+    injected = {tuple(r) for r in ngram_lm_nll(None, score, model=loaded).collect()}
+    assert injected == inplace
+    assert next(iter(injected))[3] is None
+
+
+def test_manifest_diff_localizes_a_retraction(spark):
+    """Cross-operator law tying q221 to q222: diffing a corpus receipt
+    against its retract_shard_manifest un-fold flags EXACTLY the shards
+    the retracted rows lived in — an auditor can localize a retraction
+    from receipts alone."""
+    from re_data_pipeline_spark.operators.maintenance import (
+        manifest_diff,
+        retract_shard_manifest,
+        shard_manifest,
+    )
+
+    rows = [(i, f"retraction audit doc {i}", "en") for i in range(1, 25)]
+    a = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    d = a.where(F.col("doc_id").isin(3, 11, 19))
+    m_a = shard_manifest(a, "doc_id", ["text", "lang"], num_shards=8)
+    m_d = shard_manifest(d, "doc_id", ["text", "lang"], num_shards=8)
+    after = retract_shard_manifest(m_a, m_d)
+    flagged = {
+        r["shard"]
+        for r in manifest_diff(
+            m_a.select("shard", "n_rows", "content_xor", "n_bytes"), after
+        ).collect()
+    }
+    want = {r["shard"] for r in m_d.collect()}
+    assert flagged == want
