@@ -913,6 +913,33 @@ def contiguous_pack(
 # route stops being viable long before the k≈10³ of coreset practice.
 _KCENTER_GREEDY_MAX_K = 64
 
+# Target partition size for the k-times-rescanned selection frame (r18,
+# guide §2.2/§6: fewer-larger partitions).  Every k-center round launches
+# one job over the frame's partitions, so per-round task-launch overhead
+# multiplies by k — a tiny frame split 16 ways pays k×16 task launches to
+# scan a few MB.  Coalesce the frame toward ~this many bytes per
+# partition, derived from the optimizer's OWN size estimate
+# (scale-adaptive: a multi-TB corpus keeps its full scan parallelism —
+# the coalesce only fires when the whole frame is below 1024 partitions'
+# worth).  Env-tunable for cluster profiles; the local default matches
+# spark.sql.files.maxPartitionBytes guidance (128 MB).
+_KCENTER_PARTITION_BYTES = int(
+    __import__("os").environ.get(
+        "SPARK_GRAFT_KCENTER_PARTITION_BYTES", str(128 << 20)
+    )
+)
+
+
+def _plan_stats_bytes(df: DataFrame) -> int | None:
+    """The optimizer's size-in-bytes estimate for ``df`` (file-size-exact
+    for a bare parquet scan), or None when unavailable."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
+        )
+    except Exception:
+        return None
+
 
 def kcenter_select(
     df: DataFrame,
@@ -999,6 +1026,16 @@ def kcenter_select(
     e = df.select(F.col(id_col), F.col(vec_col)).where(
         F.col(id_col).isNotNull() & F.col(vec_col).isNotNull()
     )
+    # Scale-adaptive narrowing (r18): the frame is re-scanned k times (one
+    # argmax job per round), so per-round task-launch overhead multiplies
+    # by k.  Target ~_KCENTER_PARTITION_BYTES per partition from the
+    # optimizer's size estimate; unknown stats (huge sentinel) or big
+    # inputs leave the scan parallelism untouched.  coalesce, not
+    # repartition: a narrow merge, no shuffle, no row-order change the
+    # argmax could see (the argmax is a total order anyway).
+    nb = _plan_stats_bytes(e)
+    if nb is not None and 0 < nb < _KCENTER_PARTITION_BYTES * 1024:
+        e = e.coalesce(max(1, -(-nb // _KCENTER_PARTITION_BYTES)))
     seed = e.orderBy(F.asc(id_col)).limit(1).collect()
     if not seed:
         return df.sparkSession.createDataFrame([], out_schema)
