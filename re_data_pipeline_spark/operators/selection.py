@@ -934,9 +934,10 @@ def _plan_stats_bytes(df: DataFrame) -> int | None:
     """The optimizer's size-in-bytes estimate for ``df`` (file-size-exact
     for a bare parquet scan), or None when unavailable."""
     try:
-        return int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().toString()
-        )
+        v = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # py4j converts scala.math.BigInt to a Python int; older bridges
+        # hand back the Java object — str() covers both
+        return int(str(v))
     except Exception:
         return None
 
@@ -947,7 +948,7 @@ def kcenter_select(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     mode: str = "auto",
-    checkpoint_every: int = 32,
+    checkpoint_every: int = 8,
     _plan_probe=None,
 ) -> DataFrame:
     """Greedy k-center (farthest-point / max-min) selection over an
@@ -991,7 +992,15 @@ def kcenter_select(
       lineage so the analyzed plan stays O(checkpoint_every·dim)
       regardless of k.  Same per-center rounding, same least() fold order
       → bit-identical to greedy (least of per-center HALF_UP integers is
-      associative), which the conformance tests assert.
+      associative), which the conformance tests assert.  The default
+      dropped 32 → 8 in r18: execution always hits the previous round's
+      cache, but ANALYSIS re-walks the whole logical chain since the last
+      checkpoint every round — measured per-round driver cost grows with
+      that depth while the per-round literals cost nothing (same-vs-fresh
+      literal probe: plan med 25 ms vs 13 ms, argmax unchanged), so a
+      shallower truncation cap is a pure driver-time win at any scale
+      (6 more 1-job truncations per 65 rounds vs ~O(depth) analysis on
+      every round; q214 wall 24.9–34.7 s → 15.0–22.6 s same-host A/B).
 
     Scale shape (100 TB): both routes shuffle NOTHING — per-round traffic
     is one 1-row TakeOrdered argmax; the incremental route adds one
@@ -1099,7 +1108,7 @@ def kcenter_select(
                 # the frame update below would never be read — building it
                 # anyway cost one full eager-checkpoint pass whenever the
                 # last round landed ON a checkpoint boundary (q214's exact
-                # configuration: k=65, checkpoint_every=32, r=64)
+                # configuration: k=65, checkpoint_every=8, r=64)
                 break
             frame = frame.where(F.col(id_col) != F.lit(far[0][id_col])).withColumn(
                 "__md", F.least(F.col("__md"), d_micro(list(far[0][vec_col])))
