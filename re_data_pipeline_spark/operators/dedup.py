@@ -495,9 +495,18 @@ def connected_components_bss(
     Each round is two join+groupBy stages over the *current* edge list
     (which only ever shrinks toward the star forest); lineage is truncated
     per round with localCheckpoint.  Convergence = the oriented edge set is
-    a fixpoint of large∘small (checked exactly via a two-sided anti join —
-    a count/checksum probe could silently converge on a hash collision and
-    ship wrong dedup labels).
+    a fixpoint of large∘small, checked EXACTLY via one symmetric-difference
+    count (both sides are distinct sets, so a (u,v) group seen in only one
+    side ⟺ the sets differ — never a count/checksum probe, which could
+    silently converge on a hash collision and ship wrong dedup labels).
+    The probe doubles as the round checkpoint's materializing action (r18,
+    guide §2.4): the pre-r18 round ran an EAGER checkpoint job plus TWO
+    exceptAll probe jobs, each shuffling both edge sets — one full-count
+    probe over the union materializes the lazy checkpoint (a full count,
+    never limit(1): a short-circuiting action would truncate lineage with
+    partitions missing from the cache — the connected_components
+    precedent) and performs the set comparison in the same pass, 3 jobs /
+    3 edge-set shuffles per round → 1 job / 1 shuffle.
     """
 
     def _dedup_edges(e: DataFrame) -> DataFrame:
@@ -532,14 +541,24 @@ def connected_components_bss(
     new_edges = None
     try:
         for _ in range(max_iterations):
-            new_edges = _small_star(_large_star(edges)).localCheckpoint()
-            # exact fixpoint probe: both directions of the set difference
-            changed = (
-                new_edges.exceptAll(edges).limit(1).count()
-                + edges.exceptAll(new_edges).limit(1).count()
+            new_edges = _small_star(_large_star(edges)).localCheckpoint(
+                eager=False
             )
-            # new_edges is eagerly materialized and the probe was the last
-            # reader of the old round — release its checkpoint blocks
+            # exact fixpoint probe AND checkpoint materializer in one job:
+            # both sides are distinct (u, v) sets, so a group with exactly
+            # one tagged member ⟺ the symmetric difference is non-empty.
+            # The full count computes every new_edges partition through the
+            # lazy checkpoint (no short-circuit), caching all its blocks.
+            changed = (
+                new_edges.select("u", "v")
+                .unionByName(edges.select("u", "v"))
+                .groupBy("u", "v")
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .where(F.col("__c") == 1)
+                .count()
+            )
+            # new_edges is now fully materialized and the probe was the
+            # last reader of the old round — release its checkpoint blocks
             release_local_checkpoint(edges)
             edges = new_edges
             if changed == 0:
