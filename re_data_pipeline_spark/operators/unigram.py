@@ -37,12 +37,14 @@ Scale shape (100 TB): ONE corpus pass collapses text to the
 working set (the ``bpe_train`` discipline).  The per-round driver
 exchange is the piece table itself — bounded by the PARAMETERS
 (seed_multi + |alphabet| ≤ seed_multi + 36 rows, [a-z0-9] alphabet), the
-k-row-collect class, not a corpus-derived relation.  The per-word
-piece-cost lookup is an equi-join of the word-span table against the
-piece table (NO broadcast hint — the no-vocabulary-broadcast rule; at
-these row counts AQE will pick one anyway, but the plan must not demand
-it), then a single ``F.aggregate`` fold per word: O(L·P) integer struct
-comparisons, all JVM-side.
+k-row-collect class, not a corpus-derived relation.  Because the table
+is parameter-bounded AND already driver-resident between rounds, the
+per-word piece-cost lookup ships it as a LITERAL map in the plan (r18;
+this is NOT a vocabulary-relation broadcast — a corpus-derived
+vocabulary could never ride the plan, but a ≤(seed_multi+36)-entry
+parameter table can), making segmentation one MAP-ONLY pass: a single
+``F.aggregate`` fold per word, O(L·P) integer struct comparisons, all
+JVM-side, zero segmentation-side exchanges.
 """
 
 from __future__ import annotations
@@ -181,28 +183,37 @@ def _segment_words(
     words: DataFrame, vocab: DataFrame, max_piece_len: int
 ) -> DataFrame:
     """(w, freq, best struct<c,s>) — Viterbi segmentation of every
-    distinct word under ``vocab``'s costs.  The piece-cost lookup is an
-    equi-join of the word's distinct spans against the piece table (no
-    broadcast hint — vocabulary-relation rule), folded back into a
-    per-word map.  TOTAL over ``words``: a word sharing no piece with
-    the vocab (every char outside the trained alphabet) keeps its row
-    with a NULL ``__b`` — the LEFT join + NULL map → NULL fold result —
-    rather than silently vanishing through an inner join."""
-    spans = words.select(
-        "w", F.explode(F.array_distinct(_span_pieces(max_piece_len))).alias("piece")
-    )
-    pc = (
-        spans.join(vocab, "piece")
-        .groupBy("w")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("piece", "cost_micro"))
-            ).alias("__pc")
+    distinct word under ``vocab``'s costs.  The piece-cost lookup is a
+    LITERAL map in the plan (r18): the vocabulary is PARAMETER-bounded
+    (``seed_multi`` + |alphabet| rows — the module docstring's
+    k-row-collect class) and already driver-resident in the training
+    loop, so shipping it as plan data replaces the pre-r18 per-call
+    spans-explode → piece equi-join → ``map_from_entries`` re-grouping
+    (one corpus-spans shuffle per EM round / fertility call) with a
+    MAP-ONLY pass over the word table — zero extra exchanges (guide
+    §2.4).  Lookups are equivalent: a probed substring outside the vocab
+    returns NULL from the literal map exactly as it was absent from the
+    joined per-word map, and a word sharing no piece with the vocab
+    still folds to a NULL ``__b`` (every candidate filtered) — TOTAL
+    over ``words``, as before.  ``vocab.collect()`` is driver-only on
+    the training loop's LocalRelation; for a caller-provided frame it is
+    one parameter-bounded action."""
+    rows = vocab.select("piece", "cost_micro").collect()
+    if rows:
+        pc = F.create_map(
+            *[
+                x
+                for r in rows
+                for x in (
+                    F.lit(r["piece"]),
+                    F.lit(int(r["cost_micro"])).cast("bigint"),
+                )
+            ]
         )
-    )
-    return (
-        words.join(pc, "w", "left")
-        .select("w", "freq", _viterbi_best(F.col("__pc"), max_piece_len).alias("__b"))
+    else:
+        pc = F.expr("cast(map() as map<string,bigint>)")
+    return words.select(
+        "w", "freq", _viterbi_best(pc, max_piece_len).alias("__b")
     )
 
 
