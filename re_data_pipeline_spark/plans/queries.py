@@ -5887,17 +5887,26 @@ def q153_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = prefix_filter_pairs(
         d, "doc_id", "text", threshold_num=4, threshold_den=5, on_degradation="off"
     )
+    # MATERIALIZE the pair list before verification (the near_dedup_pipeline
+    # discipline, r18): jaccard_on_pairs references ``pairs`` four times
+    # (scoping union ×2, intersection join, final left join) and each
+    # reference would otherwise replay the ENTIRE prefix-filter plan —
+    # the un-checkpointed form planned 88 parquet scans / 493 operators
+    # for this one query.  The checkpoint handle rides the result for
+    # release-after-materialization.
+    cands = cands.localCheckpoint()
     verified = jaccard_on_pairs(cands, d, "doc_id", "text", shingle_words=1)
     # both engines filter on the same double quotient: with set sizes
     # ≤ ~60, neighbouring ratios are ≥ 5e-5 apart — far beyond one ulp, so
     # the float comparison cannot disagree with the exact rational test
-    from re_data_pipeline_spark.operators.ids import carry_spines
+    from re_data_pipeline_spark.operators.ids import _carry_caches
 
-    return carry_spines(
+    return _carry_caches(
         verified,
         verified.where(F.col("jaccard") >= 0.8).select(
             "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
         ),
+        cands,
     )
 
 
