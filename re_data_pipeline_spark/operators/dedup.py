@@ -708,6 +708,38 @@ def cluster_dedup_keep_best(
     return carry_spines(comps, df.join(losers, id_col, "left_anti"))
 
 
+import os as _os
+
+_VERIFY_WIDEN_BYTES = int(
+    _os.environ.get("SPARK_GRAFT_VERIFY_WIDEN_BYTES", str(32 << 20))
+)
+
+
+def _widen_small_frame(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a SMALL frame to full core parallelism
+    before a compute-dense verify stage (guide §2.5 input-parallelism:
+    a broadcast join's probe side inherits the scan's partitioning, so a
+    few-MB/few-split input serializes per-candidate work that is
+    QUADRATIC in bucket size onto a handful of cores — measured on
+    q215's SRP-cosine verify: 6.3 s → 2.4 s at 32 cores over a
+    2,075-row corpus).  Scale-adaptive, not a local-mode constant: fires
+    only when the optimizer's size estimate says the frame is under
+    ``cores × SPARK_GRAFT_VERIFY_WIDEN_BYTES`` (default 32 MB/partition
+    — at that size the scan already carries ≥cores natural splits and
+    the extra exchange would cost more than the spread buys); unknown
+    stats leave the frame untouched.  Row-set-preserving (round-robin
+    repartition; deterministic under retries via Spark's
+    sort-before-repartition default), so downstream join/CC results are
+    unchanged."""
+    from re_data_pipeline_spark.operators.selection import _plan_stats_bytes
+
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    nb = _plan_stats_bytes(df)
+    if nb is not None and 0 < nb < _VERIFY_WIDEN_BYTES * cores:
+        return df.repartition(cores)
+    return df
+
+
 def semantic_dedup_pipeline(
     df: DataFrame,
     planes: list[list[float]],
@@ -738,7 +770,11 @@ def semantic_dedup_pipeline(
     from re_data_pipeline_spark.functions.vectors import cosine_similarity
     from re_data_pipeline_spark.operators.similarity import srp_bucket
 
-    bucketed = df.select(
+    # widen BEFORE bucketing (guide §2.5): the bucket self-join's probe
+    # side inherits this frame's partitioning (the build side broadcasts
+    # at batch scale), and the per-pair cosine fold is the operator's
+    # dominant compute — a 3-split local scan serialized it onto 3 cores
+    bucketed = _widen_small_frame(df).select(
         F.col(id_col), F.col(vec_col), srp_bucket(F.col(vec_col), planes).alias("__b")
     )
     a = bucketed.select(
