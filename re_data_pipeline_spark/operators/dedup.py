@@ -110,9 +110,17 @@ def minhash_signature(
     """
     lanes_per_digest = 4
     num_digests = -(-num_hashes // lanes_per_digest)
-    # tokens materialized separately from shingles: an inline split() would
-    # re-evaluate per shingle inside the interpreted transform lambda
-    sh_df = df.withColumn("__toks", tokens(F.col(text_col))).withColumn(
+    # widen BEFORE the per-shingle digest work (guide §2.5 input
+    # parallelism): every caller either persists this operator's output
+    # (bucket tables, estimate signatures) or consumes it exactly once
+    # (retraction/update index builds), so the round-robin exchange is
+    # paid once while the md5-per-shingle map work — measured as 1-task
+    # 1.3-2.4 s stages on the 1-row-group local parquet — spreads to all
+    # cores.  The stats gate skips it when the scan already has ≥cores
+    # natural splits (a real 100 TB input).
+    sh_df = _widen_small_frame(df).withColumn(
+        "__toks", tokens(F.col(text_col))
+    ).withColumn(
         "__sh", word_shingles_of(F.col("__toks"), shingle_words)
     )
 
