@@ -46,6 +46,7 @@ md5 hex) and the fastest correct variant in this engine.
 
 from __future__ import annotations
 
+import os as _os
 import warnings
 
 from pyspark.sql import Column, DataFrame
@@ -715,8 +716,6 @@ def cluster_dedup_keep_best(
     )
     return carry_spines(comps, df.join(losers, id_col, "left_anti"))
 
-
-import os as _os
 
 _VERIFY_WIDEN_BYTES = int(
     _os.environ.get("SPARK_GRAFT_VERIFY_WIDEN_BYTES", str(32 << 20))
@@ -2068,6 +2067,15 @@ def _es_bind(expr, fn):
 
 _ES_EMPTY_ANCH = "cast(array() as array<struct<p:int,v:bigint>>)"
 
+# Probe-side widening fires only when the guard's exact candidate estimate
+# promises at least this much extension work PER CORE — below it the extra
+# exchange/query-stage costs more than the spread buys (measured: q197's
+# 720k candidates win 9.4 → 6.2 s; q125/q219's sparse span tiers LOSE
+# 0.5-0.9 s under an unconditional widen).  Env-tunable.
+_ES_WIDEN_PAIRS_PER_CORE = int(
+    _os.environ.get("SPARK_GRAFT_ES_WIDEN_PAIRS_PER_CORE", "2048")
+)
+
 
 def _es_anchor_table(
     t: DataFrame, id_col: str, min_len: int, k: int, w: int
@@ -2375,6 +2383,20 @@ def _exact_substring_merged_spans(
             on_degradation,
             "self-join",
         )
+        # Candidate-volume-gated probe widening (guide §2.5): the
+        # candidate join's probe side — where the per-candidate
+        # extension folds run — inherits the anchor CACHE's partitioning,
+        # and a 1-split local scan serialized the whole verify/extend
+        # stage onto one core (q197: a single 5.0 s task; 9.4 → 6.2 s
+        # A/B).  The guard's est_pairs — already on the driver — says
+        # whether there is enough extension work to amortize the extra
+        # exchange: sparse-candidate corpora (q125/q219's span tiers)
+        # measured a 0.5-0.9 s LOSS from an unconditional widen, so gate
+        # on ≥ _ES_WIDEN_PAIRS_PER_CORE candidates per core.  Reads from
+        # the cache; row-set preserving.
+        cores = df.sparkSession.sparkContext.defaultParallelism
+        if int(stats["est_pairs"] or 0) >= _ES_WIDEN_PAIRS_PER_CORE * cores:
+            anch = anch.repartition(cores)
 
     a, b = anch.alias("a"), anch.alias("b")
     cand = a.join(
@@ -2649,6 +2671,12 @@ def exact_substring_decontaminate(
             on_degradation,
             "A×B join",
         )
+        # candidate-volume-gated probe widening of the TRAINING-side
+        # anchors (see _exact_substring_merged_spans — same trade, same
+        # gate); the bench side stays as-is (broadcast-sized)
+        cores = df.sparkSession.sparkContext.defaultParallelism
+        if int(stats["est_pairs"] or 0) >= _ES_WIDEN_PAIRS_PER_CORE * cores:
+            anch_a = anch_a.repartition(cores)
 
     a, b = anch_a.alias("a"), anch_b.alias("b")
     cand = a.join(b, F.col("a.__h") == F.col("b.__h")).select(
