@@ -1052,7 +1052,10 @@ def kcenter_select(
     from re_data_pipeline_spark.functions.vectors import micro_sq_dist
 
     def d_micro(center_vec: list) -> Column:
-        return micro_sq_dist(F.col(vec_col), center_vec)
+        # pass the NAME, not F.col(...): micro_sq_dist's one-SQL-parse fast
+        # path needs a plain identifier, and this expression is rebuilt
+        # with fresh literals every round (r19 driver-time fix)
+        return micro_sq_dist(vec_col, center_vec)
 
     chosen = [(0, seed[0][id_col], None)]
 

@@ -1,9 +1,9 @@
-"""Capture `.explain("formatted")` for headline queries into plans/r18/.
+"""Capture `.explain("formatted")` for headline queries into plans/<round>/.
 
 Usage: python tools/capture_plans.py <suffix> [query ...]
 
-Writes plans/r18/<query>_<suffix>.txt for each named query (default: every
-bench HEADLINE query).  For iterative multi-job pipelines the returned
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<suffix>.txt (round defaults
+to r19) for each named query (default: every bench HEADLINE query).  For iterative multi-job pipelines the returned
 frame is the final (tiny) result frame — the file still records it, plus a
 note that the query's cost is in its driver rounds, not this plan.
 
@@ -32,7 +32,9 @@ def main() -> None:
     spark = get_spark(app_name="capture_plans")
     spark.sparkContext.setLogLevel("ERROR")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r18"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r19"),
     )
     os.makedirs(out_dir, exist_ok=True)
 
