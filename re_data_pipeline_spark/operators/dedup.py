@@ -722,7 +722,7 @@ _VERIFY_WIDEN_BYTES = int(
 )
 
 
-def _widen_small_frame(df: DataFrame) -> DataFrame:
+def widen_small_frame(df: DataFrame) -> DataFrame:
     """Round-robin repartition a SMALL frame to full core parallelism
     before a compute-dense verify stage (guide §2.5 input-parallelism:
     a broadcast join's probe side inherits the scan's partitioning, so a
@@ -745,6 +745,11 @@ def _widen_small_frame(df: DataFrame) -> DataFrame:
     if nb is not None and 0 < nb < _VERIFY_WIDEN_BYTES * cores:
         return df.repartition(cores)
     return df
+
+
+# pre-r19 private name; widen_small_frame is now cross-module API (the LM
+# trainer and the fingerprint/verify paths share it), so it is public
+_widen_small_frame = widen_small_frame
 
 
 def semantic_dedup_pipeline(
