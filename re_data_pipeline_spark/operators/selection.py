@@ -766,7 +766,8 @@ def train_quality_classifier(
     w = [0] * n_buckets  # 1e-6 fixed-point weights, exact Python ints
     try:
         for _ in range(iters):
-            wlit = F.array(*[F.lit(int(v)).cast("bigint") for v in w])
+            # one SQL parse per round, not 2·n_buckets py4j calls (r19)
+            wlit = F.expr("array(" + ", ".join(f"{int(v)}L" for v in w) + ")")
             z = (
                 feat.withColumn(
                     "__wf", F.element_at(wlit, F.col("__b").cast("int") + 1)
@@ -832,7 +833,7 @@ def classifier_score_trained(
     n_buckets = len(weights_fixed)
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     toks = tokens(c)
-    wlit = F.array(*[F.lit(int(v)).cast("bigint") for v in weights_fixed])
+    wlit = F.expr("array(" + ", ".join(f"{int(v)}L" for v in weights_fixed) + ")")
     w_fixed = F.transform(
         toks,
         lambda t: F.element_at(wlit, hash_bucket(t, n_buckets).cast("int") + 1),

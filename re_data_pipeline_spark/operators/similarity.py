@@ -516,7 +516,16 @@ def pq_adc_topk(
         ]
         for s in range(m)
     ]
-    lut_col = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+    # ONE SQL parse for the m×k literal table instead of m·k+m py4j
+    # Column calls (k=256 codebooks made this ~2,000 driver round trips
+    # per query construction — r19, the literal_vector precedent)
+    from re_data_pipeline_spark.functions.vectors import _literal_vector_sql
+
+    rows_sql = [_literal_vector_sql([float(v) for v in row]) for row in lut]
+    if all(r is not None for r in rows_sql):
+        lut_col = F.expr("array(" + ", ".join(rows_sql) + ")")
+    else:
+        lut_col = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
     encoded = encoded.withColumn("__lut", lut_col)
     dist = None
     for s in range(m):
