@@ -717,9 +717,25 @@ def cluster_dedup_keep_best(
     return carry_spines(comps, df.join(losers, id_col, "left_anti"))
 
 
-_VERIFY_WIDEN_BYTES = int(
-    _os.environ.get("SPARK_GRAFT_VERIFY_WIDEN_BYTES", str(32 << 20))
-)
+def _env_int(name: str, default: int) -> int:
+    """Parse an integer tuning knob from the environment, falling back to
+    the default on a malformed value (a bad knob must disable itself, not
+    break every import of the operators package — ADVICE r18)."""
+    raw = _os.environ.get(name)
+    if raw is None:
+        return default
+    try:
+        return int(raw)
+    except ValueError:
+        import warnings
+
+        warnings.warn(
+            f"{name}={raw!r} is not an integer; using default {default}"
+        )
+        return default
+
+
+_VERIFY_WIDEN_BYTES = _env_int("SPARK_GRAFT_VERIFY_WIDEN_BYTES", 32 << 20)
 
 
 def widen_small_frame(df: DataFrame) -> DataFrame:
@@ -731,9 +747,13 @@ def widen_small_frame(df: DataFrame) -> DataFrame:
     q215's SRP-cosine verify: 6.3 s → 2.4 s at 32 cores over a
     2,075-row corpus).  Scale-adaptive, not a local-mode constant: fires
     only when the optimizer's size estimate says the frame is under
-    ``cores × SPARK_GRAFT_VERIFY_WIDEN_BYTES`` (default 32 MB/partition
-    — at that size the scan already carries ≥cores natural splits and
-    the extra exchange would cost more than the spread buys); unknown
+    ``cores × SPARK_GRAFT_VERIFY_WIDEN_BYTES`` (default 32 MB).  The gate
+    is deliberately CONSERVATIVE: with the default
+    ``spark.sql.files.maxPartitionBytes`` of 128 MB, frames between
+    cores×32 MB and cores×128 MB get neither the widen nor ≥cores natural
+    splits — in that band the per-partition work is ≥32 MB of input, big
+    enough that the scan partitions amortize their compute and the extra
+    exchange measured as a loss (the r18 corpus-scan probe); unknown
     stats leave the frame untouched.  Row-set-preserving (round-robin
     repartition; deterministic under retries via Spark's
     sort-before-repartition default), so downstream join/CC results are
@@ -2082,9 +2102,7 @@ _ES_EMPTY_ANCH = "cast(array() as array<struct<p:int,v:bigint>>)"
 # exchange/query-stage costs more than the spread buys (measured: q197's
 # 720k candidates win 9.4 → 6.2 s; q125/q219's sparse span tiers LOSE
 # 0.5-0.9 s under an unconditional widen).  Env-tunable.
-_ES_WIDEN_PAIRS_PER_CORE = int(
-    _os.environ.get("SPARK_GRAFT_ES_WIDEN_PAIRS_PER_CORE", "2048")
-)
+_ES_WIDEN_PAIRS_PER_CORE = _env_int("SPARK_GRAFT_ES_WIDEN_PAIRS_PER_CORE", 2048)
 
 
 def _es_anchor_table(
@@ -2403,7 +2421,14 @@ def _exact_substring_merged_spans(
         # exchange: sparse-candidate corpora (q125/q219's span tiers)
         # measured a 0.5-0.9 s LOSS from an unconditional widen, so gate
         # on ≥ _ES_WIDEN_PAIRS_PER_CORE candidates per core.  Reads from
-        # the cache; row-set preserving.
+        # the cache; row-set preserving.  CAVEAT (ADVICE r18): the widened
+        # partitioning only survives into the verify stage while one side
+        # of the self-join broadcasts; if the anchor table outgrows
+        # autoBroadcastJoinThreshold the fallback sort-merge join
+        # re-shuffles both sides and the extra exchange is wasted (a
+        # measured local-mode win that is size-bounded by construction —
+        # the anchor cache of a corpus whose est_pairs clears the gate at
+        # 32 cores is ~MBs here; re-measure before raising the gate).
         cores = df.sparkSession.sparkContext.defaultParallelism
         if int(stats["est_pairs"] or 0) >= _ES_WIDEN_PAIRS_PER_CORE * cores:
             anch = anch.repartition(cores)

@@ -108,8 +108,13 @@ def assign_ordinals(
     return out
 
 
-def _carry_caches(src_df: DataFrame, out: DataFrame, new_cache) -> DataFrame:
+def carry_caches(src_df: DataFrame, out: DataFrame, new_cache) -> DataFrame:
     """Propagate persisted-spine handles through chained rank operators.
+
+    PUBLIC inter-module contract (used by operators/ and plans/queries.py
+    — any operator that persists an intermediate and returns a derived
+    frame must thread its handle through here so ``release_spines`` can
+    free it).
 
     ``_ordinal_cache`` stays "the most recent spine" (assign_ordinals'
     original contract); ``_ordinal_caches`` accumulates EVERY spine pinned
@@ -126,6 +131,10 @@ def _carry_caches(src_df: DataFrame, out: DataFrame, new_cache) -> DataFrame:
     out._ordinal_cache = new_cache if new_cache is not None else prev
     out._ordinal_caches = caches
     return out
+
+
+# pre-r19 private name, kept for the existing call sites
+_carry_caches = carry_caches
 
 
 def carry_spines(src_df: DataFrame, out: DataFrame) -> DataFrame:

@@ -931,9 +931,14 @@ _KCENTER_PARTITION_BYTES = int(
 )
 
 
-def _plan_stats_bytes(df: DataFrame) -> int | None:
+def plan_stats_bytes(df: DataFrame) -> int | None:
     """The optimizer's size-in-bytes estimate for ``df`` (file-size-exact
-    for a bare parquet scan), or None when unavailable."""
+    for a bare parquet scan), or None when unavailable.
+
+    PUBLIC inter-module contract: every stats-gated rebalance
+    (``widen_small_frame``, the k-center coalesce probe) keys off this.
+    Fails open — any JVM/bridge error returns None and the caller
+    no-ops."""
     try:
         v = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         # py4j converts scala.math.BigInt to a Python int; older bridges
@@ -941,6 +946,10 @@ def _plan_stats_bytes(df: DataFrame) -> int | None:
         return int(str(v))
     except Exception:
         return None
+
+
+# pre-r19 private name, kept for the existing call sites
+_plan_stats_bytes = plan_stats_bytes
 
 
 def kcenter_select(

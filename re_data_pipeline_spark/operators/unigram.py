@@ -319,7 +319,12 @@ def unigram_word_fertility(
     vocab was trained on, words containing a character outside the
     trained alphabet are unsegmentable and return NULL ``n_pieces``
     (they neither crash the fold nor silently drop — the out-of-vocab
-    rate is itself a signal a dashboard wants)."""
+    rate is itself a signal a dashboard wants).
+
+    CONTRACT: ``vocab`` must be parameter-bounded (≲ thousands of rows) —
+    segmentation collects it to the driver and ships it as a literal map
+    (the r18 one-pass rewrite), which is exactly right for a trained
+    SentencePiece-style vocabulary and wrong for an unbounded frame."""
     words = _word_table(df, text_col, max_word_len)
     seg = _segment_words(words, vocab, max_piece_len)
     return seg.select(
