@@ -111,8 +111,14 @@ def bpe_train(
     """
     from re_data_pipeline_spark.operators.ids import release_local_checkpoint
 
+    from re_data_pipeline_spark.operators.dedup import narrow_small_frame
+
     spark = df.sparkSession
-    words = build_word_table(df, text_col, max_word_len).localCheckpoint()
+    # size-derived narrow before the checkpoint (r19): every merge round
+    # re-reads the checkpointed blocks — see narrow_small_frame
+    words = narrow_small_frame(
+        build_word_table(df, text_col, max_word_len)
+    ).localCheckpoint()
     rules = []
     try:
         for rank in range(num_merges):

@@ -772,6 +772,45 @@ def widen_small_frame(df: DataFrame) -> DataFrame:
 _widen_small_frame = widen_small_frame
 
 
+_NARROW_TARGET_BYTES = _env_int("SPARK_GRAFT_NARROW_TARGET_BYTES", 16 << 20)
+
+
+def narrow_small_frame(df: DataFrame) -> DataFrame:
+    """``widen_small_frame``'s dual: coalesce a SMALL shuffle-output frame
+    to a size-derived partition count before it is persisted/checkpointed
+    and re-scanned by an iterative loop (guide §2.4 tiny-task overhead /
+    §6 partition sizing).  A groupBy output inherits
+    ``spark.sql.shuffle.partitions`` (2×cores locally), AQE cannot
+    re-coalesce a CACHED plan (``canChangeCachedPlanOutputPartitioning``
+    is false by default), and every EM/merge round then pays ~70 near-empty
+    task launches per job — measured r19 on the unigram word table
+    (254 KB cached in 64 partitions, scanned by 34 jobs): q211 4.2 → 3.5 s,
+    q218 5.9 → 4.9 s, q212 4.4 → 3.8 s.
+
+    Scale-adaptive, not a local-mode constant: the partition count is
+    ``ceil(optimizer size estimate / SPARK_GRAFT_NARROW_TARGET_BYTES)``
+    (default 16 MB/partition; ≤ 0 disables), so a corpus-scale table keeps
+    ≥ its shuffle layout (the helper no-ops when the target count reaches
+    ``spark.sql.shuffle.partitions``) and unknown/inflated stats — e.g. a
+    child that is an unmaterialized cache — leave the frame untouched.
+    ``coalesce`` adds NO exchange and never touches the map side: the
+    expensive corpus scan/explode upstream keeps its parallelism; only the
+    post-shuffle reduce side narrows.  Row-set-preserving, so aggregates,
+    joins and results are unchanged."""
+    if _NARROW_TARGET_BYTES <= 0:
+        return df
+    from re_data_pipeline_spark.operators.selection import plan_stats_bytes
+
+    nb = plan_stats_bytes(df)
+    if nb is None or nb <= 0:
+        return df
+    n = int(nb // _NARROW_TARGET_BYTES) + 1
+    sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    if n >= sp:
+        return df
+    return df.coalesce(n)
+
+
 def semantic_dedup_pipeline(
     df: DataFrame,
     planes: list[list[float]],

@@ -98,9 +98,16 @@ def _train_tables(
     # same-mode); deployments that KNOW the model is reference-corpus-
     # bounded (CCNet-faithful) opt back into map-only scoring with
     # ``broadcast_model=True`` instead of relying on AQE to guess.
+    from re_data_pipeline_spark.operators.dedup import narrow_small_frame
+
     caches: list[DataFrame] = []
-    uni = base.select(F.explode("__t").alias("__w")).groupBy("__w").agg(
-        F.count(F.lit(1)).alias("__c1")
+    # size-derived narrow before each persist (r19, see narrow_small_frame)
+    # — when ``base`` is an unmaterialized cache its inflated size estimate
+    # makes this a documented no-op, preserving the r14 plan-hash notes
+    uni = narrow_small_frame(
+        base.select(F.explode("__t").alias("__w")).groupBy("__w").agg(
+            F.count(F.lit(1)).alias("__c1")
+        )
     ).persist()
     caches.append(uni)
     # 1-row corpus stats: N tokens, V distinct tokens
@@ -110,7 +117,7 @@ def _train_tables(
     )
     # adjacent pairs, keyed by the joined gram AND its first word (the
     # backoff denominator c1(first) joins on the word, not the gram)
-    bi = (
+    bi = narrow_small_frame(
         base.select(
             F.explode(
                 _grams(
@@ -123,8 +130,7 @@ def _train_tables(
         .groupBy("__g2")
         .agg(F.count(F.lit(1)).alias("__c2"))
         .withColumn("__w1", F.split(F.col("__g2"), " ")[0])
-        .persist()
-    )
+    ).persist()
     caches.append(bi)
     tri = (
         base.select(

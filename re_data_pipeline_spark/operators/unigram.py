@@ -68,7 +68,12 @@ def _word_table(df: DataFrame, text_col: str, max_word_len: int) -> DataFrame:
     """(word, freq) over lowercase [a-z0-9]+ words of bounded length —
     includes single-character words (unlike ``bpe.build_word_table``: the
     unigram model must price every character)."""
-    return (
+    from re_data_pipeline_spark.operators.dedup import narrow_small_frame
+
+    # size-derived narrow BEFORE the persist/rescan (r19): the EM loop
+    # re-scans this table once per round and a 2×cores-partition cached
+    # layout made every round's job ~70 near-empty task launches
+    return narrow_small_frame(
         df.select(
             F.explode(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")).alias("w")
         )
