@@ -400,14 +400,14 @@ def connected_components(
     dedup (drop id_b of each pair) into true cluster dedup: A~B, B~C drops
     both B and C even when (A,C) was never a candidate pair.
     """
-    edges = (
+    edges = narrow_small_frame(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
         # materialize: the edge list is referenced 2× per iteration, and its
         # lineage may be an expensive candidate-generation pipeline
-        .localCheckpoint()
-    )
+        # (size-derived narrow first — r19, see narrow_small_frame)
+    ).localCheckpoint()
     from re_data_pipeline_spark.operators.ids import release_local_checkpoint
 
     labels = (
@@ -431,7 +431,7 @@ def connected_components(
             # partition (a full count, never limit(1) — a short-circuiting action
             # would truncate lineage with partitions missing from the cache),
             # caches the blocks, and returns the probe in the same pass.
-            new_labels = (
+            new_labels = narrow_small_frame(
                 labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
                 .select(
                     "node",
@@ -544,15 +544,18 @@ def connected_components_bss(
 
     from re_data_pipeline_spark.operators.ids import release_local_checkpoint
 
-    edges = _dedup_edges(
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    # size-derived narrow before each round checkpoint (r19, see
+    # narrow_small_frame) — the star-contraction loop re-scans the round's
+    # edge set 3× (large-star's union view + the probe union)
+    edges = narrow_small_frame(
+        _dedup_edges(pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")))
     ).localCheckpoint()
     new_edges = None
     try:
         for _ in range(max_iterations):
-            new_edges = _small_star(_large_star(edges)).localCheckpoint(
-                eager=False
-            )
+            new_edges = narrow_small_frame(
+                _small_star(_large_star(edges))
+            ).localCheckpoint(eager=False)
             # exact fixpoint probe AND checkpoint materializer in one job:
             # both sides are distinct (u, v) sets, so a group with exactly
             # one tagged member ⟺ the symmetric difference is non-empty.

@@ -52,12 +52,15 @@ def pagerank_fixed(
     result is consumed (the standard carry contract)."""
     from re_data_pipeline_spark.operators.ids import _carry_caches
 
-    nodes = (
+    from re_data_pipeline_spark.operators.dedup import narrow_small_frame
+
+    nodes = narrow_small_frame(
         edges.select(F.col(src).alias("n"))
         .union(edges.select(F.col(dst).alias("n")))
         .distinct()
-        .localCheckpoint()
-    )
+        # size-derived narrow before the checkpoint the loop re-reads
+        # (r19, see narrow_small_frame)
+    ).localCheckpoint()
     e = edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst")).localCheckpoint()
     deg = e.groupBy("e_src").agg(F.count(F.lit(1)).alias("out_deg"))
     ranks = nodes.withColumn("rank_f", F.lit(scale).cast("long"))
@@ -72,7 +75,7 @@ def pagerank_fixed(
                 .select(F.col("e_dst").alias("n2"), "c")
             )
             incoming = contrib.groupBy("n2").agg(F.sum("c").alias("inc"))
-            new_ranks = (
+            new_ranks = narrow_small_frame(
                 nodes.join(incoming, nodes.n == incoming.n2, "left")
                 .select(
                     "n",
@@ -81,8 +84,7 @@ def pagerank_fixed(
                         + F.expr("85 * coalesce(inc, 0L) DIV 100")
                     ).alias("rank_f"),
                 )
-                .localCheckpoint()  # eager: materializes, so prev is dead
-            )
+            ).localCheckpoint()  # eager: materializes, so prev is dead
             release_local_checkpoint(prev)
             prev = ranks = new_ranks
     except BaseException:
